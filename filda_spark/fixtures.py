@@ -1,0 +1,467 @@
+"""Deterministic synthetic VIIRS-like corpus generator (FIXTURES.md §1-§3).
+
+Produces the engine's primary input exactly in the driver `input_hint` shape:
+
+- ``documents``: (doc_id string, spans array<struct<kind,text,media_ref,offset>>)
+  — one row per granule scene; span 0 = header JSON, span 1 = band inventory
+  JSON, spans 2.. = media spans referencing raster blocks.
+- ``media``: (media_ref string, doc_id string, var string, shape array<int>,
+  dtype string, data binary) — raster payloads (float32/uint8 C-order bytes).
+  At scale this table is bucketed by doc_id so one granule decodes within one
+  task; at test scale it's a plain parquet.
+- ancillary broadcast tables: NTL climatology tiles, GEOS-FP surface
+  temperature, infrared LUT, DNB resample LUT, pixel-area LUT, bowtie overlap,
+  land cover (sinusoidal cells), peatland (Plate-Carree cells), gas-flare and
+  land/water polygons.
+
+All content is seeded from the doc_id (sha256), no external data. Planted
+content per granule mirrors FIXTURES.md §1: absolute fires, contextual fires,
+a saturated fire, a water-strip + ocean fire, cloud rectangles, a bright-city
+patch, a gas-flare site. Docs 4..7 are second-overpass re-observations of
+docs 0..3 (slightly shifted geolocation) so cross-granule kNN dedup has real
+duplicate pairs to find.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from filda_spark import kernels
+from filda_spark.namelist import LAMBDA_UM
+
+# test-scale granule geometry (FIXTURES.md §5): M 64x80, I 128x160,
+# 16-row scan structure preserved (4 scans).
+H_M, W_M = 64, 80
+DNB_PAD = 8  # raw DNB grid is (H_M, W_M + DNB_PAD), offset mapping
+D_DEG = 0.01  # M-pixel spacing in degrees
+NTL_CELLS = 2400
+
+M_BANDS = ("M07", "M08", "M10", "M11", "M12", "M13", "M14", "M15", "M16")
+
+
+def _seed(doc_id: str) -> int:
+    return int.from_bytes(hashlib.sha256(doc_id.encode()).digest()[:8], "big")
+
+
+def corpus_doc_params(n_docs: int = 8):
+    """Deterministic per-doc placement; docs p+4 re-observe docs p."""
+    out = []
+    for k in range(n_docs):
+        pair = k % 4
+        second = k >= 4
+        lat0 = 40.0 - 17.0 * pair + (0.003 if second else 0.0)
+        lon0 = -100.0 + 10.0 * pair + (0.004 if second else 0.0)
+        overpass = f"{312 + 6 * pair:04d}" if second else f"{200 + 6 * pair:04d}"
+        day = pair == 3 and not second  # doc 3 is a Day granule (filtered out)
+        out.append(
+            dict(
+                doc_id=f"VNP.A2019213.{overpass}",
+                sat="VNP",
+                jdn="A2019213",
+                overpass=overpass,
+                lat0=lat0,
+                lon0=lon0,
+                day=day,
+                pair=pair,
+            )
+        )
+    return out
+
+
+# planted feature geometry in M-grid coordinates (jittered per pair)
+def _features(pair: int) -> dict:
+    di, dj = pair % 3, (2 * pair) % 5
+    return dict(
+        cloud_rect=(5 + di, 15 + di, 5 + dj, 20 + dj),  # r0, r1, c0, c1
+        water_cols=(64, 71),
+        lake67=(58 + di, 61 + di, 10 + dj, 13 + dj),  # lwm=6/7 patch
+        city=(40 + di, 47 + di, 30 + dj, 37 + dj),
+        fires_abs=[(25 + di, 10 + dj), (50 + di, 40 + dj)],
+        fires_ctx=[(30 + di, 50 + dj), (55 + di, 12 + dj)],
+        fire_sat=(40 + di, 25 + dj),
+        fire_water=(20 + di, 67),
+        flare=(12 + di, 55 + dj),
+    )
+
+
+def make_granule(p: dict) -> tuple[dict, dict]:
+    """Build one granule's raw media arrays + header dicts (pre-decode)."""
+    rng = np.random.default_rng(_seed(p["doc_id"]))
+    f = _features(p["pair"])
+    lat = p["lat0"] - np.arange(H_M)[:, None] * D_DEG + np.zeros((1, W_M))
+    lon = p["lon0"] + np.arange(W_M)[None, :] * D_DEG + np.zeros((H_M, 1))
+
+    lwm = np.ones((H_M, W_M), dtype=np.uint8)
+    lwm[:, f["water_cols"][0] : f["water_cols"][1]] = 0
+    r0, r1, c0, c1 = f["lake67"]
+    lwm[r0:r1, c0:c1] = 6
+    lwm[r0 + 3 : r1 + 3, c0:c1] = 7
+
+    sza = np.full((H_M, W_M), 80.0 if p["day"] else 101.0)
+    sza += np.arange(W_M)[None, :] * 0.01
+    if p["pair"] == 1 and not p["day"]:
+        sza[:, 10:20] = 94.0  # twilight strip (covers a ctx fire) -> VE correction path
+
+    # surface temperature field -> emissive radiances
+    t_land = 295.0 + rng.normal(0.0, 1.5, (H_M, W_M))
+    t_ocean = 287.0 + rng.normal(0.0, 0.5, (H_M, W_M))
+    t_m = np.where(lwm == 1, t_land, t_ocean)
+    r0, r1, c0, c1 = f["cloud_rect"]
+    t_m[r0:r1, c0:c1] = 230.0 + rng.normal(0.0, 1.0, (r1 - r0, c1 - c0))
+
+    g: dict[str, np.ndarray] = {}
+    for b in M_BANDS:
+        g[f"{b}_rad"] = kernels.planck_rad(LAMBDA_UM[b], t_m).astype(np.float32)
+
+    # I-band temperature: replicate + fine noise; I05 tracks I04 (BTD ~ 0)
+    t_i = kernels.upsample_m_to_i(t_m) + rng.normal(0.0, 0.4, (2 * H_M, 2 * W_M))
+    t_i5 = t_i + rng.normal(0.0, 0.2, t_i.shape)
+    i04qf = np.zeros((2 * H_M, 2 * W_M), dtype=np.uint8)
+    i05qf = np.zeros((2 * H_M, 2 * W_M), dtype=np.uint8)
+
+    # --- plant fires (I-grid 2x2 blocks at the M-host pixel) ---
+    def plant(mi, mj, t04, dt_btd, m13_boost, qf4=False):
+        li, lj = 2 * mi, 2 * mj
+        t_i[li : li + 2, lj : lj + 2] = t04
+        t_i5[li : li + 2, lj : lj + 2] = t04 - dt_btd
+        if qf4:
+            i04qf[li : li + 2, lj : lj + 2] = 4
+        g["M13_rad"][mi, mj] = kernels.planck_rad(LAMBDA_UM["M13"], t_m[mi, mj] + m13_boost)
+        g["M12_rad"][mi, mj] = kernels.planck_rad(LAMBDA_UM["M12"], t_m[mi, mj] + m13_boost * 0.8)
+        g["M11_rad"][mi, mj] = kernels.planck_rad(LAMBDA_UM["M11"], t_m[mi, mj] + m13_boost * 0.5)
+
+    for mi, mj in f["fires_abs"]:
+        plant(mi, mj, 345.0 + rng.uniform(0, 10), 25.0, 35.0)
+    for mi, mj in f["fires_ctx"]:
+        plant(mi, mj, 311.0 + rng.uniform(0, 2), 13.0, 18.0)
+    mi, mj = f["fire_sat"]
+    plant(mi, mj, 360.0, 30.0, 45.0, qf4=True)
+    mi, mj = f["fire_water"]
+    plant(mi, mj, 305.0 + rng.uniform(0, 2), 14.0, 16.0)
+    mi, mj = f["flare"]
+    plant(mi, mj, 330.0, 20.0, 28.0)
+
+    g["I04_rad"] = kernels.planck_rad(LAMBDA_UM["I04"], t_i).astype(np.float32)
+    g["I05_rad"] = kernels.planck_rad(LAMBDA_UM["I05"], t_i5).astype(np.float32)
+    g["I04_quality_flags"] = i04qf
+    g["I05_quality_flags"] = i05qf
+    # a few invalid pixels exercise QF>=128 nulling
+    bad = rng.integers(0, 2 * H_M * 2 * W_M, 5)
+    g["I05_quality_flags"].ravel()[bad] = 128
+
+    # --- raw DNB grid + planted light sources ---
+    dnb_raw = np.abs(rng.normal(0.5, 0.2, (H_M, W_M + DNB_PAD))).astype(np.float32)
+    r0, r1, c0, c1 = f["city"]
+    dnb_raw[r0:r1, c0 + 2 : c1 + 2] = 40.0  # +2 = raw-grid offset of the LUT
+    for mi, mj in f["fires_abs"] + f["fires_ctx"] + [f["fire_sat"], f["fire_water"], f["flare"]]:
+        dnb_raw[mi, mj + 2 : mj + 4] = 25.0 + rng.uniform(0, 5)
+    g["DNB_raw"] = dnb_raw
+    dnbqf = np.zeros_like(dnb_raw, dtype=np.uint8)
+    dnbqf.ravel()[rng.integers(0, dnb_raw.size, 4)] = 128
+    g["DNB_quality_flags"] = dnbqf
+    g["M13_quality_flags"] = np.zeros((H_M, W_M), dtype=np.uint8)
+
+    g["latitude"] = lat.astype(np.float32)
+    g["longitude"] = lon.astype(np.float32)
+    g["land_water_mask"] = lwm
+    g["solar_zenith"] = sza.astype(np.float32)
+    # across-track view zenith: 0 at nadir (centre column) to ~60 deg at edge
+    vza = np.abs(np.arange(W_M)[None, :] - W_M / 2) / (W_M / 2) * 60.0
+    g["sensor_zenith"] = (vza * np.ones((H_M, 1))).astype(np.float32)
+
+    header = dict(
+        sat=p["sat"],
+        jdn=p["jdn"],
+        overpass=p["overpass"],
+        DayNightFlag="Day" if p["day"] else "Night",
+        n_scans=H_M // 16,
+        bbox=[float(lat.max()), float(lat.min()), float(lon.min()), float(lon.max())],
+    )
+    return g, header
+
+
+# ---------------------------------------------------------------------------
+# Ancillary tables (FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+
+def make_resample_lut():
+    """Each M pixel (i, j) <- raw DNB pixels (i, j+2) w=0.6 and (i, j+3) w=0.4
+    (LUT-driven weighted many-to-one join, FILDA_Resample.py:44-137)."""
+    ii, jj = np.meshgrid(np.arange(H_M), np.arange(W_M), indexing="ij")
+    w_raw = W_M + DNB_PAD
+    idx = np.stack([ii * w_raw + jj + 2, ii * w_raw + jj + 3], axis=2).astype(np.int64)
+    w = np.broadcast_to(np.array([0.6, 0.4]), idx.shape).copy()
+    return idx, w
+
+
+def make_geos_fp():
+    """Global 0.25 x 0.3125 deg TLML grid: uniform 291 K (see cloud_gross
+    margins in fixtures design)."""
+    return np.full((720, 1152), 291.0)
+
+
+def make_infrared_lut():
+    b, s = np.meshgrid(np.arange(13), np.arange(5), indexing="ij")
+    return 2.0 + 0.1 * b + 0.05 * s
+
+
+def make_area_lut():
+    jj = np.arange(W_M)[None, :]
+    return (750.0 * 750.0 * (1.0 + 3.0 * ((jj - W_M / 2) / W_M) ** 2)) * np.ones((H_M, 1))
+
+
+def make_overlap_lut():
+    ov = np.zeros((2 * H_M, 2 * W_M))
+    ov[:, :3] = 0.3
+    ov[:, -3:] = 0.3
+    return ov
+
+
+def make_ntl(params: list[dict]) -> dict:
+    """Per-PC-tile (mean, std) rasters covering every granule; city patches
+    bright (mean 35 > thres_city_ntl) so real city lights are screened."""
+    tiles: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    for p in params:
+        g_lat = p["lat0"] - np.arange(H_M) * D_DEG
+        g_lon = p["lon0"] + np.arange(W_M) * D_DEG
+        lat2, lon2 = np.meshgrid(g_lat, g_lon, indexing="ij")
+        hid = (18 + np.floor(lon2 / 10.0)).astype(np.int64)
+        vid = (8 - np.floor(lat2 / 10.0)).astype(np.int64)
+        for h, v in set(zip(hid.ravel(), vid.ravel())):
+            if (h, v) not in tiles:
+                mean = np.full((NTL_CELLS, NTL_CELLS), 0.3)
+                std = np.full((NTL_CELLS, NTL_CELLS), 0.2)
+                tiles[(h, v)] = (mean, std)
+        # paint the city patch bright in climatology
+        f = _features(p["pair"])
+        r0, r1, c0, c1 = f["city"]
+        clat = lat2[r0:r1, c0:c1].ravel()
+        clon = lon2[r0:r1, c0:c1].ravel()
+        hid_c = (18 + np.floor(clon / 10.0)).astype(np.int64)
+        vid_c = (8 - np.floor(clat / 10.0)).astype(np.int64)
+        resol = 10.0 / NTL_CELLS
+        lat_max = (9 - vid_c) * 10.0
+        lon_min = (hid_c - 18) * 10.0
+        y = np.clip(np.floor((lat_max - clat) / resol), 0, NTL_CELLS - 1).astype(np.int64)
+        x = np.clip(np.floor((clon - lon_min) / resol), 0, NTL_CELLS - 1).astype(np.int64)
+        for h, v, yy, xx in zip(hid_c, vid_c, y, x):
+            m, s = tiles[(h, v)]
+            # paint a 3x3 blob so every city pixel (and its I-fanout) is bright
+            m[max(yy - 1, 0) : yy + 2, max(xx - 1, 0) : xx + 2] = 35.0
+            s[max(yy - 1, 0) : yy + 2, max(xx - 1, 0) : xx + 2] = 5.0
+    return tiles
+
+
+def make_flare_polygons(params: list[dict]) -> list[dict]:
+    """One square polygon (+-0.02 deg) around each pair's flare site."""
+    polys = []
+    seen = set()
+    for p in params:
+        if p["pair"] in seen:
+            continue
+        seen.add(p["pair"])
+        f = _features(p["pair"])
+        mi, mj = f["flare"]
+        clat = p["lat0"] - mi * D_DEG
+        clon = p["lon0"] + mj * D_DEG
+        d = 0.02
+        polys.append(
+            dict(
+                flare_id=int(p["pair"]),
+                lat=[clat - d, clat - d, clat + d, clat + d],
+                lon=[clon - d, clon + d, clon + d, clon - d],
+            )
+        )
+    return polys
+
+
+def land_cover_value(h, v, row, col):
+    """Deterministic IGBP-like class for a sinusoidal cell (fixture rule)."""
+    return ((np.asarray(h) * 31 + np.asarray(v) * 17 + np.asarray(row) * 7 + np.asarray(col)) % 17 + 1).astype(
+        np.int8
+    )
+
+
+def make_land_cover(params: list[dict]) -> pd.DataFrame:
+    from filda_spark.grids import sinu_np
+
+    rows = []
+    for p in params:
+        g_lat = p["lat0"] - np.arange(H_M) * D_DEG
+        g_lon = p["lon0"] + np.arange(W_M) * D_DEG
+        lat2, lon2 = np.meshgrid(g_lat, g_lon, indexing="ij")
+        h, v, r, c = sinu_np(lat2.ravel(), lon2.ravel())
+        rows.append(pd.DataFrame(dict(h=h, v=v, row=r, col=c)))
+    df = pd.concat(rows).drop_duplicates()
+    df["lc_type"] = land_cover_value(df.h, df.v, df.row, df.col)
+    return df.reset_index(drop=True)
+
+
+def make_peatland(params: list[dict], cells: int = 240) -> pd.DataFrame:
+    """Plate-Carree peat cells: peat=1, frac=0.5 for cells whose x index is
+    divisible by 3 (deterministic sparse pattern)."""
+    rows = []
+    for p in params:
+        g_lat = p["lat0"] - np.arange(H_M) * D_DEG
+        g_lon = p["lon0"] + np.arange(W_M) * D_DEG
+        lat2, lon2 = np.meshgrid(g_lat, g_lon, indexing="ij")
+        from filda_spark.grids import pc_tile_np
+
+        h, v, y, x = pc_tile_np(lat2.ravel(), lon2.ravel(), cells)
+        rows.append(pd.DataFrame(dict(h=h, v=v, y=y, x=x)))
+    df = pd.concat(rows).drop_duplicates()
+    df = df[df.x % 3 == 0].copy()
+    df["peat"] = np.int8(1)
+    df["peat_frac"] = 0.5
+    return df.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Document / media packing (input_hint schema)
+# ---------------------------------------------------------------------------
+
+MEDIA_VARS = {
+    "geolocation_data": ["latitude", "longitude", "land_water_mask", "solar_zenith", "sensor_zenith"],
+    "observation_data": [f"{b}_rad" for b in M_BANDS]
+    + [
+        "I04_rad",
+        "I05_rad",
+        "I04_quality_flags",
+        "I05_quality_flags",
+        "DNB_raw",
+        "DNB_quality_flags",
+        "M13_quality_flags",
+    ],
+}
+
+BAND_INVENTORY = {b: dict(lamda_um=LAMBDA_UM[b], units="W/m2/sr/um") for b in LAMBDA_UM}
+
+
+def pack_document(doc_id: str, g: dict, header: dict):
+    """Granule -> (documents row, media rows). Span order is significant —
+    the per-row invariant is span-sequence equality on (kind, text,
+    media_ref, order)."""
+    spans = [
+        dict(kind="text", text=json.dumps(header, sort_keys=True), media_ref="", offset=0),
+        dict(kind="text", text=json.dumps(BAND_INVENTORY, sort_keys=True), media_ref="", offset=1),
+    ]
+    media_rows = []
+    off = 2
+    for group, names in MEDIA_VARS.items():
+        for var in names:
+            arr = g[var]
+            ref = f"{doc_id}/{group}/{var}"
+            spans.append(
+                dict(
+                    kind="media",
+                    text=json.dumps(dict(shape=list(arr.shape), dtype=str(arr.dtype))),
+                    media_ref=ref,
+                    offset=off,
+                )
+            )
+            media_rows.append(
+                dict(
+                    media_ref=ref,
+                    doc_id=doc_id,
+                    var=var,
+                    shape=list(arr.shape),
+                    dtype=str(arr.dtype),
+                    data=np.ascontiguousarray(arr).tobytes(),
+                )
+            )
+            off += 1
+    return dict(doc_id=doc_id, spans=spans), media_rows
+
+
+def unpack_media(rows: pd.DataFrame) -> dict:
+    """media rows (one granule) -> dict[var, ndarray]; inverse of pack."""
+    out = {}
+    for _, r in rows.iterrows():
+        out[r["var"]] = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(tuple(r["shape"]))
+    return out
+
+
+def build_corpus(out_dir: str, n_docs: int = 8) -> dict:
+    """Write the full synthetic corpus + ancillary tables to out_dir.
+    Returns in-memory handles for oracle use."""
+    os.makedirs(out_dir, exist_ok=True)
+    params = corpus_doc_params(n_docs)
+    doc_rows, media_rows, granules, headers = [], [], {}, {}
+    for p in params:
+        g, header = make_granule(p)
+        d, m = pack_document(p["doc_id"], g, header)
+        doc_rows.append(d)
+        media_rows.extend(m)
+        granules[p["doc_id"]] = g
+        headers[p["doc_id"]] = header
+    pd.DataFrame(doc_rows).to_parquet(f"{out_dir}/documents.parquet", index=False)
+    pd.DataFrame(media_rows).to_parquet(f"{out_dir}/media.parquet", index=False)
+
+    lut_idx, lut_w = make_resample_lut()
+    ntl = make_ntl(params)
+    anc = dict(
+        resample_lut_idx=lut_idx,
+        resample_lut_w=lut_w,
+        geos_fp=make_geos_fp(),
+        infrared_lut=make_infrared_lut(),
+        area_lut=make_area_lut(),
+        overlap_lut=make_overlap_lut(),
+        ntl=ntl,
+    )
+    # relational forms for the Spark-join side
+    lc = make_land_cover(params)
+    lc.to_parquet(f"{out_dir}/land_cover.parquet", index=False)
+    peat = make_peatland(params)
+    peat.to_parquet(f"{out_dir}/peatland.parquet", index=False)
+    flares = make_flare_polygons(params)
+    pd.DataFrame(flares).to_parquet(f"{out_dir}/gas_flare_polygons.parquet", index=False)
+    ntl_rows = []
+    for (h, v), (m, s) in ntl.items():
+        ys, xs = np.nonzero(m != 0.3)
+        ntl_rows.append(
+            pd.DataFrame(dict(h=h, v=v, y=ys, x=xs, dnb_mean=m[ys, xs], dnb_std=s[ys, xs]))
+        )
+    pd.concat(ntl_rows).to_parquet(f"{out_dir}/ntl_bright_cells.parquet", index=False)
+    np.save(f"{out_dir}/geos_fp.npy", anc["geos_fp"])
+    np.save(f"{out_dir}/infrared_lut.npy", anc["infrared_lut"])
+    np.save(f"{out_dir}/area_lut.npy", anc["area_lut"])
+    np.save(f"{out_dir}/overlap_lut.npy", anc["overlap_lut"])
+    np.save(f"{out_dir}/resample_lut_idx.npy", lut_idx)
+    np.save(f"{out_dir}/resample_lut_w.npy", lut_w)
+    np.savez(
+        f"{out_dir}/ntl_tiles.npz",
+        **{f"{h}_{v}_{k}": arr for (h, v), pair_ in ntl.items() for k, arr in zip(("mean", "std"), pair_)},
+    )
+    return dict(
+        params=params,
+        granules=granules,
+        headers=headers,
+        ancillary=anc,
+        land_cover=lc,
+        peatland=peat,
+        flares=flares,
+    )
+
+
+def load_ancillary(out_dir: str) -> dict:
+    ntl_npz = np.load(f"{out_dir}/ntl_tiles.npz")
+    ntl: dict = {}
+    for key in ntl_npz.files:
+        h, v, kind = key.rsplit("_", 2)[0], key.rsplit("_", 2)[1], key.rsplit("_", 2)[2]
+        ntl.setdefault((int(h), int(v)), [None, None])[0 if kind == "mean" else 1] = ntl_npz[key]
+    ntl = {k: (v[0], v[1]) for k, v in ntl.items()}
+    return dict(
+        resample_lut_idx=np.load(f"{out_dir}/resample_lut_idx.npy"),
+        resample_lut_w=np.load(f"{out_dir}/resample_lut_w.npy"),
+        geos_fp=np.load(f"{out_dir}/geos_fp.npy"),
+        infrared_lut=np.load(f"{out_dir}/infrared_lut.npy"),
+        area_lut=np.load(f"{out_dir}/area_lut.npy"),
+        overlap_lut=np.load(f"{out_dir}/overlap_lut.npy"),
+        ntl=ntl,
+    )

@@ -135,7 +135,7 @@ def pc_tile_yx(lat: Column, lon: Column, cells: int = PC_TILE_CELLS) -> tuple[Co
     (FILDA_CLT.py:62-70 gather semantics)."""
     resol = 10.0 / cells
     lat_max = (F.lit(9) - (F.lit(8) - F.floor(lat / F.lit(10.0)))) * F.lit(10.0)
-    lon_min = (F.lit(18) + F.floor(lon / F.lit(10.0)) - F.lit(18)) * F.lit(10.0) - F.lit(180.0)
+    lon_min = F.floor(lon / F.lit(10.0)) * F.lit(10.0)
     y = F.floor((lat_max - lat) / F.lit(resol)).cast("int")
     x = F.floor((lon - lon_min) / F.lit(resol)).cast("int")
     y = F.least(F.greatest(y, F.lit(0)), F.lit(cells - 1))
@@ -150,7 +150,7 @@ def pc_tile_np(lat, lon, cells: int = PC_TILE_CELLS):
     hid = (18 + np.floor(lon / 10.0)).astype(np.int64)
     resol = 10.0 / cells
     lat_max = (9 - vid) * 10.0
-    lon_min = (hid - 18) * 10.0 - 180.0
+    lon_min = (hid - 18) * 10.0
     y = np.clip(np.floor((lat_max - lat) / resol), 0, cells - 1).astype(np.int64)
     x = np.clip(np.floor((lon - lon_min) / resol), 0, cells - 1).astype(np.int64)
     return hid, vid, y, x
