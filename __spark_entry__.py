@@ -16,16 +16,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from filda_spark import relational  # noqa: E402
+from filda_spark import fire_queries, relational  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return relational.REGISTRY["broadcast_lookup"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship: the full fire-detection pipeline (decode -> detect ->
+    enrich -> kNN dedup) on the synthetic granule corpus."""
+    return fire_queries.fire_detections(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return relational.queries()
+    q = dict(relational.queries())
+    q.update(fire_queries.QUERIES)  # rows-only (oracle: tests/test_pipeline.py)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:

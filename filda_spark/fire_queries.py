@@ -1,0 +1,77 @@
+"""Driver-contract entries for the fire-detection pipeline.
+
+These are the engine's flagship (non-SQL-expressible) queries: the driver
+records rows-only checks for them; exact correctness is enforced by
+tests/test_pipeline.py against the single-node NumPy oracle.
+
+The synthetic corpus is built lazily once per geometry and cached under
+$FILDA_FIRE_CACHE (default /tmp/filda_fire_corpus); the driver's sf_dir
+argument selects the corpus scale: sf >= 0.1 uses the bench geometry
+(48 granules, 192x240 M-grid), smaller sfs the 8-granule test geometry.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from filda_spark import pipeline
+from filda_spark.namelist import make_namelist
+
+CACHE_ROOT = os.environ.get("FILDA_FIRE_CACHE", "/tmp/filda_fire_corpus")
+
+TEST_GEOM = dict(n_docs=8, h_m=64, w_m=80, dyn_win_dim=31)
+BENCH_GEOM = dict(n_docs=48, h_m=192, w_m=240, dyn_win_dim=61)
+
+
+def _geom_for(sf_dir: str) -> dict:
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.0
+    return BENCH_GEOM if sf >= 0.1 else TEST_GEOM
+
+
+def corpus_dir(geom: dict) -> str:
+    d = f"{CACHE_ROOT}/n{geom['n_docs']}_h{geom['h_m']}_w{geom['w_m']}"
+    marker = f"{d}/_BUILT"
+    if not os.path.exists(marker):
+        from filda_spark.fixtures import build_corpus
+
+        build_corpus(d, n_docs=geom["n_docs"], h_m=geom["h_m"], w_m=geom["w_m"])
+        open(marker, "w").write("ok")
+    return d
+
+
+def _nl(geom: dict) -> dict:
+    return make_namelist(dyn_win_dim=geom["dyn_win_dim"])
+
+
+def fire_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geom = _geom_for(sf_dir)
+    d = corpus_dir(geom)
+    det = pipeline.detect_detections(spark, d, _nl(geom))
+    # enrich's semi-join reduction and dedup's self-join re-reference the
+    # detections several times — stage the raw detect output to parquet once
+    # (same materialization the production runner uses).
+    stage = f"{d}/_stage_detections"
+    det.write.mode("overwrite").parquet(stage)
+    det = pipeline.enrich(spark, spark.read.parquet(stage), d)
+    return pipeline.dedup(det)
+
+
+def fire_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pipeline.tiles(fire_detections(spark, sf_dir))
+
+
+def fire_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    geom = _geom_for(sf_dir)
+    return pipeline.detect_masks(spark, corpus_dir(geom), _nl(geom))
+
+
+QUERIES = {
+    "fire_detections": fire_detections,
+    "fire_tiles": fire_tiles,
+    "fire_masks": fire_masks,
+}

@@ -39,7 +39,7 @@ from filda_spark.namelist import LAMBDA_UM
 H_M, W_M = 64, 80
 DNB_PAD = 8  # raw DNB grid is (H_M, W_M + DNB_PAD), offset mapping
 D_DEG = 0.01  # M-pixel spacing in degrees
-NTL_CELLS = 2400
+NTL_CELLS = 600  # downscaled from the reference 2400 (FIXTURES.md: broadcast-sized)
 
 M_BANDS = ("M07", "M08", "M10", "M11", "M12", "M13", "M14", "M15", "M16")
 
@@ -49,15 +49,22 @@ def _seed(doc_id: str) -> int:
 
 
 def corpus_doc_params(n_docs: int = 8):
-    """Deterministic per-doc placement; docs p+4 re-observe docs p."""
+    """Deterministic per-doc placement; within each generation of 8, docs
+    p+4 re-observe docs p (slightly shifted). Generations beyond the first
+    (n_docs > 8) shift north-east with distinct overpass ids."""
     out = []
     for k in range(n_docs):
-        pair = k % 4
-        second = k >= 4
-        lat0 = 40.0 - 17.0 * pair + (0.003 if second else 0.0)
-        lon0 = -100.0 + 10.0 * pair + (0.004 if second else 0.0)
-        overpass = f"{312 + 6 * pair:04d}" if second else f"{200 + 6 * pair:04d}"
-        day = pair == 3 and not second  # doc 3 is a Day granule (filtered out)
+        gen = k // 8
+        kk = k % 8
+        pair = kk % 4
+        second = kk >= 4
+        lat0 = 40.0 - 17.0 * pair + (0.003 if second else 0.0) + 0.9 * gen
+        lon0 = -100.0 + 10.0 * pair + (0.004 if second else 0.0) + 1.1 * gen
+        # firsts occupy even hundreds (2xx, 4xx, ...), seconds odd (3xx, 5xx)
+        # so doc_ids stay unique across generations
+        base = (312 if second else 200) + 200 * gen
+        overpass = f"{base + 6 * pair:04d}"
+        day = pair == 3 and not second and gen == 0  # one Day granule overall
         out.append(
             dict(
                 doc_id=f"VNP.A2019213.{overpass}",
@@ -235,8 +242,8 @@ def make_ntl(params: list[dict]) -> dict:
         vid = (8 - np.floor(lat2 / 10.0)).astype(np.int64)
         for h, v in set(zip(hid.ravel(), vid.ravel())):
             if (h, v) not in tiles:
-                mean = np.full((NTL_CELLS, NTL_CELLS), 0.3)
-                std = np.full((NTL_CELLS, NTL_CELLS), 0.2)
+                mean = np.full((NTL_CELLS, NTL_CELLS), 0.3, dtype=np.float32)
+                std = np.full((NTL_CELLS, NTL_CELLS), 0.2, dtype=np.float32)
                 tiles[(h, v)] = (mean, std)
         # paint the city patch bright in climatology
         f = _features(p["pair"])
@@ -387,9 +394,18 @@ def unpack_media(rows: pd.DataFrame) -> dict:
     return out
 
 
-def build_corpus(out_dir: str, n_docs: int = 8) -> dict:
+def set_geometry(h_m: int = 64, w_m: int = 80) -> None:
+    """Override the granule raster size (bench corpora use larger rasters;
+    planted features keep their absolute positions in the north-west corner,
+    the rest is background). Must be called before build_corpus."""
+    global H_M, W_M
+    H_M, W_M = h_m, w_m
+
+
+def build_corpus(out_dir: str, n_docs: int = 8, h_m: int = 64, w_m: int = 80) -> dict:
     """Write the full synthetic corpus + ancillary tables to out_dir.
     Returns in-memory handles for oracle use."""
+    set_geometry(h_m, w_m)
     os.makedirs(out_dir, exist_ok=True)
     params = corpus_doc_params(n_docs)
     doc_rows, media_rows, granules, headers = [], [], {}, {}

@@ -83,7 +83,9 @@ def cell_kring(cell: Column, k: int = 1) -> Column:
     """
     lvl = cell_level(cell)
     x, y = cell_xy(cell)
-    n = F.shiftleft(F.lit(1).cast("long"), lvl.cast("int"))
+    # 2^level as a column (F.shiftleft needs a literal bit count); exact for
+    # level <= 30 in float64.
+    n = F.pow(F.lit(2.0), lvl.cast("double")).cast("long")
     ids = []
     for dy in range(-k, k + 1):
         for dx in range(-k, k + 1):

@@ -1,0 +1,425 @@
+"""Distributed FILDA pipeline — the Spark-first composition of the granule
+kernels (SURVEY.md §3.1 engine lifecycle):
+
+  documents ⋈cogroup media  ──applyInPandas──►  detections
+      │   (Day-granule pruning BEFORE decode; span-sequence invariant
+      │    asserted inside the kernel; ancillary rasters broadcast)
+      ▼
+  detections ──broadcast joins──► land cover / peatland / flare PIP
+      │          (sinusoidal + Plate-Carree cell equi-joins; polygon set
+      │           broadcast, bbox-prefilter + ray-cast in an Arrow UDF)
+      ▼
+  kRing cell-neighborhood shuffle ──► kNN dominance dedup   (the ONE shuffle)
+      ▼
+  tiles (fire-density rollup)   +   masks (per-granule raster blobs)
+
+Control crosses executor boundaries exactly at: the doc_id cogroup, the
+dedup repartition by neighborhood cell, and the sinks — everything else is
+map-side (broadcast joins stay local; AQE handles residual skew).
+
+Scale notes (100 TB posture):
+- `media` is bucketed/partitioned by doc_id so one granule decodes in one
+  task with zero shuffle (test corpus: small parquet, the cogroup's own
+  hash-partitioning provides the same co-location).
+- ancillary rasters (NTL tiles, GEOS-FP, LUTs) are a Spark broadcast of
+  numpy arrays — per-pixel gathers stay inside the Arrow batch instead of
+  exploding pixels into a join (SURVEY.md §2.3).
+- detection-level joins ARE real joins (broadcast hash) because detections
+  are ~1e-5 of pixels; Catalyst prunes/pushes down around them.
+- the dedup shuffle is keyed by a *parent* cell (level 14) sized so a k=1
+  ring covers the dedup radius; hot cells (flares, cities) are handled by
+  AQE skew splitting plus the salt column on the partitioner in runner.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from filda_spark import grids, kernels, oracle, spatial
+from filda_spark.fixtures import unpack_media
+from filda_spark.namelist import make_namelist
+
+# dedup neighborhood: level-14 qcell (~0.011 deg lat edge) with k=1 ring
+# covers DEDUP_EPS_DEG=0.008 at every latitude the corpus can contain.
+DEDUP_CELL_LEVEL = 14
+
+_INT_COLS = {
+    "FP_Line",
+    "FP_Sample",
+    "FP_Line_MOD",
+    "FP_Sample_MOD",
+    "FP_Status",
+    "FP_confidence",
+    "FP_WinSize",
+    "FP_M13_WinSize",
+    "FP_Power_QA",
+    "FP_Num_Fire",
+    "FP_Opt_Status",
+    "FP_land_water_mask",
+    "FP_SAA_flag",
+    "FP_AdjCloud",
+    "FP_AdjWater",
+}
+
+DET_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            c,
+            T.StringType()
+            if c == "doc_id"
+            else T.IntegerType()
+            if c in _INT_COLS
+            else T.DoubleType(),
+        )
+        for c in oracle.DET_COLUMNS
+    ]
+)
+
+MASK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("mask_img", T.BinaryType()),
+        T.StructField("mask_mod", T.BinaryType()),
+        T.StructField("qa", T.BinaryType()),
+        T.StructField("nrow", T.IntegerType()),
+        T.StructField("ncol", T.IntegerType()),
+    ]
+)
+
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("sat", T.StringType()),
+        T.StructField("jdn", T.StringType()),
+        T.StructField("overpass", T.StringType()),
+        T.StructField("DayNightFlag", T.StringType()),
+        T.StructField("n_scans", T.IntegerType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+
+def load_documents(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{corpus_dir}/documents.parquet")
+
+
+def load_media(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{corpus_dir}/media.parquet")
+
+
+def night_documents(docs: DataFrame) -> DataFrame:
+    """Day-granule short-circuit BEFORE decode (FILDA_main.py:60-61): the
+    header is span 0's text payload; at scale DayNightFlag is an Iceberg
+    partition column and this filter prunes at metadata level."""
+    hdr = F.from_json(F.element_at("spans", 1).getField("text"), HEADER_SCHEMA)
+    # malformed headers parse to null — keep them so the decode kernel fails
+    # loudly on the span invariant instead of silently dropping the document
+    return docs.withColumn("header", hdr).filter(
+        ~F.col("header.DayNightFlag").eqNullSafe("Day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode + detect (cogrouped applyInPandas, one granule per group)
+# ---------------------------------------------------------------------------
+
+
+def _check_spans(doc_pdf: pd.DataFrame, media_pdf: pd.DataFrame) -> None:
+    """Span-sequence invariant (input_hint): offsets strictly increasing,
+    first two spans text, every media span's media_ref present exactly once
+    in the media table, in span order."""
+    spans = doc_pdf.iloc[0]["spans"]
+    offs = [s["offset"] for s in spans]
+    if offs != sorted(offs) or len(set(offs)) != len(offs):
+        raise ValueError("span offsets not strictly increasing")
+    if [s["kind"] for s in spans[:2]] != ["text", "text"]:
+        raise ValueError("header/inventory text spans missing")
+    media_refs = [s["media_ref"] for s in spans if s["kind"] == "media"]
+    table_refs = media_pdf["media_ref"].tolist()
+    if sorted(media_refs) != sorted(table_refs):
+        raise ValueError("media spans do not match media table")
+
+
+def make_detect_fn(anc_bc, nl: dict):
+    """Kernel factory: ancillary broadcast + namelist closure; returns the
+    cogrouped applyInPandas function (documents-group, media-group) -> rows."""
+
+    def detect(doc_pdf: pd.DataFrame, media_pdf: pd.DataFrame) -> pd.DataFrame:
+        if doc_pdf.empty or media_pdf.empty:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in oracle.DET_COLUMNS})
+        _check_spans(doc_pdf, media_pdf)
+        doc_id = doc_pdf.iloc[0]["doc_id"]
+        media = unpack_media(media_pdf)
+        res = oracle.detect_granule(doc_id, media, anc_bc.value, nl)
+        return oracle.detections_frame(doc_id, res["det"])
+
+    return detect
+
+
+def make_masks_fn(anc_bc, nl: dict):
+    def masks(doc_pdf: pd.DataFrame, media_pdf: pd.DataFrame) -> pd.DataFrame:
+        if doc_pdf.empty or media_pdf.empty:
+            return pd.DataFrame(
+                dict(doc_id=[], mask_img=[], mask_mod=[], qa=[], nrow=[], ncol=[])
+            )
+        _check_spans(doc_pdf, media_pdf)
+        doc_id = doc_pdf.iloc[0]["doc_id"]
+        media = unpack_media(media_pdf)
+        res = oracle.detect_granule(doc_id, media, anc_bc.value, nl)
+        mi = res["mask_img"]
+        return pd.DataFrame(
+            dict(
+                doc_id=[doc_id],
+                mask_img=[mi.tobytes()],
+                mask_mod=[res["mask_mod"].tobytes()],
+                qa=[res["qa"].tobytes()],
+                nrow=[mi.shape[0]],
+                ncol=[mi.shape[1]],
+            )
+        )
+
+    return masks
+
+
+def _cogroup(spark, corpus_dir: str, fn, schema) -> DataFrame:
+    docs = night_documents(load_documents(spark, corpus_dir)).select("doc_id", "spans")
+    media = load_media(spark, corpus_dir)
+    # Day pruning propagates to media via a broadcast semi-join (metadata-only
+    # partition pruning on a real Iceberg layout).
+    media = media.join(F.broadcast(docs.select("doc_id")), "doc_id", "left_semi")
+    return (
+        docs.groupBy("doc_id")
+        .cogroup(media.groupBy("doc_id"))
+        .applyInPandas(fn, schema=schema)
+    )
+
+
+def detect_detections(spark: SparkSession, corpus_dir: str, nl: dict | None = None) -> DataFrame:
+    from filda_spark.fixtures import load_ancillary
+
+    nl = nl or make_namelist()
+    anc_bc = spark.sparkContext.broadcast(load_ancillary(corpus_dir))
+    return _cogroup(spark, corpus_dir, make_detect_fn(anc_bc, nl), DET_SCHEMA)
+
+
+def detect_masks(spark: SparkSession, corpus_dir: str, nl: dict | None = None) -> DataFrame:
+    from filda_spark.fixtures import load_ancillary
+
+    nl = nl or make_namelist()
+    anc_bc = spark.sparkContext.broadcast(load_ancillary(corpus_dir))
+    return _cogroup(spark, corpus_dir, make_masks_fn(anc_bc, nl), MASK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Detection-level enrichment (broadcast joins + polygon PIP)
+# ---------------------------------------------------------------------------
+
+
+def _sinu_keys_udf():
+    """Sinusoidal cell keys via the numpy projection (bit-parity with the
+    oracle; the trig keeps this in an Arrow UDF rather than JVM exprs)."""
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("h", T.LongType()),
+                T.StructField("v", T.LongType()),
+                T.StructField("row", T.LongType()),
+                T.StructField("col", T.LongType()),
+            ]
+        )
+    )
+    def sinu_keys(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        h, v, r, c = grids.sinu_np(lat.to_numpy(), lon.to_numpy())
+        return pd.DataFrame(dict(h=h, v=v, row=r, col=c))
+
+    return sinu_keys
+
+
+def make_flare_udf(polys_bc):
+    @F.pandas_udf(T.IntegerType())
+    def flare_flag(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        fid = spatial.assign_polygons_np(
+            lat.to_numpy(), lon.to_numpy(), polys_bc.value, "flare_id"
+        )
+        return pd.Series((fid >= 0).astype(np.int32))
+
+    return flare_flag
+
+
+def _semi_reduced_left_join(small: DataFrame, big: DataFrame, keys: list[str]) -> DataFrame:
+    """Left-join a tiny preserved side against a huge static table without
+    shuffling or broadcasting the big side (semi-join reduction):
+
+    1. broadcast the small side's key set into a left-semi filter on the big
+       table — one map-side scan, no shuffle;
+    2. the surviving rows are ~|small|, broadcast THEM for the left join.
+
+    An outer join can't broadcast its preserved side, so the naive
+    ``small.join(broadcast(big))`` would collect the full static table to
+    the driver — this is the scale-correct plan for detections (~1e3-1e8
+    rows/batch) against global cell rasters (~1e9+ rows)."""
+    key_set = small.select(*keys).dropDuplicates(keys)
+    reduced = big.join(F.broadcast(key_set), keys, "left_semi")
+    return small.join(F.broadcast(reduced), keys, "left")
+
+
+def enrich(spark: SparkSession, det: DataFrame, corpus_dir: str) -> DataFrame:
+    """Land cover (sinusoidal equi-join, water override 17), peatland
+    (Plate-Carree equi-join), gas-flare PIP, qcell/tile encodes."""
+    lc = spark.read.parquet(f"{corpus_dir}/land_cover.parquet")
+    peat = spark.read.parquet(f"{corpus_dir}/peatland.parquet")
+    flares_pdf = pd.read_parquet(f"{corpus_dir}/gas_flare_polygons.parquet")
+    polys = [
+        dict(flare_id=int(r.flare_id), lat=list(r.lat), lon=list(r.lon))
+        for r in flares_pdf.itertuples()
+    ]
+    polys_bc = spark.sparkContext.broadcast(polys)
+
+    sinu_keys = _sinu_keys_udf()
+    det = det.withColumn("_sk", sinu_keys("FP_Latitude", "FP_Longitude"))
+    det = det.withColumns({"_h": F.col("_sk.h"), "_v": F.col("_sk.v"), "_row": F.col("_sk.row"), "_col": F.col("_sk.col")}).drop("_sk")
+    lc = lc.withColumnsRenamed({"h": "_h", "v": "_v", "row": "_row", "col": "_col"})
+    det = _semi_reduced_left_join(det, lc, ["_h", "_v", "_row", "_col"])
+    det = det.withColumn(
+        "FP_Land_Type",
+        F.when(F.col("FP_land_water_mask") != 1, F.lit(17))
+        .otherwise(F.coalesce(F.col("lc_type").cast("int"), F.lit(0))),
+    ).drop("lc_type", "_h", "_v", "_row", "_col")
+
+    py, px = grids.pc_tile_yx(F.col("FP_Latitude"), F.col("FP_Longitude"), cells=240)
+    ph, pv = grids.pc_tile_hv(F.col("FP_Latitude"), F.col("FP_Longitude"))
+    det = det.withColumns(
+        {"_ph": ph.cast("long"), "_pv": pv.cast("long"), "_py": py.cast("long"), "_px": px.cast("long")}
+    )
+    peat = peat.withColumnsRenamed({"h": "_ph", "v": "_pv", "y": "_py", "x": "_px"})
+    det = _semi_reduced_left_join(det, peat, ["_ph", "_pv", "_py", "_px"])
+    det = (
+        det.withColumn("FP_Peatland", F.coalesce(F.col("peat").cast("int"), F.lit(0)))
+        .withColumn("FP_Peatfrac", F.coalesce(F.col("peat_frac"), F.lit(0.0)))
+        .drop("peat", "peat_frac", "_ph", "_pv", "_py", "_px")
+    )
+
+    flare_flag = make_flare_udf(polys_bc)
+    det = det.withColumn("FP_Gas_Flaring", flare_flag("FP_Latitude", "FP_Longitude"))
+
+    lat, lon = F.col("FP_Latitude"), F.col("FP_Longitude")
+    det = det.withColumns(
+        {
+            "cell_r7": grids.cell_encode(lat, lon, grids.LEVEL_R7),
+            "cell_r8": grids.cell_encode(lat, lon, grids.LEVEL_R8),
+            "cell_r9": grids.cell_encode(lat, lon, grids.LEVEL_R9),
+        }
+    )
+    det = det.withColumn("s2_token", grids.cell_token(F.col("cell_r9")))
+    det = det.withColumn("tile_id", grids.pc_tile_name(lat, lon))
+    return det
+
+
+# ---------------------------------------------------------------------------
+# Cross-granule kNN dedup (cell-neighborhood shuffle join)
+# ---------------------------------------------------------------------------
+
+
+def dedup(det: DataFrame, eps: float = spatial.DEDUP_EPS_DEG) -> DataFrame:
+    """Same relation as spatial.knn_dedup_np, computed distributed:
+
+    1. encode each detection to its level-14 qcell;
+    2. duplicate the RIGHT side into its k=1 kRing (cell-neighborhood
+       shuffle — explode(neighbors));
+    3. equi-join on the cell key (no quadratic pair join), filter to
+       different-granule pairs within eps with strictly higher priority;
+    4. left join the dominators back: is_dup + dup_of.
+
+    Priority: (FP_Power desc, NaN lowest, doc_id, FP_Line, FP_Sample) asc —
+    ties impossible across granules."""
+    lat, lon = F.col("FP_Latitude"), F.col("FP_Longitude")
+    pw = F.when(F.isnan("FP_Power") | F.col("FP_Power").isNull(), F.lit(float("-inf"))).otherwise(
+        F.col("FP_Power")
+    )
+    base = det.withColumn("_cell", grids.cell_encode(lat, lon, DEDUP_CELL_LEVEL)).withColumn(
+        "_negpw", -pw
+    )
+    left = base.select(
+        F.col("doc_id").alias("a_doc"),
+        F.col("FP_Line").alias("a_line"),
+        F.col("FP_Sample").alias("a_sample"),
+        F.col("FP_Latitude").alias("a_lat"),
+        F.col("FP_Longitude").alias("a_lon"),
+        F.col("_negpw").alias("a_negpw"),
+        F.col("_cell").alias("cell"),
+    )
+    right = base.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("FP_Line").alias("b_line"),
+        F.col("FP_Sample").alias("b_sample"),
+        F.col("FP_Latitude").alias("b_lat"),
+        F.col("FP_Longitude").alias("b_lon"),
+        F.col("_negpw").alias("b_negpw"),
+        F.explode(grids.cell_kring(F.col("_cell"), 1)).alias("cell"),
+    )
+    dlat = F.col("b_lat") - F.col("a_lat")
+    dlon = (F.col("b_lon") - F.col("a_lon")) * F.cos(F.radians(F.col("a_lat")))
+    near = (dlat * dlat + dlon * dlon) <= F.lit(eps * eps)
+    a_key = F.struct(F.col("a_negpw"), F.col("a_doc"), F.col("a_line"), F.col("a_sample"))
+    b_key = F.struct(F.col("b_negpw"), F.col("b_doc"), F.col("b_line"), F.col("b_sample"))
+    pairs = (
+        left.join(right, "cell")
+        .filter((F.col("a_doc") != F.col("b_doc")) & near & (b_key < a_key))
+        .groupBy("a_doc", "a_line", "a_sample")
+        .agg(
+            F.min_by(
+                F.concat_ws(":", "b_doc", "b_line", "b_sample"),
+                b_key,
+            ).alias("dup_of")
+        )
+    )
+    out = det.join(
+        pairs,
+        (det.doc_id == pairs.a_doc)
+        & (det.FP_Line == pairs.a_line)
+        & (det.FP_Sample == pairs.a_sample),
+        "left",
+    ).drop("a_doc", "a_line", "a_sample")
+    return out.withColumn("is_dup", F.col("dup_of").isNotNull()).withColumn(
+        "dup_of", F.coalesce("dup_of", F.lit(""))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tiles rollup (rasterize-back)
+# ---------------------------------------------------------------------------
+
+
+def tiles(det: DataFrame) -> DataFrame:
+    return (
+        det.filter(~F.col("is_dup"))
+        .groupBy("tile_id", "cell_r7")
+        .agg(
+            F.count("*").alias("n_fires"),
+            F.sum("FP_Power").alias("total_frp"),
+            F.max("FP_Power").alias("max_frp"),
+            F.sum((F.col("FP_confidence") == 9).cast("long")).alias("n_high_conf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+def run(spark: SparkSession, corpus_dir: str, nl: dict | None = None) -> dict[str, DataFrame]:
+    det = detect_detections(spark, corpus_dir, nl)
+    det = enrich(spark, det, corpus_dir)
+    det = dedup(det)
+    return dict(detections=det, tiles=tiles(det))

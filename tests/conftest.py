@@ -27,3 +27,13 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def sf_correct():
     return SF_CORRECT
+
+
+@pytest.fixture(scope="session")
+def corpus(tmp_path_factory):
+    from filda_spark import fixtures
+
+    d = tmp_path_factory.mktemp("corpus")
+    c = fixtures.build_corpus(str(d), n_docs=8)
+    c["dir"] = str(d)
+    return c

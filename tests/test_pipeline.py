@@ -1,0 +1,114 @@
+"""Spark-pipeline vs single-node-oracle parity (SURVEY.md §5 strategy 1):
+detection rows, fire masks, QA rasters, tile assignments must match exactly.
+Also: span-sequence invariant enforcement and Day-granule pruning."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from filda_spark import fixtures, oracle, pipeline
+from filda_spark.namelist import make_namelist
+
+KEY = ["doc_id", "FP_Line", "FP_Sample"]
+
+
+@pytest.fixture(scope="session")
+def nl():
+    # dyn window scaled to the 128x160 I-grid test rasters (full scale: 501)
+    return make_namelist(dyn_win_dim=31)
+
+
+@pytest.fixture(scope="session")
+def oracle_res(corpus, nl):
+    return oracle.run_corpus(corpus, nl)
+
+
+@pytest.fixture(scope="session")
+def spark_res(spark, corpus, nl):
+    res = pipeline.run(spark, corpus["dir"], nl)
+    det = res["detections"].toPandas()
+    tiles = res["tiles"].toPandas()
+    return dict(detections=det, tiles=tiles)
+
+
+def _assert_frames_equal(s: pd.DataFrame, o: pd.DataFrame, key, cols=None):
+    s = s.sort_values(key).reset_index(drop=True)
+    o = o.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(o), f"row count {len(s)} vs {len(o)}"
+    cols = cols or [c for c in o.columns if c in s.columns]
+    for c in cols:
+        sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+            sv = sv.astype(float)
+            ov = ov.astype(float)
+            eq = (sv == ov) | (np.isnan(sv) & np.isnan(ov))
+        else:
+            eq = pd.Series(sv).astype(str).eq(pd.Series(ov).astype(str)).to_numpy()
+        assert eq.all(), f"col {c}: {int((~eq).sum())} mismatches, e.g. {sv[~eq][:3]} vs {ov[~eq][:3]}"
+
+
+def test_detections_exact_parity(spark_res, oracle_res):
+    o = oracle_res["detections"]
+    s = spark_res["detections"]
+    assert set(o.columns) <= set(s.columns)
+    _assert_frames_equal(s, o, KEY)
+
+
+def test_day_granule_pruned(spark_res):
+    # doc pair 3 first-overpass granule is Day -> absent before decode
+    assert "VNP.A2019213.0218" not in set(spark_res["detections"].doc_id)
+
+
+def test_dedup_found_reobservation_pairs(spark_res):
+    det = spark_res["detections"]
+    assert int(det.is_dup.sum()) == 84  # 3 overlapping pairs x 28 detections
+    assert (det.loc[det.is_dup, "dup_of"] != "").all()
+
+
+def test_tiles_exact_parity(spark_res, oracle_res):
+    _assert_frames_equal(
+        spark_res["tiles"], oracle_res["tiles"], ["tile_id", "cell_r7"]
+    )
+
+
+def test_masks_exact_parity(spark, corpus, nl, oracle_res):
+    mdf = pipeline.detect_masks(spark, corpus["dir"], nl).toPandas()
+    assert len(mdf) == len(oracle_res["per_doc"])
+    for _, r in mdf.iterrows():
+        ref = oracle_res["per_doc"][r.doc_id]
+        got_img = np.frombuffer(r.mask_img, dtype=np.int8).reshape(r.nrow, r.ncol)
+        assert np.array_equal(got_img, ref["mask_img"])
+        got_mod = np.frombuffer(r.mask_mod, dtype=np.int8).reshape(r.nrow // 2, r.ncol // 2)
+        assert np.array_equal(got_mod, ref["mask_mod"])
+        got_qa = np.frombuffer(r.qa, dtype=np.uint32).reshape(r.nrow, r.ncol)
+        assert np.array_equal(got_qa, ref["qa"])
+
+
+def test_span_invariant_violation_raises(spark, corpus, nl, tmp_path):
+    import shutil
+
+    d = tmp_path / "bad"
+    shutil.copytree(corpus["dir"], d)
+    docs = pd.read_parquet(f"{d}/documents.parquet")
+    spans = list(docs.iloc[0]["spans"])
+    spans[0], spans[1] = spans[1], spans[0]  # offsets now out of order
+    docs.iat[0, docs.columns.get_loc("spans")] = spans
+    docs.to_parquet(f"{d}/documents.parquet", index=False)
+    with pytest.raises(Exception, match="span offsets"):
+        pipeline.detect_detections(spark, str(d), nl).count()
+
+
+def test_fire_counts_per_granule(oracle_res):
+    # 7 planted fires x 4 I-pixels = 28 detections on every night granule
+    per_doc = oracle_res["detections"].groupby("doc_id").size()
+    assert (per_doc == 28).all()
+
+
+def test_detection_flags(oracle_res):
+    det = oracle_res["detections"]
+    assert int(det.FP_Gas_Flaring.sum()) == 28  # flare site x 7 granules
+    assert (det[det.FP_land_water_mask == 0].FP_Land_Type == 17).all()
+    assert int((det.FP_confidence == 9).sum()) > 0
+    assert int(det.FP_Peatland.sum()) > 0
+    saa = det[det.FP_SAA_flag == 1]
+    assert len(saa) > 0 and (saa.FP_Latitude <= 7).all()

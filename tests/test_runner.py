@@ -1,0 +1,77 @@
+"""Resume-equals-fresh-run: the lineage checkpoint must make an interrupted
+ingest (half the corpus, then the rest) indistinguishable from a single
+fresh run (SURVEY.md §5 property 3)."""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from filda_spark import runner
+from filda_spark.namelist import make_namelist
+
+KEY = ["doc_id", "FP_Line", "FP_Sample"]
+
+
+@pytest.fixture(scope="module")
+def nl():
+    return make_namelist(dyn_win_dim=31)  # matches the pipeline-suite config
+
+
+def _half_corpus(full_dir: str, dst: str, keep_docs: set) -> None:
+    shutil.copytree(full_dir, dst)
+    docs = pd.read_parquet(f"{dst}/documents.parquet")
+    docs[docs.doc_id.isin(keep_docs)].to_parquet(f"{dst}/documents.parquet", index=False)
+    media = pd.read_parquet(f"{dst}/media.parquet")
+    media[media.doc_id.isin(keep_docs)].to_parquet(f"{dst}/media.parquet", index=False)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(KEY).reset_index(drop=True)
+
+
+def test_resume_equals_fresh(spark, corpus, nl, tmp_path):
+    full_dir = corpus["dir"]
+    all_docs = sorted(set(pd.read_parquet(f"{full_dir}/documents.parquet").doc_id))
+    first_half = set(all_docs[:4])
+    half_dir = str(tmp_path / "half_corpus")
+    _half_corpus(full_dir, half_dir, first_half)
+
+    # interrupted ingest: half, then resume with the full corpus
+    out_resumed = str(tmp_path / "out_resumed")
+    r1 = runner.run_incremental(spark, half_dir, out_resumed, nl)
+    r2 = runner.run_incremental(spark, full_dir, out_resumed, nl)
+    # only the missing granules were (re)processed
+    assert r1["new_docs"] + r2["new_docs"] == 7  # 8 docs - 1 Day granule
+    assert r2["new_docs"] < 7
+
+    # fresh single run
+    out_fresh = str(tmp_path / "out_fresh")
+    runner.run_incremental(spark, full_dir, out_fresh, nl)
+
+    res_a = runner.read_results(spark, out_resumed)
+    res_b = runner.read_results(spark, out_fresh)
+    a = _canon(res_a["detections"].toPandas())
+    b = _canon(res_b["detections"].toPandas())
+    assert len(a) == len(b)
+    for c in b.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.array_equal(av, bv, equal_nan=True), c
+        else:
+            assert (pd.Series(av).astype(str) == pd.Series(bv).astype(str)).all(), c
+    ta = res_a["tiles"].toPandas().sort_values(["tile_id", "cell_r7"]).reset_index(drop=True)
+    tb = res_b["tiles"].toPandas().sort_values(["tile_id", "cell_r7"]).reset_index(drop=True)
+    assert ta.n_fires.tolist() == tb.n_fires.tolist()
+    assert np.allclose(ta.total_frp, tb.total_frp, rtol=0, atol=0)
+
+    # idempotence: nothing left to do
+    r3 = runner.run_incremental(spark, full_dir, out_resumed, nl)
+    assert r3["new_docs"] == 0
+
+    # lineage carries rows/sec metrics per partition
+    lin = runner.read_lineage(spark, out_resumed).toPandas()
+    assert set(lin.status) == {"done"}
+    assert (lin.rows_out > 0).all()
+    assert lin.partition_key.nunique() == 7
