@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from filda_spark import fire_queries, relational  # noqa: E402
+from filda_spark import training  # noqa: E402,F401  (registers training-data ops)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -34,6 +34,13 @@ HEADLINE = [
     "group_stats_gamma",
     "planck_bt",
     "union_candidates_dedup",
+    # training-data ops
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "text_analysis",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
 ]
 
 

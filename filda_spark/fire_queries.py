@@ -70,8 +70,28 @@ def fire_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.detect_masks(spark, corpus_dir(geom), _nl(geom))
 
 
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: map-only decode + feature extraction over the binary
+    media column (rows-only; see filda_spark/multimodal.py)."""
+    from filda_spark import multimodal, pipeline
+
+    geom = _geom_for(sf_dir)
+    media = pipeline.load_media(spark, corpus_dir(geom))
+    return multimodal.media_features(media)
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filda_spark import multimodal, pipeline
+
+    geom = _geom_for(sf_dir)
+    media = pipeline.load_media(spark, corpus_dir(geom))
+    return multimodal.media_resize(media, factor=2)
+
+
 QUERIES = {
     "fire_detections": fire_detections,
     "fire_tiles": fire_tiles,
     "fire_masks": fire_masks,
+    "media_features": media_features,
+    "media_resize": media_resize,
 }

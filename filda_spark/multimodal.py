@@ -1,0 +1,152 @@
+"""Multimodal columns: image/audio/video/raster payloads as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+kernels.
+
+The Spark-side plumbing (schema, batch shape, partitioning, UDF signatures)
+is real and tested; the codec layer is stubbed: this container ships no
+image/audio libraries, so ``decode_media`` handles the corpus's own
+``raster/*`` payloads (numpy dtype+shape buffers) deterministically and
+raises ``NotImplementedError`` for compressed media kinds — the marked seam
+where Pillow/ffmpeg/soundfile drop in.
+
+Scale notes: feature extraction is map-only (no shuffle); at 100 TB the
+media table is bucketed by doc_id so per-document batches stay task-local,
+and `spark.sql.execution.arrow.maxRecordsPerBatch` bounds decoded batch
+memory.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# media kinds the engine recognises; only 'raster' is decodable in-container
+DECODABLE_KINDS = {"raster"}
+STUB_KINDS = {"image", "audio", "video"}
+
+
+def media_kind(var: str) -> str:
+    """Typed-metadata inference from the variable name (fixture corpus media
+    are all rasters; image/audio/video arrive with explicit kind tags)."""
+    return "raster"
+
+
+def decode_media(kind: str, payload: bytes, dtype: str, shape: list[int]) -> np.ndarray:
+    """Decode an opaque payload to an ndarray.
+
+    raster: raw C-order numpy buffer (real decode).
+    image/audio/video: STUB — requires a codec library not present in this
+    container; the Spark plumbing around this call is complete, drop a real
+    decoder in here."""
+    if kind in STUB_KINDS:
+        raise NotImplementedError(
+            f"decode for kind={kind!r} needs a codec library (Pillow/ffmpeg); "
+            "plug it into filda_spark.multimodal.decode_media"
+        )
+    if kind not in DECODABLE_KINDS:
+        raise ValueError(f"unknown media kind {kind!r}")
+    return np.frombuffer(payload, dtype=dtype).reshape(tuple(shape))
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("crc32", T.LongType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("v_mean", T.DoubleType()),
+        T.StructField("v_std", T.DoubleType()),
+        T.StructField("v_min", T.DoubleType()),
+        T.StructField("v_max", T.DoubleType()),
+        T.StructField("n_nan", T.LongType()),
+    ]
+)
+
+
+def extract_features(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode + summary features per media row."""
+    for pdf in pdfs:
+        rows = []
+        for r in pdf.itertuples():
+            payload = bytes(r.data)
+            kind = media_kind(r.var)
+            arr = decode_media(kind, payload, r.dtype, list(r.shape)).astype(np.float64)
+            finite = arr[np.isfinite(arr)]
+            rows.append(
+                dict(
+                    media_ref=r.media_ref,
+                    doc_id=r.doc_id,
+                    kind=kind,
+                    n_bytes=len(payload),
+                    crc32=zlib.crc32(payload),
+                    n_values=int(arr.size),
+                    v_mean=float(finite.mean()) if finite.size else float("nan"),
+                    v_std=float(finite.std()) if finite.size else float("nan"),
+                    v_min=float(finite.min()) if finite.size else float("nan"),
+                    v_max=float(finite.max()) if finite.size else float("nan"),
+                    n_nan=int(arr.size - finite.size),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Map-only feature extraction over the media table."""
+    return media.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("shape", T.ArrayType(T.IntegerType())),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def make_resize_fn(factor: int):
+    """2-D block-mean downsample (the raster analogue of image resize);
+    factor must divide both dims. Returns a mapInPandas kernel."""
+
+    def resize(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for r in pdf.itertuples():
+                kind = media_kind(r.var)
+                arr = decode_media(kind, bytes(r.data), r.dtype, list(r.shape))
+                if arr.ndim != 2 or arr.shape[0] % factor or arr.shape[1] % factor:
+                    continue
+                h, w = arr.shape[0] // factor, arr.shape[1] // factor
+                small = arr.astype(np.float64).reshape(h, factor, w, factor).mean(axis=(1, 3))
+                rows.append(
+                    dict(
+                        media_ref=r.media_ref,
+                        doc_id=r.doc_id,
+                        shape=[h, w],
+                        data=small.astype(np.float32).tobytes(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return resize
+
+
+def media_resize(media: DataFrame, factor: int = 2) -> DataFrame:
+    return media.mapInPandas(make_resize_fn(factor), schema=RESIZE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling — STUB: needs a video codec. The plumbing
+    contract is the same mapInPandas shape as media_resize."""
+    raise NotImplementedError(
+        "frame_sample needs a video decoder; wire it through mapInPandas like media_resize"
+    )

@@ -1,0 +1,340 @@
+"""Training-data pipeline operators over the driver's ``documents`` and
+``embeddings`` tables — registered into the same QuerySpec registry as the
+relational suite, each with a DuckDB oracle built from the shared SQL twins
+in ``functions/text.py`` / ``functions/vectors.py``.
+
+Families (the 100 TB training-corpus toolkit):
+- deduplication: exact (hash-groupBy), MinHash+LSH banding (shingle ->
+  md5-min signature -> band -> bucket join), SimHash, n-gram Jaccard pairs;
+- similarity search: brute-force cosine top-k (baseline) and an LSH-bucketed
+  variant (the scale path: only same-bucket vectors are compared);
+- text analysis: language-ID heuristic, quality scoring, token counting,
+  winnowing-style fingerprints.
+
+Scale notes: every op is a map-side expression + one shuffle on a
+high-cardinality key (band_hash / gram / bucket). The only quadratic join is
+the brute-force ANN baseline (explicitly the small-scale oracle; the LSH
+variant replaces the cross join with an equi-join on the bucket id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from filda_spark.functions import text as TX
+from filda_spark.functions import vectors as VX
+from filda_spark.relational import _t, register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text_hash
+    """,
+    doc="exact dedup: content-hash groupBy, keep min id (training-data op)",
+)
+def exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    )
+
+
+N_PERM, BAND_SIZE, SHINGLE_K = 8, 2, 5
+
+
+@register(
+    "minhash_signatures",
+    TX.minhash_signature_sql(
+        TX.char_shingles_sql("documents", "doc_id", "text", SHINGLE_K), "doc_id", N_PERM
+    ).replace("SELECT doc_id,", "SELECT CAST(doc_id AS BIGINT) AS doc_id,", 1),
+    doc="MinHash signatures: char-5 shingles, 8 md5-min permutations",
+)
+def minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = TX.explode_char_shingles(d, "text", SHINGLE_K)
+    return TX.minhash_signature(sh.select("doc_id", "shingle"), "doc_id", N_PERM)
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH bands AS ({TX.lsh_bands_sql(
+        TX.minhash_signature_sql(
+            TX.char_shingles_sql("documents", "doc_id", "text", SHINGLE_K), "doc_id", N_PERM
+        ), "doc_id", N_PERM, BAND_SIZE)})
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(count(DISTINCT a.band_id) AS BIGINT) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """,
+    doc="MinHash-LSH near-dup candidate pairs: band-hash bucket equi-join (no cross join)",
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = TX.explode_char_shingles(d, "text", SHINGLE_K)
+    sig = TX.minhash_signature(sh.select("doc_id", "shingle"), "doc_id", N_PERM)
+    bands = TX.lsh_bands(sig, "doc_id", N_PERM, BAND_SIZE)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band_id").alias("n_shared_bands"))
+    )
+
+
+@register(
+    "simhash_docs",
+    TX.simhash_sql(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS word FROM documents",
+        "doc_id",
+        "word",
+    ),
+    doc="16-bit SimHash over whitespace words (md5 nibble decode, both engines)",
+)
+def simhash_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return TX.simhash(words, "doc_id", "word")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '), 1) AS pos
+              FROM documents)
+      ) WHERE g IS NOT NULL
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
+    """,
+    doc="word-bigram Jaccard near-dup pairs (gram equi-join, threshold 0.4)",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ws"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_analysis",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST({TX.token_count_sql("text")} AS INT) AS n_tokens,
+           {TX.lang_id_sql("' ' || text || ' '")} AS lang_pred,
+           round({TX.quality_score_sql("text")}, 6) AS quality
+    FROM documents
+    """,
+    doc="token count + language-ID heuristic + quality composite per document",
+)
+def text_analysis(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        TX.lang_id(padded).alias("lang_pred"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    TX.fingerprint_sql("documents", "doc_id", "text", 8).replace(
+        "SELECT doc_id,", "SELECT CAST(doc_id AS BIGINT) AS doc_id,", 1
+    ),
+    doc="winnowing-style document fingerprint: min md5 over char-8-grams",
+)
+def doc_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text", 8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+N_QUERIES, TOP_K, DIM, N_PLANES = 5, 10, 64, 6
+
+# DOUBLE[] casts force DuckDB's dot product to accumulate in float64 in list
+# order — bit-identical to Spark's aggregate/zip_with left fold.
+_COS_SQL = (
+    "list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /"
+    " (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+)
+
+
+@register(
+    "ann_topk_bruteforce",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_COS_SQL} AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, cand_id) AS rk
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
+           CAST(rk AS BIGINT) AS rk, round(cos, 6) AS cos
+    FROM ranked WHERE rk <= {TOP_K}
+    """,
+    doc="brute-force cosine top-k ANN baseline (explicit small-scale oracle; rank on rounded cos)",
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    cos = VX.dot(F.col("q_emb"), F.col("c_emb")) / (
+        VX.norm(F.col("q_emb")) * VX.norm(F.col("c_emb"))
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 9).desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", F.col("rk").cast("long"), F.round("cos", 6).alias("cos"))
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {VX.lsh_bucket_sql("embedding", DIM, N_PLANES)} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_SQL} AS cos
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, cand_id) AS rk
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
+           CAST(rk AS BIGINT) AS rk, round(cos, 6) AS cos
+    FROM ranked WHERE rk <= {TOP_K}
+    """,
+    doc="LSH-bucketed ANN: hyperplane-sign bucket equi-join replaces the cross join (scale path)",
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "embedding", VX.lsh_bucket(F.col("embedding"), DIM, N_PLANES).alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket")
+    cos = VX.dot(F.col("q_emb"), F.col("c_emb")) / (
+        VX.norm(F.col("q_emb")) * VX.norm(F.col("c_emb"))
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 9).desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", F.col("rk").cast("long"), F.round("cos", 6).alias("cos"))
+    )
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, label, {VX.lsh_bucket_sql("embedding", DIM, N_PLANES)} AS bucket
+      FROM embeddings
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(c.vec_id AS BIGINT) AS vec_b,
+           round({_COS_SQL.replace('q.', 'a.').replace('c.embedding', 'c.embedding')}, 6) AS cos
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_COS_SQL.replace('q.', 'a.')} >= 0.95
+    """,
+    doc="embedding-cosine near-dup pairs within LSH buckets (threshold 0.95)",
+)
+def embedding_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "embedding", VX.lsh_bucket(F.col("embedding"), DIM, N_PLANES).alias("bucket")
+    )
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"), "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"), "bucket")
+    cos = VX.dot(F.col("a_emb"), F.col("b_emb")) / (
+        VX.norm(F.col("a_emb")) * VX.norm(F.col("b_emb"))
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.95)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
+    )

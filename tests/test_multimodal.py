@@ -1,0 +1,41 @@
+"""Multimodal plumbing: binary payload decode/feature/resize kernels over
+mapInPandas, with the codec seam stubbed (NotImplementedError)."""
+
+import numpy as np
+import pytest
+
+from filda_spark import multimodal, pipeline
+
+
+def test_media_features_match_reference(spark, corpus):
+    media = pipeline.load_media(spark, corpus["dir"]).limit(50)
+    feats = multimodal.media_features(media).toPandas().set_index("media_ref")
+    src = media.toPandas()
+    assert len(feats) == len(src)
+    r = src.iloc[0]
+    arr = np.frombuffer(bytes(r["data"]), dtype=r["dtype"]).reshape(tuple(r["shape"])).astype(np.float64)
+    got = feats.loc[r["media_ref"]]
+    finite = arr[np.isfinite(arr)]
+    assert got.n_values == arr.size
+    assert got.v_mean == finite.mean()
+    assert got.n_nan == arr.size - finite.size
+    assert got.n_bytes == len(bytes(r["data"]))
+
+
+def test_media_resize_block_mean(spark, corpus):
+    media = pipeline.load_media(spark, corpus["dir"]).filter("var = 'latitude'").limit(1)
+    out = multimodal.media_resize(media, factor=2).toPandas()
+    src = media.toPandas().iloc[0]
+    arr = np.frombuffer(bytes(src["data"]), dtype=src["dtype"]).reshape(tuple(src["shape"]))
+    got = np.frombuffer(out.iloc[0]["data"], dtype=np.float32).reshape(tuple(out.iloc[0]["shape"]))
+    ref = arr.astype(np.float64).reshape(arr.shape[0] // 2, 2, arr.shape[1] // 2, 2).mean(axis=(1, 3))
+    assert np.allclose(got, ref, rtol=1e-6)
+
+
+def test_stub_kinds_raise():
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_media("image", b"\x00", "uint8", [1])
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample(None)
+    with pytest.raises(ValueError):
+        multimodal.decode_media("bogus", b"\x00", "uint8", [1])

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from filda_spark import relational
+from filda_spark import training  # noqa: F401  (registers training-data ops)
 from filda_spark.compare import compare, duckdb_con
 
 NAMES = sorted(relational.REGISTRY)
