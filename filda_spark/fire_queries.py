@@ -21,8 +21,14 @@ from filda_spark.namelist import make_namelist
 
 CACHE_ROOT = os.environ.get("FILDA_FIRE_CACHE", "/tmp/filda_fire_corpus")
 
-TEST_GEOM = dict(n_docs=8, h_m=64, w_m=80, dyn_win_dim=31)
-BENCH_GEOM = dict(n_docs=48, h_m=192, w_m=240, dyn_win_dim=61)
+TEST_GEOM = dict(n_docs=8, h_m=64, w_m=80, dyn_win_dim=31, extra_fires=0)
+# bench: 96 granules at 192x240 M-grid with ~300 extra planted fires in the
+# hot pair (hotspot skew) — per-granule CPU dominated by the per-fire
+# contextual + FRP + Planck-fit kernels, matching the reference's profile
+BENCH_GEOM = dict(n_docs=96, h_m=192, w_m=240, dyn_win_dim=61, extra_fires=300)
+# scaling runs use more granules so per-job fixed costs amortize and the
+# wall clock is compute-dominated at both parallelism levels
+SCALING_GEOM = dict(n_docs=384, h_m=192, w_m=240, dyn_win_dim=61, extra_fires=300)
 
 
 def _geom_for(sf_dir: str) -> dict:
@@ -34,12 +40,21 @@ def _geom_for(sf_dir: str) -> dict:
 
 
 def corpus_dir(geom: dict) -> str:
-    d = f"{CACHE_ROOT}/n{geom['n_docs']}_h{geom['h_m']}_w{geom['w_m']}"
+    d = (
+        f"{CACHE_ROOT}/n{geom['n_docs']}_h{geom['h_m']}_w{geom['w_m']}"
+        f"_f{geom.get('extra_fires', 0)}"
+    )
     marker = f"{d}/_BUILT"
     if not os.path.exists(marker):
         from filda_spark.fixtures import build_corpus
 
-        build_corpus(d, n_docs=geom["n_docs"], h_m=geom["h_m"], w_m=geom["w_m"])
+        build_corpus(
+            d,
+            n_docs=geom["n_docs"],
+            h_m=geom["h_m"],
+            w_m=geom["w_m"],
+            extra_fires=geom.get("extra_fires", 0),
+        )
         open(marker, "w").write("ok")
     return d
 
@@ -88,8 +103,29 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_resize(media, factor=2)
 
 
+def mcbef_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCBEF fire-property posterior State table over the enriched
+    detections (rows-only; parity vs the single-node twin in pytest)."""
+    from filda_spark import mcbef
+
+    det = fire_detections(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return mcbef.estimate(det, n_parts)
+
+
+def ntl_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90-day NTL climatology build (rows-only; numpy-twin parity in
+    tests/test_ntl.py)."""
+    from filda_spark import ntl
+
+    daily = ntl.synthetic_daily(spark, n_tiles=2, cells=16, year=2019, month=8)
+    return ntl.climatology(daily, 2019, 8)
+
+
 QUERIES = {
     "fire_detections": fire_detections,
+    "mcbef_state": mcbef_state,
+    "ntl_climatology": ntl_climatology,
     "fire_tiles": fire_tiles,
     "fire_masks": fire_masks,
     "media_features": media_features,

@@ -39,7 +39,7 @@ from filda_spark.namelist import LAMBDA_UM
 H_M, W_M = 64, 80
 DNB_PAD = 8  # raw DNB grid is (H_M, W_M + DNB_PAD), offset mapping
 D_DEG = 0.01  # M-pixel spacing in degrees
-NTL_CELLS = 600  # downscaled from the reference 2400 (FIXTURES.md: broadcast-sized)
+NTL_CELLS = 240  # downscaled from the reference 2400 (FIXTURES.md: broadcast-sized)
 
 M_BANDS = ("M07", "M08", "M10", "M11", "M12", "M13", "M14", "M15", "M16")
 
@@ -48,10 +48,16 @@ def _seed(doc_id: str) -> int:
     return int.from_bytes(hashlib.sha256(doc_id.encode()).digest()[:8], "big")
 
 
-def corpus_doc_params(n_docs: int = 8):
+def corpus_doc_params(n_docs: int = 8, extra_fires: int = 0):
     """Deterministic per-doc placement; within each generation of 8, docs
     p+4 re-observe docs p (slightly shifted). Generations beyond the first
-    (n_docs > 8) shift north-east with distinct overpass ids."""
+    (n_docs > 8) shift north-east with distinct overpass ids.
+
+    ``extra_fires`` plants additional contextual fires on a grid (bench
+    corpora: raises per-granule kernel CPU to the reference's fitting-bound
+    profile). Skew per FIXTURES.md §5: pair-0 granules (one H3 parent
+    neighborhood) carry ~90% of the extra fires — hotspot skew for the
+    dedup shuffle."""
     out = []
     for k in range(n_docs):
         gen = k // 8
@@ -65,6 +71,7 @@ def corpus_doc_params(n_docs: int = 8):
         base = (312 if second else 200) + 200 * gen
         overpass = f"{base + 6 * pair:04d}"
         day = pair == 3 and not second and gen == 0  # one Day granule overall
+        n_extra = extra_fires if pair == 0 else extra_fires // 10
         out.append(
             dict(
                 doc_id=f"VNP.A2019213.{overpass}",
@@ -75,6 +82,7 @@ def corpus_doc_params(n_docs: int = 8):
                 lon0=lon0,
                 day=day,
                 pair=pair,
+                extra_fires=n_extra,
             )
         )
     return out
@@ -152,6 +160,20 @@ def make_granule(p: dict) -> tuple[dict, dict]:
     plant(mi, mj, 305.0 + rng.uniform(0, 2), 14.0, 16.0)
     mi, mj = f["flare"]
     plant(mi, mj, 330.0, 20.0, 28.0)
+
+    # extra grid-planted contextual fires (bench CPU-density + hotspot skew)
+    extra_positions = []
+    n_extra = p.get("extra_fires", 0)
+    if n_extra:
+        for r in range(8, H_M - 2, 5):
+            for c in range(2, min(60, W_M) - 2, 5):
+                extra_positions.append((r, c))
+                if len(extra_positions) >= n_extra:
+                    break
+            if len(extra_positions) >= n_extra:
+                break
+        for mi, mj in extra_positions:
+            plant(mi, mj, 311.5 + rng.uniform(0, 2), 13.0, 18.0)
 
     g["I04_rad"] = kernels.planck_rad(LAMBDA_UM["I04"], t_i).astype(np.float32)
     g["I05_rad"] = kernels.planck_rad(LAMBDA_UM["I05"], t_i5).astype(np.float32)
@@ -402,12 +424,14 @@ def set_geometry(h_m: int = 64, w_m: int = 80) -> None:
     H_M, W_M = h_m, w_m
 
 
-def build_corpus(out_dir: str, n_docs: int = 8, h_m: int = 64, w_m: int = 80) -> dict:
+def build_corpus(
+    out_dir: str, n_docs: int = 8, h_m: int = 64, w_m: int = 80, extra_fires: int = 0
+) -> dict:
     """Write the full synthetic corpus + ancillary tables to out_dir.
     Returns in-memory handles for oracle use."""
     set_geometry(h_m, w_m)
     os.makedirs(out_dir, exist_ok=True)
-    params = corpus_doc_params(n_docs)
+    params = corpus_doc_params(n_docs, extra_fires)
     doc_rows, media_rows, granules, headers = [], [], {}, {}
     for p in params:
         g, header = make_granule(p)
@@ -416,8 +440,13 @@ def build_corpus(out_dir: str, n_docs: int = 8, h_m: int = 64, w_m: int = 80) ->
         media_rows.extend(m)
         granules[p["doc_id"]] = g
         headers[p["doc_id"]] = header
-    pd.DataFrame(doc_rows).to_parquet(f"{out_dir}/documents.parquet", index=False)
-    pd.DataFrame(media_rows).to_parquet(f"{out_dir}/media.parquet", index=False)
+    # one row group per granule: Spark splits parquet at row-group boundaries,
+    # so the scan parallelizes across granules instead of one serial task
+    pd.DataFrame(doc_rows).to_parquet(f"{out_dir}/documents.parquet", index=False, row_group_size=1)
+    n_media_per_doc = len(media_rows) // max(len(doc_rows), 1)
+    pd.DataFrame(media_rows).to_parquet(
+        f"{out_dir}/media.parquet", index=False, row_group_size=max(n_media_per_doc, 1)
+    )
 
     lut_idx, lut_w = make_resample_lut()
     ntl = make_ntl(params)

@@ -35,7 +35,14 @@ DET_COLUMNS = [
     "FP_I04_MAD",
     "FP_I05_MAD",
     "FP_BTD_MAD",
+    "FP_M11_Rad",
+    "FP_M12_Rad",
     "FP_M13_Rad",
+    "FP_M14_Rad",
+    "FP_M15_Rad",
+    "FP_I04_Rad",
+    "FP_I05_Rad",
+    "FP_DNB_Rad",
     "FP_M13_Rad_Mean",
     "FP_M13_Rad_MAD",
     "FP_M13_Rad_Num",
@@ -88,9 +95,15 @@ def prepare_granule(media: dict, anc: dict, nl: dict) -> dict:
     return g
 
 
-def detect_granule(doc_id: str, media: dict, anc: dict, nl: dict) -> dict:
+def detect_granule(doc_id: str, media: dict, anc: dict, nl: dict, fit: bool = True) -> dict:
     """Full per-granule detection: returns dict with detections (dict of 1-D
-    arrays), candidate table, fire masks, and QA raster."""
+    arrays), candidate table, fire masks, and QA raster.
+
+    ``fit=False`` skips the per-detection Planck-mixture fit — the engine
+    runs it as a separate uniformly-partitioned stage (hot granules carry
+    10x the detections of cold ones, and the fit dominates per-fire CPU, so
+    keeping it inside the granule kernel would make granule skew the
+    scaling floor)."""
     g = prepare_granule(media, anc, nl)
     ntl_mean, ntl_std = kernels.ntl_gather(
         np.nan_to_num(g["latitude"], nan=-90.0),
@@ -107,7 +120,14 @@ def detect_granule(doc_id: str, media: dict, anc: dict, nl: dict) -> dict:
     det = kernels.gather_detection_radiances(det, g)
     det = kernels.frp_background(det, bg, nl)
     det = kernels.fire_params(det, anc["area_lut"], nl)
-    det = kernels.planck_fit(det)
+    if fit:
+        det = kernels.planck_fit(det)
+    else:
+        n = det["FP_line_img"].size
+        det["FP_Fire_Temp"] = np.full(n, np.nan)
+        det["FP_BG_Temp"] = np.full(n, np.nan)
+        det["FP_Fire_Frac"] = np.full(n, np.nan)
+        det["FP_Opt_Status"] = np.zeros(n, dtype=np.int8)
     det["FP_AdjCloud"], det["FP_AdjWater"] = spatial.adjacency_counts_np(
         g["CM"],
         kernels.upsample_m_to_i(g["land_water_mask"]),
@@ -157,7 +177,14 @@ def detections_frame(doc_id: str, det: dict) -> pd.DataFrame:
             "FP_I04_MAD": det["FP_I04_MAD"],
             "FP_I05_MAD": det["FP_I05_MAD"],
             "FP_BTD_MAD": det["FP_BTD_MAD"],
+            "FP_M11_Rad": det["FP_M11_Rad"],
+            "FP_M12_Rad": det["FP_M12_Rad"],
             "FP_M13_Rad": det["FP_M13_Rad"],
+            "FP_M14_Rad": det["FP_M14_Rad"],
+            "FP_M15_Rad": det["FP_M15_Rad"],
+            "FP_I04_Rad": det["FP_I04_Rad"],
+            "FP_I05_Rad": det["FP_I05_Rad"],
+            "FP_DNB_Rad": det["FP_DNB_Rad"],
             "FP_M13_Rad_Mean": det["FP_M13_Rad_Mean"],
             "FP_M13_Rad_MAD": det["FP_M13_Rad_MAD"],
             "FP_M13_Rad_Num": det["FP_M13_Rad_Num"],

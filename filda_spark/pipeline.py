@@ -67,19 +67,19 @@ _INT_COLS = {
     "FP_AdjWater",
 }
 
-DET_SCHEMA = T.StructType(
-    [
-        T.StructField(
-            c,
-            T.StringType()
-            if c == "doc_id"
-            else T.IntegerType()
-            if c in _INT_COLS
-            else T.DoubleType(),
-        )
-        for c in oracle.DET_COLUMNS
-    ]
-)
+def _field(c: str) -> T.StructField:
+    return T.StructField(
+        c,
+        T.StringType() if c == "doc_id" else T.IntegerType() if c in _INT_COLS else T.DoubleType(),
+    )
+
+
+DET_SCHEMA = T.StructType([_field(c) for c in oracle.DET_COLUMNS])
+
+# the per-detection Planck fit runs as its own stage (see detect_detections)
+FIT_COLS = ["FP_Fire_Temp", "FP_BG_Temp", "FP_Fire_Frac", "FP_Opt_Status"]
+PRE_FIT_COLS = [c for c in oracle.DET_COLUMNS if c not in FIT_COLS]
+PRE_FIT_SCHEMA = T.StructType([_field(c) for c in PRE_FIT_COLS])
 
 MASK_SCHEMA = T.StructType(
     [
@@ -155,14 +155,34 @@ def make_detect_fn(anc_bc, nl: dict):
 
     def detect(doc_pdf: pd.DataFrame, media_pdf: pd.DataFrame) -> pd.DataFrame:
         if doc_pdf.empty or media_pdf.empty:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in oracle.DET_COLUMNS})
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in PRE_FIT_COLS})
         _check_spans(doc_pdf, media_pdf)
         doc_id = doc_pdf.iloc[0]["doc_id"]
         media = unpack_media(media_pdf)
-        res = oracle.detect_granule(doc_id, media, anc_bc.value, nl)
-        return oracle.detections_frame(doc_id, res["det"])
+        res = oracle.detect_granule(doc_id, media, anc_bc.value, nl, fit=False)
+        return oracle.detections_frame(doc_id, res["det"])[PRE_FIT_COLS]
 
     return detect
+
+
+def _fit_stage(pdfs):
+    """mapInPandas kernel: per-detection Planck-mixture fit over a balanced
+    (round-robin) repartition of the detections — identical per-row math to
+    kernels.planck_fit, free of granule-level skew."""
+    for pdf in pdfs:
+        if pdf.empty:
+            yield pdf.reindex(columns=oracle.DET_COLUMNS)
+            continue
+        det = {"FP_line_img": pdf["FP_Line"].to_numpy()}
+        for b in kernels.FIT_BANDS:
+            det[f"FP_{b}_Rad"] = pdf[f"FP_{b}_Rad"].to_numpy()
+        det = kernels.planck_fit(det)
+        out = pdf.copy()
+        out["FP_Fire_Temp"] = det["FP_Fire_Temp"]
+        out["FP_BG_Temp"] = det["FP_BG_Temp"]
+        out["FP_Fire_Frac"] = det["FP_Fire_Frac"]
+        out["FP_Opt_Status"] = det["FP_Opt_Status"].astype(np.int32)
+        yield out[oracle.DET_COLUMNS]
 
 
 def make_masks_fn(anc_bc, nl: dict):
@@ -174,7 +194,7 @@ def make_masks_fn(anc_bc, nl: dict):
         _check_spans(doc_pdf, media_pdf)
         doc_id = doc_pdf.iloc[0]["doc_id"]
         media = unpack_media(media_pdf)
-        res = oracle.detect_granule(doc_id, media, anc_bc.value, nl)
+        res = oracle.detect_granule(doc_id, media, anc_bc.value, nl, fit=False)
         mi = res["mask_img"]
         return pd.DataFrame(
             dict(
@@ -196,9 +216,21 @@ def _cogroup(spark, corpus_dir: str, fn, schema) -> DataFrame:
     # Day pruning propagates to media via a broadcast semi-join (metadata-only
     # partition pruning on a real Iceberg layout).
     media = media.join(F.broadcast(docs.select("doc_id")), "doc_id", "left_semi")
+    # Granule-kernel cost varies ~10x between hot (fire-dense) and cold
+    # granules while their *bytes* are identical, so AQE's size-based
+    # coalescing would pack hot granules together and create stragglers.
+    # Explicit repartition to ~one granule per task (a user-specified
+    # partition count is never AQE-coalesced); the cogroup reuses this
+    # hash partitioning, adding no extra exchange.
+    # 4x over-partitioning: with ~n_docs partitions, hash collisions still
+    # co-locate hot granules (balls-in-bins max load ~4); at 4x the
+    # collision probability is negligible and empty partitions cost ~ms.
+    n_docs = docs.count()
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), min(4 * n_docs, 8192))
     return (
-        docs.groupBy("doc_id")
-        .cogroup(media.groupBy("doc_id"))
+        docs.repartition(n_parts, "doc_id")
+        .groupBy("doc_id")
+        .cogroup(media.repartition(n_parts, "doc_id").groupBy("doc_id"))
         .applyInPandas(fn, schema=schema)
     )
 
@@ -208,7 +240,12 @@ def detect_detections(spark: SparkSession, corpus_dir: str, nl: dict | None = No
 
     nl = nl or make_namelist()
     anc_bc = spark.sparkContext.broadcast(load_ancillary(corpus_dir))
-    return _cogroup(spark, corpus_dir, make_detect_fn(anc_bc, nl), DET_SCHEMA)
+    pre = _cogroup(spark, corpus_dir, make_detect_fn(anc_bc, nl), PRE_FIT_SCHEMA)
+    # fit stage: hot granules carry ~10x the detections, so the fit is
+    # rebalanced round-robin across tasks instead of inheriting the
+    # granule partitioning (per-row independent => order-free)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return pre.repartition(n_parts).mapInPandas(_fit_stage, schema=DET_SCHEMA)
 
 
 def detect_masks(spark: SparkSession, corpus_dir: str, nl: dict | None = None) -> DataFrame:

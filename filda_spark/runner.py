@@ -88,10 +88,11 @@ def run_incremental(
         det = pipeline.enrich(spark, spark.read.parquet(stage), corpus_dir)
         det.write.mode("append").partitionBy("tile_id").parquet(f"{out_dir}/detections")
         wall = time.perf_counter() - t0
+        # per-partition row counts from the (small) staging parquet — avoids
+        # re-scanning the partitioned store
         counts = {
             r.doc_id: r.n
-            for r in spark.read.parquet(f"{out_dir}/detections")
-            .filter(F.col("doc_id").isin(todo_ids))
+            for r in spark.read.parquet(stage)
             .groupBy("doc_id")
             .agg(F.count("*").alias("n"))
             .collect()

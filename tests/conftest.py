@@ -37,3 +37,18 @@ def corpus(tmp_path_factory):
     c = fixtures.build_corpus(str(d), n_docs=8)
     c["dir"] = str(d)
     return c
+
+
+@pytest.fixture(scope="session")
+def nl():
+    from filda_spark.namelist import make_namelist
+
+    # dyn window scaled to the 128x160 I-grid test rasters (full scale: 501)
+    return make_namelist(dyn_win_dim=31)
+
+
+@pytest.fixture(scope="session")
+def oracle_res(corpus, nl):
+    from filda_spark import oracle
+
+    return oracle.run_corpus(corpus, nl)

@@ -13,17 +13,6 @@ KEY = ["doc_id", "FP_Line", "FP_Sample"]
 
 
 @pytest.fixture(scope="session")
-def nl():
-    # dyn window scaled to the 128x160 I-grid test rasters (full scale: 501)
-    return make_namelist(dyn_win_dim=31)
-
-
-@pytest.fixture(scope="session")
-def oracle_res(corpus, nl):
-    return oracle.run_corpus(corpus, nl)
-
-
-@pytest.fixture(scope="session")
 def spark_res(spark, corpus, nl):
     res = pipeline.run(spark, corpus["dir"], nl)
     det = res["detections"].toPandas()
