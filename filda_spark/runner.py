@@ -62,6 +62,53 @@ def done_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
     )
 
 
+def process_doc_ids(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    doc_ids: list[str],
+    nl: dict,
+    run_id: str,
+    t0: float | None = None,
+) -> None:
+    """Detect + enrich + append one batch of granules, then record lineage.
+    Shared by the incremental runner and the streaming ingest."""
+    t0 = t0 or time.perf_counter()
+    det = pipeline.detect_detections(spark, corpus_dir, nl)
+    det = det.filter(F.col("doc_id").isin(doc_ids))
+    # stage the raw detections once: enrich + dedup re-reference the
+    # detections several times (semi-join reductions, self-join) and
+    # must not re-run the decode+detect kernel per reference
+    stage = f"{out_dir}/_stage/{run_id}"
+    det.write.mode("overwrite").parquet(stage)
+    det = pipeline.enrich(spark, spark.read.parquet(stage), corpus_dir)
+    det.write.mode("append").partitionBy("tile_id").parquet(f"{out_dir}/detections")
+    wall = time.perf_counter() - t0
+    # per-partition row counts from the (small) staging parquet — avoids
+    # re-scanning the partitioned store
+    counts = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(stage).groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    per_doc_wall = wall / max(len(doc_ids), 1)
+    lineage_rows = [
+        (
+            run_id,
+            "detect",
+            d,
+            int(counts.get(d, 0)),
+            round(per_doc_wall, 4),
+            round(counts.get(d, 0) / per_doc_wall, 2) if per_doc_wall > 0 else 0.0,
+            "done",
+        )
+        for d in doc_ids
+    ]
+    spark.createDataFrame(
+        lineage_rows,
+        "run_id string, stage string, partition_key string, rows_out long, wall_s double, rows_per_sec double, status string",
+    ).write.mode("append").parquet(_lineage_path(out_dir))
+
+
 def run_incremental(
     spark: SparkSession, corpus_dir: str, out_dir: str, nl: dict | None = None
 ) -> dict:
@@ -78,42 +125,7 @@ def run_incremental(
     )
     todo_ids = [r.doc_id for r in todo.collect()]  # frontier is small by design
     if todo_ids:
-        det = pipeline.detect_detections(spark, corpus_dir, nl)
-        det = det.filter(F.col("doc_id").isin(todo_ids))
-        # stage the raw detections once: enrich + dedup re-reference the
-        # detections several times (semi-join reductions, self-join) and
-        # must not re-run the decode+detect kernel per reference
-        stage = f"{out_dir}/_stage/{run_id}"
-        det.write.mode("overwrite").parquet(stage)
-        det = pipeline.enrich(spark, spark.read.parquet(stage), corpus_dir)
-        det.write.mode("append").partitionBy("tile_id").parquet(f"{out_dir}/detections")
-        wall = time.perf_counter() - t0
-        # per-partition row counts from the (small) staging parquet — avoids
-        # re-scanning the partitioned store
-        counts = {
-            r.doc_id: r.n
-            for r in spark.read.parquet(stage)
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        per_doc_wall = wall / max(len(todo_ids), 1)
-        lineage_rows = [
-            (
-                run_id,
-                "detect",
-                d,
-                int(counts.get(d, 0)),
-                round(per_doc_wall, 4),
-                round(counts.get(d, 0) / per_doc_wall, 2) if per_doc_wall > 0 else 0.0,
-                "done",
-            )
-            for d in todo_ids
-        ]
-        spark.createDataFrame(
-            lineage_rows,
-            "run_id string, stage string, partition_key string, rows_out long, wall_s double, rows_per_sec double, status string",
-        ).write.mode("append").parquet(_lineage_path(out_dir))
+        process_doc_ids(spark, corpus_dir, out_dir, todo_ids, nl, run_id, t0)
 
     # global dedup + tiles over the full store (late granules can demote
     # earlier detections to duplicates)

@@ -1,0 +1,90 @@
+"""Structured Streaming ingest: granule documents arriving as files feed the
+same detect → enrich → dedup → tiles pipeline through ``foreachBatch``.
+
+The reference is strictly batch (SURVEY.md §2.10); the engine's streaming
+surface exists for the continuous-ingest deployment mode of the north rule:
+documents land in a directory (at production: an Iceberg table whose
+snapshots the stream tails), the file source discovers new granules, and
+each micro-batch runs the identical batch kernel via
+``runner.process_doc_ids`` — so streaming output == batch output by
+construction, and the streaming checkpoint + the lineage table give
+exactly-once granule processing across restarts.
+
+Late/duplicate granules need no watermark: the global kNN dedup + tile
+rebuild after each batch is the event-time reconciliation (a late granule
+can demote earlier detections to duplicates, which windowed streaming state
+could not express cheaply)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from filda_spark import pipeline, runner
+from filda_spark.namelist import make_namelist
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("kind", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("media_ref", T.StringType()),
+                        T.StructField("offset", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    stream_dir: str,
+    corpus_dir: str,
+    out_dir: str,
+    nl: dict | None = None,
+    available_now: bool = True,
+):
+    """Tail ``stream_dir`` for new document parquet files; process each
+    micro-batch with the batch pipeline. ``available_now=True`` drains the
+    backlog and stops (the test/bench mode); False runs continuously."""
+    nl = nl or make_namelist()
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        hdr = F.from_json(F.element_at("spans", 1).getField("text"), pipeline.HEADER_SCHEMA)
+        night = batch_df.withColumn("header", hdr).filter(
+            ~F.col("header.DayNightFlag").eqNullSafe("Day")
+        )
+        doc_ids = {r.doc_id for r in night.select("doc_id").distinct().collect()}
+        # re-delivery guard: the lineage frontier is the granule-level
+        # exactly-once check (the stream checkpoint only dedups FILES)
+        done = runner.done_doc_ids(spark, out_dir)
+        if done is not None:
+            doc_ids -= {r.partition_key for r in done.collect()}
+        if not doc_ids:
+            return
+        run_id = f"stream-{epoch_id}-{uuid.uuid4().hex[:8]}"
+        runner.process_doc_ids(spark, corpus_dir, out_dir, sorted(doc_ids), nl, run_id)
+
+    stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(stream_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{out_dir}/_stream_checkpoint")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        # reconcile: global dedup + tile rebuild over the full store
+        full = pipeline.dedup(spark.read.parquet(f"{out_dir}/detections"))
+        pipeline.tiles(full).write.mode("overwrite").parquet(f"{out_dir}/tiles")
+        return None
+    return writer.start()
