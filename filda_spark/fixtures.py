@@ -101,6 +101,9 @@ def _features(pair: int) -> dict:
         fire_sat=(40 + di, 25 + dj),
         fire_water=(20 + di, 67),
         flare=(12 + di, 55 + dj),
+        # hot in I04 but nearly background-level in M13: inside the SAA rect
+        # this is exactly the radiation-hit signature check_saa_2 screens
+        fire_artifact=(35 + di, 45 + dj),
     )
 
 
@@ -160,6 +163,11 @@ def make_granule(p: dict) -> tuple[dict, dict]:
     plant(mi, mj, 305.0 + rng.uniform(0, 2), 14.0, 16.0)
     mi, mj = f["flare"]
     plant(mi, mj, 330.0, 20.0, 28.0)
+    # weak M11/M13 anomaly (<<10 K over background+3sigma) -> the SAA screen
+    # flags it inside the rect; boost stays above the low-quartile FRP
+    # background so the detection itself survives
+    mi, mj = f["fire_artifact"]
+    plant(mi, mj, 340.0, 22.0, 3.0)
 
     # extra grid-planted contextual fires (bench CPU-density + hotspot skew)
     extra_positions = []

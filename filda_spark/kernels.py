@@ -16,8 +16,6 @@ M-band arrays of shape (H, W), I-band arrays of shape (2H, 2W).
 
 Known, documented deviations from the reference (kept stable so the oracle
 and the engine agree bit-for-bit with each other):
-- check_saa_2 (FILDA.py:1546-1560 delta-BT screening) is not applied; the
-  SAA bounding-rect flag (FILDA_IO.py:430-437) is.
 - gen_algorithm_QA packs a 12-bit subset of the reference's 26 bit fields,
   with the same shift/or packing and final bit reversal (FILDA.py:2373-2567).
 - M-band candidates are unioned with the I-band candidate set directly
@@ -727,6 +725,23 @@ def fire_params(det: dict, area_lut: np.ndarray, nl: dict) -> dict:
     return {k: np.asarray(v)[keep] for k, v in det.items()}
 
 
+def check_saa_2(det: dict) -> dict:
+    """Second South-Atlantic-Anomaly screen (check_saa_2, FILDA.py:1550-1567):
+    a detection inside the SAA rect keeps FP_SAA_flag=1 only when its M11/M13
+    brightness-temperature anomaly over the background (+3 sigma/MAD) is weak
+    — i.e. it looks like a radiation hit, not a fire."""
+    with np.errstate(invalid="ignore"):
+        d11 = bt_from_rad(det["FP_M11_Rad"], LAMBDA_UM["M11"]) - bt_from_rad(
+            det["FP_M11_Rad_Mean"] + 3.0 * det["FP_M11_Rad_STD"], LAMBDA_UM["M11"]
+        )
+        d13 = bt_from_rad(det["FP_M13_Rad"], LAMBDA_UM["M13"]) - bt_from_rad(
+            det["FP_M13_Rad_Mean"] + 3.0 * det["FP_M13_Rad_MAD"], LAMBDA_UM["M13"]
+        )
+        weak = (d11 < 10.0) | (d13 < 2.5)
+    det["FP_SAA_flag"] = (weak & (det["SAA_flag"] == 1)).astype(np.int8)
+    return det
+
+
 # ---------------------------------------------------------------------------
 # Planck-mixture fit (FILDA_fitting.py:23-83; scipy-free Nelder-Mead)
 # ---------------------------------------------------------------------------
@@ -841,9 +856,9 @@ def gen_fire_img_mask(g: dict, det: dict, cdt: dict, overlap: np.ndarray, nl: di
     mask[li[sel], si[sel]] = 9
     sel = (det["FP_land_water_mask"] != 1) & (det["BTD_IMG"] < 15.0)
     mask[li[sel], si[sel]] = 7
-    sel = (det["SAA_flag"] > 0) & (det["FP_land_water_mask"] == 1)
+    sel = (det["FP_SAA_flag"] > 0) & (det["FP_land_water_mask"] == 1)
     mask[li[sel], si[sel]] = 7
-    sel = (det["SAA_flag"] > 0) & (det["FP_land_water_mask"] != 1)
+    sel = (det["FP_SAA_flag"] > 0) & (det["FP_land_water_mask"] != 1)
     mask[li[sel], si[sel]] = 3
     mask[g["CM"] <= 0] = 4
     mask[overlap > nl["thres_bowtie"]] = 1

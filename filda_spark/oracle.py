@@ -120,6 +120,7 @@ def detect_granule(doc_id: str, media: dict, anc: dict, nl: dict, fit: bool = Tr
     det = kernels.gather_detection_radiances(det, g)
     det = kernels.frp_background(det, bg, nl)
     det = kernels.fire_params(det, anc["area_lut"], nl)
+    det = kernels.check_saa_2(det)
     if fit:
         det = kernels.planck_fit(det)
     else:
@@ -152,7 +153,7 @@ def confidence_np(det: dict) -> np.ndarray:
     (water detection with BTD<15, or SAA-affected), else 8 nominal."""
     conf = np.full(det["FP_line_img"].size, 8, dtype=np.int8)
     conf[(det["FP_land_water_mask"] != 1) & (det["BTD_IMG"] < 15.0)] = 7
-    conf[det["SAA_flag"] > 0] = 7
+    conf[det["FP_SAA_flag"] > 0] = 7
     conf[det["FP_I04_Mean"] < 0] = 9
     return conf
 
@@ -202,7 +203,7 @@ def detections_frame(doc_id: str, det: dict) -> pd.DataFrame:
             "FP_Opt_Status": det["FP_Opt_Status"].astype(np.int32),
             "FP_land_water_mask": det["FP_land_water_mask"].astype(np.int32),
             "FP_posDNB": det["FP_posDNB"],
-            "FP_SAA_flag": det["SAA_flag"].astype(np.int32),
+            "FP_SAA_flag": det["FP_SAA_flag"].astype(np.int32),
             "FP_AdjCloud": det["FP_AdjCloud"].astype(np.int32),
             "FP_AdjWater": det["FP_AdjWater"].astype(np.int32),
             "BTI04": det["BTI04"],

@@ -367,7 +367,12 @@ def enrich(spark: SparkSession, det: DataFrame, corpus_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def dedup(det: DataFrame, eps: float = spatial.DEDUP_EPS_DEG) -> DataFrame:
+def dedup(
+    det: DataFrame,
+    eps: float = spatial.DEDUP_EPS_DEG,
+    salt_threshold: int = 5000,
+    n_salt: int = 8,
+) -> DataFrame:
     """Same relation as spatial.knn_dedup_np, computed distributed:
 
     1. encode each detection to its level-14 qcell;
@@ -378,13 +383,26 @@ def dedup(det: DataFrame, eps: float = spatial.DEDUP_EPS_DEG) -> DataFrame:
     4. left join the dominators back: is_dup + dup_of.
 
     Priority: (FP_Power desc, NaN lowest, doc_id, FP_Line, FP_Sample) asc —
-    ties impossible across granules."""
+    ties impossible across granules.
+
+    Hotspot salting: cells holding more than ``salt_threshold`` detections
+    (persistent flares, city lights) are split ``n_salt`` ways — the LEFT
+    side takes salt = hash(line, sample) % n_salt, the RIGHT side replicates
+    across all salts for hot cells — so one hot cell's pair work spreads
+    over n_salt tasks instead of one (AQE skew-join then handles residual
+    imbalance). Cold cells pay nothing (salt 0, no replication)."""
     lat, lon = F.col("FP_Latitude"), F.col("FP_Longitude")
     pw = F.when(F.isnan("FP_Power") | F.col("FP_Power").isNull(), F.lit(float("-inf"))).otherwise(
         F.col("FP_Power")
     )
     base = det.withColumn("_cell", grids.cell_encode(lat, lon, DEDUP_CELL_LEVEL)).withColumn(
         "_negpw", -pw
+    )
+    hot = (
+        base.groupBy("_cell")
+        .count()
+        .filter(F.col("count") > salt_threshold)
+        .select(F.col("_cell").alias("cell"), F.lit(True).alias("_hot"))
     )
     left = base.select(
         F.col("doc_id").alias("a_doc"),
@@ -395,6 +413,12 @@ def dedup(det: DataFrame, eps: float = spatial.DEDUP_EPS_DEG) -> DataFrame:
         F.col("_negpw").alias("a_negpw"),
         F.col("_cell").alias("cell"),
     )
+    left = left.join(F.broadcast(hot), "cell", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("_hot"), F.pmod(F.hash("a_line", "a_sample"), F.lit(n_salt))
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
     right = base.select(
         F.col("doc_id").alias("b_doc"),
         F.col("FP_Line").alias("b_line"),
@@ -404,13 +428,21 @@ def dedup(det: DataFrame, eps: float = spatial.DEDUP_EPS_DEG) -> DataFrame:
         F.col("_negpw").alias("b_negpw"),
         F.explode(grids.cell_kring(F.col("_cell"), 1)).alias("cell"),
     )
+    right = right.join(F.broadcast(hot), "cell", "left").withColumn(
+        "salt",
+        F.explode(
+            F.when(F.col("_hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ),
+    ).drop("_hot")
     dlat = F.col("b_lat") - F.col("a_lat")
     dlon = (F.col("b_lon") - F.col("a_lon")) * F.cos(F.radians(F.col("a_lat")))
     near = (dlat * dlat + dlon * dlon) <= F.lit(eps * eps)
     a_key = F.struct(F.col("a_negpw"), F.col("a_doc"), F.col("a_line"), F.col("a_sample"))
     b_key = F.struct(F.col("b_negpw"), F.col("b_doc"), F.col("b_line"), F.col("b_sample"))
     pairs = (
-        left.join(right, "cell")
+        left.join(right, ["cell", "salt"])
         .filter((F.col("a_doc") != F.col("b_doc")) & near & (b_key < a_key))
         .groupBy("a_doc", "a_line", "a_sample")
         .agg(

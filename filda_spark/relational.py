@@ -691,6 +691,46 @@ def tile_assignment(spark, sf_dir):
     )
 
 
+@register(
+    "json_extract_agg",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY k_bucket
+    """,
+    doc="JSON property extraction + aggregation (engine breadth; no JSON in reference)",
+)
+def json_extract_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@register(
+    "date_series",
+    """
+    SELECT o_orderkey,
+           CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
+                                       CAST(o_orderdate AS DATE) + 3,
+                                       INTERVAL 1 DAY)) AS DATE) AS d
+    FROM orders WHERE o_orderkey % 997 = 0
+    """,
+    doc="date-series expansion (get_date_series, FILDA_Time_Cord.py:120-160)",
+)
+def date_series(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 997 == 0)
+    return o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(
+                F.to_date("o_orderdate"), F.date_add(F.to_date("o_orderdate"), 3)
+            )
+        ).alias("d"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

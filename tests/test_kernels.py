@@ -154,7 +154,7 @@ def test_mask_paint_priority():
         FP_I04_Mean=np.array([300.0]),
         FP_land_water_mask=np.array([1]),
         BTD_IMG=np.array([20.0]),
-        SAA_flag=np.array([0]),
+        FP_SAA_flag=np.array([0]),
     )
     cdt = dict(QA_FLAG=np.array([1]), FP_line_img=np.array([0]), FP_sample_img=np.array([1]))
     overlap = np.zeros((8, 8))

@@ -50,7 +50,7 @@ def test_day_granule_pruned(spark_res):
 
 def test_dedup_found_reobservation_pairs(spark_res):
     det = spark_res["detections"]
-    assert int(det.is_dup.sum()) == 84  # 3 overlapping pairs x 28 detections
+    assert int(det.is_dup.sum()) == 96  # 3 overlapping pairs x 32 detections
     assert (det.loc[det.is_dup, "dup_of"] != "").all()
 
 
@@ -88,9 +88,9 @@ def test_span_invariant_violation_raises(spark, corpus, nl, tmp_path):
 
 
 def test_fire_counts_per_granule(oracle_res):
-    # 7 planted fires x 4 I-pixels = 28 detections on every night granule
+    # 8 planted fires x 4 I-pixels = 32 detections on every night granule
     per_doc = oracle_res["detections"].groupby("doc_id").size()
-    assert (per_doc == 28).all()
+    assert (per_doc == 32).all()
 
 
 def test_detection_flags(oracle_res):

