@@ -103,6 +103,12 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_resize(media, factor=2)
 
 
+def fire_detections_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-band 750 m product: keep-first unique per M pixel (the reference's
+    second output file; FILDA.py:1905-1912)."""
+    return pipeline.mod_detections(fire_detections(spark, sf_dir))
+
+
 def mcbef_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MCBEF fire-property posterior State table over the enriched
     detections (rows-only; parity vs the single-node twin in pytest)."""
@@ -124,6 +130,7 @@ def ntl_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "fire_detections": fire_detections,
+    "fire_detections_mod": fire_detections_mod,
     "mcbef_state": mcbef_state,
     "ntl_climatology": ntl_climatology,
     "fire_tiles": fire_tiles,

@@ -886,40 +886,116 @@ def reverse_bits_np(vals: np.ndarray, width: int) -> np.ndarray:
     return out
 
 
-QA_BITS = 12  # subset layout, see gen_algorithm_qa
+QA_BITS = 32  # full layout, see gen_algorithm_qa
 
 
-def gen_algorithm_qa(g: dict, det: dict, cdt: dict) -> np.ndarray:
-    """Per-pixel uint32 QA on the I grid: shift/or packing then bit reversal
-    (mechanics of gen_algorithm_QA, FILDA.py:2373-2567; 12-bit subset):
-    bit0 I04 qf ok, bit1 I05 qf ok, bit2 geolocation ok, bit3 M13 host ok,
-    bit4 candidate, bit5 abs, bit6 bg, bit7 vis, bit8 thermal,
-    bit9..11 contextual tests 1..3 (of the detection at that pixel)."""
+def gen_algorithm_qa(g: dict, det: dict, cdt: dict, overlap: np.ndarray, nl: dict) -> np.ndarray:
+    """Per-pixel uint32 QA on the I grid: the reference's full 26-field
+    shift/or assembly then 32-bit reversal (gen_algorithm_QA,
+    FILDA.py:2373-2567), mirrored field-for-field INCLUDING two reference
+    indexing quirks (marked below) so the bit patterns match the published
+    product:
+    bits 0-2 channel I1-I3 (unused, zero); 3 I04 qf ok; 4 I05 qf ok;
+    5 geolocation ok; 6 M13 host ok; 7 absolute; 8 background-high-temp;
+    9 bright-rejection (zero); 10 candidate; 11 IR candidate; 12 visible
+    candidate; 13 scene background (zero); 14-16 contextual tests;
+    17 daytime (zero); 18 saturation; 19 glint (zero); 20 SAA (zero);
+    21 fire over water; 22 twilight; 23-24 persistence (zero); 25 bowtie;
+    26-31 spare."""
     i04qf = g.get("I04_quality_flags")
     i05qf = g.get("I05_quality_flags")
     lat_i = upsample_m_to_i(g["latitude"])
-    m13ok = upsample_m_to_i(np.isfinite(g["M13_rad"]))
     nrow, ncol = lat_i.shape
     qa = np.zeros((nrow, ncol), dtype=np.uint32)
+    zero = np.zeros((nrow, ncol), dtype=bool)
 
-    def push(bit_raster):
+    def push(bit_raster=None):
         nonlocal qa
-        qa = (qa << np.uint32(1)) | bit_raster.astype(np.uint32)
+        qa = qa << np.uint32(1)
+        if bit_raster is not None:
+            qa = qa | bit_raster.astype(np.uint32)
 
-    push(np.zeros((nrow, ncol)) if i04qf is None else (i04qf == 0))
-    push(np.zeros((nrow, ncol)) if i05qf is None else (i05qf == 0))
-    push(np.isfinite(lat_i))
-    push(m13ok)
-    cand = np.zeros((nrow, ncol), dtype=bool)
-    cand[cdt["FP_line_img"], cdt["FP_sample_img"]] = True
-    push(cand)
-    for flag in ("FP_abs_img", "FP_bg_img", "FP_vis_img", "FP_therm_img"):
+    def scatter(lines, samples):
         r = np.zeros((nrow, ncol), dtype=bool)
-        r[cdt["FP_line_img"][cdt[flag] == 1], cdt["FP_sample_img"][cdt[flag] == 1]] = True
+        r[lines, samples] = True
+        return r
+
+    # bit 0 (I1): the first field shifts nothing in the reference
+    # (FILDA.py:2412-2413) — qa is still all-zero, so pushing a zero raster
+    # after it reproduces the same final word
+    push(zero)  # bit 1, I2
+    push(zero)  # bit 2, I3
+    push(zero if i04qf is None else (i04qf == 0))  # bit 3
+    push(zero if i05qf is None else (i05qf == 0))  # bit 4
+    push(np.isfinite(lat_i))  # bit 5, geolocation quality
+    # bit 6, M13 host quality — reference quirk (FILDA.py:2440-2449): the
+    # M-grid indices are scattered to (l, s), (l+1, s), (l, s+1), (l+1, s+1)
+    # on the I raster WITHOUT doubling, painting the upper-left quadrant
+    m13ok = g.get("M13_quality_flags")
+    if m13ok is None:
+        push(zero)
+    else:
+        lm, sm = np.nonzero(m13ok == 0)
+        r = np.zeros((nrow, ncol), dtype=bool)
+        r[lm, sm] = True
+        r[lm + 1, sm] = True
+        r[lm, sm + 1] = True
+        r[lm + 1, sm + 1] = True
         push(r)
+    li, si = cdt["FP_line_img"], cdt["FP_sample_img"]
+    push(scatter(li[cdt["FP_abs_img"] == 1], si[cdt["FP_abs_img"] == 1]))  # bit 7
+    push(scatter(li[cdt["FP_bg_img"] == 1], si[cdt["FP_bg_img"] == 1]))  # bit 8
+    push(zero)  # bit 9, bright-pixel rejection
+    push(scatter(li, si))  # bit 10, candidate
+    push(scatter(li[cdt["FP_therm_img"] == 1], si[cdt["FP_therm_img"] == 1]))  # bit 11, IR
+    # bit 12, visible candidate — reference quirk (FILDA.py:2482-2490): the
+    # computed validIDX is unused and ALL candidates are painted
+    push(scatter(li, si))
+    push(zero)  # bit 13, scene background
     status = np.zeros((nrow, ncol), dtype=np.int64)
-    status[det["FP_line_img"], det["FP_sample_img"]] = np.abs(det["FP_Status"])
-    push((status & 4) > 0)
-    push((status & 2) > 0)
-    push((status & 1) > 0)
+    status[li, si] = np.abs(cdt["FP_Status"])
+    push(status > 3)  # bit 14, test 1
+    in_set = np.isin(status, (7, 6, 3, 2))
+    push(in_set)  # bit 15, test 2
+    push(in_set)  # bit 16, test 3 (reference reuses the bit-15 set)
+    push(zero)  # bit 17, daytime
+    with np.errstate(invalid="ignore"):
+        sat = (g["BTI05"] > 325.0) | (g["BTI04"] > 355.0) | (g["BTD_IMG"] < 0.0)
+    push(sat)  # bit 18, saturation
+    push(zero)  # bit 19, glint
+    push(zero)  # bit 20, SAA
+    lwm_i = upsample_m_to_i(g["land_water_mask"])
+    dl, ds = det["FP_line_img"], det["FP_sample_img"]
+    water_fire = lwm_i[dl, ds] != 1
+    push(scatter(dl[water_fire], ds[water_fire]))  # bit 21, fire over water
+    sza_i = upsample_m_to_i(g["solar_zenith"])
+    push((sza_i > nl["twilight_ang_min"]) & (sza_i < nl["twilight_ang_max"]))  # bit 22
+    push(zero)  # bit 23, persistence temperature
+    push(zero)  # bit 24, persistence number
+    push(overlap > nl["thres_bowtie"])  # bit 25, bowtie
+    qa = qa << np.uint32(4)  # bits 26-31 spare
     return reverse_bits_np(qa, QA_BITS)
+
+
+QA_FIELD_NAMES = [
+    "I1_quality", "I2_quality", "I3_quality", "I4_quality", "I5_quality",
+    "geolocation_quality", "M13_quality", "absolute_fire", "background_high_temp",
+    "bright_rejection", "candidate", "candidate_ir", "candidate_visible",
+    "scene_background", "test_1", "test_2", "test_3", "daytime", "saturation",
+    "glint", "saa", "fire_over_water", "twilight", "persistence_temp",
+    "persistence_num", "bowtie",
+]
+
+
+def decode_algorithm_qa(qa: np.ndarray) -> dict:
+    """QA word -> named bit rasters (decoding_algorithm_QA,
+    FILDA_IO.py:1567-1610): after the stored bit reversal, field i of the
+    assembly order sits at reversed-bit position i."""
+    rev = reverse_bits_np(np.asarray(qa, dtype=np.uint32), QA_BITS)
+    out = {}
+    n = len(QA_FIELD_NAMES)
+    for i, name in enumerate(QA_FIELD_NAMES):
+        # assembly pushed field 0 first => it ends at the highest used bit
+        shift = np.uint32(n - 1 - i + 4)  # +4 spare bits below
+        out[name] = ((rev >> shift) & np.uint32(1)).astype(np.int8)
+    return out

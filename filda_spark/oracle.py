@@ -95,7 +95,9 @@ def prepare_granule(media: dict, anc: dict, nl: dict) -> dict:
     return g
 
 
-def detect_granule(doc_id: str, media: dict, anc: dict, nl: dict, fit: bool = True) -> dict:
+def detect_granule(
+    doc_id: str, media: dict, anc: dict, nl: dict, fit: bool = True, masks: bool = True
+) -> dict:
     """Full per-granule detection: returns dict with detections (dict of 1-D
     arrays), candidate table, fire masks, and QA raster.
 
@@ -136,9 +138,11 @@ def detect_granule(doc_id: str, media: dict, anc: dict, nl: dict, fit: bool = Tr
         det["FP_sample_img"],
     )
     det["FP_confidence"] = confidence_np(det)
-    mask_img = kernels.gen_fire_img_mask(g, det, cdt, anc["overlap_lut"], nl)
-    mask_mod = kernels.gen_fire_mod_mask(mask_img)
-    qa = kernels.gen_algorithm_qa(g, det, cdt)
+    mask_img = mask_mod = qa = None
+    if masks:  # the detections-only engine path skips raster products
+        mask_img = kernels.gen_fire_img_mask(g, det, cdt, anc["overlap_lut"], nl)
+        mask_mod = kernels.gen_fire_mod_mask(mask_img)
+        qa = kernels.gen_algorithm_qa(g, det, cdt, anc["overlap_lut"], nl)
     return dict(doc_id=doc_id, det=det, cdt=cdt, mask_img=mask_img, mask_mod=mask_mod, qa=qa, g=g)
 
 

@@ -159,7 +159,7 @@ def make_detect_fn(anc_bc, nl: dict):
         _check_spans(doc_pdf, media_pdf)
         doc_id = doc_pdf.iloc[0]["doc_id"]
         media = unpack_media(media_pdf)
-        res = oracle.detect_granule(doc_id, media, anc_bc.value, nl, fit=False)
+        res = oracle.detect_granule(doc_id, media, anc_bc.value, nl, fit=False, masks=False)
         return oracle.detections_frame(doc_id, res["det"])[PRE_FIT_COLS]
 
     return detect
@@ -467,6 +467,20 @@ def dedup(
 # ---------------------------------------------------------------------------
 # Tiles rollup (rasterize-back)
 # ---------------------------------------------------------------------------
+
+
+def mod_detections(det: DataFrame) -> DataFrame:
+    """M-band (750 m) product: one row per (doc, M pixel), keep-FIRST in
+    I-grid scan order — np.unique(..., return_index=True) semantics of
+    FILDA.py:1905-1912. FP_Num_Fire already counts the I-band siblings."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "FP_Line_MOD", "FP_Sample_MOD").orderBy(
+        "FP_Line", "FP_Sample"
+    )
+    return (
+        det.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
 
 
 def tiles(det: DataFrame) -> DataFrame:

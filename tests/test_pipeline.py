@@ -93,6 +93,47 @@ def test_fire_counts_per_granule(oracle_res):
     assert (per_doc == 32).all()
 
 
+def test_mod_product_keep_first(spark, oracle_res):
+    # M-band product: exactly one row per (doc, M pixel), the first in
+    # I-grid scan order, matching a pandas keep-first reference
+    odet = oracle_res["detections"]
+    sdf = spark.createDataFrame(odet)
+    got = (
+        pipeline.mod_detections(sdf)
+        .select("doc_id", "FP_Line_MOD", "FP_Sample_MOD", "FP_Line", "FP_Sample")
+        .toPandas()
+        .sort_values(["doc_id", "FP_Line_MOD", "FP_Sample_MOD"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        odet.sort_values(["doc_id", "FP_Line", "FP_Sample"])
+        .groupby(["doc_id", "FP_Line_MOD", "FP_Sample_MOD"], as_index=False)
+        .first()[["doc_id", "FP_Line_MOD", "FP_Sample_MOD", "FP_Line", "FP_Sample"]]
+        .sort_values(["doc_id", "FP_Line_MOD", "FP_Sample_MOD"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref.astype(got.dtypes.to_dict()))
+    # 8 planted fires per granule -> 8 M rows per granule
+    assert (got.groupby("doc_id").size() == 8).all()
+
+
+def test_qa_decode_roundtrip(oracle_res):
+    from filda_spark import kernels
+
+    doc = oracle_res["per_doc"]["VNP.A2019213.0200"]
+    bits = kernels.decode_algorithm_qa(doc["qa"])
+    det = doc["det"]
+    # every detection pixel carries the candidate bit; absolute fires the
+    # absolute bit; twilight zeros on this non-twilight granule
+    assert (bits["candidate"][det["FP_line_img"], det["FP_sample_img"]] == 1).all()
+    cdt = doc["cdt"]
+    abs_px = cdt["FP_abs_img"] == 1
+    assert (bits["absolute_fire"][cdt["FP_line_img"][abs_px], cdt["FP_sample_img"][abs_px]] == 1).all()
+    assert bits["twilight"].sum() == 0
+    assert bits["bowtie"].sum() > 0  # overlap columns
+    assert bits["daytime"].sum() == 0  # always-zero field
+
+
 def test_detection_flags(oracle_res):
     det = oracle_res["detections"]
     assert int(det.FP_Gas_Flaring.sum()) == 28  # flare site x 7 granules
