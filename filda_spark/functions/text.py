@@ -78,6 +78,42 @@ def minhash_signature_sql(shingle_sql: str, id_col: str, n_perm: int) -> str:
     return f"SELECT {id_col}, {cols} FROM ({shingle_sql}) GROUP BY {id_col}"
 
 
+# Fast MinHash: ONE md5 per shingle -> 60-bit int h; permutation p's hash is
+# (a_p * (h mod 2^30) + b_p) mod P computed arithmetically — ~n_perm times
+# cheaper than per-permutation md5, same cross-engine bit-parity (the
+# conv(md5)/CAST hex trick yields the identical integer on both engines).
+
+MINHASH_P = 1_000_000_007
+_MOD30 = 1 << 30
+
+
+def _perm_ab(p: int) -> tuple[int, int]:
+    # large multipliers: with small a the map (a*h+b) mod P is near-monotone
+    # in h, every permutation picks the same argmin shingle, and the LSH
+    # bands collapse into mega-buckets. a*h stays < 2^63 (no ANSI overflow).
+    a = (2654435761 * (p + 1)) % MINHASH_P
+    b = (40503 * (p + 7) * (p + 7) + 17) % MINHASH_P
+    return a | 1, b
+
+
+def minhash_signature_fast(shingles: DataFrame, id_col: str, n_perm: int) -> DataFrame:
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long") % F.lit(_MOD30)
+    aggs = []
+    for p in range(n_perm):
+        a, b = _perm_ab(p)
+        aggs.append(F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{p}"))
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature_fast_sql(shingle_sql: str, id_col: str, n_perm: int) -> str:
+    h = f"(CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {_MOD30})"
+    cols = ", ".join(
+        f"min(({a} * {h} + {b}) % {MINHASH_P}) AS sig_{p}"
+        for p, (a, b) in ((p, _perm_ab(p)) for p in range(n_perm))
+    )
+    return f"SELECT {id_col}, {cols} FROM ({shingle_sql}) GROUP BY {id_col}"
+
+
 def lsh_bands(sig_df: DataFrame, id_col: str, n_perm: int, band_size: int) -> DataFrame:
     """(id, band_id, band_hash) — docs sharing any (band_id, band_hash) are
     near-dup candidates. Stacked via unionByName to keep one row per band."""

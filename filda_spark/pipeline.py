@@ -357,9 +357,24 @@ def enrich(spark: SparkSession, det: DataFrame, corpus_dir: str) -> DataFrame:
             "cell_r9": grids.cell_encode(lat, lon, grids.LEVEL_R9),
         }
     )
-    det = det.withColumn("s2_token", grids.cell_token(F.col("cell_r9")))
+    det = det.withColumn("s2_token", _s2_token_udf()("FP_Latitude", "FP_Longitude"))
     det = det.withColumn("tile_id", grids.pc_tile_name(lat, lon))
     return det
+
+
+def _s2_token_udf():
+    """S2 level-14 token via the shared numpy implementation (Arrow UDF:
+    the face/Hilbert bit walk has no JVM expression form)."""
+
+    @F.pandas_udf(T.StringType())
+    def s2_token(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        from filda_spark import s2, spatial
+
+        return pd.Series(
+            s2.token(s2.cell_id(lat.to_numpy(), lon.to_numpy(), spatial.S2_TOKEN_LEVEL))
+        )
+
+    return s2_token
 
 
 # ---------------------------------------------------------------------------

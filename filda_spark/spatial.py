@@ -63,14 +63,20 @@ def assign_polygons_np(lat, lon, polys: list[dict], id_key: str):
     return out
 
 
+S2_TOKEN_LEVEL = 14  # ~600 m edge, the r8-equivalent resolution
+
+
 def encode_cells_np(det: dict) -> dict:
-    """Add qcell r7/r8/r9 ids, an S2-style hex token, and the reference
-    Plate-Carree tile id to a detections dict of 1-D arrays."""
+    """Add qcell r7/r8/r9 ids, the S2 cell token (level 14, filda_spark.s2),
+    and the reference Plate-Carree tile id to a detections dict of 1-D
+    arrays."""
+    from filda_spark import s2
+
     lat, lon = det["FP_Latitude"], det["FP_Longitude"]
     det["cell_r7"] = cell_encode_np(lat, lon, LEVEL_R7)
     det["cell_r8"] = cell_encode_np(lat, lon, LEVEL_R8)
     det["cell_r9"] = cell_encode_np(lat, lon, LEVEL_R9)
-    det["s2_token"] = np.array([format(c, "x") for c in det["cell_r9"]])
+    det["s2_token"] = s2.token(s2.cell_id(lat, lon, S2_TOKEN_LEVEL))
     hid, vid, _, _ = pc_tile_np(lat, lon)
     det["tile_id"] = np.array([f"h{h:02d}v{v:02d}" for h, v in zip(hid, vid)])
     return det

@@ -53,22 +53,22 @@ N_PERM, BAND_SIZE, SHINGLE_K = 8, 2, 5
 
 @register(
     "minhash_signatures",
-    TX.minhash_signature_sql(
+    TX.minhash_signature_fast_sql(
         TX.char_shingles_sql("documents", "doc_id", "text", SHINGLE_K), "doc_id", N_PERM
     ).replace("SELECT doc_id,", "SELECT CAST(doc_id AS BIGINT) AS doc_id,", 1),
-    doc="MinHash signatures: char-5 shingles, 8 md5-min permutations",
+    doc="MinHash signatures: char-5 shingles, 8 arithmetic permutations of one md5 hash",
 )
 def minhash_signatures(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = TX.explode_char_shingles(d, "text", SHINGLE_K)
-    return TX.minhash_signature(sh.select("doc_id", "shingle"), "doc_id", N_PERM)
+    return TX.minhash_signature_fast(sh.select("doc_id", "shingle"), "doc_id", N_PERM)
 
 
 @register(
     "minhash_lsh_pairs",
     f"""
     WITH bands AS ({TX.lsh_bands_sql(
-        TX.minhash_signature_sql(
+        TX.minhash_signature_fast_sql(
             TX.char_shingles_sql("documents", "doc_id", "text", SHINGLE_K), "doc_id", N_PERM
         ), "doc_id", N_PERM, BAND_SIZE)})
     SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
@@ -83,7 +83,7 @@ def minhash_signatures(spark, sf_dir):
 def minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = TX.explode_char_shingles(d, "text", SHINGLE_K)
-    sig = TX.minhash_signature(sh.select("doc_id", "shingle"), "doc_id", N_PERM)
+    sig = TX.minhash_signature_fast(sh.select("doc_id", "shingle"), "doc_id", N_PERM)
     bands = TX.lsh_bands(sig, "doc_id", N_PERM, BAND_SIZE)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
