@@ -474,6 +474,9 @@ def build_corpus(
     peat.to_parquet(f"{out_dir}/peatland.parquet", index=False)
     flares = make_flare_polygons(params)
     pd.DataFrame(flares).to_parquet(f"{out_dir}/gas_flare_polygons.parquet", index=False)
+    from filda_spark.mcbef import sensor_rsr_frame
+
+    sensor_rsr_frame().to_parquet(f"{out_dir}/sensor_rsr.parquet", index=False)
     ntl_rows = []
     for (h, v), (m, s) in ntl.items():
         ys, xs = np.nonzero(m != 0.3)

@@ -42,6 +42,45 @@ OBS_BANDS = ("M11", "M12", "M13")
 # band-level values)
 TRANSMITTANCE = {"M11": 0.95913553, "M12": 0.9465231, "M13": 0.9443206}
 
+# --- sensor RSR: 201-sample spectral response per band -----------------------
+# Mirrors the reference's RSR-integrated forward model
+# (MCBEF_MODEL_TENSOR.py:43-259: planck x RSR x transmittance, trapezoid
+# band integration, RSR-normalized). The λ grids / response shapes are
+# deterministic synthetic stand-ins for the 9 sensor CSVs (201 λ-samples
+# each, MCBEF_SENSOR.py:16-99) — no external data in this sandbox.
+N_LAMBDA = 201
+
+
+def _build_sensor() -> dict:
+    out = {}
+    for b in OBS_BANDS:
+        lam0 = LAMBDA_UM[b]
+        lam = np.linspace(lam0 * 0.95, lam0 * 1.05, N_LAMBDA)
+        rsr = np.exp(-0.5 * ((lam - lam0) / (lam0 * 0.015)) ** 2)
+        # transmittance dips away from band centre, anchored at the
+        # band-level constant
+        tau = TRANSMITTANCE[b] ** (1.0 + 0.5 * ((lam - lam0) / (lam0 * 0.05)) ** 2)
+        out[b] = (lam, rsr, tau, np.trapz(rsr, lam))
+    return out
+
+
+SENSOR = _build_sensor()
+
+
+def band_radiance(b: str, temp_k: float) -> float:
+    """RSR-weighted band radiance: trapz(B(λ,T)·τ(λ)·RSR(λ)) / trapz(RSR)."""
+    lam, rsr, tau, norm = SENSOR[b]
+    return float(np.trapz(kernels.planck_rad(lam, temp_k) * tau * rsr, lam) / norm)
+
+
+def sensor_rsr_frame() -> pd.DataFrame:
+    """The sensor table in FIXTURES.md §2 shape (band, lambda, rsr,
+    transmittance) for persistence alongside a corpus."""
+    rows = []
+    for b, (lam, rsr, tau, _n) in SENSOR.items():
+        rows.append(pd.DataFrame(dict(band=b, lamda=lam, rsr=rsr, transmittance=tau)))
+    return pd.concat(rows, ignore_index=True)
+
 BOUNDS = dict(t_s=(400.0, 900.0), p_s=(1e-6, 0.2), t_f=(900.0, 2200.0), p_f=(1e-7, 0.05))
 X0 = dict(t_s=600.0, p_s=1e-3, t_f=1400.0, p_f=1e-4)
 N_CHAINS, N_TUNE, N_DRAWS = 2, 200, 300
@@ -54,16 +93,19 @@ def _seed(doc_id: str, line: int, sample: int) -> int:
 
 
 def forward_rad(t_s, p_s, t_f, p_f, t_b):
-    """Per-band TOA radiance of the biphasic mixture (vector over OBS_BANDS)."""
+    """Per-band TOA radiance of the biphasic mixture, RSR-integrated per
+    band (trapezoid over the 201-λ response; MCBEF_MODEL_TENSOR semantics:
+    the mixture is linear, so integrating each Planck term separately equals
+    integrating the mixture)."""
     out = np.empty(len(OBS_BANDS))
     for i, b in enumerate(OBS_BANDS):
-        lam = LAMBDA_UM[b]
-        tau = TRANSMITTANCE[b]
-        out[i] = tau * (
+        lam, rsr, tau, norm = SENSOR[b]
+        mix = (
             p_s * kernels.planck_rad(lam, t_s)
             + p_f * kernels.planck_rad(lam, t_f)
             + (1.0 - p_s - p_f) * kernels.planck_rad(lam, t_b)
         )
+        out[i] = np.trapz(mix * tau * rsr, lam) / norm
     return out
 
 
