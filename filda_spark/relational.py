@@ -731,6 +731,88 @@ def date_series(spark, sf_dir):
     )
 
 
+@register(
+    "rollup_agg",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="hierarchical rollup aggregation (engine breadth; no grouping sets in reference)",
+)
+def rollup_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "moving_avg",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+    FROM events
+    """,
+    doc="per-user moving average over a 3-row frame (time-series smoothing)",
+)
+def moving_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select("event_id", F.round(F.avg("value").over(w), 6).alias("mavg"))
+
+
+@register(
+    "set_ops_except",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_quantity >= 40
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT set op (distinct difference; boolean mask exclusion family)",
+)
+def set_ops_except(spark, sf_dir):
+    a = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40).select(
+        F.col("l_orderkey")
+    )
+    b = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return a.subtract(b)  # EXCEPT = distinct set difference
+
+
+@register(
+    "pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot via conditional aggregation (portable across engines)",
+)
+def pivot_status_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0)).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
