@@ -7,12 +7,13 @@ tests/test_pipeline.py against the single-node NumPy oracle.
 The synthetic corpus is built lazily once per geometry and cached under
 $FILDA_FIRE_CACHE (default /tmp/filda_fire_corpus); the driver's sf_dir
 argument selects the corpus scale: sf >= 0.1 uses the bench geometry
-(48 granules, 192x240 M-grid), smaller sfs the 8-granule test geometry.
+(96 granules, 192x240 M-grid), smaller sfs the 8-granule test geometry.
 """
 
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -69,8 +70,9 @@ def fire_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = pipeline.detect_detections(spark, d, _nl(geom))
     # enrich's semi-join reduction and dedup's self-join re-reference the
     # detections several times — stage the raw detect output to parquet once
-    # (same materialization the production runner uses).
-    stage = f"{d}/_stage_detections"
+    # (same materialization the production runner uses). Per-session tempdir:
+    # staging inside the shared corpus cache would race concurrent sessions.
+    stage = os.path.join(tempfile.mkdtemp(prefix="filda_stage_"), "detections")
     det.write.mode("overwrite").parquet(stage)
     det = pipeline.enrich(spark, spark.read.parquet(stage), d)
     return pipeline.dedup(det)

@@ -96,6 +96,52 @@ def cell_kring(cell: Column, k: int = 1) -> Column:
     return F.array_compact(F.array(*ids))
 
 
+def lon_ring_halfwidth(lat: Column, eps: float, level: int) -> Column:
+    """Longitudinal kRing half-width (in cells) needed so a ring around a
+    row at latitude ``lat`` covers every point within ``eps`` degrees under
+    the cos-lat-corrected metric. At high latitude one eps of raw longitude
+    spans several cells (a fixed k=1 ring silently under-covers above
+    ~68.6 deg at level 14); the +eps margin covers partners whose own
+    latitude is up to eps poleward. floor(x)+1 >= worst-case floor-cell
+    distance for any alignment."""
+    cell_w = 360.0 / (1 << level)
+    coslat = F.cos(F.radians(F.least(F.abs(lat) + F.lit(eps), F.lit(89.9))))
+    return (F.floor(F.lit(eps) / (coslat * F.lit(cell_w))) + F.lit(1)).cast("int")
+
+
+def cell_kring_dyn(cell: Column, kx: Column, ky: int = 1) -> Column:
+    """kRing with a per-row longitudinal half-width column (latitude-aware
+    variant of cell_kring): (2*ky+1) x (2*kx+1) neighbor ids; lon wraps,
+    out-of-range latitudes drop."""
+    lvl = cell_level(cell)
+    x, y = cell_xy(cell)
+    n = F.pow(F.lit(2.0), lvl.cast("double")).cast("long")
+    kxl = kx.cast("long")
+    # one-arg lambda only: a second parameter (even a defaulted one) makes
+    # pyspark bind the (element, index) lambda form, silently rebinding the
+    # captured column to the array index. F.transform converts eagerly, so a
+    # plain closure per band is safe.
+    def band(ny: Column) -> Column:
+        return F.transform(
+            F.sequence(-kxl, kxl),
+            lambda dx: F.when(
+                (ny >= 0) & (ny < n),
+                lvl * F.lit(_LVL_SHIFT) + ny * F.lit(_Y_SHIFT) + (x + dx + n) % n,
+            ),
+        )
+
+    bands = [band(y + F.lit(dy)) for dy in range(-ky, ky + 1)]
+    return F.array_compact(F.concat(*bands))
+
+
+def cell_center_lat(cell: Column) -> Column:
+    """Latitude of the cell centre (for ring expansion of bare cell sets)."""
+    lvl = cell_level(cell)
+    _, y = cell_xy(cell)
+    n = F.pow(F.lit(2.0), lvl.cast("double"))
+    return F.lit(90.0) - (y.cast("double") + F.lit(0.5)) / n * F.lit(180.0)
+
+
 def cell_encode_np(lat, lon, level: int):
     n = 1 << level
     x = np.clip(np.floor((np.asarray(lon) + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)

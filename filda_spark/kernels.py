@@ -16,10 +16,11 @@ M-band arrays of shape (H, W), I-band arrays of shape (2H, 2W).
 
 Known, documented deviations from the reference (kept stable so the oracle
 and the engine agree bit-for-bit with each other):
-- gen_algorithm_QA packs a 12-bit subset of the reference's 26 bit fields,
-  with the same shift/or packing and final bit reversal (FILDA.py:2373-2567).
 - M-band candidates are unioned with the I-band candidate set directly
   (4-way fan-out), rather than carried as a separate `fire_mod` table.
+(gen_algorithm_QA assembles the full 26-field reference layout, including
+the reference's two indexing quirks, with the same shift/or packing and
+final bit reversal — FILDA.py:2373-2567.)
 """
 
 from __future__ import annotations
@@ -643,7 +644,9 @@ def _frp_local(bg: dict, line: int, sample: int, win_size: int, data_type: str, 
         if finite.size:
             out[f"FP_{ab}_Rad_Mean"] = float(np.mean(finite))
             out[f"FP_{ab}_Rad_STD"] = float(np.std(finite))
-            out[f"FP_{ab}_Rad_Num"] = float(n_ab)
+            # count of values actually averaged (finite may be < n_ab when
+            # the window holds fewer finite pixels than the M13 valid count)
+            out[f"FP_{ab}_Rad_Num"] = float(finite.size)
         else:
             out[f"FP_{ab}_Rad_Mean"] = np.nan
             out[f"FP_{ab}_Rad_STD"] = np.nan
@@ -692,10 +695,12 @@ def gather_detection_radiances(det: dict, g: dict) -> dict:
 
 def fire_params(det: dict, area_lut: np.ndarray, nl: dict) -> dict:
     lm, sm = det["FP_line_mod"], det["FP_sample_mod"]
-    n = lm.size
-    num_fire = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        num_fire[i] = int(np.sum((np.abs(lm[i] - lm) + np.abs(sm[i] - sm)) == 0))
+    # siblings per M-band host pixel: group count on (lm, sm), O(n log n)
+    # (the reference's loop at FILDA.py:1487-1497 is O(n^2); SURVEY §2.4 maps
+    # this to a group count — exact same values)
+    host = lm.astype(np.int64) * np.int64(1 << 32) + sm.astype(np.int64)
+    _, inv, counts = np.unique(host, return_inverse=True, return_counts=True)
+    num_fire = counts[inv].astype(np.int64)
     area = area_lut[lm, sm].astype(np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         frp = area * SIGMA_SB * (det["FP_M13_Rad"] - det["FP_M13_Rad_Mean"]) / FRP_C * 1e-6

@@ -103,11 +103,14 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
 
 
+# Scalar h/w (not array<int>): the driver's canonicalizer sorts rows by every
+# column and cannot order list cells, so all output columns stay primitive.
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),
         T.StructField("doc_id", T.StringType()),
-        T.StructField("shape", T.ArrayType(T.IntegerType())),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
         T.StructField("data", T.BinaryType()),
     ]
 )
@@ -131,7 +134,8 @@ def make_resize_fn(factor: int):
                     dict(
                         media_ref=r.media_ref,
                         doc_id=r.doc_id,
-                        shape=[h, w],
+                        h=h,
+                        w=w,
                         data=small.astype(np.float32).tobytes(),
                     )
                 )

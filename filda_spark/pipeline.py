@@ -45,8 +45,12 @@ from filda_spark import grids, kernels, oracle, spatial
 from filda_spark.fixtures import unpack_media
 from filda_spark.namelist import make_namelist
 
-# dedup neighborhood: level-14 qcell (~0.011 deg lat edge) with k=1 ring
-# covers DEDUP_EPS_DEG=0.008 at every latitude the corpus can contain.
+# dedup neighborhood: level-14 qcell (~0.011 deg lat edge). A k=1 ring
+# covers DEDUP_EPS_DEG=0.008 in latitude everywhere; in LONGITUDE the
+# cos-lat-corrected radius spans eps/cos(lat) raw degrees, so the ring's
+# longitudinal half-width grows with latitude (grids.lon_ring_halfwidth) —
+# a fixed k=1 ring would silently miss pairs above ~68.6 deg (valid input
+# reaches 85 deg).
 DEDUP_CELL_LEVEL = 14
 
 _INT_COLS = {
@@ -391,8 +395,10 @@ def dedup(
     """Same relation as spatial.knn_dedup_np, computed distributed:
 
     1. encode each detection to its level-14 qcell;
-    2. duplicate the RIGHT side into its k=1 kRing (cell-neighborhood
-       shuffle — explode(neighbors));
+    2. duplicate the RIGHT side into its kRing (cell-neighborhood shuffle —
+       explode(neighbors)); the ring's longitudinal half-width is
+       latitude-aware (eps of corrected distance spans eps/cos(lat) raw
+       longitude, i.e. several cells near the poles);
     3. equi-join on the cell key (no quadratic pair join), filter to
        different-granule pairs within eps with strictly higher priority;
     4. left join the dominators back: is_dup + dup_of.
@@ -441,7 +447,12 @@ def dedup(
         F.col("FP_Latitude").alias("b_lat"),
         F.col("FP_Longitude").alias("b_lon"),
         F.col("_negpw").alias("b_negpw"),
-        F.explode(grids.cell_kring(F.col("_cell"), 1)).alias("cell"),
+        F.explode(
+            grids.cell_kring_dyn(
+                F.col("_cell"),
+                grids.lon_ring_halfwidth(F.col("FP_Latitude"), eps, DEDUP_CELL_LEVEL),
+            )
+        ).alias("cell"),
     )
     right = right.join(F.broadcast(hot), "cell", "left").withColumn(
         "salt",

@@ -70,3 +70,52 @@ def test_salted_equals_unsalted_equals_numpy(spark):
     assert ref.is_dup.sum() > 0  # the toy data really contains duplicates
     assert (salted.is_dup.to_numpy() == ref.is_dup.to_numpy()).all()
     assert (salted.dup_of.to_numpy() == ref.dup_of.to_numpy()).all()
+
+
+def test_high_latitude_ring_coverage(spark):
+    """Above ~68.6N one eps of cos-corrected distance spans >1 level-14 cell
+    of raw longitude; the latitude-aware ring must still find the pairs the
+    O(n^2) numpy reference finds (a fixed k=1 ring misses them)."""
+    # pairs at lat 75 and 84.5 separated by ~0.0075 deg corrected distance,
+    # purely in longitude => 0.0075/cos(lat) raw degrees (2-4 cells apart)
+    rows = []
+    for i, lat in enumerate([75.0, 80.0, 84.5]):
+        dlon = 0.0075 / np.cos(np.radians(lat))
+        lon0 = -40.0 + i
+        rows.append(("A", i, 0, lat, lon0, 30.0 + i))
+        rows.append(("B", i, 1, lat, lon0 + dlon, 10.0 + i))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["doc_id", "FP_Line", "FP_Sample", "FP_Latitude", "FP_Longitude", "FP_Power"],
+    )
+    got = (
+        pipeline.dedup(spark.createDataFrame(pdf))
+        .select("doc_id", "FP_Line", "FP_Sample", "is_dup", "dup_of")
+        .toPandas()
+        .sort_values(["doc_id", "FP_Line"])
+        .reset_index(drop=True)
+    )
+    is_dup, dup_of = spatial.knn_dedup_np(
+        pdf.doc_id.to_numpy(),
+        pdf.FP_Latitude.to_numpy(),
+        pdf.FP_Longitude.to_numpy(),
+        pdf.FP_Power.to_numpy(),
+        pdf.FP_Line.to_numpy(),
+        pdf.FP_Sample.to_numpy(),
+    )
+    ref = (
+        pd.DataFrame(
+            dict(
+                doc_id=pdf.doc_id,
+                FP_Line=pdf.FP_Line,
+                FP_Sample=pdf.FP_Sample,
+                is_dup=is_dup,
+                dup_of=dup_of,
+            )
+        )
+        .sort_values(["doc_id", "FP_Line"])
+        .reset_index(drop=True)
+    )
+    assert ref.is_dup.sum() == 3  # every B point dominated by its A partner
+    assert (got.is_dup.to_numpy() == ref.is_dup.to_numpy()).all()
+    assert (got.dup_of.to_numpy() == ref.dup_of.to_numpy()).all()

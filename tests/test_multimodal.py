@@ -27,7 +27,9 @@ def test_media_resize_block_mean(spark, corpus):
     out = multimodal.media_resize(media, factor=2).toPandas()
     src = media.toPandas().iloc[0]
     arr = np.frombuffer(bytes(src["data"]), dtype=src["dtype"]).reshape(tuple(src["shape"]))
-    got = np.frombuffer(out.iloc[0]["data"], dtype=np.float32).reshape(tuple(out.iloc[0]["shape"]))
+    got = np.frombuffer(out.iloc[0]["data"], dtype=np.float32).reshape(
+        (int(out.iloc[0]["h"]), int(out.iloc[0]["w"]))
+    )
     ref = arr.astype(np.float64).reshape(arr.shape[0] // 2, 2, arr.shape[1] // 2, 2).mean(axis=(1, 3))
     assert np.allclose(got, ref, rtol=1e-6)
 
