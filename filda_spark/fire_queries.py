@@ -40,9 +40,14 @@ def _geom_for(sf_dir: str) -> dict:
     return BENCH_GEOM if sf >= 0.1 else TEST_GEOM
 
 
+# bump when fixtures.py changes the corpus content (stale cached corpora
+# otherwise poison runs — media vars, emissivity/static tables, etc.)
+FIXTURE_VERSION = 2
+
+
 def corpus_dir(geom: dict) -> str:
     d = (
-        f"{CACHE_ROOT}/n{geom['n_docs']}_h{geom['h_m']}_w{geom['w_m']}"
+        f"{CACHE_ROOT}/v{FIXTURE_VERSION}_n{geom['n_docs']}_h{geom['h_m']}_w{geom['w_m']}"
         f"_f{geom.get('extra_fires', 0)}"
     )
     marker = f"{d}/_BUILT"
@@ -113,12 +118,26 @@ def fire_detections_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mcbef_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MCBEF fire-property posterior State table over the enriched
-    detections (rows-only; parity vs the single-node twin in pytest)."""
+    detections (rows-only; parity vs the single-node twin in pytest):
+    emissivity + static-anomaly joins, background MAP (t_b, C), FRP
+    atmospheric correction, gated biphasic/uniphasic Metropolis."""
     from filda_spark import mcbef
 
-    det = fire_detections(spark, sf_dir)
+    geom = _geom_for(sf_dir)
+    det = mcbef.prepare(spark, fire_detections(spark, sf_dir), corpus_dir(geom))
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return mcbef.estimate(det, n_parts)
+
+
+def mcbef_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCBEF Sample table: full posterior draws in long format (one row per
+    draw; src/MCBEF/output.rc Sample section)."""
+    from filda_spark import mcbef
+
+    geom = _geom_for(sf_dir)
+    det = mcbef.prepare(spark, fire_detections(spark, sf_dir), corpus_dir(geom))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return mcbef.estimate_samples(det, n_parts)
 
 
 def ntl_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,6 +153,7 @@ QUERIES = {
     "fire_detections": fire_detections,
     "fire_detections_mod": fire_detections_mod,
     "mcbef_state": mcbef_state,
+    "mcbef_sample": mcbef_sample,
     "ntl_climatology": ntl_climatology,
     "fire_tiles": fire_tiles,
     "fire_masks": fire_masks,

@@ -210,6 +210,10 @@ def make_granule(p: dict) -> tuple[dict, dict]:
     # across-track view zenith: 0 at nadir (centre column) to ~60 deg at edge
     vza = np.abs(np.arange(W_M)[None, :] - W_M / 2) / (W_M / 2) * 60.0
     g["sensor_zenith"] = (vza * np.ones((H_M, 1))).astype(np.float32)
+    # azimuth flips across nadir (deterministic; carried onto the 750 m
+    # product as Sensor_Azimuth, FILDA.py:1966-1967)
+    az = np.where(np.arange(W_M)[None, :] < W_M / 2, 98.5, -81.5) + 0.01 * np.arange(H_M)[:, None]
+    g["sensor_azimuth"] = az.astype(np.float32)
 
     header = dict(
         sat=p["sat"],
@@ -359,12 +363,88 @@ def make_peatland(params: list[dict], cells: int = 240) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+EMIS_CELLS = 1200  # VNP21A2 sinusoidal tile raster (MCBEF_IO.py:206-261)
+STATIC_RESOL = 0.1  # static-thermal-anomaly global grid (MCBEF_IO.py:387-409)
+
+
+def _emis_cells(params: list[dict]) -> pd.DataFrame:
+    """Distinct 1200-cell sinusoidal keys covered by the corpus granules."""
+    from filda_spark.grids import sinu_np
+
+    rows = []
+    for p in params:
+        g_lat = p["lat0"] - np.arange(H_M) * D_DEG
+        g_lon = p["lon0"] + np.arange(W_M) * D_DEG
+        lat2, lon2 = np.meshgrid(g_lat, g_lon, indexing="ij")
+        h, v, r, c = sinu_np(lat2.ravel(), lon2.ravel(), cells=EMIS_CELLS)
+        rows.append(pd.DataFrame(dict(h=h, v=v, row=r, col=c)))
+    return pd.concat(rows).drop_duplicates().reset_index(drop=True)
+
+
+def make_emissivity(params: list[dict]) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Synthetic VNP21A2 NRT + climatology emissivity tables on the 1200-cell
+    sinusoidal grid (MCBEF_IO.py:168-324). NRT carries deterministic gaps
+    (NaN) so the climatology coalesce path is exercised; CLT additionally
+    carries the LST fields that prior the background MAP."""
+    cells = _emis_cells(params)
+    key = (
+        cells.h.to_numpy() * 31 + cells.v.to_numpy() * 17 + cells.row.to_numpy() * 7 + cells.col.to_numpy()
+    ).astype(np.int64)
+    nrt = cells.copy()
+    for i, b in enumerate(("M14", "M15", "M16")):
+        vals = 0.92 + ((key + 11 * i) % 80) / 1000.0
+        vals = np.where((cells.row.to_numpy() * 13 + cells.col.to_numpy() * 7 + i) % 12 == 0, np.nan, vals)
+        nrt[f"Emis_{b}"] = vals
+    clt = cells.copy()
+    for i, b in enumerate(("M14", "M15", "M16")):
+        clt[f"Emis_{b}_CLT"] = 0.93 + ((key + 11 * i) % 60) / 1000.0
+    clt["LST_Night_1KM"] = 285.0 + (key % 100) / 10.0
+    clt["LST_Night_1KM_STD"] = 2.0 + (key % 30) / 10.0
+    clt["LST_Day_1KM"] = 295.0 + (key % 100) / 10.0
+    clt["LST_Day_1KM_STD"] = 3.0 + (key % 30) / 10.0
+    return nrt, clt
+
+
+def make_static_anomaly(params: list[dict]) -> pd.DataFrame:
+    """Static-thermal-anomaly cells on a regular 0.1-deg grid, keyed by the
+    reference's (lon-W)//resol / (lat-S)//resol index (MCBEF_IO.py:403-407).
+    Every even granule pair's first absolute-fire site is flagged so the
+    MCBEF static gate takes the uniphasic branch on real detections."""
+    rows = []
+    seen = set()
+    for p in params:
+        if p["pair"] in seen or p["pair"] % 2:
+            continue
+        seen.add(p["pair"])
+        f = _features(p["pair"])
+        mi, mj = f["fires_abs"][0]
+        lat = p["lat0"] - mi * D_DEG
+        lon = p["lon0"] + mj * D_DEG
+        rows.append(
+            dict(
+                lon_idx=int((lon - (-180.0)) // STATIC_RESOL),
+                lat_idx=int((lat - (-90.0)) // STATIC_RESOL),
+                static_flag=1,
+            )
+        )
+    if not rows:
+        rows = [dict(lon_idx=-1, lat_idx=-1, static_flag=1)]
+    return pd.DataFrame(rows).drop_duplicates().reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Document / media packing (input_hint schema)
 # ---------------------------------------------------------------------------
 
 MEDIA_VARS = {
-    "geolocation_data": ["latitude", "longitude", "land_water_mask", "solar_zenith", "sensor_zenith"],
+    "geolocation_data": [
+        "latitude",
+        "longitude",
+        "land_water_mask",
+        "solar_zenith",
+        "sensor_zenith",
+        "sensor_azimuth",
+    ],
     "observation_data": [f"{b}_rad" for b in M_BANDS]
     + [
         "I04_rad",
@@ -474,6 +554,11 @@ def build_corpus(
     peat.to_parquet(f"{out_dir}/peatland.parquet", index=False)
     flares = make_flare_polygons(params)
     pd.DataFrame(flares).to_parquet(f"{out_dir}/gas_flare_polygons.parquet", index=False)
+    emis_nrt, emis_clt = make_emissivity(params)
+    emis_nrt.to_parquet(f"{out_dir}/emissivity_nrt.parquet", index=False)
+    emis_clt.to_parquet(f"{out_dir}/emissivity_clt.parquet", index=False)
+    static = make_static_anomaly(params)
+    static.to_parquet(f"{out_dir}/static_anomaly.parquet", index=False)
     from filda_spark.mcbef import sensor_rsr_frame
 
     sensor_rsr_frame().to_parquet(f"{out_dir}/sensor_rsr.parquet", index=False)
@@ -502,6 +587,9 @@ def build_corpus(
         land_cover=lc,
         peatland=peat,
         flares=flares,
+        emissivity_nrt=emis_nrt,
+        emissivity_clt=emis_clt,
+        static_anomaly=static,
     )
 
 

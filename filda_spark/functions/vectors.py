@@ -10,8 +10,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -35,25 +38,55 @@ def hyperplane_component(plane: int, i: int) -> float:
     return math.sin(plane * 8191.0 + i * 127.0)
 
 
-def lsh_bucket(a: Column, dim: int, n_planes: int) -> Column:
-    """Sign-of-dot-product bucket over ``n_planes`` deterministic hyperplanes.
-    Bucket id = sum_j sign_j * 2^j; a coarse ANN pre-filter: only vectors in
-    the same bucket are compared exactly (the 100 TB path — the cross join is
-    the small-scale oracle)."""
+def lsh_bucket(a: Column, dim: int, n_planes: int, plane_offset: int = 0) -> Column:
+    """Sign-of-dot-product bucket over ``n_planes`` deterministic hyperplanes
+    starting at ``plane_offset``. Bucket id = sum_j sign_j * 2^j; a coarse
+    ANN pre-filter: only vectors in the same bucket are compared exactly
+    (the 100 TB path — the cross join is the small-scale oracle). Multiple
+    hash tables (OR-amplification) use disjoint plane_offset ranges."""
     bucket = F.lit(0)
     for j in range(n_planes):
         d = F.lit(0.0)
         for i in range(dim):
-            d = d + F.element_at(a, i + 1).cast("double") * F.lit(hyperplane_component(j, i))
+            d = d + F.element_at(a, i + 1).cast("double") * F.lit(
+                hyperplane_component(plane_offset + j, i)
+            )
         bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
 
 
-def lsh_bucket_sql(list_expr: str, dim: int, n_planes: int) -> str:
+def lsh_buckets_udf(dim: int, k_planes: int, n_tables: int):
+    """Arrow-vectorized multi-table bucket computation: one numpy pass
+    returns all n_tables bucket ids per vector. The per-plane dot product
+    uses np.cumsum (a strictly sequential scan), so each partial sum — and
+    therefore each sign — is bit-identical to the SQL left-fold
+    `0.0 + e1*c1 + e2*c2 + ...` the DuckDB oracle evaluates. The equivalent
+    JVM expression tree (n_tables*k_planes*dim terms) blows past the codegen
+    method limit and falls back to interpreted eval ~100x slower — this is
+    the legitimate Arrow-UDF case."""
+    coef = np.array(
+        [[hyperplane_component(j, i) for i in range(dim)] for j in range(n_tables * k_planes)]
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        E = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        n = E.shape[0]
+        out = np.zeros((n, n_tables), dtype=np.int64)
+        for j in range(n_tables * k_planes):
+            d = np.cumsum(E * coef[j][None, :], axis=1)[:, -1]  # exact left fold
+            t, jj = divmod(j, k_planes)
+            out[:, t] += (d > 0).astype(np.int64) << jj
+        return pd.Series(list(out.astype(np.int32)))
+
+    return buckets
+
+
+def lsh_bucket_sql(list_expr: str, dim: int, n_planes: int, plane_offset: int = 0) -> str:
     parts = []
     for j in range(n_planes):
         d = " + ".join(
-            f"CAST({list_expr}[{i + 1}] AS DOUBLE) * ({hyperplane_component(j, i)!r})"
+            f"CAST({list_expr}[{i + 1}] AS DOUBLE) * ({hyperplane_component(plane_offset + j, i)!r})"
             for i in range(dim)
         )
         parts.append(f"(CASE WHEN ({d}) > 0 THEN {1 << j} ELSE 0 END)")

@@ -685,6 +685,30 @@ def gather_detection_radiances(det: dict, g: dict) -> dict:
     det["FP_I04_Rad"] = g["I04_rad"][li, si]
     det["FP_I05_Rad"] = g["I05_rad"][li, si]
     det["FP_DNB_Rad"] = g["DNB_observations"][lm, sm]
+    det["Sensor_Zenith"] = g["sensor_zenith"][lm, sm].astype(np.float64)
+    det["Sensor_Azimuth"] = g["sensor_azimuth"][lm, sm].astype(np.float64)
+    return det
+
+
+def get_bowtie(det: dict, overlap_lut: np.ndarray) -> dict:
+    """Per-detection bowtie-overlap fraction from the I-grid LUT
+    (get_bowtie, FILDA.py:2148-2176)."""
+    det["FP_Bowtie"] = overlap_lut[det["FP_line_img"], det["FP_sample_img"]].astype(np.float64)
+    return det
+
+
+def mod_fanout(det: dict, g: dict) -> dict:
+    """Reverse 4-way I-band fan-out onto the M-band host pixel: the four
+    BTI04/BTI05 children of each detection's (line_mod, sample_mod)
+    (FILDA.py:1955-1963; column order 1=NW, 2=SW, 3=NE, 4=SE in I-grid
+    index terms, matching the reference's [2l,2s],[2l+1,2s],[2l,2s+1],
+    [2l+1,2s+1] gather)."""
+    lm, sm = det["FP_line_mod"], det["FP_sample_mod"]
+    for band, arr in (("T04", g["BTI04"]), ("T05", g["BTI05"])):
+        det[f"FP_{band}_1"] = arr[2 * lm, 2 * sm]
+        det[f"FP_{band}_2"] = arr[2 * lm + 1, 2 * sm]
+        det[f"FP_{band}_3"] = arr[2 * lm, 2 * sm + 1]
+        det[f"FP_{band}_4"] = arr[2 * lm + 1, 2 * sm + 1]
     return det
 
 

@@ -3,21 +3,41 @@ as a deterministic Arrow-batched Spark stage over the detections table
 (reference: src/MCBEF/MCBEF.py; lifecycle SURVEY.md §3.3).
 
 Semantics mirrored from the reference:
-- model selection: biphasic (smoldering + flaming) when FRP exceeds a
-  threshold and the pixel is neither gas-flare nor static-anomaly, else
-  uniphasic (MCBEF.py:616-697 gating);
-- parameters (t_s, p_s, t_f, p_f) with bounds; forward model = Planck
-  mixture x per-band atmospheric transmittance (MCBEF_MODEL_SCALAR.py:77-111
-  simplified to band-centre wavelengths — the 201-sample RSR integration of
-  MCBEF_MODEL_TENSOR.py is a documented deviation);
-- background temperature MAP from the detection's M13 background radiance
-  (MCBEF.py:433-456 reduced to its closed form under a flat prior);
+- surface emissivity join: VNP21A2 NRT on the 1200-cell sinusoidal grid with
+  per-band climatology fillna, Emis_I05 = (Emis_M15+Emis_M16)/2, plus the
+  climatology LST fields that prior the background MAP
+  (MCBEF_IO.py:168-324) — a broadcast join in the engine;
+- static-thermal-anomaly join on the regular 0.1-deg grid
+  (MCBEF_IO.py:387-409);
+- background MAP over (t_b, C): per-band model = emissivity x RSR-integrated
+  Planck x exp(-(C*tau_wvp/2.96 + tau_gas)/cos(vza)), Gaussian priors
+  t_b~N(LST_night, LST_std), C~N(mean_C, sigma_C), observed band means with
+  SNR-derived sigma (MCBEF.py:246-261, 433-456; get_band_radiance_BG_tensor,
+  MCBEF_MODEL_TENSOR.py:61-130). L-BFGS-B is replaced by the repo's bounded
+  Nelder-Mead (no scipy in this container); failure degrades to
+  (t_b=LST, C=mean_C) with the +10 background flag (MCBEF.py:637-644);
+- FRP atmospheric correction: FP_Power / tt[M13] * 1.1 where tt is the
+  RSR-weighted band transmittance at the MAP C (MCBEF.py:650-660);
+- model gating + failure ladder (MCBEF.py:616-697): bowtie>0.1 -> 100,
+  invalid background -> 101, invalid fire obs -> 102, biphasic when
+  corrected FRP > thd AND not gas-flare AND not static (QA 2), else
+  uniphasic (QA 1); biphasic sampler failure degrades to uniphasic (QA 3);
+  uniphasic/biphasic outright failure -> 103/104; +10 when the background
+  MAP fell back to climatology;
+- fire likelihood: background-subtracted band radiances (sigma = raw/SNR)
+  plus the FRP likelihood frp~N(area*sigma_SB*sum(p_i T_i^4)*1e-6,
+  0.2*frp) (MCBEF.py:330-470; get_bi_frp_tensor);
+- uniform priors from the namelist (flag_dist='U', namelist.input:21-34):
+  biphasic t_s in [350,650], p_s in [0,0.2], t_f in [650,1150],
+  p_f in [0,0.02]; uniphasic t in [725,1725], p in [0,0.2];
 - Metropolis sampling, 2 chains, tune + draw phases (namelist defaults
   scaled down: MCBEF/namelist.input:6-8), Gaussian proposals;
-- posterior summaries per fire: mean, sd(ddof=1), mode, 95% HDI
-  (MCBEF.py:827-913), plus FP_Power_T/F/S split by phase;
-- failure-mode QA flags 100-104 style: 0 ok, 100 missing obs, 101 sampler
-  degraded to uniphasic (MCBEF.py:97-107).
+- Sample output: the full posterior draws per fire (long format, one row
+  per draw — src/MCBEF/output.rc Sample section);
+- State output: HDI(0.95)/mean/sd(ddof=1)/mode over the physically-valid
+  draw subset (t>t_b, p>0 per phase; MCBEF.py:827-913), per-draw
+  FP_Power_T/F/S arrays summarized the same way, FP_Power_R passthrough,
+  FP_combined_land_type (101 static, 102 flaring).
 
 Determinism: the RNG is seeded per (doc_id, FP_Line, FP_Sample) via sha256,
 so the distributed run reproduces the single-node oracle draw-for-draw —
@@ -30,61 +50,183 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from filda_spark import kernels
 from filda_spark.namelist import LAMBDA_UM
 
-OBS_BANDS = ("M11", "M12", "M13")
-# band-centre transmittance constants (reference carries per-λ tables in
-# src/MCBEF/sensor/sensor_viirs/*.csv; FILDA_BT.py:27-35 carries these
-# band-level values)
-TRANSMITTANCE = {"M11": 0.95913553, "M12": 0.9465231, "M13": 0.9443206}
+# --- namelist science values (src/MCBEF/namelist.input, config.rc mapping) ---
+SEL_BG_BANDS = ("M14", "M15", "I05", "M16")
+SEL_FIRE_BANDS = ("DNB", "M11", "M13", "M14", "M15", "M16")
+SNR_BG = {"DNB": 6.0, "M11": 30.0, "M12": 40.0, "M13": 30.0, "M14": 60.0, "M15": 60.0, "M16": 60.0, "I05": 60.0}
+SNR_FIRE = {"DNB": 6.0, "M11": 70.0, "M12": 30.0, "M13": 70.0, "M14": 50.0, "M15": 50.0, "M16": 50.0, "I05": 50.0}
+MEAN_TB, SIGMA_TB = 300.0, 10.0
+MEAN_TS, SIGMA_TS = 500.0, 150.0
+MEAN_TF, SIGMA_TF = 900.0, 250.0
+MEAN_PS, SIGMA_PS = 0.1, 0.1
+MEAN_PF, SIGMA_PF = 0.01, 0.01
+MEAN_T, SIGMA_T = 1225.0, 500.0
+MEAN_P, SIGMA_P = 0.1, 0.1
+MEAN_C, SIGMA_C = 0.5, 0.5
+THD_FRP = 0.0
+FRP_SIGMA_SCALE = 0.2
+DNB_SCALE = 1e-5  # FP_DNB_Rad = DNB_observations * 1e-5 (MCBEF_IO.py:106)
 
-# --- sensor RSR: 201-sample spectral response per band -----------------------
-# Mirrors the reference's RSR-integrated forward model
-# (MCBEF_MODEL_TENSOR.py:43-259: planck x RSR x transmittance, trapezoid
-# band integration, RSR-normalized). The λ grids / response shapes are
-# deterministic synthetic stand-ins for the 9 sensor CSVs (201 λ-samples
-# each, MCBEF_SENSOR.py:16-99) — no external data in this sandbox.
+# QA flags (MCBEF.py:97-107)
+FLAG_UNIPHASIC = 1
+FLAG_BIPHASIC = 2
+FLAG_DEGRADE = 3
+FLAG_BACKGROUND = 10
+FLAG_BOWTIE = 100
+FLAG_MISSING_BG = 101
+FLAG_MISSING_FIRE = 102
+FLAG_FAIL_UNIPHASIC = 103
+FLAG_FAIL_BIPHASIC = 104
+
+# band-centre transmittance anchors (FILDA_BT.py:27-35 band-level values)
+TRANSMITTANCE = {
+    "DNB": 0.99,
+    "M11": 0.95913553,
+    "M12": 0.9465231,
+    "M13": 0.9443206,
+    "M14": 0.93,
+    "M15": 0.94,
+    "M16": 0.92,
+    "I05": 0.94,
+}
+
+# --- sensor: 201-sample RSR + optical depths per band ------------------------
+# Mirrors the reference's sensor CSVs (MCBEF_SENSOR.py:16-99: lambda grid,
+# rsr, tau_wvp, tau_other_gas per band, 201 samples each). Deterministic
+# synthetic stand-ins — no external data in this sandbox. The band-level
+# transmittance anchor is split ~60/40 into wvp/other-gas optical depth at
+# the reference's standard water-vapor mass 2.96 (MCBEF_MODEL_TENSOR.py:108).
 N_LAMBDA = 201
+STD_WVP_MASS = 2.96
 
 
 def _build_sensor() -> dict:
     out = {}
-    for b in OBS_BANDS:
+    for b in set(SEL_BG_BANDS) | set(SEL_FIRE_BANDS):
         lam0 = LAMBDA_UM[b]
         lam = np.linspace(lam0 * 0.95, lam0 * 1.05, N_LAMBDA)
         rsr = np.exp(-0.5 * ((lam - lam0) / (lam0 * 0.015)) ** 2)
-        # transmittance dips away from band centre, anchored at the
-        # band-level constant
-        tau = TRANSMITTANCE[b] ** (1.0 + 0.5 * ((lam - lam0) / (lam0 * 0.05)) ** 2)
-        out[b] = (lam, rsr, tau, np.trapz(rsr, lam))
+        # total band optical depth, dipping away from centre
+        tau_total = -np.log(TRANSMITTANCE[b]) * (1.0 + 0.5 * ((lam - lam0) / (lam0 * 0.05)) ** 2)
+        tau_wvp = 0.6 * tau_total * STD_WVP_MASS  # stored at standard mass
+        tau_gas = 0.4 * tau_total
+        out[b] = dict(lam=lam, rsr=rsr, tau_wvp=tau_wvp, tau_gas=tau_gas, norm=np.trapz(rsr, lam))
     return out
 
 
 SENSOR = _build_sensor()
 
 
-def band_radiance(b: str, temp_k: float) -> float:
-    """RSR-weighted band radiance: trapz(B(λ,T)·τ(λ)·RSR(λ)) / trapz(RSR)."""
-    lam, rsr, tau, norm = SENSOR[b]
-    return float(np.trapz(kernels.planck_rad(lam, temp_k) * tau * rsr, lam) / norm)
+def band_transmittance(b: str, c_scale: float, vza_deg: float) -> float:
+    """RSR-weighted band transmittance tt at scaling C (MCBEF.py:652-655)."""
+    s = SENSOR[b]
+    airmass = np.cos(np.deg2rad(vza_deg))
+    prod = np.exp(-(c_scale * s["tau_wvp"] / STD_WVP_MASS + s["tau_gas"]) / airmass) * s["rsr"]
+    return float(np.trapz(prod, s["lam"]) / s["norm"])
+
+
+def band_radiance(b: str, temp_k: float, c_scale: float = MEAN_C, vza_deg: float = 0.0) -> float:
+    """RSR-integrated atmospherically-attenuated band radiance
+    (get_band_radiance_BG_tensor semantics, emissivity excluded)."""
+    s = SENSOR[b]
+    airmass = np.cos(np.deg2rad(vza_deg))
+    atten = np.exp(-(c_scale * s["tau_wvp"] / STD_WVP_MASS + s["tau_gas"]) / airmass)
+    return float(np.trapz(kernels.planck_rad(s["lam"], temp_k) * atten * s["rsr"], s["lam"]) / s["norm"])
+
+
+def _band_matrix(bands: tuple[str, ...]) -> dict:
+    """Stacked (n_band, N_LAMBDA) sensor arrays so one proposal evaluates
+    every band in a single vectorized trapz (the sampler hot path)."""
+    return dict(
+        lam=np.stack([SENSOR[b]["lam"] for b in bands]),
+        rsr=np.stack([SENSOR[b]["rsr"] for b in bands]),
+        tau_wvp=np.stack([SENSOR[b]["tau_wvp"] for b in bands]),
+        tau_gas=np.stack([SENSOR[b]["tau_gas"] for b in bands]),
+        norm=np.array([SENSOR[b]["norm"] for b in bands]),
+    )
+
+
+_FIRE_MAT = None
+_BG_MAT = None
+
+
+def _mats():
+    global _FIRE_MAT, _BG_MAT
+    if _FIRE_MAT is None:
+        _FIRE_MAT = _band_matrix(SEL_FIRE_BANDS)
+        _BG_MAT = _band_matrix(SEL_BG_BANDS)
+    return _FIRE_MAT, _BG_MAT
+
+
+def _band_radiances_mat(mat: dict, temps: np.ndarray, c_scale: float, vza_deg: float) -> np.ndarray:
+    """(n_phase, n_band) attenuated band radiances — vectorized twin of
+    band_radiance over a band matrix."""
+    airmass = np.cos(np.deg2rad(vza_deg))
+    atten = np.exp(-(c_scale * mat["tau_wvp"] / STD_WVP_MASS + mat["tau_gas"]) / airmass)
+    out = np.empty((temps.size, mat["norm"].size))
+    for j, t in enumerate(temps):
+        prod = kernels.planck_rad(mat["lam"], float(t)) * atten * mat["rsr"]
+        out[j] = np.trapz(prod, mat["lam"], axis=1) / mat["norm"]
+    return out
 
 
 def sensor_rsr_frame() -> pd.DataFrame:
-    """The sensor table in FIXTURES.md §2 shape (band, lambda, rsr,
-    transmittance) for persistence alongside a corpus."""
+    """The sensor table in FIXTURES.md §2 shape for persistence alongside a
+    corpus (band, lambda, rsr, tau_wvp, tau_other_gas)."""
     rows = []
-    for b, (lam, rsr, tau, _n) in SENSOR.items():
-        rows.append(pd.DataFrame(dict(band=b, lamda=lam, rsr=rsr, transmittance=tau)))
+    for b, s in sorted(SENSOR.items()):
+        rows.append(
+            pd.DataFrame(
+                dict(band=b, lamda=s["lam"], rsr=s["rsr"], tau_wvp=s["tau_wvp"], tau_other_gas=s["tau_gas"])
+            )
+        )
     return pd.concat(rows, ignore_index=True)
 
-BOUNDS = dict(t_s=(400.0, 900.0), p_s=(1e-6, 0.2), t_f=(900.0, 2200.0), p_f=(1e-7, 0.05))
-X0 = dict(t_s=600.0, p_s=1e-3, t_f=1400.0, p_f=1e-4)
+
+# --- background MAP (MCBEF.py:433-456) ---------------------------------------
+
+BG_BOUNDS = np.array([(220.0, 340.0), (0.0, 3.0)])  # (t_b, C)
+
+
+def _bg_nll(x: np.ndarray, obs: np.ndarray, sigma: np.ndarray, emis: np.ndarray, vza: float, lst: float, lst_sigma: float) -> float:
+    t_b, c_scale = float(x[0]), float(x[1])
+    _, bg_mat = _mats()
+    model = emis * _band_radiances_mat(bg_mat, np.array([t_b]), c_scale, vza)[0]
+    r = (model - obs) / sigma
+    nll = 0.5 * float(np.sum(r * r))
+    nll += 0.5 * ((t_b - lst) / max(lst_sigma, 1e-6)) ** 2
+    nll += 0.5 * ((c_scale - MEAN_C) / SIGMA_C) ** 2
+    return nll
+
+
+def background_map(obs, sigma, emis, vza, lst, lst_sigma):
+    """MAP of (t_b, C); returns (t_b, C, degraded_flag). Degrades to the
+    climatology prior on failure (MCBEF.py:637-644)."""
+    x0 = np.array([lst if np.isfinite(lst) else MEAN_TB, MEAN_C])
+    x, fval = kernels.nelder_mead(
+        _bg_nll, x0, BG_BOUNDS, args=(obs, sigma, emis, vza, lst, lst_sigma), max_iter=300
+    )
+    if not (np.isfinite(fval) and np.isfinite(x).all()):
+        return float(lst), MEAN_C, True
+    return float(x[0]), float(x[1]), False
+
+
+# --- fire sampler ------------------------------------------------------------
+
+_BI_NAMES = ("t_s", "p_s", "t_f", "p_f")
+_BI_LO = np.array([MEAN_TS - SIGMA_TS, max(MEAN_PS - SIGMA_PS, 0.0), MEAN_TF - SIGMA_TF, max(MEAN_PF - SIGMA_PF, 0.0)])
+_BI_HI = np.array([MEAN_TS + SIGMA_TS, MEAN_PS + SIGMA_PS, MEAN_TF + SIGMA_TF, MEAN_PF + SIGMA_PF])
+_UNI_LO = np.array([MEAN_T - SIGMA_T, max(MEAN_P - SIGMA_P, 0.0)])
+_UNI_HI = np.array([MEAN_T + SIGMA_T, MEAN_P + SIGMA_P])
 N_CHAINS, N_TUNE, N_DRAWS = 2, 200, 300
-FRP_BIPHASIC_THRESHOLD = 1.0  # MW
+N_SAMPLES = N_CHAINS * N_DRAWS
 
 
 def _seed(doc_id: str, line: int, sample: int) -> int:
@@ -92,53 +234,55 @@ def _seed(doc_id: str, line: int, sample: int) -> int:
     return int.from_bytes(h[:8], "big")
 
 
-def forward_rad(t_s, p_s, t_f, p_f, t_b):
-    """Per-band TOA radiance of the biphasic mixture, RSR-integrated per
-    band (trapezoid over the 201-λ response; MCBEF_MODEL_TENSOR semantics:
-    the mixture is linear, so integrating each Planck term separately equals
-    integrating the mixture)."""
-    out = np.empty(len(OBS_BANDS))
-    for i, b in enumerate(OBS_BANDS):
-        lam, rsr, tau, norm = SENSOR[b]
-        mix = (
-            p_s * kernels.planck_rad(lam, t_s)
-            + p_f * kernels.planck_rad(lam, t_f)
-            + (1.0 - p_s - p_f) * kernels.planck_rad(lam, t_b)
-        )
-        out[i] = np.trapz(mix * tau * rsr, lam) / norm
-    return out
+def _fire_model(temps: np.ndarray, fracs: np.ndarray, c_scale: float, vza: float) -> np.ndarray:
+    """Background-subtracted fire band signal: sum_i frac_i * bandrad(T_i)
+    (get_band_biphasic_radiance_tensor — no emissivity, no background term)."""
+    fire_mat, _ = _mats()
+    rad = _band_radiances_mat(fire_mat, temps, c_scale, vza)  # (n_phase, n_band)
+    return fracs @ rad
 
 
-def log_likelihood(params: np.ndarray, obs: np.ndarray, t_b: float, sigma: np.ndarray, biphasic: bool):
-    t_s, p_s, t_f, p_f = params
-    if not biphasic:
-        t_f, p_f = t_s, 0.0
-    model = forward_rad(t_s, p_s, t_f, p_f, t_b)
+def _fire_ll(x, obs, sigma, c_scale, vza, area, frp, frp_sigma, biphasic):
+    if biphasic:
+        temps = np.array([x[0], x[2]])
+        fracs = np.array([x[1], x[3]])
+    else:
+        temps = np.array([x[0]])
+        fracs = np.array([x[1]])
+    model = _fire_model(temps, fracs, c_scale, vza)
     r = (model - obs) / sigma
-    return -0.5 * float(np.sum(r * r))
+    ll = -0.5 * float(np.sum(r * r))
+    model_frp = float(area * kernels.SIGMA_SB * np.sum(fracs * temps**4) * 1e-6)
+    ll += -0.5 * ((model_frp - frp) / frp_sigma) ** 2
+    return ll
 
 
-_PARAM_NAMES = ("t_s", "p_s", "t_f", "p_f")
-_LO = np.array([BOUNDS[k][0] for k in _PARAM_NAMES])
-_HI = np.array([BOUNDS[k][1] for k in _PARAM_NAMES])
-_STEP = (_HI - _LO) * 0.02
+class SamplerFailure(Exception):
+    pass
 
 
-def metropolis(obs: np.ndarray, t_b: float, seed: int, biphasic: bool):
+def metropolis(obs, sigma, c_scale, vza, area, frp, frp_sigma, seed: int, biphasic: bool):
     """Deterministic Metropolis: N_CHAINS x (N_TUNE tune + N_DRAWS draws),
     Gaussian proposals with per-100-step acceptance-rate step adaptation
-    during tune only (reference: PyMC Metropolis tuning)."""
-    sigma = np.maximum(np.abs(obs) * 0.05, 1e-4)
-    draws = np.empty((N_CHAINS, N_DRAWS, 4))
+    during tune only (reference: PyMC Metropolis tuning). Raises
+    SamplerFailure when a chain never accepts (the stand-in for the
+    reference's pm.SamplingError, driving the degrade ladder)."""
+    lo, hi = (_BI_LO, _BI_HI) if biphasic else (_UNI_LO, _UNI_HI)
+    ndim = lo.size
+    x0 = (lo + hi) / 2.0
+    step0 = (hi - lo) * 0.02
+    draws = np.empty((N_CHAINS, N_DRAWS, ndim))
     for c in range(N_CHAINS):
         rng = np.random.default_rng((seed + c) % (2**63))
-        x = np.array([X0[k] for k in _PARAM_NAMES])
-        step = _STEP.copy()
-        ll = log_likelihood(x, obs, t_b, sigma, biphasic)
+        x = x0.copy()
+        step = step0.copy()
+        ll = _fire_ll(x, obs, sigma, c_scale, vza, area, frp, frp_sigma, biphasic)
+        if not np.isfinite(ll):
+            raise SamplerFailure("non-finite likelihood at init")
         n_acc = 0
         for it in range(N_TUNE + N_DRAWS):
-            prop = np.clip(x + rng.normal(0.0, 1.0, 4) * step, _LO, _HI)
-            ll_p = log_likelihood(prop, obs, t_b, sigma, biphasic)
+            prop = np.clip(x + rng.normal(0.0, 1.0, ndim) * step, lo, hi)
+            ll_p = _fire_ll(prop, obs, sigma, c_scale, vza, area, frp, frp_sigma, biphasic)
             if np.log(rng.uniform()) < ll_p - ll:
                 x, ll = prop, ll_p
                 n_acc += 1
@@ -147,7 +291,12 @@ def metropolis(obs: np.ndarray, t_b: float, seed: int, biphasic: bool):
                 step = step * (1.25 if rate > 0.35 else 0.8 if rate < 0.15 else 1.0)
             if it >= N_TUNE:
                 draws[c, it - N_TUNE] = x
-    return draws.reshape(-1, 4)
+        if n_acc == 0:
+            raise SamplerFailure("chain never accepted")
+    return draws.reshape(-1, ndim)
+
+
+# --- posterior summaries -----------------------------------------------------
 
 
 def hdi_95(x: np.ndarray):
@@ -161,88 +310,408 @@ def hdi_95(x: np.ndarray):
 
 
 def mode_of(x: np.ndarray):
-    hist, edges = np.histogram(x, bins=40)
-    i = int(np.argmax(hist))
-    return float((edges[i] + edges[i + 1]) / 2.0)
+    """Most frequent exact draw value, ties to smallest — Metropolis chains
+    repeat rejected states, so the exact mode is meaningful
+    (reference: scipy.stats.mode, MCBEF.py:869)."""
+    vals, counts = np.unique(x, return_counts=True)
+    return float(vals[int(np.argmax(counts))])
 
 
-STATE_FIELDS = ["doc_id", "FP_Line", "FP_Sample", "overpass", "QA"]
-for _p in _PARAM_NAMES:
-    STATE_FIELDS += [f"{_p}_mean", f"{_p}_sd", f"{_p}_mode", f"{_p}_low", f"{_p}_upp"]
-STATE_FIELDS += ["FP_Power_S", "FP_Power_F", "FP_Power_T"]
+# --- schemas -----------------------------------------------------------------
+
+_SUMMARY_PARAMS = ("t_s", "p_s", "t_f", "p_f", "FP_Power_T", "FP_Power_F", "FP_Power_S")
+STATE_FIELDS = ["doc_id", "FP_Line", "FP_Sample", "overpass", "QA", "t_b", "C"]
+for _p in _SUMMARY_PARAMS:
+    STATE_FIELDS += [f"{_p}_low", f"{_p}_upp", f"{_p}_mean", f"{_p}_mode", f"{_p}_sd"]
+STATE_FIELDS += ["FP_Power_R", "FP_combined_land_type"]
 
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField(c, T.StringType() if c in ("doc_id", "overpass") else T.IntegerType() if c in ("FP_Line", "FP_Sample", "QA") else T.DoubleType())
+        T.StructField(
+            c,
+            T.StringType()
+            if c == "doc_id"
+            else T.IntegerType()
+            if c in ("FP_Line", "FP_Sample", "QA", "overpass", "FP_combined_land_type")
+            else T.DoubleType(),
+        )
         for c in STATE_FIELDS
+    ]
+)
+
+SAMPLE_FIELDS = ["doc_id", "FP_Line", "FP_Sample", "overpass", "QA", "draw", "t_s", "p_s", "t_f", "p_f", "t_b", "C"]
+SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            c,
+            T.StringType()
+            if c == "doc_id"
+            else T.IntegerType()
+            if c in ("FP_Line", "FP_Sample", "QA", "overpass", "draw")
+            else T.DoubleType(),
+        )
+        for c in SAMPLE_FIELDS
     ]
 )
 
 SIGMA_SB = kernels.SIGMA_SB
 
 
-def estimate_one(row) -> dict:
-    """Full MCBEF estimate for one detection row (pandas namedtuple)."""
-    obs = np.array([getattr(row, f"FP_{b}_Rad") for b in OBS_BANDS], dtype=np.float64)
-    out = dict(
+def _overpass_idx(doc_id: str) -> int:
+    """6-minute interval index of the doc's HHMM overpass suffix
+    (convert_to_interval_index, MCBEF_SPACE_TIME.py:935-947)."""
+    tail = str(doc_id).rsplit(".", 1)[-1]
+    try:
+        return (int(tail[:2]) * 60 + int(tail[2:4])) // 6
+    except (ValueError, IndexError):
+        return -1
+
+
+# --- per-fire estimation (the shared kernel) ---------------------------------
+
+
+def _get(row, name, default=np.nan):
+    v = getattr(row, name, default)
+    return default if v is None else v
+
+
+def _int_get(row, name, default=0) -> int:
+    v = getattr(row, name, default)
+    if v is None or (isinstance(v, float) and not np.isfinite(v)):
+        return default
+    return int(v)
+
+
+def estimate_one(row) -> tuple[dict, np.ndarray | None, dict]:
+    """Full MCBEF estimate for one prepared detection row. Returns
+    (meta, draws or None, power_draws dict). ``meta`` carries QA/t_b/C;
+    draws is (n_samples, 4) in biphasic layout (uniphasic mapped to
+    t_f/p_f columns, t_s/p_s NaN — MCBEF.py:948-973)."""
+    meta = dict(
         doc_id=row.doc_id,
         FP_Line=int(row.FP_Line),
         FP_Sample=int(row.FP_Sample),
-        overpass=str(row.doc_id).rsplit(".", 1)[-1],
+        overpass=_overpass_idx(row.doc_id),
+        t_b=np.nan,
+        C=np.nan,
     )
-    if not np.isfinite(obs).all():
-        out["QA"] = 100
-        for p in _PARAM_NAMES:
-            for s in ("mean", "sd", "mode", "low", "upp"):
-                out[f"{p}_{s}"] = float("nan")
-        out["FP_Power_S"] = out["FP_Power_F"] = out["FP_Power_T"] = float("nan")
-        return out
-    t_b = float(kernels.bt_from_rad(max(row.FP_M13_Rad_Mean, 1e-6), LAMBDA_UM["M13"]))
-    if not np.isfinite(t_b) or t_b < 200 or t_b > 340:
-        t_b = 290.0
-    biphasic = (
-        np.isfinite(row.FP_Power)
-        and row.FP_Power > FRP_BIPHASIC_THRESHOLD
-        and getattr(row, "FP_Gas_Flaring", 0) != 1
+    vza = float(_get(row, "Sensor_Zenith", 0.0))
+    area = float(_get(row, "FP_Area_mod", 750.0 * 750.0))
+
+    # gate 1: bowtie (MCBEF.py:618-621)
+    if float(_get(row, "FP_Bowtie", 0.0)) > 0.1:
+        meta["QA"] = FLAG_BOWTIE
+        return meta, None, {}
+
+    # background observation vector
+    bg_obs = np.array([_get(row, f"FP_{b}_Rad_Mean") for b in SEL_BG_BANDS], dtype=np.float64)
+    bg_sigma = np.abs(bg_obs) / np.array([SNR_BG[b] for b in SEL_BG_BANDS])
+    emis = np.array(
+        [
+            _get(row, "Emis_M14"),
+            _get(row, "Emis_M15"),
+            _get(row, "Emis_I05"),
+            _get(row, "Emis_M16"),
+        ],
+        dtype=np.float64,
     )
-    qa = 0 if biphasic else 101
+    lst = float(_get(row, "LST_Night_1KM"))
+    lst_sigma = float(_get(row, "LST_Night_1KM_STD"))
+    bg_vec = np.concatenate([bg_obs, bg_sigma, emis, [vza, lst, lst_sigma]])
+    if not np.isfinite(bg_vec).all() or (bg_sigma <= 0).any():
+        meta["QA"] = FLAG_MISSING_BG
+        return meta, None, {}
+
+    # fire observation vector (background-subtracted; DNB unit scaling)
+    raw = np.array([_get(row, f"FP_{b}_Rad") for b in SEL_FIRE_BANDS], dtype=np.float64)
+    mean = np.array([_get(row, f"FP_{b}_Rad_Mean") for b in SEL_FIRE_BANDS], dtype=np.float64)
+    scale = np.array([DNB_SCALE if b == "DNB" else 1.0 for b in SEL_FIRE_BANDS])
+    fire_obs = (raw - mean) * scale
+    fire_sigma = np.abs(raw * scale) / np.array([SNR_FIRE[b] for b in SEL_FIRE_BANDS])
+    frp_raw = float(_get(row, "FP_Power"))
+    fire_vec = np.concatenate([fire_obs, fire_sigma, [vza, area, frp_raw]])
+    if not np.isfinite(fire_vec).all() or (fire_sigma <= 0).any():
+        meta["QA"] = FLAG_MISSING_FIRE
+        return meta, None, {}
+
+    # background MAP (t_b, C)
+    t_b, c_scale, degraded = background_map(bg_obs, bg_sigma, emis, vza, lst, lst_sigma)
+    add_flag = FLAG_BACKGROUND if degraded else 0
+    meta["t_b"] = t_b
+    meta["C"] = c_scale
+
+    # FRP atmospheric correction at M13 (MCBEF.py:650-660)
+    tt = band_transmittance("M13", c_scale, vza)
+    frp = frp_raw / tt * 1.1
+    frp_sigma = abs(frp) * FRP_SIGMA_SCALE
+    if frp_sigma <= 0:
+        frp_sigma = 1e-6
+
     seed = _seed(row.doc_id, int(row.FP_Line), int(row.FP_Sample))
-    draws = metropolis(obs, t_b, seed, biphasic)
-    for j, p in enumerate(_PARAM_NAMES):
-        x = draws[:, j]
+    flaring = _int_get(row, "FP_Gas_Flaring")
+    static = _int_get(row, "Static_flag")
+
+    def run(biphasic):
+        return metropolis(fire_obs, fire_sigma, c_scale, vza, area, frp, frp_sigma, seed, biphasic)
+
+    if (frp > THD_FRP) and flaring <= 0 and static <= 0:
+        try:
+            qa = FLAG_BIPHASIC + add_flag
+            raw_draws = run(True)
+            biphasic = True
+        except SamplerFailure:
+            try:
+                qa = FLAG_DEGRADE + add_flag
+                raw_draws = run(False)
+                biphasic = False
+            except SamplerFailure:
+                meta["QA"] = FLAG_FAIL_BIPHASIC
+                return meta, None, {}
+    else:
+        try:
+            qa = FLAG_UNIPHASIC + add_flag
+            raw_draws = run(False)
+            biphasic = False
+        except SamplerFailure:
+            meta["QA"] = FLAG_FAIL_UNIPHASIC
+            return meta, None, {}
+    meta["QA"] = qa
+
+    # draws in biphasic column layout + per-draw power arrays
+    # (post_processing, MCBEF.py:936-975)
+    draws = np.full((raw_draws.shape[0], 4), np.nan)
+    power = {}
+    if biphasic:
+        draws[:] = raw_draws
+        ps_pow = area * SIGMA_SB * draws[:, 0] ** 4 * draws[:, 1] * 1e-6
+        pf_pow = area * SIGMA_SB * draws[:, 2] ** 4 * draws[:, 3] * 1e-6
+        power["FP_Power_S"] = ps_pow
+        power["FP_Power_F"] = pf_pow
+        power["FP_Power_T"] = ps_pow + pf_pow
+    else:
+        draws[:, 2] = raw_draws[:, 0]
+        draws[:, 3] = raw_draws[:, 1]
+        pf_pow = area * SIGMA_SB * draws[:, 2] ** 4 * draws[:, 3] * 1e-6
+        power["FP_Power_F"] = pf_pow
+        power["FP_Power_T"] = pf_pow.copy()
+    return meta, draws, power
+
+
+def _nan_summary(out: dict, params=_SUMMARY_PARAMS) -> None:
+    for p in params:
+        for s in ("low", "upp", "mean", "mode", "sd"):
+            out[f"{p}_{s}"] = float("nan")
+
+
+def _summarize(out: dict, params, arrays: dict, valid: np.ndarray) -> None:
+    for p in params:
+        x = arrays[p][valid]
+        if x.size == 0:
+            for s in ("low", "upp", "mean", "mode", "sd"):
+                out[f"{p}_{s}"] = float("nan")
+            continue
         lo, up = hdi_95(x)
-        out[f"{p}_mean"] = float(x.mean())
-        out[f"{p}_sd"] = float(x.std(ddof=1))
-        out[f"{p}_mode"] = mode_of(x)
         out[f"{p}_low"] = lo
         out[f"{p}_upp"] = up
-    area = float(getattr(row, "FP_Area_mod", 750.0 * 750.0))
-    ps, ts = out["p_s_mean"], out["t_s_mean"]
-    pf, tf = out["p_f_mean"], out["t_f_mean"]
-    out["FP_Power_S"] = area * ps * SIGMA_SB * ts**4 * 1e-6
-    out["FP_Power_F"] = (area * pf * SIGMA_SB * tf**4 * 1e-6) if biphasic else 0.0
-    out["FP_Power_T"] = out["FP_Power_S"] + out["FP_Power_F"]
-    out["QA"] = qa
+        out[f"{p}_mean"] = float(np.nanmean(x))
+        out[f"{p}_sd"] = float(np.nanstd(x, ddof=1)) if x.size > 1 else 0.0
+        out[f"{p}_mode"] = mode_of(x)
+
+
+def state_row(row) -> dict:
+    """State-table record for one prepared detection (get_state_output,
+    MCBEF.py:827-913)."""
+    meta, draws, power = estimate_one(row)
+    out = dict(meta)
+    _nan_summary(out)
+    out["FP_Power_R"] = float(_get(row, "FP_Power"))
+    land = _int_get(row, "FP_Land_Type", 255)
+    if _int_get(row, "Static_flag") == 1:
+        land = 101
+    if _int_get(row, "FP_Gas_Flaring") == 1:
+        land = 102
+    out["FP_combined_land_type"] = land
+    qa = out["QA"]
+    if draws is None:
+        return out
+    t_b = out["t_b"]
+    arrays = {
+        "t_s": draws[:, 0],
+        "p_s": draws[:, 1],
+        "t_f": draws[:, 2],
+        "p_f": draws[:, 3],
+        **power,
+    }
+    if qa % 10 in (FLAG_UNIPHASIC, FLAG_DEGRADE):
+        valid = (draws[:, 2] > t_b) & (draws[:, 3] > 0)
+        _summarize(out, ("t_f", "p_f", "FP_Power_T", "FP_Power_F"), arrays, valid)
+    elif qa % 10 == FLAG_BIPHASIC:
+        valid = (draws[:, 0] > t_b) & (draws[:, 1] > 0) & (draws[:, 2] > t_b) & (draws[:, 3] > 0)
+        _summarize(out, _SUMMARY_PARAMS, arrays, valid)
     return out
+
+
+def sample_rows(row) -> list[dict]:
+    """Sample-table records (full posterior draws, long format — one row per
+    draw; output.rc Sample section)."""
+    meta, draws, _power = estimate_one(row)
+    if draws is None:
+        return []
+    base = dict(meta)
+    return [
+        dict(base, draw=i, t_s=float(draws[i, 0]), p_s=float(draws[i, 1]), t_f=float(draws[i, 2]), p_f=float(draws[i, 3]))
+        for i in range(draws.shape[0])
+    ]
+
+
+# --- emissivity / static-anomaly preparation joins ---------------------------
+
+EMIS_CELLS = 1200
+STATIC_RESOL = 0.1
+_PREP_COLS = ["Emis_M14", "Emis_M15", "Emis_M16", "Emis_I05", "LST_Night_1KM", "LST_Night_1KM_STD", "Static_flag"]
+
+
+def _sinu_keys_1200_udf():
+    from pyspark.sql import functions as F  # noqa: F811
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("h", T.LongType()),
+                T.StructField("v", T.LongType()),
+                T.StructField("row", T.LongType()),
+                T.StructField("col", T.LongType()),
+            ]
+        )
+    )
+    def sinu_keys(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        from filda_spark.grids import sinu_np
+
+        h, v, r, c = sinu_np(lat.to_numpy(), lon.to_numpy(), cells=EMIS_CELLS)
+        return pd.DataFrame(dict(h=h, v=v, row=r, col=c))
+
+    return sinu_keys
+
+
+def prepare(spark: SparkSession, det: DataFrame, corpus_dir: str) -> DataFrame:
+    """Engine-side MCBEF input preparation: emissivity NRT+CLT broadcast
+    joins with per-band coalesce (MCBEF_IO.py:168-202), LST priors, and the
+    static-thermal-anomaly join (MCBEF_IO.py:387-409). Uses the same
+    semi-join-reduced broadcast plan as the FILDA enrichment (the static
+    tables are global; detections are tiny)."""
+    from filda_spark.pipeline import _semi_reduced_left_join
+
+    nrt = spark.read.parquet(f"{corpus_dir}/emissivity_nrt.parquet")
+    clt = spark.read.parquet(f"{corpus_dir}/emissivity_clt.parquet")
+    static = spark.read.parquet(f"{corpus_dir}/static_anomaly.parquet")
+
+    keys = _sinu_keys_1200_udf()
+    det = det.withColumn("_ek", keys("FP_Latitude", "FP_Longitude"))
+    det = det.withColumns(
+        {"_eh": F.col("_ek.h"), "_ev": F.col("_ek.v"), "_erow": F.col("_ek.row"), "_ecol": F.col("_ek.col")}
+    ).drop("_ek")
+    nrt = nrt.withColumnsRenamed({"h": "_eh", "v": "_ev", "row": "_erow", "col": "_ecol"})
+    clt = clt.withColumnsRenamed({"h": "_eh", "v": "_ev", "row": "_erow", "col": "_ecol"})
+    det = _semi_reduced_left_join(det, nrt, ["_eh", "_ev", "_erow", "_ecol"])
+    det = _semi_reduced_left_join(det, clt, ["_eh", "_ev", "_erow", "_ecol"])
+    # Emis_I05 is derived per SOURCE then coalesced (a single NaN NRT band
+    # sends I05 to climatology — MCBEF_IO.py:258-260, 320-322, 196-198)
+    null_d = F.lit(None).cast("double")
+    nrt_i05 = (F.col("Emis_M15") + F.col("Emis_M16")) / 2.0
+    clt_i05 = (F.col("Emis_M15_CLT") + F.col("Emis_M16_CLT")) / 2.0
+    det = det.withColumn("Emis_I05", F.coalesce(F.nanvl(nrt_i05, null_d), clt_i05))
+    for b in ("M14", "M15", "M16"):
+        det = det.withColumn(
+            f"Emis_{b}",
+            F.coalesce(F.nanvl(F.col(f"Emis_{b}"), null_d), F.col(f"Emis_{b}_CLT")),
+        ).drop(f"Emis_{b}_CLT")
+    det = det.drop("LST_Day_1KM", "LST_Day_1KM_STD")
+
+    lon_idx = F.floor((F.col("FP_Longitude") - F.lit(-180.0)) / F.lit(STATIC_RESOL)).cast("long")
+    lat_idx = F.floor((F.col("FP_Latitude") - F.lit(-90.0)) / F.lit(STATIC_RESOL)).cast("long")
+    det = det.withColumns({"_slon": lon_idx, "_slat": lat_idx})
+    # rename to avoid Spark's case-insensitive static_flag/Static_flag clash
+    static = static.withColumnsRenamed({"lon_idx": "_slon", "lat_idx": "_slat", "static_flag": "_sf"})
+    det = _semi_reduced_left_join(det, static.select("_slon", "_slat", "_sf"), ["_slon", "_slat"])
+    det = det.withColumn("Static_flag", F.coalesce(F.col("_sf").cast("int"), F.lit(0))).drop(
+        "_sf", "_slon", "_slat", "_eh", "_ev", "_erow", "_ecol"
+    )
+    return det
+
+
+def prepare_pdf(det: pd.DataFrame, corpus_dir: str) -> pd.DataFrame:
+    """Single-node twin of prepare() (pandas merges, identical semantics)."""
+    from filda_spark.grids import sinu_np
+
+    nrt = pd.read_parquet(f"{corpus_dir}/emissivity_nrt.parquet")
+    clt = pd.read_parquet(f"{corpus_dir}/emissivity_clt.parquet")
+    static = pd.read_parquet(f"{corpus_dir}/static_anomaly.parquet")
+
+    det = det.copy()
+    h, v, r, c = sinu_np(det["FP_Latitude"].to_numpy(), det["FP_Longitude"].to_numpy(), cells=EMIS_CELLS)
+    det["_eh"], det["_ev"], det["_erow"], det["_ecol"] = h, v, r, c
+    key = ["_eh", "_ev", "_erow", "_ecol"]
+    nrt = nrt.rename(columns={"h": "_eh", "v": "_ev", "row": "_erow", "col": "_ecol"})
+    clt = clt.rename(columns={"h": "_eh", "v": "_ev", "row": "_erow", "col": "_ecol"})
+    det = det.merge(nrt, on=key, how="left").merge(clt, on=key, how="left")
+    nrt_i05 = (det["Emis_M15"] + det["Emis_M16"]) / 2.0
+    clt_i05 = (det["Emis_M15_CLT"] + det["Emis_M16_CLT"]) / 2.0
+    det["Emis_I05"] = nrt_i05.fillna(clt_i05)
+    for b in ("M14", "M15", "M16"):
+        det[f"Emis_{b}"] = det[f"Emis_{b}"].fillna(det[f"Emis_{b}_CLT"])
+        det = det.drop(columns=[f"Emis_{b}_CLT"])
+    det = det.drop(columns=["LST_Day_1KM", "LST_Day_1KM_STD"])
+
+    det["_slon"] = ((det["FP_Longitude"] - (-180.0)) // STATIC_RESOL).astype(np.int64)
+    det["_slat"] = ((det["FP_Latitude"] - (-90.0)) // STATIC_RESOL).astype(np.int64)
+    st = static.rename(columns={"lon_idx": "_slon", "lat_idx": "_slat"})
+    det = det.merge(st, on=["_slon", "_slat"], how="left")
+    det["Static_flag"] = det.pop("static_flag").fillna(0).astype(np.int32)
+    return det.drop(columns=["_slon", "_slat", "_eh", "_ev", "_erow", "_ecol"])
+
+
+# --- Spark stages + single-node twins ----------------------------------------
 
 
 def estimate_batches(pdfs):
     """mapInPandas kernel over (round-robin balanced) detection batches."""
     for pdf in pdfs:
-        rows = [estimate_one(r) for r in pdf.itertuples()]
+        rows = [state_row(r) for r in pdf.itertuples()]
         yield pd.DataFrame(rows, columns=STATE_FIELDS)
 
 
+def sample_batches(pdfs):
+    for pdf in pdfs:
+        rows = []
+        for r in pdf.itertuples():
+            rows.extend(sample_rows(r))
+        yield pd.DataFrame(rows, columns=SAMPLE_FIELDS)
+
+
 def estimate(det: DataFrame, n_parts: int | None = None) -> DataFrame:
-    """MCBEF State table from a detections DataFrame. The per-fire sampler
-    cost is uniform, so a round-robin repartition balances perfectly
+    """MCBEF State table from a prepared detections DataFrame. The per-fire
+    sampler cost is uniform, so a round-robin repartition balances perfectly
     (the reference fans out over a 70-core Pool, MCBEF.py:766-798)."""
     if n_parts:
         det = det.repartition(n_parts)
     return det.mapInPandas(estimate_batches, schema=STATE_SCHEMA)
 
 
+def estimate_samples(det: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """MCBEF Sample table (full posterior draws, long format)."""
+    if n_parts:
+        det = det.repartition(n_parts)
+    return det.mapInPandas(sample_batches, schema=SAMPLE_SCHEMA)
+
+
 def estimate_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """Single-node oracle twin: identical kernel over a pandas frame."""
-    rows = [estimate_one(r) for r in pdf.itertuples()]
+    rows = [state_row(r) for r in pdf.itertuples()]
     return pd.DataFrame(rows, columns=STATE_FIELDS)
+
+
+def estimate_samples_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for r in pdf.itertuples():
+        rows.extend(sample_rows(r))
+    return pd.DataFrame(rows, columns=SAMPLE_FIELDS)

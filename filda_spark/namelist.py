@@ -80,6 +80,9 @@ LAMBDA_UM: dict[str, float] = {
     "M16": 12.0125,
     "I04": 3.757557,
     "I05": 11.57841,
+    # DNB panchromatic band centre (0.5-0.9 um response, centre ~0.7 um);
+    # used only by the MCBEF fire forward model (MCBEF namelist fire bands)
+    "DNB": 0.7,
 }
 
 # ancillary bands recorded with background stats in the FRP stage

@@ -40,6 +40,7 @@ DET_COLUMNS = [
     "FP_M13_Rad",
     "FP_M14_Rad",
     "FP_M15_Rad",
+    "FP_M16_Rad",
     "FP_I04_Rad",
     "FP_I05_Rad",
     "FP_DNB_Rad",
@@ -47,6 +48,28 @@ DET_COLUMNS = [
     "FP_M13_Rad_MAD",
     "FP_M13_Rad_Num",
     "FP_M13_WinSize",
+    # ancillary background means the MCBEF stage consumes (frp_background
+    # computes them for every ANCILLARY_BANDS member; these are the MCBEF
+    # fire/background band subset, MCBEF namelist.input:4-5)
+    "FP_DNB_Rad_Mean",
+    "FP_M11_Rad_Mean",
+    "FP_M14_Rad_Mean",
+    "FP_M15_Rad_Mean",
+    "FP_M16_Rad_Mean",
+    "FP_I05_Rad_Mean",
+    # per-detection bowtie fraction (get_bowtie, FILDA.py:2148-2176)
+    "FP_Bowtie",
+    # M-band product columns (FILDA.py:1950-1967)
+    "Sensor_Zenith",
+    "Sensor_Azimuth",
+    "FP_T04_1",
+    "FP_T04_2",
+    "FP_T04_3",
+    "FP_T04_4",
+    "FP_T05_1",
+    "FP_T05_2",
+    "FP_T05_3",
+    "FP_T05_4",
     "FP_Power_QA",
     "FP_Power",
     "FP_VE",
@@ -120,6 +143,8 @@ def detect_granule(
     cdt = kernels.contextual_test(cdt, bg, nl)
     det = kernels.post_test_filter(cdt)
     det = kernels.gather_detection_radiances(det, g)
+    det = kernels.get_bowtie(det, anc["overlap_lut"])
+    det = kernels.mod_fanout(det, g)
     det = kernels.frp_background(det, bg, nl)
     det = kernels.fire_params(det, anc["area_lut"], nl)
     det = kernels.check_saa_2(det)
@@ -187,9 +212,27 @@ def detections_frame(doc_id: str, det: dict) -> pd.DataFrame:
             "FP_M13_Rad": det["FP_M13_Rad"],
             "FP_M14_Rad": det["FP_M14_Rad"],
             "FP_M15_Rad": det["FP_M15_Rad"],
+            "FP_M16_Rad": det["FP_M16_Rad"],
             "FP_I04_Rad": det["FP_I04_Rad"],
             "FP_I05_Rad": det["FP_I05_Rad"],
             "FP_DNB_Rad": det["FP_DNB_Rad"],
+            "FP_DNB_Rad_Mean": det["FP_DNB_Rad_Mean"],
+            "FP_M11_Rad_Mean": det["FP_M11_Rad_Mean"],
+            "FP_M14_Rad_Mean": det["FP_M14_Rad_Mean"],
+            "FP_M15_Rad_Mean": det["FP_M15_Rad_Mean"],
+            "FP_M16_Rad_Mean": det["FP_M16_Rad_Mean"],
+            "FP_I05_Rad_Mean": det["FP_I05_Rad_Mean"],
+            "FP_Bowtie": det["FP_Bowtie"],
+            "Sensor_Zenith": det["Sensor_Zenith"],
+            "Sensor_Azimuth": det["Sensor_Azimuth"],
+            "FP_T04_1": det["FP_T04_1"],
+            "FP_T04_2": det["FP_T04_2"],
+            "FP_T04_3": det["FP_T04_3"],
+            "FP_T04_4": det["FP_T04_4"],
+            "FP_T05_1": det["FP_T05_1"],
+            "FP_T05_2": det["FP_T05_2"],
+            "FP_T05_3": det["FP_T05_3"],
+            "FP_T05_4": det["FP_T05_4"],
             "FP_M13_Rad_Mean": det["FP_M13_Rad_Mean"],
             "FP_M13_Rad_MAD": det["FP_M13_Rad_MAD"],
             "FP_M13_Rad_Num": det["FP_M13_Rad_Num"],

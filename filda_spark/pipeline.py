@@ -214,8 +214,15 @@ def make_masks_fn(anc_bc, nl: dict):
     return masks
 
 
-def _cogroup(spark, corpus_dir: str, fn, schema) -> DataFrame:
+def _cogroup(spark, corpus_dir: str, fn, schema, doc_filter: DataFrame | None = None) -> DataFrame:
     docs = night_documents(load_documents(spark, corpus_dir)).select("doc_id", "spans")
+    if doc_filter is not None:
+        # resume/streaming frontier: prune BEFORE the cogroup so undone
+        # granules never decode (a filter above the applyInPandas kernel
+        # cannot be pushed through it by Catalyst — every granule would
+        # decode and then be discarded). Broadcast semi-join, not a literal
+        # IN list (the frontier is ~1e6 doc_ids/day at production scale).
+        docs = docs.join(F.broadcast(doc_filter.select("doc_id")), "doc_id", "left_semi")
     media = load_media(spark, corpus_dir)
     # Day pruning propagates to media via a broadcast semi-join (metadata-only
     # partition pruning on a real Iceberg layout).
@@ -229,8 +236,15 @@ def _cogroup(spark, corpus_dir: str, fn, schema) -> DataFrame:
     # 4x over-partitioning: with ~n_docs partitions, hash collisions still
     # co-locate hot granules (balls-in-bins max load ~4); at 4x the
     # collision probability is negligible and empty partitions cost ~ms.
-    n_docs = docs.count()
-    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), min(4 * n_docs, 8192))
+    # granule count sizes the decode stage; parquet metadata makes this a
+    # cheap count, and `spark.filda.numDetectPartitions` overrides it where
+    # even that is unwanted (e.g. Iceberg snapshot stats already know it)
+    n_override = int(spark.conf.get("spark.filda.numDetectPartitions", "0"))
+    if n_override:
+        n_parts = n_override
+    else:
+        n_docs = docs.count()
+        n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), min(4 * n_docs, 8192))
     return (
         docs.repartition(n_parts, "doc_id")
         .groupBy("doc_id")
@@ -239,12 +253,17 @@ def _cogroup(spark, corpus_dir: str, fn, schema) -> DataFrame:
     )
 
 
-def detect_detections(spark: SparkSession, corpus_dir: str, nl: dict | None = None) -> DataFrame:
+def detect_detections(
+    spark: SparkSession,
+    corpus_dir: str,
+    nl: dict | None = None,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
     from filda_spark.fixtures import load_ancillary
 
     nl = nl or make_namelist()
     anc_bc = spark.sparkContext.broadcast(load_ancillary(corpus_dir))
-    pre = _cogroup(spark, corpus_dir, make_detect_fn(anc_bc, nl), PRE_FIT_SCHEMA)
+    pre = _cogroup(spark, corpus_dir, make_detect_fn(anc_bc, nl), PRE_FIT_SCHEMA, doc_filter)
     # fit stage: hot granules carry ~10x the detections, so the fit is
     # rebalanced round-robin across tasks instead of inheriting the
     # granule partitioning (per-row independent => order-free)

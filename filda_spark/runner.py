@@ -6,18 +6,25 @@ Layout under ``--out``:
 - ``detections/`` parquet partitioned by ``tile_id`` (the granule-level
   spatial partition; on Iceberg this is the partition transform) —
   append-only, one commit per run.
-- ``tiles/`` parquet — recomputed from the full detections store each run
-  (dedup is global, so late-arriving granules can change tile rollups).
+- ``dedup_state/`` parquet partitioned by ``tile_id`` — one row per
+  detection: (doc_id, FP_Line, FP_Sample, is_dup, dup_of, _cell). Updated
+  INCREMENTALLY: a batch can only change verdicts for detections within the
+  dedup radius of its own rows, so each run recomputes the kRing
+  neighborhood of the batch's level-14 cells and dynamic-partition-
+  overwrites only the affected tiles (no full-store shuffle per batch).
+- ``tiles/`` parquet partitioned by ``tile_id`` — fire-density rollup,
+  same affected-tiles-only dynamic overwrite.
 - ``lineage/`` parquet — one row per (run_id, stage, partition_key=doc_id):
   rows_out, wall_s, rows_per_sec, status. The set of doc_ids with
-  status='done' at stage 'detect' is the resume frontier: a re-run skips
-  them BEFORE decode (metadata-only pruning), so resume-after-kill equals a
-  fresh run modulo row order.
+  status='done' at stage 'detect' is the resume frontier: a re-run prunes
+  them BEFORE decode (broadcast semi-join below the cogroup kernel), so
+  resume-after-kill equals a fresh run modulo row order.
 
-Scale posture: the frontier is a broadcast anti-join (doc_id count ~= 1e6/day
-at production scale — still broadcastable; beyond that it becomes an Iceberg
-snapshot diff). The only full-table pass is the dedup+tiles rebuild; its
-shuffle is keyed by the level-14 neighborhood cell with AQE skew splitting.
+Scale posture: the frontier is a broadcast semi/anti-join (doc_id count
+~= 1e6/day at production scale — still broadcastable; beyond that it
+becomes an Iceberg snapshot diff). Per batch, the only non-map work is the
+neighborhood dedup shuffle, sized by the batch's spatial footprint — NOT by
+the store: O(|batch neighborhood|), constant as the store grows.
 
 CLI (spark-submit friendly):
     spark-submit --py-files filda_spark.zip -m filda_spark.runner \
@@ -35,8 +42,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filda_spark import pipeline
+from filda_spark import grids, pipeline, spatial
 from filda_spark.namelist import make_namelist
+
+STATE_KEY = ["doc_id", "FP_Line", "FP_Sample"]
+_CELL_H_DEG = 180.0 / (1 << pipeline.DEDUP_CELL_LEVEL)
 
 
 def _lineage_path(out_dir: str) -> str:
@@ -62,58 +72,152 @@ def done_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
     )
 
 
-def process_doc_ids(
+def _det_cell(lat_col: str = "FP_Latitude", lon_col: str = "FP_Longitude"):
+    return grids.cell_encode(F.col(lat_col), F.col(lon_col), pipeline.DEDUP_CELL_LEVEL)
+
+
+def _expand_cells(cells: DataFrame, eps: float = spatial.DEDUP_EPS_DEG) -> DataFrame:
+    """All cells that can hold a detection within ``eps`` of a detection in
+    one of the input cells: latitude-aware kRing of the cell set (margin =
+    half a cell height, since the source row can sit anywhere in its cell;
+    lon_ring_halfwidth adds the +eps partner-latitude margin itself)."""
+    lat_c = F.abs(grids.cell_center_lat(F.col("_cell"))) + F.lit(_CELL_H_DEG / 2.0)
+    kx = grids.lon_ring_halfwidth(lat_c, eps, pipeline.DEDUP_CELL_LEVEL)
+    return (
+        cells.select(F.explode(grids.cell_kring_dyn(F.col("_cell"), kx)).alias("_cell"))
+        .distinct()
+    )
+
+
+def _read_state(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(f"{out_dir}/dedup_state")
+    except Exception:
+        return None
+
+
+def update_dedup_incremental(spark: SparkSession, out_dir: str, batch: DataFrame) -> None:
+    """Reconcile dedup_state + tiles after appending ``batch`` (enriched
+    detection rows) to the store.
+
+    A new detection can only change is_dup/dup_of verdicts for detections
+    within the dedup radius of itself, i.e. in the kRing (ring1) of the
+    batch's cells; recomputing those verdicts needs candidate dominators one
+    ring further out (ring2). So:
+
+      1. ring1 = expand(batch cells); ring2 = expand(ring1)
+      2. run pipeline.dedup on store rows in ring2 cells — verdicts for
+         ring1 rows are exact (all their within-eps partners are present)
+      3. dedup_state := carried-forward rows (affected tiles, outside
+         ring1) + recomputed ring1 rows, dynamic-overwriting ONLY the
+         affected tile partitions
+      4. tiles := rollup of the affected tiles from store JOIN state,
+         dynamic-overwriting the same partitions
+
+    Cost is O(|batch neighborhood|) regardless of store size — the full
+    rebuild the north rule's resume semantics would otherwise force on
+    every micro-batch."""
+    touched = batch.select(_det_cell().alias("_cell")).distinct()
+    ring1 = _expand_cells(touched)
+    ring2 = _expand_cells(ring1)
+
+    store = spark.read.parquet(f"{out_dir}/detections").withColumn("_cell", _det_cell())
+    sub = store.join(F.broadcast(ring2), "_cell", "left_semi")
+    sub_dd = pipeline.dedup(sub)
+    new_state = sub_dd.join(F.broadcast(ring1), "_cell", "left_semi").select(
+        "tile_id", *STATE_KEY, "is_dup", "dup_of", "_cell"
+    )
+
+    old = _read_state(spark, out_dir)
+    if old is not None:
+        affected_tiles = new_state.select("tile_id").distinct()
+        keep = (
+            old.join(F.broadcast(affected_tiles), "tile_id", "left_semi")
+            .join(F.broadcast(ring1), "_cell", "left_anti")
+            .select("tile_id", *STATE_KEY, "is_dup", "dup_of", "_cell")
+        )
+        merged = keep.unionByName(new_state)
+    else:
+        merged = new_state
+
+    # stage first: the merged plan reads dedup_state, which the dynamic
+    # overwrite below rewrites — Spark cannot overwrite a path it is reading
+    stage = f"{out_dir}/_state_stage_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(stage)
+    merged = spark.read.parquet(stage)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("tile_id").parquet(f"{out_dir}/dedup_state")
+        det_aff = store.join(
+            F.broadcast(merged.select("tile_id").distinct()), "tile_id", "left_semi"
+        )
+        joined = det_aff.join(merged.select(*STATE_KEY, "is_dup"), STATE_KEY, "inner")
+        pipeline.tiles(joined).write.mode("overwrite").partitionBy("tile_id").parquet(
+            f"{out_dir}/tiles"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def process_docs(
     spark: SparkSession,
     corpus_dir: str,
     out_dir: str,
-    doc_ids: list[str],
+    todo: DataFrame,
+    n_docs: int,
     nl: dict,
     run_id: str,
     t0: float | None = None,
 ) -> None:
-    """Detect + enrich + append one batch of granules, then record lineage.
-    Shared by the incremental runner and the streaming ingest."""
+    """Detect + enrich + append one batch of granules, reconcile dedup/tiles
+    incrementally, then record lineage. Shared by the incremental runner and
+    the streaming ingest. ``todo`` is a doc_id DataFrame (the frontier);
+    granules outside it are pruned before decode."""
     t0 = t0 or time.perf_counter()
-    det = pipeline.detect_detections(spark, corpus_dir, nl)
-    det = det.filter(F.col("doc_id").isin(doc_ids))
+    det = pipeline.detect_detections(spark, corpus_dir, nl, doc_filter=todo)
     # stage the raw detections once: enrich + dedup re-reference the
     # detections several times (semi-join reductions, self-join) and
     # must not re-run the decode+detect kernel per reference
     stage = f"{out_dir}/_stage/{run_id}"
     det.write.mode("overwrite").parquet(stage)
-    det = pipeline.enrich(spark, spark.read.parquet(stage), corpus_dir)
-    det.write.mode("append").partitionBy("tile_id").parquet(f"{out_dir}/detections")
+    enriched = pipeline.enrich(spark, spark.read.parquet(stage), corpus_dir)
+    enriched.write.mode("append").partitionBy("tile_id").parquet(f"{out_dir}/detections")
+
+    batch = spark.read.parquet(stage)
+    if batch.limit(1).count() > 0:
+        update_dedup_incremental(spark, out_dir, batch)
+
     wall = time.perf_counter() - t0
-    # per-partition row counts from the (small) staging parquet — avoids
-    # re-scanning the partitioned store
-    counts = {
-        r.doc_id: r.n
-        for r in spark.read.parquet(stage).groupBy("doc_id").agg(F.count("*").alias("n")).collect()
-    }
-    per_doc_wall = wall / max(len(doc_ids), 1)
-    lineage_rows = [
-        (
-            run_id,
-            "detect",
-            d,
-            int(counts.get(d, 0)),
-            round(per_doc_wall, 4),
-            round(counts.get(d, 0) / per_doc_wall, 2) if per_doc_wall > 0 else 0.0,
-            "done",
+    per_doc_wall = wall / max(n_docs, 1)
+    counts = batch.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    lineage = (
+        todo.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("detect").alias("stage"),
+            F.col("doc_id").alias("partition_key"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("rows_out"),
+            F.lit(round(per_doc_wall, 4)).alias("wall_s"),
+            (F.coalesce(F.col("_n"), F.lit(0)) / F.lit(max(per_doc_wall, 1e-9)))
+            .alias("rows_per_sec"),
+            F.lit("done").alias("status"),
         )
-        for d in doc_ids
-    ]
-    spark.createDataFrame(
-        lineage_rows,
-        "run_id string, stage string, partition_key string, rows_out long, wall_s double, rows_per_sec double, status string",
-    ).write.mode("append").parquet(_lineage_path(out_dir))
+    )
+    lineage.write.mode("append").parquet(_lineage_path(out_dir))
 
 
 def run_incremental(
     spark: SparkSession, corpus_dir: str, out_dir: str, nl: dict | None = None
 ) -> dict:
     """One incremental batch: detect any granule not yet in the lineage
-    frontier, append detections, rebuild dedup+tiles over the full store."""
+    frontier, append detections, reconcile dedup+tiles over the batch's
+    spatial neighborhood only."""
     nl = nl or make_namelist()
     run_id = uuid.uuid4().hex[:12]
     t0 = time.perf_counter()
@@ -123,21 +227,17 @@ def run_incremental(
     todo = docs if done is None else docs.join(
         F.broadcast(done), docs.doc_id == done.partition_key, "left_anti"
     )
-    todo_ids = [r.doc_id for r in todo.collect()]  # frontier is small by design
-    if todo_ids:
-        process_doc_ids(spark, corpus_dir, out_dir, todo_ids, nl, run_id, t0)
-
-    # global dedup + tiles over the full store (late granules can demote
-    # earlier detections to duplicates)
-    full = spark.read.parquet(f"{out_dir}/detections")
-    full = pipeline.dedup(full)
-    tiles = pipeline.tiles(full)
-    tiles.write.mode("overwrite").parquet(f"{out_dir}/tiles")
-    return dict(run_id=run_id, new_docs=len(todo_ids))
+    n_new = todo.count()
+    if n_new:
+        process_docs(spark, corpus_dir, out_dir, todo, n_new, nl, run_id, t0)
+    return dict(run_id=run_id, new_docs=n_new)
 
 
 def read_results(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
-    det = pipeline.dedup(spark.read.parquet(f"{out_dir}/detections"))
+    det = spark.read.parquet(f"{out_dir}/detections")
+    state = _read_state(spark, out_dir)
+    if state is not None:
+        det = det.join(state.select(*STATE_KEY, "is_dup", "dup_of"), STATE_KEY, "left")
     return dict(detections=det, tiles=spark.read.parquet(f"{out_dir}/tiles"))
 
 

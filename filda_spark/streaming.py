@@ -6,14 +6,15 @@ surface exists for the continuous-ingest deployment mode of the north rule:
 documents land in a directory (at production: an Iceberg table whose
 snapshots the stream tails), the file source discovers new granules, and
 each micro-batch runs the identical batch kernel via
-``runner.process_doc_ids`` — so streaming output == batch output by
+``runner.process_docs`` — so streaming output == batch output by
 construction, and the streaming checkpoint + the lineage table give
 exactly-once granule processing across restarts.
 
-Late/duplicate granules need no watermark: the global kNN dedup + tile
-rebuild after each batch is the event-time reconciliation (a late granule
-can demote earlier detections to duplicates, which windowed streaming state
-could not express cheaply)."""
+Late/duplicate granules need no watermark: the per-batch incremental dedup
+reconciliation (runner.update_dedup_incremental — kRing neighborhood of the
+batch's cells only, never the full store) is the event-time handling (a late
+granule can demote earlier detections to duplicates, which windowed
+streaming state could not express cheaply)."""
 
 from __future__ import annotations
 
@@ -64,16 +65,22 @@ def stream_ingest(
         night = batch_df.withColumn("header", hdr).filter(
             ~F.col("header.DayNightFlag").eqNullSafe("Day")
         )
-        doc_ids = {r.doc_id for r in night.select("doc_id").distinct().collect()}
+        todo = night.select("doc_id").distinct()
         # re-delivery guard: the lineage frontier is the granule-level
-        # exactly-once check (the stream checkpoint only dedups FILES)
+        # exactly-once check (the stream checkpoint only dedups FILES);
+        # broadcast anti-join keeps the frontier off the driver
         done = runner.done_doc_ids(spark, out_dir)
         if done is not None:
-            doc_ids -= {r.partition_key for r in done.collect()}
-        if not doc_ids:
+            todo = todo.join(
+                F.broadcast(done), todo.doc_id == done.partition_key, "left_anti"
+            )
+        n = todo.count()
+        if not n:
             return
         run_id = f"stream-{epoch_id}-{uuid.uuid4().hex[:8]}"
-        runner.process_doc_ids(spark, corpus_dir, out_dir, sorted(doc_ids), nl, run_id)
+        # process_docs reconciles dedup_state + tiles incrementally per
+        # micro-batch (kRing neighborhood of the batch only)
+        runner.process_docs(spark, corpus_dir, out_dir, todo, n, nl, run_id)
 
     stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(stream_dir)
     writer = (
@@ -83,8 +90,5 @@ def stream_ingest(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-        # reconcile: global dedup + tile rebuild over the full store
-        full = pipeline.dedup(spark.read.parquet(f"{out_dir}/detections"))
-        pipeline.tiles(full).write.mode("overwrite").parquet(f"{out_dir}/tiles")
         return None
     return writer.start()

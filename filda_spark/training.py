@@ -64,27 +64,46 @@ def minhash_signatures(spark, sf_dir):
     return TX.minhash_signature_fast(sh.select("doc_id", "shingle"), "doc_id", N_PERM)
 
 
+# frequent-bucket cap: a band value shared by B docs emits B^2 pairs, so a
+# boilerplate band (licence headers, empty docs) in a 1e9-doc corpus is a
+# quadratic hot key. Buckets above the cap are dropped — standard LSH
+# practice (they carry no near-dup signal, only boilerplate).
+LSH_BUCKET_CAP = 100
+
+
 @register(
     "minhash_lsh_pairs",
     f"""
     WITH bands AS ({TX.lsh_bands_sql(
         TX.minhash_signature_fast_sql(
             TX.char_shingles_sql("documents", "doc_id", "text", SHINGLE_K), "doc_id", N_PERM
-        ), "doc_id", N_PERM, BAND_SIZE)})
+        ), "doc_id", N_PERM, BAND_SIZE)}),
+    kept AS (
+      SELECT band_id, band_hash FROM bands
+      GROUP BY band_id, band_hash HAVING count(*) <= {LSH_BUCKET_CAP}
+    ),
+    capped AS (SELECT b.* FROM bands b JOIN kept k USING (band_id, band_hash))
     SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
            CAST(count(DISTINCT a.band_id) AS BIGINT) AS n_shared_bands
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
     GROUP BY doc_a, doc_b
     """,
-    doc="MinHash-LSH near-dup candidate pairs: band-hash bucket equi-join (no cross join)",
+    doc="MinHash-LSH near-dup candidate pairs: band-hash bucket equi-join with frequent-bucket cap (no cross join)",
 )
 def minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = TX.explode_char_shingles(d, "text", SHINGLE_K)
     sig = TX.minhash_signature_fast(sh.select("doc_id", "shingle"), "doc_id", N_PERM)
     bands = TX.lsh_bands(sig, "doc_id", N_PERM, BAND_SIZE)
+    kept = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= LSH_BUCKET_CAP)
+        .drop("_n")
+    )
+    bands = bands.join(kept, ["band_id", "band_hash"], "left_semi")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
     )
@@ -114,17 +133,28 @@ def simhash_docs(spark, sf_dir):
     return TX.simhash(words, "doc_id", "word")
 
 
+# document-frequency cap on grams: "of the"-style hot grams join
+# quadratically (every doc pair sharing them meets in one reducer). Grams in
+# more than GRAM_DF_CAP documents are dropped from BOTH the intersection and
+# the per-doc sizes, so the jaccard stays a true ratio over the kept gram
+# vocabulary (standard stop-gram removal, mirrored exactly in the oracle).
+GRAM_DF_CAP = 100
+
+
 @register(
     "ngram_jaccard_pairs",
-    """
-    WITH grams AS (
+    f"""
+    WITH grams0 AS (
       SELECT DISTINCT doc_id, g FROM (
         SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
         FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w,
                      generate_subscripts(string_split(text,' '), 1) AS pos
               FROM documents)
       ) WHERE g IS NOT NULL
-    ), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    ),
+    kept AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= {GRAM_DF_CAP}),
+    grams AS (SELECT g0.* FROM grams0 g0 JOIN kept USING (g)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -135,7 +165,7 @@ def simhash_docs(spark, sf_dir):
     FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
     """,
-    doc="word-bigram Jaccard near-dup pairs (gram equi-join, threshold 0.4)",
+    doc="word-bigram Jaccard near-dup pairs (gram equi-join, DF cap on hot grams, threshold 0.4)",
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("ws"))
@@ -149,6 +179,8 @@ def ngram_jaccard_pairs(spark, sf_dir):
             )
         ).alias("g"),
     ).distinct()
+    kept = grams.groupBy("g").agg(F.count("*").alias("_df")).filter(F.col("_df") <= GRAM_DF_CAP).drop("_df")
+    grams = grams.join(kept, "g", "left_semi")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "g")
     b = grams.select(F.col("doc_id").alias("doc_b"), "g")
@@ -211,7 +243,23 @@ def doc_fingerprint(spark, sf_dir):
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
 
-N_QUERIES, TOP_K, DIM, N_PLANES = 5, 10, 64, 6
+N_QUERIES, TOP_K, DIM = 5, 10, 64
+# Multi-table hyperplane LSH (OR-amplification): N_TABLES independent hash
+# tables of K_PLANES planes each (disjoint plane ranges). Per-table bucket
+# space is 2^K_PLANES; a pair is a candidate if it collides in ANY table.
+# Scale rule: K_PLANES ~ ceil(log2(N / target_bucket_size)) so buckets stay
+# ~constant-size as the corpus grows (at 1e9 vectors and target 32/bucket:
+# 25 planes/table); N_TABLES trades recall for cost (recall ~
+# 1-(1-p^K)^L). The fixed 6-plane/64-bucket space of round 1 was the
+# scale-killer: bucket population grew linearly with N.
+K_PLANES, N_TABLES = 8, 4  # 32 planes total at test scale
+
+
+def _bucket_tables_sql(list_expr: str) -> list[str]:
+    return [
+        VX.lsh_bucket_sql(list_expr, DIM, K_PLANES, plane_offset=t * K_PLANES)
+        for t in range(N_TABLES)
+    ]
 
 # DOUBLE[] casts force DuckDB's dot product to accumulate in float64 in list
 # order — bit-identical to Spark's aggregate/zip_with left fold.
@@ -262,15 +310,40 @@ def ann_topk_bruteforce(spark, sf_dir):
     )
 
 
+def _bucket_union_sql() -> str:
+    """Long-format (vec_id, embedding, tbl, bucket) over all hash tables."""
+    parts = [
+        f"SELECT vec_id, embedding, {t} AS tbl, {sql} AS bucket FROM embeddings"
+        for t, sql in enumerate(_bucket_tables_sql("embedding"))
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_BUCKETS_UDF = None
+
+
+def _bucket_long(e):
+    """(vec_id, embedding, tbl, bucket) long format: ONE Arrow-batched scan
+    computes every table's bucket (numpy matvec with left-fold-exact
+    partial sums — see VX.lsh_buckets_udf), then posexplode. Not a union
+    (which would rescan the table N_TABLES times), and not a JVM expression
+    (2048 terms falls out of codegen into interpreted eval)."""
+    global _BUCKETS_UDF
+    if _BUCKETS_UDF is None:
+        _BUCKETS_UDF = VX.lsh_buckets_udf(DIM, K_PLANES, N_TABLES)
+    with_b = e.select("vec_id", "embedding", _BUCKETS_UDF("embedding").alias("_bs"))
+    return with_b.select("vec_id", "embedding", F.posexplode("_bs").alias("tbl", "bucket"))
+
+
 @register(
     "ann_lsh_bucketed",
     f"""
-    WITH b AS (
-      SELECT vec_id, embedding, {VX.lsh_bucket_sql("embedding", DIM, N_PLANES)} AS bucket
-      FROM embeddings
-    ), scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_SQL} AS cos
-      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    WITH b AS ({_bucket_union_sql()}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, min({_COS_SQL}) AS cos
+      FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       AND q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+      GROUP BY query_id, cand_id
     ), ranked AS (
       SELECT query_id, cand_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, cand_id) AS rk
@@ -280,24 +353,24 @@ def ann_topk_bruteforce(spark, sf_dir):
            CAST(rk AS BIGINT) AS rk, round(cos, 6) AS cos
     FROM ranked WHERE rk <= {TOP_K}
     """,
-    doc="LSH-bucketed ANN: hyperplane-sign bucket equi-join replaces the cross join (scale path)",
+    doc="multi-table hyperplane-LSH ANN: per-table bucket equi-joins, candidate union, exact rerank",
 )
 def ann_lsh_bucketed(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id", "embedding", VX.lsh_bucket(F.col("embedding"), DIM, N_PLANES).alias("bucket")
-    )
+    b = _bucket_long(e)
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "tbl", "bucket"
     )
-    c = b.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket")
+    c = b.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "tbl", "bucket")
     cos = VX.dot(F.col("q_emb"), F.col("c_emb")) / (
         VX.norm(F.col("q_emb")) * VX.norm(F.col("c_emb"))
     )
+    # min() dedups pairs colliding in several tables (cos is identical)
     scored = (
-        q.join(c, "bucket")
+        q.join(c, ["tbl", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cos.alias("cos"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.min(cos).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 9).desc(), F.col("cand_id"))
     return (
@@ -310,30 +383,42 @@ def ann_lsh_bucketed(spark, sf_dir):
 @register(
     "embedding_neardup",
     f"""
-    WITH b AS (
-      SELECT vec_id, embedding, label, {VX.lsh_bucket_sql("embedding", DIM, N_PLANES)} AS bucket
-      FROM embeddings
+    WITH b AS ({_bucket_union_sql()}),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, min({_COS_SQL.replace("q.", "a.")}) AS cos
+      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+      GROUP BY vec_a, vec_b
     )
-    SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(c.vec_id AS BIGINT) AS vec_b,
-           round({_COS_SQL.replace('q.', 'a.').replace('c.embedding', 'c.embedding')}, 6) AS cos
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE {_COS_SQL.replace('q.', 'a.')} >= 0.95
+    SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+           round(cos, 6) AS cos
+    FROM pairs WHERE cos >= 0.95
     """,
-    doc="embedding-cosine near-dup pairs within LSH buckets (threshold 0.95)",
+    doc="embedding-cosine near-dup pairs within multi-table LSH buckets (threshold 0.95)",
 )
 def embedding_neardup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id", "embedding", VX.lsh_bucket(F.col("embedding"), DIM, N_PLANES).alias("bucket")
+    b = _bucket_long(e)
+    # ids-only join + distinct FIRST: a pair colliding in several tables
+    # must score its 64-dim cosine once, not once per table; embeddings are
+    # re-attached to the deduped pairs by broadcast
+    a = b.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    pairs = (
+        a.join(c, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    a = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"), "bucket")
-    c = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"), "bucket")
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"))
     cos = VX.dot(F.col("a_emb"), F.col("b_emb")) / (
         VX.norm(F.col("a_emb")) * VX.norm(F.col("b_emb"))
     )
+    # plain equi-joins: at fixture scale AQE broadcasts the embedding side;
+    # at 1e9 vectors this is the standard shuffle re-attach on vec_id
     return (
-        a.join(c, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= 0.95)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))

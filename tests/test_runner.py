@@ -75,3 +75,56 @@ def test_resume_equals_fresh(spark, corpus, nl, tmp_path):
     assert set(lin.status) == {"done"}
     assert (lin.rows_out > 0).all()
     assert lin.partition_key.nunique() == 7
+
+
+def test_incremental_dedup_equals_full_rebuild(spark, corpus, nl, tmp_path):
+    """The neighborhood-restricted per-batch dedup reconciliation must leave
+    dedup_state + tiles identical to a from-scratch global dedup of the full
+    store (the scale invariant that lets a micro-batch avoid the full-table
+    kRing shuffle)."""
+    from filda_spark import pipeline
+
+    full_dir = corpus["dir"]
+    all_docs = sorted(set(pd.read_parquet(f"{full_dir}/documents.parquet").doc_id))
+    out = str(tmp_path / "out_multi")
+    # three batches of growing corpora -> three incremental reconciliations
+    for keep in (all_docs[:3], all_docs[:6], all_docs):
+        sub_dir = str(tmp_path / f"corpus_{len(keep)}")
+        if keep == all_docs:
+            sub_dir = full_dir
+        else:
+            _half_corpus(full_dir, sub_dir, set(keep))
+        runner.run_incremental(spark, sub_dir, out, nl)
+
+    got = (
+        runner.read_results(spark, out)["detections"]
+        .select(*KEY, "is_dup", "dup_of")
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    ref = (
+        pipeline.dedup(spark.read.parquet(f"{out}/detections"))
+        .select(*KEY, "is_dup", "dup_of")
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref) > 0
+    assert (got.is_dup.to_numpy() == ref.is_dup.to_numpy()).all()
+    assert (got.dup_of.to_numpy() == ref.dup_of.to_numpy()).all()
+
+    tiles_got = (
+        runner.read_results(spark, out)["tiles"]
+        .toPandas()
+        .sort_values(["tile_id", "cell_r7"])
+        .reset_index(drop=True)
+    )
+    from filda_spark import pipeline as _p
+
+    full = _p.dedup(spark.read.parquet(f"{out}/detections"))
+    tiles_ref = (
+        _p.tiles(full).toPandas().sort_values(["tile_id", "cell_r7"]).reset_index(drop=True)
+    )
+    assert tiles_got.n_fires.tolist() == tiles_ref.n_fires.tolist()
+    assert np.allclose(tiles_got.total_frp, tiles_ref.total_frp, equal_nan=True)
