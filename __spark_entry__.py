@@ -33,4 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return relational.oracles()
+    o = dict(relational.oracles())
+    # pipeline entries: DuckDB oracles over materialized deterministic
+    # inputs / the reference-mirroring numpy-oracle outputs (exactness
+    # against the Spark pipeline is separately pinned by pytest)
+    o.update(fire_queries.oracles())
+    return o

@@ -1,8 +1,11 @@
 """Driver-contract entries for the fire-detection pipeline.
 
-These are the engine's flagship (non-SQL-expressible) queries: the driver
-records rows-only checks for them; exact correctness is enforced by
-tests/test_pipeline.py against the single-node NumPy oracle.
+These are the engine's flagship pipeline queries. Exact correctness is
+enforced two ways: pytest pins the Spark output bit-exact against the
+single-node NumPy oracle, and `oracles()` below materializes that oracle's
+output to parquet so the driver's DuckDB check hashes the same values
+(rows-only remains only for binary-valued outputs: fire_masks,
+media_resize).
 
 The synthetic corpus is built lazily once per geometry and cached under
 $FILDA_FIRE_CACHE (default /tmp/filda_fire_corpus); the driver's sf_dir
@@ -118,7 +121,7 @@ def fire_detections_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mcbef_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MCBEF fire-property posterior State table over the enriched
-    detections (rows-only; parity vs the single-node twin in pytest):
+    detections (parity vs the single-node twin in pytest + driver oracle):
     emissivity + static-anomaly joins, background MAP (t_b, C), FRP
     atmospheric correction, gated biphasic/uniphasic Metropolis."""
     from filda_spark import mcbef
@@ -140,13 +143,143 @@ def mcbef_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mcbef.estimate_samples(det, n_parts)
 
 
+NTL_ARGS = dict(n_tiles=2, cells=16, year=2019, month=8)
+
+
+def _ntl_daily_path() -> str:
+    """Materialize the deterministic daily table once (atomic rename) —
+    both the Spark query and the DuckDB oracle read this parquet."""
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    path = f"{CACHE_ROOT}/ntl_daily_v{FIXTURE_VERSION}.parquet"
+    if not os.path.exists(path):
+        from filda_spark import ntl
+
+        tmp = f"{path}.tmp-{os.getpid()}"
+        ntl.synthetic_daily_pdf(**NTL_ARGS).to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
 def ntl_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """90-day NTL climatology build (rows-only; numpy-twin parity in
-    tests/test_ntl.py)."""
+    """90-day NTL climatology build over the materialized daily table
+    (DuckDB SQL oracle over the same parquet; floats rounded to 6 on both
+    sides because group-sum order differs across engines)."""
+    from pyspark.sql import functions as F
+
     from filda_spark import ntl
 
-    daily = ntl.synthetic_daily(spark, n_tiles=2, cells=16, year=2019, month=8)
-    return ntl.climatology(daily, 2019, 8)
+    daily = spark.read.parquet(_ntl_daily_path())
+    out = ntl.climatology(daily, NTL_ARGS["year"], NTL_ARGS["month"])
+    return out.select(
+        "tile",
+        "y",
+        "x",
+        "n_days",
+        *[F.round(c, 6).alias(c) for c in ("dnb_mean", "dnb_std", "gamma_alpha", "gamma_beta")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Numpy-oracle materialization: the driver's DuckDB check for the
+# non-SQL-expressible pipeline entries. The single-node oracle (the
+# reference-mirroring numpy composition pytest already proves bit-exact
+# against the Spark pipeline) is materialized to parquet once per machine;
+# the registered "oracle SQL" is a read_parquet SELECT over it. This turns
+# the driver's weaker rows-only check into a full row/schema/value-hash
+# check against reference semantics.
+# ---------------------------------------------------------------------------
+
+
+def mod_detections_pdf(det):
+    """pandas twin of pipeline.mod_detections: keep-FIRST per (doc, M pixel)
+    in I-grid scan order (FILDA.py:1905-1912)."""
+    return (
+        det.sort_values(["doc_id", "FP_Line_MOD", "FP_Sample_MOD", "FP_Line", "FP_Sample"])
+        .drop_duplicates(subset=["doc_id", "FP_Line_MOD", "FP_Sample_MOD"], keep="first")
+        .reset_index(drop=True)
+    )
+
+
+def ensure_fire_oracles() -> str:
+    """Build (once, atomically) the numpy-oracle parquet set for the
+    TEST_GEOM corpus the driver's correctness runs use."""
+    import shutil
+    import uuid
+
+    od = f"{corpus_dir(TEST_GEOM)}/_oracle_v2"
+    if os.path.exists(f"{od}/_DONE"):
+        return od
+    from filda_spark import fixtures, mcbef, oracle
+
+    tmp_corpus = tempfile.mkdtemp(prefix="filda_oracle_corpus_")
+    tmp = f"{od}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        c = fixtures.build_corpus(
+            tmp_corpus,
+            n_docs=TEST_GEOM["n_docs"],
+            h_m=TEST_GEOM["h_m"],
+            w_m=TEST_GEOM["w_m"],
+            extra_fires=TEST_GEOM.get("extra_fires", 0),
+        )
+        res = oracle.run_corpus(c, _nl(TEST_GEOM))
+        det = res["detections"]
+        det.to_parquet(f"{tmp}/detections.parquet", index=False)
+        res["tiles"].to_parquet(f"{tmp}/tiles.parquet", index=False)
+        mod_detections_pdf(det).to_parquet(f"{tmp}/detections_mod.parquet", index=False)
+        prepared = mcbef.prepare_pdf(det, tmp_corpus)
+        mcbef.estimate_pdf(prepared).to_parquet(f"{tmp}/mcbef_state.parquet", index=False)
+        mcbef.estimate_samples_pdf(prepared).to_parquet(f"{tmp}/mcbef_sample.parquet", index=False)
+        import pandas as pd
+
+        from filda_spark import multimodal
+
+        media_pdf = pd.read_parquet(f"{tmp_corpus}/media.parquet")
+        feats = pd.concat(list(multimodal.extract_features([media_pdf])), ignore_index=True)
+        feats.to_parquet(f"{tmp}/media_features.parquet", index=False)
+        open(f"{tmp}/_DONE", "w").write("ok")
+        if not os.path.exists(f"{od}/_DONE"):
+            os.replace(tmp, od)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp_corpus, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return od
+
+
+def oracles() -> dict[str, str]:
+    """DuckDB oracle SQL for the pipeline entries (materializes inputs)."""
+    from filda_spark import ntl
+
+    daily = _ntl_daily_path()
+    start, end = ntl.window_for_month(NTL_ARGS["year"], NTL_ARGS["month"])
+    min_days = 18  # ceil(90 * 0.2)
+    ntl_sql = f"""
+    WITH w AS (
+      SELECT tile, y, x, rad FROM read_parquet('{daily}')
+      WHERE day >= DATE '{start}' AND day < DATE '{end}' AND (qf & 127) = 0 AND rad > 0
+    ), g AS (
+      SELECT tile, y, x, count(*) AS n_days, avg(rad) AS m,
+             stddev_samp(rad) AS s, avg(ln(rad)) AS ml
+      FROM w GROUP BY tile, y, x
+    )
+    SELECT tile, y, x, CAST(n_days AS BIGINT) AS n_days,
+           round(m, 6) AS dnb_mean, round(s, 6) AS dnb_std,
+           round((1 + sqrt(1 + 4*(ln(m)-ml)/3)) / (4*(ln(m)-ml)), 6) AS gamma_alpha,
+           round(m / ((1 + sqrt(1 + 4*(ln(m)-ml)/3)) / (4*(ln(m)-ml))), 6) AS gamma_beta
+    FROM g WHERE n_days >= {min_days}
+    """
+    od = ensure_fire_oracles()
+    return {
+        "ntl_climatology": ntl_sql,
+        "fire_detections": f"SELECT * FROM read_parquet('{od}/detections.parquet')",
+        "fire_detections_mod": f"SELECT * FROM read_parquet('{od}/detections_mod.parquet')",
+        "fire_tiles": f"SELECT * FROM read_parquet('{od}/tiles.parquet')",
+        "mcbef_state": f"SELECT * FROM read_parquet('{od}/mcbef_state.parquet')",
+        "mcbef_sample": f"SELECT * FROM read_parquet('{od}/mcbef_sample.parquet')",
+        "media_features": f"SELECT * FROM read_parquet('{od}/media_features.parquet')",
+    }
 
 
 QUERIES = {

@@ -105,27 +105,38 @@ def climatology_pdf(daily: pd.DataFrame, year: int, month: int) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def synthetic_daily(spark, n_tiles: int = 2, cells: int = 16, year: int = 2019, month: int = 8) -> DataFrame:
+def synthetic_daily_pdf(n_tiles: int = 2, cells: int = 16, year: int = 2019, month: int = 8) -> pd.DataFrame:
     """Deterministic daily Black-Marble-like table covering the climatology
     window for (year, month): seeded per-pixel gamma-ish radiances, ~15%
-    cloudy days (qf bit 0), a few band-flagged days (qf bit 3)."""
+    cloudy days (qf bit 0), a few band-flagged days (qf bit 3). Pure numpy
+    (Knuth multiplicative hash) so the same table materializes identically
+    with or without a Spark session — the DuckDB oracle reads the parquet
+    this produces."""
     start, end = window_for_month(year, month)
     days = (end - start).days
-    rows = spark.range(n_tiles * cells * cells * days)
-    i = F.col("id")
-    day = F.date_add(F.lit(start), (i % days).cast("int"))
-    pix = F.floor(i / days)
-    tile = F.concat(F.lit("h"), F.lpad((pix % n_tiles).cast("string"), 2, "0"), F.lit("v05"))
-    y = F.floor(pix / n_tiles) % cells
-    x = F.floor(pix / (n_tiles * cells)) % cells
-    h = F.abs(F.hash(i.cast("string")))
-    rad = (h % 1000).cast("double") / 100.0 + 0.1
-    qf = F.when(h % 7 == 0, F.lit(1)).when(h % 31 == 0, F.lit(8)).otherwise(F.lit(0))
-    return rows.select(
-        tile.alias("tile"),
-        y.cast("int").alias("y"),
-        x.cast("int").alias("x"),
-        day.alias("day"),
-        rad.alias("rad"),
-        qf.cast("int").alias("qf"),
+    n = n_tiles * cells * cells * days
+    i = np.arange(n, dtype=np.int64)
+    day = np.array(start, dtype="datetime64[D]") + (i % days).astype("timedelta64[D]")
+    pix = i // days
+    tile = np.char.add(
+        np.char.add("h", np.char.zfill((pix % n_tiles).astype(str), 2)), "v05"
     )
+    y = (pix // n_tiles) % cells
+    x = (pix // (n_tiles * cells)) % cells
+    h = (i * np.int64(2654435761)) % np.int64(2**31)
+    rad = (h % 1000).astype(np.float64) / 100.0 + 0.1
+    qf = np.where(h % 7 == 0, 1, np.where(h % 31 == 0, 8, 0))
+    return pd.DataFrame(
+        dict(
+            tile=tile,
+            y=y.astype(np.int32),
+            x=x.astype(np.int32),
+            day=pd.to_datetime(day).date,
+            rad=rad,
+            qf=qf.astype(np.int32),
+        )
+    )
+
+
+def synthetic_daily(spark, n_tiles: int = 2, cells: int = 16, year: int = 2019, month: int = 8) -> DataFrame:
+    return spark.createDataFrame(synthetic_daily_pdf(n_tiles, cells, year, month))
