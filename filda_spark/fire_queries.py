@@ -18,6 +18,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 
 from filda_spark import pipeline
@@ -45,7 +47,7 @@ def _geom_for(sf_dir: str) -> dict:
 
 # bump when fixtures.py changes the corpus content (stale cached corpora
 # otherwise poison runs — media vars, emissivity/static tables, etc.)
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 
 def corpus_dir(geom: dict) -> str:
@@ -253,12 +255,19 @@ def oracles() -> dict[str, str]:
     from filda_spark import ntl
 
     daily = _ntl_daily_path()
-    start, end = ntl.window_for_month(NTL_ARGS["year"], NTL_ARGS["month"])
-    min_days = 18  # ceil(90 * 0.2)
+    y_, m_ = NTL_ARGS["year"], NTL_ARGS["month"]
+    n_start, n_end = ntl.window_for_month(*ntl.effective_month(y_, m_, 99))
+    h_start, h_end = ntl.window_for_month(*ntl.effective_month(y_, m_, 0))
+    n_min = int(np.ceil((n_end - n_start).days * ntl.MIN_COVERAGE))
+    h_min = int(np.ceil((h_end - h_start).days * ntl.MIN_COVERAGE))
+    vid = "CAST(substr(tile, 5, 2) AS INT)"
     ntl_sql = f"""
     WITH w AS (
       SELECT tile, y, x, rad FROM read_parquet('{daily}')
-      WHERE day >= DATE '{start}' AND day < DATE '{end}' AND (qf & 127) = 0 AND rad > 0
+      WHERE (CASE WHEN {vid} < {ntl.HIGH_LAT_VID_MAX}
+                  THEN day >= DATE '{h_start}' AND day < DATE '{h_end}'
+                  ELSE day >= DATE '{n_start}' AND day < DATE '{n_end}' END)
+        AND (qf & 127) = 0 AND rad > 0
     ), g AS (
       SELECT tile, y, x, count(*) AS n_days, avg(rad) AS m,
              stddev_samp(rad) AS s, avg(ln(rad)) AS ml
@@ -268,7 +277,7 @@ def oracles() -> dict[str, str]:
            round(m, 6) AS dnb_mean, round(s, 6) AS dnb_std,
            round((1 + sqrt(1 + 4*(ln(m)-ml)/3)) / (4*(ln(m)-ml)), 6) AS gamma_alpha,
            round(m / ((1 + sqrt(1 + 4*(ln(m)-ml)/3)) / (4*(ln(m)-ml))), 6) AS gamma_beta
-    FROM g WHERE n_days >= {min_days}
+    FROM g WHERE n_days >= (CASE WHEN {vid} < {ntl.HIGH_LAT_VID_MAX} THEN {h_min} ELSE {n_min} END)
     """
     od = ensure_fire_oracles()
     return {

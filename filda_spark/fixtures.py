@@ -215,6 +215,20 @@ def make_granule(p: dict) -> tuple[dict, dict]:
     az = np.where(np.arange(W_M)[None, :] < W_M / 2, 98.5, -81.5) + 0.01 * np.arange(H_M)[:, None]
     g["sensor_azimuth"] = az.astype(np.float32)
 
+    # --- DN->radiance/BT decode seam for M13 (FILDA_IO.py:631-644, 767-797):
+    # the corpus ships the emissive band as uint16 DN + scale/offset attrs +
+    # a file-embedded brightness-temperature LUT; the decode kernel
+    # reconstructs rad = DN*scale + offset and BT = lut[DN]. Encoded LAST so
+    # planted fires are part of the DN payload.
+    dn = np.clip(
+        np.round((g.pop("M13_rad").astype(np.float64) - M13_ADD_OFFSET) / M13_SCALE_FACTOR),
+        0,
+        65534,
+    ).astype(np.uint16)
+    g["M13_dn"] = dn
+    g["M13_bt_lut"] = make_m13_bt_lut()
+    g["M13_dn_attrs"] = np.array([M13_SCALE_FACTOR, M13_ADD_OFFSET], dtype=np.float64)
+
     header = dict(
         sat=p["sat"],
         jdn=p["jdn"],
@@ -229,6 +243,26 @@ def make_granule(p: dict) -> tuple[dict, dict]:
 # ---------------------------------------------------------------------------
 # Ancillary tables (FIXTURES.md §2)
 # ---------------------------------------------------------------------------
+
+
+M13_SCALE_FACTOR = 1.0e-4  # W/m2/sr/um per DN
+M13_ADD_OFFSET = 0.0
+_M13_LUT_CACHE: np.ndarray | None = None
+
+
+def make_m13_bt_lut() -> np.ndarray:
+    """File-embedded DN->BT lookup table (FILDA_IO.py:767-782): BT of the
+    decoded radiance at every possible DN; fill DN 65535 -> NaN."""
+    global _M13_LUT_CACHE
+    if _M13_LUT_CACHE is None:
+        dn = np.arange(65536, dtype=np.float64)
+        rad = dn * M13_SCALE_FACTOR + M13_ADD_OFFSET
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bt = kernels.bt_from_rad(rad, LAMBDA_UM["M13"])
+        bt[rad <= 0] = np.nan
+        bt[65535] = np.nan
+        _M13_LUT_CACHE = bt.astype(np.float32)
+    return _M13_LUT_CACHE
 
 
 def make_resample_lut():
@@ -445,7 +479,8 @@ MEDIA_VARS = {
         "sensor_zenith",
         "sensor_azimuth",
     ],
-    "observation_data": [f"{b}_rad" for b in M_BANDS]
+    "observation_data": [f"{b}_rad" for b in M_BANDS if b != "M13"]
+    + ["M13_dn", "M13_bt_lut", "M13_dn_attrs"]
     + [
         "I04_rad",
         "I05_rad",

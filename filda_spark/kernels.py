@@ -118,6 +118,9 @@ def qa_invalidate(g: dict) -> dict:
             if qf is not None:
                 g[key] = np.where(qf >= 128, np.nan, g[key])
             g[key] = np.where(bad_geo_m, np.nan, g[key])
+            # LUT-decoded BT (decode_dn) tracks its radiance's validity
+            if f"BT{band}" in g:
+                g[f"BT{band}"] = np.where(np.isfinite(g[key]), g[f"BT{band}"], np.nan)
     if "DNB_observations" in g:
         qf = g.get("DNB_quality_flags")
         if qf is not None:
@@ -135,6 +138,25 @@ def qa_invalidate(g: dict) -> dict:
             g[key] = np.where(bad_geo_i, np.nan, g[key])
     lwm = g["land_water_mask"]
     g["land_water_mask"] = np.where(np.isin(lwm, (0, 6, 7)), 0, lwm)
+    return g
+
+
+def decode_dn(g: dict, band: str = "M13") -> dict:
+    """DN -> radiance + LUT brightness temperature for an emissive band
+    shipped as counts (FILDA_IO.py:631-644, 767-797): rad = DN*scale+offset,
+    BT = file-embedded LUT gathered by DN (np.take, not a Planck inversion),
+    BT NaN wherever rad is NaN; DN 65535 is the fill value."""
+    if f"{band}_dn" not in g:
+        return g
+    dn = np.asarray(g.pop(f"{band}_dn"))
+    scale, offset = np.asarray(g.pop(f"{band}_dn_attrs"), dtype=np.float64)
+    lut = np.asarray(g.pop(f"{band}_bt_lut"), dtype=np.float64)
+    rad = dn.astype(np.float64) * scale + offset
+    rad[dn == 65535] = np.nan
+    bt = lut[dn]
+    bt[~np.isfinite(rad)] = np.nan
+    g[f"{band}_rad"] = rad
+    g[f"BT{band}"] = bt
     return g
 
 
@@ -184,7 +206,9 @@ def resample_dnb(dnb_raw: np.ndarray, lut_idx: np.ndarray, lut_w: np.ndarray) ->
 def derive_bt(g: dict) -> dict:
     for band in ("M12", "M13", "M15", "M16", "I04", "I05"):
         key = f"{band}_rad"
-        if key in g:
+        # bands decoded through the embedded BT LUT (decode_dn) keep the
+        # LUT value — the reference never re-inverts Planck for them
+        if key in g and f"BT{band}" not in g:
             g["BT" + band] = bt_from_rad(g[key], LAMBDA_UM[band])
     g["BTD_IMG"] = g["BTI04"] - g["BTI05"]
     g["BTD_MOD"] = g["BTM13"] - g["BTM15"]

@@ -108,6 +108,7 @@ def prepare_granule(media: dict, anc: dict, nl: dict) -> dict:
     g["DNB_observations"] = kernels.resample_dnb(
         raw, anc["resample_lut_idx"], anc["resample_lut_w"]
     )
+    kernels.decode_dn(g, "M13")
     kernels.qa_invalidate(g)
     kernels.derive_bt(g)
     lat_idx, lon_idx = regular_grid_idx_np(

@@ -165,3 +165,37 @@ def test_mask_paint_priority():
     overlap[:, 1] = 0.0
     mask = kernels.gen_fire_img_mask(g, det, cdt, overlap, nl)
     assert mask[0, 1] == 8  # nominal fire
+
+
+def test_decode_dn_seam():
+    """DN->radiance/BT decode (FILDA_IO.py:631-644, 767-797): scale/offset
+    arithmetic, embedded-LUT BT gather, fill-DN and QF NaN propagation."""
+    from filda_spark import fixtures
+
+    rng = np.random.default_rng(3)
+    truth = rng.uniform(0.05, 2.5, (6, 8))
+    dn = np.round(truth / fixtures.M13_SCALE_FACTOR).astype(np.uint16)
+    dn[0, 0] = 65535  # fill
+    lut = fixtures.make_m13_bt_lut()
+    g = {
+        "M13_dn": dn.copy(),
+        "M13_bt_lut": lut,
+        "M13_dn_attrs": np.array([fixtures.M13_SCALE_FACTOR, fixtures.M13_ADD_OFFSET]),
+    }
+    kernels.decode_dn(g, "M13")
+    rad = g["M13_rad"]
+    assert np.isnan(rad[0, 0])
+    ok = np.isfinite(rad)
+    # quantization bounded by half a scale step
+    assert np.abs(rad[ok] - truth[ok]).max() <= fixtures.M13_SCALE_FACTOR / 2 + 1e-12
+    # BT comes from the LUT gather, not a fresh Planck inversion
+    assert np.array_equal(g["BTM13"][ok], lut[dn[ok]].astype(np.float64))
+    assert np.isnan(g["BTM13"][0, 0])
+    # QF invalidation nulls the LUT BT alongside the radiance
+    g2 = dict(g)
+    g2["M13_quality_flags"] = np.zeros_like(dn, dtype=np.uint8)
+    g2["M13_quality_flags"][1, 1] = 128
+    g2["latitude"] = np.full(dn.shape, 20.0)
+    g2["land_water_mask"] = np.ones(dn.shape, dtype=np.int8)
+    kernels.qa_invalidate(g2)
+    assert np.isnan(g2["M13_rad"][1, 1]) and np.isnan(g2["BTM13"][1, 1])
