@@ -41,6 +41,12 @@ HEADLINE = [
     "text_analysis",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "embedding_neardup",
+    # round-2 additions
+    "ntl_climatology",
+    "frame_sample",
+    "media_features",
+    "geos_fp_urls",
 ]
 
 

@@ -47,7 +47,7 @@ def _geom_for(sf_dir: str) -> dict:
 
 # bump when fixtures.py changes the corpus content (stale cached corpora
 # otherwise poison runs — media vars, emissivity/static tables, etc.)
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 
 
 def corpus_dir(geom: dict) -> str:
@@ -93,8 +93,21 @@ def fire_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fire_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-granule fire-mask/QA raster blobs, projected through crc32 per
+    raster so the driver hashes scalar fingerprints of the exact bytes
+    (the blobs themselves are written by the runner sinks)."""
+    from pyspark.sql import functions as F
+
     geom = _geom_for(sf_dir)
-    return pipeline.detect_masks(spark, corpus_dir(geom), _nl(geom))
+    masks = pipeline.detect_masks(spark, corpus_dir(geom), _nl(geom))
+    return masks.select(
+        "doc_id",
+        "nrow",
+        "ncol",
+        F.crc32("mask_img").alias("crc_img"),
+        F.crc32("mask_mod").alias("crc_mod"),
+        F.crc32("qa").alias("crc_qa"),
+    )
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,11 +121,27 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean resize; the driver entry projects the binary payload
+    through crc32 (Spark's crc32 == zlib's CRC-32) so the output is fully
+    scalar and hash-checkable against the numpy-oracle twin."""
+    from pyspark.sql import functions as F
+
     from filda_spark import multimodal, pipeline
 
     geom = _geom_for(sf_dir)
     media = pipeline.load_media(spark, corpus_dir(geom))
-    return multimodal.media_resize(media, factor=2)
+    out = multimodal.media_resize(media, factor=2)
+    return out.select("media_ref", "doc_id", "h", "w", F.crc32("data").alias("crc32"))
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the corpus's raw frame-stack payloads
+    (every 2nd frame -> per-frame stats; multimodal.frame_sample)."""
+    from filda_spark import multimodal, pipeline
+
+    geom = _geom_for(sf_dir)
+    media = pipeline.load_media(spark, corpus_dir(geom))
+    return multimodal.frame_sample(media, every_n=2)
 
 
 def fire_detections_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +237,7 @@ def ensure_fire_oracles() -> str:
     import shutil
     import uuid
 
-    od = f"{corpus_dir(TEST_GEOM)}/_oracle_v2"
+    od = f"{corpus_dir(TEST_GEOM)}/_oracle_v3"
     if os.path.exists(f"{od}/_DONE"):
         return od
     from filda_spark import fixtures, mcbef, oracle
@@ -239,6 +268,30 @@ def ensure_fire_oracles() -> str:
         media_pdf = pd.read_parquet(f"{tmp_corpus}/media.parquet")
         feats = pd.concat(list(multimodal.extract_features([media_pdf])), ignore_index=True)
         feats.to_parquet(f"{tmp}/media_features.parquet", index=False)
+        frames = pd.concat(
+            list(multimodal.make_frame_sample_fn(2)([media_pdf])), ignore_index=True
+        )
+        frames.to_parquet(f"{tmp}/frame_sample.parquet", index=False)
+        import zlib
+
+        rez = pd.concat(
+            list(multimodal.make_resize_fn(2)([media_pdf])), ignore_index=True
+        )
+        rez["crc32"] = [zlib.crc32(b) for b in rez.pop("data")]
+        rez.to_parquet(f"{tmp}/media_resize.parquet", index=False)
+        mrows = []
+        for doc_id, r in res["per_doc"].items():
+            mrows.append(
+                dict(
+                    doc_id=doc_id,
+                    nrow=r["mask_img"].shape[0],
+                    ncol=r["mask_img"].shape[1],
+                    crc_img=zlib.crc32(r["mask_img"].tobytes()),
+                    crc_mod=zlib.crc32(r["mask_mod"].tobytes()),
+                    crc_qa=zlib.crc32(r["qa"].tobytes()),
+                )
+            )
+        pd.DataFrame(mrows).to_parquet(f"{tmp}/fire_masks.parquet", index=False)
         open(f"{tmp}/_DONE", "w").write("ok")
         if not os.path.exists(f"{od}/_DONE"):
             os.replace(tmp, od)
@@ -288,6 +341,9 @@ def oracles() -> dict[str, str]:
         "mcbef_state": f"SELECT * FROM read_parquet('{od}/mcbef_state.parquet')",
         "mcbef_sample": f"SELECT * FROM read_parquet('{od}/mcbef_sample.parquet')",
         "media_features": f"SELECT * FROM read_parquet('{od}/media_features.parquet')",
+        "frame_sample": f"SELECT * FROM read_parquet('{od}/frame_sample.parquet')",
+        "media_resize": f"SELECT * FROM read_parquet('{od}/media_resize.parquet')",
+        "fire_masks": f"SELECT * FROM read_parquet('{od}/fire_masks.parquet')",
     }
 
 
@@ -301,4 +357,5 @@ QUERIES = {
     "fire_masks": fire_masks,
     "media_features": media_features,
     "media_resize": media_resize,
+    "frame_sample": frame_sample,
 }

@@ -215,6 +215,15 @@ def make_granule(p: dict) -> tuple[dict, dict]:
     az = np.where(np.arange(W_M)[None, :] < W_M / 2, 98.5, -81.5) + 0.01 * np.arange(H_M)[:, None]
     g["sensor_azimuth"] = az.astype(np.float32)
 
+    # --- fake raw-video track (multimodal frame_sample plumbing): 6 frames
+    # of a coarse DNB-like scene evolving deterministically per frame; an
+    # uncompressed stand-in for the compressed-video codec seam
+    rng_v = np.random.default_rng(7000 + p["pair"] * 7 + (1 if p["day"] else 0))
+    base = np.abs(rng_v.normal(0.4, 0.15, (H_M // 4, W_M // 4))).astype(np.float32)
+    g["DNB_video"] = np.stack(
+        [base * (1.0 + 0.1 * t) + np.float32(0.01 * t) for t in range(6)]
+    ).astype(np.float32)
+
     # --- DN->radiance/BT decode seam for M13 (FILDA_IO.py:631-644, 767-797):
     # the corpus ships the emissive band as uint16 DN + scale/offset attrs +
     # a file-embedded brightness-temperature LUT; the decode kernel
@@ -480,7 +489,7 @@ MEDIA_VARS = {
         "sensor_azimuth",
     ],
     "observation_data": [f"{b}_rad" for b in M_BANDS if b != "M13"]
-    + ["M13_dn", "M13_bt_lut", "M13_dn_attrs"]
+    + ["M13_dn", "M13_bt_lut", "M13_dn_attrs", "DNB_video"]
     + [
         "I04_rad",
         "I05_rad",

@@ -165,11 +165,21 @@ def _mats():
     return _FIRE_MAT, _BG_MAT
 
 
-def _band_radiances_mat(mat: dict, temps: np.ndarray, c_scale: float, vza_deg: float) -> np.ndarray:
+def _atten_of(mat: dict, c_scale: float, vza_deg: float) -> np.ndarray:
+    """Per-λ atmospheric attenuation — fixed during a fire's sampling run
+    (C and vza do not vary with the proposal), so the sampler precomputes it
+    once instead of re-exponentiating every Metropolis step."""
+    airmass = np.cos(np.deg2rad(vza_deg))
+    return np.exp(-(c_scale * mat["tau_wvp"] / STD_WVP_MASS + mat["tau_gas"]) / airmass)
+
+
+def _band_radiances_mat(
+    mat: dict, temps: np.ndarray, c_scale: float, vza_deg: float, atten: np.ndarray | None = None
+) -> np.ndarray:
     """(n_phase, n_band) attenuated band radiances — vectorized twin of
     band_radiance over a band matrix."""
-    airmass = np.cos(np.deg2rad(vza_deg))
-    atten = np.exp(-(c_scale * mat["tau_wvp"] / STD_WVP_MASS + mat["tau_gas"]) / airmass)
+    if atten is None:
+        atten = _atten_of(mat, c_scale, vza_deg)
     out = np.empty((temps.size, mat["norm"].size))
     for j, t in enumerate(temps):
         prod = kernels.planck_rad(mat["lam"], float(t)) * atten * mat["rsr"]
@@ -234,22 +244,24 @@ def _seed(doc_id: str, line: int, sample: int) -> int:
     return int.from_bytes(h[:8], "big")
 
 
-def _fire_model(temps: np.ndarray, fracs: np.ndarray, c_scale: float, vza: float) -> np.ndarray:
+def _fire_model(
+    temps: np.ndarray, fracs: np.ndarray, c_scale: float, vza: float, atten: np.ndarray | None = None
+) -> np.ndarray:
     """Background-subtracted fire band signal: sum_i frac_i * bandrad(T_i)
     (get_band_biphasic_radiance_tensor — no emissivity, no background term)."""
     fire_mat, _ = _mats()
-    rad = _band_radiances_mat(fire_mat, temps, c_scale, vza)  # (n_phase, n_band)
+    rad = _band_radiances_mat(fire_mat, temps, c_scale, vza, atten)  # (n_phase, n_band)
     return fracs @ rad
 
 
-def _fire_ll(x, obs, sigma, c_scale, vza, area, frp, frp_sigma, biphasic):
+def _fire_ll(x, obs, sigma, c_scale, vza, area, frp, frp_sigma, biphasic, atten=None):
     if biphasic:
         temps = np.array([x[0], x[2]])
         fracs = np.array([x[1], x[3]])
     else:
         temps = np.array([x[0]])
         fracs = np.array([x[1]])
-    model = _fire_model(temps, fracs, c_scale, vza)
+    model = _fire_model(temps, fracs, c_scale, vza, atten)
     r = (model - obs) / sigma
     ll = -0.5 * float(np.sum(r * r))
     model_frp = float(area * kernels.SIGMA_SB * np.sum(fracs * temps**4) * 1e-6)
@@ -271,18 +283,20 @@ def metropolis(obs, sigma, c_scale, vza, area, frp, frp_sigma, seed: int, biphas
     ndim = lo.size
     x0 = (lo + hi) / 2.0
     step0 = (hi - lo) * 0.02
+    fire_mat, _ = _mats()
+    atten = _atten_of(fire_mat, c_scale, vza)  # fixed during the run
     draws = np.empty((N_CHAINS, N_DRAWS, ndim))
     for c in range(N_CHAINS):
         rng = np.random.default_rng((seed + c) % (2**63))
         x = x0.copy()
         step = step0.copy()
-        ll = _fire_ll(x, obs, sigma, c_scale, vza, area, frp, frp_sigma, biphasic)
+        ll = _fire_ll(x, obs, sigma, c_scale, vza, area, frp, frp_sigma, biphasic, atten)
         if not np.isfinite(ll):
             raise SamplerFailure("non-finite likelihood at init")
         n_acc = 0
         for it in range(N_TUNE + N_DRAWS):
             prop = np.clip(x + rng.normal(0.0, 1.0, ndim) * step, lo, hi)
-            ll_p = _fire_ll(prop, obs, sigma, c_scale, vza, area, frp, frp_sigma, biphasic)
+            ll_p = _fire_ll(prop, obs, sigma, c_scale, vza, area, frp, frp_sigma, biphasic, atten)
             if np.log(rng.uniform()) < ll_p - ll:
                 x, ll = prop, ll_p
                 n_acc += 1

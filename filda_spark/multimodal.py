@@ -26,15 +26,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# media kinds the engine recognises; only 'raster' is decodable in-container
-DECODABLE_KINDS = {"raster"}
+# media kinds the engine recognises; raster + raw (uncompressed) video are
+# decodable in-container, compressed media kinds are the codec seam
+DECODABLE_KINDS = {"raster", "video_raw"}
 STUB_KINDS = {"image", "audio", "video"}
 
 
 def media_kind(var: str) -> str:
-    """Typed-metadata inference from the variable name (fixture corpus media
-    are all rasters; image/audio/video arrive with explicit kind tags)."""
-    return "raster"
+    """Typed-metadata inference from the variable name: ``*_video`` payloads
+    are raw frame stacks (shape (T, H, W)); everything else in the fixture
+    corpus is a raster. Compressed image/audio/video arrive with explicit
+    kind tags and hit the codec stub."""
+    return "video_raw" if var.endswith("_video") else "raster"
 
 
 def decode_media(kind: str, payload: bytes, dtype: str, shape: list[int]) -> np.ndarray:
@@ -148,9 +151,58 @@ def media_resize(media: DataFrame, factor: int = 2) -> DataFrame:
     return media.mapInPandas(make_resize_fn(factor), schema=RESIZE_SCHEMA)
 
 
-def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — STUB: needs a video codec. The plumbing
-    contract is the same mapInPandas shape as media_resize."""
-    raise NotImplementedError(
-        "frame_sample needs a video decoder; wire it through mapInPandas like media_resize"
-    )
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("f_mean", T.DoubleType()),
+        T.StructField("f_std", T.DoubleType()),
+        T.StructField("f_min", T.DoubleType()),
+        T.StructField("f_max", T.DoubleType()),
+    ]
+)
+
+
+def make_frame_sample_fn(every_n: int):
+    """mapInPandas kernel: sample every ``every_n``-th frame of each raw
+    video payload (shape (T, H, W)) and emit per-frame summary rows. For a
+    compressed video kind this same plumbing runs behind decode_media's
+    codec seam — only the byte->frames step changes."""
+
+    def sample(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for r in pdf.itertuples():
+                kind = media_kind(r.var)
+                if kind not in ("video_raw", "video"):
+                    continue
+                arr = decode_media(kind, bytes(r.data), r.dtype, list(r.shape))
+                if arr.ndim != 3:
+                    continue
+                for idx in range(0, arr.shape[0], every_n):
+                    frame = arr[idx].astype(np.float64)
+                    rows.append(
+                        dict(
+                            media_ref=r.media_ref,
+                            doc_id=r.doc_id,
+                            frame_idx=idx,
+                            h=frame.shape[0],
+                            w=frame.shape[1],
+                            f_mean=float(frame.mean()),
+                            f_std=float(frame.std()),
+                            f_min=float(frame.min()),
+                            f_max=float(frame.max()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return sample
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling over raw frame-stack payloads (map-only;
+    compressed codecs drop into decode_media's stub seam)."""
+    return media.mapInPandas(make_frame_sample_fn(every_n), schema=FRAME_SCHEMA)

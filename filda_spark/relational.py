@@ -813,6 +813,37 @@ def pivot_status_counts(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "geos_fp_urls",
+    f"""
+    WITH d AS (SELECT DISTINCT o_orderdate AS day FROM orders ORDER BY day LIMIT 3),
+    h AS (SELECT unnest(range(0, 24)) AS ih),
+    c AS (SELECT unnest(['tavg1_2d_flx_Nx','tavg1_2d_lnd_Nx','tavg1_2d_rad_Nx','tavg1_2d_slv_Nx']) AS coln)
+    SELECT day,
+           'https://portal.nccs.nasa.gov/datashare/gmao/geos-fp/das/'
+           || 'Y' || strftime(day, '%Y') || '/M' || strftime(day, '%m')
+           || '/D' || strftime(day, '%d') || '/GEOS.fp.asm.' || coln || '.'
+           || strftime(day, '%Y%m%d') || '_'
+           || lpad(CAST(ih AS VARCHAR), 2, '0') || '30.V01.nc4' AS url
+    FROM d, h, c
+    """,
+    doc="GEOS-FP tavg1 input-manifest URLs per date (GEOS_FP.py:42-108 string planner)",
+)
+def geos_fp_urls(spark, sf_dir):
+    from filda_spark.functions.urls import tavg1_urls
+
+    dates = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").alias("d"))
+        .distinct()
+        .orderBy("d")
+        .limit(3)
+    )
+    return tavg1_urls(dates, "d").select(F.col("day"), F.col("url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

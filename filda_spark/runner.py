@@ -89,6 +89,25 @@ def _expand_cells(cells: DataFrame, eps: float = spatial.DEDUP_EPS_DEG) -> DataF
     )
 
 
+def _cell_tiles(cells: DataFrame) -> DataFrame:
+    """Candidate hXXvYY tiles containing any point of each cell (all four
+    corners — a cell can straddle a 10-deg tile edge)."""
+    lvl = grids.cell_level(F.col("_cell"))
+    x, y = grids.cell_xy(F.col("_cell"))
+    n = F.pow(F.lit(2.0), lvl.cast("double"))
+    eps = F.lit(1e-9)
+    lat_n = F.lit(90.0) - y.cast("double") / n * F.lit(180.0) - eps
+    lat_s = F.lit(90.0) - (y.cast("double") + 1) / n * F.lit(180.0) + eps
+    lon_w = x.cast("double") / n * F.lit(360.0) - F.lit(180.0) + eps
+    lon_e = (x.cast("double") + 1) / n * F.lit(360.0) - F.lit(180.0) - eps
+    corners = [
+        grids.pc_tile_name(la, lo)
+        for la in (lat_n, lat_s)
+        for lo in (lon_w, lon_e)
+    ]
+    return cells.select(F.explode(F.array(*corners)).alias("t"))
+
+
 def _read_state(spark: SparkSession, out_dir: str) -> DataFrame | None:
     try:
         return spark.read.parquet(f"{out_dir}/dedup_state")
@@ -121,7 +140,20 @@ def update_dedup_incremental(spark: SparkSession, out_dir: str, batch: DataFrame
     ring1 = _expand_cells(touched)
     ring2 = _expand_cells(ring1)
 
-    store = spark.read.parquet(f"{out_dir}/detections").withColumn("_cell", _det_cell())
+    # static partition pruning: the store is partitioned by tile_id (10-deg
+    # Plate-Carree), so the candidate tiles of the ring2 cells — a small,
+    # geography-bounded set (<= 648 globally) — prune the scan to the
+    # batch's spatial footprint before any row is read. Collected as
+    # literals deliberately: unlike the doc_id frontier this set cannot
+    # grow with data volume.
+    tiles_aff = sorted(
+        r.t for r in _cell_tiles(ring2).select(F.col("t")).distinct().collect()
+    )
+    store = (
+        spark.read.parquet(f"{out_dir}/detections")
+        .filter(F.col("tile_id").isin(tiles_aff))
+        .withColumn("_cell", _det_cell())
+    )
     sub = store.join(F.broadcast(ring2), "_cell", "left_semi")
     sub_dd = pipeline.dedup(sub)
     new_state = sub_dd.join(F.broadcast(ring1), "_cell", "left_semi").select(

@@ -37,7 +37,22 @@ def test_media_resize_block_mean(spark, corpus):
 def test_stub_kinds_raise():
     with pytest.raises(NotImplementedError, match="codec"):
         multimodal.decode_media("image", b"\x00", "uint8", [1])
-    with pytest.raises(NotImplementedError):
-        multimodal.frame_sample(None)
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_media("video", b"\x00", "uint8", [1])  # compressed seam
     with pytest.raises(ValueError):
         multimodal.decode_media("bogus", b"\x00", "uint8", [1])
+
+
+def test_frame_sample_raw_video(spark, corpus):
+    media = pipeline.load_media(spark, corpus["dir"])
+    out = multimodal.frame_sample(media, every_n=2).toPandas()
+    vids = media.filter("var = 'DNB_video'").toPandas()
+    assert len(vids) > 0
+    # 6 frames sampled every 2 -> frames 0, 2, 4 per video payload
+    assert len(out) == 3 * len(vids)
+    assert sorted(out.frame_idx.unique()) == [0, 2, 4]
+    r = vids.iloc[0]
+    arr = np.frombuffer(bytes(r["data"]), dtype=r["dtype"]).reshape(tuple(r["shape"]))
+    got = out[(out.media_ref == r["media_ref"]) & (out.frame_idx == 2)].iloc[0]
+    assert got.f_mean == arr[2].astype(np.float64).mean()
+    assert (got.h, got.w) == arr.shape[1:]
