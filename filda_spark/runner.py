@@ -136,6 +136,30 @@ def update_dedup_incremental(spark: SparkSession, out_dir: str, batch: DataFrame
     Cost is O(|batch neighborhood|) regardless of store size — the full
     rebuild the north rule's resume semantics would otherwise force on
     every micro-batch."""
+    old = _read_state(spark, out_dir)
+    if old is None:
+        # bulk load (no prior state): every cell is "touched" — the ring
+        # machinery would select the whole store anyway, so dedup it
+        # directly and skip the expansion/pruning jobs (they only pay for
+        # themselves once the store outgrows the batch)
+        store = spark.read.parquet(f"{out_dir}/detections").withColumn("_cell", _det_cell())
+        new_state = pipeline.dedup(store).select(
+            "tile_id", *STATE_KEY, "is_dup", "dup_of", "_cell"
+        )
+        merged = new_state
+        stage = f"{out_dir}/_state_stage_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(stage)
+        merged = spark.read.parquet(stage)
+        merged.write.mode("overwrite").partitionBy("tile_id").parquet(f"{out_dir}/dedup_state")
+        joined = store.join(merged.select(*STATE_KEY, "is_dup"), STATE_KEY, "inner")
+        pipeline.tiles(joined).write.mode("overwrite").partitionBy("tile_id").parquet(
+            f"{out_dir}/tiles"
+        )
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+
     touched = batch.select(_det_cell().alias("_cell")).distinct()
     ring1 = _expand_cells(touched)
     ring2 = _expand_cells(ring1)
@@ -160,17 +184,13 @@ def update_dedup_incremental(spark: SparkSession, out_dir: str, batch: DataFrame
         "tile_id", *STATE_KEY, "is_dup", "dup_of", "_cell"
     )
 
-    old = _read_state(spark, out_dir)
-    if old is not None:
-        affected_tiles = new_state.select("tile_id").distinct()
-        keep = (
-            old.join(F.broadcast(affected_tiles), "tile_id", "left_semi")
-            .join(F.broadcast(ring1), "_cell", "left_anti")
-            .select("tile_id", *STATE_KEY, "is_dup", "dup_of", "_cell")
-        )
-        merged = keep.unionByName(new_state)
-    else:
-        merged = new_state
+    affected_tiles = new_state.select("tile_id").distinct()
+    keep = (
+        old.join(F.broadcast(affected_tiles), "tile_id", "left_semi")
+        .join(F.broadcast(ring1), "_cell", "left_anti")
+        .select("tile_id", *STATE_KEY, "is_dup", "dup_of", "_cell")
+    )
+    merged = keep.unionByName(new_state)
 
     # stage first: the merged plan reads dedup_state, which the dynamic
     # overwrite below rewrites — Spark cannot overwrite a path it is reading

@@ -95,3 +95,55 @@ def test_pip_square_analytic(clat, clon, half):
     pts_lon = np.array([clon, clon, clon + 0.5 * half])
     inside = spatial.point_in_polygon_np(pts_lat, pts_lon, poly_lat, poly_lon)
     assert inside[0] and not inside[1] and inside[2]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(-85.0, 85.0),
+    st.floats(-180.0, 179.99),
+    st.floats(0.0, 1.0),
+    st.floats(0.0, 2 * np.pi),
+)
+def test_lon_ring_halfwidth_covers_eps(lat_b, lon_b, r_frac, theta):
+    """The latitude-aware ring formula (grids.lon_ring_halfwidth twin, pure
+    python): for ANY pair within eps of cos-corrected distance, the
+    longitudinal cell distance between the two level-14 cells is <= kx
+    computed at the RIGHT point's latitude — i.e. the dedup join's exploded
+    ring always reaches the partner's cell."""
+    import math
+
+    eps = spatial.DEDUP_EPS_DEG
+    level = 14
+    cell_w = 360.0 / (1 << level)
+    # place point a at distance r_frac*eps in direction theta from b,
+    # under the metric dlat^2 + (dlon*cos(lat_a))^2
+    dlat = r_frac * eps * math.sin(theta)
+    lat_a = np.clip(lat_b + dlat, -85.0, 85.0)
+    coslat_a = math.cos(math.radians(lat_a))
+    dlon = r_frac * eps * math.cos(theta) / max(coslat_a, 1e-6)
+    lon_a = lon_b + dlon
+    if not (-180.0 <= lon_a < 180.0):
+        return  # wrap handled by the modular arithmetic, skip here
+    # the formula under test (mirrors grids.lon_ring_halfwidth)
+    cos_m = math.cos(math.radians(min(abs(lat_b) + eps, 89.9)))
+    kx = math.floor(eps / (cos_m * cell_w)) + 1
+    xa = int(np.clip(np.floor((lon_a + 180.0) / 360.0 * (1 << level)), 0, (1 << level) - 1))
+    xb = int(np.clip(np.floor((lon_b + 180.0) / 360.0 * (1 << level)), 0, (1 << level) - 1))
+    assert abs(xa - xb) <= kx
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(20, 400))
+def test_hdi_contains_95(seed, n):
+    """mcbef.hdi_95: the interval covers >= floor(0.95 n) draws and is the
+    narrowest such window."""
+    from filda_spark import mcbef
+
+    x = np.random.default_rng(seed).normal(0, 1, n) * (1 + seed % 3)
+    lo, up = mcbef.hdi_95(x)
+    k = max(int(np.floor(0.95 * n)), 1)
+    inside = ((x >= lo) & (x <= up)).sum()
+    assert inside >= k
+    s = np.sort(x)
+    widths = s[k - 1 :] - s[: n - k + 1]
+    assert (up - lo) <= widths.min() + 1e-12
