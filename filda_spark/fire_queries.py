@@ -74,9 +74,20 @@ def _nl(geom: dict) -> dict:
     return make_namelist(dyn_win_dim=geom["dyn_win_dim"])
 
 
+# per-process memo of the staged enriched+deduped detections: five driver
+# entries (fire_detections/_mod/tiles/mcbef_state/mcbef_sample) consume the
+# same deterministic pipeline output — materialize it once per corpus and
+# re-read the parquet (keyed by corpus dir + Spark app id so a new session
+# or geometry recomputes)
+_DET_STAGE_CACHE: dict[tuple[str, str], str] = {}
+
+
 def fire_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
     geom = _geom_for(sf_dir)
     d = corpus_dir(geom)
+    key = (d, spark.sparkContext.applicationId)
+    if key in _DET_STAGE_CACHE:
+        return spark.read.parquet(_DET_STAGE_CACHE[key])
     det = pipeline.detect_detections(spark, d, _nl(geom))
     # enrich's semi-join reduction and dedup's self-join re-reference the
     # detections several times — stage the raw detect output to parquet once
@@ -85,7 +96,10 @@ def fire_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.mkdtemp(prefix="filda_stage_"), "detections")
     det.write.mode("overwrite").parquet(stage)
     det = pipeline.enrich(spark, spark.read.parquet(stage), d)
-    return pipeline.dedup(det)
+    final = os.path.join(tempfile.mkdtemp(prefix="filda_stage_"), "deduped")
+    pipeline.dedup(det).write.mode("overwrite").parquet(final)
+    _DET_STAGE_CACHE[key] = final
+    return spark.read.parquet(final)
 
 
 def fire_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,6 +186,69 @@ def mcbef_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     det = mcbef.prepare(spark, fire_detections(spark, sf_dir), corpus_dir(geom))
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return mcbef.estimate_samples(det, n_parts)
+
+
+def _hotspot_stream_dir() -> str:
+    """Deterministic 4-batch detection stream for the stateful streaming
+    tracker (one parquet file per micro-batch; no NaN powers — DuckDB's max
+    treats NaN as +inf while the kernel skips it)."""
+    import pandas as pd
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    d = f"{CACHE_ROOT}/hotspot_stream_v1"
+    if not os.path.exists(f"{d}/_DONE"):
+        tmp = f"{d}.tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        for b in range(4):
+            rows = []
+            for c in range(40):
+                # cell c appears in batch b iff b < (c % 5) + 1 -> cells
+                # recur in 1..5 consecutive batches (persistence mix)
+                if b < (c % 5) + 1:
+                    rows.append(
+                        dict(cell_r7=1000 + c, FP_Power=float((c * 37 + b * 11) % 100) / 4.0 + 1.0)
+                    )
+                    if c % 3 == 0:
+                        rows.append(dict(cell_r7=1000 + c, FP_Power=float((c + b) % 7) + 0.5))
+            pd.DataFrame(rows).to_parquet(f"{tmp}/b{b}.parquet", index=False)
+        open(f"{tmp}/_DONE", "w").write("ok")
+        if not os.path.exists(f"{d}/_DONE"):
+            os.replace(tmp, d)
+        else:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def hotspot_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful Structured Streaming: per-cell hotspot state accumulated
+    across micro-batches via applyInPandasWithState (streaming.hotspot_
+    tracker); drained with availableNow (one file per trigger) into a
+    memory sink. The DuckDB oracle recomputes every per-batch state row
+    with window functions over the same batch files."""
+    import uuid as _uuid
+
+    from filda_spark import streaming
+
+    d = _hotspot_stream_dir()
+    qname = f"hotspots_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("cell_r7 long, FP_Power double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming.hotspot_tracker(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(prefix="filda_hs_ck_"), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
 
 
 NTL_ARGS = dict(n_tiles=2, cells=16, year=2019, month=8)
@@ -332,8 +409,30 @@ def oracles() -> dict[str, str]:
            round(m / ((1 + sqrt(1 + 4*(ln(m)-ml)/3)) / (4*(ln(m)-ml))), 6) AS gamma_beta
     FROM g WHERE n_days >= (CASE WHEN {vid} < {ntl.HIGH_LAT_VID_MAX} THEN {h_min} ELSE {n_min} END)
     """
+    hs = _hotspot_stream_dir()
+    hotspot_sql = f"""
+    WITH det AS (
+      SELECT cell_r7, FP_Power,
+             CAST(regexp_extract(filename, 'b(\\d+)\\.parquet', 1) AS INT) AS b
+      FROM read_parquet('{hs}/b*.parquet', filename=true)
+    ), per AS (
+      SELECT cell_r7, b, count(*) AS n, max(FP_Power) AS mx
+      FROM det GROUP BY cell_r7, b
+    ), agg AS (
+      SELECT cell_r7, b,
+             CAST(row_number() OVER w AS INT) AS n_batches,
+             CAST(sum(n) OVER w AS BIGINT) AS n_detections,
+             max(mx) OVER w AS max_frp
+      FROM per
+      WINDOW w AS (PARTITION BY cell_r7 ORDER BY b ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT cell_r7, n_batches, n_detections, max_frp,
+           n_batches >= 3 AS persistent
+    FROM agg
+    """
     od = ensure_fire_oracles()
     return {
+        "hotspot_track": hotspot_sql,
         "ntl_climatology": ntl_sql,
         "fire_detections": f"SELECT * FROM read_parquet('{od}/detections.parquet')",
         "fire_detections_mod": f"SELECT * FROM read_parquet('{od}/detections_mod.parquet')",
@@ -358,4 +457,5 @@ QUERIES = {
     "media_features": media_features,
     "media_resize": media_resize,
     "frame_sample": frame_sample,
+    "hotspot_track": hotspot_track,
 }

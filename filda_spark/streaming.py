@@ -47,6 +47,79 @@ DOC_STREAM_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Stateful hotspot tracker (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+HOTSPOT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("cell_r7", T.LongType()),
+        T.StructField("n_batches", T.IntegerType()),
+        T.StructField("n_detections", T.LongType()),
+        T.StructField("max_frp", T.DoubleType()),
+        T.StructField("persistent", T.BooleanType()),
+    ]
+)
+HOTSPOT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_batches", T.IntegerType()),
+        T.StructField("n_detections", T.LongType()),
+        T.StructField("max_frp", T.DoubleType()),
+    ]
+)
+PERSISTENT_AFTER = 3  # re-observed in >= 3 micro-batches => persistent source
+
+
+def _hotspot_update(key, pdfs, state):
+    """Per-cell running aggregate across micro-batches: batches seen,
+    detection count, max FRP; flags cells re-observed PERSISTENT_AFTER+
+    times (gas flares / urban lights — the reference's static-source
+    notion, MCBEF_IO.py:387-409, expressed as streaming state)."""
+    import pandas as pd  # executor-side
+
+    n_new = 0
+    frp_new = float("-inf")
+    for pdf in pdfs:
+        n_new += len(pdf)
+        if len(pdf):
+            m = pdf["FP_Power"].max()
+            if pd.notna(m):
+                frp_new = max(frp_new, float(m))
+    n_batches, n_det, max_frp = (state.get if state.exists else (0, 0, float("-inf")))
+    n_batches += 1
+    n_det += n_new
+    max_frp = max(max_frp, frp_new)
+    state.update((n_batches, n_det, max_frp))
+    yield pd.DataFrame(
+        [
+            dict(
+                cell_r7=key[0],
+                n_batches=n_batches,
+                n_detections=n_det,
+                max_frp=max_frp if max_frp != float("-inf") else float("nan"),
+                persistent=n_batches >= PERSISTENT_AFTER,
+            )
+        ]
+    )
+
+
+def hotspot_tracker(det_stream):
+    """Streaming stateful operator over a detection stream: groupBy cell_r7
+    + applyInPandasWithState. State lives in the streaming state store
+    (checkpointed, exactly-once across restarts); each micro-batch emits the
+    updated tracker row for every cell it touched."""
+    return (
+        det_stream.groupBy("cell_r7")
+        .applyInPandasWithState(
+            _hotspot_update,
+            outputStructType=HOTSPOT_OUT_SCHEMA,
+            stateStructType=HOTSPOT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def stream_ingest(
     spark: SparkSession,
     stream_dir: str,

@@ -45,3 +45,48 @@ def test_stream_equals_batch(spark, corpus, nl, tmp_path):
     c = runner.read_results(spark, out_stream)["detections"].toPandas()
     assert len(c) == len(a)  # no duplicate rows appended
     assert runner.read_lineage(spark, out_stream).count() == lin_before
+
+
+def test_hotspot_tracker_stateful(spark, tmp_path):
+    """applyInPandasWithState hotspot tracker: per-cell state accumulates
+    across micro-batches (one file per trigger) and the persistence flag
+    flips after PERSISTENT_AFTER re-observations."""
+    import numpy as np
+
+    src = tmp_path / "det_stream"
+    os.makedirs(src)
+    # cell A appears in all 4 batches, cell B only in batch 0
+    batches = []
+    for b in range(4):
+        rows = [dict(cell_r7=100, FP_Power=float(10 + b))]
+        if b == 0:
+            rows.append(dict(cell_r7=200, FP_Power=5.0))
+        rows.append(dict(cell_r7=100, FP_Power=float(np.nan)))
+        batches.append(rows)
+        pd.DataFrame(batches[-1]).to_parquet(src / f"b{b}.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("cell_r7 long, FP_Power double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming.hotspot_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("hotspots")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM hotspots").toPandas()
+    a = out[out.cell_r7 == 100].sort_values("n_batches").reset_index(drop=True)
+    # state accumulated monotonically across the 4 batches
+    assert a.n_batches.tolist() == [1, 2, 3, 4]
+    assert a.n_detections.tolist() == [2, 4, 6, 8]
+    assert a.max_frp.tolist() == [10.0, 11.0, 12.0, 13.0]
+    assert a.persistent.tolist() == [False, False, True, True]
+    b_rows = out[out.cell_r7 == 200]
+    assert len(b_rows) == 1 and not b_rows.iloc[0].persistent
+    assert b_rows.iloc[0].n_detections == 1
