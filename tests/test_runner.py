@@ -128,3 +128,33 @@ def test_incremental_dedup_equals_full_rebuild(spark, corpus, nl, tmp_path):
     )
     assert tiles_got.n_fires.tolist() == tiles_ref.n_fires.tolist()
     assert np.allclose(tiles_got.total_frp, tiles_ref.total_frp, equal_nan=True)
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    """writeCSV parity (FILDA_IO.py:1613-1624): header, sorted columns,
+    lossless for the detection-table primitives."""
+    from filda_spark import sinks
+
+    pdf = pd.DataFrame(
+        dict(
+            doc_id=["b", "a"],
+            FP_Line=[2, 1],
+            FP_Power=[1.5, float("nan")],
+            FP_Status=[7, 5],
+        )
+    )
+    p = str(tmp_path / "det_csv")
+    sinks.write_csv(spark.createDataFrame(pdf), p, single_file=True)
+    back = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(p)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(back.columns) == sorted(pdf.columns)
+    ref = pdf.sort_values("doc_id").reset_index(drop=True)
+    assert back.doc_id.tolist() == ref.doc_id.tolist()
+    assert back.FP_Line.tolist() == ref.FP_Line.tolist()
+    assert np.array_equal(back.FP_Power.to_numpy(), ref.FP_Power.to_numpy(), equal_nan=True)
