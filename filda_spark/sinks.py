@@ -1,16 +1,22 @@
-"""Auxiliary sinks beyond the parquet stores (reference: writeCSV /
-dict2csv, FILDA_IO.py:1613-1624 / MCBEF_IO.py:564-574 — pandas CSV dumps of
-the detection and State tables).
+"""Auxiliary sinks beyond the parquet stores:
 
-NetCDF sinks (write_nc, FILDA_IO.py:1475-1563; dict2nc, MCBEF_IO.py:588-697)
-remain a documented seam: this container ships no netCDF4, and the engine's
-canonical store is partitioned parquet — the typed column dictionary the
-NetCDF writer would consume is `oracle.DET_COLUMNS` / `mcbef.STATE_FIELDS`.
+- CSV (reference: writeCSV / dict2csv, FILDA_IO.py:1613-1624 /
+  MCBEF_IO.py:564-574);
+- NetCDF detections file (reference: write_nc + aux_infor_dict,
+  FILDA_IO.py:1475-1563, 1337-1471) via the from-scratch classic CDF-1
+  encoder in `filda_spark.netcdf3` (the container ships no netCDF4/HDF5;
+  classic-format deviations documented there). The engine's canonical
+  store remains partitioned parquet — this sink exists for file-level
+  product parity.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
+
+from filda_spark import netcdf3
 
 
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
@@ -22,3 +28,123 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     if single_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").option("header", True).csv(path)
+
+
+# Typed output dictionary for the NetCDF product — (dtype, units, long name)
+# per emitted column, mirroring aux_infor_dict (FILDA_IO.py:1337-1471):
+# i1/i2 counters+flags, f4 geophysical values, u4 packed QA.
+AUX_INFO = {
+    "FP_Line": ("i2", "none", "Granule line of fire pixel"),
+    "FP_Sample": ("i2", "none", "Granule sample of fire pixel"),
+    "FP_Latitude": ("f4", "degrees_north", "Latitude of fire pixel"),
+    "FP_Longitude": ("f4", "degrees_east", "Longitude of fire pixel"),
+    "FP_Status": ("i1", "none", "Contextual-test status (bit-packed, +pass)"),
+    "FP_confidence": ("i1", "none", "Detection confidence class"),
+    "FP_WinSize": ("i2", "none", "Background window size"),
+    "FP_Power": ("f4", "MW", "Fire radiative power"),
+    "FP_VE": ("f4", "W", "Visible energy"),
+    "FP_VEF": ("f4", "none", "Visible energy fraction"),
+    "FP_MCE": ("f4", "none", "Modified combustion efficiency"),
+    "FP_Area_mod": ("f4", "m2", "M-band pixel area"),
+    "FP_Num_Fire": ("i2", "none", "I-band detections sharing the M host"),
+    "FP_Bowtie": ("f4", "none", "Bowtie overlap fraction"),
+    "FP_Land_Type": ("i1", "none", "Land cover type (MCD12Q1; 17=water)"),
+    "FP_Peatland": ("i1", "none", "Peatland flag"),
+    "FP_Gas_Flaring": ("i1", "none", "Gas flaring flag"),
+    "FP_SAA_flag": ("i1", "none", "South Atlantic Anomaly flag"),
+}
+_NP_OF = {"i1": np.int8, "i2": np.int16, "f4": np.float32, "u4": np.uint32}
+
+
+def write_nc_detections(
+    det: pd.DataFrame,
+    path: str,
+    mask_img: np.ndarray | None = None,
+    mask_mod: np.ndarray | None = None,
+    qa: np.ndarray | None = None,
+    global_atts: dict | None = None,
+) -> None:
+    """One granule's detection product as a classic NetCDF file: nFire
+    variables typed per AUX_INFO, optional 2-D Fire_mask (i1, nRow x nCol),
+    M-band mask and Algorithm_QA (u4 -> NC_INT bits), plus an EPSG:4326 crs
+    variable — the write_nc layout (FILDA_IO.py:1475-1563)."""
+    n = len(det)
+    dims: dict[str, int] = {"nFire": n}
+    variables: dict[str, dict] = {}
+    for col, (dt, units, long_name) in AUX_INFO.items():
+        if col not in det.columns:
+            continue
+        vals = det[col].to_numpy()
+        npdt = _NP_OF[dt]
+        if np.issubdtype(npdt, np.integer):
+            vals = np.nan_to_num(vals.astype(np.float64), nan=-999).astype(npdt)
+        else:
+            vals = vals.astype(npdt)
+        variables[col] = dict(
+            data=vals, dims=("nFire",), atts=dict(units=units, long_name=long_name)
+        )
+    if mask_img is not None:
+        dims["nRow"], dims["nCol"] = mask_img.shape
+        variables["Fire_mask"] = dict(
+            data=mask_img.astype(np.int8),
+            dims=("nRow", "nCol"),
+            atts=dict(long_name="Fire mask", legend="3 water 4 cloud 5 land 7/8/9 fire"),
+        )
+    if mask_mod is not None:
+        dims["nRow_M"], dims["nCol_M"] = mask_mod.shape
+        variables["Fire_mask_mod"] = dict(
+            data=mask_mod.astype(np.int8),
+            dims=("nRow_M", "nCol_M"),
+            atts=dict(long_name="M-band fire mask"),
+        )
+    if qa is not None:
+        dims["nRow_QA"], dims["nCol_QA"] = qa.shape
+        variables["Algorithm_QA"] = dict(
+            data=qa.astype(np.uint32),
+            dims=("nRow_QA", "nCol_QA"),
+            atts=dict(long_name="Algorithm QA (32-bit packed, bit-reversed)"),
+        )
+    variables["crs"] = dict(
+        data=np.array(0, dtype=np.int32),
+        dims=(),
+        atts=dict(
+            grid_mapping_name="latitude_longitude",
+            epsg_code="EPSG:4326",
+        ),
+    )
+    netcdf3.write(path, dims, variables, global_atts or {})
+
+
+def write_nc_store(det: DataFrame, masks: DataFrame, out_dir: str) -> DataFrame:
+    """Distributed per-granule NetCDF product writer: cogroup detections
+    with the mask blobs by doc_id and write one classic file per granule
+    ON THE EXECUTORS (out_dir must be a shared filesystem at cluster
+    scale — the same contract as any file sink). Returns one manifest row
+    per written file."""
+    import os
+
+    def write_one(ddf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
+        if mdf.empty:
+            return pd.DataFrame(dict(doc_id=[], path=[], n_fire=[]))
+        m = mdf.iloc[0]
+        doc_id = m["doc_id"]
+        nrow, ncol = int(m["nrow"]), int(m["ncol"])
+        mask_img = np.frombuffer(m["mask_img"], dtype=np.int8).reshape(nrow, ncol)
+        mask_mod = np.frombuffer(m["mask_mod"], dtype=np.int8).reshape(nrow // 2, ncol // 2)
+        qa = np.frombuffer(m["qa"], dtype=np.uint32).reshape(nrow, ncol)
+        path = os.path.join(out_dir, f"{doc_id}.nc")
+        write_nc_detections(
+            ddf.reset_index(drop=True),
+            path,
+            mask_img=mask_img,
+            mask_mod=mask_mod,
+            qa=qa,
+            global_atts=dict(doc_id=doc_id),
+        )
+        return pd.DataFrame(dict(doc_id=[doc_id], path=[path], n_fire=[len(ddf)]))
+
+    return (
+        det.groupBy("doc_id")
+        .cogroup(masks.groupBy("doc_id"))
+        .applyInPandas(write_one, "doc_id string, path string, n_fire int")
+    )
