@@ -148,3 +148,47 @@ def write_nc_store(det: DataFrame, masks: DataFrame, out_dir: str) -> DataFrame:
         .cogroup(masks.groupBy("doc_id"))
         .applyInPandas(write_one, "doc_id string, path string, n_fire int")
     )
+
+
+def write_nc_mcbef(state: pd.DataFrame, samples: pd.DataFrame, state_path: str, sample_path: str) -> None:
+    """MCBEF State + Sample NetCDF files (dict2nc, MCBEF_IO.py:588-697;
+    schema src/MCBEF/output.rc): State carries the per-fire summary columns
+    (f4) + QA (u4-style -> NC_INT); Sample carries the full posterior draws
+    as (nFire, nSample) 2-D variables for t_s/p_s/t_f/p_f."""
+    from filda_spark import mcbef
+
+    n_fire = len(state)
+    svars: dict[str, dict] = {}
+    for c in state.columns:
+        if c == "doc_id":
+            continue
+        vals = state[c].to_numpy()
+        if c in ("FP_Line", "FP_Sample", "QA", "overpass", "FP_combined_land_type"):
+            data = np.nan_to_num(vals.astype(np.float64), nan=-999).astype(np.int32)
+        else:
+            data = vals.astype(np.float32)
+        svars[c] = dict(data=data, dims=("nFire",), atts={})
+    netcdf3.write(state_path, {"nFire": n_fire}, svars, dict(product="MCBEF State"))
+
+    # Sample: long-format draws pivoted to (nFire, nSample) in State row order
+    key = ["doc_id", "FP_Line", "FP_Sample"]
+    order = {tuple(r): i for i, r in enumerate(state[key].itertuples(index=False, name=None))}
+    n_samp = mcbef.N_SAMPLES
+    mats = {p: np.full((n_fire, n_samp), np.nan, dtype=np.float32) for p in ("t_s", "p_s", "t_f", "p_f")}
+    if len(samples):
+        idx = np.array([order[t] for t in samples[key].itertuples(index=False, name=None)])
+        draw = samples["draw"].to_numpy()
+        for p in mats:
+            mats[p][idx, draw] = samples[p].to_numpy(dtype=np.float32)
+    vvars = {
+        p: dict(data=m, dims=("nFire", "nSample"), atts=dict(long_name=f"posterior draws of {p}"))
+        for p, m in mats.items()
+    }
+    vvars["QA_flag"] = dict(
+        data=np.nan_to_num(state["QA"].to_numpy(dtype=np.float64), nan=254).astype(np.int32),
+        dims=("nFire",),
+        atts={},
+    )
+    netcdf3.write(
+        sample_path, {"nFire": n_fire, "nSample": n_samp}, vvars, dict(product="MCBEF Sample")
+    )

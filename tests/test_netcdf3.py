@@ -142,3 +142,35 @@ def test_write_nc_store_distributed(spark, corpus, nl, tmp_path):
         back["dims"]["nRow"],
         back["dims"]["nCol"],
     )
+
+
+def test_write_nc_mcbef(tmp_path):
+    """dict2nc-shaped MCBEF State + Sample files (output.rc layout): draws
+    pivot losslessly from the long Sample table into (nFire, nSample)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_mcbef import make_row
+
+    from filda_spark import mcbef
+
+    rows = pd.concat([make_row(), make_row(FP_Line=11, FP_Gas_Flaring=1)], ignore_index=True)
+    state = mcbef.estimate_pdf(rows)
+    samples = mcbef.estimate_samples_pdf(rows)
+    sp, pp = str(tmp_path / "state.nc"), str(tmp_path / "sample.nc")
+    sinks.write_nc_mcbef(state, samples, sp, pp)
+    s_back = netcdf3.read(sp)
+    assert s_back["dims"]["nFire"] == 2
+    assert np.allclose(
+        s_back["variables"]["t_f_mean"]["data"],
+        state.t_f_mean.to_numpy(dtype=np.float32),
+        equal_nan=True,
+    )
+    assert np.array_equal(s_back["variables"]["QA"]["data"], state.QA.to_numpy(dtype=np.int32))
+    v_back = netcdf3.read(pp)
+    assert v_back["dims"] == {"nFire": 2, "nSample": mcbef.N_SAMPLES}
+    d = v_back["variables"]["t_f"]["data"]
+    ref_row0 = samples[
+        (samples.FP_Line == int(state.iloc[0].FP_Line))
+    ].sort_values("draw").t_f.to_numpy(dtype=np.float32)
+    assert np.array_equal(d[0], ref_row0)
