@@ -192,3 +192,36 @@ def write_nc_mcbef(state: pd.DataFrame, samples: pd.DataFrame, state_path: str, 
     netcdf3.write(
         sample_path, {"nFire": n_fire, "nSample": n_samp}, vvars, dict(product="MCBEF Sample")
     )
+
+
+def write_nc_ntl(clim: pd.DataFrame, tile: str, cells: int, path: str) -> None:
+    """NTL climatology file for one Plate-Carree tile (write_nc_NTL,
+    FILDA_IO.py:1627-1737): 1-D lat/lon coordinate variables + 2-D
+    mean/std/gamma rasters on the tile grid; pixels without a climatology
+    row stay NaN."""
+    from filda_spark import ntl as _ntl  # noqa: F401  (layout provenance)
+
+    hid = int(tile[1:3])
+    vid = int(tile[4:6])
+    lat_max = (9 - vid) * 10.0
+    lon_min = (hid - 18) * 10.0
+    resol = 10.0 / cells
+    lats = (lat_max - (np.arange(cells) + 0.5) * resol).astype(np.float32)
+    lons = (lon_min + (np.arange(cells) + 0.5) * resol).astype(np.float32)
+    sub = clim[clim.tile == tile]
+    rasters = {}
+    for col in ("dnb_mean", "dnb_std", "gamma_alpha", "gamma_beta", "n_days"):
+        grid = np.full((cells, cells), np.nan, dtype=np.float32)
+        grid[sub.y.to_numpy(dtype=np.int64), sub.x.to_numpy(dtype=np.int64)] = sub[
+            col
+        ].to_numpy(dtype=np.float32)
+        rasters[col] = grid
+    variables = {
+        "latitude": dict(data=lats, dims=("lat",), atts=dict(units="degrees_north")),
+        "longitude": dict(data=lons, dims=("lon",), atts=dict(units="degrees_east")),
+    }
+    for col, grid in rasters.items():
+        variables[col] = dict(data=grid, dims=("lat", "lon"), atts={})
+    netcdf3.write(
+        path, {"lat": cells, "lon": cells}, variables, dict(tile=tile, product="NTL climatology")
+    )

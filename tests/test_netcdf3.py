@@ -174,3 +174,22 @@ def test_write_nc_mcbef(tmp_path):
         (samples.FP_Line == int(state.iloc[0].FP_Line))
     ].sort_values("draw").t_f.to_numpy(dtype=np.float32)
     assert np.array_equal(d[0], ref_row0)
+
+
+def test_write_nc_ntl_layout(tmp_path):
+    """write_nc_NTL layout (FILDA_IO.py:1627-1737): 1-D coordinate vars +
+    2-D climatology rasters, unset pixels NaN."""
+    from filda_spark import ntl
+
+    daily = ntl.synthetic_daily_pdf(n_tiles=1, cells=8)
+    clim = ntl.climatology_pdf(daily, 2019, 8)
+    tile = clim.tile.iloc[0]
+    p = str(tmp_path / "ntl.nc")
+    sinks.write_nc_ntl(clim, tile, cells=8, path=p)
+    back = netcdf3.read(p)
+    assert back["dims"] == {"lat": 8, "lon": 8}
+    assert back["variables"]["latitude"]["data"].shape == (8,)
+    grid = back["variables"]["dnb_mean"]["data"]
+    row = clim.iloc[0]
+    assert np.isclose(grid[int(row.y), int(row.x)], np.float32(row.dnb_mean))
+    assert back["global_atts"]["tile"] == tile

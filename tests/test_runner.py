@@ -158,3 +158,25 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     assert back.doc_id.tolist() == ref.doc_id.tolist()
     assert back.FP_Line.tolist() == ref.FP_Line.tolist()
     assert np.array_equal(back.FP_Power.to_numpy(), ref.FP_Power.to_numpy(), equal_nan=True)
+
+
+def test_expand_cells_high_latitude(spark):
+    """_expand_cells must reach the partner cell of a within-eps pair even
+    at 84N where eps of corrected distance spans several level-14 cells."""
+    from pyspark.sql import functions as F
+
+    from filda_spark import grids, runner, spatial
+
+    lat = 84.0
+    eps = spatial.DEDUP_EPS_DEG
+    dlon = 0.0075 / np.cos(np.radians(lat))
+    a = spark.createDataFrame(pd.DataFrame(dict(lat=[lat], lon=[-40.0])))
+    cells_a = a.select(
+        grids.cell_encode(F.col("lat"), F.col("lon"), 14).alias("_cell")
+    )
+    ring = runner._expand_cells(cells_a, eps)
+    partner = a.select(
+        grids.cell_encode(F.col("lat"), F.col("lon") + F.lit(dlon), 14).alias("_cell")
+    )
+    hit = partner.join(ring, "_cell", "left_semi").count()
+    assert hit == 1
