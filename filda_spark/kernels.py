@@ -805,6 +805,9 @@ FIT_X0 = np.array([750.0, 288.0, 0.002])
 _FIT_LAM = np.array([LAMBDA_UM[b] for b in FIT_BANDS])
 
 
+_FIT_C1, _FIT_C2 = 1.191042e8, 1.4387752e4
+
+
 def _fit_residual(x: np.ndarray, obs: np.ndarray) -> float:
     tf, tb, frac = x
     model = frac * planck_rad_vec(_FIT_LAM, tf) + (1.0 - frac) * planck_rad_vec(_FIT_LAM, tb)
@@ -815,8 +818,20 @@ def _fit_residual(x: np.ndarray, obs: np.ndarray) -> float:
     return float(np.sum(r * r))
 
 
+def _fit_residual_fast(x: np.ndarray, pre: np.ndarray, c2l: np.ndarray, obs_ok: np.ndarray) -> float:
+    """Hot-path twin of _fit_residual with the per-detection invariants
+    hoisted: pre = c1/lam^5 and c2l = c2/lam over the valid bands (identical
+    association order, so floats are bit-equal to the reference form); the
+    caller holds the errstate and validity mask."""
+    tf, tb, frac = x
+    a = pre / (np.exp(c2l / tf) - 1.0)
+    b = pre / (np.exp(c2l / tb) - 1.0)
+    r = (frac * a + (1.0 - frac) * b - obs_ok) / obs_ok
+    return float(np.sum(r * r))
+
+
 def planck_rad_vec(lamda_um: np.ndarray, temp_k: float) -> np.ndarray:
-    c1, c2 = 1.191042e8, 1.4387752e4
+    c1, c2 = _FIT_C1, _FIT_C2
     with np.errstate(over="ignore"):
         return c1 / lamda_um**5 / (np.exp(c2 / lamda_um / temp_k) - 1.0)
 
@@ -871,13 +886,28 @@ def planck_fit(det: dict) -> dict:
     tb = np.full(n, np.nan)
     fr = np.full(n, np.nan)
     st = np.zeros(n, dtype=np.int8)
-    for i in range(n):
-        obs = np.array([det[f"FP_{b}_Rad"][i] for b in FIT_BANDS], dtype=np.float64)
-        if np.isfinite(obs).sum() < 3:
-            continue
-        x, fval = nelder_mead(_fit_residual, FIT_X0, FIT_BOUNDS, args=(obs,))
-        tf[i], tb[i], fr[i] = x
-        st[i] = 1 if np.isfinite(fval) else 0
+    obs_all = np.stack([np.asarray(det[f"FP_{b}_Rad"], dtype=np.float64) for b in FIT_BANDS], axis=1)
+    pre_all = _FIT_C1 / _FIT_LAM**5
+    c2l_all = _FIT_C2 / _FIT_LAM
+    with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+        for i in range(n):
+            obs = obs_all[i]
+            ok = np.isfinite(obs) & (obs > 0)
+            if ok.sum() < 3:
+                if np.isfinite(obs).sum() < 3:
+                    continue
+                # <3 positive-finite bands: residual is inf everywhere, the
+                # optimizer returns x0 with fval=inf (original semantics)
+                x, fval = nelder_mead(_fit_residual, FIT_X0, FIT_BOUNDS, args=(obs,))
+            else:
+                x, fval = nelder_mead(
+                    _fit_residual_fast,
+                    FIT_X0,
+                    FIT_BOUNDS,
+                    args=(pre_all[ok], c2l_all[ok], obs[ok]),
+                )
+            tf[i], tb[i], fr[i] = x
+            st[i] = 1 if np.isfinite(fval) else 0
     det["FP_Fire_Temp"] = tf
     det["FP_BG_Temp"] = tb
     det["FP_Fire_Frac"] = fr
