@@ -227,11 +227,34 @@ def run_scaling() -> dict:
     }
 
 
+def _cpu_stat() -> list[int] | None:
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except Exception:
+        return None
+
+
+def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
+    """Hypervisor CPU-steal fraction over the run — this virtualized box
+    sees 0-20% steal depending on neighbors; numbers measured in a
+    high-steal window are not comparable to quiet-window ones."""
+    if not a or not b or len(a) < 8:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 1) if total else None
+
+
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        s0 = _cpu_stat()
+        out = run_scaling()
+        out["steal_pct"] = _steal_pct(s0, _cpu_stat())
+        print(json.dumps(out))
         return
+    s0 = _cpu_stat()
     times, fire = run_suite(f"local[{CPUS}]", int(CPUS))
     print(
         json.dumps(
@@ -242,6 +265,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "fire": fire,
+                "steal_pct": _steal_pct(s0, _cpu_stat()),
             }
         )
     )
