@@ -142,22 +142,18 @@ def update_dedup_incremental(spark: SparkSession, out_dir: str, batch: DataFrame
         # machinery would select the whole store anyway, so dedup it
         # directly and skip the expansion/pruning jobs (they only pay for
         # themselves once the store outgrows the batch)
+        # no prior state on disk -> no self-read hazard: write the state
+        # partitions directly and reuse the materialized parquet for tiles
         store = spark.read.parquet(f"{out_dir}/detections").withColumn("_cell", _det_cell())
         new_state = pipeline.dedup(store).select(
             "tile_id", *STATE_KEY, "is_dup", "dup_of", "_cell"
         )
-        merged = new_state
-        stage = f"{out_dir}/_state_stage_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(stage)
-        merged = spark.read.parquet(stage)
-        merged.write.mode("overwrite").partitionBy("tile_id").parquet(f"{out_dir}/dedup_state")
-        joined = store.join(merged.select(*STATE_KEY, "is_dup"), STATE_KEY, "inner")
+        new_state.write.mode("overwrite").partitionBy("tile_id").parquet(f"{out_dir}/dedup_state")
+        state = spark.read.parquet(f"{out_dir}/dedup_state")
+        joined = store.join(state.select(*STATE_KEY, "is_dup"), STATE_KEY, "inner")
         pipeline.tiles(joined).write.mode("overwrite").partitionBy("tile_id").parquet(
             f"{out_dir}/tiles"
         )
-        import shutil
-
-        shutil.rmtree(stage, ignore_errors=True)
         return
 
     touched = batch.select(_det_cell().alias("_cell")).distinct()
