@@ -234,7 +234,13 @@ def process_docs(
     stage = f"{out_dir}/_stage/{run_id}"
     det.write.mode("overwrite").parquet(stage)
     enriched = pipeline.enrich(spark, spark.read.parquet(stage), corpus_dir)
-    enriched.write.mode("append").partitionBy("tile_id").parquet(f"{out_dir}/detections")
+    # cluster by tile before the partitioned append: without this every task
+    # writes a file into every tile directory it touches (tasks x tiles
+    # small files per batch — the commit, not the data, becomes the tail);
+    # one small shuffle of the detection rows yields ~one file per tile
+    enriched.repartition("tile_id").write.mode("append").partitionBy("tile_id").parquet(
+        f"{out_dir}/detections"
+    )
 
     batch = spark.read.parquet(stage)
     if batch.limit(1).count() > 0:
