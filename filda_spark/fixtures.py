@@ -365,6 +365,42 @@ def make_flare_polygons(params: list[dict]) -> list[dict]:
     return polys
 
 
+def make_water_polygons(params: list[dict]) -> list[dict]:
+    """Vector formulation of the fixture's water raster (north rule:
+    'point-in-polygon filtered against land/water ... masks'): one rectangle
+    per water region traced through the M-pixel CENTRES with a half-cell
+    margin, so PIP membership equals the raster land_water_mask==0 test
+    exactly (centres are D_DEG apart; no detection can sit on an edge)."""
+    polys = []
+    seen = set()
+    wid = 0
+    for p in params:
+        if p["pair"] in seen:
+            continue
+        seen.add(p["pair"])
+        f = _features(p["pair"])
+        r0, r1, c0, c1 = f["lake67"]
+        rects = [
+            (0, H_M, f["water_cols"][0], f["water_cols"][1]),  # ocean strip
+            (r0, r1, c0, c1),  # lwm=6 lake
+            (r0 + 3, r1 + 3, c0, c1),  # lwm=7 lake
+        ]
+        for a, b, c, d in rects:
+            lat_n = p["lat0"] - a * D_DEG + D_DEG / 2.0
+            lat_s = p["lat0"] - (b - 1) * D_DEG - D_DEG / 2.0
+            lon_w = p["lon0"] + c * D_DEG - D_DEG / 2.0
+            lon_e = p["lon0"] + (d - 1) * D_DEG + D_DEG / 2.0
+            polys.append(
+                dict(
+                    water_id=wid,
+                    lat=[lat_s, lat_s, lat_n, lat_n],
+                    lon=[lon_w, lon_e, lon_e, lon_w],
+                )
+            )
+            wid += 1
+    return polys
+
+
 def land_cover_value(h, v, row, col):
     """Deterministic IGBP-like class for a sinusoidal cell (fixture rule)."""
     return ((np.asarray(h) * 31 + np.asarray(v) * 17 + np.asarray(row) * 7 + np.asarray(col)) % 17 + 1).astype(
@@ -598,6 +634,8 @@ def build_corpus(
     peat.to_parquet(f"{out_dir}/peatland.parquet", index=False)
     flares = make_flare_polygons(params)
     pd.DataFrame(flares).to_parquet(f"{out_dir}/gas_flare_polygons.parquet", index=False)
+    water_polys = make_water_polygons(params)
+    pd.DataFrame(water_polys).to_parquet(f"{out_dir}/water_polygons.parquet", index=False)
     emis_nrt, emis_clt = make_emissivity(params)
     emis_nrt.to_parquet(f"{out_dir}/emissivity_nrt.parquet", index=False)
     emis_clt.to_parquet(f"{out_dir}/emissivity_clt.parquet", index=False)
@@ -631,6 +669,7 @@ def build_corpus(
         land_cover=lc,
         peatland=peat,
         flares=flares,
+        water_polygons=water_polys,
         emissivity_nrt=emis_nrt,
         emissivity_clt=emis_clt,
         static_anomaly=static,

@@ -264,11 +264,19 @@ def detections_frame(doc_id: str, det: dict) -> pd.DataFrame:
     return df[DET_COLUMNS]
 
 
-def enrich_detections(df: pd.DataFrame, land_cover: pd.DataFrame, peatland: pd.DataFrame, flares: list[dict]) -> pd.DataFrame:
+def enrich_detections(
+    df: pd.DataFrame,
+    land_cover: pd.DataFrame,
+    peatland: pd.DataFrame,
+    flares: list[dict],
+    water_polys: list[dict] | None = None,
+) -> pd.DataFrame:
     """Detection-level joins (the engine does these as Spark broadcast joins):
     land cover by sinusoidal cell with water override LC=17 (FILDA.py:1570-1699),
     peatland by Plate-Carree cell (FILDA.py:2034-2144), gas-flare PIP
-    (FILDA.py:1973-2031 -> north-rule polygon formulation), spatial encodes."""
+    (FILDA.py:1973-2031 -> north-rule polygon formulation), water-body PIP
+    (north rule's vector land/water formulation — must equal the raster
+    land_water_mask semantics on fixtures), spatial encodes."""
     df = df.copy()
     h, v, r, c = sinu_np(df["FP_Latitude"].to_numpy(), df["FP_Longitude"].to_numpy())
     df["_h"], df["_v"], df["_row"], df["_col"] = h, v, r, c
@@ -286,6 +294,11 @@ def enrich_detections(df: pd.DataFrame, land_cover: pd.DataFrame, peatland: pd.D
         df["FP_Latitude"].to_numpy(), df["FP_Longitude"].to_numpy(), flares, "flare_id"
     )
     df["FP_Gas_Flaring"] = (flare_id >= 0).astype(np.int32)
+    if water_polys is not None:
+        wid = spatial.assign_polygons_np(
+            df["FP_Latitude"].to_numpy(), df["FP_Longitude"].to_numpy(), water_polys, "water_id"
+        )
+        df["FP_Water_PIP"] = (wid >= 0).astype(np.int32)
     df = df.drop(columns=[c for c in df.columns if c.startswith("_")])
     det = {
         "FP_Latitude": df["FP_Latitude"].to_numpy(),
@@ -346,7 +359,13 @@ def run_corpus(corpus: dict, nl: dict | None = None) -> dict:
         per_doc[doc_id] = res
         frames.append(detections_frame(doc_id, res["det"]))
     det = pd.concat(frames).reset_index(drop=True)
-    det = enrich_detections(det, corpus["land_cover"], corpus["peatland"], corpus["flares"])
+    det = enrich_detections(
+        det,
+        corpus["land_cover"],
+        corpus["peatland"],
+        corpus["flares"],
+        corpus.get("water_polygons"),
+    )
     det = dedup_detections(det)
     tiles = tiles_frame(det)
     return dict(detections=det, tiles=tiles, per_doc=per_doc)

@@ -305,15 +305,16 @@ def _sinu_keys_udf():
     return sinu_keys
 
 
-def make_flare_udf(polys_bc):
+def make_pip_udf(polys_bc, id_key: str):
+    """Membership flag against a broadcast polygon set (bbox-prefiltered
+    ray-cast in an Arrow UDF — flares and water bodies share it)."""
+
     @F.pandas_udf(T.IntegerType())
-    def flare_flag(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        fid = spatial.assign_polygons_np(
-            lat.to_numpy(), lon.to_numpy(), polys_bc.value, "flare_id"
-        )
+    def pip_flag(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        fid = spatial.assign_polygons_np(lat.to_numpy(), lon.to_numpy(), polys_bc.value, id_key)
         return pd.Series((fid >= 0).astype(np.int32))
 
-    return flare_flag
+    return pip_flag
 
 
 def _semi_reduced_left_join(small: DataFrame, big: DataFrame, keys: list[str]) -> DataFrame:
@@ -344,6 +345,18 @@ def enrich(spark: SparkSession, det: DataFrame, corpus_dir: str) -> DataFrame:
         for r in flares_pdf.itertuples()
     ]
     polys_bc = spark.sparkContext.broadcast(polys)
+    import os
+
+    water_bc = None
+    wp = f"{corpus_dir}/water_polygons.parquet"
+    if os.path.exists(wp):
+        water_pdf = pd.read_parquet(wp)
+        water_bc = spark.sparkContext.broadcast(
+            [
+                dict(water_id=int(r.water_id), lat=list(r.lat), lon=list(r.lon))
+                for r in water_pdf.itertuples()
+            ]
+        )
 
     sinu_keys = _sinu_keys_udf()
     det = det.withColumn("_sk", sinu_keys("FP_Latitude", "FP_Longitude"))
@@ -369,8 +382,13 @@ def enrich(spark: SparkSession, det: DataFrame, corpus_dir: str) -> DataFrame:
         .drop("peat", "peat_frac", "_ph", "_pv", "_py", "_px")
     )
 
-    flare_flag = make_flare_udf(polys_bc)
+    flare_flag = make_pip_udf(polys_bc, "flare_id")
     det = det.withColumn("FP_Gas_Flaring", flare_flag("FP_Latitude", "FP_Longitude"))
+    if water_bc is not None:
+        # vector land/water membership (north rule): must equal the raster
+        # land_water_mask==0 semantics on fixtures (asserted in tests)
+        water_flag = make_pip_udf(water_bc, "water_id")
+        det = det.withColumn("FP_Water_PIP", water_flag("FP_Latitude", "FP_Longitude"))
 
     lat, lon = F.col("FP_Latitude"), F.col("FP_Longitude")
     det = det.withColumns(

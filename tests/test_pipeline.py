@@ -142,3 +142,14 @@ def test_detection_flags(oracle_res):
     assert int(det.FP_Peatland.sum()) > 0
     saa = det[det.FP_SAA_flag == 1]
     assert len(saa) > 0 and (saa.FP_Latitude <= 7).all()
+
+
+def test_water_pip_equals_raster_semantics(spark_res, oracle_res):
+    """North-rule vector land/water: polygon PIP membership must equal the
+    raster land_water_mask==0 test on every detection, in both engines."""
+    for res in (oracle_res["detections"], spark_res["detections"]):
+        got = res["FP_Water_PIP"].to_numpy(dtype=int)
+        ref = (res["FP_land_water_mask"].to_numpy(dtype=int) == 0).astype(int)
+        assert (got == ref).all()
+    # the corpus really contains water detections (fire_water feature)
+    assert oracle_res["detections"]["FP_Water_PIP"].sum() > 0
