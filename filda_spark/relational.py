@@ -457,8 +457,8 @@ def stencil_adjacency(spark, sf_dir):
     """
     WITH pts AS (
       SELECT c_custkey,
-             CAST(c_custkey * 37 % 150 - 60 AS DOUBLE) + 0.5 AS lat,
-             CAST(c_custkey * 73 % 360 - 180 AS DOUBLE) + 0.5 AS lon
+             CAST(c_custkey * 37 % 300 AS DOUBLE) / 10.0 - 15.0 AS lat,
+             CAST(c_custkey * 73 % 720 AS DOUBLE) / 10.0 - 36.0 AS lon
       FROM customer
     ), cells AS (
       SELECT c_custkey, lat, lon,
@@ -476,10 +476,13 @@ def stencil_adjacency(spark, sf_dir):
 )
 def cell_knn_count(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
+    # 0.1-degree synthetic lattice: dense enough that radius-1 neighbours
+    # exist at every sf (the round-2 integer+0.5 lattice provably had zero
+    # pairs within distance 1, making the oracle check vacuous)
     pts = c.select(
         "c_custkey",
-        ((F.col("c_custkey") * 37 % 150 - 60).cast("double") + 0.5).alias("lat"),
-        ((F.col("c_custkey") * 73 % 360 - 180).cast("double") + 0.5).alias("lon"),
+        ((F.col("c_custkey") * 37 % 300).cast("double") / 10.0 - 15.0).alias("lat"),
+        ((F.col("c_custkey") * 73 % 720).cast("double") / 10.0 - 36.0).alias("lon"),
     )
     cells = pts.select(
         "*", F.floor("lat").alias("cy"), F.floor("lon").alias("cx")

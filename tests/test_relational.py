@@ -30,3 +30,51 @@ def test_oracle_parity(spark, sf_dir, con, name):
     odf = con.sql(spec.oracle).df()
     issues = compare(sdf, odf)
     assert not issues, f"{name}: {issues}"
+
+
+def test_ann_bucket_cap_bounds_degenerate_cluster(spark):
+    """A duplicate-embedding cluster larger than ANN_BUCKET_CAP lands in ONE
+    bucket per hash table; without the cap the pair join is quadratic in the
+    cluster size. The cap must drop those buckets entirely while keeping
+    normal-sized buckets intact (round-2 VERDICT weak #2)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    dup = [(i, [0.1] * training.DIM) for i in range(training.ANN_BUCKET_CAP + 50)]
+    # distinct unit-ish vectors, one per id, far from the duplicate cluster
+    normal = [
+        (10_000 + j, [math.sin(0.7 * j + 0.13 * i) for i in range(training.DIM)])
+        for j in range(20)
+    ]
+    df = spark.createDataFrame(dup + normal, "vec_id long, embedding array<double>")
+    b = training._bucket_long(df)
+    capped = training._cap_buckets(b)
+    # every duplicate-cluster row occupies the same bucket in every table ->
+    # all its buckets exceed the cap and are dropped
+    dup_left = capped.filter(F.col("vec_id") < 10_000).count()
+    assert dup_left == 0
+    # the normal vectors survive in (most of) their tables — a normal vector
+    # that happens to share a hot bucket in one table is dropped only there
+    n_normal = capped.filter(F.col("vec_id") >= 10_000).count()
+    assert 20 <= n_normal <= 20 * training.N_TABLES
+    # and the candidate pair count is bounded: pairs only among survivors
+    a = capped.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    c = capped.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    n_pairs = (
+        a.join(c, ["tbl", "bucket"]).filter(F.col("vec_a") < F.col("vec_b")).count()
+    )
+    assert n_pairs <= training.N_TABLES * (20 * 19) // 2
+
+
+def test_embedding_neardup_seeds_nonvacuous(spark, sf_dir):
+    """The seeded near-dup pairs must actually emit (the round-2 oracle was
+    hash-parity on an empty result)."""
+    from pyspark.sql import functions as F
+
+    out = relational.REGISTRY["embedding_neardup"].fn(spark, sf_dir).collect()
+    assert len(out) >= training.NEARDUP_SEEDS
+    for r in out:
+        assert r.cos >= 0.95
+    seeded = {r.vec_a for r in out}
+    assert set(range(training.NEARDUP_SEEDS)) <= seeded
