@@ -31,7 +31,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from filda_spark import kernels
+from filda_spark import codecs, kernels, multimodal, netcdf3
 from filda_spark.namelist import LAMBDA_UM
 
 # test-scale granule geometry (FIXTURES.md §5): M 64x80, I 128x160,
@@ -237,6 +237,16 @@ def make_granule(p: dict) -> tuple[dict, dict]:
     g["M13_dn"] = dn
     g["M13_bt_lut"] = make_m13_bt_lut()
     g["M13_dn_attrs"] = np.array([M13_SCALE_FACTOR, M13_ADD_OFFSET], dtype=np.float64)
+
+    # --- compressed/containerised media spans (real stdlib codecs —
+    # codecs.py / netcdf3.py): a PNG quicklook of the M13 DN raster, a WAV
+    # telemetry trace, and a CDF-1-packed copy of the DN attrs. Encoded by
+    # pack_document, decoded by multimodal.decode_media.
+    g["M13_quicklook_png"] = (dn % 256).astype(np.uint8)
+    g["DNB_trace_wav"] = np.round(
+        12000.0 * np.sin(np.arange(4 * H_M) * (0.05 + 0.01 * p["pair"]))
+    ).astype(np.int16)
+    g["M13_dn_attrs_nc"] = g["M13_dn_attrs"]
 
     header = dict(
         sat=p["sat"],
@@ -526,6 +536,7 @@ MEDIA_VARS = {
     ],
     "observation_data": [f"{b}_rad" for b in M_BANDS if b != "M13"]
     + ["M13_dn", "M13_bt_lut", "M13_dn_attrs", "DNB_video"]
+    + ["M13_quicklook_png", "DNB_trace_wav", "M13_dn_attrs_nc"]
     + [
         "I04_rad",
         "I05_rad",
@@ -569,19 +580,127 @@ def pack_document(doc_id: str, g: dict, header: dict):
                     var=var,
                     shape=list(arr.shape),
                     dtype=str(arr.dtype),
-                    data=np.ascontiguousarray(arr).tobytes(),
+                    data=_encode_payload(var, arr),
                 )
             )
             off += 1
     return dict(doc_id=doc_id, spans=spans), media_rows
 
 
+def _encode_payload(var: str, arr: np.ndarray) -> bytes:
+    """Encode a media array per its kind (raw buffer, PNG, WAV, or CDF-1);
+    shape/dtype metadata always describe the DECODED array."""
+    kind = multimodal.media_kind(var)
+    if kind == "image":
+        return codecs.png_encode(arr)
+    if kind == "audio":
+        return codecs.wav_encode(arr)
+    if kind == "netcdf":
+        dims = {f"{var}_d{i}": s for i, s in enumerate(arr.shape)}
+        return netcdf3.encode(
+            dims,
+            {var: dict(data=arr, dims=tuple(dims), atts={"_np_dtype": str(arr.dtype)})},
+        )
+    return np.ascontiguousarray(arr).tobytes()
+
+
 def unpack_media(rows: pd.DataFrame) -> dict:
-    """media rows (one granule) -> dict[var, ndarray]; inverse of pack."""
+    """media rows (one granule) -> dict[var, ndarray]; inverse of pack.
+    Routes every payload through the typed decode (raw/PNG/WAV/CDF-1); a
+    multi-variable CDF-1 payload (netcdfified corpus) expands into all of
+    its variables."""
     out = {}
     for _, r in rows.iterrows():
-        out[r["var"]] = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(tuple(r["shape"]))
+        var = r["var"]
+        kind = multimodal.media_kind(var)
+        if kind == "netcdf":
+            out.update(multimodal.decode_netcdf(r["data"]))
+        else:
+            out[var] = multimodal.decode_media(
+                kind, bytes(r["data"]), r["dtype"], list(r["shape"]), var=var
+            )
     return out
+
+
+def netcdfify_corpus(src_dir: str, out_dir: str) -> str:
+    """Corpus variant proving real-file-format ingest (CDF-1): each
+    granule's raw raster/video media rows collapse into ONE classic
+    NetCDF-3 payload holding every variable (original numpy dtypes recorded
+    as ``_np_dtype`` attributes); PNG/WAV/CDF-1 rows ride along unchanged.
+    Document spans are rewritten to match the new media table, preserving
+    the span-sequence invariant. Ancillary tables are symlinked.
+
+    The same pipeline then runs decode->detect through
+    ``multimodal.decode_netcdf`` with bit-identical detections — the
+    engine's own from-scratch NetCDF decoder on the INGEST path (the
+    reference reads NetCDF granules, FILDA_IO.py:570-950)."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pd.read_parquet(f"{src_dir}/documents.parquet")
+    media = pd.read_parquet(f"{src_dir}/media.parquet")
+    new_docs, new_media = [], []
+    for doc in docs.itertuples():
+        doc_id = doc.doc_id
+        rows = media[media["doc_id"] == doc_id]
+        dims: dict[str, int] = {}
+        variables: dict[str, dict] = {}
+        keep_rows = []
+        for r in rows.itertuples():
+            if multimodal.media_kind(r.var) in ("raster", "video_raw"):
+                arr = np.frombuffer(r.data, dtype=r.dtype).reshape(tuple(r.shape))
+                vdims = tuple(f"{r.var}_d{i}" for i in range(arr.ndim))
+                for dname, s in zip(vdims, arr.shape):
+                    dims[dname] = int(s)
+                variables[r.var] = dict(
+                    data=arr, dims=vdims, atts={"_np_dtype": str(r.dtype)}
+                )
+            else:
+                keep_rows.append(r)
+        payload = netcdf3.encode(dims, variables)
+        ref = f"{doc_id}/granule_nc"
+        spans = [s for s in doc.spans if s["kind"] == "text"]
+        spans.append(
+            dict(
+                kind="media",
+                text=json.dumps(dict(format="netcdf3", n_bytes=len(payload))),
+                media_ref=ref,
+                offset=len(spans),
+            )
+        )
+        rows_out = [
+            dict(
+                media_ref=ref,
+                doc_id=doc_id,
+                var="granule_nc",
+                shape=[len(payload)],
+                dtype="uint8",
+                data=payload,
+            )
+        ]
+        for r in keep_rows:
+            shp = [int(x) for x in r.shape]
+            spans.append(
+                dict(kind="media", text=json.dumps(dict(shape=shp, dtype=r.dtype)),
+                     media_ref=r.media_ref, offset=len(spans))
+            )
+            rows_out.append(
+                dict(media_ref=r.media_ref, doc_id=doc_id, var=r.var,
+                     shape=shp, dtype=r.dtype, data=bytes(r.data))
+            )
+        new_docs.append(dict(doc_id=doc_id, spans=spans))
+        new_media.append(rows_out)
+    pd.DataFrame(new_docs).to_parquet(f"{out_dir}/documents.parquet", index=False, row_group_size=1)
+    flat = [r for rows in new_media for r in rows]
+    per_doc = len(flat) // max(len(new_docs), 1)
+    pd.DataFrame(flat).to_parquet(
+        f"{out_dir}/media.parquet", index=False, row_group_size=max(per_doc, 1)
+    )
+    for name in os.listdir(src_dir):
+        if name in ("documents.parquet", "media.parquet"):
+            continue
+        dst = os.path.join(out_dir, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src_dir, name), dst)
+    return out_dir
 
 
 def set_geometry(h_m: int = 64, w_m: int = 80) -> None:

@@ -2,12 +2,16 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 kernels.
 
-The Spark-side plumbing (schema, batch shape, partitioning, UDF signatures)
-is real and tested; the codec layer is stubbed: this container ships no
-image/audio libraries, so ``decode_media`` handles the corpus's own
-``raster/*`` payloads (numpy dtype+shape buffers) deterministically and
-raises ``NotImplementedError`` for compressed media kinds — the marked seam
-where Pillow/ffmpeg/soundfile drop in.
+Decode support (all from-scratch, stdlib-only — see ``codecs.py`` and
+``netcdf3.py``):
+- ``raster``: raw C-order numpy buffer;
+- ``video_raw``: raw (T, H, W) frame stack;
+- ``image``: PNG (greyscale 8/16-bit, RGB 8-bit, all five filters);
+- ``audio``: RIFF/WAVE (PCM 8/16-bit, float32);
+- ``netcdf``: classic CDF-1 container, single- or multi-variable (a
+  multi-variable payload is a whole granule — ``decode_netcdf`` expands it).
+``video`` (inter-frame compressed) is the one remaining documented codec
+seam: those codecs are not implementable from a spec with the stdlib.
 
 Scale notes: feature extraction is map-only (no shuffle); at 100 TB the
 media table is bucketed by doc_id so per-document batches stay task-local,
@@ -26,34 +30,80 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# media kinds the engine recognises; raster + raw (uncompressed) video are
-# decodable in-container, compressed media kinds are the codec seam
-DECODABLE_KINDS = {"raster", "video_raw"}
-STUB_KINDS = {"image", "audio", "video"}
+from filda_spark import codecs, netcdf3
+
+DECODABLE_KINDS = {"raster", "video_raw", "image", "audio", "netcdf"}
+STUB_KINDS = {"video"}
+
+_KIND_SUFFIX = {"_video": "video_raw", "_png": "image", "_wav": "audio", "_nc": "netcdf"}
 
 
 def media_kind(var: str) -> str:
     """Typed-metadata inference from the variable name: ``*_video`` payloads
-    are raw frame stacks (shape (T, H, W)); everything else in the fixture
-    corpus is a raster. Compressed image/audio/video arrive with explicit
-    kind tags and hit the codec stub."""
-    return "video_raw" if var.endswith("_video") else "raster"
+    are raw frame stacks (shape (T, H, W)), ``*_png``/``*_wav``/``*_nc``
+    are compressed/containerised payloads; everything else is a raster."""
+    for suffix, kind in _KIND_SUFFIX.items():
+        if var.endswith(suffix):
+            return kind
+    return "raster"
 
 
-def decode_media(kind: str, payload: bytes, dtype: str, shape: list[int]) -> np.ndarray:
+def _restore_np_dtype(data: np.ndarray, np_dtype: str) -> np.ndarray:
+    """Undo netcdf3's classic-type coercion (u2 stored as NC_SHORT etc.):
+    same-size integer reinterpret is a lossless view, otherwise astype."""
+    want = np.dtype(np_dtype)
+    if data.dtype == want:
+        return data
+    if data.dtype.itemsize == want.itemsize and data.dtype.kind in "iu" and want.kind in "iu":
+        return data.view(want)
+    return data.astype(want)
+
+
+def decode_netcdf(payload: bytes) -> dict[str, np.ndarray]:
+    """Decode a CDF-1 payload to {var: ndarray}, restoring original numpy
+    dtypes from the ``_np_dtype`` variable attribute written at pack time."""
+    nc = netcdf3.decode(bytes(payload))
+    out = {}
+    for name, v in nc["variables"].items():
+        np_dt = v["atts"].get("_np_dtype")
+        out[name] = _restore_np_dtype(v["data"], np_dt) if np_dt else v["data"]
+    return out
+
+
+def decode_media(
+    kind: str, payload: bytes, dtype: str, shape: list[int], var: str | None = None
+) -> np.ndarray:
     """Decode an opaque payload to an ndarray.
 
-    raster: raw C-order numpy buffer (real decode).
-    image/audio/video: STUB — requires a codec library not present in this
+    raster/video_raw: raw C-order numpy buffer; image: PNG; audio: WAV;
+    netcdf: CDF-1 (``var`` selects the variable in a multi-variable payload).
+    video: STUB — inter-frame codecs need a library not present in this
     container; the Spark plumbing around this call is complete, drop a real
     decoder in here."""
     if kind in STUB_KINDS:
         raise NotImplementedError(
-            f"decode for kind={kind!r} needs a codec library (Pillow/ffmpeg); "
+            f"decode for kind={kind!r} needs a codec library (ffmpeg); "
             "plug it into filda_spark.multimodal.decode_media"
         )
     if kind not in DECODABLE_KINDS:
         raise ValueError(f"unknown media kind {kind!r}")
+    if kind == "image":
+        arr = codecs.png_decode(bytes(payload))
+        if list(arr.shape) != list(shape) or str(arr.dtype) != dtype:
+            raise ValueError(
+                f"PNG decoded to {arr.shape}/{arr.dtype}, metadata says {shape}/{dtype}"
+            )
+        return arr
+    if kind == "audio":
+        samples, _rate = codecs.wav_decode(bytes(payload))
+        return samples.astype(dtype, copy=False).reshape(tuple(shape))
+    if kind == "netcdf":
+        allv = decode_netcdf(payload)
+        if var is not None and var in allv:
+            return allv[var]
+        if len(allv) == 1:
+            return next(iter(allv.values()))
+        raise ValueError("multi-variable netcdf payload needs var=...")
     return np.frombuffer(payload, dtype=dtype).reshape(tuple(shape))
 
 
@@ -81,7 +131,7 @@ def extract_features(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for r in pdf.itertuples():
             payload = bytes(r.data)
             kind = media_kind(r.var)
-            arr = decode_media(kind, payload, r.dtype, list(r.shape)).astype(np.float64)
+            arr = decode_media(kind, payload, r.dtype, list(r.shape), var=r.var).astype(np.float64)
             finite = arr[np.isfinite(arr)]
             rows.append(
                 dict(
@@ -128,7 +178,7 @@ def make_resize_fn(factor: int):
             rows = []
             for r in pdf.itertuples():
                 kind = media_kind(r.var)
-                arr = decode_media(kind, bytes(r.data), r.dtype, list(r.shape))
+                arr = decode_media(kind, bytes(r.data), r.dtype, list(r.shape), var=r.var)
                 if arr.ndim != 2 or arr.shape[0] % factor or arr.shape[1] % factor:
                     continue
                 h, w = arr.shape[0] // factor, arr.shape[1] // factor
@@ -179,7 +229,7 @@ def make_frame_sample_fn(every_n: int):
                 kind = media_kind(r.var)
                 if kind not in ("video_raw", "video"):
                     continue
-                arr = decode_media(kind, bytes(r.data), r.dtype, list(r.shape))
+                arr = decode_media(kind, bytes(r.data), r.dtype, list(r.shape), var=r.var)
                 if arr.ndim != 3:
                     continue
                 for idx in range(0, arr.shape[0], every_n):

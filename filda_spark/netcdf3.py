@@ -94,8 +94,8 @@ def _att_list(atts: dict) -> bytes:
     return out
 
 
-def write(path: str, dims: dict[str, int], variables: dict[str, dict], global_atts: dict | None = None) -> None:
-    """Write a classic (CDF-1) NetCDF file.
+def encode(dims: dict[str, int], variables: dict[str, dict], global_atts: dict | None = None) -> bytes:
+    """Encode a classic (CDF-1) NetCDF file to bytes.
 
     dims: ordered {name: size} (all fixed).
     variables: ordered {name: {"data": ndarray, "dims": (dim names...),
@@ -141,8 +141,13 @@ def write(path: str, dims: dict[str, int], variables: dict[str, dict], global_at
     for _n, _vd, _a, t, vsize, data in prepared:
         raw = data.astype(_DTYPE_OF_TYPE[t]).tobytes()
         blob += raw + b"\x00" * (vsize - len(raw))
+    return blob
+
+
+def write(path: str, dims: dict[str, int], variables: dict[str, dict], global_atts: dict | None = None) -> None:
+    """Write a classic (CDF-1) NetCDF file (see ``encode``)."""
     with open(path, "wb") as f:
-        f.write(blob)
+        f.write(encode(dims, variables, global_atts))
 
 
 class _Reader:
@@ -180,11 +185,10 @@ class _Reader:
         return out
 
 
-def read(path: str) -> dict:
-    """Read back a classic file written by ``write`` (fixed dims only).
-    Returns {dims, global_atts, variables: {name: {data, dims, atts}}}."""
-    with open(path, "rb") as f:
-        buf = f.read()
+def decode(buf: bytes) -> dict:
+    """Decode a classic (CDF-1) byte payload written by ``encode`` (fixed
+    dims only). Returns {dims, global_atts, variables: {name: {data, dims,
+    atts}}}."""
     if buf[:4] != b"CDF\x01":
         raise ValueError("not a CDF-1 classic NetCDF file")
     r = _Reader(buf)
@@ -212,3 +216,9 @@ def read(path: str) -> dict:
         data = data.astype(data.dtype.newbyteorder("="))  # native-endian copy
         variables[n] = dict(data=data, dims=vdims, atts=atts)
     return dict(dims=dims, global_atts=gatts, variables=variables)
+
+
+def read(path: str) -> dict:
+    """Read back a classic file written by ``write`` (see ``decode``)."""
+    with open(path, "rb") as f:
+        return decode(f.read())

@@ -35,10 +35,14 @@ def test_media_resize_block_mean(spark, corpus):
 
 
 def test_stub_kinds_raise():
-    with pytest.raises(NotImplementedError, match="codec"):
+    # image/audio are REAL decoders now (codecs.py): garbage bytes are a
+    # format error, not a stub
+    with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_media("image", b"\x00", "uint8", [1])
+    with pytest.raises(ValueError, match="not a RIFF"):
+        multimodal.decode_media("audio", b"\x00", "int16", [1])
     with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.decode_media("video", b"\x00", "uint8", [1])  # compressed seam
+        multimodal.decode_media("video", b"\x00", "uint8", [1])  # the one seam
     with pytest.raises(ValueError):
         multimodal.decode_media("bogus", b"\x00", "uint8", [1])
 
