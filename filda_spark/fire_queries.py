@@ -80,6 +80,23 @@ def _nl(geom: dict) -> dict:
 # re-read the parquet (keyed by corpus dir + Spark app id so a new session
 # or geometry recomputes)
 _DET_STAGE_CACHE: dict[tuple[str, str], str] = {}
+# every tempdir this module creates is removed at interpreter exit — a
+# session must leave /tmp as it found it (repeated driver/bench sessions
+# otherwise accumulate staged detection parquet)
+_SESSION_TMPDIRS: list[str] = []
+
+
+def _session_tmpdir(prefix: str) -> str:
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SESSION_TMPDIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SESSION_TMPDIRS]
+        )
+    _SESSION_TMPDIRS.append(d)
+    return d
 
 
 def fire_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,10 +110,10 @@ def fire_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
     # detections several times — stage the raw detect output to parquet once
     # (same materialization the production runner uses). Per-session tempdir:
     # staging inside the shared corpus cache would race concurrent sessions.
-    stage = os.path.join(tempfile.mkdtemp(prefix="filda_stage_"), "detections")
+    stage = os.path.join(_session_tmpdir("filda_stage_"), "detections")
     det.write.mode("overwrite").parquet(stage)
     det = pipeline.enrich(spark, spark.read.parquet(stage), d)
-    final = os.path.join(tempfile.mkdtemp(prefix="filda_stage_"), "deduped")
+    final = os.path.join(_session_tmpdir("filda_stage_"), "deduped")
     pipeline.dedup(det).write.mode("overwrite").parquet(final)
     _DET_STAGE_CACHE[key] = final
     return spark.read.parquet(final)
@@ -243,7 +260,7 @@ def hotspot_track(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(qname)
         .outputMode("update")
-        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(prefix="filda_hs_ck_"), "ck"))
+        .option("checkpointLocation", os.path.join(_session_tmpdir("filda_hs_ck_"), "ck"))
         .trigger(availableNow=True)
         .start()
     )

@@ -124,6 +124,39 @@ def _build_sensor() -> dict:
 SENSOR = _build_sensor()
 
 
+def load_sensor_csv(dir_path: str) -> dict:
+    """Load real sensor response curves from a user-supplied CSV directory —
+    the reference ships these as 9 VIIRS CSVs
+    (src/MCBEF/sensor/sensor_viirs/*.csv: 201 λ-samples of rsr/τ per band).
+    One ``<band>.csv`` per band with header
+    ``lamda,rsr,tau_wvp,tau_other_gas``. Deployments with the public VIIRS
+    RSR files get constant-level parity through the same code path the
+    synthetic curves use (activate with ``set_sensor``)."""
+    import os
+
+    out = {}
+    for b in sorted(set(SEL_BG_BANDS) | set(SEL_FIRE_BANDS)):
+        arr = np.genfromtxt(os.path.join(dir_path, f"{b}.csv"), delimiter=",", names=True)
+        lam = np.asarray(arr["lamda"], dtype=np.float64)
+        rsr = np.asarray(arr["rsr"], dtype=np.float64)
+        out[b] = dict(
+            lam=lam,
+            rsr=rsr,
+            tau_wvp=np.asarray(arr["tau_wvp"], dtype=np.float64),
+            tau_gas=np.asarray(arr["tau_other_gas"], dtype=np.float64),
+            norm=np.trapz(rsr, lam),
+        )
+    return out
+
+
+def set_sensor(sensor: dict) -> None:
+    """Swap the active sensor table (synthetic default or CSV-loaded) and
+    invalidate the stacked band matrices the sampler hot path caches."""
+    global SENSOR, _FIRE_MAT, _BG_MAT
+    SENSOR = sensor
+    _FIRE_MAT = _BG_MAT = None
+
+
 def band_transmittance(b: str, c_scale: float, vza_deg: float) -> float:
     """RSR-weighted band transmittance tt at scaling C (MCBEF.py:652-655)."""
     s = SENSOR[b]

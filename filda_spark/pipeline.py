@@ -34,6 +34,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 import json
+import time
 
 import numpy as np
 import pandas as pd
@@ -84,6 +85,10 @@ DET_SCHEMA = T.StructType([_field(c) for c in oracle.DET_COLUMNS])
 FIT_COLS = ["FP_Fire_Temp", "FP_BG_Temp", "FP_Fire_Frac", "FP_Opt_Status"]
 PRE_FIT_COLS = [c for c in oracle.DET_COLUMNS if c not in FIT_COLS]
 PRE_FIT_SCHEMA = T.StructType([_field(c) for c in PRE_FIT_COLS])
+# metrics variant (runner lineage): + the granule's measured kernel wall time
+PRE_FIT_METRICS_SCHEMA = T.StructType(
+    list(PRE_FIT_SCHEMA.fields) + [T.StructField("_detect_wall_s", T.DoubleType())]
+)
 
 MASK_SCHEMA = T.StructType(
     [
@@ -153,18 +158,37 @@ def _check_spans(doc_pdf: pd.DataFrame, media_pdf: pd.DataFrame) -> None:
         raise ValueError("media spans do not match media table")
 
 
-def make_detect_fn(anc_bc, nl: dict):
+def make_detect_fn(anc_bc, nl: dict, with_metrics: bool = False):
     """Kernel factory: ancillary broadcast + namelist closure; returns the
-    cogrouped applyInPandas function (documents-group, media-group) -> rows."""
+    cogrouped applyInPandas function (documents-group, media-group) -> rows.
+
+    with_metrics: append a ``_detect_wall_s`` column carrying the granule's
+    measured decode+detect kernel wall time (north rule: per-partition
+    lineage rows/sec must be TRUE per-granule timings, not batch averages).
+    A granule with zero detections emits one sentinel row (FP_Line = -1,
+    filtered out by the caller) so every granule still reports its timing."""
+    cols = PRE_FIT_COLS + (["_detect_wall_s"] if with_metrics else [])
 
     def detect(doc_pdf: pd.DataFrame, media_pdf: pd.DataFrame) -> pd.DataFrame:
         if doc_pdf.empty or media_pdf.empty:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in PRE_FIT_COLS})
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+        t0 = time.perf_counter()
         _check_spans(doc_pdf, media_pdf)
         doc_id = doc_pdf.iloc[0]["doc_id"]
         media = unpack_media(media_pdf)
         res = oracle.detect_granule(doc_id, media, anc_bc.value, nl, fit=False, masks=False)
-        return oracle.detections_frame(doc_id, res["det"])[PRE_FIT_COLS]
+        out = oracle.detections_frame(doc_id, res["det"])[PRE_FIT_COLS]
+        if not with_metrics:
+            return out
+        if out.empty:
+            sentinel = {
+                c: [-1 if c in _INT_COLS else np.nan] for c in PRE_FIT_COLS if c != "doc_id"
+            }
+            sentinel["doc_id"] = [doc_id]
+            out = pd.DataFrame(sentinel)[PRE_FIT_COLS]
+        out = out.copy()
+        out["_detect_wall_s"] = time.perf_counter() - t0
+        return out
 
     return detect
 
@@ -264,6 +288,33 @@ def detect_detections(
     nl = nl or make_namelist()
     anc_bc = spark.sparkContext.broadcast(load_ancillary(corpus_dir))
     pre = _cogroup(spark, corpus_dir, make_detect_fn(anc_bc, nl), PRE_FIT_SCHEMA, doc_filter)
+    return fit_detections(spark, pre)
+
+
+def detect_pre_metrics(
+    spark: SparkSession,
+    corpus_dir: str,
+    nl: dict | None = None,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Pre-fit detections + per-granule ``_detect_wall_s`` (see
+    make_detect_fn(with_metrics=True)). The runner stages this, derives the
+    lineage metrics, then feeds the real rows (FP_Line >= 0) to
+    fit_detections."""
+    from filda_spark.fixtures import load_ancillary
+
+    nl = nl or make_namelist()
+    anc_bc = spark.sparkContext.broadcast(load_ancillary(corpus_dir))
+    return _cogroup(
+        spark,
+        corpus_dir,
+        make_detect_fn(anc_bc, nl, with_metrics=True),
+        PRE_FIT_METRICS_SCHEMA,
+        doc_filter,
+    )
+
+
+def fit_detections(spark: SparkSession, pre: DataFrame) -> DataFrame:
     # fit stage: hot granules carry ~10x the detections, so the fit is
     # rebalanced round-robin across tasks instead of inheriting the
     # granule partitioning (per-row independent => order-free)

@@ -53,12 +53,21 @@ def _lineage_path(out_dir: str) -> str:
     return f"{out_dir}/lineage"
 
 
-def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    p = _lineage_path(out_dir)
+def _parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """First-run probe: a local path that does not exist yet is expected
+    state, not an error — checking existence keeps the py4j
+    AnalysisException stack trace out of bench/driver logs. Non-local URIs
+    (s3a:// etc. on a real deployment) fall through to the read + except."""
+    if "://" not in path and not os.path.exists(path):
+        return None
     try:
-        return spark.read.parquet(p)
+        return spark.read.parquet(path)
     except Exception:
         return None
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    return _parquet_or_none(spark, _lineage_path(out_dir))
 
 
 def done_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -109,10 +118,7 @@ def _cell_tiles(cells: DataFrame) -> DataFrame:
 
 
 def _read_state(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(f"{out_dir}/dedup_state")
-    except Exception:
-        return None
+    return _parquet_or_none(spark, f"{out_dir}/dedup_state")
 
 
 def update_dedup_incremental(spark: SparkSession, out_dir: str, batch: DataFrame) -> None:
@@ -217,20 +223,27 @@ def process_docs(
     corpus_dir: str,
     out_dir: str,
     todo: DataFrame,
-    n_docs: int,
     nl: dict,
     run_id: str,
-    t0: float | None = None,
 ) -> None:
     """Detect + enrich + append one batch of granules, reconcile dedup/tiles
     incrementally, then record lineage. Shared by the incremental runner and
     the streaming ingest. ``todo`` is a doc_id DataFrame (the frontier);
-    granules outside it are pruned before decode."""
-    t0 = t0 or time.perf_counter()
-    det = pipeline.detect_detections(spark, corpus_dir, nl, doc_filter=todo)
-    # stage the raw detections once: enrich + dedup re-reference the
-    # detections several times (semi-join reductions, self-join) and
+    granules outside it are pruned before decode.
+
+    Lineage wall_s/rows_per_sec are TRUE per-granule detect-kernel timings
+    measured inside the cogroup task (_detect_wall_s), not batch averages
+    (north rule: per-partition rows/sec metrics)."""
+    pre = pipeline.detect_pre_metrics(spark, corpus_dir, nl, doc_filter=todo)
+    # stage the pre-fit detections once: the fit, enrich and dedup stages
+    # re-reference them several times (semi-join reductions, self-join) and
     # must not re-run the decode+detect kernel per reference
+    pre_stage = f"{out_dir}/_stage/{run_id}_pre"
+    pre.write.mode("overwrite").parquet(pre_stage)
+    pre = spark.read.parquet(pre_stage)
+    det = pipeline.fit_detections(
+        spark, pre.filter(F.col("FP_Line") >= 0).drop("_detect_wall_s")
+    )
     stage = f"{out_dir}/_stage/{run_id}"
     det.write.mode("overwrite").parquet(stage)
     enriched = pipeline.enrich(spark, spark.read.parquet(stage), corpus_dir)
@@ -246,24 +259,35 @@ def process_docs(
     if batch.limit(1).count() > 0:
         update_dedup_incremental(spark, out_dir, batch)
 
-    wall = time.perf_counter() - t0
-    per_doc_wall = wall / max(n_docs, 1)
-    counts = batch.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    # per-granule metrics off the staged pre-fit rows (sentinel rows carry
+    # the timing for zero-detection granules and count 0 toward rows_out);
+    # Day-pruned granules in the frontier never decode -> wall_s 0.0
+    metrics = pre.groupBy("doc_id").agg(
+        F.max("_detect_wall_s").alias("_wall"),
+        F.sum(F.when(F.col("FP_Line") >= 0, 1).otherwise(0)).alias("_n"),
+    )
     lineage = (
         todo.select("doc_id")
-        .join(counts, "doc_id", "left")
+        .join(metrics, "doc_id", "left")
         .select(
             F.lit(run_id).alias("run_id"),
             F.lit("detect").alias("stage"),
             F.col("doc_id").alias("partition_key"),
             F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("rows_out"),
-            F.lit(round(per_doc_wall, 4)).alias("wall_s"),
-            (F.coalesce(F.col("_n"), F.lit(0)) / F.lit(max(per_doc_wall, 1e-9)))
-            .alias("rows_per_sec"),
+            F.round(F.coalesce(F.col("_wall"), F.lit(0.0)), 4).alias("wall_s"),
+            (
+                F.coalesce(F.col("_n"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("_wall"), F.lit(0.0)), F.lit(1e-9))
+            ).alias("rows_per_sec"),
             F.lit("done").alias("status"),
         )
     )
     lineage.write.mode("append").parquet(_lineage_path(out_dir))
+    # staging is consumed (all writes above are actions) — leave no residue
+    import shutil
+
+    shutil.rmtree(pre_stage, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 def run_incremental(
@@ -283,7 +307,7 @@ def run_incremental(
     )
     n_new = todo.count()
     if n_new:
-        process_docs(spark, corpus_dir, out_dir, todo, n_new, nl, run_id, t0)
+        process_docs(spark, corpus_dir, out_dir, todo, nl, run_id)
     return dict(run_id=run_id, new_docs=n_new)
 
 

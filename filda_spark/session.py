@@ -24,6 +24,14 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's standard conf."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # pyspark's own Arrow serializer trips a pandas FutureWarning when a
+    # kernel yields an empty frame (serializers.py concat); it floods worker
+    # stderr on every run. Scoped to that exact message; local-mode python
+    # workers inherit the driver env.
+    _noise = "ignore:The behavior of DataFrame concatenation:FutureWarning"
+    pw = os.environ.get("PYTHONWARNINGS", "")
+    if _noise not in pw:
+        os.environ["PYTHONWARNINGS"] = f"{pw},{_noise}".strip(",")
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )

@@ -156,3 +156,37 @@ def test_prepare_parity_and_spark_matches_single_node(spark, corpus, nl, oracle_
     # all ladder outcomes represented in the fixture corpus
     assert (ref.QA % 10 == mcbef.FLAG_BIPHASIC).any()
     assert (ref.QA % 10 == mcbef.FLAG_UNIPHASIC).any()  # static/flare pixels
+
+
+def test_sensor_csv_seam(tmp_path):
+    """Reference-shaped RSR CSVs (band.csv: lamda,rsr,tau_wvp,tau_other_gas)
+    load through the same code path as the synthetic curves: identical CSVs
+    give identical radiances, a perturbed curve changes them (the data path
+    is live, not decorative)."""
+    import numpy as np
+
+    from filda_spark import mcbef
+
+    d = tmp_path / "sensor"
+    d.mkdir()
+    bands = sorted(set(mcbef.SEL_BG_BANDS) | set(mcbef.SEL_FIRE_BANDS))
+    for b in bands:
+        s = mcbef.SENSOR[b]
+        rows = np.column_stack([s["lam"], s["rsr"], s["tau_wvp"], s["tau_gas"]])
+        np.savetxt(
+            d / f"{b}.csv", rows, delimiter=",",
+            header="lamda,rsr,tau_wvp,tau_other_gas", comments="",
+        )
+    base = mcbef.band_radiance("M13", 320.0, 1.5, 20.0)
+    orig = mcbef.SENSOR
+    try:
+        mcbef.set_sensor(mcbef.load_sensor_csv(str(d)))
+        assert mcbef.band_radiance("M13", 320.0, 1.5, 20.0) == pytest.approx(base, rel=1e-12)
+        # perturb one band's RSR -> radiance must move
+        s = mcbef.SENSOR["M13"]
+        rows = np.column_stack([s["lam"], s["rsr"] * np.linspace(1.0, 1.2, s["lam"].size), s["tau_wvp"], s["tau_gas"]])
+        np.savetxt(d / "M13.csv", rows, delimiter=",", header="lamda,rsr,tau_wvp,tau_other_gas", comments="")
+        mcbef.set_sensor(mcbef.load_sensor_csv(str(d)))
+        assert mcbef.band_radiance("M13", 320.0, 1.5, 20.0) != pytest.approx(base, rel=1e-12)
+    finally:
+        mcbef.set_sensor(orig)
