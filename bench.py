@@ -227,6 +227,100 @@ def run_scaling() -> dict:
     }
 
 
+def run_skew() -> dict:
+    """Hot-cell skew bench: pipeline.dedup on the bench corpus detections
+    (a) as-is, (b) with a degenerate hot cell — N_HOT detections moved into
+    ONE level-14 cell, far above salt_threshold=5000 — and (c) the same
+    skew with salting disabled. Evidence that the salted cell-neighborhood
+    join + AQE keep throughput when one cell goes quadratic (persistent
+    flare / city-light skew at production scale)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from filda_spark import fire_queries, pipeline
+    from filda_spark.session import get_spark
+
+    N_HOT = 8000
+    geom = fire_queries.BENCH_GEOM
+    corpus = fire_queries.corpus_dir(geom)
+    nl = fire_queries._nl(geom)
+    spark = get_spark("filda-skew", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    try:
+        stage = tempfile.mkdtemp(prefix="filda_skew_")
+        det = pipeline.detect_detections(spark, corpus, nl)
+        det.write.mode("overwrite").parquet(f"{stage}/det")
+        enr = pipeline.enrich(spark, spark.read.parquet(f"{stage}/det"), corpus)
+        enr.write.mode("overwrite").parquet(f"{stage}/enr")
+        base = spark.read.parquet(f"{stage}/enr")
+        n_rows = base.count()
+
+        # deterministic skew: the N_HOT lowest (doc_id, line, sample) keys
+        # land inside one level-14 cell (~0.011 deg) with sub-cell jitter
+        from pyspark.sql import Window
+
+        w = Window.orderBy("doc_id", "FP_Line", "FP_Sample")
+        ranked = base.withColumn("_rk", F.row_number().over(w))
+        jit = (F.pmod(F.hash("doc_id", "FP_Line", "FP_Sample"), F.lit(1000)) / 1e5).cast(
+            "double"
+        )  # 0..0.01 deg, stays inside the cell
+        skewed = (
+            ranked.withColumn(
+                "FP_Latitude",
+                F.when(F.col("_rk") <= N_HOT, F.lit(40.0001) + jit).otherwise(
+                    F.col("FP_Latitude")
+                ),
+            )
+            .withColumn(
+                "FP_Longitude",
+                F.when(F.col("_rk") <= N_HOT, F.lit(-100.0001)).otherwise(
+                    F.col("FP_Longitude")
+                ),
+            )
+            .drop("_rk")
+        )
+        skewed.write.mode("overwrite").parquet(f"{stage}/skewed")
+        skewed = spark.read.parquet(f"{stage}/skewed")
+
+        def timed(df) -> float:
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            return round(time.perf_counter() - t0, 3)
+
+        walls = {
+            "dedup_uniform": timed(pipeline.dedup(base)),
+            "dedup_hotcell_salt8": timed(pipeline.dedup(skewed)),
+            "dedup_hotcell_salt32": timed(pipeline.dedup(skewed, n_salt=32)),
+            # salting off: threshold above any count -> the hot cell's whole
+            # quadratic pair set lands in ONE task
+            "dedup_hotcell_unsalted": timed(
+                pipeline.dedup(skewed, salt_threshold=1 << 30)
+            ),
+        }
+        shutil.rmtree(stage, ignore_errors=True)
+        return {
+            "metric": "kNN dedup wall under degenerate hot-cell skew (salted vs not)",
+            "value": walls["dedup_hotcell_salt8"],
+            "unit": "sec",
+            "queries": walls,
+            "sf": float(geom["n_docs"]),
+            "skew": {
+                "n_detections": int(n_rows),
+                "n_hot_cell": N_HOT,
+                "salt_threshold": 5000,
+                "salt8_speedup_vs_unsalted": round(
+                    walls["dedup_hotcell_unsalted"] / max(walls["dedup_hotcell_salt8"], 1e-9), 2
+                ),
+                "salt32_speedup_vs_unsalted": round(
+                    walls["dedup_hotcell_unsalted"] / max(walls["dedup_hotcell_salt32"], 1e-9), 2
+                ),
+            },
+        }
+    finally:
+        spark.stop()
+
+
 def _cpu_stat() -> list[int] | None:
     try:
         with open("/proc/stat") as f:
@@ -251,6 +345,12 @@ def main() -> None:
     if "--scaling" in sys.argv:
         s0 = _cpu_stat()
         out = run_scaling()
+        out["steal_pct"] = _steal_pct(s0, _cpu_stat())
+        print(json.dumps(out))
+        return
+    if "--skew" in sys.argv:
+        s0 = _cpu_stat()
+        out = run_skew()
         out["steal_pct"] = _steal_pct(s0, _cpu_stat())
         print(json.dumps(out))
         return

@@ -528,6 +528,16 @@ def dedup(
             F.col("_hot"), F.pmod(F.hash("a_line", "a_sample"), F.lit(n_salt))
         ).otherwise(F.lit(0)),
     ).drop("_hot")
+    # Pair-join parallelism must scale with the PAIR workload, not the input
+    # bytes: a hot cell's quadratic candidate set is invisible to size-based
+    # planning, so (a) when the right side broadcasts (small batches), the
+    # join would otherwise inherit the left scan's 1-2 input splits and run
+    # the whole hot cell single-threaded — salting changes nothing without
+    # this; (b) at shuffle-join scale this exchange pre-aligns the join keys
+    # and is reused. Explicit partition count: AQE's byte-based coalescing
+    # would re-merge the salted partitions (same blindness).
+    n_parts = int(det.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    left = left.repartition(n_parts, "cell", "salt")
     right = base.select(
         F.col("doc_id").alias("b_doc"),
         F.col("FP_Line").alias("b_line"),
