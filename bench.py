@@ -41,6 +41,7 @@ HEADLINE = [
     "text_analysis",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "embedding_neardup",
     # round-2 additions
     "ntl_climatology",

@@ -54,41 +54,55 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _filter_row(ftype: int, row: bytearray, prev: bytearray, bpp: int) -> bytes:
-    """Apply filter ``ftype`` to a raw scanline (encode direction)."""
-    n = len(row)
-    out = bytearray(n)
-    for i in range(n):
-        x = row[i]
-        a = row[i - bpp] if i >= bpp else 0
-        b = prev[i]
-        c = prev[i - bpp] if i >= bpp else 0
-        if ftype == 0:
-            out[i] = x
-        elif ftype == 1:
-            out[i] = (x - a) & 0xFF
-        elif ftype == 2:
-            out[i] = (x - b) & 0xFF
-        elif ftype == 3:
-            out[i] = (x - (a + b) // 2) & 0xFF
-        else:  # Paeth
-            out[i] = (x - _paeth(a, b, c)) & 0xFF
-    return bytes(out)
+    """Apply filter ``ftype`` to a raw scanline (encode direction).
+    Fully vectorized: filtering reads only the ORIGINAL row/prev bytes, so
+    there is no sequential dependency (unlike unfiltering)."""
+    x = np.frombuffer(bytes(row), np.uint8).astype(np.int16)
+    a = np.zeros_like(x)
+    a[bpp:] = x[:-bpp]
+    b = np.frombuffer(bytes(prev), np.uint8).astype(np.int16)
+    c = np.zeros_like(b)
+    c[bpp:] = b[:-bpp]
+    if ftype == 0:
+        out = x
+    elif ftype == 1:
+        out = x - a
+    elif ftype == 2:
+        out = x - b
+    elif ftype == 3:
+        out = x - (a + b) // 2
+    else:  # Paeth predictor, vectorized
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        out = x - pred
+    return (out & 0xFF).astype(np.uint8).tobytes()
 
 
 def _unfilter_row(ftype: int, row: bytearray, prev: bytearray, bpp: int) -> bytearray:
-    """Reverse filter ``ftype`` in place (decode direction)."""
+    """Reverse filter ``ftype`` in place (decode direction). None/Up have no
+    intra-row dependency (vectorized); Sub is a per-lane prefix sum mod 256
+    (vectorized via cumsum); Average/Paeth carry a true sequential
+    dependency along x — the per-byte loop is inherent to the format (real
+    decoders do it in C)."""
     n = len(row)
     if ftype == 0:
         return row
+    if ftype == 2:  # Up
+        out = (np.frombuffer(bytes(row), np.uint8).astype(np.int16)
+               + np.frombuffer(bytes(prev), np.uint8)) & 0xFF
+        return bytearray(out.astype(np.uint8).tobytes())
+    if ftype == 1:  # Sub: out[i] = raw[i] + out[i-bpp]  == lane-wise cumsum
+        raw = np.frombuffer(bytes(row), np.uint8)
+        out = np.empty(n, np.uint8)
+        for lane in range(bpp):
+            out[lane::bpp] = (np.cumsum(raw[lane::bpp], dtype=np.int64) & 0xFF).astype(np.uint8)
+        return bytearray(out.tobytes())
     for i in range(n):
         a = row[i - bpp] if i >= bpp else 0
         b = prev[i]
         c = prev[i - bpp] if i >= bpp else 0
-        if ftype == 1:
-            row[i] = (row[i] + a) & 0xFF
-        elif ftype == 2:
-            row[i] = (row[i] + b) & 0xFF
-        elif ftype == 3:
+        if ftype == 3:
             row[i] = (row[i] + (a + b) // 2) & 0xFF
         elif ftype == 4:
             row[i] = (row[i] + _paeth(a, b, c)) & 0xFF

@@ -604,15 +604,21 @@ def _encode_payload(var: str, arr: np.ndarray) -> bytes:
     return np.ascontiguousarray(arr).tobytes()
 
 
-def unpack_media(rows: pd.DataFrame) -> dict:
+def unpack_media(rows: pd.DataFrame, kinds: frozenset[str] | None = None) -> dict:
     """media rows (one granule) -> dict[var, ndarray]; inverse of pack.
     Routes every payload through the typed decode (raw/PNG/WAV/CDF-1); a
     multi-variable CDF-1 payload (netcdfified corpus) expands into all of
-    its variables."""
+    its variables.
+
+    kinds: decode only these media kinds — codec-level column pruning. The
+    detect kernel passes the raster kinds so the per-granule hot path never
+    pays the PNG/WAV decode for spans detection does not read."""
     out = {}
     for _, r in rows.iterrows():
         var = r["var"]
         kind = multimodal.media_kind(var)
+        if kinds is not None and kind not in kinds:
+            continue
         if kind == "netcdf":
             out.update(multimodal.decode_netcdf(r["data"]))
         else:

@@ -82,6 +82,40 @@ def lsh_buckets_udf(dim: int, k_planes: int, n_tables: int):
     return buckets
 
 
+def ivf_centroid_component(cent: int, i: int) -> float:
+    """Deterministic closed-form coarse-quantizer centroid coefficient
+    (fixed quantizer IVF: no training pass, so the DuckDB oracle can embed
+    the identical constants; a production deployment would swap in k-means
+    centroids through the same seam)."""
+    return math.sin(cent * 131.0 + i * 17.0)
+
+
+def ivf_assign_udf(dim: int, k_centroids: int, nprobe: int):
+    """Arrow-vectorized IVF assignment: one numpy pass returns each
+    vector's top-``nprobe`` centroid ids in rank order (score desc, cent
+    asc). Scores use the same np.cumsum sequential scan as
+    lsh_buckets_udf, so every partial sum is bit-identical to the SQL
+    left fold the oracle evaluates — ranking then needs no rounding in
+    either engine. Map-only: the scale path avoids the N x K explode +
+    window shuffle the small-scale SQL twin uses."""
+    coef = np.array(
+        [[ivf_centroid_component(j, i) for i in range(dim)] for j in range(k_centroids)]
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(emb: pd.Series) -> pd.Series:
+        E = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        scores = np.empty((E.shape[0], k_centroids))
+        for j in range(k_centroids):
+            scores[:, j] = np.cumsum(E * coef[j][None, :], axis=1)[:, -1]  # exact left fold
+        # rank: score desc, cent asc — argsort(-scores) is stable, so equal
+        # scores keep ascending centroid order
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return assign
+
+
 def lsh_bucket_sql(list_expr: str, dim: int, n_planes: int, plane_offset: int = 0) -> str:
     parts = []
     for j in range(n_planes):

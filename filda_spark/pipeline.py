@@ -142,6 +142,12 @@ def night_documents(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# codec-level column pruning for the granule hot path: fire detection reads
+# only the raw raster spans (a netcdf blob may CONTAIN rasters, so it stays);
+# PNG/WAV/video spans are decoded only by the media queries that need them
+DETECT_KINDS = frozenset({"raster", "netcdf"})
+
+
 def _check_spans(doc_pdf: pd.DataFrame, media_pdf: pd.DataFrame) -> None:
     """Span-sequence invariant (input_hint): offsets strictly increasing,
     first two spans text, every media span's media_ref present exactly once
@@ -175,7 +181,7 @@ def make_detect_fn(anc_bc, nl: dict, with_metrics: bool = False):
         t0 = time.perf_counter()
         _check_spans(doc_pdf, media_pdf)
         doc_id = doc_pdf.iloc[0]["doc_id"]
-        media = unpack_media(media_pdf)
+        media = unpack_media(media_pdf, kinds=DETECT_KINDS)
         res = oracle.detect_granule(doc_id, media, anc_bc.value, nl, fit=False, masks=False)
         out = oracle.detections_frame(doc_id, res["det"])[PRE_FIT_COLS]
         if not with_metrics:
@@ -221,7 +227,7 @@ def make_masks_fn(anc_bc, nl: dict):
             )
         _check_spans(doc_pdf, media_pdf)
         doc_id = doc_pdf.iloc[0]["doc_id"]
-        media = unpack_media(media_pdf)
+        media = unpack_media(media_pdf, kinds=DETECT_KINDS)
         res = oracle.detect_granule(doc_id, media, anc_bc.value, nl, fit=False)
         mi = res["mask_img"]
         return pd.DataFrame(

@@ -413,6 +413,102 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+# --- IVF-Flat ANN (inverted lists + nprobe, the second similarity-search
+# family beside LSH): every vector joins the inverted list of its nearest
+# coarse centroid; a query probes its NPROBE nearest lists and reranks the
+# candidates exactly. Centroids are a deterministic closed form (no
+# external training data; a deployment swaps k-means centroids through the
+# same seam). Scale rule: K_CENTROIDS ~ sqrt(N) (or N/target_list_size)
+# keeps lists constant-size; NPROBE trades recall for candidates scanned
+# (~NPROBE/K of the corpus per query instead of all of it). The Spark
+# assignment is ONE Arrow pass (map-only) — the N x K explode + window the
+# small-scale SQL twin uses would shuffle N*K rows at 1e9 vectors.
+K_CENTROIDS, NPROBE = 16, 4
+
+_IVF_ASSIGN_UDF = None
+
+
+def _ivf_centroid(j: int) -> list[float]:
+    return [VX.ivf_centroid_component(j, i) for i in range(DIM)]
+
+
+def _ivf_score_sql(j: int) -> str:
+    lit = "[" + ",".join(repr(x) for x in _ivf_centroid(j)) + "]::DOUBLE[]"
+    return f"list_dot_product(CAST(embedding AS DOUBLE[]), {lit})"
+
+
+_IVF_RANKED_SQL = f"""scored AS (
+      SELECT vec_id, embedding, u.cent AS cent, u.score AS score
+      FROM embeddings, UNNEST([{", ".join(
+          "{'cent': %d, 'score': %s}" % (j, _ivf_score_sql(j)) for j in range(K_CENTROIDS)
+      )}]) AS t(u)
+    ), ranked AS (
+      SELECT vec_id, embedding, cent,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cent) AS crk
+      FROM scored
+    )"""
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_IVF_RANKED_SQL},
+    lists AS (SELECT vec_id AS cand_id, embedding, cent FROM ranked WHERE crk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding, cent FROM ranked
+      WHERE vec_id < {N_QUERIES} AND crk <= {NPROBE}
+    ),
+    pairs AS (
+      SELECT p.query_id, l.cand_id, {_COS_SQL.replace("q.", "p.").replace("c.", "l.")} AS cos
+      FROM probes p JOIN lists l USING (cent) WHERE l.cand_id <> p.query_id
+    ),
+    rk AS (
+      SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, cand_id) AS rk
+      FROM pairs
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
+           CAST(rk AS BIGINT) AS rk, round(cos, 6) AS cos
+    FROM rk WHERE rk <= {TOP_K}
+    """,
+    doc="IVF-Flat ANN: inverted lists on a fixed coarse quantizer, nprobe probing, exact rerank",
+)
+def ann_ivf_topk(spark, sf_dir):
+    global _IVF_ASSIGN_UDF
+    if _IVF_ASSIGN_UDF is None:
+        _IVF_ASSIGN_UDF = VX.ivf_assign_udf(DIM, K_CENTROIDS, NPROBE)
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _IVF_ASSIGN_UDF("embedding").alias("_cents")
+    )
+    # inverted-list membership is the top-1 centroid; probes take all NPROBE
+    lists = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.element_at("_cents", 1).alias("cent"),
+    )
+    probes = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode("_cents").alias("cent"),
+    )
+    cos = VX.dot(F.col("q_emb"), F.col("c_emb")) / (
+        VX.norm(F.col("q_emb")) * VX.norm(F.col("c_emb"))
+    )
+    # a candidate's list membership is unique (one cent per vector), so
+    # (query, cand) pairs are already distinct — no dedup aggregation needed
+    pairs = (
+        probes.join(lists, "cent")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 9).desc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", F.col("rk").cast("long"), F.round("cos", 6).alias("cos"))
+    )
+
+
 # Deterministic near-dup seeds: the driver's embeddings fixture is
 # near-random (max off-diagonal cosine ~0.51 at every sf), so a 0.95
 # threshold over the raw table emits ZERO pairs — hash parity on the empty
