@@ -268,6 +268,101 @@ def hotspot_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+# --- watermarked windowed aggregation (Structured Streaming, §2.10) --------
+
+WIN_SEC = 1800  # 30-minute tumbling event-time windows
+WATERMARK = "45 minutes"
+WATERMARK_SEC = 45 * 60
+
+
+def _event_time_col():
+    """Event time from the granule id (VNP.AyyyyDDD.HHmm): integer date
+    arithmetic, mirrored exactly in the DuckDB oracle (DuckDB's strptime
+    %j silently drops day-of-year, so neither engine uses format parsing)."""
+    from pyspark.sql import functions as F
+
+    p = F.split("doc_id", "\\.")
+    y = F.substring(p.getItem(1), 2, 4).cast("int")
+    doy = F.substring(p.getItem(1), 6, 3).cast("int")
+    hh = F.substring(p.getItem(2), 1, 2).cast("int")
+    mi = F.substring(p.getItem(2), 3, 2).cast("int")
+    days = F.datediff(F.make_date(y, F.lit(1), F.lit(1)), F.lit("1970-01-01"))
+    return (
+        (days.cast("long") + (doy - 1).cast("long")) * 86400
+        + hh.cast("long") * 3600
+        + mi.cast("long") * 60
+    )
+
+
+def _windowed_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the deduped detections as one parquet file per overpass, with
+    ascending modification times, so the file stream delivers micro-batches
+    in event-time order (no late rows — the watermark cutoff, not late-drop
+    order sensitivity, is the semantics under test)."""
+    import time as _time
+
+    geom = _geom_for(sf_dir)
+    d = f"{corpus_dir(geom)}/_win_stream_v{FIXTURE_VERSION}"
+    if os.path.exists(f"{d}/_DONE"):
+        return d
+    det = fire_detections(spark, sf_dir).select("doc_id", "tile_id", "FP_Power").toPandas()
+    det["_op"] = det["doc_id"].str.rsplit(".", n=1).str[-1]
+    tmp = f"{d}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for i, (op, rows) in enumerate(sorted(det.groupby("_op"))):
+        rows.drop(columns="_op").to_parquet(f"{tmp}/op{i:03d}.parquet", index=False)
+        _time.sleep(0.01)  # distinct ascending mtimes -> deterministic order
+    open(f"{tmp}/_DONE", "w").write("ok")
+    if not os.path.exists(f"{d}/_DONE"):
+        os.replace(tmp, d)
+    else:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def fire_rate_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window fire rate per tile over a detection
+    stream (Structured Streaming windowed aggregation in append mode: only
+    windows the final watermark has passed are emitted; the DuckDB oracle
+    applies the identical cutoff `win_end <= max(event) - delay`)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    d = _windowed_stream_dir(spark, sf_dir)
+    qname = f"firerate_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("doc_id string, tile_id string, FP_Power double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = _event_time_col().cast("timestamp")
+    agg = (
+        stream.withColumn("event_time", ev)
+        .withWatermark("event_time", WATERMARK)
+        .groupBy(F.window("event_time", f"{WIN_SEC} seconds"), "tile_id")
+        .agg(F.count("*").alias("n_detections"), F.sum("FP_Power").alias("_frp"))
+        .select(
+            F.unix_timestamp("window.start").alias("win_start"),
+            "tile_id",
+            F.col("n_detections").cast("long"),
+            F.round("_frp", 6).alias("total_frp"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(_session_tmpdir("filda_fr_ck_"), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 NTL_ARGS = dict(n_tiles=2, cells=16, year=2019, month=8)
 
 
@@ -448,8 +543,35 @@ def oracles() -> dict[str, str]:
     FROM agg
     """
     od = ensure_fire_oracles()
+    # windowed fire rate: identical integer event-time arithmetic, identical
+    # watermark cutoff (append mode emits only windows whose end the final
+    # watermark passed: win_end <= max(event) - delay). Input is the
+    # numpy-oracle detections parquet — hash parity with the Spark
+    # detections is separately proven by the fire_detections row.
+    _p2 = "string_split(doc_id,'.')[2]"
+    _p3 = "string_split(doc_id,'.')[3]"
+    fire_rate_sql = f"""
+    WITH ev AS (
+      SELECT tile_id, FP_Power,
+             (date_diff('day', DATE '1970-01-01',
+                        make_date(CAST(substr({_p2},2,4) AS INT), 1, 1))
+              + CAST(substr({_p2},6,3) AS INT) - 1) * CAST(86400 AS BIGINT)
+             + CAST(substr({_p3},1,2) AS INT) * 3600
+             + CAST(substr({_p3},3,2) AS INT) * 60 AS ev
+      FROM read_parquet('{od}/detections.parquet')
+    ), mx AS (SELECT max(ev) AS m FROM ev),
+    w AS (
+      SELECT CAST(floor(ev / {WIN_SEC}) * {WIN_SEC} AS BIGINT) AS win_start, tile_id,
+             CAST(count(*) AS BIGINT) AS n_detections,
+             round(sum(FP_Power), 6) AS total_frp
+      FROM ev GROUP BY win_start, tile_id
+    )
+    SELECT win_start, tile_id, n_detections, total_frp FROM w, mx
+    WHERE win_start + {WIN_SEC} <= m - {WATERMARK_SEC}
+    """
     return {
         "hotspot_track": hotspot_sql,
+        "fire_rate_windowed": fire_rate_sql,
         "ntl_climatology": ntl_sql,
         "fire_detections": f"SELECT * FROM read_parquet('{od}/detections.parquet')",
         "fire_detections_mod": f"SELECT * FROM read_parquet('{od}/detections_mod.parquet')",
@@ -475,4 +597,5 @@ QUERIES = {
     "media_resize": media_resize,
     "frame_sample": frame_sample,
     "hotspot_track": hotspot_track,
+    "fire_rate_windowed": fire_rate_windowed,
 }

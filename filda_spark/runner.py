@@ -288,6 +288,10 @@ def process_docs(
 
     shutil.rmtree(pre_stage, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
+    try:
+        os.rmdir(f"{out_dir}/_stage")  # parent, if this was its last run
+    except OSError:
+        pass
 
 
 def run_incremental(

@@ -90,3 +90,24 @@ def test_hotspot_tracker_stateful(spark, tmp_path):
     b_rows = out[out.cell_r7 == 200]
     assert len(b_rows) == 1 and not b_rows.iloc[0].persistent
     assert b_rows.iloc[0].n_detections == 1
+
+
+def test_fire_rate_windowed_watermark_semantics(spark):
+    """Watermarked tumbling-window streaming agg: append mode must emit
+    exactly the windows the final watermark passed (win_end <= max(event) -
+    delay), matching the SQL twin's explicit cutoff."""
+    import duckdb
+
+    from filda_spark import fire_queries
+
+    out = fire_queries.fire_rate_windowed(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    o = duckdb.sql(fire_queries.oracles()["fire_rate_windowed"]).df()
+    key = ["win_start", "tile_id"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = o.sort_values(key).reset_index(drop=True)
+    assert a[key + ["n_detections"]].equals(b[key + ["n_detections"]])
+    assert (a.total_frp - b.total_frp).abs().max() == 0.0
+    # the tail windows (not yet passed by the watermark) are withheld:
+    # emitted window ends stay <= max(event) - delay
+    assert (a.win_start + fire_queries.WIN_SEC).max() <= b.win_start.max() + fire_queries.WIN_SEC
