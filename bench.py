@@ -37,6 +37,7 @@ HEADLINE = [
     # training-data ops
     "exact_dedup",
     "minhash_lsh_pairs",
+    "dup_components",
     "simhash_docs",
     "text_analysis",
     "ann_topk_bruteforce",
@@ -68,9 +69,10 @@ def run_suite(master: str, shuffle_partitions: int) -> tuple[dict[str, float], d
         for name in HEADLINE:
             if name not in qmap:
                 continue
-            df = qmap[name](spark, SF_DIR)
+            # construction is inside the timer: iterative queries
+            # (dup_components) materialize during plan building
             t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
+            qmap[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
             times[name] = round(time.perf_counter() - t0, 3)
 
         # headline fire pipeline, production path: decode -> detect ->

@@ -582,3 +582,76 @@ def embedding_neardup(spark, sf_dir):
         .filter(F.col("cos_raw") >= 0.95)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup groups: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+from filda_spark.relational import REGISTRY as _REGISTRY  # noqa: E402
+
+_CC_MAX_ITERS = 50  # diameter bound; LSH near-dup clusters are dense (d ~ log n)
+
+
+@register(
+    "dup_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_REGISTRY["minhash_lsh_pairs"].oracle}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc, root) AS (
+      SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc AS doc_id, CAST(min(root) AS BIGINT) AS component
+    FROM reach GROUP BY doc
+    """,
+    doc="near-dup groups: connected components of the MinHash-LSH pair graph, label = min doc_id (the keep-one-per-group step of a dedup pipeline)",
+)
+def dup_components(spark, sf_dir):
+    """Distributed min-label propagation to the unique fixpoint (label =
+    min doc_id reachable): each round every node takes the min of its own
+    and its neighbours' labels; converges in O(component diameter) rounds
+    (LSH near-dup clusters are dense, so a handful). Per round: one shuffle
+    join edges->labels + one groupBy — the standard Pregel-style CC without
+    a graph library. localCheckpoint truncates the iterative lineage so the
+    plan does not grow with rounds. The driver-side loop only compares a
+    scalar changed-count per round (no data collected)."""
+    pairs = _REGISTRY["minhash_lsh_pairs"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc"))
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = docs.select("doc", F.col("doc").alias("component")).localCheckpoint()
+    for _ in range(_CC_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new = (
+            labels.join(nbr, labels.doc == nbr.src, "left")
+            .select(
+                "doc",
+                F.least(F.col("component"), F.coalesce("_nbr", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), "component")
