@@ -277,7 +277,9 @@ def process_docs(
             F.round(F.coalesce(F.col("_wall"), F.lit(0.0)), 4).alias("wall_s"),
             (
                 F.coalesce(F.col("_n"), F.lit(0))
-                / F.greatest(F.coalesce(F.col("_wall"), F.lit(0.0)), F.lit(1e-9))
+                / F.greatest(
+                    F.round(F.coalesce(F.col("_wall"), F.lit(0.0)), 4), F.lit(1e-9)
+                )
             ).alias("rows_per_sec"),
             F.lit("done").alias("status"),
         )

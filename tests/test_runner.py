@@ -180,3 +180,16 @@ def test_expand_cells_high_latitude(spark):
     )
     hit = partner.join(ring, "_cell", "left_semi").count()
     assert hit == 1
+
+
+def test_lineage_wall_times_are_per_granule(spark, corpus, nl, tmp_path):
+    """North rule: lineage rows/sec metrics must be TRUE per-granule kernel
+    timings (measured inside the cogroup task), not batch averages."""
+    out = str(tmp_path / "out_lineage")
+    runner.run_incremental(spark, corpus["dir"], out, nl)
+    lin = runner.read_lineage(spark, out).toPandas()
+    assert (lin.wall_s > 0).all()
+    # a batch-average would give every granule the same wall_s; the measured
+    # kernels differ per granule
+    assert lin.wall_s.nunique() == len(lin)
+    assert ((lin.rows_out / lin.wall_s - lin.rows_per_sec).abs() < 1e-6).all()
