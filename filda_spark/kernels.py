@@ -878,9 +878,98 @@ def nelder_mead(f, x0, bounds, args=(), max_iter=200, tol=1e-10):
     return simplex[best], fv[best]
 
 
+def _fit_residual_batch(X: np.ndarray, pre: np.ndarray, c2l: np.ndarray, obs: np.ndarray) -> np.ndarray:
+    """(m, 3) candidate points -> (m,) residuals; elementwise twin of
+    _fit_residual_fast (same expressions, same contiguous 5-element row
+    sums), so every value is bit-identical to the scalar path."""
+    tf = X[:, 0:1]
+    tb = X[:, 1:2]
+    frac = X[:, 2:3]
+    a = pre[None, :] / (np.exp(c2l[None, :] / tf) - 1.0)
+    b = pre[None, :] / (np.exp(c2l[None, :] / tb) - 1.0)
+    r = (frac * a + (1.0 - frac) * b - obs) / obs
+    return np.sum(r * r, axis=1)
+
+
+def nelder_mead_batch(
+    pre: np.ndarray,
+    c2l: np.ndarray,
+    obs: np.ndarray,
+    x0: np.ndarray,
+    bounds: np.ndarray,
+    max_iter: int = 200,
+    tol: float = 1e-10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched twin of nelder_mead over m independent fits sharing a band
+    pattern: simplex state is (m, 4, 3); every branch of the scalar
+    algorithm is applied as a row mask, converged rows freeze, and every
+    arithmetic expression (vertex init, centroid mean, reflect/expand/
+    contract/shrink, stable sorts, first-min argmin) matches the scalar
+    form bit-for-bit — planck_fit outputs are identical, just ~30x faster
+    (the scalar path spends its time in per-call Python/numpy overhead on
+    5-element arrays)."""
+    m, n = obs.shape[0], x0.size
+
+    def f(X):
+        return _fit_residual_batch(X, pre, c2l, obs)
+
+    def clip(X):
+        return np.clip(X, bounds[:, 0], bounds[:, 1])
+
+    verts = [clip(np.array(x0, dtype=np.float64))]
+    for i in range(n):
+        step = np.zeros(n)
+        step[i] = 0.05 * (bounds[i, 1] - bounds[i, 0])
+        verts.append(clip(x0 + step))
+    simplex = np.broadcast_to(np.array(verts)[None, :, :], (m, n + 1, n)).copy()
+    fv = np.stack([f(simplex[:, j, :]) for j in range(n + 1)], axis=1)
+    active = np.ones(m, dtype=bool)
+    for _ in range(max_iter):
+        order = np.argsort(fv, axis=1, kind="stable")
+        simplex = np.take_along_axis(simplex, order[:, :, None], axis=1)
+        fv = np.take_along_axis(fv, order, axis=1)
+        active &= ~(np.abs(fv[:, -1] - fv[:, 0]) < tol)
+        if not active.any():
+            break
+        centroid = simplex[:, :-1, :].mean(axis=1)
+        worst = simplex[:, -1, :]
+        xr = clip(centroid + (centroid - worst))
+        fr = f(xr)
+        xe = clip(centroid + 2.0 * (centroid - worst))
+        fe = f(xe)
+        xc = clip(centroid + 0.5 * (worst - centroid))
+        fc = f(xc)
+        case1 = fr < fv[:, 0]
+        use_e = case1 & (fe < fr)
+        case2 = ~case1 & (fr < fv[:, -2])
+        case3 = ~case1 & ~case2 & (fc < fv[:, -1])
+        shrink = active & ~case1 & ~case2 & ~case3
+        new_v = np.where(
+            use_e[:, None], xe, np.where((case1 | case2)[:, None], xr, xc)
+        )
+        new_f = np.where(use_e, fe, np.where(case1 | case2, fr, fc))
+        repl = active & (case1 | case2 | case3)
+        simplex[repl, -1, :] = new_v[repl]
+        fv[repl, -1] = new_f[repl]
+        if shrink.any():
+            s0 = simplex[shrink, 0:1, :]
+            shr = clip(s0 + 0.5 * (simplex[shrink, 1:, :] - s0))
+            simplex[shrink, 1:, :] = shr
+            for j in range(1, n + 1):
+                fv[shrink, j] = _fit_residual_batch(
+                    simplex[shrink, j, :], pre, c2l, obs[shrink]
+                )
+    best = np.argmin(fv, axis=1)
+    x = np.take_along_axis(simplex, best[:, None, None], axis=1)[:, 0, :]
+    return x, np.take_along_axis(fv, best[:, None], axis=1)[:, 0]
+
+
 def planck_fit(det: dict) -> dict:
     """Per-detection 3-parameter (T_fire, T_bg, frac) Planck-mixture fit over
-    the 5 M emissive bands (FILDA_fitting.py:23-83 semantics)."""
+    the 5 M emissive bands (FILDA_fitting.py:23-83 semantics). Detections
+    are grouped by their valid-band pattern and each group runs through the
+    batched bounded Nelder-Mead (bit-identical to the scalar path, pinned by
+    test_kernels); the rare <3-positive-band degenerate path stays scalar."""
     n = det["FP_line_img"].size
     tf = np.full(n, np.nan)
     tb = np.full(n, np.nan)
@@ -889,23 +978,26 @@ def planck_fit(det: dict) -> dict:
     obs_all = np.stack([np.asarray(det[f"FP_{b}_Rad"], dtype=np.float64) for b in FIT_BANDS], axis=1)
     pre_all = _FIT_C1 / _FIT_LAM**5
     c2l_all = _FIT_C2 / _FIT_LAM
+    finite = np.isfinite(obs_all)
+    okm = finite & (obs_all > 0)
+    n_ok = okm.sum(axis=1)
     with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
-        for i in range(n):
-            obs = obs_all[i]
-            ok = np.isfinite(obs) & (obs > 0)
-            if ok.sum() < 3:
-                if np.isfinite(obs).sum() < 3:
-                    continue
-                # <3 positive-finite bands: residual is inf everywhere, the
-                # optimizer returns x0 with fval=inf (original semantics)
-                x, fval = nelder_mead(_fit_residual, FIT_X0, FIT_BOUNDS, args=(obs,))
-            else:
-                x, fval = nelder_mead(
-                    _fit_residual_fast,
-                    FIT_X0,
-                    FIT_BOUNDS,
-                    args=(pre_all[ok], c2l_all[ok], obs[ok]),
+        # batched path: group rows sharing a valid-band pattern
+        fitable = n_ok >= 3
+        if fitable.any():
+            patterns = okm[fitable].astype(np.uint8) @ (1 << np.arange(okm.shape[1], dtype=np.uint64))
+            idx_fit = np.nonzero(fitable)[0]
+            for pat in np.unique(patterns):
+                rows = idx_fit[patterns == pat]
+                ok = okm[rows[0]]
+                x, fval = nelder_mead_batch(
+                    pre_all[ok], c2l_all[ok], obs_all[rows][:, ok], FIT_X0, FIT_BOUNDS
                 )
+                tf[rows], tb[rows], fr[rows] = x[:, 0], x[:, 1], x[:, 2]
+                st[rows] = np.isfinite(fval).astype(np.int8)
+        # degenerate path (<3 positive-finite bands): original scalar loop
+        for i in np.nonzero(~fitable & (finite.sum(axis=1) >= 3))[0]:
+            x, fval = nelder_mead(_fit_residual, FIT_X0, FIT_BOUNDS, args=(obs_all[i],))
             tf[i], tb[i], fr[i] = x
             st[i] = 1 if np.isfinite(fval) else 0
     det["FP_Fire_Temp"] = tf

@@ -199,3 +199,67 @@ def test_decode_dn_seam():
     g2["land_water_mask"] = np.ones(dn.shape, dtype=np.int8)
     kernels.qa_invalidate(g2)
     assert np.isnan(g2["M13_rad"][1, 1]) and np.isnan(g2["BTM13"][1, 1])
+
+
+def test_planck_fit_batched_bit_identical_to_scalar():
+    """The batched Nelder-Mead (kernels.nelder_mead_batch) must reproduce
+    the scalar per-detection fit bit-for-bit — the materialized fire oracles
+    depend on these exact floats. Covers noisy mixtures, missing bands,
+    nonpositive radiances and fully-degenerate rows."""
+    import numpy as np
+
+    from filda_spark import kernels as K
+
+    rng = np.random.default_rng(42)
+    n = 400
+    t_f = rng.uniform(600, 1800, n)
+    t_b = rng.uniform(240, 330, n)
+    frac = rng.uniform(1e-4, 0.3, n)
+    obs = np.stack(
+        [
+            f_ * K.planck_rad_vec(K._FIT_LAM, float(tf_))
+            + (1 - f_) * K.planck_rad_vec(K._FIT_LAM, float(tb_))
+            for tf_, tb_, f_ in zip(t_f, t_b, frac)
+        ]
+    )
+    obs *= rng.normal(1.0, 0.05, obs.shape)
+    obs[rng.random(obs.shape) < 0.03] = np.nan
+    obs[rng.random(obs.shape) < 0.02] = -1.0
+    obs[:3] = np.nan
+    obs[3] = np.nan
+    obs[3, :2] = [1.0, 2.0]
+    det = {"FP_line_img": np.arange(n)}
+    for j, b in enumerate(K.FIT_BANDS):
+        det[f"FP_{b}_Rad"] = obs[:, j].copy()
+
+    # scalar reference: the pre-batch per-detection loop, verbatim
+    pre_all = K._FIT_C1 / K._FIT_LAM**5
+    c2l_all = K._FIT_C2 / K._FIT_LAM
+    tf = np.full(n, np.nan)
+    tb = np.full(n, np.nan)
+    fr = np.full(n, np.nan)
+    st = np.zeros(n, dtype=np.int8)
+    with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+        for i in range(n):
+            o = obs[i]
+            ok = np.isfinite(o) & (o > 0)
+            if ok.sum() < 3:
+                if np.isfinite(o).sum() < 3:
+                    continue
+                x, fval = K.nelder_mead(K._fit_residual, K.FIT_X0, K.FIT_BOUNDS, args=(o,))
+            else:
+                x, fval = K.nelder_mead(
+                    K._fit_residual_fast,
+                    K.FIT_X0,
+                    K.FIT_BOUNDS,
+                    args=(pre_all[ok], c2l_all[ok], o[ok]),
+                )
+            tf[i], tb[i], fr[i] = x
+            st[i] = 1 if np.isfinite(fval) else 0
+
+    out = K.planck_fit(det)
+    for name, ref in (("FP_Fire_Temp", tf), ("FP_BG_Temp", tb), ("FP_Fire_Frac", fr)):
+        got = out[name]
+        same = (ref == got) | (np.isnan(ref) & np.isnan(got))
+        assert same.all(), name
+    assert (out["FP_Opt_Status"] == st).all()
