@@ -47,7 +47,7 @@ def _geom_for(sf_dir: str) -> dict:
 
 # bump when fixtures.py changes the corpus content (stale cached corpora
 # otherwise poison runs — media vars, emissivity/static tables, etc.)
-FIXTURE_VERSION = 6
+FIXTURE_VERSION = 7
 
 
 def corpus_dir(geom: dict) -> str:

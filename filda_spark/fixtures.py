@@ -248,6 +248,25 @@ def make_granule(p: dict) -> tuple[dict, dict]:
     ).astype(np.int16)
     g["M13_dn_attrs_nc"] = g["M13_dn_attrs"]
 
+    # --- compressed-video spans (round-3 codecs; metadata describes the
+    # DECODED stacks): an APNG animation whose frames differ only in a
+    # small moving bright patch (exercises true inter-frame rectangle
+    # deltas), and an MJPEG/AVI clip of the evolving DN quicklook
+    # (per-frame DCT transform coding; lossy — every consumer reads the
+    # DECODED samples, so engine and oracle stay bit-identical).
+    anim_base = np.clip(base * 300.0, 0, 255).astype(np.uint8)
+    anim = []
+    for t in range(5):
+        fr = anim_base.copy()
+        r0 = (2 + 3 * t) % max(anim_base.shape[0] - 4, 1)
+        fr[r0 : r0 + 4, 5:11] = np.uint8(250 - 10 * t)
+        anim.append(fr)
+    g["DNB_anim_apng"] = np.stack(anim)
+    ql_small = (dn % 256).astype(np.uint8)[::4, ::4]
+    g["M13_clip_avi"] = np.stack(
+        [((ql_small.astype(np.int64) + 3 * t) % 256).astype(np.uint8) for t in range(4)]
+    )
+
     header = dict(
         sat=p["sat"],
         jdn=p["jdn"],
@@ -537,6 +556,7 @@ MEDIA_VARS = {
     "observation_data": [f"{b}_rad" for b in M_BANDS if b != "M13"]
     + ["M13_dn", "M13_bt_lut", "M13_dn_attrs", "DNB_video"]
     + ["M13_quicklook_png", "DNB_trace_wav", "M13_dn_attrs_nc"]
+    + ["DNB_anim_apng", "M13_clip_avi"]
     + [
         "I04_rad",
         "I05_rad",
@@ -595,6 +615,10 @@ def _encode_payload(var: str, arr: np.ndarray) -> bytes:
         return codecs.png_encode(arr)
     if kind == "audio":
         return codecs.wav_encode(arr)
+    if kind == "video_apng":
+        return codecs.apng_encode(arr)
+    if kind == "video_mjpeg":
+        return codecs.avi_encode(arr)
     if kind == "netcdf":
         dims = {f"{var}_d{i}": s for i, s in enumerate(arr.shape)}
         return netcdf3.encode(

@@ -9,9 +9,14 @@ Decode support (all from-scratch, stdlib-only — see ``codecs.py`` and
 - ``image``: PNG (greyscale 8/16-bit, RGB 8-bit, all five filters);
 - ``audio``: RIFF/WAVE (PCM 8/16-bit, float32);
 - ``netcdf``: classic CDF-1 container, single- or multi-variable (a
-  multi-variable payload is a whole granule — ``decode_netcdf`` expands it).
-``video`` (inter-frame compressed) is the one remaining documented codec
-seam: those codecs are not implementable from a spec with the stdlib.
+  multi-variable payload is a whole granule — ``decode_netcdf`` expands it);
+- ``video_apng``: animated PNG (acTL/fcTL/fdAT), true inter-frame
+  compression — per-frame changed-rectangle deltas, lossless;
+- ``video_mjpeg``: AVI/RIFF MJPEG — one from-scratch baseline JPEG
+  (ITU-T T.81) per ``00dc`` movi chunk.
+``video`` (motion-compensated transform codecs, H.264-class) is the one
+remaining documented seam: not implementable from a spec with the stdlib —
+a library decoder drops into the same dispatch below.
 
 Scale notes: feature extraction is map-only (no shuffle); at 100 TB the
 media table is bucketed by doc_id so per-document batches stay task-local,
@@ -32,10 +37,17 @@ from pyspark.sql import types as T
 
 from filda_spark import codecs, netcdf3
 
-DECODABLE_KINDS = {"raster", "video_raw", "image", "audio", "netcdf"}
+DECODABLE_KINDS = {"raster", "video_raw", "image", "audio", "netcdf", "video_apng", "video_mjpeg"}
 STUB_KINDS = {"video"}
 
-_KIND_SUFFIX = {"_video": "video_raw", "_png": "image", "_wav": "audio", "_nc": "netcdf"}
+_KIND_SUFFIX = {
+    "_video": "video_raw",
+    "_png": "image",
+    "_wav": "audio",
+    "_nc": "netcdf",
+    "_apng": "video_apng",
+    "_avi": "video_mjpeg",
+}
 
 
 def media_kind(var: str) -> str:
@@ -87,11 +99,16 @@ def decode_media(
         )
     if kind not in DECODABLE_KINDS:
         raise ValueError(f"unknown media kind {kind!r}")
-    if kind == "image":
-        arr = codecs.png_decode(bytes(payload))
+    if kind in ("image", "video_apng", "video_mjpeg"):
+        decoder = {
+            "image": codecs.png_decode,
+            "video_apng": codecs.apng_decode,
+            "video_mjpeg": codecs.avi_decode,
+        }[kind]
+        arr = decoder(bytes(payload))
         if list(arr.shape) != list(shape) or str(arr.dtype) != dtype:
             raise ValueError(
-                f"PNG decoded to {arr.shape}/{arr.dtype}, metadata says {shape}/{dtype}"
+                f"{kind} decoded to {arr.shape}/{arr.dtype}, metadata says {shape}/{dtype}"
             )
         return arr
     if kind == "audio":
@@ -227,7 +244,7 @@ def make_frame_sample_fn(every_n: int):
             rows = []
             for r in pdf.itertuples():
                 kind = media_kind(r.var)
-                if kind not in ("video_raw", "video"):
+                if kind not in ("video_raw", "video", "video_apng", "video_mjpeg"):
                     continue
                 arr = decode_media(kind, bytes(r.data), r.dtype, list(r.shape), var=r.var)
                 if arr.ndim != 3:

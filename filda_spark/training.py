@@ -635,23 +635,21 @@ def dup_components(spark, sf_dir):
             .groupBy("src")
             .agg(F.min("component").alias("_nbr"))
         )
+        # carry the previous label through the update so convergence is a
+        # filter over the just-materialized frame, not another shuffle join
         new = (
             labels.join(nbr, labels.doc == nbr.src, "left")
             .select(
                 "doc",
+                F.col("component").alias("_prev"),
                 F.least(F.col("component"), F.coalesce("_nbr", F.col("component"))).alias(
                     "component"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("component") != F.col("_prev")).count()
+        labels = new.select("doc", "component")
         if changed == 0:
             break
     return labels.select(F.col("doc").alias("doc_id"), "component")

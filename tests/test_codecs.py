@@ -200,3 +200,141 @@ def test_netcdf_ingest_detection_parity(spark, corpus, tmp_path):
     assert list(raw.columns) == list(nc.columns)
     for c in raw.columns:
         np.testing.assert_array_equal(raw[c].to_numpy(), nc[c].to_numpy(), err_msg=c)
+
+
+# ---------------------------------------------------------------------------
+# APNG (inter-frame compression: acTL/fcTL/fdAT)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [((5, 12, 9), np.uint8), ((3, 7, 11), np.uint16), ((4, 6, 5, 3), np.uint8)],
+)
+def test_apng_roundtrip(shape, dtype):
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    frames = [rng.integers(0, np.iinfo(dtype).max + 1, shape[1:]).astype(dtype)]
+    for _ in range(shape[0] - 1):  # localized edits: the inter-frame case
+        nxt = frames[-1].copy()
+        nxt[1:4, 2:5] = rng.integers(0, np.iinfo(dtype).max + 1, nxt[1:4, 2:5].shape).astype(dtype)
+        frames.append(nxt)
+    stack = np.stack(frames)
+    dec = codecs.apng_decode(codecs.apng_encode(stack))
+    assert dec.dtype == stack.dtype and dec.shape == stack.shape
+    np.testing.assert_array_equal(dec, stack)
+
+
+def test_apng_is_interframe_compressed():
+    """Frames differing in a small rectangle must encode far smaller than
+    the same count of independently random frames — i.e. the encoder
+    genuinely stores per-frame deltas, not whole frames."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    delta_frames = [base]
+    for _ in range(7):
+        nxt = delta_frames[-1].copy()
+        nxt[10:14, 20:26] = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+        delta_frames.append(nxt)
+    indep = np.stack([rng.integers(0, 256, (32, 48), dtype=np.uint8) for _ in range(8)])
+    sz_delta = len(codecs.apng_encode(np.stack(delta_frames)))
+    sz_indep = len(codecs.apng_encode(indep))
+    assert sz_delta < sz_indep / 2, (sz_delta, sz_indep)
+
+
+def test_apng_identical_frames():
+    """A static animation still decodes to T distinct (equal) frames."""
+    frame = (np.arange(30) * 7 % 256).astype(np.uint8).reshape(5, 6)
+    stack = np.repeat(frame[None], 4, axis=0)
+    dec = codecs.apng_decode(codecs.apng_encode(stack))
+    np.testing.assert_array_equal(dec, stack)
+
+
+def test_apng_sequence_numbers_checked():
+    blob = bytearray(codecs.apng_encode(np.zeros((3, 4, 4), np.uint8)))
+    # find the first fdAT chunk and corrupt its sequence number field
+    i = bytes(blob).index(b"fdAT")
+    blob[i + 7] ^= 0x40  # keep CRC consistent by recomputing
+    body_len = struct.unpack(">I", bytes(blob[i - 4 : i]))[0]
+    body = bytes(blob[i + 4 : i + 4 + body_len])
+    blob[i + 4 + body_len : i + 8 + body_len] = struct.pack(
+        ">I", zlib.crc32(b"fdAT" + body)
+    )
+    with pytest.raises(ValueError, match="sequence"):
+        codecs.apng_decode(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (T.81) + AVI/MJPEG container
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_block_exact():
+    """A constant image is pure DC; quantised DC reconstructs it exactly."""
+    img = np.full((16, 24), 130, np.uint8)
+    np.testing.assert_array_equal(codecs.jpeg_decode(codecs.jpeg_encode(img, 90)), img)
+
+
+def test_jpeg_smooth_image_bounded_error():
+    y, x = np.mgrid[0:33, 0:47]  # non-multiple-of-8 dims: edge padding path
+    img = ((np.sin(x / 8.0) + np.cos(y / 9.0) + 2) / 4 * 255).astype(np.uint8)
+    dec = codecs.jpeg_decode(codecs.jpeg_encode(img, 95))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_jpeg_deterministic_and_stable():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (17, 19), dtype=np.uint8)
+    blob = codecs.jpeg_encode(img, 50)
+    assert codecs.jpeg_encode(img, 50) == blob  # encoder bit-deterministic
+    dec = codecs.jpeg_decode(blob)
+    np.testing.assert_array_equal(codecs.jpeg_decode(blob), dec)  # decoder too
+
+
+def test_jpeg_golden_bytes():
+    """Pin the marker layout of a fixed encode: SOI, DQT, SOF0 (8-bit,
+    single component, no subsampling), two DHTs (Annex-K), SOS, EOI."""
+    blob = codecs.jpeg_encode(np.zeros((8, 8), np.uint8), 90)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    assert blob[2:4] == b"\xff\xdb"  # DQT first
+    i_sof = blob.index(b"\xff\xc0")
+    prec, h, w, ncomp = struct.unpack(">BHHB", blob[i_sof + 4 : i_sof + 10])
+    assert (prec, h, w, ncomp) == (8, 8, 8, 1)
+    assert blob[i_sof + 11] == 0x11  # 1x1 sampling
+    assert blob.count(b"\xff\xc4") >= 2  # DC + AC tables
+
+
+def test_jpeg_byte_stuffing():
+    """An image whose entropy stream contains 0xFF bytes must round-trip
+    (F.1.2.3 stuffing); exercised statistically with high-entropy input."""
+    rng = np.random.default_rng(99)
+    for seed in range(4):
+        img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+        blob = codecs.jpeg_encode(img, 25)
+        dec = codecs.jpeg_decode(blob)
+        assert dec.shape == img.shape
+
+
+def test_avi_mjpeg_roundtrip():
+    rng = np.random.default_rng(21)
+    y, x = np.mgrid[0:24, 0:32]
+    frames = np.stack(
+        [((np.sin(x / 5.0 + t) + 1) * 120).astype(np.uint8) for t in range(5)]
+    )
+    blob = codecs.avi_encode(frames, quality=90, fps=6)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    dec = codecs.avi_decode(blob)
+    per_frame = np.stack(
+        [codecs.jpeg_decode(codecs.jpeg_encode(frames[t], 90)) for t in range(5)]
+    )
+    np.testing.assert_array_equal(dec, per_frame)
+    assert np.abs(dec.astype(int) - frames.astype(int)).mean() < 3.0
+
+
+def test_avi_header_fields():
+    frames = np.zeros((3, 16, 16), np.uint8)
+    blob = codecs.avi_encode(frames, fps=10)
+    i = blob.index(b"avih")
+    us_per_frame, _, _, _, total = struct.unpack("<5I", blob[i + 8 : i + 28])
+    assert us_per_frame == 100_000 and total == 3
+    assert b"vidsMJPG" in blob and b"MJPG" in blob

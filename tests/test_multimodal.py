@@ -1,5 +1,6 @@
 """Multimodal plumbing: binary payload decode/feature/resize kernels over
-mapInPandas, with the codec seam stubbed (NotImplementedError)."""
+mapInPandas. All codecs real (PNG/WAV/CDF-1/APNG/MJPEG-AVI); only
+H.264-class motion-compensated video remains a stubbed seam."""
 
 import numpy as np
 import pytest
@@ -52,11 +53,42 @@ def test_frame_sample_raw_video(spark, corpus):
     out = multimodal.frame_sample(media, every_n=2).toPandas()
     vids = media.filter("var = 'DNB_video'").toPandas()
     assert len(vids) > 0
-    # 6 frames sampled every 2 -> frames 0, 2, 4 per video payload
-    assert len(out) == 3 * len(vids)
-    assert sorted(out.frame_idx.unique()) == [0, 2, 4]
+    raw_rows = out[out.media_ref.str.endswith("DNB_video")]
+    # 6 frames sampled every 2 -> frames 0, 2, 4 per raw video payload
+    assert len(raw_rows) == 3 * len(vids)
+    assert sorted(raw_rows.frame_idx.unique()) == [0, 2, 4]
     r = vids.iloc[0]
     arr = np.frombuffer(bytes(r["data"]), dtype=r["dtype"]).reshape(tuple(r["shape"]))
     got = out[(out.media_ref == r["media_ref"]) & (out.frame_idx == 2)].iloc[0]
     assert got.f_mean == arr[2].astype(np.float64).mean()
     assert (got.h, got.w) == arr.shape[1:]
+
+
+def test_frame_sample_compressed_video(spark, corpus):
+    """APNG (5 frames, lossless) and MJPEG/AVI (4 frames, lossy) payloads
+    flow through the same frame_sample plumbing; stats must equal the
+    single-node decode of the same payload (shared-decoder parity)."""
+    from filda_spark import codecs
+
+    media = pipeline.load_media(spark, corpus["dir"])
+    out = multimodal.frame_sample(media, every_n=2).toPandas()
+    src = media.toPandas()
+
+    apng = src[src["var"] == "DNB_anim_apng"]
+    assert len(apng) > 0
+    apng_rows = out[out.media_ref.str.endswith("DNB_anim_apng")]
+    assert len(apng_rows) == 3 * len(apng)  # frames 0, 2, 4 of 5
+    r = apng.iloc[0]
+    frames = codecs.apng_decode(bytes(r["data"]))
+    got = out[(out.media_ref == r["media_ref"]) & (out.frame_idx == 2)].iloc[0]
+    assert got.f_mean == frames[2].astype(np.float64).mean()
+
+    avi = src[src["var"] == "M13_clip_avi"]
+    assert len(avi) > 0
+    avi_rows = out[out.media_ref.str.endswith("M13_clip_avi")]
+    assert len(avi_rows) == 2 * len(avi)  # frames 0, 2 of 4
+    r = avi.iloc[0]
+    frames = codecs.avi_decode(bytes(r["data"]))
+    assert list(frames.shape) == list(r["shape"])  # metadata = decoded shape
+    got = out[(out.media_ref == r["media_ref"]) & (out.frame_idx == 2)].iloc[0]
+    assert got.f_mean == frames[2].astype(np.float64).mean()
