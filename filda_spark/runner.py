@@ -5,7 +5,8 @@ per-partition lineage and rows/sec metrics ... for exact resume").
 Layout under ``--out``:
 - ``detections/`` parquet partitioned by ``tile_id`` (the granule-level
   spatial partition; on Iceberg this is the partition transform) —
-  append-only, one commit per run.
+  append-only, one commit per run; ``compact_detections`` is the
+  small-file maintenance pass (the ``rewrite_data_files`` analogue).
 - ``dedup_state/`` parquet partitioned by ``tile_id`` — one row per
   detection: (doc_id, FP_Line, FP_Sample, is_dup, dup_of, _cell). Updated
   INCREMENTALLY: a batch can only change verdicts for detections within the
@@ -315,6 +316,94 @@ def run_incremental(
     if n_new:
         process_docs(spark, corpus_dir, out_dir, todo, nl, run_id)
     return dict(run_id=run_id, new_docs=n_new)
+
+
+def detection_file_stats(out_dir: str) -> dict[str, int]:
+    """Per-tile data-file counts of the detections store: driver-side
+    directory listing, bounded by the tile-partition count (<=648
+    10-degree tiles globally) — the same bounded-metadata planning a
+    table-format maintenance job does from manifests (Iceberg
+    ``rewrite_data_files``)."""
+    root = f"{out_dir}/detections"
+    stats: dict[str, int] = {}
+    if not os.path.isdir(root):
+        return stats
+    for d in os.listdir(root):
+        if not d.startswith("tile_id="):
+            continue
+        full = f"{root}/{d}"
+        stats[d.split("=", 1)[1]] = sum(
+            1 for f in os.listdir(full) if f.endswith(".parquet")
+        )
+    return stats
+
+
+def compact_detections(
+    spark: SparkSession,
+    out_dir: str,
+    max_files_per_tile: int = 1,
+    target_rows_per_file: int = 5_000_000,
+) -> dict:
+    """Small-file maintenance for the append-only detections store (the
+    Iceberg ``rewrite_data_files`` analogue on the parquet layout). Every
+    incremental batch appends ~one file per touched tile, so a tile
+    accumulates one file per batch; at production batch rates the store's
+    read amplification comes from file COUNT, not bytes.
+
+    Plan shape (scale posture): the driver listing picks only tiles over
+    ``max_files_per_tile``; ONLY those partitions are read (bounded-literal
+    static pruning, same as the incremental dedup), staged once, and
+    dynamic-partition-overwritten clustered by tile. Under-threshold tiles
+    are never read or rewritten. A tile larger than
+    ``target_rows_per_file`` splits into ceil(rows/target) files via a
+    deterministic hash bucket, so compaction cannot itself create an
+    unsplittable mega-file. Single-writer maintenance op; row content is
+    exactly preserved (pinned by test)."""
+    import shutil
+
+    stats = detection_file_stats(out_dir)
+    result = dict(
+        tiles_total=len(stats),
+        tiles_compacted=0,
+        files_before=sum(stats.values()),
+        files_after=sum(stats.values()),
+    )
+    todo = sorted(t for t, n in stats.items() if n > max_files_per_tile)
+    if not todo:
+        return result
+    root = f"{out_dir}/detections"
+    det = spark.read.parquet(root).filter(F.col("tile_id").isin(todo))
+    # stage: the rewrite reads the same partitions it overwrites
+    stage = f"{out_dir}/_stage/compact_{uuid.uuid4().hex[:12]}"
+    det.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    counts = {
+        r["tile_id"]: r["n"]
+        for r in staged.groupBy("tile_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_out = {t: max(1, -(-c // target_rows_per_file)) for t, c in counts.items()}
+    if all(n == 1 for n in n_out.values()):
+        clustered = staged.repartition("tile_id")  # one task -> one file per tile
+    else:
+        mod_map = F.create_map(
+            *[x for t, n in n_out.items() for x in (F.lit(t), F.lit(n))]
+        )
+        bucket = F.pmod(F.xxhash64(*STATE_KEY), mod_map[F.col("tile_id")])
+        clustered = (
+            staged.withColumn("_bk", bucket)
+            .repartition(4 * sum(n_out.values()), "tile_id", "_bk")
+            .drop("_bk")
+        )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        clustered.write.mode("overwrite").partitionBy("tile_id").parquet(root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    shutil.rmtree(stage, ignore_errors=True)
+    after = detection_file_stats(out_dir)
+    result.update(tiles_compacted=len(todo), files_after=sum(after.values()))
+    return result
 
 
 def read_results(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:

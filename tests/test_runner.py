@@ -193,3 +193,78 @@ def test_lineage_wall_times_are_per_granule(spark, corpus, nl, tmp_path):
     # kernels differ per granule
     assert lin.wall_s.nunique() == len(lin)
     assert ((lin.rows_out / lin.wall_s - lin.rows_per_sec).abs() < 1e-6).all()
+
+
+def test_compact_detections(spark, corpus, nl, tmp_path):
+    """Small-file maintenance: growing batches leave one file per batch per
+    touched tile; compaction rewrites only the over-threshold tiles down to
+    one file each with row content EXACTLY preserved, and the store keeps
+    accepting incremental appends afterwards."""
+    full_dir = corpus["dir"]
+    all_docs = sorted(set(pd.read_parquet(f"{full_dir}/documents.parquet").doc_id))
+    out = str(tmp_path / "out_compact")
+    for keep in (all_docs[:3], all_docs[:6]):
+        sub_dir = str(tmp_path / f"corpus_c{len(keep)}")
+        _half_corpus(full_dir, sub_dir, set(keep))
+        runner.run_incremental(spark, sub_dir, out, nl)
+
+    before = runner.detection_file_stats(out)
+    assert max(before.values()) > 1  # batches really did fragment a tile
+
+    det_cols = spark.read.parquet(f"{out}/detections").columns
+    snap = (
+        spark.read.parquet(f"{out}/detections")
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    res = runner.compact_detections(spark, out)
+    after = runner.detection_file_stats(out)
+    assert res["tiles_compacted"] == sum(1 for n in before.values() if n > 1)
+    assert res["files_after"] == sum(after.values()) < res["files_before"]
+    assert max(after.values()) == 1
+    assert set(after) == set(before)  # no tile gained or lost
+
+    got = (
+        spark.read.parquet(f"{out}/detections")
+        .select(det_cols)
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(det_cols)], snap[sorted(det_cols)])
+
+    # the compacted store still accepts appends + reconciliation
+    r = runner.run_incremental(spark, full_dir, out, nl)
+    assert r["new_docs"] > 0
+    assert len(spark.read.parquet(f"{out}/detections").toPandas()) > len(snap)
+
+    # a second compact with nothing over threshold is a no-op
+    res2 = runner.compact_detections(spark, out, max_files_per_tile=99)
+    assert res2["tiles_compacted"] == 0
+
+
+def test_compact_detections_splits_large_tiles(spark, corpus, nl, tmp_path):
+    """A tile above target_rows_per_file splits into multiple bounded files
+    (compaction must not manufacture unsplittable mega-files)."""
+    import math
+
+    full_dir = corpus["dir"]
+    out = str(tmp_path / "out_split")
+    runner.run_incremental(spark, full_dir, out, nl)
+    det = spark.read.parquet(f"{out}/detections")
+    counts = {r["tile_id"]: r["count"] for r in det.groupBy("tile_id").count().collect()}
+    big_tile, big_n = max(counts.items(), key=lambda kv: kv[1])
+    assert big_n >= 4
+    # fragment the big tile (one extra appended row) so it is eligible
+    det.filter(f"tile_id = '{big_tile}'").limit(1).write.mode("append").partitionBy(
+        "tile_id"
+    ).parquet(f"{out}/detections")
+    n_rows_before = spark.read.parquet(f"{out}/detections").count()
+
+    target = max(2, big_n // 3)  # forces >= 2 output files for the big tile
+    res = runner.compact_detections(spark, out, target_rows_per_file=target)
+    after = runner.detection_file_stats(out)
+    assert res["tiles_compacted"] >= 1
+    assert 2 <= after[big_tile] <= math.ceil((big_n + 1) / target)
+    assert spark.read.parquet(f"{out}/detections").count() == n_rows_before
