@@ -593,10 +593,10 @@ from filda_spark.relational import REGISTRY as _REGISTRY  # noqa: E402
 _CC_MAX_ITERS = 50  # diameter bound; LSH near-dup clusters are dense (d ~ log n)
 
 
-@register(
-    "dup_components",
-    f"""
-    WITH RECURSIVE pairs AS ({_REGISTRY["minhash_lsh_pairs"].oracle}),
+# shared CTE chain: LSH pairs -> undirected edges -> min-label reachability
+# -> one (doc_id, component) row per document (used by dup_components and
+# dedup_keep_best)
+_CC_CTES = f"""pairs AS ({_REGISTRY["minhash_lsh_pairs"].oracle}),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
@@ -606,9 +606,18 @@ _CC_MAX_ITERS = 50  # diameter bound; LSH near-dup clusters are dense (d ~ log n
       SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
       UNION
       SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc
-    )
-    SELECT doc AS doc_id, CAST(min(root) AS BIGINT) AS component
-    FROM reach GROUP BY doc
+    ),
+    comp AS (
+      SELECT doc AS doc_id, CAST(min(root) AS BIGINT) AS component
+      FROM reach GROUP BY doc
+    )"""
+
+
+@register(
+    "dup_components",
+    f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id, component FROM comp
     """,
     doc="near-dup groups: connected components of the MinHash-LSH pair graph, label = min doc_id (the keep-one-per-group step of a dedup pipeline)",
 )
@@ -653,3 +662,43 @@ def dup_components(spark, sf_dir):
         if changed == 0:
             break
     return labels.select(F.col("doc").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    scored AS (
+      SELECT c.doc_id, c.component,
+             round({TX.quality_score_sql("d.text")}, 6) AS quality
+      FROM comp c JOIN documents d ON CAST(d.doc_id AS BIGINT) = c.doc_id
+    )
+    SELECT doc_id, component, quality,
+           (row_number() OVER (
+              PARTITION BY component ORDER BY quality DESC, doc_id ASC) = 1
+           ) AS kept
+    FROM scored
+    """,
+    doc="canonical selection: per near-dup component keep the highest-quality document (tie-break min doc_id) — the keep-best step that turns dedup groups into a surviving training corpus",
+)
+def dedup_keep_best(spark, sf_dir):
+    """Components + quality -> per-group winner flag. The window partitions
+    by component — the same key the CC fixpoint already hashes on, so at
+    scale the exchange is reused; group sizes are bounded in practice by
+    the LSH frequent-bucket caps upstream (a pathological giant component
+    would concentrate one window partition, the standard top-1-per-group
+    cost). Quality is rounded to 6dp BEFORE ranking on both engines so the
+    tie-break (doc_id) sees identical keys."""
+    comp = dup_components(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(docs, "doc_id")
+        .withColumn("kept", F.row_number().over(w) == 1)
+        .select("doc_id", "component", "quality", "kept")
+    )
