@@ -20,6 +20,9 @@ Layout under ``--out``:
   status='done' at stage 'detect' is the resume frontier: a re-run prunes
   them BEFORE decode (broadcast semi-join below the cogroup kernel), so
   resume-after-kill equals a fresh run modulo row order.
+- ``_snapshots/log.jsonl`` — the commit log (seq, run_id, docs, rows),
+  one record per landed batch; ``read_detections_as_of(run_id)`` is the
+  time-travel read (granule-membership snapshots, compaction-proof).
 
 Scale posture: the frontier is a broadcast semi/anti-join (doc_id count
 ~= 1e6/day at production scale — still broadcastable; beyond that it
@@ -286,6 +289,7 @@ def process_docs(
         )
     )
     lineage.write.mode("append").parquet(_lineage_path(out_dir))
+    _commit_snapshot(spark, out_dir, run_id)
     # staging is consumed (all writes above are actions) — leave no residue
     import shutil
 
@@ -295,6 +299,73 @@ def process_docs(
         os.rmdir(f"{out_dir}/_stage")  # parent, if this was its last run
     except OSError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Snapshot log + time travel (the Iceberg commit-log analogue)
+# ---------------------------------------------------------------------------
+
+
+def _snap_log(out_dir: str) -> str:
+    return f"{out_dir}/_snapshots/log.jsonl"
+
+
+def _commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> None:
+    """Append one commit record after a batch lands: (seq, run_id, new
+    granules, rows appended). Driver-side single-writer append — the same
+    role Iceberg's metadata commit plays; granule (doc_id) granularity
+    instead of file granularity, which is what the exact-resume frontier
+    already keys on."""
+    import json
+
+    lin = spark.read.parquet(_lineage_path(out_dir)).filter(F.col("run_id") == run_id)
+    agg = lin.agg(
+        F.count("*").alias("docs"), F.sum("rows_out").alias("rows")
+    ).collect()[0]
+    os.makedirs(f"{out_dir}/_snapshots", exist_ok=True)
+    seq = len(snapshots(out_dir)) + 1
+    with open(_snap_log(out_dir), "a") as f:
+        f.write(
+            json.dumps(
+                dict(seq=seq, run_id=run_id, docs=int(agg.docs), rows=int(agg.rows or 0))
+            )
+            + "\n"
+        )
+
+
+def snapshots(out_dir: str) -> list[dict]:
+    """Commit log, oldest first."""
+    import json
+
+    path = _snap_log(out_dir)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def read_detections_as_of(spark: SparkSession, out_dir: str, run_id: str) -> DataFrame:
+    """Time-travel read of the append-only detections store: the rows as of
+    the commit ``run_id`` (inclusive). The snapshot membership is the union
+    of the committed runs' granule frontiers, applied as a broadcast
+    semi-join on the lineage table — granule-level time travel, the
+    logical analogue of Iceberg reading an older snapshot's file set (the
+    detections store is append-only per granule, so doc_id membership IS
+    the snapshot content). dedup_state/tiles are latest-only materialized
+    views and have no history by design."""
+    snaps = snapshots(out_dir)
+    seqs = [s["seq"] for s in snaps if s["run_id"] == run_id]
+    if not seqs:
+        raise ValueError(f"unknown snapshot run_id {run_id!r}")
+    run_ids = [s["run_id"] for s in snaps if s["seq"] <= seqs[0]]
+    members = (
+        spark.read.parquet(_lineage_path(out_dir))
+        .filter(F.col("run_id").isin(run_ids) & (F.col("stage") == "detect"))
+        .select(F.col("partition_key").alias("doc_id"))
+        .distinct()
+    )
+    det = spark.read.parquet(f"{out_dir}/detections")
+    return det.join(F.broadcast(members), "doc_id", "left_semi")
 
 
 def run_incremental(

@@ -268,3 +268,52 @@ def test_compact_detections_splits_large_tiles(spark, corpus, nl, tmp_path):
     assert res["tiles_compacted"] >= 1
     assert 2 <= after[big_tile] <= math.ceil((big_n + 1) / target)
     assert spark.read.parquet(f"{out}/detections").count() == n_rows_before
+
+
+def test_snapshot_time_travel(spark, corpus, nl, tmp_path):
+    """Each incremental commit appends a snapshot record; reading as-of an
+    older run_id returns exactly the store content at that commit, and the
+    membership-based snapshots survive compaction (file rewrites do not
+    disturb granule-level history — the property file-based time travel
+    loses on rewrite)."""
+    full_dir = corpus["dir"]
+    all_docs = sorted(set(pd.read_parquet(f"{full_dir}/documents.parquet").doc_id))
+    out = str(tmp_path / "out_tt")
+    sub_dir = str(tmp_path / "corpus_tt")
+    _half_corpus(full_dir, sub_dir, set(all_docs[:4]))
+
+    r1 = runner.run_incremental(spark, sub_dir, out, nl)
+    snap1 = (
+        spark.read.parquet(f"{out}/detections").toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    r2 = runner.run_incremental(spark, full_dir, out, nl)
+
+    log = runner.snapshots(out)
+    assert [s["seq"] for s in log] == [1, 2]
+    assert log[0]["run_id"] == r1["run_id"] and log[1]["run_id"] == r2["run_id"]
+    assert log[0]["docs"] + log[1]["docs"] == 7  # 8 docs - 1 Day granule
+    assert log[1]["rows"] > 0
+
+    asof1 = (
+        runner.read_detections_as_of(spark, out, r1["run_id"])
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(asof1[sorted(asof1.columns)], snap1[sorted(snap1.columns)])
+
+    asof2 = runner.read_detections_as_of(spark, out, r2["run_id"])
+    assert asof2.count() == spark.read.parquet(f"{out}/detections").count() > len(snap1)
+
+    # compaction rewrites files but not history
+    runner.compact_detections(spark, out)
+    asof1b = (
+        runner.read_detections_as_of(spark, out, r1["run_id"])
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(asof1b[sorted(asof1b.columns)], snap1[sorted(snap1.columns)])
+
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        runner.read_detections_as_of(spark, out, "nope")
