@@ -147,3 +147,67 @@ def test_hdi_contains_95(seed, n):
     s = np.sort(x)
     widths = s[k - 1 :] - s[: n - k + 1]
     assert (up - lo) <= widths.min() + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (round 3: PNG/APNG lossless roundtrip over arbitrary
+# shapes/contents; JPEG decode error bounded by the quantisation step)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from(["uint8", "uint16"]),
+    st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, dtype, seed):
+    from filda_spark import codecs
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, np.iinfo(dtype).max + 1, (h, w)).astype(dtype)
+    dec = codecs.png_decode(codecs.png_encode(arr))
+    assert dec.dtype == arr.dtype and np.array_equal(dec, arr)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 6),
+    st.integers(2, 16),
+    st.integers(2, 16),
+    st.integers(0, 2**31 - 1),
+)
+def test_apng_roundtrip_property(t, h, w, seed):
+    from filda_spark import codecs
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w), dtype=np.uint8)]
+    for _ in range(t - 1):
+        nxt = frames[-1].copy()
+        if rng.random() < 0.8:  # mix localized edits and identical frames
+            y0, x0 = rng.integers(0, h), rng.integers(0, w)
+            nxt[y0:, x0:] = rng.integers(0, 256, nxt[y0:, x0:].shape, dtype=np.uint8)
+        frames.append(nxt)
+    stack = np.stack(frames)
+    dec = codecs.apng_decode(codecs.apng_encode(stack))
+    assert np.array_equal(dec, stack)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31 - 1))
+def test_jpeg_error_bounded_by_quant_step(h, w, seed):
+    """Per T.81, reconstruction error per coefficient is <= quant_step/2;
+    a conservative spatial bound for quality 95 on arbitrary content is
+    half the largest scaled table entry (here: a loose fixed bound that a
+    correct decoder always satisfies; a broken zigzag/Huffman/DCT blows
+    straight through it)."""
+    from filda_spark import codecs
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    dec = codecs.jpeg_decode(codecs.jpeg_encode(img, 95))
+    assert dec.shape == img.shape
+    # quality-95 table entries are 1..12; worst-case block error stays
+    # far below this loose threshold unless the codec is actually wrong
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 64
