@@ -4,10 +4,15 @@ cross-granule dedup, and 3x3 adjacency counts.
 
 All functions are numpy (shared by oracle and Spark kernels). The Spark side
 broadcasts the polygon set and runs these inside Arrow-batched UDFs; the
-north rule's "broadcast polygon R-tree" is realized as a two-level filter:
-bounding-box prefilter (vectorized, the R-tree role at fixture scale — at
-production scale the boxes are bucketed by qcell parent) then exact
-ray-casting.
+north rule's "broadcast polygon R-tree" is an STR bulk-loaded static R-tree
+(`build_strtree` / `assign_polygons_strtree`): leaf cap 16, packed bottom-up
+by Sort-Tile-Recursive order, queried by vectorized BATCH descent — the
+whole Arrow batch of points walks the tree together, pruning subtrees whose
+boxes contain none of the still-unassigned points, so a granule's
+detections touch O(log P + local polygons) exact ray-casting tests instead
+of all P. Result is bit-identical to the brute-force scan
+(`assign_polygons_np`, kept as the oracle/property-test reference): both
+resolve overlaps to the FIRST polygon in input order.
 """
 
 from __future__ import annotations
@@ -60,6 +65,164 @@ def assign_polygons_np(lat, lon, polys: list[dict], id_key: str):
             tmp = out[cand]
             tmp[hit] = p[id_key]
             out[cand] = tmp
+    return out
+
+
+# ---------------------------------------------------------------------------
+# STR-packed static R-tree over polygon bounding boxes
+# ---------------------------------------------------------------------------
+
+_STR_LEAF_CAP = 16
+
+
+class STRtree:
+    """Static R-tree, Sort-Tile-Recursive bulk load (Leutenegger et al.,
+    1997 — the standard packing every spatial library uses). Stored as flat
+    per-node arrays so batch queries stay vectorized:
+
+    - ``boxes``  (n_nodes, 4): lat_min, lat_max, lon_min, lon_max
+    - ``entries``: ONE flat index pool; a leaf's range holds polygon
+      list-indices, an inner node's range holds child NODE indices
+      (ranges never overlap — appended append-only at build)
+    - ``child0``/``child1`` (n_nodes,): an inner node's [c0, c1) range
+      into ``entries``; child0 == -1 marks a leaf
+    - ``entry0``/``entry1`` (n_nodes,): a leaf's polygon range into
+      ``entries``
+    """
+
+    __slots__ = ("boxes", "child0", "child1", "entry0", "entry1", "entries", "root")
+
+    def __init__(self, boxes, child0, child1, entry0, entry1, entries, root):
+        self.boxes = boxes
+        self.child0 = child0
+        self.child1 = child1
+        self.entry0 = entry0
+        self.entry1 = entry1
+        self.entries = entries
+        self.root = root
+
+
+def _str_pack(cx: np.ndarray, cy: np.ndarray, cap: int) -> list[np.ndarray]:
+    """STR ordering: sort by x-center, cut into vertical slabs of
+    ceil(sqrt(n/cap)) groups, sort each slab by y-center, cut into runs of
+    ``cap``. Returns the index groups (the node children)."""
+    n = cx.size
+    n_groups = -(-n // cap)
+    n_slabs = max(1, int(np.ceil(np.sqrt(n_groups))))
+    per_slab = -(-n // n_slabs)
+    by_x = np.argsort(cx, kind="stable")
+    groups = []
+    for s in range(0, n, per_slab):
+        slab = by_x[s : s + per_slab]
+        slab = slab[np.argsort(cy[slab], kind="stable")]
+        for g in range(0, slab.size, cap):
+            groups.append(slab[g : g + cap])
+    return groups
+
+
+def build_strtree(polys: list[dict], cap: int = _STR_LEAF_CAP) -> STRtree:
+    """Bulk-load the polygon bounding boxes bottom-up."""
+    cap = max(2, cap)  # fan-out 1 would never shrink a level
+    n = len(polys)
+    if n == 0:
+        z = np.zeros(0)
+        return STRtree(np.zeros((0, 4)), z.astype(np.int64), z.astype(np.int64),
+                       z.astype(np.int64), z.astype(np.int64), z.astype(np.int64), -1)
+    pb = np.empty((n, 4))
+    for i, p in enumerate(polys):
+        pla, plo = np.asarray(p["lat"], dtype=np.float64), np.asarray(p["lon"], dtype=np.float64)
+        pb[i] = (pla.min(), pla.max(), plo.min(), plo.max())
+
+    boxes, child0, child1, entry0, entry1 = [], [], [], [], []
+    entries: list[int] = []
+
+    # leaf level from polygon boxes
+    groups = _str_pack((pb[:, 2] + pb[:, 3]) / 2, (pb[:, 0] + pb[:, 1]) / 2, cap)
+    level = []
+    for g in groups:
+        e0 = len(entries)
+        entries.extend(int(i) for i in g)
+        boxes.append(
+            [pb[g, 0].min(), pb[g, 1].max(), pb[g, 2].min(), pb[g, 3].max()]
+        )
+        child0.append(-1)
+        child1.append(-1)
+        entry0.append(e0)
+        entry1.append(len(entries))
+        level.append(len(boxes) - 1)
+
+    # inner levels until a single root
+    while len(level) > 1:
+        lb = np.array([boxes[i] for i in level])
+        groups = _str_pack((lb[:, 2] + lb[:, 3]) / 2, (lb[:, 0] + lb[:, 1]) / 2, cap)
+        nxt = []
+        for g in groups:
+            kids = [level[int(i)] for i in g]
+            boxes.append(
+                [lb[g, 0].min(), lb[g, 1].max(), lb[g, 2].min(), lb[g, 3].max()]
+            )
+            child0.append(len(entries))
+            entries.extend(kids)
+            child1.append(len(entries))
+            entry0.append(-1)
+            entry1.append(-1)
+            nxt.append(len(boxes) - 1)
+        level = nxt
+    return STRtree(
+        np.asarray(boxes, dtype=np.float64),
+        np.asarray(child0, dtype=np.int64),
+        np.asarray(child1, dtype=np.int64),
+        np.asarray(entry0, dtype=np.int64),
+        np.asarray(entry1, dtype=np.int64),
+        np.asarray(entries, dtype=np.int64),
+        level[0],
+    )
+
+
+def assign_polygons_strtree(lat, lon, tree: STRtree, polys: list[dict], id_key: str):
+    """R-tree point-in-polygon-set assignment; bit-identical to
+    ``assign_polygons_np`` (first polygon in input order wins overlaps —
+    enforced by keeping the MIN matching polygon list-index per point)."""
+    lat = np.asarray(lat, dtype=np.float64).ravel()
+    lon = np.asarray(lon, dtype=np.float64).ravel()
+    n = lat.size
+    best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    if tree.root < 0 or n == 0:
+        out = np.full(n, -1, dtype=np.int32)
+        return out
+    stack: list[tuple[int, np.ndarray]] = [(tree.root, np.arange(n))]
+    while stack:
+        node, pts = stack.pop()
+        b = tree.boxes[node]
+        m = (lat[pts] >= b[0]) & (lat[pts] <= b[1]) & (lon[pts] >= b[2]) & (lon[pts] <= b[3])
+        pts = pts[m]
+        if pts.size == 0:
+            continue
+        if tree.child0[node] < 0:  # leaf: exact tests, min-index wins
+            for poly_idx in tree.entries[tree.entry0[node] : tree.entry1[node]]:
+                cand = pts[best[pts] > poly_idx]
+                if cand.size == 0:
+                    continue
+                p = polys[poly_idx]
+                pla = np.asarray(p["lat"], dtype=np.float64)
+                plo = np.asarray(p["lon"], dtype=np.float64)
+                inb = (
+                    (lat[cand] >= pla.min()) & (lat[cand] <= pla.max())
+                    & (lon[cand] >= plo.min()) & (lon[cand] <= plo.max())
+                )
+                cand = cand[inb]
+                if cand.size == 0:
+                    continue
+                hit = point_in_polygon_np(lat[cand], lon[cand], pla, plo)
+                won = cand[hit]
+                best[won] = np.minimum(best[won], poly_idx)
+        else:
+            for kid in tree.entries[tree.child0[node] : tree.child1[node]]:
+                stack.append((int(kid), pts))
+    ids = np.array([int(p[id_key]) for p in polys], dtype=np.int64)
+    out = np.full(n, -1, dtype=np.int32)
+    matched = best < np.iinfo(np.int64).max
+    out[matched] = ids[best[matched]]
     return out
 
 

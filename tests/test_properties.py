@@ -211,3 +211,27 @@ def test_jpeg_error_bounded_by_quant_step(h, w, seed):
     # quality-95 table entries are 1..12; worst-case block error stays
     # far below this loose threshold unless the codec is actually wrong
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 64
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(0, 80), st.integers(2, 6))
+def test_strtree_matches_bruteforce(seed, n_polys, cap):
+    """The STR R-tree assignment must be bit-identical to the linear
+    polygon scan for any polygon set, point cloud, and leaf capacity —
+    including the overlap tie-break (first polygon in input order)."""
+    rng = np.random.default_rng(seed)
+    polys = []
+    for i in range(n_polys):
+        clat, clon = rng.uniform(-70, 70), rng.uniform(-170, 170)
+        nv = int(rng.integers(3, 8))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        r = rng.uniform(0.1, 8.0)  # big radii force overlaps
+        polys.append(
+            dict(pid=i, lat=(clat + r * np.sin(ang)).tolist(), lon=(clon + r * np.cos(ang)).tolist())
+        )
+    lat = rng.uniform(-75, 75, 300)
+    lon = rng.uniform(-175, 175, 300)
+    ref = spatial.assign_polygons_np(lat, lon, polys, "pid")
+    tree = spatial.build_strtree(polys, cap=cap)
+    got = spatial.assign_polygons_strtree(lat, lon, tree, polys, "pid")
+    assert np.array_equal(ref, got)
