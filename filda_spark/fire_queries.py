@@ -123,6 +123,14 @@ def fire_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.tiles(fire_detections(spark, sf_dir))
 
 
+def fire_perimeters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster → vector: connected fire regions polygonized from the tiles
+    raster (min-label CC over 4-adjacent burning r7 cells, perimeter in
+    exposed cell edges, bbox ring as WKT). Oracle: recursive CTE over the
+    numpy-oracle tiles parquet."""
+    return pipeline.perimeters(fire_tiles(spark, sf_dir))
+
+
 def fire_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-granule fire-mask/QA raster blobs, projected through crc32 per
     raster so the driver hashes scalar fingerprints of the exact bytes
@@ -492,6 +500,73 @@ def ensure_fire_oracles() -> str:
     return od
 
 
+def perimeters_oracle_sql(tiles_parquet: str) -> str:
+    """DuckDB oracle for `pipeline.perimeters`: the same min-label
+    reachability recursive CTE shape as training._CC_CTES, over 4-adjacency
+    of burning r7 cells (E/W wrap, N/S clamp). Constants: 2^29 / 2^58 are
+    the qcell field shifts, 32768 = 2^15 cells per axis at r7, and the
+    femto-degree steps 360e15/32768 (lon) / 180e15/32768 (lat) keep every
+    bbox coordinate an exact BIGINT so the WKT text is built from integer
+    arithmetic only (float-to-string formatting differs between JVM and
+    DuckDB; exact integers do not)."""
+    _lvl_base = 15 * (1 << 58)
+    _ys = 1 << 29
+    _f = 10**15
+    _lon_step, _lat_step = 360 * _f // 32768, 180 * _f // 32768
+    fixed = (
+        "(CASE WHEN {p} < 0 THEN '-' ELSE '' END || CAST(abs({p}) // " + str(_f)
+        + " AS VARCHAR) || '.' || lpad(CAST(abs({p}) % " + str(_f) + " AS VARCHAR), 15, '0'))"
+    )
+    _lw = fixed.format(p=f"(x0 * {_lon_step} - {180 * _f})")
+    _le = fixed.format(p=f"((x1 + 1) * {_lon_step} - {180 * _f})")
+    _ln = fixed.format(p=f"({90 * _f} - y0 * {_lat_step})")
+    _ls = fixed.format(p=f"({90 * _f} - (y1 + 1) * {_lat_step})")
+    return f"""
+    WITH RECURSIVE cells AS (
+      SELECT CAST(cell_r7 AS BIGINT) AS cell,
+             CAST(cell_r7 % {_ys} AS BIGINT) AS x,
+             CAST((cell_r7 % {1 << 58}) // {_ys} AS BIGINT) AS y,
+             n_fires, max_frp
+      FROM (SELECT cell_r7, CAST(sum(n_fires) AS BIGINT) AS n_fires,
+                   max(max_frp) AS max_frp
+            FROM read_parquet('{tiles_parquet}') GROUP BY cell_r7)
+    ),
+    nbr AS (
+      SELECT cell AS src, {_lvl_base} + y*{_ys} + ((x+1) % 32768) AS dst FROM cells
+      UNION ALL
+      SELECT cell, {_lvl_base} + y*{_ys} + ((x-1+32768) % 32768) FROM cells
+      UNION ALL
+      SELECT cell, {_lvl_base} + (y-1)*{_ys} + x FROM cells WHERE y > 0
+      UNION ALL
+      SELECT cell, {_lvl_base} + (y+1)*{_ys} + x FROM cells WHERE y < 32767
+    ),
+    edges AS (SELECT n.src, n.dst FROM nbr n JOIN cells c ON c.cell = n.dst),
+    reach(cell, root) AS (
+      SELECT cell, cell FROM cells
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.cell
+    ),
+    comp AS (SELECT cell, CAST(min(root) AS BIGINT) AS component
+             FROM reach GROUP BY cell),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    agg AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(c.n_fires) AS BIGINT) AS n_fires,
+             max(c.max_frp) AS max_frp,
+             CAST(sum(4 - COALESCE(deg.d, 0)) AS BIGINT) AS perimeter_edges,
+             min(c.x) AS x0, max(c.x) AS x1, min(c.y) AS y0, max(c.y) AS y1
+      FROM cells c JOIN comp ON comp.cell = c.cell
+      LEFT JOIN deg ON deg.src = c.cell
+      GROUP BY component
+    )
+    SELECT component, n_cells, n_fires, max_frp, perimeter_edges,
+           'POLYGON((' || {_lw} || ' ' || {_ls} || ', ' || {_le} || ' ' || {_ls}
+           || ', ' || {_le} || ' ' || {_ln} || ', ' || {_lw} || ' ' || {_ln}
+           || ', ' || {_lw} || ' ' || {_ls} || '))' AS bbox_wkt
+    FROM agg
+    """
+
+
 def oracles() -> dict[str, str]:
     """DuckDB oracle SQL for the pipeline entries (materializes inputs)."""
     from filda_spark import ntl
@@ -543,6 +618,7 @@ def oracles() -> dict[str, str]:
     FROM agg
     """
     od = ensure_fire_oracles()
+    perimeters_sql = perimeters_oracle_sql(f"{od}/tiles.parquet")
     # windowed fire rate: identical integer event-time arithmetic, identical
     # watermark cutoff (append mode emits only windows whose end the final
     # watermark passed: win_end <= max(event) - delay). Input is the
@@ -576,6 +652,7 @@ def oracles() -> dict[str, str]:
         "fire_detections": f"SELECT * FROM read_parquet('{od}/detections.parquet')",
         "fire_detections_mod": f"SELECT * FROM read_parquet('{od}/detections_mod.parquet')",
         "fire_tiles": f"SELECT * FROM read_parquet('{od}/tiles.parquet')",
+        "fire_perimeters": perimeters_sql,
         "mcbef_state": f"SELECT * FROM read_parquet('{od}/mcbef_state.parquet')",
         "mcbef_sample": f"SELECT * FROM read_parquet('{od}/mcbef_sample.parquet')",
         "media_features": f"SELECT * FROM read_parquet('{od}/media_features.parquet')",
@@ -592,6 +669,7 @@ QUERIES = {
     "mcbef_sample": mcbef_sample,
     "ntl_climatology": ntl_climatology,
     "fire_tiles": fire_tiles,
+    "fire_perimeters": fire_perimeters,
     "fire_masks": fire_masks,
     "media_features": media_features,
     "media_resize": media_resize,

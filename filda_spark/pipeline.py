@@ -38,7 +38,7 @@ import time
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -632,6 +632,131 @@ def tiles(det: DataFrame) -> DataFrame:
             F.max("FP_Power").alias("max_frp"),
             F.sum((F.col("FP_confidence") == 9).cast("long")).alias("n_high_conf"),
         )
+    )
+
+
+_PERIM_MAX_ITERS = 50  # component-diameter bound; fire fronts are compact
+
+
+def perimeters(tiles_df: DataFrame) -> DataFrame:
+    """Raster → vector: polygonize the fire-density raster into connected
+    fire regions (the inverse of `tiles`' vector → raster rollup — together
+    they close the north rule's "raster↔vector" pair).
+
+    Burning r7 cells are nodes; 4-adjacency (E/W wrap in longitude, N/S
+    clamped at the poles) gives edges; connected components are labeled by
+    min-label propagation to the fixpoint (label = min cell id reachable),
+    the same Pregel-style loop as `training.dup_components`. Per region it
+    emits vector features: cell count, detection count, exact max FRP, the
+    perimeter length in exposed cell edges (4 − #burning neighbours, summed
+    — the rasterized boundary length), and the bounding-box ring as WKT.
+
+    Scale: edges ≈ 4 × inhabited cells (~1e8 rows at global r7 — tiny next
+    to detections); each of the O(diameter) rounds is one equi-join shuffle
+    + one groupBy, and fire fronts are compact so the diameter is small.
+    No driver-side data: the loop compares a scalar changed-count per round.
+    Antimeridian-crossing regions get the raw min/max-x box (no wrap
+    normalization) — deterministic, mirrored exactly in the oracle SQL.
+    """
+    n = 1 << grids.LEVEL_R7
+    cells = tiles_df.groupBy("cell_r7").agg(
+        F.sum("n_fires").alias("n_fires"),
+        F.max("max_frp").alias("max_frp"),
+    )
+    x, y = grids.cell_xy(F.col("cell_r7"))
+    cells = cells.select(
+        F.col("cell_r7").alias("cell"), "n_fires", "max_frp",
+        x.alias("x"), y.alias("y"),
+    ).localCheckpoint()
+
+    base = F.lit(grids.LEVEL_R7).cast("long") * F.lit(grids._LVL_SHIFT)
+    east = base + F.col("y") * F.lit(grids._Y_SHIFT) + (F.col("x") + 1) % n
+    west = base + F.col("y") * F.lit(grids._Y_SHIFT) + (F.col("x") - 1 + n) % n
+    north = F.when(
+        F.col("y") > 0, base + (F.col("y") - 1) * F.lit(grids._Y_SHIFT) + F.col("x")
+    )
+    south = F.when(
+        F.col("y") < n - 1, base + (F.col("y") + 1) * F.lit(grids._Y_SHIFT) + F.col("x")
+    )
+    cand = cells.select(
+        F.col("cell").alias("src"),
+        F.explode(F.array_compact(F.array(east, west, north, south))).alias("dst"),
+    )
+    # keep only neighbours that are themselves burning: one equi-join on the
+    # packed cell id (4 rows per cell; no spatial shuffle machinery needed)
+    nodes = cells.select(F.col("cell").alias("dst"))
+    edges = cand.join(nodes, "dst", "inner").localCheckpoint()
+
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    labels = cells.select("cell", F.col("cell").alias("component")).localCheckpoint()
+    for _ in range(_PERIM_MAX_ITERS):
+        nbr = (
+            edges.join(labels, edges.dst == labels.cell)
+            .groupBy("src")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new = (
+            labels.join(nbr, labels.cell == nbr.src, "left")
+            .select(
+                "cell",
+                F.col("component").alias("_prev"),
+                F.least(
+                    F.col("component"), F.coalesce("_nbr", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("component") != F.col("_prev")).count()
+        labels = new.select("cell", "component")
+        if changed == 0:
+            break
+
+    lab = cells.join(labels, "cell").join(deg, cells.cell == deg.src, "left")
+    per_cell = lab.select(
+        "component", "n_fires", "max_frp", "x", "y",
+        (F.lit(4) - F.coalesce("_deg", F.lit(0))).alias("_exposed"),
+    )
+    agg = per_cell.groupBy("component").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_fires").alias("n_fires"),
+        F.max("max_frp").alias("max_frp"),
+        F.sum("_exposed").alias("perimeter_edges"),
+        F.min("x").alias("_x0"), F.max("x").alias("_x1"),
+        F.min("y").alias("_y0"), F.max("y").alias("_y1"),
+    )
+    # bbox ring in lon/lat (cell outer edges). Coordinates are exact
+    # BIGINT femto-degrees (360e15 and 180e15 both divide evenly by 2^15),
+    # and the decimal text is built with integer arithmetic only —
+    # float-to-string formatting differs between JVM and DuckDB, exact
+    # integers do not. The long/long division below is safe to floor: the
+    # residues of step·k mod 1e15 are multiples of gcd(step, 1e15) ≫ the
+    # ≤32 ulp error of the int64→double conversion at 3.6e17.
+    def _fixed15(p: Column) -> Column:
+        a = F.abs(p)
+        return F.concat(
+            F.when(p < 0, F.lit("-")).otherwise(F.lit("")),
+            F.floor(a / F.lit(10**15)).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((a % F.lit(10**15)).cast("string"), 15, "0"),
+        )
+
+    lon_step, lat_step = 360 * 10**15 // n, 180 * 10**15 // n
+    lon_w = _fixed15(F.col("_x0") * F.lit(lon_step) - F.lit(180 * 10**15))
+    lon_e = _fixed15((F.col("_x1") + 1) * F.lit(lon_step) - F.lit(180 * 10**15))
+    lat_n = _fixed15(F.lit(90 * 10**15) - F.col("_y0") * F.lit(lat_step))
+    lat_s = _fixed15(F.lit(90 * 10**15) - (F.col("_y1") + 1) * F.lit(lat_step))
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        lon_w, F.lit(" "), lat_s, F.lit(", "),
+        lon_e, F.lit(" "), lat_s, F.lit(", "),
+        lon_e, F.lit(" "), lat_n, F.lit(", "),
+        lon_w, F.lit(" "), lat_n, F.lit(", "),
+        lon_w, F.lit(" "), lat_s,
+        F.lit("))"),
+    )
+    return agg.select(
+        "component", "n_cells", "n_fires", "max_frp", "perimeter_edges",
+        wkt.alias("bbox_wkt"),
     )
 
 
