@@ -516,6 +516,92 @@ def cell_knn_count(spark, sf_dir):
     )
 
 
+def _zonal_oracle_sql() -> str:
+    """SQL twin of the broadcast-R-tree point-in-polygon path: an explicit
+    even-odd ray cast (edge join + crossing-parity HAVING) over the same
+    demo_zones polygon set, rendered as VALUES literals from the identical
+    Python list the Spark side broadcasts. The edge (i, j=i-1) roles and the
+    `(xj-xi)*(lat-yi)/(yj-yi)+xi` operand order mirror
+    `spatial.point_in_polygon_np` exactly so the float64 results are
+    bit-identical. Horizontal edges are dropped up front (their crossing
+    predicate is always false; keeping them would divide by zero)."""
+    from filda_spark.spatial import demo_zones
+
+    rows = []
+    for z in demo_zones():
+        n = len(z["lat"])
+        for i in range(n):
+            j = (i - 1) % n
+            yi, xi = z["lat"][i], z["lon"][i]
+            yj, xj = z["lat"][j], z["lon"][j]
+            if yi == yj:
+                continue
+            rows.append(f"({z['zone_id']}, {yi!r}, {xi!r}, {yj!r}, {xj!r})")
+    edges = ",\n      ".join(rows)
+    return f"""
+    WITH pts AS (
+      SELECT event_id, value,
+             CAST(event_id * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+             CAST(event_id * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+      FROM events
+    ),
+    edges(zone, yi, xi, yj, xj) AS (VALUES
+      {edges}
+    ),
+    hits AS (
+      SELECT p.event_id, e.zone
+      FROM pts p JOIN edges e
+        ON (e.yi > p.lat) != (e.yj > p.lat)
+       AND p.lon < (e.xj - e.xi) * (p.lat - e.yi) / (e.yj - e.yi) + e.xi
+      GROUP BY p.event_id, e.zone
+      HAVING count(*) % 2 = 1
+    ),
+    assigned AS (
+      SELECT p.event_id, p.value, CAST(COALESCE(min(h.zone), -1) AS INT) AS zone_id
+      FROM pts p LEFT JOIN hits h ON h.event_id = p.event_id
+      GROUP BY p.event_id, p.value
+    )
+    SELECT zone_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value,
+           CAST(min(event_id) AS BIGINT) AS min_event
+    FROM assigned GROUP BY zone_id
+    """
+
+
+@register(
+    "zonal_stats",
+    _zonal_oracle_sql(),
+    doc="zonal statistics: broadcast polygon R-tree point-in-polygon assignment + per-zone rollup (north rule PIP; zone -1 aggregates the complement)",
+)
+def zonal_stats(spark, sf_dir):
+    """Vector ⊗ point zonal rollup on the production PIP path: the polygon
+    set is broadcast once, each Arrow batch descends the STR R-tree
+    (`pipeline.make_pip_udf`), and the only shuffle is the final per-zone
+    aggregation — the same plan that holds against 1e12 points (map-side
+    partial aggs on ≤109 zone keys)."""
+    from filda_spark.pipeline import make_pip_udf
+    from filda_spark.spatial import demo_zones
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    pts = ev.select(
+        "event_id",
+        "value",
+        ((F.col("event_id") * 7919 % 18000).cast("double") / 100.0 - 90.0).alias("lat"),
+        ((F.col("event_id") * 104729 % 36000).cast("double") / 100.0 - 180.0).alias("lon"),
+    )
+    bc = spark.sparkContext.broadcast(demo_zones())
+    zid = make_pip_udf(bc, "zone_id", flag=False)
+    return (
+        pts.withColumn("zone_id", zid("lat", "lon"))
+        .groupBy("zone_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.min("event_id").alias("min_event"),
+        )
+    )
+
+
 @register(
     "priority_paint",
     """

@@ -312,3 +312,31 @@ def adjacency_counts_np(cm_img: np.ndarray, lwm_img: np.ndarray, line, sample):
         n_cloud[k] = cl_n
         n_water[k] = wa_n
     return n_cloud, n_water
+
+
+def demo_zones() -> list[dict]:
+    """Deterministic synthetic polygon zones for the oracle-checked zonal
+    statistics entry (no RNG, no files): a 9x12 grid of irregular convex
+    rings, radii < half the grid spacing so zones never overlap (which makes
+    first-in-input-order overlap resolution trivially equal to min-zone-id in
+    the SQL twin). Vertices are rounded to 4 dp so the SQL literals parse to
+    bit-identical float64 on both engines."""
+    import math
+
+    zones = []
+    zid = 0
+    for gy in range(9):
+        for gx in range(12):
+            clat = -60.0 + 15.0 * gy
+            clon = -165.0 + 30.0 * gx
+            nv = 5 + (zid % 4)
+            rbase = 3.0 + (zid % 5)
+            lats, lons = [], []
+            for j in range(nv):
+                r = rbase * (0.6 + 0.4 * (((zid * 31 + j * 17) % 10) / 10.0))
+                th = 2 * math.pi * j / nv + 0.1 * zid
+                lats.append(round(clat + r * math.sin(th), 4))
+                lons.append(round(clon + r * math.cos(th), 4))
+            zones.append(dict(zone_id=zid, lat=lats, lon=lons))
+            zid += 1
+    return zones
