@@ -43,6 +43,7 @@ import os
 import time
 import uuid
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -262,6 +263,7 @@ def process_docs(
     batch = spark.read.parquet(stage)
     if batch.limit(1).count() > 0:
         update_dedup_incremental(spark, out_dir, batch)
+        _update_manifest(spark, out_dir, batch)
 
     # per-granule metrics off the staged pre-fit rows (sentinel rows carry
     # the timing for zero-detection granules and count 0 toward rows_out);
@@ -299,6 +301,91 @@ def process_docs(
         os.rmdir(f"{out_dir}/_stage")  # parent, if this was its last run
     except OSError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Partition-stats manifest + data-skipping reads (the Iceberg manifest
+# analogue on the parquet layout)
+# ---------------------------------------------------------------------------
+
+
+def _manifest_path(out_dir: str) -> str:
+    return f"{out_dir}/_manifest/partition_stats.parquet"
+
+
+def _update_manifest(spark: SparkSession, out_dir: str, batch: DataFrame) -> None:
+    """Merge the batch's per-tile column bounds into the partition-stats
+    manifest: (tile_id, lat/lon min-max, rows). One agg over the staged
+    batch (<=648 result rows globally), then a driver-side atomic replace —
+    the same single-writer metadata commit the snapshot log uses. Bounds
+    are merge-only (the store is append-only; compaction preserves rows),
+    so stale-tightness is impossible and the manifest never needs a data
+    scan to repair."""
+    lat, lon = F.col("FP_Latitude"), F.col("FP_Longitude")
+    stats = (
+        batch.withColumn("tile_id", grids.pc_tile_name(lat, lon))
+        .groupBy("tile_id")
+        .agg(
+            F.min(lat).alias("lat_min"),
+            F.max(lat).alias("lat_max"),
+            F.min(lon).alias("lon_min"),
+            F.max(lon).alias("lon_max"),
+            F.count("*").alias("rows"),
+        )
+        .toPandas()
+    )
+    if stats.empty:
+        return
+    path = _manifest_path(out_dir)
+    if os.path.exists(path):
+        prev = pd.read_parquet(path)
+        both = pd.concat([prev, stats], ignore_index=True)
+        stats = both.groupby("tile_id", as_index=False).agg(
+            lat_min=("lat_min", "min"),
+            lat_max=("lat_max", "max"),
+            lon_min=("lon_min", "min"),
+            lon_max=("lon_max", "max"),
+            rows=("rows", "sum"),
+        )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    stats.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+
+
+def read_detections_bbox(
+    spark: SparkSession,
+    out_dir: str,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+) -> DataFrame:
+    """Data-skipping bbox read of the detections store: the manifest's
+    per-tile bounds prune partitions without touching data (finer than raw
+    tile arithmetic — a tile populated only in one corner keeps its actual
+    bounds), the surviving tiles become a bounded literal isin (static
+    partition pruning, <=648 ids), and the residual lat/lon predicate is
+    pushed into the parquet scan where row-group min/max stats skip pages.
+    Exactly the Iceberg manifest -> partition prune -> row-group skip
+    ladder, on the plain-parquet layout."""
+    path = _manifest_path(out_dir)
+    root = f"{out_dir}/detections"
+    lat, lon = F.col("FP_Latitude"), F.col("FP_Longitude")
+    pred = (
+        (lat >= lat_min) & (lat <= lat_max) & (lon >= lon_min) & (lon <= lon_max)
+    )
+    det = spark.read.parquet(root)
+    if not os.path.exists(path):
+        return det.filter(pred)
+    man = pd.read_parquet(path)
+    keep = man[
+        (man.lat_max >= lat_min)
+        & (man.lat_min <= lat_max)
+        & (man.lon_max >= lon_min)
+        & (man.lon_min <= lon_max)
+    ].tile_id.tolist()
+    return det.filter(F.col("tile_id").isin(keep)).filter(pred)
 
 
 # ---------------------------------------------------------------------------

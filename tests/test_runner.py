@@ -317,3 +317,66 @@ def test_snapshot_time_travel(spark, corpus, nl, tmp_path):
 
     with pytest.raises(ValueError, match="unknown snapshot"):
         runner.read_detections_as_of(spark, out, "nope")
+
+
+def test_manifest_bbox_read(spark, corpus, nl, tmp_path):
+    """The partition-stats manifest accumulates exact per-tile bounds across
+    incremental commits; a bbox read equals the brute-force filter, prunes
+    tiles via the manifest (not tile arithmetic), and stays correct after
+    compaction rewrites the data files."""
+    import os
+
+    full_dir = corpus["dir"]
+    all_docs = sorted(set(pd.read_parquet(f"{full_dir}/documents.parquet").doc_id))
+    out = str(tmp_path / "out_manifest")
+    sub_dir = str(tmp_path / "corpus_manifest")
+    _half_corpus(full_dir, sub_dir, set(all_docs[:4]))
+    runner.run_incremental(spark, sub_dir, out, nl)
+    runner.run_incremental(spark, full_dir, out, nl)
+
+    man = pd.read_parquet(runner._manifest_path(out))
+    det = spark.read.parquet(f"{out}/detections").toPandas()
+    # manifest bounds are exactly the store's per-tile bounds and rows
+    per_tile = det.groupby("tile_id").agg(
+        lat_min=("FP_Latitude", "min"), lat_max=("FP_Latitude", "max"),
+        lon_min=("FP_Longitude", "min"), lon_max=("FP_Longitude", "max"),
+        rows=("FP_Latitude", "size"),
+    ).reset_index()
+    m = man.sort_values("tile_id").reset_index(drop=True)
+    p = per_tile.sort_values("tile_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(m[sorted(m.columns)], p[sorted(p.columns)], check_dtype=False)
+    assert len(man) > 1
+
+    # bbox covering only the first tile's bounds: prunes to fewer tiles and
+    # matches the brute-force filter exactly
+    t0 = per_tile.iloc[0]
+    got = (
+        runner.read_detections_bbox(
+            spark, out, t0.lat_min, t0.lat_max, t0.lon_min, t0.lon_max
+        )
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    want = det[
+        (det.FP_Latitude >= t0.lat_min) & (det.FP_Latitude <= t0.lat_max)
+        & (det.FP_Longitude >= t0.lon_min) & (det.FP_Longitude <= t0.lon_max)
+    ].sort_values(KEY).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+
+    # degenerate box far from all data: zero rows without reading anything
+    empty = runner.read_detections_bbox(spark, out, 80.0, 81.0, 170.0, 171.0)
+    assert empty.count() == 0
+
+    # compaction preserves rows, so merge-only bounds stay valid
+    runner.compact_detections(spark, out)
+    got2 = (
+        runner.read_detections_bbox(
+            spark, out, t0.lat_min, t0.lat_max, t0.lon_min, t0.lon_max
+        )
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2[sorted(got2.columns)], want[sorted(want.columns)])
+    assert os.path.exists(runner._manifest_path(out))
