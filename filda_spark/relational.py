@@ -862,6 +862,74 @@ def moving_avg(spark, sf_dir):
     return ev.select("event_id", F.round(F.avg("value").over(w), 6).alias("mavg"))
 
 
+def _ntz_micros(col: str):
+    """Microsecond scalar from a TIMESTAMP_NTZ column. unix_micros only
+    accepts TIMESTAMP; the NTZ->TZ cast applies the session-zone offset,
+    which cancels in any difference of two values from the same session
+    (only gaps are emitted, never absolute epochs)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+@register(
+    "asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="as-of join: each event matched to the latest at-or-before click of the same user (point-in-time join; union + window carry-forward, no range explosion)",
+)
+def asof_join(spark, sf_dir):
+    """Distributed as-of join without a range join: tag reference (click)
+    and probe rows, union them, and carry the last reference id forward
+    inside one (user, ts) window — one shuffle on the key, sort-based, no
+    per-row candidate explosion. Reference rows sort BEFORE probes at equal
+    ts (side 0 < 1) so "at or before" includes same-instant matches; this
+    is the plan that holds when both sides are billions of rows (a
+    broadcast-range or cross-bucket join would not)."""
+    ev = _t(spark, sf_dir, "events")
+    refs = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("probe_id"),
+        F.col("event_id").alias("ref_id"),
+    )
+    probes = ev.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("probe_id"),
+        F.lit(None).cast("long").alias("ref_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = (
+        probes.unionByName(refs)
+        .withColumn("click_id", F.last("ref_id", ignorenulls=True).over(w))
+        .withColumn(
+            "click_us",
+            F.last(
+                F.when(F.col("side") == 0, _ntz_micros("ts")), ignorenulls=True
+            ).over(w),
+        )
+    )
+    return u.filter(F.col("side") == 1).select(
+        F.col("probe_id").alias("event_id"),
+        "user_id",
+        "click_id",
+        (_ntz_micros("ts") - F.col("click_us")).alias("gap_us"),
+    )
+
+
 @register(
     "set_ops_except",
     """
