@@ -434,7 +434,7 @@ def ensure_fire_oracles() -> str:
     import shutil
     import uuid
 
-    od = f"{corpus_dir(TEST_GEOM)}/_oracle_v3"
+    od = f"{corpus_dir(TEST_GEOM)}/_oracle_v4"  # v4: hex_r7/r8/r9 detection columns
     if os.path.exists(f"{od}/_DONE"):
         return od
     from filda_spark import fixtures, mcbef, oracle

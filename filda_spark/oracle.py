@@ -305,7 +305,11 @@ def enrich_detections(
         "FP_Longitude": df["FP_Longitude"].to_numpy(),
     }
     det = spatial.encode_cells_np(det)
-    for k in ("cell_r7", "cell_r8", "cell_r9", "s2_token", "tile_id"):
+    for k in (
+        "cell_r7", "cell_r8", "cell_r9",
+        "hex_r7", "hex_r8", "hex_r9",
+        "s2_token", "tile_id",
+    ):
         df[k] = det[k]
     return df
 

@@ -460,11 +460,18 @@ def enrich(spark: SparkSession, det: DataFrame, corpus_dir: str) -> DataFrame:
         det = det.withColumn("FP_Water_PIP", water_flag("FP_Latitude", "FP_Longitude"))
 
     lat, lon = F.col("FP_Latitude"), F.col("FP_Longitude")
+    from filda_spark import hex as hx
+
     det = det.withColumns(
         {
             "cell_r7": grids.cell_encode(lat, lon, grids.LEVEL_R7),
             "cell_r8": grids.cell_encode(lat, lon, grids.LEVEL_R8),
             "cell_r9": grids.cell_encode(lat, lon, grids.LEVEL_R9),
+            # true-hex ids (aperture-7, filda_spark.hex): the north star's
+            # "H3 cells (res 7-9)" alongside the qcell/S2 pair
+            "hex_r7": hx.encode(lat, lon, hx.HEX_R7),
+            "hex_r8": hx.encode(lat, lon, hx.HEX_R8),
+            "hex_r9": hx.encode(lat, lon, hx.HEX_R9),
         }
     )
     det = det.withColumn("s2_token", _s2_token_udf()("FP_Latitude", "FP_Longitude"))

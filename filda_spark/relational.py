@@ -516,6 +516,104 @@ def cell_knn_count(spark, sf_dir):
     )
 
 
+def _hex_pts_cte() -> str:
+    return """
+      SELECT CAST(event_id * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+             CAST(event_id * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+      FROM events
+    """
+
+
+def _hex_cells_oracle_sql() -> str:
+    from filda_spark import hex as hx
+
+    enc = hx.encode_sql("lat", "lon", hx.HEX_R8)
+    par = hx.parent_sql("q", "r", hx.HEX_R8)
+    return f"""
+    WITH pts AS ({_hex_pts_cte()}),
+    enc AS (SELECT {enc} AS hex_r8 FROM pts),
+    qr AS (
+      SELECT hex_r8,
+             CAST((hex_r8 % {1 << 58}) // {1 << 29} - {1 << 28} AS BIGINT) AS q,
+             CAST(hex_r8 % {1 << 29} - {1 << 28} AS BIGINT) AS r
+      FROM enc
+    )
+    SELECT hex_r8, {par} AS hex_r7, CAST(count(*) AS BIGINT) AS n
+    FROM qr GROUP BY hex_r8, q, r
+    """
+
+
+@register(
+    "hex_cells",
+    _hex_cells_oracle_sql(),
+    doc="hexagonal cell encode + aperture-7 parent rollup (H3-class res 8 -> 7) over deterministic event points; numpy/Column/SQL twins pinned bit-identical",
+)
+def hex_cells(spark, sf_dir):
+    from filda_spark import hex as hx
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 7919 % 18000).cast("double") / 100.0 - 90.0).alias("lat"),
+        ((F.col("event_id") * 104729 % 36000).cast("double") / 100.0 - 180.0).alias("lon"),
+    )
+    c8 = pts.select(hx.encode(F.col("lat"), F.col("lon"), hx.HEX_R8).alias("hex_r8"))
+    return (
+        c8.withColumn("hex_r7", hx.parent(F.col("hex_r8"), hx.HEX_R8))
+        .groupBy("hex_r8", "hex_r7")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _hex_smooth_oracle_sql() -> str:
+    from filda_spark import hex as hx
+
+    enc = hx.encode_sql("lat", "lon", hx.HEX_R8)
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in [(0, 0)] + hx.DIRS)
+    pack = (
+        f"({hx.HEX_R8} * CAST({1 << 58} AS BIGINT)"
+        f" + (q + dq + {1 << 28}) * CAST({1 << 29} AS BIGINT)"
+        f" + (r + dr + {1 << 28}))"
+    )
+    return f"""
+    WITH pts AS ({_hex_pts_cte()}),
+    counts AS (
+      SELECT hex_r8, CAST(count(*) AS BIGINT) AS n FROM
+        (SELECT {enc} AS hex_r8 FROM pts) GROUP BY hex_r8
+    ),
+    qr AS (
+      SELECT n,
+             CAST((hex_r8 % {1 << 58}) // {1 << 29} - {1 << 28} AS BIGINT) AS q,
+             CAST(hex_r8 % {1 << 29} - {1 << 28} AS BIGINT) AS r
+      FROM counts
+    ),
+    offsets(dq, dr) AS (VALUES {offs})
+    SELECT {pack} AS hex_r8, CAST(sum(n) AS BIGINT) AS smoothed
+    FROM qr CROSS JOIN offsets
+    GROUP BY hex_r8
+    """
+
+
+@register(
+    "hex_smooth",
+    _hex_smooth_oracle_sql(),
+    doc="uniform hex kRing smoothing: per-cell counts scattered into the 6-neighbour ring and re-summed — the anisotropy-free neighborhood aggregate hexagonal grids exist for",
+)
+def hex_smooth(spark, sf_dir):
+    """Scatter-sum over the hex 1-ring: each cell's count lands on itself
+    and its 6 equidistant neighbours (integer lattice arithmetic only —
+    one explode + one groupBy shuffle, identical shape at any scale)."""
+    from filda_spark import hex as hx
+
+    counts = hex_cells(spark, sf_dir).groupBy("hex_r8").agg(F.sum("n").alias("n"))
+    return (
+        counts.select(
+            F.explode(hx.kring(F.col("hex_r8"), hx.HEX_R8, 1)).alias("hex_r8"), "n"
+        )
+        .groupBy("hex_r8")
+        .agg(F.sum("n").alias("smoothed"))
+    )
+
+
 def _zonal_oracle_sql() -> str:
     """SQL twin of the broadcast-R-tree point-in-polygon path: an explicit
     even-odd ray cast (edge join + crossing-parity HAVING) over the same

@@ -235,10 +235,15 @@ def encode_cells_np(det: dict) -> dict:
     arrays."""
     from filda_spark import s2
 
+    from filda_spark import hex as hx
+
     lat, lon = det["FP_Latitude"], det["FP_Longitude"]
     det["cell_r7"] = cell_encode_np(lat, lon, LEVEL_R7)
     det["cell_r8"] = cell_encode_np(lat, lon, LEVEL_R8)
     det["cell_r9"] = cell_encode_np(lat, lon, LEVEL_R9)
+    det["hex_r7"] = hx.encode_np(lat, lon, hx.HEX_R7)
+    det["hex_r8"] = hx.encode_np(lat, lon, hx.HEX_R8)
+    det["hex_r9"] = hx.encode_np(lat, lon, hx.HEX_R9)
     det["s2_token"] = s2.token(s2.cell_id(lat, lon, S2_TOKEN_LEVEL))
     hid, vid, _, _ = pc_tile_np(lat, lon)
     det["tile_id"] = np.array([f"h{h:02d}v{v:02d}" for h, v in zip(hid, vid)])
