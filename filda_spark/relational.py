@@ -1028,6 +1028,128 @@ def asof_join(spark, sf_dir):
     )
 
 
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+@register(
+    "sessionize",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM e
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+           round(sum(value), 6) AS total_value,
+           CAST(min(event_id) AS BIGINT) AS first_event
+    FROM s GROUP BY user_id, session_no
+    """,
+    doc="gap-based sessionization (30-min idle gap): lag -> new-session flag -> running-sum session number -> per-session rollup (the batch twin of session windows)",
+)
+def sessionize(spark, sf_dir):
+    """One shuffle on user_id serves both windows and the final rollup
+    (same partitioning); durations are microsecond differences so the
+    TIMESTAMP_NTZ session-zone cast cancels."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", _ntz_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = e.withColumn("session_no", F.sum("new_s").over(wc))
+    return s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+KMV_K = 32
+
+
+@register(
+    "kmv_distinct",
+    f"""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type, user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+      FROM h
+    ),
+    nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM d GROUP BY event_type),
+    kth AS (SELECT event_type, h AS hk FROM r WHERE rn = {KMV_K})
+    SELECT nd.event_type, n_exact,
+           round(CASE WHEN hk IS NULL THEN CAST(n_exact AS DOUBLE)
+                 ELSE {KMV_K - 1}.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
+                 END, 6) AS kmv_estimate
+    FROM nd LEFT JOIN kth USING (event_type)
+    """,
+    doc="KMV distinct-count sketch: k-th minimum of 60-bit md5 hashes -> (k-1)/u_k estimate, exact count alongside; deterministic (same hash both engines) unlike HLL",
+)
+def kmv_distinct(spark, sf_dir):
+    """Mergeable distinct sketch, computed the scalable way: per-bucket
+    k-minima first (64-way hash split bounds every sort), then the k-th of
+    the union — identical to the global k-th smallest (the global k-th is
+    always inside the union of per-bucket k-minima) without a full per-group
+    sort. Groups with fewer than K members fall back to the exact count
+    (that IS KMV semantics: the sketch holds all values)."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+    w1 = Window.partitionBy("event_type", "bucket").orderBy("h", "user_id")
+    cand = (
+        d.withColumn("bucket", F.pmod(F.xxhash64("user_id"), F.lit(64)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    w2 = Window.partitionBy("event_type").orderBy("h", "user_id")
+    kth = (
+        cand.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") == KMV_K)
+        .select("event_type", F.col("h").alias("hk"))
+    )
+    nd = d.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    est = F.when(
+        F.col("hk").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) / (F.col("hk").cast("double") / F.lit(1152921504606846976.0))
+    )
+    return nd.join(kth, "event_type", "left").select(
+        "event_type", "n_exact", F.round(est, 6).alias("kmv_estimate")
+    )
+
+
 @register(
     "set_ops_except",
     """
