@@ -410,7 +410,10 @@ def _commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> None:
         F.count("*").alias("docs"), F.sum("rows_out").alias("rows")
     ).collect()[0]
     os.makedirs(f"{out_dir}/_snapshots", exist_ok=True)
-    seq = len(snapshots(out_dir)) + 1
+    # max-seq + 1, not count + 1: expiration removes old records but must
+    # never let sequence numbers collide
+    _, prior = _snap_entries(out_dir)
+    seq = (prior[-1]["seq"] if prior else 0) + 1
     with open(_snap_log(out_dir), "a") as f:
         f.write(
             json.dumps(
@@ -420,15 +423,24 @@ def _commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> None:
         )
 
 
-def snapshots(out_dir: str) -> list[dict]:
-    """Commit log, oldest first."""
+def _snap_entries(out_dir: str) -> tuple[dict, list[dict]]:
+    """(base record, commit records oldest first). The base record (seq 0)
+    carries run_ids folded in by expire_snapshots — implicit members of
+    every surviving snapshot."""
     import json
 
     path = _snap_log(out_dir)
     if not os.path.exists(path):
-        return []
+        return {}, []
     with open(path) as f:
-        return [json.loads(line) for line in f if line.strip()]
+        rows = [json.loads(line) for line in f if line.strip()]
+    base = next((r for r in rows if r.get("base")), {})
+    return base, [r for r in rows if not r.get("base")]
+
+
+def snapshots(out_dir: str) -> list[dict]:
+    """Commit log, oldest first (expired commits omitted)."""
+    return _snap_entries(out_dir)[1]
 
 
 def read_detections_as_of(spark: SparkSession, out_dir: str, run_id: str) -> DataFrame:
@@ -440,11 +452,13 @@ def read_detections_as_of(spark: SparkSession, out_dir: str, run_id: str) -> Dat
     detections store is append-only per granule, so doc_id membership IS
     the snapshot content). dedup_state/tiles are latest-only materialized
     views and have no history by design."""
-    snaps = snapshots(out_dir)
+    base, snaps = _snap_entries(out_dir)
     seqs = [s["seq"] for s in snaps if s["run_id"] == run_id]
     if not seqs:
         raise ValueError(f"unknown snapshot run_id {run_id!r}")
-    run_ids = [s["run_id"] for s in snaps if s["seq"] <= seqs[0]]
+    run_ids = list(base.get("run_ids", [])) + [
+        s["run_id"] for s in snaps if s["seq"] <= seqs[0]
+    ]
     members = (
         spark.read.parquet(_lineage_path(out_dir))
         .filter(F.col("run_id").isin(run_ids) & (F.col("stage") == "detect"))
@@ -453,6 +467,36 @@ def read_detections_as_of(spark: SparkSession, out_dir: str, run_id: str) -> Dat
     )
     det = spark.read.parquet(f"{out_dir}/detections")
     return det.join(F.broadcast(members), "doc_id", "left_semi")
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 10) -> dict:
+    """Snapshot-retention maintenance (the Iceberg ``expire_snapshots``
+    analogue): drop commit records older than the newest ``keep_last``,
+    atomically rewriting the log. Expired run_ids fold into a cumulative
+    base record (seq 0) so surviving snapshots keep their exact membership
+    — base runs are part of EVERY remaining snapshot — while uncommitted
+    orphan lineage (a crash between lineage append and snapshot commit)
+    stays excluded. Time travel to an expired commit raises. Data files
+    need no cleanup: the store is append-only at granule granularity, so
+    expired granules remain members of every surviving snapshot and there
+    are no orphan files to collect (compaction handles file-count
+    hygiene)."""
+    import json
+
+    base, snaps = _snap_entries(out_dir)
+    if len(snaps) <= keep_last:
+        return dict(total=len(snaps), expired=0)
+    drop, keep = snaps[:-keep_last], snaps[-keep_last:]
+    base = dict(
+        seq=0, base=True, run_ids=sorted(set(base.get("run_ids", [])) | {s["run_id"] for s in drop})
+    )
+    tmp = f"{_snap_log(out_dir)}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(base) + "\n")
+        for s in keep:
+            f.write(json.dumps(s) + "\n")
+    os.replace(tmp, _snap_log(out_dir))
+    return dict(total=len(snaps), expired=len(drop))
 
 
 def run_incremental(

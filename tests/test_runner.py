@@ -380,3 +380,51 @@ def test_manifest_bbox_read(spark, corpus, nl, tmp_path):
     )
     pd.testing.assert_frame_equal(got2[sorted(got2.columns)], want[sorted(want.columns)])
     assert os.path.exists(runner._manifest_path(out))
+
+
+def test_expire_snapshots_preserves_surviving_membership(spark, corpus, nl, tmp_path):
+    """Expiring old commits folds their run_ids into the base record:
+    time travel to a SURVIVING snapshot still returns its exact content
+    (expired runs are implicit members), travel to the expired commit
+    raises, and new commits continue the sequence without collision."""
+    full_dir = corpus["dir"]
+    all_docs = sorted(set(pd.read_parquet(f"{full_dir}/documents.parquet").doc_id))
+    out = str(tmp_path / "out_exp")
+    d1 = str(tmp_path / "c1")
+    d2 = str(tmp_path / "c2")
+    _half_corpus(full_dir, d1, set(all_docs[:3]))
+    _half_corpus(full_dir, d2, set(all_docs[:5]))
+    r1 = runner.run_incremental(spark, d1, out, nl)
+    r2 = runner.run_incremental(spark, d2, out, nl)
+    snap2 = (
+        runner.read_detections_as_of(spark, out, r2["run_id"])
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+
+    res = runner.expire_snapshots(out, keep_last=1)
+    assert res == {"total": 2, "expired": 1}
+    assert [s["run_id"] for s in runner.snapshots(out)] == [r2["run_id"]]
+
+    # surviving snapshot content unchanged (r1's granules are base members)
+    snap2b = (
+        runner.read_detections_as_of(spark, out, r2["run_id"])
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(snap2b, snap2)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        runner.read_detections_as_of(spark, out, r1["run_id"])
+
+    # next commit continues the sequence; repeated expiration accumulates
+    r3 = runner.run_incremental(spark, full_dir, out, nl)
+    seqs = [s["seq"] for s in runner.snapshots(out)]
+    assert seqs == [2, 3]
+    runner.expire_snapshots(out, keep_last=1)
+    snap3 = (
+        runner.read_detections_as_of(spark, out, r3["run_id"])
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    full = (
+        spark.read.parquet(f"{out}/detections")
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(snap3, full)
