@@ -25,6 +25,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # as they land; relational entries exercise each operator family at sf scale.
 HEADLINE = [
     "cell_knn_count",
+    "radius_join",
     "broadcast_lookup",
     "bottom_pct_threshold",
     "exact_median_mad",

@@ -516,6 +516,116 @@ def cell_knn_count(spark, sf_dir):
     )
 
 
+# geodesic radius join ------------------------------------------------------
+
+RADIUS_KM = 300.0
+_R_EARTH_KM = 6371.0088
+# cell cover sized for the worst-case latitude in the synthetic domain
+# (|lat| <= 54 deg -> cos >= 0.587): 300 km = 2.71 deg lat / 4.61 deg lon,
+# so a 3x3 ring of 3 x 5 deg cells over-covers the radius everywhere.
+_RJ_CELL_LAT = 3.0
+_RJ_CELL_LON = 5.0
+
+# lon kept inside (-175, 175): the cell cover does not wrap the antimeridian,
+# and at these latitudes 300 km spans < 5 deg lon, so no true pair straddles
+# the +-180 seam either -- cover and haversine agree by construction.
+_RJ_SUPP_PTS = """
+      SELECT s_suppkey,
+             CAST(s_suppkey * 53 % 1080 AS DOUBLE) / 10.0 - 54.0 AS lat,
+             CAST(s_suppkey * 97 % 3500 AS DOUBLE) / 10.0 - 175.0 AS lon
+      FROM supplier
+"""
+_RJ_CUST_PTS = """
+      SELECT c_custkey,
+             CAST(c_custkey * 37 % 1080 AS DOUBLE) / 10.0 - 54.0 AS lat,
+             CAST(c_custkey * 73 % 3500 AS DOUBLE) / 10.0 - 175.0 AS lon
+      FROM customer
+"""
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
+    )
+    return 2 * _R_EARTH_KM * F.asin(F.sqrt(a))
+
+
+@register(
+    "radius_join",
+    f"""
+    WITH s AS ({_RJ_SUPP_PTS}), c AS ({_RJ_CUST_PTS}),
+    pairs AS (
+      SELECT s.s_suppkey, c.c_custkey,
+             2 * {_R_EARTH_KM} * asin(sqrt(
+               sin(radians(c.lat - s.lat) / 2) * sin(radians(c.lat - s.lat) / 2)
+               + cos(radians(s.lat)) * cos(radians(c.lat))
+                 * sin(radians(c.lon - s.lon) / 2) * sin(radians(c.lon - s.lon) / 2)
+             )) AS dist_km
+      FROM s CROSS JOIN c
+    )
+    SELECT s_suppkey, c_custkey, round(dist_km, 3) AS dist_km
+    FROM pairs WHERE dist_km <= {RADIUS_KM}
+    """,
+    doc=(
+        "geodesic radius range join: haversine distance <= 300 km via a "
+        "latitude-safe cell-cover equi-join + exact refine (the general "
+        "distance-threshold spatial join; kNN dedup's sibling — north rule). "
+        "Oracle is the semantic ground truth (plain cross join + haversine), "
+        "so parity checks the cover itself"
+    ),
+)
+def radius_join(spark, sf_dir):
+    """Distance-threshold spatial join. Spark plan: build points on both
+    sides, bin the probe side into (cy, cx) cells sized to over-cover the
+    radius at the domain's worst-case latitude, explode the build side into
+    its 3x3 cell ring, pure equi-join on the cell key, then refine with the
+    exact haversine predicate. No theta/range join, no cross join — the same
+    cover shape as `pipeline.dedup`, with the ring width chosen statically
+    from the radius (dedup's `lon_ring_halfwidth` is the dynamic variant for
+    unbounded latitudes). Scales: shuffle is on cell keys; skewed cells ride
+    the same salting/AQE path as dedup."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 53 % 1080).cast("double") / 10.0 - 54.0).alias("s_lat"),
+        ((F.col("s_suppkey") * 97 % 3500).cast("double") / 10.0 - 175.0).alias("s_lon"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 1080).cast("double") / 10.0 - 54.0).alias("c_lat"),
+        ((F.col("c_custkey") * 73 % 3500).cast("double") / 10.0 - 175.0).alias("c_lon"),
+    )
+    c_cells = c.select(
+        "*",
+        F.floor(F.col("c_lat") / _RJ_CELL_LAT).alias("cy"),
+        F.floor(F.col("c_lon") / _RJ_CELL_LON).alias("cx"),
+    )
+    ring = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.floor(F.col("s_lat") / _RJ_CELL_LAT) + F.lit(dy)).alias("cy"),
+                    (F.floor(F.col("s_lon") / _RJ_CELL_LON) + F.lit(dx)).alias("cx"),
+                )
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    ).alias("cell")
+    s_ring = s.select("s_suppkey", "s_lat", "s_lon", ring).select(
+        "s_suppkey", "s_lat", "s_lon", F.col("cell.cy").alias("cy"), F.col("cell.cx").alias("cx")
+    )
+    dist = _haversine_km(F.col("s_lat"), F.col("s_lon"), F.col("c_lat"), F.col("c_lon"))
+    return (
+        s_ring.join(c_cells, ["cy", "cx"])
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= RADIUS_KM)
+        .select("s_suppkey", "c_custkey", F.round("dist_km", 3).alias("dist_km"))
+    )
+
+
 def _hex_pts_cte() -> str:
     return """
       SELECT CAST(event_id * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,

@@ -190,6 +190,11 @@ def update_dedup_incremental(spark: SparkSession, out_dir: str, batch: DataFrame
     new_state = sub_dd.join(F.broadcast(ring1), "_cell", "left_semi").select(
         "tile_id", *STATE_KEY, "is_dup", "dup_of", "_cell"
     )
+    if new_state.isEmpty():
+        # nothing survives in the touched neighborhood (a pure delete with
+        # no remaining neighbors): no verdict can change, and staging an
+        # empty frame would write a schema-less parquet dir
+        return
 
     affected_tiles = new_state.select("tile_id").distinct()
     keep = (
@@ -456,6 +461,17 @@ def read_detections_as_of(spark: SparkSession, out_dir: str, run_id: str) -> Dat
     seqs = [s["seq"] for s in snaps if s["run_id"] == run_id]
     if not seqs:
         raise ValueError(f"unknown snapshot run_id {run_id!r}")
+    # copy-on-write deletes rewrite data files in place; snapshots at or
+    # before the newest delete can no longer reproduce the deleted rows
+    max_del = max(
+        [base.get("deletes_through_seq", 0)]
+        + [s["seq"] for s in snaps if s.get("delete")]
+    )
+    if seqs[0] < max_del:
+        raise ValueError(
+            f"snapshot {run_id!r} (seq {seqs[0]}) predates a row-level delete "
+            f"(seq {max_del}); its data files were rewritten copy-on-write"
+        )
     run_ids = list(base.get("run_ids", [])) + [
         s["run_id"] for s in snaps if s["seq"] <= seqs[0]
     ]
@@ -487,9 +503,16 @@ def expire_snapshots(out_dir: str, keep_last: int = 10) -> dict:
     if len(snaps) <= keep_last:
         return dict(total=len(snaps), expired=0)
     drop, keep = snaps[:-keep_last], snaps[-keep_last:]
-    base = dict(
+    new_base = dict(
         seq=0, base=True, run_ids=sorted(set(base.get("run_ids", [])) | {s["run_id"] for s in drop})
     )
+    # an expired delete record must keep poisoning older snapshots
+    del_through = max(
+        [base.get("deletes_through_seq", 0)] + [s["seq"] for s in drop if s.get("delete")]
+    )
+    if del_through:
+        new_base["deletes_through_seq"] = del_through
+    base = new_base
     tmp = f"{_snap_log(out_dir)}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(json.dumps(base) + "\n")
@@ -606,6 +629,238 @@ def compact_detections(
     after = detection_file_stats(out_dir)
     result.update(tiles_compacted=len(todo), files_after=sum(after.values()))
     return result
+
+
+def delete_detections(
+    spark: SparkSession, out_dir: str, predicate: str
+) -> dict:
+    """Row-level DELETE on the detections store (the Iceberg copy-on-write
+    ``DELETE FROM ... WHERE`` analogue on the parquet layout) — e.g. retract
+    detections later identified as gas-flare false positives.
+
+    Plan shape (scale posture): one bounded agg over the predicate's matches
+    finds the affected tiles (<=648 rows to the driver — the same planning
+    compaction does); ONLY those partitions are read, staged once, and
+    dynamic-partition-overwritten with the surviving rows. Tiles whose rows
+    are all deleted are emptied explicitly (dynamic overwrite cannot replace
+    a partition with zero rows). Cost is O(bytes in affected tiles), never
+    O(store). The manifest rows for rewritten tiles are recomputed from the
+    surviving rows (bounds stay tight; pruning correctness never depended on
+    them being tight).
+
+    Time-travel semantics: copy-on-write rewrites data files in place and
+    this layout retains no historical files, so commits at or before the
+    delete can no longer reproduce the deleted rows — exactly an Iceberg
+    table's state after DELETE + expire_snapshots + remove_orphan_files.
+    The delete appends its own commit record; ``read_detections_as_of``
+    raises for snapshots that predate the newest delete.
+
+    Derived views stay exact: a deleted detection may have been the
+    dominator of a surviving near-duplicate, so the dedup_state/tiles
+    views are reconciled with the SAME neighborhood recompute an append
+    uses (``update_dedup_incremental`` with the deleted rows as the
+    touched set — ring1 verdicts recomputed from the post-delete store),
+    followed by a bounded scrub that removes deleted keys from any state
+    partition the recompute did not overwrite. Cost stays O(delete
+    neighborhood), and a full-rebuild-equality test pins the semantics.
+    """
+    import json
+    import shutil
+
+    root = f"{out_dir}/detections"
+    pred = F.expr(predicate)
+    det = spark.read.parquet(root)
+    affected = [
+        r["tile_id"]
+        for r in det.filter(pred).select("tile_id").distinct().collect()
+    ]
+    if not affected:
+        return dict(rows_deleted=0, tiles_rewritten=0, tiles_emptied=0)
+
+    sub = det.filter(F.col("tile_id").isin(affected))
+    stage = f"{out_dir}/_stage/delete_{uuid.uuid4().hex[:12]}"
+    sub.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    survivors = staged.filter(~pred)
+    n_before = staged.count()
+    n_after = survivors.count()
+
+    live = [r["tile_id"] for r in survivors.select("tile_id").distinct().collect()]
+    emptied = sorted(set(affected) - set(live))
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if live:
+            survivors.repartition("tile_id").write.mode("overwrite").partitionBy(
+                "tile_id"
+            ).parquet(root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    for t in emptied:
+        shutil.rmtree(f"{root}/tile_id={t}", ignore_errors=True)
+
+    # reconcile the derived views from the post-delete store: the deleted
+    # rows are the touched set (their neighbors' verdicts may change)
+    if os.path.isdir(f"{out_dir}/dedup_state") and n_after < n_before:
+        deleted = staged.filter(pred)
+        update_dedup_incremental(spark, out_dir, deleted)
+        _scrub_deleted_state(spark, out_dir, deleted, affected, emptied)
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # manifest repair for exactly the rewritten tiles
+    mpath = _manifest_path(out_dir)
+    if os.path.exists(mpath):
+        man = pd.read_parquet(mpath)
+        man = man[~man.tile_id.isin(affected)]
+        if live:
+            lat, lon = F.col("FP_Latitude"), F.col("FP_Longitude")
+            fresh = (
+                spark.read.parquet(root)
+                .filter(F.col("tile_id").isin(live))
+                .groupBy("tile_id")
+                .agg(
+                    F.min(lat).alias("lat_min"),
+                    F.max(lat).alias("lat_max"),
+                    F.min(lon).alias("lon_min"),
+                    F.max(lon).alias("lon_max"),
+                    F.count("*").alias("rows"),
+                )
+                .toPandas()
+            )
+            man = pd.concat([man, fresh], ignore_index=True)
+        tmp = f"{mpath}.tmp-{uuid.uuid4().hex[:8]}"
+        man.to_parquet(tmp, index=False)
+        os.replace(tmp, mpath)
+
+    # delete commit: its own snapshot record; prior snapshots become
+    # unreadable (enforced in read_detections_as_of)
+    _, prior = _snap_entries(out_dir)
+    seq = (prior[-1]["seq"] if prior else 0) + 1
+    os.makedirs(f"{out_dir}/_snapshots", exist_ok=True)
+    with open(_snap_log(out_dir), "a") as f:
+        f.write(
+            json.dumps(
+                dict(
+                    seq=seq,
+                    run_id=f"delete-{uuid.uuid4().hex[:12]}",
+                    docs=0,
+                    rows=-(n_before - n_after),
+                    delete=True,
+                )
+            )
+            + "\n"
+        )
+    return dict(
+        rows_deleted=n_before - n_after,
+        tiles_rewritten=len(live),
+        tiles_emptied=len(emptied),
+    )
+
+
+def _scrub_deleted_state(
+    spark: SparkSession,
+    out_dir: str,
+    deleted: DataFrame,
+    affected: list[str],
+    emptied: list[str],
+) -> None:
+    """Post-delete view hygiene: remove deleted keys from the state
+    partitions of every tile that held a deleted row (the neighborhood
+    recompute overwrites only tiles with surviving ring1 rows), recompute
+    the tiles rollup for those tiles, and drop partitions of emptied tiles.
+    Bounded by the delete's tile footprint (<=648), never by the store."""
+    import shutil
+
+    state_root = f"{out_dir}/dedup_state"
+    tiles_root = f"{out_dir}/tiles"
+    live_tiles = sorted(set(affected) - set(emptied))
+    keys = deleted.select(*STATE_KEY).distinct()
+    if live_tiles:
+        st = spark.read.parquet(state_root).filter(F.col("tile_id").isin(live_tiles))
+        clean = st.join(F.broadcast(keys), STATE_KEY, "left_anti")
+        stage = f"{out_dir}/_stage/scrub_{uuid.uuid4().hex[:12]}"
+        clean.write.mode("overwrite").parquet(stage)
+        clean = spark.read.parquet(stage)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            clean.write.mode("overwrite").partitionBy("tile_id").parquet(state_root)
+            det = spark.read.parquet(f"{out_dir}/detections").filter(
+                F.col("tile_id").isin(live_tiles)
+            )
+            joined = det.join(clean.select(*STATE_KEY, "is_dup"), STATE_KEY, "inner")
+            pipeline.tiles(joined).write.mode("overwrite").partitionBy(
+                "tile_id"
+            ).parquet(tiles_root)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(stage, ignore_errors=True)
+    for t in emptied:
+        shutil.rmtree(f"{state_root}/tile_id={t}", ignore_errors=True)
+        shutil.rmtree(f"{tiles_root}/tile_id={t}", ignore_errors=True)
+
+
+_ORPHAN_GRACE_S = 3600.0
+
+
+def remove_orphan_files(out_dir: str, grace_s: float = _ORPHAN_GRACE_S, dry_run: bool = False) -> dict:
+    """Orphan-file maintenance (the Iceberg ``remove_orphan_files``
+    analogue): collect the debris a crashed job can leave on this layout —
+    (a) ``_stage/*`` run dirs (a kill between staging and cleanup),
+    (b) Spark's ``_temporary`` job-attempt dirs under any table root
+    (a kill mid-write), (c) ``*.tmp-*`` leftovers of the manifest /
+    snapshot-log atomic replaces. Committed data is never touched: every
+    class is identified by layout position, not by diffing file listings
+    against a manifest, because the parquet layout tracks membership at
+    granule granularity (lineage), not file granularity. A grace period
+    (mtime older than ``grace_s``) protects concurrently-running jobs,
+    exactly like Iceberg's ``older_than``. Driver-side walk bounded by
+    partition/metadata counts, not data size."""
+    import shutil
+
+    now = time.time()
+    victims: list[str] = []
+
+    def aged(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) >= grace_s
+        except OSError:
+            return False
+
+    stage_root = f"{out_dir}/_stage"
+    if os.path.isdir(stage_root):
+        victims += [
+            f"{stage_root}/{d}" for d in os.listdir(stage_root) if aged(f"{stage_root}/{d}")
+        ]
+    for table in ("detections", "dedup_state", "tiles", "lineage"):
+        troot = f"{out_dir}/{table}"
+        if not os.path.isdir(troot):
+            continue
+        for dirpath, dirnames, _ in os.walk(troot):
+            if "_temporary" in dirnames and aged(f"{dirpath}/_temporary"):
+                victims.append(f"{dirpath}/_temporary")
+                dirnames.remove("_temporary")
+    for meta in ("_manifest", "_snapshots"):
+        mroot = f"{out_dir}/{meta}"
+        if os.path.isdir(mroot):
+            victims += [
+                f"{mroot}/{fn}"
+                for fn in os.listdir(mroot)
+                if ".tmp-" in fn and aged(f"{mroot}/{fn}")
+            ]
+
+    removed = 0
+    if not dry_run:
+        for v in victims:
+            if os.path.isdir(v):
+                shutil.rmtree(v, ignore_errors=True)
+            else:
+                try:
+                    os.remove(v)
+                except OSError:
+                    continue
+            removed += 1
+    return dict(orphans=sorted(victims), removed=removed, dry_run=dry_run)
 
 
 def read_results(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:

@@ -428,3 +428,169 @@ def test_expire_snapshots_preserves_surviving_membership(spark, corpus, nl, tmp_
         .toPandas().sort_values(KEY).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(snap3, full)
+
+
+def test_delete_detections_copy_on_write(spark, corpus, nl, tmp_path):
+    """Row-level DELETE: only affected tile partitions are rewritten, the
+    derived dedup_state/tiles views equal a from-scratch rebuild of the
+    post-delete store, the manifest stays exact, and time travel to
+    pre-delete snapshots raises (copy-on-write leaves no history)."""
+    from filda_spark import pipeline
+
+    full_dir = corpus["dir"]
+    all_docs = sorted(set(pd.read_parquet(f"{full_dir}/documents.parquet").doc_id))
+    out = str(tmp_path / "out_delete")
+    sub_dir = str(tmp_path / "corpus_del6")
+    _half_corpus(full_dir, sub_dir, set(all_docs[:6]))
+    r1 = runner.run_incremental(spark, sub_dir, out, nl)
+
+    det = spark.read.parquet(f"{out}/detections")
+    pre = _canon(det.toPandas())
+    # a row-level predicate spanning granules: one whole doc + half of another
+    docs_in = sorted(pre.doc_id.unique())
+    d0, d1 = docs_in[0], docs_in[1]
+    predicate = f"doc_id = '{d0}' OR (doc_id = '{d1}' AND FP_Sample % 2 = 0)"
+    expect_deleted = pre[
+        (pre.doc_id == d0) | ((pre.doc_id == d1) & (pre.FP_Sample % 2 == 0))
+    ]
+    assert len(expect_deleted) > 0
+
+    res = runner.delete_detections(spark, out, predicate)
+    assert res["rows_deleted"] == len(expect_deleted)
+
+    post = _canon(spark.read.parquet(f"{out}/detections").toPandas())
+    want = _canon(pre.drop(expect_deleted.index))
+    pd.testing.assert_frame_equal(
+        post[sorted(post.columns)], want[sorted(want.columns)]
+    )
+
+    # derived views == from-scratch rebuild of the post-delete store
+    got = (
+        runner.read_results(spark, out)["detections"]
+        .select(*KEY, "is_dup", "dup_of")
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    ref = (
+        pipeline.dedup(spark.read.parquet(f"{out}/detections"))
+        .select(*KEY, "is_dup", "dup_of")
+        .toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    assert len(got) == len(ref) == len(want)
+    assert (got.is_dup.to_numpy() == ref.is_dup.to_numpy()).all()
+    assert (got.dup_of.to_numpy() == ref.dup_of.to_numpy()).all()
+    tiles_got = (
+        runner.read_results(spark, out)["tiles"]
+        .toPandas().sort_values(["tile_id", "cell_r7"]).reset_index(drop=True)
+    )
+    tiles_ref = (
+        pipeline.tiles(pipeline.dedup(spark.read.parquet(f"{out}/detections")))
+        .toPandas().sort_values(["tile_id", "cell_r7"]).reset_index(drop=True)
+    )
+    assert tiles_got.n_fires.tolist() == tiles_ref.n_fires.tolist()
+    assert np.allclose(tiles_got.total_frp, tiles_ref.total_frp, equal_nan=True)
+
+    # manifest row counts stay exact for the rewritten tiles
+    man = pd.read_parquet(runner._manifest_path(out))
+    store_counts = (
+        spark.read.parquet(f"{out}/detections").groupBy("tile_id").count().toPandas()
+    )
+    man_counts = man.set_index("tile_id")["rows"].to_dict()
+    for _, row in store_counts.iterrows():
+        assert man_counts[row.tile_id] == row["count"]
+
+    # pre-delete snapshots are poisoned; post-delete commits time-travel fine
+    log = runner.snapshots(out)
+    assert log[-1].get("delete") is True
+    assert log[-1]["rows"] == -len(expect_deleted)
+    with pytest.raises(ValueError, match="predates a row-level delete"):
+        runner.read_detections_as_of(spark, out, r1["run_id"])
+    r2 = runner.run_incremental(spark, full_dir, out, nl)
+    assert r2["new_docs"] > 0
+    asof = _canon(runner.read_detections_as_of(spark, out, r2["run_id"]).toPandas())
+    now = _canon(spark.read.parquet(f"{out}/detections").toPandas())
+    pd.testing.assert_frame_equal(asof[sorted(asof.columns)], now[sorted(now.columns)])
+
+    # deleting rows of an already-deleted predicate is a no-op (no commit)
+    n_log = len(runner.snapshots(out))
+    res2 = runner.delete_detections(spark, out, f"doc_id = '{d0}'")
+    assert res2 == {"rows_deleted": 0, "tiles_rewritten": 0, "tiles_emptied": 0}
+    assert len(runner.snapshots(out)) == n_log
+
+
+def test_delete_detections_empties_tile(spark, corpus, nl, tmp_path):
+    """Deleting every row of a tile drops its data/state/tiles partitions
+    and its manifest row; bbox reads over the region return nothing."""
+    from filda_spark import pipeline
+
+    full_dir = corpus["dir"]
+    out = str(tmp_path / "out_delete_tile")
+    runner.run_incremental(spark, full_dir, out, nl)
+    counts = (
+        spark.read.parquet(f"{out}/detections").groupBy("tile_id").count().toPandas()
+    )
+    t = counts.sort_values("count").iloc[0].tile_id
+    res = runner.delete_detections(spark, out, f"tile_id = '{t}'")
+    assert res["tiles_emptied"] == 1
+    import os as _os
+
+    assert not _os.path.isdir(f"{out}/detections/tile_id={t}")
+    assert not _os.path.isdir(f"{out}/dedup_state/tile_id={t}")
+    assert not _os.path.isdir(f"{out}/tiles/tile_id={t}")
+    man = pd.read_parquet(runner._manifest_path(out))
+    assert t not in set(man.tile_id)
+    assert t not in set(
+        r.tile_id
+        for r in spark.read.parquet(f"{out}/detections").select("tile_id").distinct().collect()
+    )
+    # views still equal a from-scratch rebuild
+    got = (
+        runner.read_results(spark, out)["detections"]
+        .select(*KEY, "is_dup").toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    ref = (
+        pipeline.dedup(spark.read.parquet(f"{out}/detections"))
+        .select(*KEY, "is_dup").toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    assert (got.is_dup.to_numpy() == ref.is_dup.to_numpy()).all()
+
+
+def test_remove_orphan_files(tmp_path):
+    """Orphan collection removes aged staging debris, job-attempt dirs and
+    atomic-replace leftovers — and nothing else; fresh debris (a running
+    job) survives the grace period."""
+    import os as _os
+    import time as _time
+
+    out = str(tmp_path / "store")
+    old = _time.time() - 7200
+    # committed data that must survive
+    _os.makedirs(f"{out}/detections/tile_id=h10v04")
+    open(f"{out}/detections/tile_id=h10v04/part-0.parquet", "w").write("x")
+    _os.makedirs(f"{out}/_manifest")
+    open(f"{out}/_manifest/partition_stats.parquet", "w").write("x")
+    # orphans: aged stage dir, _temporary job dir, tmp metadata files
+    _os.makedirs(f"{out}/_stage/delete_dead")
+    open(f"{out}/_stage/delete_dead/part-0.parquet", "w").write("x")
+    _os.makedirs(f"{out}/detections/tile_id=h10v04/_temporary/0")
+    open(f"{out}/_manifest/partition_stats.parquet.tmp-abcd1234", "w").write("x")
+    # a FRESH stage dir (concurrent run) that must survive
+    _os.makedirs(f"{out}/_stage/delete_live")
+    for p in (
+        f"{out}/_stage/delete_dead",
+        f"{out}/detections/tile_id=h10v04/_temporary",
+        f"{out}/_manifest/partition_stats.parquet.tmp-abcd1234",
+    ):
+        _os.utime(p, (old, old))
+
+    dry = runner.remove_orphan_files(out, dry_run=True)
+    assert dry["removed"] == 0 and len(dry["orphans"]) == 3
+    assert _os.path.isdir(f"{out}/_stage/delete_dead")
+
+    res = runner.remove_orphan_files(out)
+    assert res["removed"] == 3
+    assert not _os.path.isdir(f"{out}/_stage/delete_dead")
+    assert not _os.path.isdir(f"{out}/detections/tile_id=h10v04/_temporary")
+    assert not _os.path.exists(f"{out}/_manifest/partition_stats.parquet.tmp-abcd1234")
+    assert _os.path.isdir(f"{out}/_stage/delete_live")
+    assert _os.path.exists(f"{out}/detections/tile_id=h10v04/part-0.parquet")
+    assert _os.path.exists(f"{out}/_manifest/partition_stats.parquet")
