@@ -26,6 +26,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "cell_knn_count",
     "radius_join",
+    "interval_join",
+    "merge_upsert",
     "broadcast_lookup",
     "bottom_pct_threshold",
     "exact_median_mad",

@@ -371,6 +371,97 @@ def fire_rate_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def _dedup_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage an at-least-once detection stream: one parquet file per
+    overpass in ascending mtime order, where each file also RE-DELIVERS the
+    first 20 rows of the previous overpass (identical payload — a retried
+    upstream write). Returns (stream dir, oracle parquet of the raw
+    union-with-duplicates)."""
+    import time as _time
+
+    import pandas as pd
+
+    geom = _geom_for(sf_dir)
+    d = f"{corpus_dir(geom)}/_dedup_stream_v{FIXTURE_VERSION}"
+    oracle_pq = f"{d}_all.parquet"
+    if os.path.exists(f"{d}/_DONE") and os.path.exists(oracle_pq):
+        return d, oracle_pq
+    det = (
+        fire_detections(spark, sf_dir)
+        .select("doc_id", "tile_id", "FP_Line", "FP_Sample", "FP_Power")
+        .toPandas()
+    )
+    det["FP_Line"] = det["FP_Line"].astype("int32")
+    det["FP_Sample"] = det["FP_Sample"].astype("int32")
+    det["_op"] = det["doc_id"].str.rsplit(".", n=1).str[-1]
+    tmp = f"{d}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    prev = None
+    delivered = []
+    for i, (op, rows) in enumerate(sorted(det.groupby("_op"))):
+        rows = rows.drop(columns="_op").sort_values(
+            ["doc_id", "FP_Line", "FP_Sample"]
+        )
+        out = rows if prev is None else pd.concat([prev.head(20), rows])
+        out.to_parquet(f"{tmp}/op{i:03d}.parquet", index=False)
+        delivered.append(out)
+        prev = rows
+        _time.sleep(0.01)  # distinct ascending mtimes -> deterministic order
+    open(f"{tmp}/_DONE", "w").write("ok")
+    tmp_all = f"{oracle_pq}.tmp-{os.getpid()}"
+    pd.concat(delivered).to_parquet(tmp_all, index=False)
+    if not os.path.exists(f"{d}/_DONE"):
+        os.replace(tmp, d)
+    else:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(oracle_pq):
+        os.replace(tmp_all, oracle_pq)
+    else:
+        os.remove(tmp_all)
+    return d, oracle_pq
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once projection of an at-least-once stream:
+    ``dropDuplicatesWithinWatermark`` on the detection key drops retried
+    deliveries while the key is within the watermark's state-retention
+    window (re-deliveries here arrive one overpass (~minutes) after first
+    arrival — far inside the 45-min watermark). The DuckDB oracle is the
+    batch ground truth: DISTINCT over the raw delivered union."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    d, _ = _dedup_stream_dir(spark, sf_dir)
+    qname = f"sdedup_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, tile_id string, FP_Line int, FP_Sample int, FP_Power double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = _event_time_col().cast("timestamp")
+    dd = (
+        stream.withColumn("event_time", ev)
+        .withWatermark("event_time", WATERMARK)
+        .dropDuplicatesWithinWatermark(["doc_id", "FP_Line", "FP_Sample"])
+        .select("doc_id", "FP_Line", "FP_Sample", "tile_id", "FP_Power")
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(_session_tmpdir("filda_sd_ck_"), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 NTL_ARGS = dict(n_tiles=2, cells=16, year=2019, month=8)
 
 
@@ -645,9 +736,20 @@ def oracles() -> dict[str, str]:
     SELECT win_start, tile_id, n_detections, total_frp FROM w, mx
     WHERE win_start + {WIN_SEC} <= m - {WATERMARK_SEC}
     """
+    # stream_dedup: the at-least-once stream re-delivers copies of existing
+    # rows, so the exactly-once ground truth is DISTINCT over the original
+    # detection rows — if dropDuplicatesWithinWatermark leaked a retry, the
+    # Spark side would carry extra rows and fail the row/hash check. The
+    # presence of real duplicates in the delivered stream is pinned by
+    # tests/test_streaming.py.
+    stream_dedup_sql = f"""
+    SELECT DISTINCT doc_id, FP_Line, FP_Sample, tile_id, FP_Power
+    FROM read_parquet('{od}/detections.parquet')
+    """
     return {
         "hotspot_track": hotspot_sql,
         "fire_rate_windowed": fire_rate_sql,
+        "stream_dedup": stream_dedup_sql,
         "ntl_climatology": ntl_sql,
         "fire_detections": f"SELECT * FROM read_parquet('{od}/detections.parquet')",
         "fire_detections_mod": f"SELECT * FROM read_parquet('{od}/detections_mod.parquet')",
@@ -676,4 +778,5 @@ QUERIES = {
     "frame_sample": frame_sample,
     "hotspot_track": hotspot_track,
     "fire_rate_windowed": fire_rate_windowed,
+    "stream_dedup": stream_dedup,
 }

@@ -626,6 +626,133 @@ def radius_join(spark, sf_dir):
     )
 
 
+# temporal interval join --------------------------------------------------
+
+_IJ_W_MS = 8 * 3600 * 1000  # bucket width >= max interval length (8 h)
+
+
+@register(
+    "interval_join",
+    f"""
+    WITH iv AS (
+      SELECT event_id AS i_event_id,
+             epoch_ms(ts) AS s_ms,
+             epoch_ms(ts) + (user_id % 8 + 1) * 3600000 AS e_ms
+      FROM events WHERE event_type = 'view'
+    ), pt AS (
+      SELECT event_id AS p_event_id, epoch_ms(ts) AS p_ms
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT i_event_id, p_event_id, CAST(p_ms - s_ms AS BIGINT) AS offset_ms
+    FROM iv JOIN pt ON pt.p_ms BETWEEN iv.s_ms AND iv.e_ms
+    """,
+    doc=(
+        "temporal interval join (points within [start, end] windows): the "
+        "1-D sibling of radius_join — time-bucket cover equi-join + exact "
+        "integer-ms refine; oracle is the unbucketed range join (DuckDB "
+        "IEJoin), so parity checks the bucket cover. All-integer arithmetic "
+        "-> hash-exact"
+    ),
+)
+def interval_join(spark, sf_dir):
+    """Intervals explode into the time buckets they cover (sequence of
+    floor-divided bucket ids — bounded: width >= max interval length means
+    <= 2 buckets per interval), points key by their single bucket, then a
+    pure equi-join on the bucket id with the exact BETWEEN refine. No range
+    join, no cross join; the shuffle is on bucket keys so skew follows the
+    event-time distribution and rides AQE like every other equi-join."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("i_event_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("s_ms"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) + (F.col("user_id") % 8 + 1) * 3600000).alias("e_ms"),
+    )
+    pt = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("p_event_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("p_ms"),
+    )
+    iv_b = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_ms") / _IJ_W_MS), F.floor(F.col("e_ms") / _IJ_W_MS)
+            )
+        ).alias("bucket"),
+    )
+    pt_b = pt.withColumn("bucket", F.floor(F.col("p_ms") / _IJ_W_MS))
+    return (
+        iv_b.join(pt_b, "bucket")
+        .filter(F.col("p_ms").between(F.col("s_ms"), F.col("e_ms")))
+        .select(
+            "i_event_id", "p_event_id", (F.col("p_ms") - F.col("s_ms")).alias("offset_ms")
+        )
+    )
+
+
+# MERGE-style upsert -------------------------------------------------------
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH src AS (
+      SELECT CASE WHEN l_suppkey % 3 = 0 THEN l_suppkey + 100000 ELSE l_suppkey END AS k,
+             round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS delta
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY 1
+    )
+    SELECT coalesce(s.s_suppkey, src.k) AS s_suppkey,
+           coalesce(s.s_name, 'NEW') AS s_name,
+           round(coalesce(s.s_acctbal, 0.0) + coalesce(src.delta, 0.0), 2) AS acctbal,
+           CASE WHEN s.s_suppkey IS NULL THEN 'inserted'
+                WHEN src.k IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS merge_action
+    FROM supplier s FULL OUTER JOIN src ON s.s_suppkey = src.k
+    """,
+    doc=(
+        "MERGE INTO semantics (WHEN MATCHED update / NOT MATCHED insert / "
+        "no-source unchanged) as one full-outer join + coalesce — the "
+        "declarative upsert shape Iceberg MERGE compiles to; every branch "
+        "exercised (keys %3 remapped so some sources miss the target)"
+    ),
+)
+def merge_upsert(spark, sf_dir):
+    """Upsert a revenue-delta source into the supplier dimension. The plan
+    is a single shuffle full-outer equi-join (both sides partial-aggregated
+    / pruned first); at warehouse scale this is exactly the copy-on-write
+    MERGE join, and the action column is what a writer would route on."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    src = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(
+            F.when(F.col("l_suppkey") % 3 == 0, F.col("l_suppkey") + 100000)
+            .otherwise(F.col("l_suppkey"))
+            .alias("k")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("delta")
+        )
+    )
+    j = s.join(src, s.s_suppkey == src.k, "full_outer")
+    return j.select(
+        F.coalesce(s.s_suppkey, src.k).alias("s_suppkey"),
+        F.coalesce(s.s_name, F.lit("NEW")).alias("s_name"),
+        F.round(
+            F.coalesce(s.s_acctbal, F.lit(0.0)) + F.coalesce(src.delta, F.lit(0.0)), 2
+        ).alias("acctbal"),
+        F.when(s.s_suppkey.isNull(), "inserted")
+        .when(src.k.isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
 def _hex_pts_cte() -> str:
     return """
       SELECT CAST(event_id * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,

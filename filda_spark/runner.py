@@ -757,6 +757,38 @@ def delete_detections(
     )
 
 
+def reprocess_granules(
+    spark: SparkSession, corpus_dir: str, out_dir: str, doc_ids: list[str], nl: dict | None = None
+) -> dict:
+    """Granule-level backfill (the MERGE-style replace a reprocessing
+    campaign needs, e.g. after a codec fix or namelist change): replace the
+    stored rows of ``doc_ids`` with a fresh detect of the current corpus
+    payloads. Copy-on-write delete of the granules' rows first
+    (``delete_detections``: views reconciled, manifest repaired, pre-delete
+    snapshots poisoned), then the lineage frontier rows for those granules
+    are dropped so the normal incremental path re-detects exactly them —
+    the re-ingest is a plain ``run_incremental`` and therefore also picks
+    up any genuinely new granules, with full lineage/snapshot accounting.
+    The lineage rewrite is driver-bounded metadata (one row per granule);
+    beyond ~1e7 granules the same Iceberg-snapshot-diff out applies as for
+    the resume frontier."""
+    import shutil
+
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return dict(reprocessed=0)
+    quoted = ", ".join("'" + i.replace("'", "''") + "'" for i in ids)
+    delete_detections(spark, out_dir, f"doc_id IN ({quoted})")
+    lin_path = _lineage_path(out_dir)
+    keep = spark.read.parquet(lin_path).filter(~F.col("partition_key").isin(ids))
+    tmp = f"{out_dir}/_stage/lineage_{uuid.uuid4().hex[:12]}"
+    keep.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(lin_path)
+    shutil.move(tmp, lin_path)
+    res = run_incremental(spark, corpus_dir, out_dir, nl)
+    return dict(reprocessed=len(ids), run=res)
+
+
 def _scrub_deleted_state(
     spark: SparkSession,
     out_dir: str,

@@ -111,3 +111,31 @@ def test_fire_rate_windowed_watermark_semantics(spark):
     # the tail windows (not yet passed by the watermark) are withheld:
     # emitted window ends stay <= max(event) - delay
     assert (a.win_start + fire_queries.WIN_SEC).max() <= b.win_start.max() + fire_queries.WIN_SEC
+
+
+def test_stream_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark must project an at-least-once stream
+    (each overpass file re-delivers rows of the previous one) onto the
+    exactly-once row set — DISTINCT over the original detections."""
+    import duckdb
+    import pandas as pd
+
+    from filda_spark import fire_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = fire_queries.stream_dedup(spark, sf).toPandas()
+    d, oracle_pq = fire_queries._dedup_stream_dir(spark, sf)
+    delivered = pd.read_parquet(oracle_pq)
+    # the stream really carried duplicates (more than one overpass exists)
+    assert len(delivered) > delivered.drop_duplicates().shape[0]
+
+    want = duckdb.sql(
+        f"SELECT DISTINCT doc_id, FP_Line, FP_Sample, tile_id, FP_Power "
+        f"FROM read_parquet('{oracle_pq}')"
+    ).df()
+    key = ["doc_id", "FP_Line", "FP_Sample"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = want.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a[key].astype(str).equals(b[key].astype(str))
+    assert (a.FP_Power.to_numpy() == b.FP_Power.to_numpy()).all()
