@@ -43,6 +43,8 @@ HEADLINE = [
     "dup_components",
     "simhash_docs",
     "text_analysis",
+    "sample_stratified",
+    "tfidf_topterms",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf_topk",

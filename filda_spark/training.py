@@ -239,6 +239,107 @@ def doc_fingerprint(spark, sf_dir):
     return TX.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text", 8)
 
 
+@register(
+    "sample_stratified",
+    """
+    WITH gated AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS gate
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(gate AS INT) AS gate
+    FROM gated
+    WHERE gate < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+    """,
+    doc=(
+        "deterministic stratified sampling: per-class keep rates gated on a "
+        "content hash (md5 % 100) — reproducible training subsets with no "
+        "RNG state to checkpoint; downsampling the majority class is the "
+        "standard corpus-balancing step"
+    ),
+)
+def sample_stratified(spark, sf_dir):
+    """Map-only: one hash per row, a CASE per stratum, a filter — no
+    shuffle, no sampling state, resumable by construction (the gate is a
+    pure function of the key). Rates per stratum are literals here; in
+    production they come from a broadcast map."""
+    d = _t(spark, sf_dir, "documents")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (
+        d.select("doc_id", "lang", gate.cast("int").alias("gate"))
+        .filter(F.col("gate") < rate)
+    )
+
+
+@register(
+    "tfidf_topterms",
+    """
+    WITH tok AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, term
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents
+      ) WHERE length(term) >= 3
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    doc=(
+        "TF-IDF top-3 terms per document (smoothed idf ln((N+1)/(df+1)), "
+        "deterministic tie-break) — the classic relevance/keyword-extraction "
+        "primitive over the corpus"
+    ),
+)
+def tfidf_topterms(spark, sf_dir):
+    """Tokenize once (explode), partial-aggregated tf and df counts, one
+    broadcast of the (term, df) side after aggregation, window top-k per
+    doc. Shuffles: tf groupBy, df groupBy, final per-doc window — all on
+    natural high-cardinality keys; the global N is a scalar agg, not a
+    collect of data rows."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+        .filter(F.length("term") >= 3)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
