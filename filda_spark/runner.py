@@ -126,7 +126,9 @@ def _read_state(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return _parquet_or_none(spark, f"{out_dir}/dedup_state")
 
 
-def update_dedup_incremental(spark: SparkSession, out_dir: str, batch: DataFrame) -> None:
+def update_dedup_incremental(
+    spark: SparkSession, out_dir: str, batch: DataFrame, _maybe_empty: bool = False
+) -> None:
     """Reconcile dedup_state + tiles after appending ``batch`` (enriched
     detection rows) to the store.
 
@@ -190,7 +192,11 @@ def update_dedup_incremental(spark: SparkSession, out_dir: str, batch: DataFrame
     new_state = sub_dd.join(F.broadcast(ring1), "_cell", "left_semi").select(
         "tile_id", *STATE_KEY, "is_dup", "dup_of", "_cell"
     )
-    if new_state.isEmpty():
+    # only the delete path can produce an empty touched neighborhood (an
+    # append's new_state always contains the batch's own rows); the guard
+    # re-executes the neighborhood plan, so it must stay off the per-batch
+    # append/streaming hot path
+    if _maybe_empty and new_state.isEmpty():
         # nothing survives in the touched neighborhood (a pure delete with
         # no remaining neighbors): no verdict can change, and staging an
         # empty frame would write a schema-less parquet dir
@@ -206,7 +212,7 @@ def update_dedup_incremental(spark: SparkSession, out_dir: str, batch: DataFrame
 
     # stage first: the merged plan reads dedup_state, which the dynamic
     # overwrite below rewrites — Spark cannot overwrite a path it is reading
-    stage = f"{out_dir}/_state_stage_{uuid.uuid4().hex[:8]}"
+    stage = f"{out_dir}/_stage/state_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(stage)
     merged = spark.read.parquet(stage)
 
@@ -322,10 +328,10 @@ def _update_manifest(spark: SparkSession, out_dir: str, batch: DataFrame) -> Non
     """Merge the batch's per-tile column bounds into the partition-stats
     manifest: (tile_id, lat/lon min-max, rows). One agg over the staged
     batch (<=648 result rows globally), then a driver-side atomic replace —
-    the same single-writer metadata commit the snapshot log uses. Bounds
-    are merge-only (the store is append-only; compaction preserves rows),
-    so stale-tightness is impossible and the manifest never needs a data
-    scan to repair."""
+    the same single-writer metadata commit the snapshot log uses. On the
+    APPEND path bounds are merge-only (compaction preserves rows), so they
+    only ever widen; the one shrinking operation, ``delete_detections``,
+    recomputes the rows of exactly the tiles it rewrites."""
     lat, lon = F.col("FP_Latitude"), F.col("FP_Longitude")
     stats = (
         batch.withColumn("tile_id", grids.pc_tile_name(lat, lon))
@@ -492,11 +498,11 @@ def expire_snapshots(out_dir: str, keep_last: int = 10) -> dict:
     base record (seq 0) so surviving snapshots keep their exact membership
     — base runs are part of EVERY remaining snapshot — while uncommitted
     orphan lineage (a crash between lineage append and snapshot commit)
-    stays excluded. Time travel to an expired commit raises. Data files
-    need no cleanup: the store is append-only at granule granularity, so
-    expired granules remain members of every surviving snapshot and there
-    are no orphan files to collect (compaction handles file-count
-    hygiene)."""
+    stays excluded. Time travel to an expired commit raises. Expiration
+    itself needs no data-file cleanup: committed granules remain members
+    of every surviving snapshot (compaction handles file-count hygiene;
+    crashed-job debris is ``remove_orphan_files``' job, and row removal is
+    ``delete_detections``', each with its own accounting)."""
     import json
 
     base, snaps = _snap_entries(out_dir)
@@ -668,7 +674,10 @@ def delete_detections(
     import shutil
 
     root = f"{out_dir}/detections"
-    pred = F.expr(predicate)
+    # SQL DELETE semantics under three-valued logic: a row is deleted iff
+    # the predicate is TRUE; NULL-predicate rows must SURVIVE (a bare ~pred
+    # filter would silently drop them without scrubbing their state keys)
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
     det = spark.read.parquet(root)
     affected = [
         r["tile_id"]
@@ -698,12 +707,17 @@ def delete_detections(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     for t in emptied:
         shutil.rmtree(f"{root}/tile_id={t}", ignore_errors=True)
+    store_emptied = not detection_file_stats(out_dir)
 
     # reconcile the derived views from the post-delete store: the deleted
-    # rows are the touched set (their neighbors' verdicts may change)
+    # rows are the touched set (their neighbors' verdicts may change). If
+    # the delete emptied the ENTIRE store there is nothing to reconcile
+    # (and the detections root is no longer readable) — the views are
+    # simply dropped with their tiles by the scrub below.
     if os.path.isdir(f"{out_dir}/dedup_state") and n_after < n_before:
         deleted = staged.filter(pred)
-        update_dedup_incremental(spark, out_dir, deleted)
+        if not store_emptied:
+            update_dedup_incremental(spark, out_dir, deleted, _maybe_empty=True)
         _scrub_deleted_state(spark, out_dir, deleted, affected, emptied)
     shutil.rmtree(stage, ignore_errors=True)
 
@@ -783,8 +797,13 @@ def reprocess_granules(
     keep = spark.read.parquet(lin_path).filter(~F.col("partition_key").isin(ids))
     tmp = f"{out_dir}/_stage/lineage_{uuid.uuid4().hex[:12]}"
     keep.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(lin_path)
-    shutil.move(tmp, lin_path)
+    # rename-aside swap: the exposure window is two directory renames, not
+    # an O(files) rmtree of the live frontier (losing lineage would make
+    # the next run re-append every granule as duplicates)
+    old = f"{out_dir}/_stage/lineage_old_{uuid.uuid4().hex[:12]}"
+    os.rename(lin_path, old)
+    os.rename(tmp, lin_path)
+    shutil.rmtree(old)
     res = run_incremental(spark, corpus_dir, out_dir, nl)
     return dict(reprocessed=len(ids), run=res)
 
@@ -859,17 +878,33 @@ def remove_orphan_files(out_dir: str, grace_s: float = _ORPHAN_GRACE_S, dry_run:
         except OSError:
             return False
 
+    def aged_tree(path: str) -> bool:
+        # a stage dir's own mtime is set at creation; in-flight Spark task
+        # files land deeper and keep updating leaf mtimes, so a long-running
+        # staged write must be judged by its NEWEST entry, not its root
+        newest = 0.0
+        try:
+            newest = os.path.getmtime(path)
+            for dirpath, dirnames, filenames in os.walk(path):
+                for e in dirnames + filenames:
+                    newest = max(newest, os.path.getmtime(os.path.join(dirpath, e)))
+        except OSError:
+            return False
+        return now - newest >= grace_s
+
     stage_root = f"{out_dir}/_stage"
     if os.path.isdir(stage_root):
         victims += [
-            f"{stage_root}/{d}" for d in os.listdir(stage_root) if aged(f"{stage_root}/{d}")
+            f"{stage_root}/{d}"
+            for d in os.listdir(stage_root)
+            if aged_tree(f"{stage_root}/{d}")
         ]
     for table in ("detections", "dedup_state", "tiles", "lineage"):
         troot = f"{out_dir}/{table}"
         if not os.path.isdir(troot):
             continue
         for dirpath, dirnames, _ in os.walk(troot):
-            if "_temporary" in dirnames and aged(f"{dirpath}/_temporary"):
+            if "_temporary" in dirnames and aged_tree(f"{dirpath}/_temporary"):
                 victims.append(f"{dirpath}/_temporary")
                 dirnames.remove("_temporary")
     for meta in ("_manifest", "_snapshots"):

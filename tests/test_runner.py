@@ -577,10 +577,18 @@ def test_remove_orphan_files(tmp_path):
     _os.makedirs(f"{out}/_stage/delete_live")
     for p in (
         f"{out}/_stage/delete_dead",
+        f"{out}/_stage/delete_dead/part-0.parquet",
         f"{out}/detections/tile_id=h10v04/_temporary",
+        f"{out}/detections/tile_id=h10v04/_temporary/0",
         f"{out}/_manifest/partition_stats.parquet.tmp-abcd1234",
     ):
         _os.utime(p, (old, old))
+    # a stage dir with an OLD root but a FRESH leaf (a long-running staged
+    # write still appending files) must survive: aging is judged by the
+    # NEWEST entry in the tree, not the root mtime
+    _os.makedirs(f"{out}/_stage/delete_slow")
+    open(f"{out}/_stage/delete_slow/part-0.parquet", "w").write("x")
+    _os.utime(f"{out}/_stage/delete_slow", (old, old))
 
     dry = runner.remove_orphan_files(out, dry_run=True)
     assert dry["removed"] == 0 and len(dry["orphans"]) == 3
@@ -592,6 +600,7 @@ def test_remove_orphan_files(tmp_path):
     assert not _os.path.isdir(f"{out}/detections/tile_id=h10v04/_temporary")
     assert not _os.path.exists(f"{out}/_manifest/partition_stats.parquet.tmp-abcd1234")
     assert _os.path.isdir(f"{out}/_stage/delete_live")
+    assert _os.path.isdir(f"{out}/_stage/delete_slow")
     assert _os.path.exists(f"{out}/detections/tile_id=h10v04/part-0.parquet")
     assert _os.path.exists(f"{out}/_manifest/partition_stats.parquet")
 
@@ -636,3 +645,60 @@ def test_reprocess_granules_replaces_rows_exactly(spark, corpus, nl, tmp_path):
         .select(*KEY, "is_dup").toPandas().sort_values(KEY).reset_index(drop=True)
     )
     assert (got.is_dup.to_numpy() == ref.is_dup.to_numpy()).all()
+
+
+def test_delete_detections_null_predicate_rows_survive(spark, corpus, nl, tmp_path):
+    """Three-valued logic: DELETE removes rows where the predicate is TRUE;
+    NULL-predicate rows must survive (and must not be silently dropped
+    without a state scrub)."""
+    from filda_spark import pipeline
+
+    out = str(tmp_path / "out_delete_null")
+    runner.run_incremental(spark, corpus["dir"], out, nl)
+    pre = _canon(spark.read.parquet(f"{out}/detections").toPandas())
+    # TRUE for even FP_Sample, NULL (not FALSE) for odd
+    predicate = "CASE WHEN FP_Sample % 2 = 0 THEN TRUE ELSE CAST(NULL AS BOOLEAN) END"
+    n_even = int((pre.FP_Sample % 2 == 0).sum())
+    res = runner.delete_detections(spark, out, predicate)
+    assert res["rows_deleted"] == n_even
+
+    post = _canon(spark.read.parquet(f"{out}/detections").toPandas())
+    want = _canon(pre[pre.FP_Sample % 2 != 0])
+    assert len(post) == len(want) > 0
+    assert post.FP_Sample.tolist() == want.FP_Sample.tolist()
+
+    # every surviving row still has exactly one state row; no deleted key left
+    state = spark.read.parquet(f"{out}/dedup_state").toPandas()
+    assert len(state) == len(post)
+    got = (
+        runner.read_results(spark, out)["detections"]
+        .select(*KEY, "is_dup").toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    ref = (
+        pipeline.dedup(spark.read.parquet(f"{out}/detections"))
+        .select(*KEY, "is_dup").toPandas().sort_values(KEY).reset_index(drop=True)
+    )
+    assert (got.is_dup.to_numpy() == ref.is_dup.to_numpy()).all()
+
+
+def test_delete_detections_whole_store(spark, corpus, nl, tmp_path):
+    """Deleting every row must not crash mid-operation: all data/state/tiles
+    partitions are dropped, the manifest empties, and the delete commit is
+    still recorded (so pre-delete time travel raises instead of lying)."""
+    out = str(tmp_path / "out_delete_all")
+    r1 = runner.run_incremental(spark, corpus["dir"], out, nl)
+    res = runner.delete_detections(spark, out, "TRUE")
+    assert res["rows_deleted"] > 0
+    assert res["tiles_rewritten"] == 0
+    assert runner.detection_file_stats(out) == {}
+    import os as _os
+
+    for table in ("dedup_state", "tiles"):
+        root = f"{out}/{table}"
+        tiles_left = [d for d in _os.listdir(root) if d.startswith("tile_id=")] if _os.path.isdir(root) else []
+        assert tiles_left == []
+    man = pd.read_parquet(runner._manifest_path(out))
+    assert len(man) == 0
+    assert runner.snapshots(out)[-1].get("delete") is True
+    with pytest.raises(ValueError, match="predates a row-level delete"):
+        runner.read_detections_as_of(spark, out, r1["run_id"])
