@@ -238,7 +238,7 @@ def run_scaling() -> dict:
 def run_skew() -> dict:
     """Hot-cell skew bench: pipeline.dedup on the bench corpus detections
     (a) as-is, (b) with a degenerate hot cell — N_HOT detections moved into
-    ONE level-14 cell, far above salt_threshold=5000 — and (c) the same
+    ONE level-14 cell, far above pipeline.DEDUP_SALT_THRESHOLD — and (c) the same
     skew with salting disabled. Evidence that the salted cell-neighborhood
     join + AQE keep throughput when one cell goes quadratic (persistent
     flare / city-light skew at production scale)."""
@@ -250,7 +250,7 @@ def run_skew() -> dict:
     from filda_spark import fire_queries, pipeline
     from filda_spark.session import get_spark
 
-    N_HOT = 8000
+    N_HOT = int(1.6 * pipeline.DEDUP_SALT_THRESHOLD)  # 1.6x over threshold
     geom = fire_queries.BENCH_GEOM
     corpus = fire_queries.corpus_dir(geom)
     nl = fire_queries._nl(geom)
@@ -316,7 +316,7 @@ def run_skew() -> dict:
             "skew": {
                 "n_detections": int(n_rows),
                 "n_hot_cell": N_HOT,
-                "salt_threshold": 5000,
+                "salt_threshold": pipeline.DEDUP_SALT_THRESHOLD,
                 "salt8_speedup_vs_unsalted": round(
                     walls["dedup_hotcell_unsalted"] / max(walls["dedup_hotcell_salt8"], 1e-9), 2
                 ),

@@ -107,7 +107,14 @@ def ivf_assign_udf(dim: int, k_centroids: int, nprobe: int):
         E = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
         scores = np.empty((E.shape[0], k_centroids))
         for j in range(k_centroids):
-            scores[:, j] = np.cumsum(E * coef[j][None, :], axis=1)[:, -1]  # exact left fold
+            # running left fold: same sequential association as np.cumsum's
+            # last column (and the SQL fold), with O(n) temporaries instead
+            # of a discarded (n, dim) cumsum per centroid
+            acc = np.zeros(E.shape[0])
+            cj = coef[j]
+            for i in range(E.shape[1]):
+                acc = acc + E[:, i] * cj[i]
+            scores[:, j] = acc
         # rank: score desc, cent asc — argsort(-scores) is stable, so equal
         # scores keep ascending centroid order
         order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from filda_spark import grids, kernels, oracle, spatial
+from filda_spark.functions import graph
 from filda_spark.fixtures import unpack_media
 from filda_spark.namelist import make_namelist
 
@@ -498,11 +499,13 @@ def _s2_token_udf():
 # Cross-granule kNN dedup (cell-neighborhood shuffle join)
 # ---------------------------------------------------------------------------
 
+DEDUP_SALT_THRESHOLD = 5000
+
 
 def dedup(
     det: DataFrame,
     eps: float = spatial.DEDUP_EPS_DEG,
-    salt_threshold: int = 5000,
+    salt_threshold: int = DEDUP_SALT_THRESHOLD,
     n_salt: int = 8,
 ) -> DataFrame:
     """Same relation as spatial.knn_dedup_np, computed distributed:
@@ -645,7 +648,7 @@ def tiles(det: DataFrame) -> DataFrame:
     )
 
 
-_PERIM_MAX_ITERS = 50  # component-diameter bound; fire fronts are compact
+_PERIM_MAX_ITERS = 128  # component-diameter bound (raises, never silent, beyond)
 
 
 def perimeters(tiles_df: DataFrame) -> DataFrame:
@@ -698,28 +701,12 @@ def perimeters(tiles_df: DataFrame) -> DataFrame:
     edges = cand.join(nodes, "dst", "inner").localCheckpoint()
 
     deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
-    labels = cells.select("cell", F.col("cell").alias("component")).localCheckpoint()
-    for _ in range(_PERIM_MAX_ITERS):
-        nbr = (
-            edges.join(labels, edges.dst == labels.cell)
-            .groupBy("src")
-            .agg(F.min("component").alias("_nbr"))
-        )
-        new = (
-            labels.join(nbr, labels.cell == nbr.src, "left")
-            .select(
-                "cell",
-                F.col("component").alias("_prev"),
-                F.least(
-                    F.col("component"), F.coalesce("_nbr", F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = new.filter(F.col("component") != F.col("_prev")).count()
-        labels = new.select("cell", "component")
-        if changed == 0:
-            break
+    labels = graph.min_label_components(
+        cells.select("cell", F.col("cell").alias("component")).localCheckpoint(),
+        edges,
+        "cell",
+        _PERIM_MAX_ITERS,
+    )
 
     lab = cells.join(labels, "cell").join(deg, cells.cell == deg.src, "left")
     per_cell = lab.select(

@@ -838,10 +838,23 @@ def _hex_smooth_oracle_sql() -> str:
 def hex_smooth(spark, sf_dir):
     """Scatter-sum over the hex 1-ring: each cell's count lands on itself
     and its 6 equidistant neighbours (integer lattice arithmetic only —
-    one explode + one groupBy shuffle, identical shape at any scale)."""
+    one explode + one groupBy shuffle, identical shape at any scale).
+    Encodes r8 directly from the shared point expression instead of
+    re-aggregating `hex_cells`' (r8, r7) output, so the per-cell count is
+    ONE partial-aggregated groupBy (no second exchange, no unused parent
+    column)."""
     from filda_spark import hex as hx
 
-    counts = hex_cells(spark, sf_dir).groupBy("hex_r8").agg(F.sum("n").alias("n"))
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 7919 % 18000).cast("double") / 100.0 - 90.0).alias("lat"),
+        ((F.col("event_id") * 104729 % 36000).cast("double") / 100.0 - 180.0).alias("lon"),
+    )
+    counts = (
+        pts.select(hx.encode(F.col("lat"), F.col("lon"), hx.HEX_R8).alias("hex_r8"))
+        .groupBy("hex_r8")
+        .agg(F.count("*").alias("n"))
+    )
     return (
         counts.select(
             F.explode(hx.kring(F.col("hex_r8"), hx.HEX_R8, 1)).alias("hex_r8"), "n"

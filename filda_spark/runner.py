@@ -302,7 +302,12 @@ def process_docs(
         )
     )
     lineage.write.mode("append").parquet(_lineage_path(out_dir))
-    _commit_snapshot(spark, out_dir, run_id)
+    lin_agg = lineage.agg(
+        F.count("*").alias("docs"), F.sum("rows_out").alias("rows")
+    ).collect()[0]
+    _commit_snapshot(
+        spark, out_dir, run_id, docs=int(lin_agg.docs), rows=int(lin_agg.rows or 0)
+    )
     # staging is consumed (all writes above are actions) — leave no residue
     import shutil
 
@@ -408,30 +413,59 @@ def _snap_log(out_dir: str) -> str:
     return f"{out_dir}/_snapshots/log.jsonl"
 
 
-def _commit_snapshot(spark: SparkSession, out_dir: str, run_id: str) -> None:
+def _commit_snapshot(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    docs: int | None = None,
+    rows: int | None = None,
+) -> None:
     """Append one commit record after a batch lands: (seq, run_id, new
     granules, rows appended). Driver-side single-writer append — the same
     role Iceberg's metadata commit plays; granule (doc_id) granularity
     instead of file granularity, which is what the exact-resume frontier
-    already keys on."""
+    already keys on.
+
+    Crash repair: a kill between the lineage append and this commit leaves
+    a run whose granules are in the store and marked done (never re-landed)
+    but in no snapshot — permanently invisible to time travel. Each commit
+    therefore folds any such orphaned lineage run_ids into itself
+    (``also_runs``): the next snapshot's membership equals the store
+    content again. Detection is one column-pruned DISTINCT over the
+    lineage run_id column; counts are passed in by the caller so the
+    commit no longer re-scans the full lineage store per batch."""
     import json
 
-    lin = spark.read.parquet(_lineage_path(out_dir)).filter(F.col("run_id") == run_id)
-    agg = lin.agg(
-        F.count("*").alias("docs"), F.sum("rows_out").alias("rows")
-    ).collect()[0]
+    if docs is None or rows is None:
+        lin = spark.read.parquet(_lineage_path(out_dir)).filter(
+            F.col("run_id") == run_id
+        )
+        agg = lin.agg(
+            F.count("*").alias("docs"), F.sum("rows_out").alias("rows")
+        ).collect()[0]
+        docs, rows = int(agg.docs), int(agg.rows or 0)
     os.makedirs(f"{out_dir}/_snapshots", exist_ok=True)
     # max-seq + 1, not count + 1: expiration removes old records but must
     # never let sequence numbers collide
-    _, prior = _snap_entries(out_dir)
-    seq = (prior[-1]["seq"] if prior else 0) + 1
+    base, prior = _snap_entries(out_dir)
+    seq = (prior[-1]["seq"] if prior else base.get("last_seq", 0)) + 1
+    known = set(base.get("run_ids", [])) | {run_id}
+    for s in prior:
+        known.add(s["run_id"])
+        known.update(s.get("also_runs", []))
+    lin_runs = {
+        r["run_id"]
+        for r in spark.read.parquet(_lineage_path(out_dir))
+        .select("run_id")
+        .distinct()
+        .collect()
+    }
+    rec = dict(seq=seq, run_id=run_id, docs=int(docs), rows=int(rows))
+    orphans = sorted(lin_runs - known)
+    if orphans:
+        rec["also_runs"] = orphans
     with open(_snap_log(out_dir), "a") as f:
-        f.write(
-            json.dumps(
-                dict(seq=seq, run_id=run_id, docs=int(agg.docs), rows=int(agg.rows or 0))
-            )
-            + "\n"
-        )
+        f.write(json.dumps(rec) + "\n")
 
 
 def _snap_entries(out_dir: str) -> tuple[dict, list[dict]]:
@@ -478,9 +512,11 @@ def read_detections_as_of(spark: SparkSession, out_dir: str, run_id: str) -> Dat
             f"snapshot {run_id!r} (seq {seqs[0]}) predates a row-level delete "
             f"(seq {max_del}); its data files were rewritten copy-on-write"
         )
-    run_ids = list(base.get("run_ids", [])) + [
-        s["run_id"] for s in snaps if s["seq"] <= seqs[0]
-    ]
+    run_ids = list(base.get("run_ids", []))
+    for s in snaps:
+        if s["seq"] <= seqs[0]:
+            run_ids.append(s["run_id"])
+            run_ids.extend(s.get("also_runs", []))
     members = (
         spark.read.parquet(_lineage_path(out_dir))
         .filter(F.col("run_id").isin(run_ids) & (F.col("stage") == "detect"))
@@ -508,9 +544,19 @@ def expire_snapshots(out_dir: str, keep_last: int = 10) -> dict:
     base, snaps = _snap_entries(out_dir)
     if len(snaps) <= keep_last:
         return dict(total=len(snaps), expired=0)
-    drop, keep = snaps[:-keep_last], snaps[-keep_last:]
-    new_base = dict(
-        seq=0, base=True, run_ids=sorted(set(base.get("run_ids", [])) | {s["run_id"] for s in drop})
+    # explicit split point: snaps[:-0] would be the empty list, silently
+    # turning keep_last=0 ("expire everything") into a no-op
+    cut = len(snaps) - keep_last if keep_last > 0 else len(snaps)
+    drop, keep = snaps[:cut], snaps[cut:]
+    folded = set(base.get("run_ids", []))
+    for s in drop:
+        folded.add(s["run_id"])
+        folded.update(s.get("also_runs", []))
+    new_base = dict(seq=0, base=True, run_ids=sorted(folded))
+    # expire-everything must not reset the sequence: remember the highest
+    # expired seq so the next commit continues after it
+    new_base["last_seq"] = max(
+        [base.get("last_seq", 0)] + [s["seq"] for s in drop]
     )
     # an expired delete record must keep poisoning older snapshots
     del_through = max(
@@ -748,8 +794,8 @@ def delete_detections(
 
     # delete commit: its own snapshot record; prior snapshots become
     # unreadable (enforced in read_detections_as_of)
-    _, prior = _snap_entries(out_dir)
-    seq = (prior[-1]["seq"] if prior else 0) + 1
+    dbase, prior = _snap_entries(out_dir)
+    seq = (prior[-1]["seq"] if prior else dbase.get("last_seq", 0)) + 1
     os.makedirs(f"{out_dir}/_snapshots", exist_ok=True)
     with open(_snap_log(out_dir), "a") as f:
         f.write(

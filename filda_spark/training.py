@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from filda_spark.functions import graph
 from filda_spark.functions import text as TX
 from filda_spark.functions import vectors as VX
 from filda_spark.relational import _t, register
@@ -691,7 +692,7 @@ def embedding_neardup(spark, sf_dir):
 
 from filda_spark.relational import REGISTRY as _REGISTRY  # noqa: E402
 
-_CC_MAX_ITERS = 50  # diameter bound; LSH near-dup clusters are dense (d ~ log n)
+_CC_MAX_ITERS = 128  # diameter bound (raises, never silent, beyond); LSH clusters are dense
 
 
 # shared CTE chain: LSH pairs -> undirected edges -> min-label reachability
@@ -738,30 +739,12 @@ def dup_components(spark, sf_dir):
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint()
     )
-    labels = docs.select("doc", F.col("doc").alias("component")).localCheckpoint()
-    for _ in range(_CC_MAX_ITERS):
-        nbr = (
-            edges.join(labels, edges.dst == labels.doc)
-            .groupBy("src")
-            .agg(F.min("component").alias("_nbr"))
-        )
-        # carry the previous label through the update so convergence is a
-        # filter over the just-materialized frame, not another shuffle join
-        new = (
-            labels.join(nbr, labels.doc == nbr.src, "left")
-            .select(
-                "doc",
-                F.col("component").alias("_prev"),
-                F.least(F.col("component"), F.coalesce("_nbr", F.col("component"))).alias(
-                    "component"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed = new.filter(F.col("component") != F.col("_prev")).count()
-        labels = new.select("doc", "component")
-        if changed == 0:
-            break
+    labels = graph.min_label_components(
+        docs.select("doc", F.col("doc").alias("component")).localCheckpoint(),
+        edges,
+        "doc",
+        _CC_MAX_ITERS,
+    )
     return labels.select(F.col("doc").alias("doc_id"), "component")
 
 

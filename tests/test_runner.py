@@ -190,8 +190,10 @@ def test_lineage_wall_times_are_per_granule(spark, corpus, nl, tmp_path):
     lin = runner.read_lineage(spark, out).toPandas()
     assert (lin.wall_s > 0).all()
     # a batch-average would give every granule the same wall_s; the measured
-    # kernels differ per granule
-    assert lin.wall_s.nunique() == len(lin)
+    # kernels differ per granule (>1 distinct value — exact all-distinct
+    # would be flaky: wall_s is rounded to 4 decimals and two granules can
+    # legitimately collide)
+    assert lin.wall_s.nunique() > 1
     assert ((lin.rows_out / lin.wall_s - lin.rows_per_sec).abs() < 1e-6).all()
 
 
@@ -702,3 +704,57 @@ def test_delete_detections_whole_store(spark, corpus, nl, tmp_path):
     assert runner.snapshots(out)[-1].get("delete") is True
     with pytest.raises(ValueError, match="predates a row-level delete"):
         runner.read_detections_as_of(spark, out, r1["run_id"])
+
+
+def test_commit_folds_orphaned_lineage_runs(spark, corpus, nl, tmp_path):
+    """A crash between the lineage append and the snapshot commit leaves a
+    run marked done (never re-landed) but in no snapshot; the NEXT commit
+    must fold it in (also_runs) so time travel matches the store again."""
+    full_dir = corpus["dir"]
+    all_docs = sorted(set(pd.read_parquet(f"{full_dir}/documents.parquet").doc_id))
+    out = str(tmp_path / "out_orphan_run")
+    sub1 = str(tmp_path / "c_or3"); _half_corpus(full_dir, sub1, set(all_docs[:3]))
+    sub2 = str(tmp_path / "c_or6"); _half_corpus(full_dir, sub2, set(all_docs[:6]))
+    runner.run_incremental(spark, sub1, out, nl)
+    r2 = runner.run_incremental(spark, sub2, out, nl)
+
+    # simulate the crash: drop r2's commit record (lineage + data remain)
+    log_path = runner._snap_log(out)
+    lines = open(log_path).read().splitlines()
+    import json as _json
+
+    kept = [l for l in lines if _json.loads(l)["run_id"] != r2["run_id"]]
+    assert len(kept) == len(lines) - 1
+    open(log_path, "w").write("\n".join(kept) + "\n")
+
+    r3 = runner.run_incremental(spark, full_dir, out, nl)
+    assert r3["new_docs"] > 0  # the orphaned granules are NOT re-landed
+    rec = runner.snapshots(out)[-1]
+    assert rec["run_id"] == r3["run_id"]
+    assert rec.get("also_runs") == [r2["run_id"]]
+
+    asof = _canon(runner.read_detections_as_of(spark, out, r3["run_id"]).toPandas())
+    full = _canon(spark.read.parquet(f"{out}/detections").toPandas())
+    pd.testing.assert_frame_equal(asof[sorted(asof.columns)], full[sorted(full.columns)])
+
+
+def test_expire_snapshots_keep_last_zero(spark, corpus, nl, tmp_path):
+    """keep_last=0 must expire the whole history (the snaps[:-0] slice bug
+    made it a silent no-op) and the next commit must continue the sequence
+    instead of restarting at 1."""
+    full_dir = corpus["dir"]
+    all_docs = sorted(set(pd.read_parquet(f"{full_dir}/documents.parquet").doc_id))
+    out = str(tmp_path / "out_expire0")
+    sub1 = str(tmp_path / "c_e0"); _half_corpus(full_dir, sub1, set(all_docs[:3]))
+    r1 = runner.run_incremental(spark, sub1, out, nl)
+    res = runner.expire_snapshots(out, keep_last=0)
+    assert res == {"total": 1, "expired": 1}
+    assert runner.snapshots(out) == []
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        runner.read_detections_as_of(spark, out, r1["run_id"])
+
+    r2 = runner.run_incremental(spark, full_dir, out, nl)
+    assert [s["seq"] for s in runner.snapshots(out)] == [2]
+    asof = _canon(runner.read_detections_as_of(spark, out, r2["run_id"]).toPandas())
+    full = _canon(spark.read.parquet(f"{out}/detections").toPandas())
+    pd.testing.assert_frame_equal(asof[sorted(asof.columns)], full[sorted(full.columns)])
