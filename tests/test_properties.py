@@ -235,3 +235,53 @@ def test_strtree_matches_bruteforce(seed, n_polys, cap):
     tree = spatial.build_strtree(polys, cap=cap)
     got = spatial.assign_polygons_strtree(lat, lon, tree, polys, "pid")
     assert np.array_equal(ref, got)
+
+
+def test_min_label_components_matches_union_find(spark):
+    """The shared Pregel-style min-label CC (functions/graph.py) must
+    produce exactly the union-find ground truth (component = min node id
+    reachable) on random graphs — including isolated nodes, self-loops and
+    long chains near the iteration bound."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from filda_spark.functions.graph import min_label_components
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        n = int(rng.integers(5, 60))
+        m = int(rng.integers(0, 2 * n))
+        pairs = rng.integers(0, n, size=(m, 2)).tolist()
+        if trial == 2:  # worst-case diameter: one long chain
+            pairs = [[i, i + 1] for i in range(n - 1)]
+
+        # ground truth: union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in range(n)}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        edges = (
+            spark.createDataFrame(sym or [(0, 0)], "src long, dst long")
+            .limit(len(sym))  # empty-edges case: zero rows, schema kept
+            .localCheckpoint()
+        )
+        labels = min_label_components(
+            nodes.select("node", F.col("node").alias("component")).localCheckpoint(),
+            edges,
+            "node",
+            max_iters=n + 2,
+        )
+        got = {r["node"]: r["component"] for r in labels.collect()}
+        assert got == want, f"trial {trial}"
