@@ -54,6 +54,13 @@ HEADLINE = [
     "frame_sample",
     "media_features",
     "geos_fp_urls",
+    # round-3 additions
+    "hex_compact",
+    "hex_uncompact",
+    "hex_polyfill",
+    "idw_interpolate",
+    "trajectory_speed",
+    "pii_scrub",
 ]
 
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -218,6 +219,59 @@ def cell_qr(cell: Column) -> tuple[Column, Column]:
     return q, r
 
 
+def cell_qr_exact(cell: Column) -> tuple[Column, Column]:
+    """Bit-exact unpack: shift/mask instead of `cell_qr`'s float division.
+
+    Identical results over the engine's coordinate domain (pinned by test);
+    exact for ALL packable (q, r), which the compaction algebra wants since
+    it round-trips ids through parent() repeatedly."""
+    rem = cell.bitwiseAND(F.lit(_RES_SHIFT - 1))
+    q = F.shiftright(rem, 29) - F.lit(_OFF)
+    r = rem.bitwiseAND(F.lit(_Q_SHIFT - 1)) - F.lit(_OFF)
+    return q, r
+
+
+def parent_exact(cell: Column, res: int) -> Column:
+    """Parent at res-1 via the bit-exact unpack."""
+    q, r = cell_qr_exact(cell)
+    i, j = _cube_round_col(
+        (F.lit(2.0) * q + F.lit(3.0) * r) / F.lit(7.0),
+        (q - F.lit(2.0) * r) / F.lit(7.0),
+    )
+    return _pack_col(i, j, res - 1)
+
+
+def qr_sql_exact(cell_expr: str) -> tuple[str, str]:
+    """DuckDB twin of `cell_qr_exact` (bit ops on BIGINT)."""
+    rem = f"(({cell_expr}) & {_RES_SHIFT - 1})"
+    q = f"(({rem} >> 29) - {_OFF})"
+    r = f"(({rem} & {_Q_SHIFT - 1}) - {_OFF})"
+    return q, r
+
+
+def parent_pudf(cell: Column) -> Column:
+    """Arrow-vectorized parent (`parent_np`) as a pandas UDF.
+
+    Semantically identical to `parent`/`parent_exact` (bit-parity pinned by
+    tests).  Exists because Catalyst inlines the Column-twin hex algebra
+    through join conditions and constraint propagation, and its expression
+    canonicalization is quadratic on the composed tree: a two-level compact
+    (parent(parent(encode(..)))) reaches a ~0.5 MB join condition at one
+    level and OOMs the driver at two.  One opaque Arrow node keeps the
+    logical plan O(1) — which also matters at cluster scale, where the plan
+    is serialized to every task — while the kernel stays vectorized numpy.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _parent(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        return pd.Series(parent_np(s.to_numpy()))
+
+    return _parent(cell)
+
+
 def parent(cell: Column, res: int) -> Column:
     """Parent at res-1 of a res-``res`` cell column."""
     q, r = cell_qr(cell)
@@ -226,6 +280,66 @@ def parent(cell: Column, res: int) -> Column:
         (q - F.lit(2.0) * r) / F.lit(7.0),
     )
     return _pack_col(i, j, res - 1)
+
+
+def children(cell: Column, res: int) -> Column:
+    """Array of the 7 res+1 children of a res-``res`` cell.
+
+    The aperture-7 inverse is exact: the center child of parent (Q, R) is
+    (2Q + 3R, Q - 2R) (plug into the forward map (2q+3r)/7, (q-2r)/7 and
+    both divisions are integral), and the full child set is the center
+    child plus its 6 axial neighbours (pinned by the exactly-7-children
+    property test). Linear integer ops only — no cube rounding — so the
+    Catalyst tree stays tiny."""
+    q, r = cell_qr_exact(cell)
+    cq = F.lit(2) * q + F.lit(3) * r
+    cr = q - F.lit(2) * r
+    ids = [
+        _pack_col(cq + F.lit(dq), cr + F.lit(dr), res + 1)
+        for dq, dr in [(0, 0)] + DIRS
+    ]
+    return F.array(*ids)
+
+
+def center_cols(q: Column, r: Column, res: int) -> tuple[Column, Column]:
+    """(lat, lon) Columns of the center of axial (q, r) at ``res``."""
+    ax, ay, bx, by = _BASES[res]
+    return q * F.lit(ay) + r * F.lit(by), q * F.lit(ax) + r * F.lit(bx)
+
+
+def pack_cols(q: Column, r: Column, res: int) -> Column:
+    """Packed cell id Column from integer axial coordinate Columns."""
+    return _pack_col(q, r, res)
+
+
+def center_sql(q_expr: str, r_expr: str, res: int) -> tuple[str, str]:
+    """DuckDB (lat, lon) center expressions — same float64 constants and
+    operand order as `center_cols` so results are bit-identical."""
+    ax, ay, bx, by = _BASES[res]
+    lat = f"(({q_expr}) * ({ay!r}) + ({r_expr}) * ({by!r}))"
+    lon = f"(({q_expr}) * ({ax!r}) + ({r_expr}) * ({bx!r}))"
+    return lat, lon
+
+
+def pack_sql(q_expr: str, r_expr: str, res: int) -> str:
+    """DuckDB packed cell id from integer axial coordinate expressions."""
+    return (
+        f"({res} * CAST({_RES_SHIFT} AS BIGINT)"
+        f" + (({q_expr}) + {_OFF}) * CAST({_Q_SHIFT} AS BIGINT)"
+        f" + (({r_expr}) + {_OFF}))"
+    )
+
+
+def children_np(cell):
+    """(n, 7) array of res+1 children (single-res input, like parent_np)."""
+    res, q, r = unpack_np(cell)
+    cq, cr = 2 * q + 3 * r, q - 2 * r
+    offs = np.array([(0, 0)] + DIRS, dtype=np.int64)
+    return _pack_np(
+        cq[:, None] + offs[None, :, 0],
+        cr[:, None] + offs[None, :, 1],
+        int(np.asarray(res).flat[0]) + 1,
+    )
 
 
 def kring(cell: Column, res: int, k: int = 1) -> Column:

@@ -1471,6 +1471,509 @@ def geos_fp_urls(spark, sf_dir):
     return tavg1_urls(dates, "d").select(F.col("day"), F.col("url"))
 
 
+# hex cell compaction ------------------------------------------------------
+
+
+def _hex_compact_oracle_sql() -> str:
+    from filda_spark import hex as hx
+
+    enc9 = hx.encode_sql("lat", "lon", 9)
+    q9, r9 = hx.qr_sql_exact("cell")
+    q8, r8 = hx.qr_sql_exact("cell")
+    return f"""
+    WITH pts AS (
+      SELECT CAST(event_id * 7919 % 1200 AS DOUBLE) / 10000.0 AS lat,
+             CAST(event_id * 104729 % 1193 AS DOUBLE) / 10000.0 + 10.0 AS lon
+      FROM events
+    ),
+    c9 AS (SELECT DISTINCT {enc9} AS cell FROM pts),
+    c9p AS (SELECT cell, {hx.parent_sql(q9, r9, 9)} AS p8 FROM c9),
+    prom8 AS (SELECT p8 AS cell FROM c9p GROUP BY p8 HAVING count(*) = 7),
+    surv9 AS (SELECT cell FROM c9p WHERE p8 NOT IN (SELECT cell FROM prom8)),
+    p8p AS (SELECT cell, {hx.parent_sql(q8, r8, 8)} AS p7 FROM prom8),
+    prom7 AS (SELECT p7 AS cell FROM p8p GROUP BY p7 HAVING count(*) = 7),
+    surv8 AS (SELECT cell FROM p8p WHERE p7 NOT IN (SELECT cell FROM prom7))
+    SELECT cell, CAST(9 AS INT) AS res FROM surv9
+    UNION ALL SELECT cell, CAST(8 AS INT) AS res FROM surv8
+    UNION ALL SELECT cell, CAST(7 AS INT) AS res FROM prom7
+    """
+
+
+@register(
+    "hex_compact",
+    _hex_compact_oracle_sql(),
+    doc=(
+        "H3-style cell-set compaction (compact_cells): any complete 7-child "
+        "set collapses to its aperture-7 parent, recursively r9 -> r8 -> r7; "
+        "output is the minimal mixed-resolution cover of the input cell set"
+    ),
+)
+def hex_compact(spark, sf_dir):
+    """Compaction is pure cell algebra: distinct r9 cells, groupBy parent
+    with HAVING count = 7 to find promotable parents, anti-join survivors,
+    repeat one level up. Every step is an equi-join/groupBy on cell ids —
+    partial aggregation applies (a parent's 7 children hash to it from
+    whichever partitions hold them) and no step is ever wider than the
+    distinct cell set, so the shape is unchanged at 10^12 cells. Parent ids
+    come from the Arrow kernel (`hex.parent_pudf`), not the Column twin:
+    Catalyst inlines the composed encode->parent->parent algebra into the
+    anti-join conditions and its canonicalization is quadratic on that tree
+    (driver OOM at two levels); the Arrow node keeps the plan O(1) and the
+    math vectorized."""
+    return _hex_compact_df(spark, sf_dir)
+
+
+def _hex_compact_df(spark, sf_dir):
+    from filda_spark import hex as hx
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("event_id") * 7919 % 1200).cast("double") / 10000.0).alias("lat"),
+        (((F.col("event_id") * 104729 % 1193).cast("double") / 10000.0) + 10.0).alias("lon"),
+    )
+    c9 = pts.select(hx.encode(F.col("lat"), F.col("lon"), 9).alias("cell")).distinct()
+    c9p = c9.withColumn("p8", hx.parent_pudf(F.col("cell")))
+    prom8 = (
+        c9p.groupBy("p8").agg(F.count("*").alias("n")).filter(F.col("n") == 7).select("p8")
+    )
+    surv9 = c9p.join(prom8, "p8", "left_anti").select("cell")
+    p8p = prom8.select(F.col("p8").alias("cell")).withColumn(
+        "p7", hx.parent_pudf(F.col("cell"))
+    )
+    prom7 = (
+        p8p.groupBy("p7").agg(F.count("*").alias("n")).filter(F.col("n") == 7).select("p7")
+    )
+    surv8 = p8p.join(prom7, "p7", "left_anti").select("cell")
+    return (
+        surv9.select("cell", F.lit(9).alias("res"))
+        .unionByName(surv8.select("cell", F.lit(8).alias("res")))
+        .unionByName(prom7.select(F.col("p7").alias("cell"), F.lit(7).alias("res")))
+    )
+
+
+def _hex_uncompact_oracle_sql() -> str:
+    from filda_spark import hex as hx
+
+    enc9 = hx.encode_sql("lat", "lon", 9)
+    return f"""
+    WITH pts AS (
+      SELECT CAST(event_id * 7919 % 1200 AS DOUBLE) / 10000.0 AS lat,
+             CAST(event_id * 104729 % 1193 AS DOUBLE) / 10000.0 + 10.0 AS lon
+      FROM events
+    )
+    SELECT DISTINCT {enc9} AS cell FROM pts
+    """
+
+
+@register(
+    "hex_uncompact",
+    _hex_uncompact_oracle_sql(),
+    doc=(
+        "H3-style uncompact_cells: expand a mixed-resolution compacted cover "
+        "back to uniform res 9 via exact aperture-7 child enumeration; "
+        "oracle is the original distinct r9 cell set, so parity proves the "
+        "round-trip identity uncompact(compact(S)) == S end to end"
+    ),
+)
+def hex_uncompact(spark, sf_dir):
+    """Child expansion is the exact linear inverse (center child (2q+3r,
+    q-2r) + 6 neighbours — `hex.children`), one explode per promoted level:
+    r7 rows fan out 49x, r8 rows 7x, r9 rows pass through. Explodes are
+    map-side (no shuffle beyond what compact already does) and the fan-out
+    factor is a constant 7 per level, so the shape holds at any cell-set
+    size. Running compact then uncompact and hashing against the raw
+    distinct set makes the oracle a round-trip identity proof."""
+    from filda_spark import hex as hx
+
+    comp = _hex_compact_df(spark, sf_dir)
+    u9 = comp.filter(F.col("res") == 9).select("cell")
+    c8 = (
+        comp.filter(F.col("res") == 8)
+        .select(F.explode(hx.children(F.col("cell"), 8)).alias("cell"))
+    )
+    c7to8 = (
+        comp.filter(F.col("res") == 7)
+        .select(F.explode(hx.children(F.col("cell"), 7)).alias("cell"))
+    )
+    c7 = c7to8.select(F.explode(hx.children(F.col("cell"), 8)).alias("cell"))
+    return u9.unionByName(c8).unionByName(c7)
+
+
+# polygon -> cell cover (polyfill) -------------------------------------------
+
+_POLYFILL_RES = 3
+
+
+def _polyfill_zones() -> list[dict]:
+    """Every 7th demo zone: 16 polygons keeps the oracle's ray-cast join
+    (candidates x edges) snappy while exercising varied shapes/radii."""
+    from filda_spark.spatial import demo_zones
+
+    return [z for z in demo_zones() if z["zone_id"] % 7 == 0]
+
+
+def _polyfill_ranges() -> list[tuple]:
+    """(zone, q0, q1, r0, r1) candidate axial ranges per zone bbox. The
+    axial coords of a cell center are linear in (lat, lon), so the extremes
+    over a bbox occur at its corners; +-1 margin is belt and braces."""
+    import math as _math
+
+    from filda_spark import hex as hx
+
+    cqx, cqy, crx, cry = hx._inv(_POLYFILL_RES)
+    out = []
+    for z in _polyfill_zones():
+        corners = [
+            (la, lo)
+            for la in (min(z["lat"]), max(z["lat"]))
+            for lo in (min(z["lon"]), max(z["lon"]))
+        ]
+        qs = [cqx * lo + cqy * la for la, lo in corners]
+        rs = [crx * lo + cry * la for la, lo in corners]
+        out.append(
+            (
+                z["zone_id"],
+                _math.floor(min(qs)) - 1,
+                _math.ceil(max(qs)) + 1,
+                _math.floor(min(rs)) - 1,
+                _math.ceil(max(rs)) + 1,
+            )
+        )
+    return out
+
+
+def _zone_edges_sql(zones: list[dict]) -> str:
+    """VALUES rows (zone, yi, xi, yj, xj) mirroring spatial.point_in_polygon_np
+    edge roles (j = i-1, horizontal edges dropped) — same construction as
+    the zonal_stats oracle."""
+    rows = []
+    for z in zones:
+        n = len(z["lat"])
+        for i in range(n):
+            j = (i - 1) % n
+            yi, xi = z["lat"][i], z["lon"][i]
+            yj, xj = z["lat"][j], z["lon"][j]
+            if yi == yj:
+                continue
+            rows.append(f"({z['zone_id']}, {yi!r}, {xi!r}, {yj!r}, {xj!r})")
+    return ",\n      ".join(rows)
+
+
+def _hex_polyfill_oracle_sql() -> str:
+    from filda_spark import hex as hx
+
+    ranges = ",\n      ".join(
+        f"({z}, {q0}, {q1}, {r0}, {r1})" for z, q0, q1, r0, r1 in _polyfill_ranges()
+    )
+    clat, clon = hx.center_sql("q", "r", _POLYFILL_RES)
+    pack = hx.pack_sql("q", "r", _POLYFILL_RES)
+    return f"""
+    WITH ranges(zone, q0, q1, r0, r1) AS (VALUES
+      {ranges}
+    ),
+    qexp AS (
+      SELECT r0, r1, unnest(range(q0, q1 + 1)) AS q FROM ranges
+    ),
+    rexp AS (
+      SELECT q, unnest(range(r0, r1 + 1)) AS r FROM qexp
+    ),
+    cand AS (
+      SELECT DISTINCT q, r FROM rexp
+    ),
+    cells AS (
+      SELECT {pack} AS cell, {clat} AS clat, {clon} AS clon FROM cand
+    ),
+    edges(zone, yi, xi, yj, xj) AS (VALUES
+      {_zone_edges_sql(_polyfill_zones())}
+    )
+    SELECT CAST(e.zone AS INT) AS zone_id, c.cell
+    FROM cells c JOIN edges e
+      ON (e.yi > c.clat) != (e.yj > c.clat)
+     AND c.clon < (e.xj - e.xi) * (c.clat - e.yi) / (e.yj - e.yi) + e.xi
+    GROUP BY e.zone, c.cell
+    HAVING count(*) % 2 = 1
+    """
+
+
+@register(
+    "hex_polyfill",
+    _hex_polyfill_oracle_sql(),
+    doc=(
+        "H3-style polygon_to_cells (polyfill): cover each polygon with the "
+        "res-3 hex cells whose centers fall inside it — candidate axial "
+        "ranges from the bbox, centers PIP-tested on the broadcast R-tree; "
+        "oracle re-derives the cover with the exact SQL ray cast"
+    ),
+)
+def hex_polyfill(spark, sf_dir):
+    """Candidates are generated JVM-side (sequence + explode over per-zone
+    bbox axial ranges — map-only, fan-out proportional to cover area), then
+    deduped with one shuffle and PIP-assigned on the production broadcast
+    R-tree path (`pipeline.make_pip_udf`, same kernel as zonal_stats /
+    flare masking). At 1e12 scale the ranges come from a polygon table
+    instead of literals and the same plan holds: explode is map-side, the
+    distinct shuffles only the candidate cover (~area/cell_area rows), and
+    the polygon set rides one broadcast."""
+    from filda_spark import hex as hx
+    from filda_spark.pipeline import make_pip_udf
+
+    rdf = spark.createDataFrame(
+        _polyfill_ranges(), "zone int, q0 long, q1 long, r0 long, r1 long"
+    )
+    cand = (
+        rdf.select(F.explode(F.sequence("q0", "q1")).alias("q"), "r0", "r1")
+        .select("q", F.explode(F.sequence("r0", "r1")).alias("r"))
+        .distinct()
+    )
+    clat, clon = hx.center_cols(F.col("q"), F.col("r"), _POLYFILL_RES)
+    cells = cand.select(
+        hx.pack_cols(F.col("q"), F.col("r"), _POLYFILL_RES).alias("cell"),
+        clat.alias("clat"),
+        clon.alias("clon"),
+    )
+    bc = spark.sparkContext.broadcast(_polyfill_zones())
+    zid = make_pip_udf(bc, "zone_id", flag=False)
+    return (
+        cells.withColumn("zone_id", zid("clat", "clon"))
+        .filter(F.col("zone_id") >= 0)
+        .select("zone_id", "cell")
+    )
+
+
+# inverse-distance-weighted interpolation -----------------------------------
+
+_IDW_R = 0.02  # radius, degrees (planar patch domain)
+_IDW_EPS = 1e-6
+
+
+@register(
+    "idw_interpolate",
+    f"""
+    WITH src AS (
+      SELECT CAST(event_id * 7919 % 1200 AS DOUBLE) / 10000.0 AS lat,
+             CAST(event_id * 104729 % 1193 AS DOUBLE) / 10000.0 + 10.0 AS lon,
+             value
+      FROM events
+    ),
+    nodes AS (
+      SELECT CAST(i // 13 AS BIGINT) AS gi, CAST(i % 13 AS BIGINT) AS gj,
+             CAST(i // 13 AS DOUBLE) / 100.0 AS nlat,
+             CAST(i % 13 AS DOUBLE) / 100.0 + 10.0 AS nlon
+      FROM range(0, 169) t(i)
+    ),
+    hits AS (
+      SELECT gi, gj,
+             1.0 / ((s.lat - n.nlat) * (s.lat - n.nlat)
+                    + (s.lon - n.nlon) * (s.lon - n.nlon) + {_IDW_EPS!r}) AS w,
+             s.value AS v
+      FROM nodes n JOIN src s
+        ON (s.lat - n.nlat) * (s.lat - n.nlat)
+           + (s.lon - n.nlon) * (s.lon - n.nlon) <= {_IDW_R * _IDW_R!r}
+    )
+    SELECT gi, gj, CAST(count(*) AS BIGINT) AS n_src,
+           round(sum(w * v) / sum(w), 4) AS est
+    FROM hits GROUP BY gi, gj
+    """,
+    doc=(
+        "inverse-distance-weighted interpolation of scattered points onto a "
+        "regular grid (the raster<-vector gridding sibling of priority_paint); "
+        "Spark plan is the radius_join cell-cover equi-join, oracle is the "
+        "plain cross-join ground truth so parity checks the cover"
+    ),
+)
+def idw_interpolate(spark, sf_dir):
+    """Gridding via the cover join: nodes key by their radius-sized cell,
+    sources explode into the 3x3 ring, equi-join + exact distance refine,
+    then one partial-aggregated groupBy per node. At scale the shuffle is
+    on spatial cell keys (ride AQE/salting like dedup); never a cross join."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        ((F.col("event_id") * 7919 % 1200).cast("double") / 10000.0).alias("lat"),
+        (((F.col("event_id") * 104729 % 1193).cast("double") / 10000.0) + 10.0).alias("lon"),
+        "value",
+    )
+    i = F.col("id")
+    nodes = spark.range(169).select(
+        (i / 13).cast("long").alias("gi"),
+        (i % 13).alias("gj"),
+        ((i / 13).cast("long").cast("double") / 100.0).alias("nlat"),
+        ((i % 13).cast("double") / 100.0 + 10.0).alias("nlon"),
+    )
+    nodes = nodes.withColumn("cy", F.floor(F.col("nlat") / _IDW_R)).withColumn(
+        "cx", F.floor(F.col("nlon") / _IDW_R)
+    )
+    ring = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.floor(F.col("lat") / _IDW_R) + F.lit(dy)).alias("cy"),
+                    (F.floor(F.col("lon") / _IDW_R) + F.lit(dx)).alias("cx"),
+                )
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    ).alias("cell")
+    src_ring = src.select("lat", "lon", "value", ring).select(
+        "lat", "lon", "value", F.col("cell.cy").alias("cy"), F.col("cell.cx").alias("cx")
+    )
+    d2 = (F.col("lat") - F.col("nlat")) * (F.col("lat") - F.col("nlat")) + (
+        F.col("lon") - F.col("nlon")
+    ) * (F.col("lon") - F.col("nlon"))
+    return (
+        nodes.join(src_ring, ["cy", "cx"])
+        .filter(d2 <= F.lit(_IDW_R * _IDW_R))
+        .withColumn("w", F.lit(1.0) / (d2 + F.lit(_IDW_EPS)))
+        .groupBy("gi", "gj")
+        .agg(
+            F.count("*").alias("n_src"),
+            F.round(F.sum(F.col("w") * F.col("value")) / F.sum("w"), 4).alias("est"),
+        )
+    )
+
+
+# trajectory speed/bearing ---------------------------------------------------
+
+
+@register(
+    "trajectory_speed",
+    f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS t_ms,
+             CAST(event_id * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+             CAST(event_id * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id, event_id,
+             lag(event_id) OVER w AS prev_event,
+             lat, lon, t_ms,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+             lag(t_ms) OVER w AS pt_ms
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    )
+    SELECT user_id, prev_event, event_id,
+           round(2 * {_R_EARTH_KM} * asin(sqrt(
+             sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+             + cos(radians(plat)) * cos(radians(lat))
+               * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+           )), 3) AS dist_km,
+           CAST(t_ms - pt_ms AS BIGINT) AS dt_ms,
+           round(2 * {_R_EARTH_KM} * asin(sqrt(
+             sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+             + cos(radians(plat)) * cos(radians(lat))
+               * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+           )) / (CAST(t_ms - pt_ms AS DOUBLE) / 3600000.0), 3) AS speed_kmh
+    FROM legs WHERE prev_event IS NOT NULL
+    """,
+    doc=(
+        "per-entity trajectory legs: consecutive-fix geodesic distance, "
+        "elapsed time, and speed via a lag window over (entity, time) — the "
+        "batch sibling of the hotspot_track streaming state op"
+    ),
+)
+def trajectory_speed(spark, sf_dir):
+    """One window shuffle partitioned by entity (the natural key; per-user
+    history fits a partition at any corpus scale because the window never
+    crosses users). All arithmetic JVM-side; haversine shared with
+    radius_join."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        ((F.col("event_id") * 7919 % 18000).cast("double") / 100.0 - 90.0).alias("lat"),
+        ((F.col("event_id") * 104729 % 36000).cast("double") / 100.0 - 180.0).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    legs = pts.select(
+        "user_id",
+        "event_id",
+        "lat",
+        "lon",
+        "t_ms",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("t_ms").over(w).alias("pt_ms"),
+    ).filter(F.col("prev_event").isNotNull())
+    dist = _haversine_km(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon"))
+    return legs.select(
+        "user_id",
+        "prev_event",
+        "event_id",
+        F.round(dist, 3).alias("dist_km"),
+        (F.col("t_ms") - F.col("pt_ms")).alias("dt_ms"),
+        F.round(
+            dist / ((F.col("t_ms") - F.col("pt_ms")).cast("double") / 3600000.0), 3
+        ).alias("speed_kmh"),
+    )
+
+
+# PII scrubbing ---------------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(n_chars AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           substr(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             1, 80) AS clean_prefix,
+           CAST(length(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS clean_len
+    FROM seeded
+    """,
+    doc=(
+        "PII redaction over the document corpus (emails + phone patterns "
+        "seeded deterministically so the scrub is exercised): regexp_replace "
+        "+ match counts — the training-pipeline privacy scrub pass"
+    ),
+)
+def pii_scrub(spark, sf_dir):
+    """Map-only JVM regex (whole-stage codegen; zero shuffles — the scrub is
+    embarrassingly parallel at any corpus size). Patterns are restricted to
+    syntax with identical semantics in Java regex and RE2 so the DuckDB
+    oracle is literal."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("n_chars").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("n_chars") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), 0)).cast("long").alias("n_phones"),
+        F.substring(clean, 1, 80).alias("clean_prefix"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and the matching
+``oracle_sql()`` statement on DuckDB over the same parquet tables, then
+compares row count, sorted-by-name schema, and values (exact for
+non-floats, tolerance for floats).  Usage::
+
+    python scripts/check_parity.py [sf_dir] [query ...]
+
+Defaults to /root/testdata/sf0.01 and all queries.
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: json.dumps(v, sort_keys=True, default=str)
+                              if isinstance(v, (list, dict, np.ndarray)) else v)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return False
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        ak = np.issubdtype(av.dtype, np.floating) if av.dtype != object else False
+        bk = np.issubdtype(bv.dtype, np.floating) if bv.dtype != object else False
+        if ak or bk:
+            x = pd.to_numeric(av, errors="coerce").astype(float).to_numpy()
+            y = pd.to_numeric(bv, errors="coerce").astype(float).to_numpy()
+            both_nan = np.isnan(x) & np.isnan(y)
+            if not np.all(both_nan | np.isclose(x, y, rtol=1e-6, atol=1e-9, equal_nan=True)):
+                return False
+        else:
+            if not av.astype(str).fillna("\0").equals(bv.astype(str).fillna("\0")):
+                return False
+    return True
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
+        set(sys.argv[1:2]) - {sf_dir} if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None)
+    if only is not None and not only:
+        only = None
+
+    from pyspark.sql import SparkSession
+    import __spark_entry__ as entry
+
+    spark = (SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory", "48g")
+             .config("spark.sql.adaptive.enabled", "true")
+             .appName("check_parity").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    results, bad = {}, []
+    for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        try:
+            sdf = canon(fn(spark, sf_dir).toPandas())
+            rec["spark_rows"] = len(sdf)
+            sql = os_.get(name)
+            if sql is None:
+                rec["err"] = "no_oracle"
+            else:
+                odf = canon(con.execute(sql).fetchdf())
+                rec["oracle_rows"] = len(odf)
+                rec["rows_match"] = len(sdf) == len(odf)
+                rec["schema_match"] = list(sdf.columns) == list(odf.columns)
+                rec["hash_match"] = rec["rows_match"] and rec["schema_match"] and values_equal(sdf, odf)
+        except Exception as e:  # noqa: BLE001 - harness must report, not die
+            rec["err"] = f"{type(e).__name__}: {e}"[:500]
+        results[name] = rec
+        ok = rec["hash_match"]
+        if not ok:
+            bad.append(name)
+        print(f"{'PASS' if ok else 'FAIL'} {name} spark={rec['spark_rows']} oracle={rec['oracle_rows']}"
+              + (f" err={rec['err']}" if rec["err"] else ""), flush=True)
+
+    print(json.dumps({"total": len(results), "fail": bad}))
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -132,3 +132,84 @@ def test_duckdb_sql_twin_bit_parity():
     psql = hx.parent_sql("q", "r", hx.HEX_R8)
     got = con.sql(f"SELECT {psql} AS p FROM cells").df()["p"].to_numpy()
     assert (got == hx.parent_np(c8)).all()
+
+
+def test_exact_unpack_matches_float_unpack(spark):
+    """cell_qr_exact / parent_exact (bit ops) agree with the float-division
+    originals over the coordinate domain, and with numpy ground truth; the
+    DuckDB twin qr_sql_exact agrees bit-for-bit too."""
+    lat, lon = _pts(3000, seed=13)
+    from pyspark.sql import functions as F
+
+    for res in (hx.HEX_R7, hx.HEX_R8, hx.HEX_R9):
+        c = hx.encode_np(lat, lon, res)
+        df = spark.createDataFrame(pd.DataFrame(dict(cell=c)))
+        qe, re_ = hx.cell_qr_exact(F.col("cell"))
+        qf, rf = hx.cell_qr(F.col("cell"))
+        out = df.select(
+            qe.alias("qe"), re_.alias("re"), qf.alias("qf"), rf.alias("rf"),
+            hx.parent_exact(F.col("cell"), res).alias("pe"),
+            hx.parent(F.col("cell"), res).alias("pf"),
+        ).toPandas()
+        _, qn, rn = hx.unpack_np(c)
+        assert (out["qe"].to_numpy() == qn).all()
+        assert (out["re"].to_numpy() == rn).all()
+        assert (out["qe"] == out["qf"]).all() and (out["re"] == out["rf"]).all()
+        assert (out["pe"] == out["pf"]).all()
+        assert (out["pe"].to_numpy() == hx.parent_np(c)).all()
+        # DuckDB twin
+        con = duckdb.connect()
+        con.register("cells", pd.DataFrame(dict(cell=c)))
+        qs, rs = hx.qr_sql_exact("cell")
+        got = con.sql(f"SELECT {qs} AS q, {rs} AS r FROM cells").df()
+        assert (got["q"].to_numpy() == qn).all()
+        assert (got["r"].to_numpy() == rn).all()
+
+
+def test_children_inverse_of_parent():
+    """children(P) = center child + 6 neighbours is exactly parent^-1(P):
+    all 7 map back to P, and no cell outside the set does (completeness
+    follows from the exactly-7-children property test)."""
+    lat, lon = _pts(2000, seed=17)
+    for res in (3, hx.HEX_R7, hx.HEX_R8):
+        cells = np.unique(hx.encode_np(lat, lon, res))
+        kids = hx.children_np(cells)
+        assert kids.shape == (len(cells), 7)
+        par = hx.parent_np(kids.ravel()).reshape(kids.shape)
+        assert (par == cells[:, None]).all()
+        # children are distinct within and across parents
+        assert len(np.unique(kids)) == kids.size
+
+
+def test_uncompact_roundtrip_identity():
+    """uncompact(compact(S), r9) == S for a lattice-structured set that
+    exercises promotions at both levels (numpy ground truth of the
+    hex_compact / hex_uncompact driver queries)."""
+    ev = np.arange(0, 10000, dtype=np.int64)
+    lat = (ev * 7919 % 1200).astype(np.float64) / 10000.0
+    lon = (ev * 104729 % 1193).astype(np.float64) / 10000.0 + 10.0
+    s9 = np.unique(hx.encode_np(lat, lon, 9))
+
+    # compact: promote complete 7-child sets, two levels
+    def compact(cells):
+        out = []
+        cur = cells
+        for res in (9, 8):
+            par = hx.parent_np(cur)
+            uniq, counts = np.unique(par, return_counts=True)
+            promoted = uniq[counts == 7]
+            keep = ~np.isin(par, promoted)
+            out.append(cur[keep])
+            cur = promoted
+        out.append(cur)
+        return out  # [surv9, surv8, prom7]
+
+    surv9, surv8, prom7 = compact(s9)
+    assert len(prom7) > 0 and len(surv8) > 0  # both levels exercised
+
+    # uncompact back to res 9
+    back = [surv9]
+    lvl8 = np.concatenate([surv8, hx.children_np(prom7).ravel()])
+    back.append(hx.children_np(lvl8).ravel())
+    got = np.sort(np.concatenate(back))
+    assert (got == np.sort(s9)).all()
