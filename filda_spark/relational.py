@@ -1524,6 +1524,8 @@ def hex_compact(spark, sf_dir):
 
 
 def _hex_compact_df(spark, sf_dir):
+    from pyspark import StorageLevel
+
     from filda_spark import hex as hx
 
     ev = _t(spark, sf_dir, "events")
@@ -1532,13 +1534,22 @@ def _hex_compact_df(spark, sf_dir):
         (((F.col("event_id") * 104729 % 1193).cast("double") / 10000.0) + 10.0).alias("lon"),
     )
     c9 = pts.select(hx.encode(F.col("lat"), F.col("lon"), 9).alias("cell")).distinct()
-    c9p = c9.withColumn("p8", hx.parent_pudf(F.col("cell")))
+    # the level frames feed 2-3 union branches each; without persist() the
+    # union expands them into duplicated subtrees (9 source scans in the
+    # executed plan — per-branch column pruning defeats ReuseExchange).
+    # Caching the distinct cell set is the scale-correct call too: it is
+    # orders of magnitude smaller than the point input.
+    c9p = c9.withColumn("p8", hx.parent_pudf(F.col("cell"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     prom8 = (
         c9p.groupBy("p8").agg(F.count("*").alias("n")).filter(F.col("n") == 7).select("p8")
     )
     surv9 = c9p.join(prom8, "p8", "left_anti").select("cell")
-    p8p = prom8.select(F.col("p8").alias("cell")).withColumn(
-        "p7", hx.parent_pudf(F.col("cell"))
+    p8p = (
+        prom8.select(F.col("p8").alias("cell"))
+        .withColumn("p7", hx.parent_pudf(F.col("cell")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prom7 = (
         p8p.groupBy("p7").agg(F.count("*").alias("n")).filter(F.col("n") == 7).select("p7")
