@@ -61,6 +61,8 @@ HEADLINE = [
     "idw_interpolate",
     "trajectory_speed",
     "pii_scrub",
+    "knn_join",
+    "scd2_history",
 ]
 
 

@@ -1985,6 +1985,162 @@ def pii_scrub(spark, sf_dir):
     )
 
 
+# ranked kNN join -------------------------------------------------------------
+
+
+@register(
+    "knn_join",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey * 37 % 300 AS DOUBLE) / 10.0 - 15.0 AS lat,
+             CAST(c_custkey * 73 % 720 AS DOUBLE) / 10.0 - 36.0 AS lon
+      FROM customer
+    ), cells AS (
+      SELECT c_custkey, lat, lon,
+             CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx
+      FROM pts
+    ), pairs AS (
+      SELECT a.c_custkey AS c_custkey, b.c_custkey AS nb_key,
+             (a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+      FROM cells a JOIN cells b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND a.c_custkey <> b.c_custkey
+       AND (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) <= 1.0
+    ), ranked AS (
+      SELECT c_custkey, nb_key, d2,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY d2, nb_key) AS rnk
+      FROM pairs
+    )
+    SELECT c_custkey, CAST(rnk AS INT) AS rnk, nb_key, round(d2, 9) AS d2
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc=(
+        "ranked k-nearest-neighbour join (k=3 within the cover radius): the "
+        "cell_knn_count cover join plus a per-point top-k window — the "
+        "bounded-kNN formulation that scales (unbounded kNN needs an "
+        "expanding-ring search)"
+    ),
+)
+def knn_join(spark, sf_dir):
+    """Same cell-neighborhood shuffle as `cell_knn_count` (kRing duplicate →
+    pure equi-join on the cell key), then one window per query point.
+    Catalyst rewrites the `row_number <= k` filter to `WindowGroupLimit`
+    (per-partition top-k before the exchange), so the shuffle carries at
+    most k rows per point — the same partial/merge shape a dedicated kNN
+    operator would hand-build. Ties broken on (d2, nb_key): both engines
+    compute d2 with identical float64 ops, so ranking is deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 300).cast("double") / 10.0 - 15.0).alias("lat"),
+        ((F.col("c_custkey") * 73 % 720).cast("double") / 10.0 - 36.0).alias("lon"),
+    )
+    cells = pts.select("*", F.floor("lat").alias("cy"), F.floor("lon").alias("cx"))
+    ring = (
+        cells.select(
+            F.col("c_custkey").alias("nb_key"),
+            F.col("lat").alias("b_lat"),
+            F.col("lon").alias("b_lon"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("cx") + F.lit(dx)).alias("cx"),
+                            (F.col("cy") + F.lit(dy)).alias("cy"),
+                        )
+                        for dx in (-1, 0, 1)
+                        for dy in (-1, 0, 1)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .select(
+            "nb_key", "b_lat", "b_lon",
+            F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"),
+        )
+    )
+    d2 = (F.col("lat") - F.col("b_lat")) * (F.col("lat") - F.col("b_lat")) + (
+        F.col("lon") - F.col("b_lon")
+    ) * (F.col("lon") - F.col("b_lon"))
+    pairs = (
+        cells.join(ring, ["cy", "cx"])
+        .filter((F.col("c_custkey") != F.col("nb_key")) & (d2 <= F.lit(1.0)))
+        .select("c_custkey", "nb_key", d2.alias("d2"))
+    )
+    w = Window.partitionBy("c_custkey").orderBy("d2", "nb_key")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_custkey", "rnk", "nb_key", F.round("d2", 9).alias("d2"))
+    )
+
+
+# SCD2 dimension history -------------------------------------------------------
+
+
+@register(
+    "scd2_history",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER w AS prev_status
+      FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), changes AS (
+      SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from, o_orderkey
+      FROM ordered
+      WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+    )
+    SELECT o_custkey,
+           CAST(row_number() OVER w2 AS INT) AS version,
+           status,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(lead(valid_from) OVER w2, '%Y-%m-%d') AS valid_to
+    FROM changes WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
+    """,
+    doc=(
+        "slowly-changing-dimension type-2 history: collapse a per-entity "
+        "event stream into versioned validity intervals (valid_from / "
+        "valid_to, NULL = current) — the change-data-capture compaction an "
+        "Iceberg dimension table needs"
+    ),
+)
+def scd2_history(spark, sf_dir):
+    """Two windows over ONE per-entity shuffle (same partitioning, Catalyst
+    reuses the exchange): lag() marks status changes, then row_number +
+    lead() on the surviving change rows build the closed-open intervals.
+    Per-entity history fits a partition at any corpus scale because the
+    windows never cross entities."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    changes = ordered.filter(
+        F.col("prev_status").isNull()
+        | (F.col("o_orderstatus") != F.col("prev_status"))
+    ).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        "o_orderkey",
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    return changes.select(
+        "o_custkey",
+        F.row_number().over(w2).alias("version"),
+        "status",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("valid_from").over(w2), "yyyy-MM-dd").alias("valid_to"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
