@@ -63,6 +63,7 @@ HEADLINE = [
     "pii_scrub",
     "knn_join",
     "scd2_history",
+    "spatiotemporal_join",
 ]
 
 

@@ -1985,6 +1985,105 @@ def pii_scrub(spark, sf_dir):
     )
 
 
+# spatiotemporal pair join ------------------------------------------------------
+
+_ST_D = 0.5  # spatial radius, degrees (planar patch domain)
+_ST_T_MS = 86400000  # temporal radius, ms (24 h)
+
+
+@register(
+    "spatiotemporal_join",
+    f"""
+    WITH p AS (
+      SELECT event_id, epoch_ms(ts) AS t_ms,
+             CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0 AS lat,
+             CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0 AS lon
+      FROM events
+    )
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           round((a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon), 9) AS d2,
+           CAST(abs(a.t_ms - b.t_ms) AS BIGINT) AS dt_ms
+    FROM p a JOIN p b
+      ON a.event_id < b.event_id
+     AND abs(a.t_ms - b.t_ms) <= {_ST_T_MS}
+     AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon) <= {_ST_D * _ST_D!r}
+    """,
+    doc=(
+        "spatiotemporal pair join (moving-object co-location): all event "
+        "pairs within 0.5 deg AND 24 h via a combined (cell, time-bucket) "
+        "cover equi-join; oracle is the plain range join, so parity checks "
+        "the 3x3x3 cover construction"
+    ),
+)
+def spatiotemporal_join(spark, sf_dir):
+    """The space AND time composition of radius_join and interval_join: one
+    side keys by its own (cy, cx, tb), the other replicates into the 3x3
+    spatial ring x 3 time buckets (cell size = D, bucket width = T, so
+    matching pairs differ by <= 1 in every key component). Each pair meets
+    exactly once — at the left point's own key — so no dedup pass. The
+    27x replication is a constant map-side fan-out; the join itself is a
+    pure equi-join on (cy, cx, tb), shuffled on composite keys that follow
+    the data distribution (AQE/salting apply as usual)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0).alias("lat"),
+        (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0).alias("lon"),
+    )
+    a = p.select(
+        F.col("event_id").alias("a_id"),
+        F.col("t_ms").alias("a_ms"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        F.floor(F.col("lat") / _ST_D).alias("cy"),
+        F.floor(F.col("lon") / _ST_D).alias("cx"),
+        F.floor(F.col("t_ms") / _ST_T_MS).alias("tb"),
+    )
+    nbr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.floor(F.col("lat") / _ST_D) + F.lit(dy)).alias("cy"),
+                    (F.floor(F.col("lon") / _ST_D) + F.lit(dx)).alias("cx"),
+                    (F.floor(F.col("t_ms") / _ST_T_MS) + F.lit(dt)).alias("tb"),
+                )
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+                for dt in (-1, 0, 1)
+            ]
+        )
+    ).alias("k")
+    b = p.select(
+        F.col("event_id").alias("b_id"),
+        F.col("t_ms").alias("b_ms"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        nbr,
+    ).select(
+        "b_id", "b_ms", "b_lat", "b_lon",
+        F.col("k.cy").alias("cy"), F.col("k.cx").alias("cx"), F.col("k.tb").alias("tb"),
+    )
+    d2 = (F.col("a_lat") - F.col("b_lat")) * (F.col("a_lat") - F.col("b_lat")) + (
+        F.col("a_lon") - F.col("b_lon")
+    ) * (F.col("a_lon") - F.col("b_lon"))
+    dt = F.abs(F.col("a_ms") - F.col("b_ms"))
+    return (
+        a.join(b, ["cy", "cx", "tb"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (dt <= F.lit(_ST_T_MS))
+            & (d2 <= F.lit(_ST_D * _ST_D))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(d2, 9).alias("d2"),
+            dt.cast("long").alias("dt_ms"),
+        )
+    )
+
+
 # ranked kNN join -------------------------------------------------------------
 
 
