@@ -64,6 +64,8 @@ HEADLINE = [
     "knn_join",
     "scd2_history",
     "spatiotemporal_join",
+    "hll_registers",
+    "weighted_sample",
 ]
 
 

@@ -1985,6 +1985,125 @@ def pii_scrub(spark, sf_dir):
     )
 
 
+# HyperLogLog register sketch ---------------------------------------------------
+
+_HLL_M = 256  # 2^8 registers
+
+
+@register(
+    "hll_registers",
+    f"""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM d
+    ),
+    rw AS (
+      SELECT event_type, h % {_HLL_M} AS register, h // {_HLL_M} AS w FROM h
+    )
+    SELECT event_type, register,
+           CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS INT) AS max_rho
+    FROM rw GROUP BY event_type, register
+    """,
+    doc=(
+        "HyperLogLog register state (p=8, 256 registers) per group: md5 "
+        "hash -> (register, leading-zero rank), max per register — the "
+        "mergeable cardinality sketch; deterministic here because the hash "
+        "and the exact bin()-length rank are identical on both engines "
+        "(closes kmv_distinct's 'unlike HLL' remark)"
+    ),
+)
+def hll_registers(spark, sf_dir):
+    """The sketch state IS the output (integer-exact parity; the estimator
+    is plain arithmetic over 256 rows — pinned against the true count in
+    tests). Shape at scale: one map pass + a groupBy on (group, register)
+    whose partial aggregation does the register-max map-side, so the
+    shuffle carries at most m=256 rows per group per task — the textbook
+    mergeable-sketch plan. rho uses length(bin(w)) (exact integer bit
+    length) instead of floor(log2): log2 rounds up near powers of two
+    (log2(2^48-1) rounds to 48.0 in float64), which would corrupt ranks."""
+    d = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    h = d.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    rw = h.select(
+        "event_type",
+        (F.col("h") % _HLL_M).alias("register"),
+        F.floor(F.col("h") / _HLL_M).cast("long").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(F.col("w")))
+    )
+    return (
+        rw.select("event_type", "register", rho.alias("rho"))
+        .groupBy("event_type", "register")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+# deterministic weighted sample --------------------------------------------------
+
+_WS_K = 20
+
+
+@register(
+    "weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+               / 1152921504606846976.0
+               / CAST(n_chars + 1 AS DOUBLE) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, k,
+             row_number() OVER (ORDER BY k, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT CAST(rnk AS INT) AS rnk, doc_id, n_chars, k
+    FROM ranked WHERE rnk <= {_WS_K}
+    """,
+    doc=(
+        "deterministic weighted priority sample (top-k by uniform-race key "
+        "u/w, u = md5-derived uniform, w = doc length): P(i beats j) = "
+        "w_i/(w_i+w_j), the weighted-sampling primitive for training-data "
+        "curation; fully deterministic, so the oracle is exact"
+    ),
+)
+def weighted_sample(spark, sf_dir):
+    """Key = (h/2^60)/w — every step (int->double cast, divide by a power
+    of two, divide by the weight) is the identical IEEE-754 operation on
+    both engines, so ordering and output bits match exactly without
+    transcendentals (exp/ln implementations differ across libms and would
+    break near-tie ordering). Catalyst rewrites `row_number <= k` to
+    `WindowGroupLimit`: per-partition top-k before the single-partition
+    final ranking, so the global sort never materializes — the same
+    partial/merge shape a distributed A-Res sampler hand-builds."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .cast("double")
+            / F.lit(1152921504606846976.0)
+            / (F.col("n_chars") + 1).cast("double")
+        ).alias("k"),
+    )
+    w = Window.orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _WS_K)
+        .select(F.col("rnk").cast("int").alias("rnk"), "doc_id", "n_chars", "k")
+    )
+
+
 # spatiotemporal pair join ------------------------------------------------------
 
 _ST_D = 0.5  # spatial radius, degrees (planar patch domain)

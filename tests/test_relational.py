@@ -78,3 +78,31 @@ def test_embedding_neardup_seeds_nonvacuous(spark, sf_dir):
         assert r.cos >= 0.95
     seeded = {r.vec_a for r in out}
     assert set(range(training.NEARDUP_SEEDS)) <= seeded
+
+
+def test_hll_estimator_accuracy(spark, sf_dir):
+    """The HLL estimate reconstructed from the register output tracks the
+    exact distinct count within the p=8 error envelope (~1.04/sqrt(256) =
+    6.5% relative standard error; assert 3 sigma)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    m = relational._HLL_M
+    regs = relational.REGISTRY["hll_registers"].fn(spark, sf_dir).collect()
+    exact = {
+        r.event_type: r.n
+        for r in relational._t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    by_group: dict = {}
+    for r in regs:
+        by_group.setdefault(r.event_type, np.zeros(m, dtype=np.int64))[r.register] = r.max_rho
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for et, M in by_group.items():
+        est = alpha * m * m / np.sum(np.power(2.0, -M.astype(np.float64)))
+        zeros = int(np.sum(M == 0))
+        if est <= 2.5 * m and zeros > 0:  # small-range (linear counting) correction
+            est = m * np.log(m / zeros)
+        assert abs(est - exact[et]) / exact[et] < 0.20, (et, est, exact[et])
