@@ -39,3 +39,37 @@ def pack_bits_sql(*flag_exprs: str) -> str:
     for fe in flag_exprs:
         out = f"(({out}) * 2 + (CASE WHEN {fe} THEN 1 ELSE 0 END))"
     return out
+
+
+def morton_key(
+    lat: Column,
+    lon: Column,
+    bits: int = 16,
+    lat_range: tuple[float, float] = (-90.0, 90.0),
+    lon_range: tuple[float, float] = (-180.0, 180.0),
+) -> Column:
+    """Z-order (Morton) key: interleave the top ``bits`` of the quantized
+    lat/lon so byte-range-close rows are spatially close — the sort key for
+    Iceberg-style data-file clustering. Pure shift/or column algebra (a
+    flat ~4*bits-term expression; no nesting, so codegen stays small)."""
+    from pyspark.sql import functions as F
+
+    la0, la1 = lat_range
+    lo0, lo1 = lon_range
+    scale = (1 << bits) - 1
+    qlat = F.least(
+        F.lit(scale),
+        F.greatest(F.lit(0), F.floor((lat - la0) / (la1 - la0) * scale)),
+    ).cast("long")
+    qlon = F.least(
+        F.lit(scale),
+        F.greatest(F.lit(0), F.floor((lon - lo0) / (lo1 - lo0) * scale)),
+    ).cast("long")
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(qlat, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        parts.append(F.shiftleft(F.shiftright(qlon, i).bitwiseAND(F.lit(1)), 2 * i))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out

@@ -758,3 +758,79 @@ def test_expire_snapshots_keep_last_zero(spark, corpus, nl, tmp_path):
     asof = _canon(runner.read_detections_as_of(spark, out, r2["run_id"]).toPandas())
     full = _canon(spark.read.parquet(f"{out}/detections").toPandas())
     pd.testing.assert_frame_equal(asof[sorted(asof.columns)], full[sorted(full.columns)])
+
+
+def test_zorder_detections(spark, corpus, nl, tmp_path):
+    """Z-order clustering rewrite: row content EXACTLY preserved, every
+    output file internally sorted by the Morton key, and fixed-size row
+    chunks (stand-ins for parquet row groups) get tighter spatial bounds
+    than the append-order layout — the property that makes
+    read_detections_bbox skip row groups."""
+    import glob
+
+    import numpy as np
+
+    full_dir = corpus["dir"]
+    out = str(tmp_path / "out_zorder")
+    runner.run_incremental(spark, full_dir, out, nl)
+
+    det_cols = spark.read.parquet(f"{out}/detections").columns
+    snap = (
+        spark.read.parquet(f"{out}/detections")
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+
+    def morton_np(lat, lon, bits=16):
+        scale = (1 << bits) - 1
+        qla = np.clip(np.floor((lat + 90.0) / 180.0 * scale), 0, scale).astype(np.int64)
+        qlo = np.clip(np.floor((lon + 180.0) / 360.0 * scale), 0, scale).astype(np.int64)
+        out_ = np.zeros_like(qla)
+        for i in range(bits):
+            out_ |= ((qla >> i) & 1) << (2 * i + 1)
+            out_ |= ((qlo >> i) & 1) << (2 * i)
+        return out_
+
+    def chunk_area(files, chunk=64):
+        areas = []
+        for f in files:
+            df = pd.read_parquet(f, columns=["FP_Latitude", "FP_Longitude"])
+            for s in range(0, len(df), chunk):
+                c = df.iloc[s : s + chunk]
+                if len(c) >= 8:
+                    areas.append(
+                        (c.FP_Latitude.max() - c.FP_Latitude.min())
+                        * (c.FP_Longitude.max() - c.FP_Longitude.min())
+                    )
+        return float(np.mean(areas)) if areas else 0.0
+
+    files_before = sorted(glob.glob(f"{out}/detections/tile_id=*/*.parquet"))
+    area_before = chunk_area(files_before)
+
+    res = runner.zorder_detections(spark, out)
+    assert res["tiles_zordered"] == res["tiles_total"] > 0
+
+    files_after = sorted(glob.glob(f"{out}/detections/tile_id=*/*.parquet"))
+    got = (
+        spark.read.parquet(f"{out}/detections")
+        .select(det_cols)
+        .toPandas()
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(det_cols)], snap[sorted(det_cols)])
+
+    # every file internally z-sorted
+    for f in files_after:
+        df = pd.read_parquet(f, columns=["FP_Latitude", "FP_Longitude"])
+        zk = morton_np(df.FP_Latitude.to_numpy(), df.FP_Longitude.to_numpy())
+        assert (np.diff(zk) >= 0).all(), f
+
+    # spatial chunk bounds no looser than append order (and typically tighter)
+    area_after = chunk_area(files_after)
+    assert area_after <= area_before * 1.05, (area_after, area_before)
+
+    # the store still accepts appends afterwards
+    r = runner.run_incremental(spark, full_dir, out, nl)
+    assert r["new_docs"] == 0  # idempotent on an unchanged corpus
