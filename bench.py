@@ -66,6 +66,7 @@ HEADLINE = [
     "spatiotemporal_join",
     "hll_registers",
     "weighted_sample",
+    "track_interpolate",
 ]
 
 

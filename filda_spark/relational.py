@@ -1985,6 +1985,101 @@ def pii_scrub(spark, sf_dir):
     )
 
 
+# trajectory resampling ---------------------------------------------------------
+
+_TI_W_MS = 21600000  # 6 h epoch grid
+_TI_T0_MS = 1704067200000  # 2024-01-01T00:00Z — the corpus epoch
+_TI_N = 121  # 30 days of 6-h epochs, inclusive
+
+
+@register(
+    "track_interpolate",
+    f"""
+    WITH pts AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms,
+             CAST(event_id * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+             CAST(event_id * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+             event_id
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id, t_ms AS t0, lat AS lat0, lon AS lon0,
+             lead(t_ms) OVER w AS t1,
+             lead(lat) OVER w AS lat1, lead(lon) OVER w AS lon1
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    ),
+    epochs AS (
+      SELECT {_TI_T0_MS} + unnest(range(0, {_TI_N})) * {_TI_W_MS} AS e_ms
+    )
+    SELECT l.user_id, CAST(e.e_ms AS BIGINT) AS e_ms,
+           round(l.lat0 + (CAST(e.e_ms - l.t0 AS DOUBLE) / CAST(l.t1 - l.t0 AS DOUBLE))
+                 * (l.lat1 - l.lat0), 9) AS lat,
+           round(l.lon0 + (CAST(e.e_ms - l.t0 AS DOUBLE) / CAST(l.t1 - l.t0 AS DOUBLE))
+                 * (l.lon1 - l.lon0), 9) AS lon
+    FROM legs l JOIN epochs e ON e.e_ms >= l.t0 AND e.e_ms < l.t1
+    WHERE l.t1 IS NOT NULL
+    """,
+    doc=(
+        "trajectory resampling: linearly interpolate each entity's track "
+        "onto a fixed 6-h epoch grid — per-entity legs from one lead "
+        "window, epoch∈[t0,t1) matching via the time-bucket cover "
+        "equi-join, IEEE-identical lerp; the batch form of telemetry "
+        "gap-filling (oracle is the plain range join)"
+    ),
+)
+def track_interpolate(spark, sf_dir):
+    """Legs come from the same single per-entity window as trajectory_speed
+    (lead instead of lag); each leg explodes into the epoch buckets it
+    spans (sequence of floor-divided ids — fan-out = leg duration / grid
+    step, the data's own sparsity), epochs key by their single bucket, and
+    the match is a pure equi-join + exact [t0, t1) refine. The lerp
+    fraction is integer-ms subtraction then one double divide — identical
+    IEEE ops on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        ((F.col("event_id") * 7919 % 18000).cast("double") / 100.0 - 90.0).alias("lat"),
+        ((F.col("event_id") * 104729 % 36000).cast("double") / 100.0 - 180.0).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    legs = pts.select(
+        "user_id",
+        F.col("t_ms").alias("t0"),
+        F.col("lat").alias("lat0"),
+        F.col("lon").alias("lon0"),
+        F.lead("t_ms").over(w).alias("t1"),
+        F.lead("lat").over(w).alias("lat1"),
+        F.lead("lon").over(w).alias("lon1"),
+    ).filter(F.col("t1").isNotNull())
+    legs_b = legs.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("t0") / _TI_W_MS), F.floor((F.col("t1") - 1) / _TI_W_MS)
+            )
+        ).alias("bucket"),
+    )
+    epochs = spark.range(_TI_N).select(
+        (F.lit(_TI_T0_MS) + F.col("id") * _TI_W_MS).alias("e_ms")
+    )
+    epochs = epochs.withColumn("bucket", F.floor(F.col("e_ms") / _TI_W_MS))
+    frac = (F.col("e_ms") - F.col("t0")).cast("double") / (
+        F.col("t1") - F.col("t0")
+    ).cast("double")
+    return (
+        legs_b.join(epochs, "bucket")
+        .filter((F.col("e_ms") >= F.col("t0")) & (F.col("e_ms") < F.col("t1")))
+        .select(
+            "user_id",
+            F.col("e_ms").cast("long").alias("e_ms"),
+            F.round(F.col("lat0") + frac * (F.col("lat1") - F.col("lat0")), 9).alias("lat"),
+            F.round(F.col("lon0") + frac * (F.col("lon1") - F.col("lon0")), 9).alias("lon"),
+        )
+    )
+
+
 # HyperLogLog register sketch ---------------------------------------------------
 
 _HLL_M = 256  # 2^8 registers
