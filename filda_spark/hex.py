@@ -223,8 +223,8 @@ def cell_qr_exact(cell: Column) -> tuple[Column, Column]:
     """Bit-exact unpack: shift/mask instead of `cell_qr`'s float division.
 
     Identical results over the engine's coordinate domain (pinned by test);
-    exact for ALL packable (q, r), which the compaction algebra wants since
-    it round-trips ids through parent() repeatedly."""
+    exact for ALL packable (q, r). Used by `children`; its SQL twin
+    `qr_sql_exact` anchors the compact oracle."""
     rem = cell.bitwiseAND(F.lit(_RES_SHIFT - 1))
     q = F.shiftright(rem, 29) - F.lit(_OFF)
     r = rem.bitwiseAND(F.lit(_Q_SHIFT - 1)) - F.lit(_OFF)
@@ -232,7 +232,12 @@ def cell_qr_exact(cell: Column) -> tuple[Column, Column]:
 
 
 def parent_exact(cell: Column, res: int) -> Column:
-    """Parent at res-1 via the bit-exact unpack."""
+    """Parent at res-1 via the bit-exact unpack.
+
+    NOT used by the compaction queries (they use `parent_pudf` — see its
+    docstring for the Catalyst canonicalization blow-up); kept to pin the
+    bit-parity of `cell_qr_exact`/`qr_sql_exact` (the compact oracle's
+    anchor) against the float twin and numpy in tests."""
     q, r = cell_qr_exact(cell)
     i, j = _cube_round_col(
         (F.lit(2.0) * q + F.lit(3.0) * r) / F.lit(7.0),
@@ -333,6 +338,8 @@ def pack_sql(q_expr: str, r_expr: str, res: int) -> str:
 def children_np(cell):
     """(n, 7) array of res+1 children (single-res input, like parent_np)."""
     res, q, r = unpack_np(cell)
+    if res.size == 0:
+        return np.empty((0, 7), dtype=np.int64)
     cq, cr = 2 * q + 3 * r, q - 2 * r
     offs = np.array([(0, 0)] + DIRS, dtype=np.int64)
     return _pack_np(

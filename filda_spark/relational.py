@@ -1523,10 +1523,19 @@ def hex_compact(spark, sf_dir):
     return _hex_compact_df(spark, sf_dir)
 
 
+_HEX_COMPACT_CACHED: list = []
+
+
 def _hex_compact_df(spark, sf_dir):
     from pyspark import StorageLevel
 
     from filda_spark import hex as hx
+
+    # release the previous invocation's cached level frames — there is no
+    # safe hook after the caller's action, so the leak is bounded to exactly
+    # one invocation instead of growing with every compact/uncompact call
+    while _HEX_COMPACT_CACHED:
+        _HEX_COMPACT_CACHED.pop().unpersist()
 
     ev = _t(spark, sf_dir, "events")
     pts = ev.select(
@@ -1542,6 +1551,7 @@ def _hex_compact_df(spark, sf_dir):
     c9p = c9.withColumn("p8", hx.parent_pudf(F.col("cell"))).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _HEX_COMPACT_CACHED.append(c9p)
     prom8 = (
         c9p.groupBy("p8").agg(F.count("*").alias("n")).filter(F.col("n") == 7).select("p8")
     )
@@ -1551,6 +1561,7 @@ def _hex_compact_df(spark, sf_dir):
         .withColumn("p7", hx.parent_pudf(F.col("cell")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _HEX_COMPACT_CACHED.append(p8p)
     prom7 = (
         p8p.groupBy("p7").agg(F.count("*").alias("n")).filter(F.col("n") == 7).select("p7")
     )
@@ -2128,7 +2139,11 @@ def hll_registers(spark, sf_dir):
     rw = h.select(
         "event_type",
         (F.col("h") % _HLL_M).alias("register"),
-        F.floor(F.col("h") / _HLL_M).cast("long").alias("w"),
+        # shiftright, NOT floor(h/256): double division corrupts w for
+        # h > 2^53 (~17% of 60-bit hashes are off by 1), and a corrupted w
+        # at a power-of-two boundary flips length(bin(w)) vs the oracle's
+        # exact integer h // 256
+        F.shiftright(F.col("h"), _HLL_M.bit_length() - 1).alias("w"),
     )
     rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
         F.lit(53) - F.length(F.bin(F.col("w")))

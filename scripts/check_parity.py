@@ -52,11 +52,12 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
-        set(sys.argv[1:2]) - {sf_dir} if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None)
-    if only is not None and not only:
-        only = None
+    args = sys.argv[1:]
+    if args and os.path.isdir(args[0]):
+        sf_dir, names = args[0], args[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.01", args
+    only = set(names) or None
 
     from pyspark.sql import SparkSession
     import __spark_entry__ as entry
@@ -102,9 +103,12 @@ def main():
         print(f"{'PASS' if ok else 'FAIL'} {name} spark={rec['spark_rows']} oracle={rec['oracle_rows']}"
               + (f" err={rec['err']}" if rec["err"] else ""), flush=True)
 
-    print(json.dumps({"total": len(results), "fail": bad}))
+    unknown = sorted(only - set(qs)) if only else []
+    if unknown:
+        print(f"UNKNOWN query names (not in the registry): {unknown}")
+    print(json.dumps({"total": len(results), "fail": bad, "unknown": unknown}))
     spark.stop()
-    return 1 if bad else 0
+    return 1 if bad or unknown else 0
 
 
 if __name__ == "__main__":
