@@ -67,6 +67,7 @@ HEADLINE = [
     "hll_registers",
     "weighted_sample",
     "track_interpolate",
+    "pagerank",
 ]
 
 

@@ -1996,6 +1996,99 @@ def pii_scrub(spark, sf_dir):
     )
 
 
+# PageRank ----------------------------------------------------------------------
+
+_PR_N = 200  # node id space (mod of order/part keys)
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle_sql() -> str:
+    """Fixed-iteration PageRank unrolled into chained CTEs — the SQL twin of
+    the Spark loop, same float ops in the same per-term order (sum order is
+    engine-dependent; the 6-dp round absorbs the ~1e-16 associativity
+    drift)."""
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey % {_PR_N} AS src, l_partkey % {_PR_N} AS dst
+      FROM lineitem
+    ),
+    nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+    r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for k in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+    r{k} AS (
+      SELECT n.v,
+             (1.0 - {_PR_DAMP}) / (SELECT n FROM nn)
+             + {_PR_DAMP} * coalesce(sum(p.r / deg.d), 0.0) AS r
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.v
+      LEFT JOIN deg ON deg.src = e.src
+      LEFT JOIN r{k - 1} p ON p.v = e.src
+      GROUP BY n.v
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\n    SELECT v AS node, round(r, 6) AS rank FROM r{_PR_ITERS}"
+    )
+
+
+@register(
+    "pagerank",
+    _pagerank_oracle_sql(),
+    doc=(
+        "fixed-iteration PageRank (5 rounds, damping 0.85) over the "
+        "order->part graph — the iterative-algorithm class (same loop "
+        "shape as dup_components' connected components) with a full SQL "
+        "oracle via unrolled CTE rounds"
+    ),
+)
+def pagerank(spark, sf_dir):
+    """Each round is one equi-join (edges x ranks on src) + one partial-
+    aggregated groupBy on dst + a left join back to the node set — the
+    standard distributed PR step where the shuffle carries contributions,
+    not the graph. The edge/degree frame is built once and reused across
+    rounds. At real iteration counts the loop adds localCheckpoint every
+    few rounds exactly like dup_components (plan-size control); 5 static
+    rounds stay well under that threshold. Constants (1-d)/n and 1/n are
+    computed with the same IEEE double ops in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % _PR_N).alias("src"),
+            (F.col("l_partkey") % _PR_N).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    n = float(nodes.count())
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    ed = e.join(deg, "src")
+    ranks = nodes.select("v", (F.lit(1.0) / F.lit(n)).alias("r"))
+    base = (1.0 - _PR_DAMP) / n
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.v)
+            .select(F.col("dst").alias("v"), (F.col("r") / F.col("d")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "v", "left").select(
+            "v",
+            (F.lit(base) + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"),
+        )
+    return ranks.select(F.col("v").alias("node"), F.round("r", 6).alias("rank"))
+
+
 # trajectory resampling ---------------------------------------------------------
 
 _TI_W_MS = 21600000  # 6 h epoch grid
