@@ -285,3 +285,35 @@ def test_min_label_components_matches_union_find(spark):
         )
         got = {r["node"]: r["component"] for r in labels.collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_morton_key_column_matches_numpy(spark):
+    """functions.bits.morton_key (Column twin) against an independent numpy
+    interleave over random coordinates, including clamp behavior at the
+    domain edges."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from filda_spark.functions.bits import morton_key
+
+    rng = np.random.default_rng(23)
+    lat = np.concatenate([rng.uniform(-90, 90, 2000), [-90.0, 90.0, -91.0, 91.0]])
+    lon = np.concatenate([rng.uniform(-180, 180, 2000), [-180.0, 180.0, -181.0, 181.0]])
+
+    bits = 16
+    scale = (1 << bits) - 1
+    qla = np.clip(np.floor((lat + 90.0) / 180.0 * scale), 0, scale).astype(np.int64)
+    qlo = np.clip(np.floor((lon + 180.0) / 360.0 * scale), 0, scale).astype(np.int64)
+    want = np.zeros_like(qla)
+    for i in range(bits):
+        want |= ((qla >> i) & 1) << (2 * i + 1)
+        want |= ((qlo >> i) & 1) << (2 * i)
+
+    df = spark.createDataFrame(pd.DataFrame(dict(lat=lat, lon=lon)))
+    got = (
+        df.select(morton_key(F.col("lat"), F.col("lon")).alias("zk"))
+        .toPandas()["zk"]
+        .to_numpy()
+    )
+    assert (got == want).all()
