@@ -1531,11 +1531,14 @@ def _hex_compact_df(spark, sf_dir):
 
     from filda_spark import hex as hx
 
-    # release the previous invocation's cached level frames — there is no
-    # safe hook after the caller's action, so the leak is bounded to exactly
-    # one invocation instead of growing with every compact/uncompact call
-    while _HEX_COMPACT_CACHED:
-        _HEX_COMPACT_CACHED.pop().unpersist()
+    # release older invocations' cached level frames — there is no safe
+    # hook after the caller's action, so the leak is bounded instead of
+    # growing with every compact/uncompact call. Keep the last TWO
+    # invocations (4 frames): a consumer that builds both hex_compact and
+    # hex_uncompact before executing either must not lose the first plan's
+    # cache backing mid-flight.
+    while len(_HEX_COMPACT_CACHED) > 2:
+        _HEX_COMPACT_CACHED.pop(0).unpersist()
 
     ev = _t(spark, sf_dir, "events")
     pts = ev.select(
@@ -2001,6 +2004,7 @@ def pii_scrub(spark, sf_dir):
 _PR_N = 200  # node id space (mod of order/part keys)
 _PR_ITERS = 5
 _PR_DAMP = 0.85
+_PAGERANK_CACHED: list = []
 
 
 def _pagerank_oracle_sql() -> str:
@@ -2022,7 +2026,7 @@ def _pagerank_oracle_sql() -> str:
         steps.append(f"""
     r{k} AS (
       SELECT n.v,
-             (1.0 - {_PR_DAMP}) / (SELECT n FROM nn)
+             {1.0 - _PR_DAMP!r} / (SELECT n FROM nn)
              + {_PR_DAMP} * coalesce(sum(p.r / deg.d), 0.0) AS r
       FROM nodes n
       LEFT JOIN e ON e.dst = n.v
@@ -2052,11 +2056,16 @@ def pagerank(spark, sf_dir):
     """Each round is one equi-join (edges x ranks on src) + one partial-
     aggregated groupBy on dst + a left join back to the node set — the
     standard distributed PR step where the shuffle carries contributions,
-    not the graph. The edge/degree frame is built once and reused across
-    rounds. At real iteration counts the loop adds localCheckpoint every
-    few rounds exactly like dup_components (plan-size control); 5 static
-    rounds stay well under that threshold. Constants (1-d)/n and 1/n are
-    computed with the same IEEE double ops in both engines."""
+    not the graph. The node and edge/degree frames are persisted (each is
+    referenced by every round; without the cache Spark re-runs their
+    distinct/aggregate per consumer — ReuseExchange only recovers the
+    shuffle writes). At real iteration counts the loop adds
+    localCheckpoint every few rounds exactly like dup_components
+    (plan-size control); 5 static rounds stay well under that threshold.
+    The damping base (1-d) is repr'd into the oracle SQL so both engines
+    start from the identical float64 constant (DuckDB would otherwise
+    evaluate `1.0 - 0.85` in exact DECIMAL, 1 ulp away); residual
+    sum-order drift is absorbed by the 6-dp round."""
     li = _t(spark, sf_dir, "lineitem")
     e = (
         li.select(
@@ -2065,14 +2074,25 @@ def pagerank(spark, sf_dir):
         )
         .distinct()
     )
+    from pyspark import StorageLevel
+
+    # bounded cache release, same pattern as _hex_compact_df: keep the
+    # previous invocation's frames (a pending plan may still reference
+    # them), release anything older
+    while len(_PAGERANK_CACHED) > 2:
+        _PAGERANK_CACHED.pop(0).unpersist()
+
     nodes = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = float(nodes.count())
+    _PAGERANK_CACHED.append(nodes)
+    n = float(nodes.count())  # also materializes the nodes cache
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("d"))
-    ed = e.join(deg, "src")
+    ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    _PAGERANK_CACHED.append(ed)
     ranks = nodes.select("v", (F.lit(1.0) / F.lit(n)).alias("r"))
     base = (1.0 - _PR_DAMP) / n
     for _ in range(_PR_ITERS):
