@@ -68,6 +68,7 @@ HEADLINE = [
     "weighted_sample",
     "track_interpolate",
     "pagerank",
+    "hex_line",
 ]
 
 

@@ -335,6 +335,35 @@ def pack_sql(q_expr: str, r_expr: str, res: int) -> str:
     )
 
 
+def line_np(lat_a, lon_a, lat_b, lon_b, res: int):
+    """Grid path between endpoint cells (H3 gridPathCells): cube-lerp at
+    k/d steps, hex-rounded — d+1 cells per pair. Returns (offsets, cells):
+    pair i's path is cells[offsets[i]:offsets[i+1]], in k order. Ties in
+    the rounding break via the same floor(x+0.5) bias as every other twin,
+    so paths are deterministic and engine-identical."""
+    cqx, cqy, crx, cry = _inv(res)
+    qa = np.asarray(cqx * np.asarray(lon_a) + cqy * np.asarray(lat_a))
+    ra = np.asarray(crx * np.asarray(lon_a) + cry * np.asarray(lat_a))
+    qb = np.asarray(cqx * np.asarray(lon_b) + cqy * np.asarray(lat_b))
+    rb = np.asarray(crx * np.asarray(lon_b) + cry * np.asarray(lat_b))
+    q0, r0 = _cube_round_np(qa, ra)
+    q1, r1 = _cube_round_np(qb, rb)
+    dq, dr = q1 - q0, r1 - r0
+    d = (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+    counts = d + 1
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    idx = np.repeat(np.arange(len(d)), counts)
+    k = np.arange(offsets[-1]) - offsets[idx]
+    # lerp in float axial space between the ROUNDED endpoints (so the path
+    # starts and ends exactly on the endpoint cells), guarding d=0
+    dd = np.maximum(d[idx], 1).astype(np.float64)
+    t = k.astype(np.float64) / dd
+    qf = q0[idx].astype(np.float64) + t * dq[idx].astype(np.float64)
+    rf = r0[idx].astype(np.float64) + t * dr[idx].astype(np.float64)
+    q, r = _cube_round_np(qf, rf)
+    return offsets, _pack_np(q, r, res)
+
+
 def children_np(cell):
     """(n, 7) array of res+1 children (single-res input, like parent_np)."""
     res, q, r = unpack_np(cell)

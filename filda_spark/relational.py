@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -1997,6 +1998,93 @@ def pii_scrub(spark, sf_dir):
         F.substring(clean, 1, 80).alias("clean_prefix"),
         F.length(clean).cast("long").alias("clean_len"),
     )
+
+
+# hex grid path -----------------------------------------------------------------
+
+
+def _hex_line_oracle_sql() -> str:
+    from filda_spark import hex as hx
+
+    enc_a = hx.encode_sql("a_lat", "a_lon", 7)
+    enc_b = hx.encode_sql("b_lat", "b_lon", 7)
+    qa, ra = hx.qr_sql_exact("ca")
+    qb, rb = hx.qr_sql_exact("cb")
+    cell = hx._cube_round_pack_sql("qf", "rf", 7)
+    return f"""
+    WITH p AS (
+      SELECT event_id AS pair_id,
+             CAST(event_id * 7919 % 5000 AS DOUBLE) / 10000.0 + 30.0 AS a_lat,
+             CAST(event_id * 104729 % 5000 AS DOUBLE) / 10000.0 + 10.0 AS a_lon,
+             CAST(event_id * 31 % 5000 AS DOUBLE) / 10000.0 + 30.0 AS b_lat,
+             CAST(event_id * 57 % 5000 AS DOUBLE) / 10000.0 + 10.0 AS b_lon
+      FROM events WHERE event_id < 200
+    ),
+    c AS (SELECT pair_id, {enc_a} AS ca, {enc_b} AS cb FROM p),
+    q AS (SELECT pair_id, {qa} AS q0, {ra} AS r0, {qb} AS q1, {rb} AS r1 FROM c),
+    dd AS (
+      SELECT *, (abs(q1 - q0) + abs(r1 - r0) + abs(q1 - q0 + r1 - r0)) // 2 AS d
+      FROM q
+    ),
+    e AS (SELECT pair_id, q0, r0, q1, r1, d, unnest(range(0, d + 1)) AS k FROM dd),
+    lerp AS (
+      SELECT pair_id, k,
+             CAST(q0 AS DOUBLE)
+             + (CAST(k AS DOUBLE) / CAST(greatest(d, 1) AS DOUBLE))
+               * CAST(q1 - q0 AS DOUBLE) AS qf,
+             CAST(r0 AS DOUBLE)
+             + (CAST(k AS DOUBLE) / CAST(greatest(d, 1) AS DOUBLE))
+               * CAST(r1 - r0 AS DOUBLE) AS rf
+      FROM e
+    )
+    SELECT pair_id, CAST(k AS INT) AS k, {cell} AS cell FROM lerp
+    """
+
+
+@register(
+    "hex_line",
+    _hex_line_oracle_sql(),
+    doc=(
+        "hex grid path (H3 gridPathCells): the d+1 cells on the line "
+        "between two endpoint cells via cube-lerp + hex rounding — "
+        "completes the cell-set API (compact/uncompact/polyfill/path); "
+        "oracle re-derives every path step with the bit-parity-tested "
+        "cube-round SQL twin"
+    ),
+)
+def hex_line(spark, sf_dir):
+    """Path cells come from one Arrow kernel (`hex.line_np`) returning the
+    per-pair cell array, then a map-side posexplode — same plan-size
+    rationale as `hex.parent_pudf` (lerp+cube-round as Column algebra
+    would inline the encode tree ~10x per rounding reference). Zero
+    shuffles: the whole op is scan → Arrow map → Generate. Path length is
+    data-bounded (endpoint hex distance), the map-side fan-out analogous
+    to the kRing explode."""
+    from filda_spark import hex as hx
+
+    @F.pandas_udf("array<long>")
+    def _line(a_lat: pd.Series, a_lon: pd.Series, b_lat: pd.Series, b_lon: pd.Series) -> pd.Series:
+        if len(a_lat) == 0:
+            return pd.Series([], dtype="object")
+        offs, cells = hx.line_np(
+            a_lat.to_numpy(), a_lon.to_numpy(), b_lat.to_numpy(), b_lon.to_numpy(), 7
+        )
+        return pd.Series(
+            [cells[offs[i] : offs[i + 1]].tolist() for i in range(len(a_lat))]
+        )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    p = ev.select(
+        F.col("event_id").alias("pair_id"),
+        ((F.col("event_id") * 7919 % 5000).cast("double") / 10000.0 + 30.0).alias("a_lat"),
+        ((F.col("event_id") * 104729 % 5000).cast("double") / 10000.0 + 10.0).alias("a_lon"),
+        ((F.col("event_id") * 31 % 5000).cast("double") / 10000.0 + 30.0).alias("b_lat"),
+        ((F.col("event_id") * 57 % 5000).cast("double") / 10000.0 + 10.0).alias("b_lon"),
+    )
+    return p.select(
+        "pair_id",
+        F.posexplode(_line("a_lat", "a_lon", "b_lat", "b_lon")).alias("k", "cell"),
+    ).select("pair_id", F.col("k").cast("int").alias("k"), "cell")
 
 
 # PageRank ----------------------------------------------------------------------

@@ -213,3 +213,27 @@ def test_uncompact_roundtrip_identity():
     back.append(hx.children_np(lvl8).ravel())
     got = np.sort(np.concatenate(back))
     assert (got == np.sort(s9)).all()
+
+
+def test_line_path_properties():
+    """Grid paths: start/end exactly on the endpoint cells, consecutive
+    cells are hex-distance-1 neighbours, and length = hex_distance + 1."""
+    ids = np.arange(300)
+    a_lat = (ids * 7919 % 5000) / 1e4 + 30.0
+    a_lon = (ids * 104729 % 5000) / 1e4 + 10.0
+    b_lat = (ids * 31 % 5000) / 1e4 + 30.0
+    b_lon = (ids * 57 % 5000) / 1e4 + 10.0
+    offs, cells = hx.line_np(a_lat, a_lon, b_lat, b_lon, 7)
+    ca = hx.encode_np(a_lat, a_lon, 7)
+    cb = hx.encode_np(b_lat, b_lon, 7)
+    assert (cells[offs[:-1]] == ca).all()
+    assert (cells[offs[1:] - 1] == cb).all()
+    d = hx.hex_distance_np(ca, cb)
+    assert ((offs[1:] - offs[:-1]) == d + 1).all()
+    for i in range(300):
+        seg = cells[offs[i] : offs[i + 1]]
+        if len(seg) > 1:
+            assert (hx.hex_distance_np(seg[:-1], seg[1:]) == 1).all()
+    # empty input
+    o2, c2 = hx.line_np(np.array([]), np.array([]), np.array([]), np.array([]), 7)
+    assert len(c2) == 0 and list(o2) == [0]
