@@ -317,3 +317,66 @@ def test_morton_key_column_matches_numpy(spark):
         .to_numpy()
     )
     assert (got == want).all()
+
+
+@given(
+    st.floats(-85, 85),
+    st.floats(-179, 179),
+    st.integers(1, 9),
+)
+@settings(max_examples=150, deadline=None)
+def test_hex_algebra_invariants(lat, lon, res):
+    """Hypothesis sweep of the aperture-7 hex algebra on arbitrary points:
+    roundtrip containment, parent containment-by-distance, children being
+    the exact parent preimage, and compact/uncompact-style identities at
+    the single-cell level."""
+    import numpy as np
+
+    from filda_spark import hex as hx
+
+    cell = hx.encode_np(np.array([lat]), np.array([lon]), res)
+    # re-encoding the center is the identity
+    clat, clon = hx.center_np(cell)
+    assert hx.encode_np(clat, clon, res)[0] == cell[0]
+    if res >= 1:
+        par = hx.parent_np(cell)
+        # the cell is among its parent's children
+        kids = hx.children_np(par)
+        assert cell[0] in kids[0]
+        # every child maps back to the parent
+        assert (hx.parent_np(kids.ravel()) == par[0]).all()
+        # parent's center re-encoded at the parent res is the parent
+        plat, plon = hx.center_np(par)
+        assert hx.encode_np(plat, plon, res - 1)[0] == par[0]
+
+
+@given(
+    st.floats(30.0, 30.49),
+    st.floats(10.0, 10.49),
+    st.floats(30.0, 30.49),
+    st.floats(10.0, 10.49),
+)
+@settings(max_examples=100, deadline=None)
+def test_hex_line_invariants(a_lat, a_lon, b_lat, b_lon):
+    """Hypothesis sweep of grid paths: endpoints exact, unit-step
+    adjacency, length = hex_distance + 1, symmetric length."""
+    import numpy as np
+
+    from filda_spark import hex as hx
+
+    offs, cells = hx.line_np(
+        np.array([a_lat]), np.array([a_lon]), np.array([b_lat]), np.array([b_lon]), 7
+    )
+    seg = cells[offs[0] : offs[1]]
+    ca = hx.encode_np(np.array([a_lat]), np.array([a_lon]), 7)[0]
+    cb = hx.encode_np(np.array([b_lat]), np.array([b_lon]), 7)[0]
+    assert seg[0] == ca and seg[-1] == cb
+    d = hx.hex_distance_np(np.array([ca]), np.array([cb]))[0]
+    assert len(seg) == d + 1
+    if len(seg) > 1:
+        assert (hx.hex_distance_np(seg[:-1], seg[1:]) == 1).all()
+    # reverse path has the same length
+    offs_r, cells_r = hx.line_np(
+        np.array([b_lat]), np.array([b_lon]), np.array([a_lat]), np.array([a_lon]), 7
+    )
+    assert offs_r[1] - offs_r[0] == len(seg)
