@@ -1758,7 +1758,12 @@ def hex_polyfill(spark, sf_dir):
         clon.alias("clon"),
     )
     bc = spark.sparkContext.broadcast(_polyfill_zones())
-    zid = make_pip_udf(bc, "zone_id", flag=False)
+    # asNondeterministic: the filter on the UDF output otherwise gets pushed
+    # into a second copy of the projection and the R-tree kernel runs TWICE
+    # (2 ArrowEvalPython nodes in the executed plan); the flag pins a single
+    # evaluation. (The kernel IS deterministic — the flag only restricts
+    # optimizer duplication/movement.)
+    zid = make_pip_udf(bc, "zone_id", flag=False).asNondeterministic()
     return (
         cells.withColumn("zone_id", zid("clat", "clon"))
         .filter(F.col("zone_id") >= 0)
