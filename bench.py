@@ -321,6 +321,34 @@ def run_skew() -> dict:
                 pipeline.dedup(skewed, salt_threshold=1 << 30)
             ),
         }
+
+        # spatiotemporal_join under the same degenerate skew: the op derives
+        # lat/lon from event_id (id*7919%2000, id*104729%2400), so ids
+        # congruent mod 12000 are the IDENTICAL point — one (cell, bucket)
+        # holding N_HOT_ST events is the everything-at-one-flare-in-one-
+        # bucket worst case (~N^2/2 pairs in one join key)
+        from filda_spark import relational
+
+        N_HOT_ST = int(1.6 * relational.ST_SALT_THRESHOLD)
+        hot = spark.range(N_HOT_ST).select(
+            (F.col("id") * 12_000 + 7).alias("event_id"),
+            (F.col("id") % 1000 * 1000).alias("ms"),
+        )
+        tail = spark.range(20_000).select(
+            (F.col("id") + 1_000_000_001).alias("event_id"),
+            (F.col("id") * 7919 % 86_000_000).alias("ms"),
+        )
+        ev = hot.union(tail).select(
+            "event_id", F.timestamp_millis(F.col("ms")).alias("ts")
+        )
+        ev.write.mode("overwrite").parquet(f"{stage}/st_ev")
+        ev = spark.read.parquet(f"{stage}/st_ev")
+        st = relational._spatiotemporal_pairs
+        walls["st_join_hot_salt8"] = timed(st(spark, "", events=ev))
+        walls["st_join_hot_salt32"] = timed(st(spark, "", n_salt=32, events=ev))
+        walls["st_join_hot_unsalted"] = timed(
+            st(spark, "", salt_threshold=1 << 30, events=ev)
+        )
         shutil.rmtree(stage, ignore_errors=True)
         return {
             "metric": "kNN dedup wall under degenerate hot-cell skew (salted vs not)",
@@ -338,6 +366,103 @@ def run_skew() -> dict:
                 "salt32_speedup_vs_unsalted": round(
                     walls["dedup_hotcell_unsalted"] / max(walls["dedup_hotcell_salt32"], 1e-9), 2
                 ),
+                "st_join_n_hot_key": N_HOT_ST,
+                "st_join_salt_threshold": relational.ST_SALT_THRESHOLD,
+                "st_join_salt8_speedup_vs_unsalted": round(
+                    walls["st_join_hot_unsalted"] / max(walls["st_join_hot_salt8"], 1e-9), 2
+                ),
+                "st_join_salt32_speedup_vs_unsalted": round(
+                    walls["st_join_hot_unsalted"] / max(walls["st_join_hot_salt32"], 1e-9), 2
+                ),
+            },
+        }
+    finally:
+        spark.stop()
+
+
+def _host_canary() -> dict:
+    """Degraded-host canary (VERDICT.md r3): this virtualized box
+    intermittently runs 5-10x slow on memory-bound work even at low CPU
+    steal. Two probes with known healthy values are stamped into every
+    bench JSON so a regressed suite number can be attributed to the host
+    rather than the code: (a) single-thread np.sort of 20M doubles is
+    ~2 s on a healthy boot (17.2 s observed on the degraded r3 boot);
+    (b) importing numpy+pandas+pyarrow in a fresh interpreter burns
+    ~0.3 s of sys-time healthy (2.2 s degraded)."""
+    import subprocess
+
+    import numpy as np
+
+    a = np.random.default_rng(0).normal(size=20_000_000)
+    t0 = time.perf_counter()
+    np.sort(a)
+    sort_s = round(time.perf_counter() - t0, 2)
+    # warm repeat: on the degraded boots the pathology is first-touch page
+    # allocation (cold 20x slower than warm), so the cold/warm ratio
+    # separates "host memory subsystem sick" from "code slow"
+    t0 = time.perf_counter()
+    np.sort(a)
+    sort_warm_s = round(time.perf_counter() - t0, 2)
+    import_sys_s = None
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import resource; import numpy, pandas, pyarrow; "
+                "print(resource.getrusage(resource.RUSAGE_SELF).ru_stime)",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        import_sys_s = round(float(r.stdout.strip().splitlines()[-1]), 2)
+    except Exception:
+        pass
+    return {
+        "np_sort_20m_cold_sec": sort_s,
+        "np_sort_20m_warm_sec": sort_warm_s,
+        "import_sys_sec": import_sys_s,
+        "healthy_np_sort_sec": 2.0,
+        "healthy_import_sys_sec": 0.3,
+        "degraded": bool(sort_s > 6.0 or (import_sys_s or 0.0) > 1.0),
+    }
+
+
+def run_phases() -> dict:
+    """Phase split of one full fire-pipeline batch at the bench corpus:
+    where the wall goes (decode/fit/append/dedup+tiles/manifest/lineage).
+    The non-map phases are the fixed per-batch driver tail that a 100x
+    scale-up multiplies by batch count — the thing to keep <10% of wall."""
+    import shutil
+    import tempfile
+
+    from filda_spark import fire_queries, runner
+    from filda_spark.session import get_spark
+
+    geom = fire_queries.BENCH_GEOM
+    corpus = fire_queries.corpus_dir(geom)
+    nl = fire_queries._nl(geom)
+    spark = get_spark("filda-phases", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    try:
+        out = tempfile.mkdtemp(prefix="filda_phases_")
+        timings: dict = {}
+        t0 = time.perf_counter()
+        runner.run_incremental(spark, corpus, out, nl, timings=timings)
+        wall = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(out, ignore_errors=True)
+        tail = round(sum(v for k, v in timings.items() if k not in ("decode_detect", "fit")), 3)
+        return {
+            "metric": "fire pipeline phase split (one batch, bench corpus)",
+            "value": wall,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(geom["n_docs"]),
+            "phases": {
+                "wall": wall,
+                "map_phase": round(timings.get("decode_detect", 0.0) + timings.get("fit", 0.0), 3),
+                "tail": tail,
+                "tail_frac": round(tail / wall, 3) if wall else None,
             },
         }
     finally:
@@ -365,16 +490,26 @@ def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
 
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    canary = _host_canary()
     if "--scaling" in sys.argv:
         s0 = _cpu_stat()
         out = run_scaling()
         out["steal_pct"] = _steal_pct(s0, _cpu_stat())
+        out["host_canary"] = canary
         print(json.dumps(out))
         return
     if "--skew" in sys.argv:
         s0 = _cpu_stat()
         out = run_skew()
         out["steal_pct"] = _steal_pct(s0, _cpu_stat())
+        out["host_canary"] = canary
+        print(json.dumps(out))
+        return
+    if "--phases" in sys.argv:
+        s0 = _cpu_stat()
+        out = run_phases()
+        out["steal_pct"] = _steal_pct(s0, _cpu_stat())
+        out["host_canary"] = canary
         print(json.dumps(out))
         return
     s0 = _cpu_stat()
@@ -389,6 +524,7 @@ def main() -> None:
                 "sf": sf,
                 "fire": fire,
                 "steal_pct": _steal_pct(s0, _cpu_stat()),
+                "host_canary": canary,
             }
         )
     )

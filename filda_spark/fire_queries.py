@@ -213,6 +213,18 @@ def mcbef_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mcbef.estimate_samples(det, n_parts)
 
 
+def mcbef_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCBEF Eval table: re-run the forward radiative model at the State
+    estimates and emit per-fire per-band model-vs-observed residuals
+    (do_eval, MCBEF_EVAL.py:22-109 — the last reference compute module)."""
+    from filda_spark import mcbef
+
+    geom = _geom_for(sf_dir)
+    det = mcbef.prepare(spark, fire_detections(spark, sf_dir), corpus_dir(geom))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return mcbef.evaluate(det, n_parts)
+
+
 def _hotspot_stream_dir() -> str:
     """Deterministic 4-batch detection stream for the stateful streaming
     tracker (one parquet file per micro-batch; no NaN powers — DuckDB's max
@@ -313,6 +325,10 @@ def _windowed_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     d = f"{corpus_dir(geom)}/_win_stream_v{FIXTURE_VERSION}"
     if os.path.exists(f"{d}/_DONE"):
         return d
+    # TEST-FIXTURE STAGING ONLY: this .toPandas() collects the full (3-col)
+    # detection set to write per-overpass stream files. Bounded by the
+    # gate/test corpus size (<=~40k rows); a production stream never stages
+    # through the driver — it reads the detections store directly.
     det = fire_detections(spark, sf_dir).select("doc_id", "tile_id", "FP_Power").toPandas()
     det["_op"] = det["doc_id"].str.rsplit(".", n=1).str[-1]
     tmp = f"{d}.tmp-{os.getpid()}"
@@ -386,6 +402,8 @@ def _dedup_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     oracle_pq = f"{d}_all.parquet"
     if os.path.exists(f"{d}/_DONE") and os.path.exists(oracle_pq):
         return d, oracle_pq
+    # TEST-FIXTURE STAGING ONLY: same bounded driver collect as the windowed
+    # stream fixture above — never a production path (see comment there).
     det = (
         fire_detections(spark, sf_dir)
         .select("doc_id", "tile_id", "FP_Line", "FP_Sample", "FP_Power")
@@ -525,7 +543,7 @@ def ensure_fire_oracles() -> str:
     import shutil
     import uuid
 
-    od = f"{corpus_dir(TEST_GEOM)}/_oracle_v4"  # v4: hex_r7/r8/r9 detection columns
+    od = f"{corpus_dir(TEST_GEOM)}/_oracle_v5"  # v5: + mcbef_eval forward-model residuals
     if os.path.exists(f"{od}/_DONE"):
         return od
     from filda_spark import fixtures, mcbef, oracle
@@ -549,6 +567,7 @@ def ensure_fire_oracles() -> str:
         prepared = mcbef.prepare_pdf(det, tmp_corpus)
         mcbef.estimate_pdf(prepared).to_parquet(f"{tmp}/mcbef_state.parquet", index=False)
         mcbef.estimate_samples_pdf(prepared).to_parquet(f"{tmp}/mcbef_sample.parquet", index=False)
+        mcbef.evaluate_pdf(prepared).to_parquet(f"{tmp}/mcbef_eval.parquet", index=False)
         import pandas as pd
 
         from filda_spark import multimodal
@@ -757,6 +776,7 @@ def oracles() -> dict[str, str]:
         "fire_perimeters": perimeters_sql,
         "mcbef_state": f"SELECT * FROM read_parquet('{od}/mcbef_state.parquet')",
         "mcbef_sample": f"SELECT * FROM read_parquet('{od}/mcbef_sample.parquet')",
+        "mcbef_eval": f"SELECT * FROM read_parquet('{od}/mcbef_eval.parquet')",
         "media_features": f"SELECT * FROM read_parquet('{od}/media_features.parquet')",
         "frame_sample": f"SELECT * FROM read_parquet('{od}/frame_sample.parquet')",
         "media_resize": f"SELECT * FROM read_parquet('{od}/media_resize.parquet')",
@@ -769,6 +789,7 @@ QUERIES = {
     "fire_detections_mod": fire_detections_mod,
     "mcbef_state": mcbef_state,
     "mcbef_sample": mcbef_sample,
+    "mcbef_eval": mcbef_eval,
     "ntl_climatology": ntl_climatology,
     "fire_tiles": fire_tiles,
     "fire_perimeters": fire_perimeters,

@@ -386,6 +386,24 @@ STATE_SCHEMA = T.StructType(
     ]
 )
 
+EVAL_FIELDS = [
+    "doc_id", "FP_Line", "FP_Sample", "overpass", "QA", "part", "band", "wl",
+    "obs_rad", "model_fire", "model_bg", "model_sig", "resid",
+]
+EVAL_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            c,
+            T.StringType()
+            if c in ("doc_id", "part", "band")
+            else T.IntegerType()
+            if c in ("FP_Line", "FP_Sample", "QA", "overpass")
+            else T.DoubleType(),
+        )
+        for c in EVAL_FIELDS
+    ]
+)
+
 SAMPLE_FIELDS = ["doc_id", "FP_Line", "FP_Sample", "overpass", "QA", "draw", "t_s", "p_s", "t_f", "p_f", "t_b", "C"]
 SAMPLE_SCHEMA = T.StructType(
     [
@@ -611,6 +629,72 @@ def sample_rows(row) -> list[dict]:
     ]
 
 
+def eval_rows(row) -> list[dict]:
+    """Forward-model evaluation at the State estimates — the do_eval twin
+    (MCBEF_EVAL.py:22-109, minus the matplotlib figure): re-run the radiative
+    model at the posterior means and emit per-band model-vs-observed rows.
+
+    Fire bands (part='fire'): model_fire is the uniphasic radiance at
+    (t_f_mean, p_f_mean) or the biphasic one at (t_s/p_s/t_f/p_f means)
+    depending on QA mode; model_bg is the background radiance over the FIRE
+    bands with emissivity 1 (the reference's fire TensorSettings keeps
+    emit=ones, MCBEF.py:211 — only ts_bg.emit is ever set, MCBEF.py:438);
+    model_sig = model_bg + model_fire compares against the raw fire signal.
+    Background bands (part='bg'): emis * bandrad(t_b, C) vs the windowed
+    mean radiance (do_eval's eval_background_2, MCBEF_EVAL.py:109)."""
+    st = state_row(row)
+    qa = int(st["QA"])
+    if qa >= FLAG_BOWTIE or qa % 10 not in (FLAG_UNIPHASIC, FLAG_BIPHASIC, FLAG_DEGRADE):
+        return []
+    if qa % 10 == FLAG_BIPHASIC:
+        temps = np.array([st["t_s_mean"], st["t_f_mean"]])
+        fracs = np.array([st["p_s_mean"], st["p_f_mean"]])
+    else:
+        temps = np.array([st["t_f_mean"]])
+        fracs = np.array([st["p_f_mean"]])
+    if not (np.isfinite(temps).all() and np.isfinite(fracs).all()):
+        return []  # all draws rejected by the validity gate -> nothing to eval
+    vza = float(_get(row, "Sensor_Zenith", 0.0))
+    t_b, c_scale = float(st["t_b"]), float(st["C"])
+    fire_mat, bg_mat = _mats()
+
+    eval_fire = _fire_model(temps, fracs, c_scale, vza)
+    bg_on_fire = _band_radiances_mat(fire_mat, np.array([t_b]), c_scale, vza)[0]
+    model_sig = bg_on_fire + eval_fire
+    scale = np.array([DNB_SCALE if b == "DNB" else 1.0 for b in SEL_FIRE_BANDS])
+    raw = np.array([_get(row, f"FP_{b}_Rad") for b in SEL_FIRE_BANDS], dtype=np.float64) * scale
+    wl_fire = np.nanmean(fire_mat["lam"], axis=1)
+
+    emis = np.array(
+        [_get(row, "Emis_M14"), _get(row, "Emis_M15"), _get(row, "Emis_I05"), _get(row, "Emis_M16")],
+        dtype=np.float64,
+    )
+    bg_obs = np.array([_get(row, f"FP_{b}_Rad_Mean") for b in SEL_BG_BANDS], dtype=np.float64)
+    bg_model = emis * _band_radiances_mat(bg_mat, np.array([t_b]), c_scale, vza)[0]
+    wl_bg = np.nanmean(bg_mat["lam"], axis=1)
+
+    base = dict(
+        doc_id=st["doc_id"], FP_Line=st["FP_Line"], FP_Sample=st["FP_Sample"],
+        overpass=st["overpass"], QA=qa,
+    )
+    out = []
+    for i, b in enumerate(SEL_FIRE_BANDS):
+        out.append(dict(
+            base, part="fire", band=b, wl=float(wl_fire[i]),
+            obs_rad=float(raw[i]), model_fire=float(eval_fire[i]),
+            model_bg=float(bg_on_fire[i]), model_sig=float(model_sig[i]),
+            resid=float(model_sig[i] - raw[i]),
+        ))
+    for i, b in enumerate(SEL_BG_BANDS):
+        out.append(dict(
+            base, part="bg", band=b, wl=float(wl_bg[i]),
+            obs_rad=float(bg_obs[i]), model_fire=float("nan"),
+            model_bg=float(bg_model[i]), model_sig=float(bg_model[i]),
+            resid=float(bg_model[i] - bg_obs[i]),
+        ))
+    return out
+
+
 # --- emissivity / static-anomaly preparation joins ---------------------------
 
 EMIS_CELLS = 1200
@@ -751,10 +835,33 @@ def estimate_samples(det: DataFrame, n_parts: int | None = None) -> DataFrame:
     return det.mapInPandas(sample_batches, schema=SAMPLE_SCHEMA)
 
 
+def eval_batches(pdfs):
+    for pdf in pdfs:
+        rows = []
+        for r in pdf.itertuples():
+            rows.extend(eval_rows(r))
+        yield pd.DataFrame(rows, columns=EVAL_FIELDS)
+
+
+def evaluate(det: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """MCBEF Eval table (per-band forward-model residuals at the State
+    estimates). Same balanced mapInPandas shape as estimate()."""
+    if n_parts:
+        det = det.repartition(n_parts)
+    return det.mapInPandas(eval_batches, schema=EVAL_SCHEMA)
+
+
 def estimate_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """Single-node oracle twin: identical kernel over a pandas frame."""
     rows = [state_row(r) for r in pdf.itertuples()]
     return pd.DataFrame(rows, columns=STATE_FIELDS)
+
+
+def evaluate_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for r in pdf.itertuples():
+        rows.extend(eval_rows(r))
+    return pd.DataFrame(rows, columns=EVAL_FIELDS)
 
 
 def estimate_samples_pdf(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1632,10 +1632,29 @@ _POLYFILL_RES = 3
 
 def _polyfill_zones() -> list[dict]:
     """Every 7th demo zone: 16 polygons keeps the oracle's ray-cast join
-    (candidates x edges) snappy while exercising varied shapes/radii."""
+    (candidates x edges) snappy while exercising varied shapes/radii.
+
+    The parity contract requires the zones to be pairwise DISJOINT: the
+    Spark side assigns one zone per cell (single R-tree hit) while the SQL
+    oracle emits one row per containing polygon, so any overlap would
+    silently diverge. Assert bbox disjointness (sufficient for disjoint
+    polygons) rather than relying on an unchecked data property."""
     from filda_spark.spatial import demo_zones
 
-    return [z for z in demo_zones() if z["zone_id"] % 7 == 0]
+    zs = [z for z in demo_zones() if z["zone_id"] % 7 == 0]
+    boxes = [
+        (min(z["lat"]), max(z["lat"]), min(z["lon"]), max(z["lon"]), z["zone_id"])
+        for z in zs
+    ]
+    for i, a in enumerate(boxes):
+        for b in boxes[i + 1 :]:
+            if a[0] <= b[1] and b[0] <= a[1] and a[2] <= b[3] and b[2] <= a[3]:
+                raise AssertionError(
+                    f"hex_polyfill zones {a[4]} and {b[4]} have overlapping "
+                    "bboxes; the one-zone-per-cell parity contract requires "
+                    "disjoint zones"
+                )
+    return zs
 
 
 def _polyfill_ranges() -> list[tuple]:
@@ -1894,7 +1913,8 @@ def idw_interpolate(spark, sf_dir):
              sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
              + cos(radians(plat)) * cos(radians(lat))
                * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
-           )) / (CAST(t_ms - pt_ms AS DOUBLE) / 3600000.0), 3) AS speed_kmh
+           )) / (CAST(nullif(t_ms - pt_ms, 0) AS DOUBLE) / 3600000.0), 3)
+             AS speed_kmh
     FROM legs WHERE prev_event IS NOT NULL
     """,
     doc=(
@@ -1935,8 +1955,16 @@ def trajectory_speed(spark, sf_dir):
         "event_id",
         F.round(dist, 3).alias("dist_km"),
         (F.col("t_ms") - F.col("pt_ms")).alias("dt_ms"),
+        # nullif guard: a zero-duration leg (two fixes with identical
+        # (user_id, t_ms)) must yield NULL speed on BOTH engines — DuckDB's
+        # IEEE division would otherwise emit inf where Spark emits NULL.
         F.round(
-            dist / ((F.col("t_ms") - F.col("pt_ms")).cast("double") / 3600000.0), 3
+            dist
+            / (
+                F.nullif((F.col("t_ms") - F.col("pt_ms")).cast("double"), F.lit(0.0))
+                / 3600000.0
+            ),
+            3,
         ).alias("speed_kmh"),
     )
 
@@ -2451,6 +2479,19 @@ _ST_T_MS = 86400000  # temporal radius, ms (24 h)
     ),
 )
 def spatiotemporal_join(spark, sf_dir):
+    return _spatiotemporal_pairs(spark, sf_dir)
+
+
+ST_SALT_THRESHOLD = 5000
+
+
+def _spatiotemporal_pairs(
+    spark,
+    sf_dir,
+    salt_threshold: int = ST_SALT_THRESHOLD,
+    n_salt: int = 8,
+    events: DataFrame | None = None,
+):
     """The space AND time composition of radius_join and interval_join: one
     side keys by its own (cy, cx, tb), the other replicates into the 3x3
     spatial ring x 3 time buckets (cell size = D, bucket width = T, so
@@ -2458,8 +2499,19 @@ def spatiotemporal_join(spark, sf_dir):
     exactly once — at the left point's own key — so no dedup pass. The
     27x replication is a constant map-side fan-out; the join itself is a
     pure equi-join on (cy, cx, tb), shuffled on composite keys that follow
-    the data distribution (AQE/salting apply as usual)."""
-    ev = _t(spark, sf_dir, "events")
+    the data distribution.
+
+    Hotspot salting (same lever as pipeline.dedup): a degenerate
+    (cell, time-bucket) — everything co-located at one flare during one
+    bucket — is an invisible quadratic, so keys holding more than
+    ``salt_threshold`` left rows are split ``n_salt`` ways: the LEFT side
+    takes salt = hash(a_id) % n_salt, the RIGHT side replicates across all
+    salts for hot keys only. Each pair still meets exactly once (at the
+    left row's salt). Cold keys pay nothing (salt 0, no replication).
+    The explicit repartition on (cy, cx, tb, salt) keeps the pair
+    parallelism proportional to the PAIR workload — byte-based planning
+    (and AQE coalescing) cannot see a hot key's quadratic candidate set."""
+    ev = events if events is not None else _t(spark, sf_dir, "events")
     p = ev.select(
         "event_id",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
@@ -2499,12 +2551,43 @@ def spatiotemporal_join(spark, sf_dir):
         "b_id", "b_ms", "b_lat", "b_lon",
         F.col("k.cy").alias("cy"), F.col("k.cx").alias("cx"), F.col("k.tb").alias("tb"),
     )
+    key = ["cy", "cx", "tb"]
+    hot = (
+        a.groupBy(*key)
+        .count()
+        .filter(F.col("count") > salt_threshold)
+        .select(*key, F.lit(True).alias("_hot"))
+    )
+    a = (
+        a.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("_hot"), F.pmod(F.hash("a_id"), F.lit(n_salt))).otherwise(
+                F.lit(0)
+            ),
+        )
+        .drop("_hot")
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = a.repartition(n_parts, *key, "salt")
+    b = (
+        b.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(F.col("_hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(
+                    F.array(F.lit(0))
+                )
+            ),
+        )
+        .drop("_hot")
+    )
     d2 = (F.col("a_lat") - F.col("b_lat")) * (F.col("a_lat") - F.col("b_lat")) + (
         F.col("a_lon") - F.col("b_lon")
     ) * (F.col("a_lon") - F.col("b_lon"))
     dt = F.abs(F.col("a_ms") - F.col("b_ms"))
     return (
-        a.join(b, ["cy", "cx", "tb"])
+        a.join(b, key + ["salt"])
         .filter(
             (F.col("a_id") < F.col("b_id"))
             & (dt <= F.lit(_ST_T_MS))

@@ -234,6 +234,15 @@ def update_dedup_incremental(
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def _mark(timings: dict | None, key: str, t0: float) -> float:
+    """Phase-split instrumentation for the per-batch driver tail (the fixed
+    cost a 100x scale-up multiplies by batch count)."""
+    now = time.perf_counter()
+    if timings is not None:
+        timings[key] = round(timings.get(key, 0.0) + (now - t0), 3)
+    return now
+
+
 def process_docs(
     spark: SparkSession,
     corpus_dir: str,
@@ -241,15 +250,20 @@ def process_docs(
     todo: DataFrame,
     nl: dict,
     run_id: str,
+    n_docs: int | None = None,
+    timings: dict | None = None,
 ) -> None:
     """Detect + enrich + append one batch of granules, reconcile dedup/tiles
     incrementally, then record lineage. Shared by the incremental runner and
     the streaming ingest. ``todo`` is a doc_id DataFrame (the frontier);
-    granules outside it are pruned before decode.
+    granules outside it are pruned before decode. ``n_docs``, when the
+    caller already counted the frontier (both call sites do), skips a
+    recount job.
 
     Lineage wall_s/rows_per_sec are TRUE per-granule detect-kernel timings
     measured inside the cogroup task (_detect_wall_s), not batch averages
     (north rule: per-partition rows/sec metrics)."""
+    t = time.perf_counter()
     pre = pipeline.detect_pre_metrics(spark, corpus_dir, nl, doc_filter=todo)
     # stage the pre-fit detections once: the fit, enrich and dedup stages
     # re-reference them several times (semi-join reductions, self-join) and
@@ -257,11 +271,13 @@ def process_docs(
     pre_stage = f"{out_dir}/_stage/{run_id}_pre"
     pre.write.mode("overwrite").parquet(pre_stage)
     pre = spark.read.parquet(pre_stage)
+    t = _mark(timings, "decode_detect", t)
     det = pipeline.fit_detections(
         spark, pre.filter(F.col("FP_Line") >= 0).drop("_detect_wall_s")
     )
     stage = f"{out_dir}/_stage/{run_id}"
     det.write.mode("overwrite").parquet(stage)
+    t = _mark(timings, "fit", t)
     enriched = pipeline.enrich(spark, spark.read.parquet(stage), corpus_dir)
     # cluster by tile before the partitioned append: without this every task
     # writes a file into every tile directory it touches (tasks x tiles
@@ -270,11 +286,19 @@ def process_docs(
     enriched.repartition("tile_id").write.mode("append").partitionBy("tile_id").parquet(
         f"{out_dir}/detections"
     )
+    t = _mark(timings, "enrich_append", t)
 
     batch = spark.read.parquet(stage)
-    if batch.limit(1).count() > 0:
+    # row-group-metadata count: one cheap job that both gates the dedup
+    # reconcile AND supplies the snapshot row count (it used to take a
+    # limit(1) probe plus a separate lineage aggregate — two extra jobs in
+    # the fixed per-batch tail)
+    n_rows = batch.count()
+    if n_rows > 0:
         update_dedup_incremental(spark, out_dir, batch)
+        t = _mark(timings, "dedup_tiles", t)
         _update_manifest(spark, out_dir, batch)
+        t = _mark(timings, "manifest", t)
 
     # per-granule metrics off the staged pre-fit rows (sentinel rows carry
     # the timing for zero-detection granules and count 0 toward rows_out);
@@ -302,12 +326,13 @@ def process_docs(
         )
     )
     lineage.write.mode("append").parquet(_lineage_path(out_dir))
-    lin_agg = lineage.agg(
-        F.count("*").alias("docs"), F.sum("rows_out").alias("rows")
-    ).collect()[0]
-    _commit_snapshot(
-        spark, out_dir, run_id, docs=int(lin_agg.docs), rows=int(lin_agg.rows or 0)
-    )
+    # snapshot stats come free: docs == the frontier count the caller
+    # already has; rows == the staged-batch count above (sum of per-doc
+    # rows_out by construction) — no lineage re-aggregation job
+    if n_docs is None:
+        n_docs = todo.count()
+    _commit_snapshot(spark, out_dir, run_id, docs=int(n_docs), rows=int(n_rows))
+    t = _mark(timings, "lineage_snapshot", t)
     # staging is consumed (all writes above are actions) — leave no residue
     import shutil
 
@@ -575,11 +600,16 @@ def expire_snapshots(out_dir: str, keep_last: int = 10) -> dict:
 
 
 def run_incremental(
-    spark: SparkSession, corpus_dir: str, out_dir: str, nl: dict | None = None
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    nl: dict | None = None,
+    timings: dict | None = None,
 ) -> dict:
     """One incremental batch: detect any granule not yet in the lineage
     frontier, append detections, reconcile dedup+tiles over the batch's
-    spatial neighborhood only."""
+    spatial neighborhood only. Pass ``timings={}`` to collect the per-phase
+    wall split (bench.py --phases)."""
     nl = nl or make_namelist()
     run_id = uuid.uuid4().hex[:12]
     t0 = time.perf_counter()
@@ -590,8 +620,11 @@ def run_incremental(
         F.broadcast(done), docs.doc_id == done.partition_key, "left_anti"
     )
     n_new = todo.count()
+    _mark(timings, "frontier", t0)
     if n_new:
-        process_docs(spark, corpus_dir, out_dir, todo, nl, run_id)
+        process_docs(
+            spark, corpus_dir, out_dir, todo, nl, run_id, n_docs=n_new, timings=timings
+        )
     return dict(run_id=run_id, new_docs=n_new)
 
 

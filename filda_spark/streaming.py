@@ -153,7 +153,7 @@ def stream_ingest(
         run_id = f"stream-{epoch_id}-{uuid.uuid4().hex[:8]}"
         # process_docs reconciles dedup_state + tiles incrementally per
         # micro-batch (kRing neighborhood of the batch only)
-        runner.process_docs(spark, corpus_dir, out_dir, todo, nl, run_id)
+        runner.process_docs(spark, corpus_dir, out_dir, todo, nl, run_id, n_docs=n)
 
     stream = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(stream_dir)
     writer = (

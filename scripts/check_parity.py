@@ -32,9 +32,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, bool]:
+    """Returns (exact, close). ``exact`` mirrors the driver's value-hash
+    parity: bitwise-equal floats (both-NaN allowed) and sentinel-canonical
+    non-floats. ``close`` additionally allows rtol=1e-6/atol=1e-9 on floats
+    — reported separately so a tolerance-only pass can never masquerade as
+    a driver-gate PASS."""
     if list(a.columns) != list(b.columns) or len(a) != len(b):
-        return False
+        return False, False
+    exact = True
     for c in a.columns:
         av, bv = a[c], b[c]
         ak = np.issubdtype(av.dtype, np.floating) if av.dtype != object else False
@@ -43,12 +49,21 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
             x = pd.to_numeric(av, errors="coerce").astype(float).to_numpy()
             y = pd.to_numeric(bv, errors="coerce").astype(float).to_numpy()
             both_nan = np.isnan(x) & np.isnan(y)
-            if not np.all(both_nan | np.isclose(x, y, rtol=1e-6, atol=1e-9, equal_nan=True)):
-                return False
+            if not np.all(both_nan | (x == y)):
+                exact = False
+                if not np.all(
+                    both_nan | np.isclose(x, y, rtol=1e-6, atol=1e-9, equal_nan=True)
+                ):
+                    return False, False
         else:
-            if not av.astype(str).fillna("\0").equals(bv.astype(str).fillna("\0")):
-                return False
-    return True
+            # sentinel BEFORE astype(str): astype first would canonicalize
+            # None -> 'None' and NaN -> 'nan', spuriously mismatching equal
+            # nulls across engines
+            ac = av.where(av.notna(), "\0").astype(str)
+            bc = bv.where(bv.notna(), "\0").astype(str)
+            if not ac.equals(bc):
+                return False, False
+    return exact, True
 
 
 def main():
@@ -93,14 +108,22 @@ def main():
                 rec["oracle_rows"] = len(odf)
                 rec["rows_match"] = len(sdf) == len(odf)
                 rec["schema_match"] = list(sdf.columns) == list(odf.columns)
-                rec["hash_match"] = rec["rows_match"] and rec["schema_match"] and values_equal(sdf, odf)
+                if rec["rows_match"] and rec["schema_match"]:
+                    exact, close = values_equal(sdf, odf)
+                    # hash_match mirrors the driver gate: EXACT values only.
+                    # A tolerance-only pass is surfaced as tol_only so it can
+                    # never mask a driver FAIL.
+                    rec["hash_match"] = exact
+                    rec["tol_only"] = close and not exact
         except Exception as e:  # noqa: BLE001 - harness must report, not die
             rec["err"] = f"{type(e).__name__}: {e}"[:500]
         results[name] = rec
         ok = rec["hash_match"]
         if not ok:
             bad.append(name)
-        print(f"{'PASS' if ok else 'FAIL'} {name} spark={rec['spark_rows']} oracle={rec['oracle_rows']}"
+        tag = "PASS" if ok else ("FAIL(tol-only: floats differ in ulps; driver gate would FAIL)"
+                                 if rec.get("tol_only") else "FAIL")
+        print(f"{tag} {name} spark={rec['spark_rows']} oracle={rec['oracle_rows']}"
               + (f" err={rec['err']}" if rec["err"] else ""), flush=True)
 
     unknown = sorted(only - set(qs)) if only else []

@@ -158,6 +158,64 @@ def test_prepare_parity_and_spark_matches_single_node(spark, corpus, nl, oracle_
     assert (ref.QA % 10 == mcbef.FLAG_UNIPHASIC).any()  # static/flare pixels
 
 
+def test_eval_semantics():
+    """do_eval twin (MCBEF_EVAL.py:22-109): forward model re-run at the
+    State estimates, per band, model_sig = background + fire on the fire
+    bands (emissivity 1 — the reference fire tensors keep emit=ones),
+    emis-weighted background alone on the bg bands."""
+    row = make_row()
+    state = mcbef.estimate_pdf(row).iloc[0]
+    ev = mcbef.evaluate_pdf(row)
+    fire = ev[ev.part == "fire"].set_index("band")
+    bg = ev[ev.part == "bg"].set_index("band")
+    assert list(fire.index) == list(mcbef.SEL_FIRE_BANDS)
+    assert list(bg.index) == list(mcbef.SEL_BG_BANDS)
+    assert (ev.QA == state.QA).all()
+    # additivity + residual definition
+    assert np.allclose(fire.model_sig, fire.model_bg + fire.model_fire)
+    assert np.allclose(fire.resid, fire.model_sig - fire.obs_rad)
+    # fire-band background term: emissivity-1 radiance at (t_b, C)
+    for b in mcbef.SEL_FIRE_BANDS:
+        assert fire.loc[b, "model_bg"] == pytest.approx(
+            mcbef.band_radiance(b, state.t_b, state.C, 15.0), rel=1e-12
+        )
+    # bg-band model: emis * bandrad(t_b, C); obs is the windowed mean
+    for b in mcbef.SEL_BG_BANDS:
+        assert bg.loc[b, "model_sig"] == pytest.approx(
+            0.96 * mcbef.band_radiance(b, state.t_b, state.C, 15.0), rel=1e-12
+        )
+    # biphasic fire term at the posterior means
+    if state.QA % 10 == mcbef.FLAG_BIPHASIC:
+        temps = np.array([state.t_s_mean, state.t_f_mean])
+        fracs = np.array([state.p_s_mean, state.p_f_mean])
+        want = mcbef._fire_model(temps, fracs, state.C, 15.0)
+        assert np.allclose(fire.model_fire.to_numpy(), want)
+    # the planted fire is bright enough that the model tracks the raw signal
+    m13 = fire.loc["M13"]
+    assert abs(m13.resid) < 0.5 * m13.obs_rad
+    # gated rows produce no eval rows (do_eval is only reached post-estimate)
+    assert mcbef.evaluate_pdf(make_row(FP_Bowtie=0.2)).empty
+    assert mcbef.evaluate_pdf(make_row(LST_Night_1KM=np.nan)).empty
+
+
+def test_eval_spark_matches_single_node(spark, corpus, nl, oracle_res):
+    odet = oracle_res["detections"]
+    prepared_ref = mcbef.prepare_pdf(odet, corpus["dir"])
+    ref = mcbef.evaluate_pdf(prepared_ref)
+    sdf = mcbef.prepare(spark, spark.createDataFrame(odet), corpus["dir"])
+    got = mcbef.evaluate(sdf, n_parts=8).toPandas()
+    key = KEY + ["part", "band"]
+    ref = ref.sort_values(key).reset_index(drop=True)
+    got = got.sort_values(key).reset_index(drop=True)
+    assert len(ref) == len(got) and len(ref) > 0
+    for c in ref.columns:
+        rv, gv = ref[c].to_numpy(), got[c].to_numpy()
+        if rv.dtype.kind == "f":
+            assert np.array_equal(rv.astype(float), gv.astype(float), equal_nan=True), c
+        else:
+            assert (pd.Series(rv).astype(str) == pd.Series(gv).astype(str)).all(), c
+
+
 def test_sensor_csv_seam(tmp_path):
     """Reference-shaped RSR CSVs (band.csv: lamda,rsr,tau_wvp,tau_other_gas)
     load through the same code path as the synthetic curves: identical CSVs
