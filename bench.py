@@ -403,6 +403,16 @@ def _host_canary() -> dict:
     t0 = time.perf_counter()
     np.sort(a)
     sort_warm_s = round(time.perf_counter() - t0, 2)
+    # import probe runs with BLAS pools pinned to one thread — the same env
+    # the engine pins for every worker (session.get_spark). Unpinned, the
+    # probe measures OpenBLAS spawning a 32-thread pool (3.3 s sys-time on
+    # this host even when otherwise healthy), which is exactly the overhead
+    # the engine no longer pays; pinned, a healthy boot shows ~0.05 s and a
+    # genuinely sick filesystem/page-fault path still shows seconds.
+    import os as _os
+
+    env = dict(_os.environ)
+    env.update(OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1", MKL_NUM_THREADS="1")
     import_sys_s = None
     try:
         r = subprocess.run(
@@ -415,6 +425,7 @@ def _host_canary() -> dict:
             capture_output=True,
             text=True,
             timeout=120,
+            env=env,
         )
         import_sys_s = round(float(r.stdout.strip().splitlines()[-1]), 2)
     except Exception:
@@ -422,9 +433,9 @@ def _host_canary() -> dict:
     return {
         "np_sort_20m_cold_sec": sort_s,
         "np_sort_20m_warm_sec": sort_warm_s,
-        "import_sys_sec": import_sys_s,
+        "import_sys_sec_blas1": import_sys_s,
         "healthy_np_sort_sec": 2.0,
-        "healthy_import_sys_sec": 0.3,
+        "healthy_import_sys_sec_blas1": 0.05,
         "degraded": bool(sort_s > 6.0 or (import_sys_s or 0.0) > 1.0),
     }
 

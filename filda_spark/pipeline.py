@@ -245,7 +245,14 @@ def make_masks_fn(anc_bc, nl: dict):
     return masks
 
 
-def _cogroup(spark, corpus_dir: str, fn, schema, doc_filter: DataFrame | None = None) -> DataFrame:
+def _cogroup(
+    spark,
+    corpus_dir: str,
+    fn,
+    schema,
+    doc_filter: DataFrame | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
     docs = night_documents(load_documents(spark, corpus_dir)).select("doc_id", "spans")
     if doc_filter is not None:
         # resume/streaming frontier: prune BEFORE the cogroup so undone
@@ -274,7 +281,8 @@ def _cogroup(spark, corpus_dir: str, fn, schema, doc_filter: DataFrame | None = 
     if n_override:
         n_parts = n_override
     else:
-        n_docs = docs.count()
+        if n_docs is None:
+            n_docs = docs.count()
         n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), min(4 * n_docs, 8192))
     return (
         docs.repartition(n_parts, "doc_id")
@@ -303,11 +311,14 @@ def detect_pre_metrics(
     corpus_dir: str,
     nl: dict | None = None,
     doc_filter: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Pre-fit detections + per-granule ``_detect_wall_s`` (see
     make_detect_fn(with_metrics=True)). The runner stages this, derives the
     lineage metrics, then feeds the real rows (FP_Line >= 0) to
-    fit_detections."""
+    fit_detections. ``n_docs``, when the caller already counted the
+    frontier (the runner always has), sizes the decode stage without a
+    second count job."""
     from filda_spark.fixtures import load_ancillary
 
     nl = nl or make_namelist()
@@ -318,6 +329,7 @@ def detect_pre_metrics(
         make_detect_fn(anc_bc, nl, with_metrics=True),
         PRE_FIT_METRICS_SCHEMA,
         doc_filter,
+        n_docs=n_docs,
     )
 
 

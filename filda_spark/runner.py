@@ -264,7 +264,7 @@ def process_docs(
     measured inside the cogroup task (_detect_wall_s), not batch averages
     (north rule: per-partition rows/sec metrics)."""
     t = time.perf_counter()
-    pre = pipeline.detect_pre_metrics(spark, corpus_dir, nl, doc_filter=todo)
+    pre = pipeline.detect_pre_metrics(spark, corpus_dir, nl, doc_filter=todo, n_docs=n_docs)
     # stage the pre-fit detections once: the fit, enrich and dedup stages
     # re-reference them several times (semi-join reductions, self-join) and
     # must not re-run the decode+detect kernel per reference

@@ -24,6 +24,14 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's standard conf."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # one BLAS thread per python worker: with 32 workers in flight a
+    # 32-thread OpenBLAS pool per worker oversubscribes 1024x, and the pool
+    # spawn itself is the dominant import cost on this host (3.4 s sys-time
+    # per import with the default pool vs 0.02 s pinned — the r3 "import
+    # canary" pathology was this, not filesystem). Kernels do their own
+    # batch-level parallelism via Spark tasks; per-task BLAS must be serial.
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
     # pyspark's own Arrow serializer trips a pandas FutureWarning when a
     # kernel yields an empty frame (serializers.py concat); it floods worker
     # stderr on every run. Scoped to that exact message; local-mode python
@@ -52,7 +60,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # preloading worker daemon (filda_spark/daemon.py): forked workers
+        # inherit numpy/pandas/pyarrow/pyspark.worker copy-on-write instead
+        # of re-importing per worker — measured 4.2 s -> ~1 s for the first
+        # Arrow UDF stage at local[32] on this host (import sys-time 10x
+        # degraded, BASELINE.md host canary)
+        .config("spark.python.daemon.module", "filda_spark.daemon")
     )
+    # the daemon module must be importable by the executor-side interpreter
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in env_pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{env_pp}".rstrip(os.pathsep)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
