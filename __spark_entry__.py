@@ -27,56 +27,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies only the FIRST 50 registered
-# queries (VERDICT.md r3 finding).  Order the registry so every query earns
-# a driver row within a round or two:
-#   1. queries that have never had a driver correctness row (r3 additions
-#      that registration order pushed past the window),
-#   2. queries added this round,
-#   3. queries last checked in r2 (rotated out of the r3 window),
-#   4. everything checked green in r3, in original registration order.
-_PRIORITY = [
-    # -- never driver-checked (green in the judge's local gate replica, r3)
-    "ann_ivf_topk",
-    "dedup_keep_best",
-    "dup_components",
-    "fire_perimeters",
-    "fire_rate_windowed",
-    "knn_join",
-    "sample_stratified",
-    "scd2_history",
-    "stream_dedup",
-    "tfidf_topterms",
-    # -- new in round 4
-    "mcbef_eval",
-    # -- last checked in CORRECTNESS_r02 (rotated out of the r3 window)
-    "ann_lsh_bucketed",
-    "ann_topk_bruteforce",
-    "doc_fingerprint",
-    "embedding_neardup",
-    "exact_dedup",
-    "fire_detections",
-    "fire_detections_mod",
-    "fire_masks",
-    "fire_tiles",
-    "frame_sample",
-    "hotspot_track",
-    "mcbef_sample",
-    "mcbef_state",
-    "media_features",
-    "media_resize",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "ntl_climatology",
-    "simhash_docs",
-    "text_analysis",
-]
+# queries (VERDICT.md r3 finding), so registration order decides what gets
+# an official correctness row. Rather than hand-rotating a priority list
+# each round, order queries least-recently-verified first, computed from
+# the CORRECTNESS_r{N}.json files the driver itself writes: never-checked
+# queries lead, then the stalest round, ties in registration order. Every
+# query therefore earns a fresh driver row within ceil(n_queries/50)
+# rounds with no per-round governance.
+
+
+def _last_checked() -> dict[str, int]:
+    """query name -> most recent round with a green driver row (absent =
+    never checked)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("rows_match"):
+                seen[name] = max(seen.get(name, 0), rnd)
+    return seen
 
 
 def _ordered(d: dict) -> dict:
-    out = {k: d[k] for k in _PRIORITY if k in d}
-    out.update({k: v for k, v in d.items() if k not in out})
-    return out
+    seen = _last_checked()
+    reg = {k: i for i, k in enumerate(d)}
+    names = sorted(d, key=lambda k: (seen.get(k, -1), reg[k]))
+    return {k: d[k] for k in names}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

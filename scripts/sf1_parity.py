@@ -1,0 +1,303 @@
+#!/usr/bin/env python
+"""sf1 spot-parity for the heavy cover joins (VERDICT.md r3 item 6).
+
+The driver's correctness gate runs at sf0.01; the operators whose pair
+counts grow super-linearly (spatiotemporal cover join, kNN join, LSH
+connected components, polygon polyfill) deserve evidence at ~sf1 where
+the cover joins produce 100x the pairs. There is no driver-generated sf1
+directory, so this script deterministically expands sf0.1 by 10x (no RNG:
+key-shifted copies; document texts get a deterministic suffix on half the
+copies so near-dup — not only exact-dup — clusters appear) and runs the
+same Spark-vs-DuckDB hash-parity comparison the driver does, via
+``filda_spark.compare.compare``.
+
+    python scripts/sf1_parity.py [--keep]
+
+Prints one JSON line per query plus a summary; exits non-zero on any
+mismatch. Results are recorded in SURVEY.md §8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/filda_sf1"
+COPIES = 10
+
+# deterministic key shifts, far above any sf0.1 key range
+EV_SHIFT = 1_000_000_000
+USER_SHIFT = 10_000_000
+CUST_SHIFT = 10_000_000
+DOC_SHIFT = 10_000_000
+
+QUERIES = ["spatiotemporal_join", "knn_join", "dup_components", "hex_polyfill_x"]
+
+# spatiotemporal_join at full sf1 produces ~1e8 pairs — too many to collect
+# into the pandas comparison (and the oracle is a deliberately naive range
+# join). Parity runs on a deterministic spatial window at FULL sf1 density
+# (the quantity that drives pair blowup); the full-domain Spark run is
+# additionally executed end-to-end (noop sink) and its wall/row count
+# recorded as the scale-posture number.
+_ST_WIN = dict(lat0=0.0, lat1=5.0, lon0=10.0, lon1=15.0)
+
+
+def build_sf1() -> None:
+    if os.path.isdir(DST) and os.path.exists(f"{DST}/_BUILT"):
+        return
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW ks AS SELECT unnest(range({COPIES})) AS k")
+    con.sql(
+        f"""
+        COPY (
+          SELECT e.event_id + k.k * {EV_SHIFT} AS event_id,
+                 e.ts + INTERVAL (k.k) HOUR AS ts,
+                 e.user_id + k.k * {USER_SHIFT} AS user_id,
+                 e.event_type, e.value, e.props
+          FROM read_parquet('{SRC}/events.parquet') e CROSS JOIN ks k
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT c.c_custkey + k.k * {CUST_SHIFT} AS c_custkey,
+                 c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+          FROM read_parquet('{SRC}/customer.parquet') c CROSS JOIN ks k
+        ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    # half the copies are byte-exact duplicates, half get a deterministic
+    # suffix -> both exact-dup and near-dup clusters at 10x document count
+    con.sql(
+        f"""
+        COPY (
+          SELECT CAST(CAST(d.doc_id AS BIGINT) + k.k * {DOC_SHIFT} AS VARCHAR) AS doc_id,
+                 CASE WHEN k.k >= {COPIES // 2}
+                      THEN d.text || ' rev' || CAST(k.k AS VARCHAR)
+                      ELSE d.text END AS text,
+                 d.lang, d.source, d.n_chars
+          FROM read_parquet('{SRC}/documents.parquet') d CROSS JOIN ks k
+        ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in ["region", "nation", "supplier", "part", "orders", "lineitem", "embeddings"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    open(f"{DST}/_BUILT", "w").close()
+
+
+def _polyfill_x(scale_res: int = 2):
+    """hex_polyfill at ~100x the candidate cover: every demo zone (108 vs
+    16) at resolution _POLYFILL_RES + ``scale_res`` (each res step shrinks
+    cells ~3x in area). Reuses the production kernels (hex pack/center,
+    broadcast R-tree PIP) and the production oracle construction
+    (_zone_edges_sql ray-cast)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from filda_spark import hex as hx
+    from filda_spark import relational as R
+    from filda_spark.pipeline import make_pip_udf
+    from filda_spark.spatial import demo_zones
+
+    res = R._POLYFILL_RES + scale_res
+    zones = demo_zones()
+    cqx, cqy, crx, cry = hx._inv(res)
+    ranges = []
+    for z in zones:
+        corners = [
+            (la, lo)
+            for la in (min(z["lat"]), max(z["lat"]))
+            for lo in (min(z["lon"]), max(z["lon"]))
+        ]
+        qs = [cqx * lo + cqy * la for la, lo in corners]
+        rs = [crx * lo + cry * la for la, lo in corners]
+        ranges.append(
+            (
+                z["zone_id"],
+                math.floor(min(qs)) - 1,
+                math.ceil(max(qs)) + 1,
+                math.floor(min(rs)) - 1,
+                math.ceil(max(rs)) + 1,
+            )
+        )
+
+    def spark_side(spark, sf_dir):
+        rdf = spark.createDataFrame(ranges, "zone int, q0 long, q1 long, r0 long, r1 long")
+        cand = (
+            rdf.select(F.explode(F.sequence("q0", "q1")).alias("q"), "r0", "r1")
+            .select("q", F.explode(F.sequence("r0", "r1")).alias("r"))
+            .distinct()
+        )
+        clat, clon = hx.center_cols(F.col("q"), F.col("r"), res)
+        cells = cand.select(
+            hx.pack_cols(F.col("q"), F.col("r"), res).alias("cell"),
+            clat.alias("clat"),
+            clon.alias("clon"),
+        )
+        bc = spark.sparkContext.broadcast(zones)
+        zid = make_pip_udf(bc, "zone_id", flag=False).asNondeterministic()
+        return (
+            cells.withColumn("zone_id", zid("clat", "clon"))
+            .filter(F.col("zone_id") >= 0)
+            .select("zone_id", "cell")
+        )
+
+    clat_sql, clon_sql = hx.center_sql("q", "r", res)
+    pack = hx.pack_sql("q", "r", res)
+    oracle = f"""
+    WITH ranges(zone, q0, q1, r0, r1) AS (VALUES
+      {",".join(f"({z}, {q0}, {q1}, {r0}, {r1})" for z, q0, q1, r0, r1 in ranges)}
+    ),
+    qexp AS (
+      SELECT r0, r1, unnest(range(q0, q1 + 1)) AS q FROM ranges
+    ),
+    rexp AS (
+      SELECT q, unnest(range(r0, r1 + 1)) AS r FROM qexp
+    ),
+    cand AS (
+      SELECT DISTINCT q, r FROM rexp
+    ),
+    cells AS (
+      SELECT {pack} AS cell, {clat_sql} AS clat, {clon_sql} AS clon FROM cand
+    ),
+    edges(zone, yi, xi, yj, xj) AS (VALUES
+      {R._zone_edges_sql(zones)}
+    )
+    SELECT CAST(e.zone AS INT) AS zone_id, c.cell
+    FROM cells c JOIN edges e
+      ON (e.yi > c.clat) != (e.yj > c.clat)
+     AND c.clon < (e.xj - e.xi) * (c.clat - e.yi) / (e.yj - e.yi) + e.xi
+    GROUP BY e.zone, c.cell
+    HAVING count(*) % 2 = 1
+    """
+    return spark_side, oracle
+
+
+def main() -> int:
+    from filda_spark.compare import compare, duckdb_con
+    from filda_spark.session import get_spark
+
+    t0 = time.perf_counter()
+    build_sf1()
+    print(json.dumps({"built": DST, "sec": round(time.perf_counter() - t0, 1)}))
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    queries = [q for q in QUERIES if not wanted or q in wanted]
+    run_full_st = not wanted or "spatiotemporal_full_sf1" in wanted
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from filda_spark import relational as R
+
+    qmap = entry.queries()
+    omap = entry.oracle_sql()
+    spark = get_spark("sf1-parity")
+    con = duckdb_con(DST)
+    failures = 0
+    results = {}
+    try:
+        for name in queries:
+            t0 = time.perf_counter()
+            if name == "hex_polyfill_x":
+                fn, osql = _polyfill_x()
+                sdf = fn(spark, DST)
+            elif name == "spatiotemporal_join":
+                w = _ST_WIN
+                lat = (F.col("event_id") * 7919 % 2000).cast("double") / 100.0
+                lon = ((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0
+                ev = R._t(spark, DST, "events").filter(
+                    (lat >= w["lat0"]) & (lat < w["lat1"])
+                    & (lon >= w["lon0"]) & (lon < w["lon1"])
+                )
+                sdf = R._spatiotemporal_pairs(spark, DST, events=ev)
+                osql = f"""
+                WITH p0 AS (
+                  SELECT event_id, epoch_ms(ts) AS t_ms,
+                         CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0 AS lat,
+                         CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0 AS lon
+                  FROM events
+                ), p AS (
+                  SELECT * FROM p0
+                  WHERE lat >= {w["lat0"]} AND lat < {w["lat1"]}
+                    AND lon >= {w["lon0"]} AND lon < {w["lon1"]}
+                )
+                SELECT a.event_id AS a_id, b.event_id AS b_id,
+                       round((a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon), 9) AS d2,
+                       CAST(abs(a.t_ms - b.t_ms) AS BIGINT) AS dt_ms
+                FROM p a JOIN p b
+                  ON a.event_id < b.event_id
+                 AND b.t_ms BETWEEN a.t_ms - {R._ST_T_MS} AND a.t_ms + {R._ST_T_MS}
+                 AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+                     <= {R._ST_D * R._ST_D!r}
+                """
+            elif name == "dup_components":
+                # the driver-gate oracle (recursive reach CTE) is quadratic
+                # in component size and the 10x corpus has dense exact-dup
+                # cliques — DuckDB grinds for hours. The sf1 oracle is the
+                # LSH pair set computed BY DuckDB (the independent part)
+                # plus a plain union-find over those edges (pinned equal to
+                # the engine's min-label propagation by tests/test_graph).
+                import pandas as pd
+
+                sdf = qmap[name](spark, DST)
+                edges = con.sql(omap["minhash_lsh_pairs"]).df()
+                docs = con.sql("SELECT CAST(doc_id AS BIGINT) AS d FROM documents").df()
+                parent = {int(d): int(d) for d in docs["d"]}
+
+                def find(x: int) -> int:
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for a, b in zip(edges["doc_a"], edges["doc_b"]):
+                    ra, rb = find(int(a)), find(int(b))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+                odf = pd.DataFrame(
+                    {"doc_id": list(parent), "component": [find(x) for x in parent]}
+                )
+                osql = None
+            else:
+                fn, osql = qmap[name], omap[name]
+                sdf = fn(spark, DST)
+            if osql is not None:
+                odf = con.sql(osql).df()
+            issues = compare(sdf, odf)
+            wall = round(time.perf_counter() - t0, 1)
+            ok = not issues
+            failures += 0 if ok else 1
+            results[name] = dict(ok=ok, rows=len(odf), sec=wall, issues=issues[:2])
+            print(json.dumps({name: results[name]}))
+
+        if run_full_st:
+            # full-domain spatiotemporal cover join at sf1, Spark end-to-end
+            # (count only — the pair set itself is the 1e8-row scale evidence)
+            t0 = time.perf_counter()
+            full_rows = qmap["spatiotemporal_join"](spark, DST).count()
+            results["spatiotemporal_full_sf1"] = dict(
+                rows=int(full_rows), sec=round(time.perf_counter() - t0, 1)
+            )
+            print(json.dumps({"spatiotemporal_full_sf1": results["spatiotemporal_full_sf1"]}))
+    finally:
+        spark.stop()
+        if "--keep" not in sys.argv:
+            shutil.rmtree(DST, ignore_errors=True)
+    print(json.dumps({"sf1_parity": "PASS" if not failures else "FAIL", "queries": results}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

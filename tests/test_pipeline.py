@@ -153,3 +153,30 @@ def test_water_pip_equals_raster_semantics(spark_res, oracle_res):
         assert (got == ref).all()
     # the corpus really contains water detections (fire_water feature)
     assert oracle_res["detections"]["FP_Water_PIP"].sum() > 0
+
+
+def test_bucketed_media_no_shuffle(spark, corpus, nl, tmp_path):
+    """Bucketed media layout (the Iceberg bucket(N, doc_id) analogue):
+    identical detections to the shuffle path, with the cogroup's big side
+    satisfied by the scan — exactly ONE Exchange (the tiny docs side) in
+    the executed decode plan instead of two."""
+    import shutil
+
+    d = str(tmp_path / "bcorpus")
+    shutil.copytree(corpus["dir"], d)
+    base = pipeline.detect_detections(spark, corpus["dir"], nl).toPandas()
+
+    path = pipeline.ensure_bucketed_media(spark, d)
+    assert path and pipeline.bucketed_media(spark, d) is not None
+
+    det_df = pipeline.detect_detections(spark, d, nl)
+    got = det_df.toPandas()
+    _assert_frames_equal(
+        got, base, KEY, cols=[c for c in base.columns if c in got.columns]
+    )
+
+    pre = pipeline.detect_pre_metrics(spark, d, nl)
+    pre.write.mode("overwrite").format("noop").save()
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected only the docs-side exchange, got:\n{plan}"
