@@ -458,7 +458,12 @@ def run_phases() -> dict:
     from filda_spark import fire_queries, runner
     from filda_spark.session import get_spark
 
-    geom = fire_queries.BENCH_GEOM
+    # --phases-big: 4x corpus — shows the tail is a FIXED per-batch term
+    # (map phase grows ~4x, tail stays flat => tail_frac shrinks with
+    # batch size, which is how a production batch would actually run)
+    geom = (
+        fire_queries.SCALING_GEOM if "--phases-big" in sys.argv else fire_queries.BENCH_GEOM
+    )
     corpus = fire_queries.corpus_dir(geom)
     nl = fire_queries._nl(geom)
     spark = get_spark("filda-phases", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
@@ -526,7 +531,7 @@ def main() -> None:
         out["host_canary"] = canary
         print(json.dumps(out))
         return
-    if "--phases" in sys.argv:
+    if "--phases" in sys.argv or "--phases-big" in sys.argv:
         s0 = _cpu_stat()
         out = run_phases()
         out["steal_pct"] = _steal_pct(s0, _cpu_stat())

@@ -111,7 +111,9 @@ def fire_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same materialization the production runner uses). Per-session tempdir:
     # staging inside the shared corpus cache would race concurrent sessions.
     stage = os.path.join(_session_tmpdir("filda_stage_"), "detections")
-    det.write.mode("overwrite").parquet(stage)
+    # stage WITH precomputed enrich keys: see runner.process_docs — the
+    # key-set jobs inside enrich become pruned parquet scans
+    pipeline.enrich_keys(det).write.mode("overwrite").parquet(stage)
     det = pipeline.enrich(spark, spark.read.parquet(stage), d)
     final = os.path.join(_session_tmpdir("filda_stage_"), "deduped")
     pipeline.dedup(det).write.mode("overwrite").parquet(final)

@@ -743,8 +743,11 @@ def prepare(spark: SparkSession, det: DataFrame, corpus_dir: str) -> DataFrame:
     ).drop("_ek")
     nrt = nrt.withColumnsRenamed({"h": "_eh", "v": "_ev", "row": "_erow", "col": "_ecol"})
     clt = clt.withColumnsRenamed({"h": "_eh", "v": "_ev", "row": "_erow", "col": "_ecol"})
-    det = _semi_reduced_left_join(det, nrt, ["_eh", "_ev", "_erow", "_ecol"])
-    det = _semi_reduced_left_join(det, clt, ["_eh", "_ev", "_erow", "_ecol"])
+    # key_source = det pre-join: both emissivity key-set jobs share the one
+    # sinu-key plan instead of the clt job re-evaluating the nrt join
+    det0 = det
+    det = _semi_reduced_left_join(det, nrt, ["_eh", "_ev", "_erow", "_ecol"], key_source=det0)
+    det = _semi_reduced_left_join(det, clt, ["_eh", "_ev", "_erow", "_ecol"], key_source=det0)
     # Emis_I05 is derived per SOURCE then coalesced (a single NaN NRT band
     # sends I05 to climatology — MCBEF_IO.py:258-260, 320-322, 196-198)
     null_d = F.lit(None).cast("double")

@@ -491,7 +491,9 @@ def make_pip_udf(polys_bc, id_key: str, flag: bool = True):
     return pip_flag
 
 
-def _semi_reduced_left_join(small: DataFrame, big: DataFrame, keys: list[str]) -> DataFrame:
+def _semi_reduced_left_join(
+    small: DataFrame, big: DataFrame, keys: list[str], key_source: DataFrame | None = None
+) -> DataFrame:
     """Left-join a tiny preserved side against a huge static table without
     shuffling or broadcasting the big side (semi-join reduction):
 
@@ -502,10 +504,40 @@ def _semi_reduced_left_join(small: DataFrame, big: DataFrame, keys: list[str]) -
     An outer join can't broadcast its preserved side, so the naive
     ``small.join(broadcast(big))`` would collect the full static table to
     the driver — this is the scale-correct plan for detections (~1e3-1e8
-    rows/batch) against global cell rasters (~1e9+ rows)."""
-    key_set = small.select(*keys).dropDuplicates(keys)
+    rows/batch) against global cell rasters (~1e9+ rows).
+
+    ``key_source``: optional cheaper plan carrying the same key values as
+    ``small`` (e.g. the staged parquet ``small`` was chained from). The
+    key-set broadcast is its own job, so computing it from the raw staged
+    scan instead of the chained-join plan turns it into a column-pruned
+    parquet read rather than a re-run of every upstream UDF/join."""
+    key_set = (small if key_source is None else key_source).select(*keys).dropDuplicates(keys)
     reduced = big.join(F.broadcast(key_set), keys, "left_semi")
     return small.join(F.broadcast(reduced), keys, "left")
+
+
+ENRICH_KEY_COLS = ("_h", "_v", "_row", "_col", "_ph", "_pv", "_py", "_px")
+
+
+def enrich_keys(det: DataFrame) -> DataFrame:
+    """Precompute the eight static-join key columns (sinusoidal land-cover
+    keys + Plate-Carree peatland keys) so a caller that stages ``det`` to
+    parquet before :func:`enrich` pays the sinusoidal pandas UDF exactly
+    once: every subsequent key-set job inside enrich becomes a
+    column-pruned parquet scan of 4 integer columns instead of a re-run of
+    decode/fit/UDF lineage. Idempotent no-op if the keys already exist."""
+    if "_h" in det.columns:
+        return det
+    sinu_keys = _sinu_keys_udf()
+    det = det.withColumn("_sk", sinu_keys("FP_Latitude", "FP_Longitude"))
+    det = det.withColumns(
+        {"_h": F.col("_sk.h"), "_v": F.col("_sk.v"), "_row": F.col("_sk.row"), "_col": F.col("_sk.col")}
+    ).drop("_sk")
+    py, px = grids.pc_tile_yx(F.col("FP_Latitude"), F.col("FP_Longitude"), cells=240)
+    ph, pv = grids.pc_tile_hv(F.col("FP_Latitude"), F.col("FP_Longitude"))
+    return det.withColumns(
+        {"_ph": ph.cast("long"), "_pv": pv.cast("long"), "_py": py.cast("long"), "_px": px.cast("long")}
+    )
 
 
 def enrich(spark: SparkSession, det: DataFrame, corpus_dir: str) -> DataFrame:
@@ -532,24 +564,22 @@ def enrich(spark: SparkSession, det: DataFrame, corpus_dir: str) -> DataFrame:
             ]
         )
 
-    sinu_keys = _sinu_keys_udf()
-    det = det.withColumn("_sk", sinu_keys("FP_Latitude", "FP_Longitude"))
-    det = det.withColumns({"_h": F.col("_sk.h"), "_v": F.col("_sk.v"), "_row": F.col("_sk.row"), "_col": F.col("_sk.col")}).drop("_sk")
+    # both key sets are derived from det AS STAGED (pre-join): when the
+    # caller precomputed enrich_keys before staging, each key-set broadcast
+    # job is a 4-int-column pruned parquet scan; chaining them off the
+    # joined plan would re-evaluate the first broadcast join per key job
+    det = enrich_keys(det)
+    det0 = det
     lc = lc.withColumnsRenamed({"h": "_h", "v": "_v", "row": "_row", "col": "_col"})
-    det = _semi_reduced_left_join(det, lc, ["_h", "_v", "_row", "_col"])
+    det = _semi_reduced_left_join(det, lc, ["_h", "_v", "_row", "_col"], key_source=det0)
     det = det.withColumn(
         "FP_Land_Type",
         F.when(F.col("FP_land_water_mask") != 1, F.lit(17))
         .otherwise(F.coalesce(F.col("lc_type").cast("int"), F.lit(0))),
     ).drop("lc_type", "_h", "_v", "_row", "_col")
 
-    py, px = grids.pc_tile_yx(F.col("FP_Latitude"), F.col("FP_Longitude"), cells=240)
-    ph, pv = grids.pc_tile_hv(F.col("FP_Latitude"), F.col("FP_Longitude"))
-    det = det.withColumns(
-        {"_ph": ph.cast("long"), "_pv": pv.cast("long"), "_py": py.cast("long"), "_px": px.cast("long")}
-    )
     peat = peat.withColumnsRenamed({"h": "_ph", "v": "_pv", "y": "_py", "x": "_px"})
-    det = _semi_reduced_left_join(det, peat, ["_ph", "_pv", "_py", "_px"])
+    det = _semi_reduced_left_join(det, peat, ["_ph", "_pv", "_py", "_px"], key_source=det0)
     det = (
         det.withColumn("FP_Peatland", F.coalesce(F.col("peat").cast("int"), F.lit(0)))
         .withColumn("FP_Peatfrac", F.coalesce(F.col("peat_frac"), F.lit(0.0)))

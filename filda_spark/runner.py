@@ -126,6 +126,27 @@ def _read_state(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return _parquet_or_none(spark, f"{out_dir}/dedup_state")
 
 
+def _swap_tile_partitions(src: str, dst: str) -> list[str]:
+    """Replace ``dst``'s ``tile_id=...`` partition directories with
+    ``src``'s and return the swapped tile ids. Driver-side metadata commit
+    bounded by the affected-tile count (<=648 10-degree tiles globally),
+    single-writer like every other metadata commit here — the
+    parquet-layout analogue of an Iceberg manifest swap (on an object
+    store this is the manifest pointer update, not a data move)."""
+    import shutil
+
+    swapped: list[str] = []
+    for d in sorted(os.listdir(src)):
+        if not d.startswith("tile_id="):
+            continue
+        cur = os.path.join(dst, d)
+        shutil.rmtree(cur, ignore_errors=True)
+        os.replace(os.path.join(src, d), cur)
+        swapped.append(d.split("=", 1)[1])
+    shutil.rmtree(src, ignore_errors=True)
+    return swapped
+
+
 def update_dedup_incremental(
     spark: SparkSession, out_dir: str, batch: DataFrame, _maybe_empty: bool = False
 ) -> None:
@@ -210,28 +231,33 @@ def update_dedup_incremental(
     )
     merged = keep.unionByName(new_state)
 
-    # stage first: the merged plan reads dedup_state, which the dynamic
-    # overwrite below rewrites — Spark cannot overwrite a path it is reading
+    # ONE partitioned stage write, then a driver-side per-tile directory
+    # swap into dedup_state. This replaces the former two-write chain
+    # (unpartitioned stage + dynamic-partition-overwrite re-write): the
+    # merged plan reads dedup_state so Spark cannot overwrite it in place,
+    # but the swap is bounded metadata work (<=648 tile dirs globally) —
+    # the parquet-layout analogue of an Iceberg manifest swap, under the
+    # same single-writer commit discipline as the snapshot log. The
+    # tile_id repartition keeps ~one file per tile (same reasoning as the
+    # detections append) on a shuffle of only the neighborhood rows.
     stage = f"{out_dir}/_stage/state_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(stage)
-    merged = spark.read.parquet(stage)
-
+    merged.repartition("tile_id").write.mode("overwrite").partitionBy("tile_id").parquet(stage)
+    swapped = _swap_tile_partitions(stage, f"{out_dir}/dedup_state")
+    if not swapped:
+        return
+    merged = spark.read.parquet(f"{out_dir}/dedup_state").filter(
+        F.col("tile_id").isin(swapped)  # partition-pruned: only swapped dirs read
+    )
+    det_aff = store.filter(F.col("tile_id").isin(swapped))
+    joined = det_aff.join(merged.select(*STATE_KEY, "is_dup"), STATE_KEY, "inner")
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.write.mode("overwrite").partitionBy("tile_id").parquet(f"{out_dir}/dedup_state")
-        det_aff = store.join(
-            F.broadcast(merged.select("tile_id").distinct()), "tile_id", "left_semi"
-        )
-        joined = det_aff.join(merged.select(*STATE_KEY, "is_dup"), STATE_KEY, "inner")
         pipeline.tiles(joined).write.mode("overwrite").partitionBy("tile_id").parquet(
             f"{out_dir}/tiles"
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    import shutil
-
-    shutil.rmtree(stage, ignore_errors=True)
 
 
 def _mark(timings: dict | None, key: str, t0: float) -> float:
@@ -276,7 +302,10 @@ def process_docs(
         spark, pre.filter(F.col("FP_Line") >= 0).drop("_detect_wall_s")
     )
     stage = f"{out_dir}/_stage/{run_id}"
-    det.write.mode("overwrite").parquet(stage)
+    # enrich join keys are persisted WITH the staged fit output: enrich's
+    # two semi-join key-set jobs then read 4 pruned int columns from this
+    # parquet instead of re-running the sinusoidal pandas UDF per job
+    pipeline.enrich_keys(det).write.mode("overwrite").parquet(stage)
     t = _mark(timings, "fit", t)
     enriched = pipeline.enrich(spark, spark.read.parquet(stage), corpus_dir)
     # cluster by tile before the partitioned append: without this every task
