@@ -180,3 +180,36 @@ def test_bucketed_media_no_shuffle(spark, corpus, nl, tmp_path):
     plan = pre._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected only the docs-side exchange, got:\n{plan}"
+
+
+def test_enrich_keys_staged_pruned_scan(spark, corpus, nl, tmp_path):
+    """enrich over a staged-with-keys parquet must (a) produce the same
+    rows as enrich over the raw detect output, and (b) plan each semi-join
+    key-set job as a pruned scan of ONLY the 4 key columns — never a
+    re-run of the decode/fit UDF lineage (commit 6995c64)."""
+    det = pipeline.detect_detections(spark, corpus["dir"], nl)
+    base = pipeline.enrich(spark, det, corpus["dir"]).toPandas()
+
+    stage = str(tmp_path / "staged_det")
+    keyed = pipeline.enrich_keys(det)
+    # idempotent: a second application is a no-op (same plan object)
+    assert pipeline.enrich_keys(keyed) is keyed
+    keyed.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    got = pipeline.enrich(spark, staged, corpus["dir"]).toPandas()
+    _assert_frames_equal(
+        got, base, KEY, cols=[c for c in base.columns if c in got.columns]
+    )
+
+    # the key-set subplan reads exactly the key columns from parquet
+    for keys in (["_h", "_v", "_row", "_col"], ["_ph", "_pv", "_py", "_px"]):
+        key_set = staged.select(*keys).dropDuplicates(keys)
+        plan = key_set._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+        m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert m and all(
+            set(k.strip("_") for k in keys)
+            == set(f.split(":")[0].strip("_") for f in
+                   ln.split("struct<", 1)[1].rstrip(">, .").split(","))
+            for ln in m
+        ), plan
