@@ -69,6 +69,11 @@ HEADLINE = [
     "track_interpolate",
     "pagerank",
     "hex_line",
+    # round-4 additions
+    "zorder_key",
+    "geohash_encode",
+    "tile_pyramid",
+    "dbscan_clusters",
 ]
 
 

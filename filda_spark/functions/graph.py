@@ -4,10 +4,18 @@ Pregel-style loop shared by the fire-perimeter polygonizer
 (`training.dup_components`), without a graph library.
 
 Converges to the unique fixpoint (every node's label = min node id
-reachable from it) in O(component diameter) rounds. Per round: one shuffle
-join (edges -> labels) + one partial-aggregated groupBy; `localCheckpoint`
-truncates the iterative lineage so the physical plan stays constant-size
-across rounds, and the driver only ever sees a scalar changed-count.
+reachable from it). Each round combines one hop of neighbor-min
+propagation with POINTER DOUBLING (label <- label-of-label, the
+path-halving step of union-find): the neighbor hop moves mins one edge,
+the doubling step shortcuts label chains exponentially, so convergence is
+O(log diameter) rounds rather than O(diameter) — the difference between
+~8 and ~220 rounds on a long lattice component (round-4 finding: DBSCAN
+over a dense point field produced exactly that chain and blew the
+iteration cap under pure propagation). Per round: one shuffle join
+(edges -> labels), one partial-aggregated groupBy, and one labels⋈labels
+self-join for the doubling; `localCheckpoint` truncates the iterative
+lineage so the physical plan stays constant-size across rounds, and the
+driver only ever sees a scalar changed-count.
 """
 
 from __future__ import annotations
@@ -32,15 +40,28 @@ def min_label_components(
             .groupBy("src")
             .agg(F.min("component").alias("_nbr"))
         )
+        stepped = labels.join(nbr, labels[node_col] == nbr.src, "left").select(
+            node_col,
+            F.col("component").alias("_prev"),
+            F.least(
+                F.col("component"), F.coalesce("_nbr", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: follow each node's label to THAT node's label
+        # (every component value is itself a node id, so the lookup is a
+        # self-join); labels only decrease, staying within the component
+        parent = stepped.select(
+            F.col(node_col).alias("_pn"), F.col("component").alias("_pc")
+        )
         # carry the previous label through the update so convergence is a
         # filter over the just-materialized frame, not another shuffle join
         new = (
-            labels.join(nbr, labels[node_col] == nbr.src, "left")
+            stepped.join(parent, stepped.component == parent._pn, "left")
             .select(
                 node_col,
-                F.col("component").alias("_prev"),
+                "_prev",
                 F.least(
-                    F.col("component"), F.coalesce("_nbr", F.col("component"))
+                    F.col("component"), F.coalesce("_pc", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()

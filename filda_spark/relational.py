@@ -2758,6 +2758,445 @@ def scd2_history(spark, sf_dir):
     )
 
 
+# Spatial layout / index keys (round 4) -------------------------------------
+#
+# Z-order (Morton) interleave and geohash share one bit-spreading ladder,
+# expressed identically as JVM column algebra (Spark) and integer SQL
+# (DuckDB) so parity pins every bit. The masks are the classic 16-bit ->
+# 32-bit spread constants.
+
+_SPREAD_MASKS = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+
+
+def _spread16(col):
+    """Spread the low 16 bits of ``col`` to the even bit positions of a
+    32-bit lane (Morton half-interleave), all JVM-side."""
+    for sh, mask in _SPREAD_MASKS:
+        col = (col.bitwiseOR(F.shiftleft(col, sh))).bitwiseAND(F.lit(mask))
+    return col
+
+
+def _spread16_sql(name: str) -> str:
+    """DuckDB CTE chain body computing the same spread for column ``name``
+    (caller threads it through four SELECTs to avoid exponential expression
+    duplication)."""
+    steps = []
+    for sh, mask in _SPREAD_MASKS:
+        steps.append(f"(({name} | ({name} << {sh})) & {mask}) AS {name}")
+    return steps
+
+
+# the shared synthetic point field (same derivation as spatiotemporal_join:
+# deterministic lat/lon from event_id so no external data is needed)
+_PT_SQL = """
+      SELECT event_id,
+             CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0 AS lat,
+             CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0 AS lon
+      FROM events
+"""
+
+
+def _pt_df(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0).alias("lat"),
+        (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0).alias("lon"),
+    )
+
+
+def _zorder_cte_sql() -> str:
+    """Quantize + spread both axes in a threaded CTE chain (qx, qy)."""
+    chain = [
+        f"""q AS (
+      SELECT event_id,
+             least(CAST(floor((lat + 90.0) / 180.0 * 65536.0) AS BIGINT), 65535) AS qy,
+             least(CAST(floor((lon + 180.0) / 360.0 * 65536.0) AS BIGINT), 65535) AS qx
+      FROM p
+    )"""
+    ]
+    prev = "q"
+    for i, (sh, mask) in enumerate(_SPREAD_MASKS):
+        chain.append(
+            f"""s{i} AS (
+      SELECT event_id,
+             ((qy | (qy << {sh})) & {mask}) AS qy,
+             ((qx | (qx << {sh})) & {mask}) AS qx
+      FROM {prev}
+    )"""
+        )
+        prev = f"s{i}"
+    return ",\n    ".join(chain), prev
+
+
+_Z_CTES, _Z_LAST = _zorder_cte_sql()
+
+
+@register(
+    "zorder_key",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    {_Z_CTES}
+    SELECT event_id,
+           ((qx << 1) | qy) AS zkey,
+           (((qx << 1) | qy) >> 22) AS zbucket
+    FROM {_Z_LAST}
+    """,
+    doc=(
+        "Z-order (Morton) layout key: 16-bit quantized lat/lon bit-interleaved "
+        "to a 32-bit key plus a 1024-way range bucket — the Iceberg "
+        "sort-order / file-clustering key that co-locates spatially adjacent "
+        "detections so bbox scans prune row groups (the 100 TB layout lever "
+        "behind runner's tile_id partitioning; cf. get_files pruning, "
+        "src/FILDA2/FILDA_IO.py:40-381)"
+    ),
+)
+def zorder_key(spark, sf_dir):
+    """Pure whole-stage-codegen integer algebra (quantize -> spread ->
+    interleave), zero shuffles, zero Python: the layout key is computed at
+    scan speed, and writing `repartitionByRange(zbucket).sortWithinPartitions
+    (zkey)` yields the space-filling-curve file layout. Exact-int parity
+    with the oracle pins every bit of the interleave."""
+    p = _pt_df(spark, sf_dir)
+    qy = F.least(
+        F.floor((F.col("lat") + 90.0) / 180.0 * 65536.0).cast("long"), F.lit(65535)
+    )
+    qx = F.least(
+        F.floor((F.col("lon") + 180.0) / 360.0 * 65536.0).cast("long"), F.lit(65535)
+    )
+    z = F.shiftleft(_spread16(qx), 1).bitwiseOR(_spread16(qy))
+    return p.select(
+        "event_id",
+        z.alias("zkey"),
+        F.shiftright(z, 22).alias("zbucket"),
+    )
+
+
+_GH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_cte_sql() -> str:
+    chain = [
+        f"""q AS (
+      SELECT event_id,
+             least(CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT), 32767) AS qy,
+             least(CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT), 32767) AS qx
+      FROM p
+    )"""
+    ]
+    prev = "q"
+    for i, (sh, mask) in enumerate(_SPREAD_MASKS):
+        chain.append(
+            f"""g{i} AS (
+      SELECT event_id,
+             ((qy | (qy << {sh})) & {mask}) AS qy,
+             ((qx | (qx << {sh})) & {mask}) AS qx
+      FROM {prev}
+    )"""
+        )
+        prev = f"g{i}"
+    return ",\n    ".join(chain), prev
+
+
+_GH_CTES, _GH_LAST = _gh_cte_sql()
+
+_GH_CHARS_SQL = " || ".join(
+    f"substr('{_GH_B32}', CAST(((z >> {25 - 5 * i}) & 31) AS INT) + 1, 1)"
+    for i in range(6)
+)
+
+
+@register(
+    "geohash_encode",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    {_GH_CTES},
+    zz AS (SELECT event_id, ((qx << 1) | qy) AS z FROM {_GH_LAST})
+    SELECT event_id, {_GH_CHARS_SQL} AS gh6
+    FROM zz
+    """,
+    doc=(
+        "geohash base32 cell id (precision 6): the fourth spatial index "
+        "family beside the engine's hex (H3-style), S2 token, and qcell "
+        "grids — bit-for-bit the canonical bisection geohash, computed as a "
+        "15-bit quantize + Morton interleave + base32 digit extraction "
+        "(validated against u4pruy/wx4g09/r3gx2f known cells)"
+    ),
+)
+def geohash_encode(spark, sf_dir):
+    """Same zero-shuffle codegen ladder as zorder_key at 15 bits/axis with
+    lon leading (geohash bit order), then six substring lookups on the
+    base32 literal — no UDF, no Python; the quantized binary digits equal
+    the classic interval-bisection bits exactly."""
+    p = _pt_df(spark, sf_dir)
+    qy = F.least(
+        F.floor((F.col("lat") + 90.0) / 180.0 * 32768.0).cast("long"), F.lit(32767)
+    )
+    qx = F.least(
+        F.floor((F.col("lon") + 180.0) / 360.0 * 32768.0).cast("long"), F.lit(32767)
+    )
+    z = F.shiftleft(_spread16(qx), 1).bitwiseOR(_spread16(qy))
+    gh = F.concat(
+        *[
+            F.substring(
+                F.lit(_GH_B32),
+                F.shiftright(z, 25 - 5 * i).bitwiseAND(F.lit(31)).cast("int") + 1,
+                1,
+            )
+            for i in range(6)
+        ]
+    )
+    return p.select("event_id", gh.alias("gh6"))
+
+
+@register(
+    "tile_pyramid",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    base AS (
+      SELECT CAST(floor(lat * 8.0) AS BIGINT) AS cy0,
+             CAST(floor(lon * 8.0) AS BIGINT) AS cx0,
+             CAST(event_id % 97 AS BIGINT) AS w
+      FROM p
+    )
+    SELECT lv.level,
+           (cy0 >> lv.level) AS cy,
+           (cx0 >> lv.level) AS cx,
+           count(*) AS n_pts,
+           sum(w) AS sum_w
+    FROM base CROSS JOIN (VALUES (0), (1), (2), (3)) lv(level)
+    GROUP BY lv.level, (cy0 >> lv.level), (cx0 >> lv.level)
+    """,
+    doc=(
+        "raster tile pyramid: fire-density rollup across 4 zoom levels "
+        "(parent cell = child >> 1 per level) in ONE aggregation — the "
+        "multi-resolution gridded fire-density product the north star's "
+        "'rasterized back to gridded fire-density tiles' implies at serving "
+        "time (cf. runner's tiles table; gen_fire_img_mask grid, "
+        "src/FILDA2/FILDA_Rad.py)"
+    ),
+)
+def tile_pyramid(spark, sf_dir):
+    """All zoom levels from one scan: a constant 4x map-side fan-out
+    (posexplode of the level array) feeds a single partial-aggregated
+    groupBy on (level, cy, cx) — one Exchange total, vs. the naive
+    level-at-a-time loop's 4 scans + 4 shuffles. Weights are integers so
+    SUM is exact across engines (no float accumulation-order hazard).
+    At scale the coarser levels could alternatively roll up from the
+    finished finest level (less shuffle volume), but that serializes the
+    levels; the fan-out keeps them in one stage."""
+    p = _pt_df(spark, sf_dir)
+    base = p.select(
+        F.floor(F.col("lat") * 8.0).cast("long").alias("cy0"),
+        F.floor(F.col("lon") * 8.0).cast("long").alias("cx0"),
+        (F.col("event_id") % 97).cast("long").alias("w"),
+    )
+    lv = base.select(
+        "cy0", "cx0", "w", F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("level")
+    )
+    return (
+        lv.groupBy(
+            "level",
+            F.expr("shiftright(cy0, level)").alias("cy"),
+            F.expr("shiftright(cx0, level)").alias("cx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pts"), F.sum("w").alias("sum_w"))
+    )
+
+
+_DB_EPS = 0.2  # DBSCAN radius, degrees (planar patch domain, as spatiotemporal)
+_DB_MINPTS = 4  # core point: >= minPts points within eps INCLUDING itself
+# static regional window: keeps the op non-degenerate at EVERY sf — on the
+# full synthetic lattice at sf0.1 the density is high enough that the whole
+# 20x24 deg domain fuses into ONE component whose graph diameter (~220
+# hops) is the worst case for any iterative CC; a fixed 4x4 deg region is
+# the realistic "cluster this area's detections" query shape and bounds the
+# component diameter independent of corpus scale (the pointer-doubling CC
+# handles long chains regardless — this bounds total pair volume)
+_DB_LAT_MAX = 4.0
+_DB_LON_MAX = 14.0
+_DB_BLOCK = 2.0  # local union-find contraction block, degrees (10x eps)
+
+
+def _block_union_find(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over one spatial block's core-core edges; emits the
+    node->root star mapping (a spanning forest of the block subgraph).
+    Path-compressed, iterative (no recursion limits)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in zip(pdf["a_id"].to_numpy(), pdf["b_id"].to_numpy()):
+        s, d = int(s), int(d)
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if rs < rd:  # min-id root keeps labels monotone toward the min
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    nodes = list(parent)
+    return pd.DataFrame(
+        {"src": nodes, "dst": [find(n) for n in nodes]}, dtype="int64"
+    )
+
+
+@register(
+    "dbscan_clusters",
+    f"""
+    WITH RECURSIVE p0 AS ({_PT_SQL}),
+    p AS (
+      SELECT * FROM p0 WHERE lat < {_DB_LAT_MAX!r} AND lon < {_DB_LON_MAX!r}
+    ),
+    pairs AS (
+      SELECT a.event_id AS a_id, b.event_id AS b_id
+      FROM p a JOIN p b
+        ON a.event_id <> b.event_id
+       AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+           <= {_DB_EPS * _DB_EPS!r}
+    ),
+    core AS (
+      SELECT a_id AS id FROM pairs GROUP BY a_id
+      HAVING count(*) + 1 >= {_DB_MINPTS}
+    ),
+    cedges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      WHERE a_id IN (SELECT id FROM core) AND b_id IN (SELECT id FROM core)
+    ),
+    reach(id, root) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN cedges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+    border AS (
+      SELECT pr.a_id AS id, min(c.cluster) AS cluster
+      FROM pairs pr JOIN comp c ON pr.b_id = c.id
+      WHERE pr.a_id NOT IN (SELECT id FROM core)
+      GROUP BY pr.a_id
+    )
+    SELECT id AS event_id, cluster, TRUE AS is_core FROM comp
+    UNION ALL
+    SELECT id AS event_id, cluster, FALSE AS is_core FROM border
+    """,
+    doc=(
+        "DBSCAN density clustering (eps=0.2 deg, minPts=4): core points via "
+        "an eps-cell cover equi-join neighbor count, clusters = connected "
+        "components of the core-core graph (min-label Pregel loop shared "
+        "with fire_perimeters/dup_components), border points adopt the min "
+        "adjacent core cluster, noise dropped — the density generalization "
+        "of the pipeline's kNN dedup neighborhood clustering (north star)"
+    ),
+)
+def dbscan_clusters(spark, sf_dir):
+    """Neighbor pairs come from the same latitude-safe cell-cover equi-join
+    as radius_join (cell = eps so the 3x3 ring covers the disk; each
+    ordered pair meets exactly once at the left point's own cell — no
+    dedup pass). Counting, core filtering, and border assignment are
+    partial-aggregated groupBys; the only iteration is the shared
+    min-label CC fixpoint whose per-round plan is constant-size
+    (localCheckpoint). Under a degenerate hot cell the pair join inherits
+    pipeline.dedup's salting rationale (PLANS.md round-3 row)."""
+    from filda_spark.functions import graph
+
+    p = _pt_df(spark, sf_dir).filter(
+        (F.col("lat") < _DB_LAT_MAX) & (F.col("lon") < _DB_LON_MAX)
+    )
+    a = p.select(
+        F.col("event_id").alias("a_id"),
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        F.floor(F.col("lat") / _DB_EPS).alias("cy"),
+        F.floor(F.col("lon") / _DB_EPS).alias("cx"),
+    )
+    b = p.select(
+        F.col("event_id").alias("b_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.floor(F.col("lat") / _DB_EPS) + dy).alias("cy"),
+                        (F.floor(F.col("lon") / _DB_EPS) + dx).alias("cx"),
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select("b_id", "b_lat", "b_lon", F.col("k.cy").alias("cy"), F.col("k.cx").alias("cx"))
+    # explicit products (not **2): both engines must evaluate the identical
+    # IEEE multiply so boundary pairs agree bit-for-bit
+    d2 = (F.col("a_lat") - F.col("b_lat")) * (F.col("a_lat") - F.col("b_lat")) + (
+        F.col("a_lon") - F.col("b_lon")
+    ) * (F.col("a_lon") - F.col("b_lon"))
+    pairs = (
+        a.join(b, ["cy", "cx"])
+        .filter((F.col("a_id") != F.col("b_id")) & (d2 <= _DB_EPS * _DB_EPS))
+        # block id for the local-contraction pre-pass: every edge belongs
+        # to exactly one 2-deg block (the left endpoint's), so the union of
+        # per-block spanning forests preserves connectivity exactly
+        .select(
+            "a_id",
+            "b_id",
+            F.floor(F.col("a_lat") / _DB_BLOCK).alias("by"),
+            F.floor(F.col("a_lon") / _DB_BLOCK).alias("bx"),
+        )
+        .localCheckpoint()  # pairs feed 3 consumers (count/edges/border)
+    )
+    core = (
+        pairs.groupBy("a_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") + 1 >= _DB_MINPTS)
+        .select(F.col("a_id").alias("id"))
+    )
+    cedges = pairs.join(core.withColumnRenamed("id", "a_id"), "a_id", "left_semi").join(
+        core.withColumnRenamed("id", "b_id"), "b_id", "left_semi"
+    )
+    # two-level CC (the production shape for spatial graphs): a per-block
+    # union-find collapses each block's core-core subgraph to node->root
+    # stars in ONE C-speed applyInPandas pass, so the iterative global loop
+    # runs on a star forest whose diameter is the BLOCK-graph diameter
+    # (a handful of hops), not the point-graph diameter (O(domain/eps) on a
+    # dense field — 19 rounds measured at sf0.1 without the contraction).
+    # At 100 TB the block size is chosen so one block's edges fit a task.
+    stars = cedges.groupBy("by", "bx").applyInPandas(
+        _block_union_find, schema="src long, dst long"
+    )
+    forest = stars.unionByName(
+        stars.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    comp = graph.min_label_components(
+        core.select("id", F.col("id").alias("component")).localCheckpoint(),
+        forest.localCheckpoint(),
+        "id",
+        128,
+    )
+    border = (
+        pairs.join(core.withColumnRenamed("id", "a_id"), "a_id", "left_anti")
+        .join(comp.withColumnRenamed("id", "b_id"), "b_id")
+        .groupBy("a_id")
+        .agg(F.min("component").alias("cluster"))
+        .select(F.col("a_id").alias("event_id"), "cluster", F.lit(False).alias("is_core"))
+    )
+    cores_out = comp.select(
+        F.col("id").alias("event_id"),
+        F.col("component").alias("cluster"),
+        F.lit(True).alias("is_core"),
+    )
+    return cores_out.unionByName(border)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
