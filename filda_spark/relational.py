@@ -3097,7 +3097,7 @@ def _block_union_find(pdf: pd.DataFrame) -> pd.DataFrame:
         "of the pipeline's kNN dedup neighborhood clustering (north star)"
     ),
 )
-def dbscan_clusters(spark, sf_dir):
+def dbscan_clusters(spark, sf_dir, block_edge_cap: int = 2_000_000):
     """Neighbor pairs come from the same latitude-safe cell-cover equi-join
     as radius_join (cell = eps so the 3x3 ring covers the disk; each
     ordered pair meets exactly once at the left point's own cell — no
@@ -3169,8 +3169,24 @@ def dbscan_clusters(spark, sf_dir):
     # runs on a star forest whose diameter is the BLOCK-graph diameter
     # (a handful of hops), not the point-graph diameter (O(domain/eps) on a
     # dense field — 19 rounds measured at sf0.1 without the contraction).
-    # At 100 TB the block size is chosen so one block's edges fit a task.
-    stars = cedges.groupBy("by", "bx").applyInPandas(
+    #
+    # Hot-block guard (the contraction's straggler risk at 100 TB: one
+    # persistent-flare megacity block holding most of the edges would run
+    # union-find in ONE task): the contraction is correct under ANY edge
+    # grouping — the union of per-group spanning forests always preserves
+    # connectivity — so blocks over the per-task edge cap sub-split by a
+    # hash of the left endpoint; contraction quality degrades gracefully
+    # (cross-subgroup merges fall to the global loop) instead of the task
+    # timeline degenerating. Same dynamic lever as pipeline.dedup's
+    # (cell, salt) and ANN_BUCKET_CAP.
+    blk_counts = cedges.groupBy("by", "bx").agg(F.count(F.lit(1)).alias("_bn"))
+    cedges_s = cedges.join(F.broadcast(blk_counts), ["by", "bx"]).withColumn(
+        "_bsalt",
+        F.pmod(
+            F.xxhash64("a_id"), F.ceil(F.col("_bn") / F.lit(block_edge_cap)).cast("long")
+        ),
+    )
+    stars = cedges_s.groupBy("by", "bx", "_bsalt").applyInPandas(
         _block_union_find, schema="src long, dst long"
     )
     forest = stars.unionByName(

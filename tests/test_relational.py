@@ -278,3 +278,19 @@ def test_layout_ops_plan_shape(spark, sf_dir):
         )
         assert n_exch == want_exch, (name, plan)
         assert n_py == 0, (name, plan)
+
+
+def test_dbscan_block_salting_result_invariant(spark, sf_dir):
+    """The hot-block sub-salting guard must be result-invariant: the union
+    of per-group spanning forests preserves connectivity under ANY edge
+    grouping, so a tiny edge cap (forcing many sub-groups per block) must
+    yield exactly the default clustering."""
+    base = {
+        (r.event_id, r.cluster, r.is_core)
+        for r in relational.REGISTRY["dbscan_clusters"].fn(spark, sf_dir).collect()
+    }
+    salted = {
+        (r.event_id, r.cluster, r.is_core)
+        for r in relational.dbscan_clusters(spark, sf_dir, block_edge_cap=10).collect()
+    }
+    assert base == salted and base
