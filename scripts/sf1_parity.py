@@ -39,7 +39,13 @@ USER_SHIFT = 10_000_000
 CUST_SHIFT = 10_000_000
 DOC_SHIFT = 10_000_000
 
-QUERIES = ["spatiotemporal_join", "knn_join", "dup_components", "hex_polyfill_x"]
+QUERIES = [
+    "spatiotemporal_join",
+    "knn_join",
+    "dup_components",
+    "hex_polyfill_x",
+    "dbscan_clusters",
+]
 
 # spatiotemporal_join at full sf1 produces ~1e8 pairs — too many to collect
 # into the pandas comparison (and the oracle is a deliberately naive range
@@ -268,6 +274,73 @@ def main() -> int:
                         parent[max(ra, rb)] = min(ra, rb)
                 odf = pd.DataFrame(
                     {"doc_id": list(parent), "component": [find(x) for x in parent]}
+                )
+                osql = None
+            elif name == "dbscan_clusters":
+                # at sf1 the lattice positions collapse 10-deep (EV_SHIFT
+                # keeps ids distinct, positions repeat), so the window holds
+                # dense cliques — the recursive-CTE driver oracle is
+                # quadratic in clique size. Same treatment as
+                # dup_components: DuckDB computes the INDEPENDENT part (the
+                # eps pair set, identical float arithmetic), python
+                # union-find + border assignment derive the clustering.
+                import pandas as pd
+
+                sdf = qmap[name](spark, DST)
+                eps2 = repr(R._DB_EPS * R._DB_EPS)
+                pairs = con.sql(
+                    f"""
+                    WITH p0 AS (
+                      SELECT event_id,
+                             CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0 AS lat,
+                             CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0 AS lon
+                      FROM events
+                    ), p AS (
+                      SELECT * FROM p0
+                      WHERE lat < {R._DB_LAT_MAX!r} AND lon < {R._DB_LON_MAX!r}
+                    )
+                    SELECT a.event_id AS a_id, b.event_id AS b_id
+                    FROM p a JOIN p b
+                      ON a.event_id < b.event_id
+                     AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
+                         <= {eps2}
+                    """
+                ).df()
+                nbr: dict[int, int] = {}
+                adj_count = pairs.groupby("a_id").size().to_dict()
+                for b_id, n in pairs.groupby("b_id").size().items():
+                    adj_count[b_id] = adj_count.get(b_id, 0) + n
+                core = {n for n, c in adj_count.items() if c + 1 >= R._DB_MINPTS}
+                parent = {n: n for n in core}
+
+                def find(x: int) -> int:
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                aa, bb = pairs["a_id"].to_numpy(), pairs["b_id"].to_numpy()
+                for a_, b_ in zip(aa, bb):
+                    a_, b_ = int(a_), int(b_)
+                    if a_ in core and b_ in core:
+                        ra, rb = find(a_), find(b_)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+                comp = {n: find(n) for n in core}
+                border: dict[int, int] = {}
+                for a_, b_ in zip(aa, bb):
+                    a_, b_ = int(a_), int(b_)
+                    for x, y in ((a_, b_), (b_, a_)):
+                        if x not in core and y in core:
+                            c = comp[y]
+                            if x not in border or c < border[x]:
+                                border[x] = c
+                odf = pd.DataFrame(
+                    {
+                        "event_id": list(comp) + list(border),
+                        "cluster": list(comp.values()) + list(border.values()),
+                        "is_core": [True] * len(comp) + [False] * len(border),
+                    }
                 )
                 osql = None
             else:
