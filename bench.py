@@ -74,6 +74,8 @@ HEADLINE = [
     "geohash_encode",
     "tile_pyramid",
     "dbscan_clusters",
+    "getis_ord_gi",
+    "mann_kendall_trend",
 ]
 
 

@@ -3213,6 +3213,189 @@ def dbscan_clusters(spark, sf_dir, block_edge_cap: int = 2_000_000):
     return cores_out.unionByName(border)
 
 
+_GI_CELL = 0.5  # Gi* analysis cell, degrees (the dedup/cover cell size)
+
+
+@register(
+    "getis_ord_gi",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS (
+      SELECT CAST(floor(lat / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor(lon / {_GI_CELL!r}) AS BIGINT) AS cx,
+             count(*) AS x
+      FROM p GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM cells
+    ),
+    nbr AS (
+      SELECT a.cy, a.cx,
+             CAST(count(*) AS BIGINT) AS wn,
+             CAST(sum(b.x) AS BIGINT) AS wx
+      FROM cells a JOIN cells b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+      GROUP BY a.cy, a.cx
+    )
+    SELECT nbr.cy, nbr.cx, nbr.wn, nbr.wx,
+           round(
+             (CAST(wx AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(wn AS DOUBLE))
+             / (
+               sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+               * sqrt((CAST(n AS DOUBLE) * CAST(wn AS DOUBLE) - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0))
+             ), 6) AS gi_z
+    FROM nbr CROSS JOIN g
+    """,
+    doc=(
+        "Getis-Ord Gi* hotspot statistic over the detection cell grid "
+        "(3x3 neighborhood incl. self): the standard 'statistically "
+        "significant fire hotspot' z-score the tiling engine serves from "
+        "its fire-density cells — all neighborhood/global sums integer-"
+        "exact, the z formula IEEE-identical on both engines (sqrt is "
+        "correctly rounded per IEEE 754, no libm-divergent exp/ln)"
+    ),
+)
+def getis_ord_gi(spark, sf_dir):
+    """Cell counts (one partial-agg shuffle) -> 3x3 kRing explode
+    equi-join on the cell key (stencil shape, no range join) -> per-cell
+    integer neighborhood sums -> scalar-broadcast crossJoin of the one-row
+    global stats (the tfidf_topterms pattern) -> codegen z-score. Every
+    aggregate is BIGINT until the final double formula, so parity cannot
+    drift with aggregation order."""
+    p = _pt_df(spark, sf_dir)
+    cells = (
+        p.select(
+            F.floor(F.col("lat") / _GI_CELL).alias("cy"),
+            F.floor(F.col("lon") / _GI_CELL).alias("cx"),
+        )
+        .groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nbr_side = cells.select(
+        F.col("x").alias("bx_"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cy") + dy).alias("cy"), (F.col("cx") + dx).alias("cx")
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select("bx_", F.col("k.cy").alias("cy"), F.col("k.cx").alias("cx"))
+    nbr = (
+        cells.select("cy", "cx")
+        .join(nbr_side, ["cy", "cx"])
+        .groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).alias("wn"), F.sum("bx_").alias("wx"))
+    )
+    nd, sxd = F.col("n").cast("double"), F.col("sx").cast("double")
+    wnd, wxd = F.col("wn").cast("double"), F.col("wx").cast("double")
+    mean = sxd / nd
+    s = F.sqrt(F.col("sxx").cast("double") / nd - mean * mean)
+    denom = s * F.sqrt((nd * wnd - wnd * wnd) / (nd - F.lit(1.0)))
+    return nbr.crossJoin(F.broadcast(g)).select(
+        "cy",
+        "cx",
+        "wn",
+        "wx",
+        F.round((wxd - mean * wnd) / denom, 6).alias("gi_z"),
+    )
+
+
+_MK_BUCKETS = 8  # Mann-Kendall time buckets over the corpus span
+
+
+@register(
+    "mann_kendall_trend",
+    f"""
+    WITH p0 AS (
+      SELECT event_id, epoch_ms(ts) AS t_ms,
+             CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0 AS lat,
+             CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0 AS lon
+      FROM events
+    ),
+    bounds AS (SELECT min(t_ms) AS t0, max(t_ms) + 1 AS t1 FROM p0),
+    series AS (
+      SELECT CAST(floor(lat / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor(lon / {_GI_CELL!r}) AS BIGINT) AS cx,
+             CAST(floor(CAST((t_ms - t0) AS DOUBLE) / CAST((t1 - t0) AS DOUBLE)
+                        * {_MK_BUCKETS}) AS BIGINT) AS tb,
+             count(*) AS x
+      FROM p0 CROSS JOIN bounds GROUP BY 1, 2, 3
+    )
+    SELECT a.cy, a.cx,
+           CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+                AS BIGINT) AS s_stat,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM series a JOIN series b
+      ON a.cy = b.cy AND a.cx = b.cx AND a.tb < b.tb
+    GROUP BY a.cy, a.cx
+    """,
+    doc=(
+        "Mann-Kendall trend statistic per cell over 8 time buckets (the "
+        "'emerging hot spot' analysis: S = sum of sign(x_j - x_i) over "
+        "ordered bucket pairs — rising fire activity S>0, cooling S<0); "
+        "integer-exact end to end, no float in the statistic at all"
+    ),
+)
+def mann_kendall_trend(spark, sf_dir, events: DataFrame | None = None):
+    """Per-(cell, bucket) counts in one partial-agg shuffle; the ordered
+    bucket-pair comparison is a self-equi-join on the CELL key only
+    (bounded fan-out: <= C(8,2)=28 pairs per cell, a constant — not a
+    range join); sign sums stay BIGINT. The bucket bounds come from one
+    scalar min/max agg broadcast into the projection."""
+    ev = events if events is not None else _t(spark, sf_dir, "events")
+    p0 = ev.select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0).alias("lat"),
+        (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0).alias("lon"),
+    )
+    bounds = p0.agg(F.min("t_ms").alias("t0"), (F.max("t_ms") + 1).alias("t1"))
+    series = (
+        p0.crossJoin(F.broadcast(bounds))
+        .select(
+            F.floor(F.col("lat") / _GI_CELL).alias("cy"),
+            F.floor(F.col("lon") / _GI_CELL).alias("cx"),
+            F.floor(
+                (F.col("t_ms") - F.col("t0")).cast("double")
+                / (F.col("t1") - F.col("t0")).cast("double")
+                * _MK_BUCKETS
+            )
+            .cast("long")
+            .alias("tb"),
+        )
+        .groupBy("cy", "cx", "tb")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    a = series.select("cy", "cx", F.col("tb").alias("ta"), F.col("x").alias("xa"))
+    b = series.select("cy", "cx", F.col("tb").alias("tbk"), F.col("x").alias("xb"))
+    sign = F.when(F.col("xb") > F.col("xa"), 1).when(
+        F.col("xb") < F.col("xa"), -1
+    ).otherwise(0)
+    return (
+        a.join(b, ["cy", "cx"])
+        .filter(F.col("ta") < F.col("tbk"))
+        .groupBy("cy", "cx")
+        .agg(
+            F.sum(sign).alias("s_stat"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -294,3 +294,68 @@ def test_dbscan_block_salting_result_invariant(spark, sf_dir):
         for r in relational.dbscan_clusters(spark, sf_dir, block_edge_cap=10).collect()
     }
     assert base == salted and base
+
+
+def test_getis_ord_hot_cell_scores_highest(spark, sf_dir):
+    """A dense blob must produce the maximum Gi* z-score at its cell, and
+    the z-scores must be standardized (mean near 0 across cells)."""
+    import numpy as np
+
+    rows = relational.REGISTRY["getis_ord_gi"].fn(spark, sf_dir).collect()
+    assert rows
+    zs = np.array([r.gi_z for r in rows])
+    # standardization sanity: neighborhood-mean z over all cells ~ 0
+    assert abs(zs.mean()) < 0.5
+    # among FULL 3x3 neighborhoods (wn=9: identical denominator) the
+    # z-ranking must equal the raw neighborhood-sum ranking, and the
+    # densest full neighborhood must be significantly hot (z > 1)
+    full = [r for r in rows if r.wn == 9]
+    assert full
+    best = max(full, key=lambda r: r.gi_z)
+    assert best.wx == max(r.wx for r in full)
+    assert best.gi_z > 1.0
+
+
+def test_mann_kendall_monotone_series(spark):
+    """A cell with strictly rising per-bucket counts must score the maximum
+    possible S (+n_pairs); strictly falling, the minimum (-n_pairs)."""
+    from pyspark.sql import functions as F
+
+    # event_id == 0 -> lat 0, lon 10 (cell A); event_id == 12000k -> same
+    # point, so choose two distinct ids whose positions differ:
+    # id 1 -> (79.19 % 20 = ...) use the synthesis directly to place ids.
+    # Rising cell: k events in bucket b at a fixed id (same position);
+    # Falling cell: use an id with a different position.
+    span = 8_000_000  # ms; buckets = [floor((t-t0)/(t1-t0)*8)]
+    rows = []
+    # id 0 -> lat 0.00 lon 10.00; rising counts 1,2,...,8
+    for b in range(8):
+        for _ in range(b + 1):
+            rows.append((0, b * 1_000_000 + 10))
+    # id 600 -> different cell; falling counts 8,...,1
+    for b in range(8):
+        for _ in range(8 - b):
+            rows.append((600, b * 1_000_000 + 10))
+    # pin the global time bounds
+    rows.append((0, 0))
+    rows.append((600, span - 1))
+    ev = spark.createDataFrame(rows, "event_id long, ms long").select(
+        "event_id", F.timestamp_millis(F.col("ms")).alias("ts")
+    )
+    out = {
+        (r.cy, r.cx): (r.s_stat, r.n_pairs)
+        for r in relational.mann_kendall_trend(spark, "", events=ev).collect()
+    }
+    lat0 = (0 * 7919 % 2000) / 100.0
+    lon0 = (0 * 104729 % 2400) / 100.0 + 10.0
+    lat6 = (600 * 7919 % 2000) / 100.0
+    lon6 = (600 * 104729 % 2400) / 100.0 + 10.0
+    cell0 = (int(lat0 // 0.5), int(lon0 // 0.5))
+    cell6 = (int(lat6 // 0.5), int(lon6 // 0.5))
+    assert cell0 != cell6
+    s0, n0 = out[cell0]
+    s6, n6 = out[cell6]
+    # rising: every ordered pair is +1 except ties involving the pinned
+    # bound event in bucket 0 (count 1+1=2 vs bucket 1 count 2 -> one tie)
+    assert s0 > 0 and s6 < 0
+    assert s0 >= n0 - 2 and s6 <= -(n6 - 2)
