@@ -45,6 +45,13 @@ QUERIES = [
     "dup_components",
     "hex_polyfill_x",
     "dbscan_clusters",
+    # round-4 layout/analytics ops at 10x rows (registered oracles apply
+    # directly; rules out scale-dependent tie-break or overflow divergence)
+    "zorder_key",
+    "geohash_encode",
+    "tile_pyramid",
+    "getis_ord_gi",
+    "mann_kendall_trend",
 ]
 
 # spatiotemporal_join at full sf1 produces ~1e8 pairs — too many to collect
