@@ -359,3 +359,72 @@ def test_mann_kendall_monotone_series(spark):
     # bound event in bucket 0 (count 1+1=2 vs bucket 1 count 2 -> one tie)
     assert s0 > 0 and s6 < 0
     assert s0 >= n0 - 2 and s6 <= -(n6 - 2)
+
+
+def test_zorder_layout_prunes_files(spark, sf_dir, tmp_path):
+    """The layout claim behind zorder_key: range-partitioning by zbucket +
+    sorting by zkey clusters spatially adjacent rows into the same files,
+    so a bbox query's lat/lon predicate can skip most files on min/max
+    stats (Iceberg data-file pruning / parquet row-group pruning). A
+    hash-partitioned layout of the SAME rows must touch ~every file."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    keyed = relational.REGISTRY["zorder_key"].fn(spark, sf_dir)
+    pts = relational._pt_df(spark, sf_dir)
+    df = pts.join(keyed, "event_id")
+
+    hashed = str(tmp_path / "hashed")
+    zordered = str(tmp_path / "zordered")
+    df.repartition(32, "event_id").write.mode("overwrite").parquet(hashed)
+    (
+        df.repartitionByRange(32, "zbucket", "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(zordered)
+    )
+
+    bbox = dict(lat0=2.0, lat1=4.0, lon0=12.0, lon1=14.0)  # ~2% of the domain
+
+    def files_touched(path):
+        import glob
+
+        touched = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmin = {c: None for c in ("lat", "lon")}
+            fmax = {c: None for c in ("lat", "lon")}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in fmin and col.statistics is not None:
+                        mn, mx = col.statistics.min, col.statistics.max
+                        fmin[name] = mn if fmin[name] is None else min(fmin[name], mn)
+                        fmax[name] = mx if fmax[name] is None else max(fmax[name], mx)
+            total += 1
+            if (
+                fmax["lat"] >= bbox["lat0"]
+                and fmin["lat"] < bbox["lat1"]
+                and fmax["lon"] >= bbox["lon0"]
+                and fmin["lon"] < bbox["lon1"]
+            ):
+                touched += 1
+        return touched, total
+
+    t_hash, n_hash = files_touched(hashed)
+    t_z, n_z = files_touched(zordered)
+    # sanity: both layouts return identical query results
+    q = (
+        (F.col("lat") >= bbox["lat0"]) & (F.col("lat") < bbox["lat1"])
+        & (F.col("lon") >= bbox["lon0"]) & (F.col("lon") < bbox["lon1"])
+    )
+    assert (
+        spark.read.parquet(hashed).filter(q).count()
+        == spark.read.parquet(zordered).filter(q).count()
+        > 0
+    )
+    # the hash layout spreads the bbox across ~all files; the z layout
+    # confines it to a small fraction
+    assert t_hash >= n_hash * 3 // 4, (t_hash, n_hash)
+    assert t_z <= max(2, n_z // 8), (t_z, n_z)
