@@ -23,7 +23,14 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's standard conf."""
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # under spark-submit the JVM gateway already exists and carries the
+    # launcher's --master / cluster conf; setting .master() here would
+    # silently override the cluster manager with local mode. Only default
+    # the master when we are the ones about to launch the JVM.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and not under_submit:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     # one BLAS thread per python worker: with 32 workers in flight a
     # 32-thread OpenBLAS pool per worker oversubscribes 1024x, and the pool
     # spawn itself is the dominant import cost on this host (3.4 s sys-time
@@ -43,9 +50,11 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -60,18 +69,25 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        # preloading worker daemon (filda_spark/daemon.py): forked workers
-        # inherit numpy/pandas/pyarrow/pyspark.worker copy-on-write instead
-        # of re-importing per worker — measured 4.2 s -> ~1 s for the first
-        # Arrow UDF stage at local[32] on this host (import sys-time 10x
-        # degraded, BASELINE.md host canary)
-        .config("spark.python.daemon.module", "filda_spark.daemon")
     )
-    # the daemon module must be importable by the executor-side interpreter
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env_pp = os.environ.get("PYTHONPATH", "")
-    if repo_root not in env_pp.split(os.pathsep):
-        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{env_pp}".rstrip(os.pathsep)
+    # preloading worker daemon (filda_spark/daemon.py): forked workers
+    # inherit numpy/pandas/pyarrow/pyspark.worker copy-on-write instead
+    # of re-importing per worker — measured 4.2 s -> ~1 s for the first
+    # Arrow UDF stage at local[32] on this host (import sys-time 10x
+    # degraded, BASELINE.md host canary). The daemon launches via
+    # `python -m filda_spark.daemon` BEFORE --py-files lands on the worker
+    # path, so it can only be enabled when the package resolves from a
+    # plain directory we can export on PYTHONPATH; under a --py-files ZIP
+    # deployment (tests/test_submit.py) Spark's stock daemon is used — the
+    # preload is a cold-JVM lever that long-lived cluster executors do not
+    # need.
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if os.path.isdir(pkg_dir):
+        b = b.config("spark.python.daemon.module", "filda_spark.daemon")
+        repo_root = os.path.dirname(pkg_dir)
+        env_pp = os.environ.get("PYTHONPATH", "")
+        if repo_root not in env_pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{env_pp}".rstrip(os.pathsep)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -5,7 +5,10 @@ pipeline runs on a real multi-executor cluster via --py-files.
     python scripts/package_pyfiles.py           # -> dist/filda_spark.zip
     spark-submit --py-files dist/filda_spark.zip \
         --conf spark.sql.shuffle.partitions=2048 \
-        -m filda_spark.runner --corpus <dir> --out <dir>
+        scripts/run_ingest.py --corpus <dir> --out <dir>
+
+(spark-submit takes a primary script file, not a -m module path;
+scripts/run_ingest.py is that file and imports the engine from the zip.)
 """
 
 from __future__ import annotations
