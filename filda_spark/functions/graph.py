@@ -47,6 +47,9 @@ def min_label_components(
                 F.col("component"), F.coalesce("_nbr", F.col("component"))
             ).alias("component"),
         )
+        # the stepped frame feeds BOTH sides of the doubling join; persist
+        # so the edges-join + neighbor-min work runs once, not per consumer
+        stepped = stepped.persist()
         # pointer doubling: follow each node's label to THAT node's label
         # (every component value is itself a node id, so the lookup is a
         # self-join); labels only decrease, staying within the component
@@ -67,6 +70,7 @@ def min_label_components(
             .localCheckpoint()
         )
         changed = new.filter(F.col("component") != F.col("_prev")).count()
+        stepped.unpersist()
         labels = new.select(node_col, "component")
         if changed == 0:
             return labels

@@ -2776,16 +2776,6 @@ def _spread16(col):
     return col
 
 
-def _spread16_sql(name: str) -> str:
-    """DuckDB CTE chain body computing the same spread for column ``name``
-    (caller threads it through four SELECTs to avoid exponential expression
-    duplication)."""
-    steps = []
-    for sh, mask in _SPREAD_MASKS:
-        steps.append(f"(({name} | ({name} << {sh})) & {mask}) AS {name}")
-    return steps
-
-
 # the shared synthetic point field (same derivation as spatiotemporal_join:
 # deterministic lat/lon from event_id so no external data is needed)
 _PT_SQL = """
@@ -2805,31 +2795,34 @@ def _pt_df(spark, sf_dir):
     )
 
 
-def _zorder_cte_sql() -> str:
-    """Quantize + spread both axes in a threaded CTE chain (qx, qy)."""
+def _interleave_cte_sql(scale: int, prefix: str) -> tuple[str, str]:
+    """DuckDB CTE chain: quantize both axes to ``scale`` steps (clamped to
+    scale-1), then thread the four spread steps through successive SELECTs
+    (inlining would duplicate the expression 2^4 times). Returns
+    (cte_chain, last_cte_name)."""
     chain = [
         f"""q AS (
       SELECT event_id,
-             least(CAST(floor((lat + 90.0) / 180.0 * 65536.0) AS BIGINT), 65535) AS qy,
-             least(CAST(floor((lon + 180.0) / 360.0 * 65536.0) AS BIGINT), 65535) AS qx
+             least(CAST(floor((lat + 90.0) / 180.0 * {scale}.0) AS BIGINT), {scale - 1}) AS qy,
+             least(CAST(floor((lon + 180.0) / 360.0 * {scale}.0) AS BIGINT), {scale - 1}) AS qx
       FROM p
     )"""
     ]
     prev = "q"
     for i, (sh, mask) in enumerate(_SPREAD_MASKS):
         chain.append(
-            f"""s{i} AS (
+            f"""{prefix}{i} AS (
       SELECT event_id,
              ((qy | (qy << {sh})) & {mask}) AS qy,
              ((qx | (qx << {sh})) & {mask}) AS qx
       FROM {prev}
     )"""
         )
-        prev = f"s{i}"
+        prev = f"{prefix}{i}"
     return ",\n    ".join(chain), prev
 
 
-_Z_CTES, _Z_LAST = _zorder_cte_sql()
+_Z_CTES, _Z_LAST = _interleave_cte_sql(65536, "s")
 
 
 @register(
@@ -2875,30 +2868,7 @@ def zorder_key(spark, sf_dir):
 _GH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
-def _gh_cte_sql() -> str:
-    chain = [
-        f"""q AS (
-      SELECT event_id,
-             least(CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT), 32767) AS qy,
-             least(CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT), 32767) AS qx
-      FROM p
-    )"""
-    ]
-    prev = "q"
-    for i, (sh, mask) in enumerate(_SPREAD_MASKS):
-        chain.append(
-            f"""g{i} AS (
-      SELECT event_id,
-             ((qy | (qy << {sh})) & {mask}) AS qy,
-             ((qx | (qx << {sh})) & {mask}) AS qx
-      FROM {prev}
-    )"""
-        )
-        prev = f"g{i}"
-    return ",\n    ".join(chain), prev
-
-
-_GH_CTES, _GH_LAST = _gh_cte_sql()
+_GH_CTES, _GH_LAST = _interleave_cte_sql(32768, "g")
 
 _GH_CHARS_SQL = " || ".join(
     f"substr('{_GH_B32}', CAST(((z >> {25 - 5 * i}) & 31) AS INT) + 1, 1)"

@@ -28,9 +28,13 @@ def get_spark(
     # silently override the cluster manager with local mode. Only default
     # the master when we are the ones about to launch the JVM.
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
-    master = master or os.environ.get("SPARK_GRAFT_MASTER")
-    if master is None and not under_submit:
-        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    # under spark-submit only an explicit `master` arg (a caller's
+    # deliberate choice) is honored; the SPARK_GRAFT_MASTER profile lever
+    # must not override --master either
+    if not under_submit:
+        master = master or os.environ.get("SPARK_GRAFT_MASTER")
+        if master is None:
+            master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     # one BLAS thread per python worker: with 32 workers in flight a
     # 32-thread OpenBLAS pool per worker oversubscribes 1024x, and the pool
     # spawn itself is the dominant import cost on this host (3.4 s sys-time
@@ -76,13 +80,15 @@ def get_spark(
     # Arrow UDF stage at local[32] on this host (import sys-time 10x
     # degraded, BASELINE.md host canary). The daemon launches via
     # `python -m filda_spark.daemon` BEFORE --py-files lands on the worker
-    # path, so it can only be enabled when the package resolves from a
-    # plain directory we can export on PYTHONPATH; under a --py-files ZIP
-    # deployment (tests/test_submit.py) Spark's stock daemon is used — the
-    # preload is a cold-JVM lever that long-lived cluster executors do not
-    # need.
+    # path, so it is enabled only when (a) we launched the JVM ourselves —
+    # under spark-submit the executor env is already fixed and exporting
+    # PYTHONPATH here reaches only the driver process — and (b) the package
+    # resolves from a plain directory we can export on PYTHONPATH. Any
+    # deployment path (tests/test_submit.py) uses Spark's stock daemon —
+    # the preload is a cold-JVM lever that long-lived cluster executors do
+    # not need.
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    if os.path.isdir(pkg_dir):
+    if not under_submit and os.path.isdir(pkg_dir):
         b = b.config("spark.python.daemon.module", "filda_spark.daemon")
         repo_root = os.path.dirname(pkg_dir)
         env_pp = os.environ.get("PYTHONPATH", "")

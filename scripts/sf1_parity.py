@@ -313,7 +313,6 @@ def main() -> int:
                          <= {eps2}
                     """
                 ).df()
-                nbr: dict[int, int] = {}
                 adj_count = pairs.groupby("a_id").size().to_dict()
                 for b_id, n in pairs.groupby("b_id").size().items():
                     adj_count[b_id] = adj_count.get(b_id, 0) + n

@@ -219,25 +219,32 @@ def test_tile_pyramid_levels_nest_exactly(spark, sf_dir):
 
 
 def test_dbscan_micro_semantics(spark, tmp_path):
-    """Constructed micro-case: a 5-point dense blob (all mutually within
-    eps) -> every point core, one cluster labeled by the min id; a chain of
-    2 isolated points -> noise (dropped); a point within eps of the blob
-    but with < minPts neighbors -> border, adopting the blob's cluster."""
+    """Constructed micro-case exercising every classification: a 5-point
+    dense blob -> all core, one cluster labeled by the min id; a bridge
+    point within eps of the whole blob -> core, same cluster; a tail point
+    whose ONLY neighbor is the bridge -> border (non-core, adopts the
+    cluster); two isolated in-window points -> noise (dropped). All
+    coordinates sit INSIDE the lat/lon analysis window so the window
+    filter cannot mask a regression (round-4 review finding: the previous
+    fixture's 'noise' points were window-filtered before DBSCAN ran)."""
     import pandas as pd
-    from pyspark.sql import functions as F
 
-    # place points via the inverse of the synthesis: we can't invert the
-    # modular hash, so instead drive the internal clustering directly by
-    # monkeypatching the point frame through a temp view of _pt_df's shape
-    eps = relational._DB_EPS
+    # geometry (eps=0.2, minPts=4):
+    #   blob 1-5 within 0.03 of each other; bridge 10 at 0.13-0.16 from
+    #   every blob point (6 neighbors -> core); tail 11 at 0.19 from the
+    #   bridge and >0.3 from the blob (1 neighbor -> border); 20/30 are
+    #   in-window but >4*eps from everything (0 neighbors -> noise)
     pts = pd.DataFrame(
         {
-            "event_id": [1, 2, 3, 4, 5, 10, 20, 30],
-            "lat": [0.0, 0.01, 0.02, 0.0, 0.01, 0.05, 5.0, 5.0 + eps * 4],
-            "lon": [0.0, 0.01, 0.0, 0.02, 0.02, 0.19, 5.0, 5.0],
+            "event_id": [1, 2, 3, 4, 5, 10, 11, 20, 30],
+            "lat": [0.0, 0.01, 0.02, 0.0, 0.01, 0.15, 0.34, 3.0, 3.0],
+            "lon": [0.0, 0.01, 0.0, 0.02, 0.02, 0.0, 0.0, 12.0, 12.9],
         }
     )
     sdf = spark.createDataFrame(pts)
+    # all fixture points are inside the analysis window
+    assert (pts.lat < relational._DB_LAT_MAX).all()
+    assert (pts.lon < relational._DB_LON_MAX).all()
     orig = relational._pt_df
     try:
         relational._pt_df = lambda _spark, _sf: sdf
@@ -245,15 +252,11 @@ def test_dbscan_micro_semantics(spark, tmp_path):
     finally:
         relational._pt_df = orig
     got = {r.event_id: (r.cluster, r.is_core) for r in out}
-    # blob 1-5: all within eps of each other (max pairwise dist ~0.028)
     for e in (1, 2, 3, 4, 5):
         assert got[e] == (1, True), got
-    # 10 is within eps of the blob but has only blob neighbors < minPts?
-    # neighbors of 10: all of 1-5 are within 0.2? dist(10,(0,0))~0.197 yes
-    # -> 10 has 5 neighbors, so it is core too; assert it joined cluster 1
-    assert got[10] == (1, True), got
-    # 20 and 30 are eps*4 apart and isolated -> noise, dropped
-    assert 20 not in got and 30 not in got, got
+    assert got[10] == (1, True), got  # bridge: core, joined the blob
+    assert got[11] == (1, False), got  # tail: border via the bridge
+    assert 20 not in got and 30 not in got, got  # in-window noise dropped
 
 
 def test_layout_ops_plan_shape(spark, sf_dir):
