@@ -431,3 +431,51 @@ def test_zorder_layout_prunes_files(spark, sf_dir, tmp_path):
     # confines it to a small fraction
     assert t_hash >= n_hash * 3 // 4, (t_hash, n_hash)
     assert t_z <= max(2, n_z // 8), (t_z, n_z)
+
+
+def test_interleave_ops_full_domain(spark):
+    """The corpus synthesis only exercises lat 0..20, lon 10..34 (one
+    quadrant); the quantize+interleave ladder must hold over the FULL
+    domain — negative coordinates (floor semantics), the poles, the
+    antimeridian, and the exact clamp boundary — for both the Morton key
+    and the geohash."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    lat = np.concatenate(
+        [rng.uniform(-90, 90, 400), [-90.0, 90.0, 0.0, -0.0001, 89.9999]]
+    )
+    lon = np.concatenate(
+        [rng.uniform(-180, 180, 400), [-180.0, 179.9999, 0.0, -0.0001, 180.0 - 1e-9]]
+    )
+    pts = pd.DataFrame(
+        {"event_id": np.arange(len(lat), dtype=np.int64), "lat": lat, "lon": lon}
+    )
+    sdf = spark.createDataFrame(pts)
+    orig = relational._pt_df
+    try:
+        relational._pt_df = lambda _spark, _sf: sdf
+        zk = {r.event_id: (r.zkey, r.zbucket) for r in
+              relational.REGISTRY["zorder_key"].fn(spark, "unused").collect()}
+        gh = {r.event_id: r.gh6 for r in
+              relational.REGISTRY["geohash_encode"].fn(spark, "unused").collect()}
+    finally:
+        relational._pt_df = orig
+
+    def spread(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    import math
+
+    for i in range(len(lat)):
+        la, lo = float(lat[i]), float(lon[i])
+        qy = min(int(math.floor((la + 90.0) / 180.0 * 65536.0)), 65535)
+        qx = min(int(math.floor((lo + 180.0) / 360.0 * 65536.0)), 65535)
+        want = (spread(qx) << 1) | spread(qy)
+        assert zk[i] == (want, want >> 22), (i, la, lo, zk[i], want)
+        assert gh[i] == _bisect_geohash(la, lo), (i, la, lo, gh[i])
