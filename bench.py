@@ -72,6 +72,7 @@ HEADLINE = [
     # round-4 additions
     "zorder_key",
     "geohash_encode",
+    "geohash_decode",
     "tile_pyramid",
     "dbscan_clusters",
     "getis_ord_gi",

@@ -2919,6 +2919,96 @@ def geohash_encode(spark, sf_dir):
     return p.select("event_id", gh.alias("gh6"))
 
 
+_UNSPREAD_MASKS = ((1, 0x33333333), (2, 0x0F0F0F0F), (4, 0x00FF00FF), (8, 0x0000FFFF))
+
+
+def _unspread16(col):
+    """Inverse of _spread16: gather the even bit positions of a 32-bit lane
+    back into the low 16 bits."""
+    col = col.bitwiseAND(F.lit(0x55555555))
+    for sh, mask in _UNSPREAD_MASKS:
+        col = (col.bitwiseOR(F.shiftright(col, sh))).bitwiseAND(F.lit(mask))
+    return col
+
+
+_GH_DEC_VAL = " + ".join(
+    f"((strpos('{_GH_B32}', substr(gh6, {i + 1}, 1)) - 1) << {25 - 5 * i})"
+    for i in range(6)
+)
+
+
+def _unspread_cte_sql(prefix: str) -> tuple[str, str]:
+    """DuckDB CTE chain gathering both interleaved axes (zy, zx) back to
+    15-bit quantized values; input CTE must provide (event_id, gh6, zy, zx)
+    with the axis lanes pre-masked to the even positions."""
+    chain = []
+    prev = f"{prefix}in"
+    for i, (sh, mask) in enumerate(_UNSPREAD_MASKS):
+        chain.append(
+            f"""{prefix}{i} AS (
+      SELECT event_id, gh6,
+             ((zy | (zy >> {sh})) & {mask}) AS zy,
+             ((zx | (zx >> {sh})) & {mask}) AS zx
+      FROM {prev}
+    )"""
+        )
+        prev = f"{prefix}{i}"
+    return ",\n    ".join(chain), prev
+
+
+_GHD_CTES, _GHD_LAST = _unspread_cte_sql("u")
+
+
+@register(
+    "geohash_decode",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    {_GH_CTES},
+    enc AS (SELECT event_id, {_GH_CHARS_SQL} AS gh6
+            FROM (SELECT event_id, ((qx << 1) | qy) AS z FROM {_GH_LAST}) zz),
+    zv AS (SELECT event_id, gh6, ({_GH_DEC_VAL}) AS z FROM enc),
+    uin AS (SELECT event_id, gh6,
+                   (z & 1431655765) AS zy,
+                   ((z >> 1) & 1431655765) AS zx
+            FROM zv),
+    {_GHD_CTES}
+    SELECT event_id, gh6, zy AS qy15, zx AS qx15,
+           round((CAST(zy AS DOUBLE) + 0.5) / 32768.0 * 180.0 - 90.0, 9) AS cell_lat,
+           round((CAST(zx AS DOUBLE) + 0.5) / 32768.0 * 360.0 - 180.0, 9) AS cell_lon
+    FROM {_GHD_LAST}
+    """,
+    doc=(
+        "geohash decode (string -> quantized axes -> cell center): base32 "
+        "digit lookup + the inverse bit-gather ladder, completing the "
+        "encode/decode round trip; parity pins the un-interleave algebra "
+        "bit for bit on both engines"
+    ),
+)
+def geohash_decode(spark, sf_dir):
+    """Decodes from the STRING (six instr lookups on the base32 literal ->
+    30-bit code -> lane mask -> gather ladder), not from the intermediate
+    interleave, so the oracle checks the full inverse path. Same
+    zero-shuffle whole-stage-codegen posture as the encode."""
+    enc = geohash_encode(spark, sf_dir)
+    z = None
+    for i in range(6):
+        v = (
+            F.expr(f"instr('{_GH_B32}', substring(gh6, {i + 1}, 1))").cast("long")
+            - 1
+        ) * F.lit(1 << (25 - 5 * i)).cast("long")
+        z = v if z is None else z + v
+    zy = _unspread16(z)
+    zx = _unspread16(F.shiftright(z, 1))
+    return enc.select(
+        "event_id",
+        "gh6",
+        zy.alias("qy15"),
+        zx.alias("qx15"),
+        F.round((zy.cast("double") + 0.5) / 32768.0 * 180.0 - 90.0, 9).alias("cell_lat"),
+        F.round((zx.cast("double") + 0.5) / 32768.0 * 360.0 - 180.0, 9).alias("cell_lon"),
+    )
+
+
 @register(
     "tile_pyramid",
     f"""

@@ -479,3 +479,21 @@ def test_interleave_ops_full_domain(spark):
         want = (spread(qx) << 1) | spread(qy)
         assert zk[i] == (want, want >> 22), (i, la, lo, zk[i], want)
         assert gh[i] == _bisect_geohash(la, lo), (i, la, lo, gh[i])
+
+
+def test_geohash_decode_roundtrip(spark, sf_dir):
+    """decode(encode(p)) must recover exactly the quantized axes of p, and
+    the emitted cell center must be within half a cell of the original
+    point (the lossless round trip at the 15-bit grid)."""
+    import math
+
+    pts = {r.event_id: (r.lat, r.lon) for r in relational._pt_df(spark, sf_dir).collect()}
+    rows = relational.REGISTRY["geohash_decode"].fn(spark, sf_dir).collect()
+    assert rows
+    half_lat, half_lon = 180.0 / 32768 / 2, 360.0 / 32768 / 2
+    for r in rows:
+        lat, lon = pts[r.event_id]
+        assert r.qy15 == min(int(math.floor((lat + 90.0) / 180.0 * 32768.0)), 32767)
+        assert r.qx15 == min(int(math.floor((lon + 180.0) / 360.0 * 32768.0)), 32767)
+        assert abs(r.cell_lat - lat) <= half_lat + 1e-9
+        assert abs(r.cell_lon - lon) <= half_lon + 1e-9
