@@ -77,6 +77,7 @@ HEADLINE = [
     "dbscan_clusters",
     "getis_ord_gi",
     "mann_kendall_trend",
+    "stay_points",
 ]
 
 

@@ -3456,6 +3456,127 @@ def mann_kendall_trend(spark, sf_dir, events: DataFrame | None = None):
     )
 
 
+_STAY_JUMP = 0.5  # segment break when a fix moves more than this (degrees)
+_STAY_MIN_N = 5  # a stay needs at least this many fixes
+
+
+@register(
+    "stay_points",
+    f"""
+    WITH p AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS t_ms,
+             CAST(user_id % 120 AS DOUBLE) - 60.0
+               + (CASE WHEN event_id % 13 < 4 THEN 2.0 ELSE 0.0 END)
+               + CAST(event_id % 7 AS DOUBLE) / 1000.0 AS lat,
+             CAST(user_id % 300 AS DOUBLE) - 150.0
+               + (CASE WHEN event_id % 13 < 4 THEN 2.0 ELSE 0.0 END)
+               + CAST(event_id % 5 AS DOUBLE) / 1000.0 AS lon
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id, event_id, t_ms, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    ),
+    marked AS (
+      SELECT user_id, event_id, t_ms, lat, lon,
+             CASE WHEN plat IS NULL
+                    OR abs(lat - plat) > {_STAY_JUMP!r}
+                    OR abs(lon - plon) > {_STAY_JUMP!r}
+                  THEN 1 ELSE 0 END AS brk
+      FROM legs
+    ),
+    segs AS (
+      SELECT user_id, event_id, t_ms, lat, lon,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t_ms, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seg
+      FROM marked
+    )
+    SELECT user_id, CAST(seg AS BIGINT) AS seg,
+           CAST(count(*) AS BIGINT) AS n_fixes,
+           CAST(min(t_ms) AS BIGINT) AS t_start,
+           CAST(max(t_ms) AS BIGINT) AS t_end,
+           round(min(lat), 6) AS lat_min, round(max(lat), 6) AS lat_max,
+           round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max
+    FROM segs
+    GROUP BY user_id, seg
+    HAVING count(*) >= {_STAY_MIN_N}
+    """,
+    doc=(
+        "stay-point (dwell) detection: per-entity trajectory segmented at "
+        "jumps > 0.5 deg (lag window), stationary runs rolled up to dwell "
+        "episodes with >= 5 fixes — the movement-analytics dual of "
+        "sessionize, and the 'persistent flare / repeated hotspot dwell' "
+        "screen at detection level. Aggregates are count/min/max only "
+        "(order-independent, so parity cannot drift with parallelism); the "
+        "two-site synthesis derives slow per-user movement deterministically "
+        "from (user_id, event_id)"
+    ),
+)
+def stay_points(spark, sf_dir):
+    """One per-entity shuffle serves both windows (lag for the jump flag,
+    running sum for segment ids — Catalyst reuses the exchange, same shape
+    as sessionize/scd2), then one partial-aggregated groupBy on
+    (user, seg). Per-user history fits a partition at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    site = F.when(F.col("event_id") % 13 < 4, F.lit(2.0)).otherwise(F.lit(0.0))
+    p = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        (
+            (F.col("user_id") % 120).cast("double")
+            - 60.0
+            + site
+            + (F.col("event_id") % 7).cast("double") / 1000.0
+        ).alias("lat"),
+        (
+            (F.col("user_id") % 300).cast("double")
+            - 150.0
+            + site
+            + (F.col("event_id") % 5).cast("double") / 1000.0
+        ).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    legs = p.select(
+        "user_id",
+        "event_id",
+        "t_ms",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    brk = (
+        F.when(
+            F.col("plat").isNull()
+            | (F.abs(F.col("lat") - F.col("plat")) > _STAY_JUMP)
+            | (F.abs(F.col("lon") - F.col("plon")) > _STAY_JUMP),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    marked = legs.select("user_id", "event_id", "t_ms", "lat", "lon", brk)
+    seg = F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    segs = marked.select(
+        "user_id", "t_ms", "lat", "lon", seg.cast("long").alias("seg")
+    )
+    return (
+        segs.groupBy("user_id", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_fixes"),
+            F.min("t_ms").alias("t_start"),
+            F.max("t_ms").alias("t_end"),
+            F.round(F.min("lat"), 6).alias("lat_min"),
+            F.round(F.max("lat"), 6).alias("lat_max"),
+            F.round(F.min("lon"), 6).alias("lon_min"),
+            F.round(F.max("lon"), 6).alias("lon_max"),
+        )
+        .filter(F.col("n_fixes") >= _STAY_MIN_N)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -497,3 +497,26 @@ def test_geohash_decode_roundtrip(spark, sf_dir):
         assert r.qx15 == min(int(math.floor((lon + 180.0) / 360.0 * 32768.0)), 32767)
         assert abs(r.cell_lat - lat) <= half_lat + 1e-9
         assert abs(r.cell_lon - lon) <= half_lon + 1e-9
+
+
+def test_stay_points_semantics_and_plan(spark, sf_dir):
+    """Segments must break exactly at >0.5-deg jumps, short runs must be
+    filtered, and the whole op must ride ONE per-entity exchange (lag +
+    running-sum windows share the partitioning; sessionize's shape)."""
+    rows = relational.REGISTRY["stay_points"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_fixes >= relational._STAY_MIN_N
+        assert r.t_end >= r.t_start
+        # a dwell's spatial extent is bounded by the per-fix wobble
+        # (<= 0.006/0.004 deg) — far below the jump threshold
+        assert r.lat_max - r.lat_min <= relational._STAY_JUMP
+        assert r.lon_max - r.lon_min <= relational._STAY_JUMP
+    plan = (
+        relational.REGISTRY["stay_points"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
