@@ -78,6 +78,7 @@ HEADLINE = [
     "getis_ord_gi",
     "mann_kendall_trend",
     "stay_points",
+    "count_min_registers",
 ]
 
 

@@ -3456,6 +3456,66 @@ def mann_kendall_trend(spark, sf_dir, events: DataFrame | None = None):
     )
 
 
+_CMS_D = 4  # count-min sketch depth (hash rows)
+_CMS_W = 256  # count-min sketch width (columns per row)
+
+
+@register(
+    "count_min_registers",
+    f"""
+    WITH rows_ AS (SELECT unnest(range({_CMS_D})) AS hrow),
+    h AS (
+      SELECT r.hrow,
+             CAST(concat('0x', substr(md5(concat(CAST(r.hrow AS VARCHAR), ':',
+                  CAST(e.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % {_CMS_W} AS col
+      FROM events e CROSS JOIN rows_ r
+    )
+    SELECT hrow, col, CAST(count(*) AS BIGINT) AS cnt
+    FROM h GROUP BY hrow, col
+    """,
+    doc=(
+        "count-min sketch register state (d=4 x w=256) over the event "
+        "entity stream: the mergeable FREQUENCY sketch beside the distinct "
+        "sketches (KMV, HLL) — point query = min over the d rows, never an "
+        "underestimate; integer-exact state so parity is bit-for-bit "
+        "(estimator guarantee pinned in tests)"
+    ),
+)
+def count_min_registers(spark, sf_dir):
+    """Constant d-fold map-side fan-out (explode of the hash-row array) ->
+    ONE partial-aggregated groupBy on (hrow, col): the shuffle carries at
+    most d*w = 1024 register rows per task regardless of input size — the
+    same textbook mergeable-sketch plan as hll_registers, for counts."""
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("hrow"),
+    )
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("hrow").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+    return (
+        rows.select("hrow", col.alias("col"))
+        .groupBy("hrow", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 _STAY_JUMP = 0.5  # segment break when a fix moves more than this (degrees)
 _STAY_MIN_N = 5  # a stay needs at least this many fixes
 

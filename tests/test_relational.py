@@ -520,3 +520,43 @@ def test_stay_points_semantics_and_plan(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_count_min_point_query_guarantee(spark, sf_dir):
+    """CMS invariants: (a) a point query (min over the d rows at the
+    entity's columns) NEVER underestimates the true count; (b) each row's
+    register sum equals the total item count (mass conservation); (c) the
+    heavy hitter's estimate is tight (collision overhead << its count)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    regs = {}
+    for r in relational.REGISTRY["count_min_registers"].fn(spark, sf_dir).collect():
+        regs[(r.hrow, r.col)] = r.cnt
+    exact = {
+        r.user_id: r.n
+        for r in relational._t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(exact.values())
+    for hrow in range(relational._CMS_D):
+        assert sum(c for (d_, _), c in regs.items() if d_ == hrow) == total
+
+    def cols(uid):
+        return [
+            int(hashlib.md5(f"{i}:{uid}".encode()).hexdigest()[:15], 16)
+            % relational._CMS_W
+            for i in range(relational._CMS_D)
+        ]
+
+    errs = []
+    for uid, n in exact.items():
+        est = min(regs.get((i, c), 0) for i, c in enumerate(cols(uid)))
+        assert est >= n, (uid, est, n)
+        errs.append(est - n)
+    # average collision overhead ~ total/w per row; min over d rows is
+    # far below that — assert a generous multiple
+    assert sum(errs) / len(errs) <= 3 * total / relational._CMS_W
