@@ -560,3 +560,44 @@ def test_count_min_point_query_guarantee(spark, sf_dir):
     # average collision overhead ~ total/w per row; min over d rows is
     # far below that — assert a generous multiple
     assert sum(errs) / len(errs) <= 3 * total / relational._CMS_W
+
+
+def test_tile_pyramid_negative_cells_nest(spark):
+    """Below the equator / west of Greenwich the base cells are negative;
+    parent = child >> 1 is an ARITHMETIC shift (floor division) on both
+    engines, so nesting must hold across the sign boundary too (the
+    synthesis corpus never exercises negatives)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame(
+        {
+            "event_id": np.arange(600, dtype=np.int64),
+            "lat": rng.uniform(-30, 5, 600),
+            "lon": rng.uniform(-40, 5, 600),
+        }
+    )
+    sdf = spark.createDataFrame(pts)
+    orig = relational._pt_df
+    try:
+        relational._pt_df = lambda _spark, _sf: sdf
+        rows = relational.REGISTRY["tile_pyramid"].fn(spark, "unused").collect()
+    finally:
+        relational._pt_df = orig
+    by_level: dict = {}
+    for r in rows:
+        by_level.setdefault(r.level, {})[(r.cy, r.cx)] = (r.n_pts, r.sum_w)
+    assert any(cy < 0 for cy, _ in by_level[0])  # negatives actually present
+    for k in (1, 2, 3):
+        for (cy, cx), (n, w) in by_level[k].items():
+            child_n = child_w = 0
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    c = by_level[k - 1].get((cy * 2 + dy, cx * 2 + dx))
+                    if c:
+                        child_n += c[0]
+                        child_w += c[1]
+            assert (child_n, child_w) == (n, w), (k, cy, cx)
+    # level-0 totals match the input size
+    assert sum(v[0] for v in by_level[0].values()) == len(pts)
