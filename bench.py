@@ -79,6 +79,7 @@ HEADLINE = [
     "mann_kendall_trend",
     "stay_points",
     "count_min_registers",
+    "kmv_set_ops",
 ]
 
 

@@ -3456,6 +3456,80 @@ def mann_kendall_trend(spark, sf_dir, events: DataFrame | None = None):
     )
 
 
+_KSO_K = 64  # KMV set-operation sketch size
+_KSO_DOM = float(1 << 60)  # md5-15-hex hash domain
+
+
+@register(
+    "kmv_set_ops",
+    f"""
+    WITH flags AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+      FROM events GROUP BY user_id
+    ),
+    h AS (
+      SELECT in_a, in_b,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM flags WHERE in_a = 1 OR in_b = 1
+    ),
+    kmin AS (
+      SELECT in_a, in_b, h, row_number() OVER (ORDER BY h) AS rn FROM h
+    )
+    SELECT CAST({_KSO_K} AS BIGINT) AS k,
+           CAST(max(h) AS BIGINT) AS kth_union,
+           CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
+           round(CAST({_KSO_K} - 1 AS DOUBLE) * {_KSO_DOM!r} / CAST(max(h) AS DOUBLE), 4)
+             AS est_union,
+           round(CAST(sum(in_a * in_b) AS DOUBLE) / {_KSO_K}.0, 6) AS est_jaccard,
+           round((CAST({_KSO_K} - 1 AS DOUBLE) * {_KSO_DOM!r} / CAST(max(h) AS DOUBLE))
+                 * (CAST(sum(in_a * in_b) AS DOUBLE) / {_KSO_K}.0), 4) AS est_intersection
+    FROM kmin WHERE rn <= {_KSO_K}
+    """,
+    doc=(
+        "KMV sketch set operations: union cardinality from the combined "
+        "k-minima, Jaccard/intersection from the shared fraction within the "
+        "union's k-min window (the mergeable-sketch answer to 'how many "
+        "users clicked AND purchased' without a distinct-pair shuffle); "
+        "state + estimators deterministic, estimator accuracy pinned in "
+        "tests"
+    ),
+)
+def kmv_set_ops(spark, sf_dir):
+    """Per-entity membership flags in one partial-agg groupBy, one md5 map,
+    then a global top-k: Catalyst rewrites row_number <= k into
+    WindowGroupLimit, so each partition forwards at most k rows before the
+    single-partition final sort (the same plan kmv_distinct/weighted_sample
+    use) — the shuffle carries O(k * partitions), never the entity count."""
+    ev = _t(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("in_b"),
+    )
+    h = flags.filter((F.col("in_a") == 1) | (F.col("in_b") == 1)).select(
+        "in_a",
+        "in_b",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.orderBy("h")
+    kmin = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KSO_K)
+    est_union = (
+        F.lit(float(_KSO_K - 1)) * F.lit(_KSO_DOM) / F.max("h").cast("double")
+    )
+    shared_frac = F.sum(F.col("in_a") * F.col("in_b")).cast("double") / float(_KSO_K)
+    return kmin.agg(
+        F.lit(_KSO_K).cast("long").alias("k"),
+        F.max("h").alias("kth_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_shared"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(shared_frac, 6).alias("est_jaccard"),
+        F.round(est_union * shared_frac, 4).alias("est_intersection"),
+    )
+
+
 _CMS_D = 4  # count-min sketch depth (hash rows)
 _CMS_W = 256  # count-min sketch width (columns per row)
 

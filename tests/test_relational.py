@@ -601,3 +601,25 @@ def test_tile_pyramid_negative_cells_nest(spark):
             assert (child_n, child_w) == (n, w), (k, cy, cx)
     # level-0 totals match the input size
     assert sum(v[0] for v in by_level[0].values()) == len(pts)
+
+
+def test_kmv_set_ops_estimator_accuracy(spark, sf_dir):
+    """The union/intersection estimates must track the exact set sizes
+    within the k=64 KMV error envelope (~1/sqrt(k) = 12.5% RSE; assert a
+    generous 3-sigma band), and the k-min window must actually be global
+    (kth_union is the 64th smallest hash over A∪B)."""
+    from pyspark.sql import functions as F
+
+    row = relational.REGISTRY["kmv_set_ops"].fn(spark, sf_dir).collect()[0]
+    ev = relational._t(spark, sf_dir, "events")
+    a = {r.user_id for r in ev.filter(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    b = {r.user_id for r in ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    true_union, true_inter = len(a | b), len(a & b)
+    assert abs(row.est_union - true_union) / true_union < 0.40
+    assert abs(row.est_intersection - true_inter) / true_inter < 0.60
+    import hashlib
+
+    hashes = sorted(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) for u in (a | b)
+    )
+    assert row.kth_union == hashes[relational._KSO_K - 1]
