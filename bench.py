@@ -80,6 +80,7 @@ HEADLINE = [
     "stay_points",
     "count_min_registers",
     "kmv_set_ops",
+    "cusum_changepoint",
 ]
 
 

@@ -3456,6 +3456,123 @@ def mann_kendall_trend(spark, sf_dir, events: DataFrame | None = None):
     )
 
 
+def _cusum_sql_chain() -> tuple[str, str]:
+    """Unrolled CUSUM folds over the 8 bucket counts (x0..x7, ref): the
+    recursion s_i = max(0, s_{i-1} + (x_i - ref)) has no windowed SQL
+    form, but at a fixed bucket count it unrolls into plain expressions —
+    written ONCE here and mirrored operation-for-operation by the Spark
+    side so every intermediate IEEE step matches."""
+    up, dn = "0.0", "0.0"
+    for i in range(_MK_BUCKETS):
+        up = f"greatest(0.0, {up} + (x{i} - ref))"
+        dn = f"greatest(0.0, {dn} + (ref - x{i}))"
+    return up, dn
+
+
+_CUSUM_UP_SQL, _CUSUM_DN_SQL = _cusum_sql_chain()
+
+_CUSUM_XCOLS_SQL = ",\n             ".join(
+    f"CAST(sum(CASE WHEN tb = {i} THEN x ELSE 0 END) AS DOUBLE) AS x{i}"
+    for i in range(_MK_BUCKETS)
+)
+
+
+@register(
+    "cusum_changepoint",
+    f"""
+    WITH p0 AS (
+      SELECT event_id, epoch_ms(ts) AS t_ms,
+             CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0 AS lat,
+             CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0 AS lon
+      FROM events
+    ),
+    bounds AS (SELECT min(t_ms) AS t0, max(t_ms) + 1 AS t1 FROM p0),
+    series AS (
+      SELECT CAST(floor(lat / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor(lon / {_GI_CELL!r}) AS BIGINT) AS cx,
+             CAST(floor(CAST((t_ms - t0) AS DOUBLE) / CAST((t1 - t0) AS DOUBLE)
+                        * {_MK_BUCKETS}) AS BIGINT) AS tb,
+             count(*) AS x
+      FROM p0 CROSS JOIN bounds GROUP BY 1, 2, 3
+    ),
+    wide AS (
+      SELECT cy, cx,
+             {_CUSUM_XCOLS_SQL}
+      FROM series GROUP BY cy, cx
+    ),
+    withref AS (
+      SELECT cy, cx,
+             {", ".join(f"x{i}" for i in range(_MK_BUCKETS))},
+             ({" + ".join(f"x{i}" for i in range(_MK_BUCKETS))}) / {_MK_BUCKETS}.0 AS ref
+      FROM wide
+    )
+    SELECT cy, cx,
+           round({_CUSUM_UP_SQL}, 6) AS cusum_up,
+           round({_CUSUM_DN_SQL}, 6) AS cusum_dn
+    FROM withref
+    """,
+    doc=(
+        "CUSUM changepoint statistic per cell over 8 time buckets: max "
+        "cumulative positive (upward level shift — fire outbreak) and "
+        "negative (burn-out / extinction) deviation from the cell's own "
+        "mean — the LEVEL-SHIFT complement to mann_kendall_trend's "
+        "monotone-trend S; the sequential fold is unrolled over the fixed "
+        "bucket count so both engines evaluate the identical IEEE chain"
+    ),
+)
+def cusum_changepoint(spark, sf_dir, events: DataFrame | None = None):
+    """Pivot the per-(cell, bucket) counts to fixed columns in the SAME
+    grouped aggregation that built them (one exchange total), then the
+    unrolled fold runs as whole-stage-codegen column algebra — no second
+    shuffle, no UDF, no higher-order-function parity risk."""
+    ev = events if events is not None else _t(spark, sf_dir, "events")
+    p0 = ev.select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0).alias("lat"),
+        (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0).alias("lon"),
+    )
+    bounds = p0.agg(F.min("t_ms").alias("t0"), (F.max("t_ms") + 1).alias("t1"))
+    series = (
+        p0.crossJoin(F.broadcast(bounds))
+        .select(
+            F.floor(F.col("lat") / _GI_CELL).alias("cy"),
+            F.floor(F.col("lon") / _GI_CELL).alias("cx"),
+            F.floor(
+                (F.col("t_ms") - F.col("t0")).cast("double")
+                / (F.col("t1") - F.col("t0")).cast("double")
+                * _MK_BUCKETS
+            )
+            .cast("long")
+            .alias("tb"),
+        )
+        .groupBy("cy", "cx", "tb")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wide = series.groupBy("cy", "cx").agg(
+        *[
+            F.sum(F.when(F.col("tb") == i, F.col("x")).otherwise(0))
+            .cast("double")
+            .alias(f"x{i}")
+            for i in range(_MK_BUCKETS)
+        ]
+    )
+    xs = [F.col(f"x{i}") for i in range(_MK_BUCKETS)]
+    total = xs[0]
+    for c in xs[1:]:
+        total = total + c
+    ref = total / float(_MK_BUCKETS)
+    up, dn = F.lit(0.0), F.lit(0.0)
+    for i in range(_MK_BUCKETS):
+        up = F.greatest(F.lit(0.0), up + (xs[i] - ref))
+        dn = F.greatest(F.lit(0.0), dn + (ref - xs[i]))
+    return wide.select(
+        "cy",
+        "cx",
+        F.round(up, 6).alias("cusum_up"),
+        F.round(dn, 6).alias("cusum_dn"),
+    )
+
+
 _KSO_K = 64  # KMV set-operation sketch size
 _KSO_DOM = float(1 << 60)  # md5-15-hex hash domain
 

@@ -623,3 +623,47 @@ def test_kmv_set_ops_estimator_accuracy(spark, sf_dir):
         int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) for u in (a | b)
     )
     assert row.kth_union == hashes[relational._KSO_K - 1]
+
+
+def test_cusum_detects_level_shift(spark):
+    """A constructed cell whose counts step up mid-series must score a
+    large cusum_up and ~zero cusum_dn; a stepping-down cell the reverse;
+    a flat cell ~zero both. Uses the events= injection with event_ids
+    placed so each series lands in a distinct cell."""
+    from pyspark.sql import functions as F
+
+    span = 8_000_000
+    rows = []
+    # id 0 -> cell A: counts 1,1,1,1,9,9,9,9 (step up at bucket 4)
+    for b in range(8):
+        for _ in (range(9) if b >= 4 else range(1)):
+            rows.append((0, b * 1_000_000 + 5))
+    # id 600 -> cell B: counts 9,9,9,9,1,1,1,1 (step down)
+    for b in range(8):
+        for _ in (range(1) if b >= 4 else range(9)):
+            rows.append((600, b * 1_000_000 + 5))
+    # id 1200 -> cell C: flat 5 per bucket
+    for b in range(8):
+        for _ in range(5):
+            rows.append((1200, b * 1_000_000 + 5))
+    rows.append((0, 0))
+    rows.append((0, span - 1))
+    ev = spark.createDataFrame(rows, "event_id long, ms long").select(
+        "event_id", F.timestamp_millis(F.col("ms")).alias("ts")
+    )
+    out = {
+        (r.cy, r.cx): (r.cusum_up, r.cusum_dn)
+        for r in relational.cusum_changepoint(spark, "", events=ev).collect()
+    }
+
+    def cell(eid):
+        lat = (eid * 7919 % 2000) / 100.0
+        lon = (eid * 104729 % 2400) / 100.0 + 10.0
+        return (int(lat // relational._GI_CELL), int(lon // relational._GI_CELL))
+
+    up_u, dn_u = out[cell(0)]
+    up_d, dn_d = out[cell(600)]
+    up_f, dn_f = out[cell(1200)]
+    assert up_u > 10 and up_u > 3 * dn_u, (up_u, dn_u)
+    assert dn_d > 10 and dn_d > 3 * up_d, (up_d, dn_d)
+    assert up_f < 2 and dn_f < 2, (up_f, dn_f)
