@@ -81,6 +81,12 @@ HEADLINE = [
     "count_min_registers",
     "kmv_set_ops",
     "cusum_changepoint",
+    "bloom_registers",
+    "bloom_semi_prune",
+    "snap_to_segments",
+    "grid_contour",
+    "polygon_stats",
+    "emerging_hotspots",
 ]
 
 

@@ -3828,6 +3828,647 @@ def stay_points(spark, sf_dir):
     )
 
 
+# Bloom filter registers --------------------------------------------------------
+#
+# The fourth mergeable-sketch family beside hll_registers (cardinality),
+# count_min_registers (frequency) and kmv_set_ops (set algebra): set
+# MEMBERSHIP. m = 65536 bits stored as 2048 x 32-bit words (values stay
+# positive BIGINTs, so no engine-specific two's-complement surface), k = 4
+# double-hashed probe positions per key.
+
+_BLOOM_M = 65536  # bits
+_BLOOM_K = 4
+
+
+def _bloom_pos_sql(h: str, i: str) -> str:
+    """Probe position i for 60-bit hash h (shared Spark/DuckDB arithmetic:
+    double hashing pos_i = (h1 + i*h2) mod m, all non-negative BIGINT ops)."""
+    return (
+        f"(({h}) % {_BLOOM_M} + ({i}) * (1 + ((({h}) >> 20) % {_BLOOM_M - 1})))"
+        f" % {_BLOOM_M}"
+    )
+
+
+_MD5_60 = "CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "bloom_registers",
+    f"""
+    WITH d AS (SELECT DISTINCT o_orderstatus, o_custkey FROM orders),
+    h AS (
+      SELECT o_orderstatus, {_MD5_60.format(key="o_custkey")} AS h
+      FROM d
+    ),
+    p AS (
+      SELECT o_orderstatus, {_bloom_pos_sql("h", "i")} AS pos
+      FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+    )
+    SELECT o_orderstatus,
+           CAST(pos >> 5 AS BIGINT) AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+    FROM p GROUP BY 1, 2
+    """,
+    doc=(
+        "Bloom-filter register state (m=65536 bits as 2048 x 32-bit words, "
+        "k=4 double-hashed probes) per order-status group: the mergeable "
+        "set-MEMBERSHIP sketch a 100 TB dedup plane ships between stages "
+        "instead of the key set itself — bit_or is idempotent/commutative, "
+        "so partial aggregation merges register words map-side"
+    ),
+)
+def bloom_registers(spark, sf_dir):
+    """Same plan family as hll_registers: one map pass (md5 -> k probe
+    positions via a constant 4x explode) then a groupBy on (group, word)
+    whose partial aggregation bit_or's words map-side — the shuffle carries
+    at most 2048 rows per group per task regardless of key count. Words
+    hold 32 bits each so every register value is a positive BIGINT (no
+    sign-bit divergence between engines)."""
+    d = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey").distinct()
+    h = d.select(
+        "o_orderstatus",
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    p = h.select(
+        "o_orderstatus",
+        F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i"),
+        "h",
+    ).select("o_orderstatus", F.expr(_bloom_pos_sql("h", "i")).alias("pos"))
+    return (
+        p.select(
+            "o_orderstatus",
+            F.shiftright(F.col("pos"), 5).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
+        )
+        .groupBy("o_orderstatus", "word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+_BLOOM_PRED = "o_totalprice > 480000"  # ~5% of customers qualify
+
+
+@register(
+    "bloom_semi_prune",
+    f"""
+    WITH member AS (SELECT DISTINCT o_custkey FROM orders WHERE {_BLOOM_PRED}),
+    reg AS (
+      SELECT CAST(pos >> 5 AS BIGINT) AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM (
+        SELECT {_bloom_pos_sql(_MD5_60.format(key="o_custkey"), "i")} AS pos
+        FROM member CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+      ) GROUP BY 1
+    ),
+    probe AS (
+      SELECT c_custkey, {_bloom_pos_sql(_MD5_60.format(key="c_custkey"), "i")} AS pos
+      FROM customer CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+    ),
+    hit AS (
+      SELECT p.c_custkey
+      FROM probe p JOIN reg r ON (p.pos >> 5) = r.word
+      WHERE (r.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) <> 0
+      GROUP BY p.c_custkey HAVING count(*) = {_BLOOM_K}
+    )
+    SELECT h.c_custkey, (m.o_custkey IS NOT NULL) AS true_member
+    FROM hit h LEFT JOIN member m ON h.c_custkey = m.o_custkey
+    """,
+    doc=(
+        "Bloom-filter semi-join pruning: probe every customer key against "
+        "the bloom built over the high-value order keys, keep the keys "
+        "whose k=4 probe bits are all set, and flag which survivors are "
+        "true members vs false positives — the join-pruning pattern that "
+        "replaces shuffling a 100 TB fact side with a broadcast of 2048 "
+        "sketch words (observed FPR at sf0.01: a handful of rows on ~1000 "
+        "true negatives, pinned by test)"
+    ),
+)
+def bloom_semi_prune(spark, sf_dir):
+    """The registers (<= 2048 rows, built from the member-key side) ride a
+    broadcast join against the probe side's exploded positions; a probe key
+    survives iff all k positions hit (count == k after the bit test). The
+    exact verdict joins the survivor set (already bloom-reduced) back to
+    the member keys — at scale this is the cheap-refine step the sketch
+    bought: only bloom-passing rows reach the exact join."""
+    orders = _t(spark, sf_dir, "orders")
+    member = (
+        orders.filter(F.expr(_BLOOM_PRED)).select("o_custkey").distinct()
+    )
+    h60 = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    idx = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i")
+    reg = (
+        member.select(h60.alias("h"), idx)
+        .select(F.expr(_bloom_pos_sql("h", "i")).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 5).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    probe = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .select("c_custkey", idx, "h")
+        .select("c_custkey", F.expr(_bloom_pos_sql("h", "i")).alias("pos"))
+    )
+    hit = (
+        probe.join(
+            F.broadcast(reg),
+            F.shiftright(F.col("pos"), 5).cast("long") == F.col("word"),
+        )
+        .filter(
+            F.col("bits").bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            )
+            != 0
+        )
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == _BLOOM_K)
+        .select("c_custkey")
+    )
+    return hit.join(
+        F.broadcast(member), F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select("c_custkey", F.col("o_custkey").isNotNull().alias("true_member"))
+
+
+# map matching: snap points to nearest segment ----------------------------------
+
+_SNAP_R2 = 0.25  # snap radius 0.5 deg, squared
+
+
+@register(
+    "snap_to_segments",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey * 37 % 300 AS DOUBLE) / 10.0 - 15.0 AS py,
+             CAST(c_custkey * 73 % 720 AS DOUBLE) / 10.0 - 36.0 AS px
+      FROM customer
+    ),
+    segs AS (
+      SELECT s_suppkey AS seg_id,
+             CAST(s_suppkey * 13 % 400 AS DOUBLE) / 10.0 - 20.0 AS x1,
+             CAST(s_suppkey * 29 % 300 AS DOUBLE) / 10.0 - 15.0 AS y1,
+             CAST(s_suppkey * 7 % 19 - 9 AS DOUBLE) / 10.0 AS dx,
+             CAST(s_suppkey * 11 % 17 - 8 AS DOUBLE) / 10.0 AS dy
+      FROM supplier
+    ),
+    cand AS (
+      SELECT p.c_custkey, s.seg_id,
+             CASE
+               WHEN s.dx * s.dx + s.dy * s.dy = 0.0 THEN 0.0
+               WHEN ((p.px - s.x1) * s.dx + (p.py - s.y1) * s.dy)
+                    / (s.dx * s.dx + s.dy * s.dy) < 0.0 THEN 0.0
+               WHEN ((p.px - s.x1) * s.dx + (p.py - s.y1) * s.dy)
+                    / (s.dx * s.dx + s.dy * s.dy) > 1.0 THEN 1.0
+               ELSE ((p.px - s.x1) * s.dx + (p.py - s.y1) * s.dy)
+                    / (s.dx * s.dx + s.dy * s.dy)
+             END AS t,
+             p.px, p.py, s.x1, s.y1, s.dx, s.dy
+      FROM pts p CROSS JOIN segs s
+    ),
+    dist AS (
+      SELECT c_custkey, seg_id, t,
+             (px - (x1 + t * dx)) * (px - (x1 + t * dx))
+             + (py - (y1 + t * dy)) * (py - (y1 + t * dy)) AS d2
+      FROM cand
+    ),
+    ranked AS (
+      SELECT c_custkey, seg_id, t, d2,
+             row_number() OVER (PARTITION BY c_custkey ORDER BY d2, seg_id) AS rnk
+      FROM dist WHERE d2 <= {_SNAP_R2!r}
+    )
+    SELECT c_custkey, seg_id, round(t, 6) AS t, round(d2, 9) AS d2
+    FROM ranked WHERE rnk = 1
+    """,
+    doc=(
+        "map matching: snap each point to its nearest polyline segment "
+        "within 0.5 deg (clamped point-to-segment projection, ties broken "
+        "on (d2, seg_id)) — the GPS-trace-to-road-network join of a "
+        "trajectory pipeline, expressed as the same 1-deg cell-cover "
+        "equi-join as radius_join/knn_join (the oracle's crossJoin is the "
+        "semantic spec only; the engine never builds all pairs)"
+    ),
+)
+def snap_to_segments(spark, sf_dir):
+    """Segment side explodes to its bbox 1-deg cells +/- 1 (fan-out <= 4x4
+    cells/segment given max segment extent 0.9 deg + snap radius 0.5);
+    points map to their own cell — a pure equi-join on (cy, cx), no range
+    join. Cover is exact: d <= 0.5 implies the point's cell is within the
+    expanded segment bbox. Per-point argmin is row_number over (d2,
+    seg_id), which Catalyst rewrites to WindowGroupLimit (per-partition
+    top-1 before the exchange). All float ops (+,-,*,/) are IEEE-identical
+    on both engines; t's clamp is the same CASE on both sides."""
+    pts = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 300).cast("double") / 10.0 - 15.0).alias("py"),
+        ((F.col("c_custkey") * 73 % 720).cast("double") / 10.0 - 36.0).alias("px"),
+    )
+    segs = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("seg_id"),
+        ((F.col("s_suppkey") * 13 % 400).cast("double") / 10.0 - 20.0).alias("x1"),
+        ((F.col("s_suppkey") * 29 % 300).cast("double") / 10.0 - 15.0).alias("y1"),
+        ((F.col("s_suppkey") * 7 % 19 - 9).cast("double") / 10.0).alias("dx"),
+        ((F.col("s_suppkey") * 11 % 17 - 8).cast("double") / 10.0).alias("dy"),
+    )
+    cover = segs.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.least(F.col("y1"), F.col("y1") + F.col("dy"))) - 1,
+                F.floor(F.greatest(F.col("y1"), F.col("y1") + F.col("dy"))) + 1,
+            )
+        ).alias("cy"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.least(F.col("x1"), F.col("x1") + F.col("dx"))) - 1,
+                F.floor(F.greatest(F.col("x1"), F.col("x1") + F.col("dx"))) + 1,
+            )
+        ).alias("cx"),
+    )
+    pcell = pts.select(
+        "*", F.floor("py").alias("cy"), F.floor("px").alias("cx")
+    )
+    l2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+    traw = (
+        (F.col("px") - F.col("x1")) * F.col("dx")
+        + (F.col("py") - F.col("y1")) * F.col("dy")
+    ) / l2
+    t = (
+        F.when(l2 == 0.0, F.lit(0.0))
+        .when(traw < 0.0, F.lit(0.0))
+        .when(traw > 1.0, F.lit(1.0))
+        .otherwise(traw)
+    )
+    cand = pcell.join(cover, ["cy", "cx"]).withColumn("t", t)
+    d2 = (
+        (F.col("px") - (F.col("x1") + F.col("t") * F.col("dx")))
+        * (F.col("px") - (F.col("x1") + F.col("t") * F.col("dx")))
+        + (F.col("py") - (F.col("y1") + F.col("t") * F.col("dy")))
+        * (F.col("py") - (F.col("y1") + F.col("t") * F.col("dy")))
+    )
+    dist = cand.select("c_custkey", "seg_id", "t", d2.alias("d2")).filter(
+        F.col("d2") <= _SNAP_R2
+    )
+    w = Window.partitionBy("c_custkey").orderBy("d2", "seg_id")
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "c_custkey",
+            "seg_id",
+            F.round("t", 6).alias("t"),
+            F.round("d2", 9).alias("d2"),
+        )
+    )
+
+
+# marching-squares contour extraction --------------------------------------------
+
+_MS_T = 4  # iso-threshold on the half-degree cell count
+
+# per-case contour segments (corner weights: v00=1 bottom-left, v10=2
+# bottom-right, v11=4 top-right, v01=8 top-left; edges: 0=bottom, 1=right,
+# 2=top, 3=left; saddles 5/10 use the fixed two-segment rule). The table is
+# a shared literal on both engines, so there is no parity surface in it.
+_MS_SEGS = [
+    (1, 0, 0, 3), (2, 0, 0, 1), (3, 0, 3, 1), (4, 0, 1, 2),
+    (5, 0, 0, 3), (5, 1, 1, 2),
+    (6, 0, 0, 2), (7, 0, 3, 2), (8, 0, 3, 2), (9, 0, 0, 2),
+    (10, 0, 0, 1), (10, 1, 2, 3),
+    (11, 0, 1, 2), (12, 0, 3, 1), (13, 0, 0, 1), (14, 0, 0, 3),
+]
+
+_MS_EX = "CASE {e} WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END"
+_MS_EY = "CASE {e} WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END"
+
+
+@register(
+    "grid_contour",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS (
+      SELECT CAST(floor(lat / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor(lon / {_GI_CELL!r}) AS BIGINT) AS cx,
+             count(*) AS x
+      FROM p GROUP BY 1, 2
+    ),
+    corners AS (
+      SELECT i.cy - d.dy AS gy, i.cx - d.dx AS gx, CAST(sum(d.w) AS INT) AS case_id
+      FROM (SELECT cy, cx FROM cells WHERE x >= {_MS_T}) i
+      CROSS JOIN (VALUES (0, 0, 1), (0, 1, 2), (1, 1, 4), (1, 0, 8)) d(dy, dx, w)
+      GROUP BY 1, 2
+    ),
+    segs AS (
+      SELECT * FROM (VALUES {", ".join(str(r) for r in _MS_SEGS)}) s(case_id, seg_idx, ea, eb)
+    )
+    SELECT c.gy, c.gx, c.case_id, s.seg_idx,
+           CAST(2 * c.gx + {_MS_EX.format(e="s.ea")} AS BIGINT) AS x1,
+           CAST(2 * c.gy + {_MS_EY.format(e="s.ea")} AS BIGINT) AS y1,
+           CAST(2 * c.gx + {_MS_EX.format(e="s.eb")} AS BIGINT) AS x2,
+           CAST(2 * c.gy + {_MS_EY.format(e="s.eb")} AS BIGINT) AS y2
+    FROM corners c JOIN segs s USING (case_id)
+    """,
+    doc=(
+        "marching-squares isoline extraction over the detection-density "
+        "grid (threshold x >= 4 per half-degree cell): the raster->vector "
+        "complement of fire_perimeters' cell polygonizer — emits contour "
+        "segments in half-cell integer coordinates (edge midpoints x2), so "
+        "the whole statistic is integer-exact end to end"
+    ),
+)
+def grid_contour(spark, sf_dir):
+    """One partial-agg shuffle builds the cell grid; each inside cell
+    explodes to the <= 4 blocks it corners (constant fan-out, the stencil
+    shape) and a second partial-agg groupBy sums the corner weights into
+    the 4-bit case id — absent/outside corners contribute 0, identical to
+    the textbook formulation. The 16-case segment table is a broadcast
+    literal; endpoints are 2x-scaled integers (midpoint variant), so no
+    float appears anywhere in the plan."""
+    p = _pt_df(spark, sf_dir)
+    cells = (
+        p.select(
+            F.floor(F.col("lat") / _GI_CELL).alias("cy"),
+            F.floor(F.col("lon") / _GI_CELL).alias("cx"),
+        )
+        .groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    inside = cells.filter(F.col("x") >= _MS_T).select("cy", "cx")
+    corners = (
+        inside.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("cy") - dy).alias("gy"),
+                            (F.col("cx") - dx).alias("gx"),
+                            F.lit(w).alias("w"),
+                        )
+                        for dy, dx, w in ((0, 0, 1), (0, 1, 2), (1, 1, 4), (1, 0, 8))
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.gy", "c.gx", "c.w")
+        .groupBy("gy", "gx")
+        .agg(F.sum("w").cast("int").alias("case_id"))
+    )
+    segs = spark.createDataFrame(
+        _MS_SEGS, "case_id INT, seg_idx INT, ea INT, eb INT"
+    )
+    out = corners.join(F.broadcast(segs), "case_id")
+    return out.select(
+        "gy",
+        "gx",
+        "case_id",
+        "seg_idx",
+        (2 * F.col("gx") + F.expr(_MS_EX.format(e="ea"))).cast("long").alias("x1"),
+        (2 * F.col("gy") + F.expr(_MS_EY.format(e="ea"))).cast("long").alias("y1"),
+        (2 * F.col("gx") + F.expr(_MS_EX.format(e="eb"))).cast("long").alias("x2"),
+        (2 * F.col("gy") + F.expr(_MS_EY.format(e="eb"))).cast("long").alias("y2"),
+    )
+
+
+# polygon shape statistics --------------------------------------------------------
+
+
+def _zone_vertex_rows() -> list[tuple[int, int, int, int, int]]:
+    """demo_zones vertices as (zone_id, j, nv, ilat, ilon) with coordinates
+    scaled to exact 1e-4-degree integers (the zones are generated rounded
+    to 4 dp, so the scaling is lossless) — shoelace sums then stay BIGINT-
+    exact on both engines, with no float-summation-order surface."""
+    from filda_spark.spatial import demo_zones
+
+    rows = []
+    for z in demo_zones():
+        nv = len(z["lat"])
+        for j, (la, lo) in enumerate(zip(z["lat"], z["lon"])):
+            rows.append(
+                (z["zone_id"], j, nv, int(round(la * 10000)), int(round(lo * 10000)))
+            )
+    return rows
+
+
+@register(
+    "polygon_stats",
+    None,  # filled in below (needs the vertex literal)
+    doc=(
+        "per-polygon planar area, centroid and bbox for the zone set "
+        "(shoelace formula over 1e-4-deg integer-scaled vertices in a "
+        "zone-local frame, so every sum is BIGINT-exact; only the final "
+        "area/centroid divisions are float) — the vector-side shape "
+        "statistics that accompany zonal_stats/hex_polyfill"
+    ),
+)
+def polygon_stats(spark, sf_dir):
+    """Vertices are a driver-side literal (108 zones x <= 8 vertices, the
+    same deterministic set zonal_stats broadcasts); the next-vertex hookup
+    is a self equi-join on (zone_id, (j+1) mod nv); one groupBy aggregates
+    the BIGINT cross products. The translation to a zone-local frame
+    (subtract per-zone min) keeps every product < 2^63 regardless of where
+    on the globe the zone sits."""
+    verts = spark.createDataFrame(
+        _zone_vertex_rows(), "zone_id INT, j INT, nv INT, ilat BIGINT, ilon BIGINT"
+    )
+    mins = verts.groupBy("zone_id").agg(
+        F.min("ilat").alias("mlat"), F.min("ilon").alias("mlon")
+    )
+    v = verts.join(F.broadcast(mins), "zone_id").select(
+        "zone_id",
+        "j",
+        "nv",
+        (F.col("ilat") - F.col("mlat")).alias("ly"),
+        (F.col("ilon") - F.col("mlon")).alias("lx"),
+        "mlat",
+        "mlon",
+        "ilat",
+        "ilon",
+    )
+    nxt = v.select(
+        F.col("zone_id").alias("zid"),
+        F.col("j").alias("jn"),
+        F.col("ly").alias("nly"),
+        F.col("lx").alias("nlx"),
+    )
+    edges = v.join(
+        F.broadcast(nxt),
+        (F.col("zone_id") == F.col("zid"))
+        & (F.col("jn") == (F.col("j") + 1) % F.col("nv")),
+    ).select(
+        "zone_id",
+        "nv",
+        "mlat",
+        "mlon",
+        "ilat",
+        "ilon",
+        (F.col("lx") * F.col("nly") - F.col("nlx") * F.col("ly")).alias("crs"),
+        ((F.col("lx") + F.col("nlx"))
+         * (F.col("lx") * F.col("nly") - F.col("nlx") * F.col("ly"))).alias("cxw"),
+        ((F.col("ly") + F.col("nly"))
+         * (F.col("lx") * F.col("nly") - F.col("nlx") * F.col("ly"))).alias("cyw"),
+    )
+    g = edges.groupBy("zone_id").agg(
+        F.max("nv").alias("nv"),
+        F.max("mlat").alias("mlat"),
+        F.max("mlon").alias("mlon"),
+        F.min("ilat").alias("ilat_min"),
+        F.max("ilat").alias("ilat_max"),
+        F.min("ilon").alias("ilon_min"),
+        F.max("ilon").alias("ilon_max"),
+        F.sum("crs").alias("s_cross"),
+        F.sum("cxw").alias("s_cx"),
+        F.sum("cyw").alias("s_cy"),
+    )
+    sc = F.col("s_cross").cast("double")
+    return g.select(
+        "zone_id",
+        "nv",
+        F.round(F.abs(sc) / 2.0 / 1.0e8, 9).alias("area_deg2"),
+        F.round(
+            (F.col("mlat").cast("double") + F.col("s_cy").cast("double") / (3.0 * sc))
+            / 10000.0,
+            9,
+        ).alias("c_lat"),
+        F.round(
+            (F.col("mlon").cast("double") + F.col("s_cx").cast("double") / (3.0 * sc))
+            / 10000.0,
+            9,
+        ).alias("c_lon"),
+        (F.col("ilat_min").cast("double") / 10000.0).alias("lat_min"),
+        (F.col("ilat_max").cast("double") / 10000.0).alias("lat_max"),
+        (F.col("ilon_min").cast("double") / 10000.0).alias("lon_min"),
+        (F.col("ilon_max").cast("double") / 10000.0).alias("lon_max"),
+    )
+
+
+def _polygon_stats_oracle() -> str:
+    rows = ", ".join(str(r) for r in _zone_vertex_rows())
+    return f"""
+    WITH verts AS (
+      SELECT * FROM (VALUES {rows}) t(zone_id, j, nv, ilat, ilon)
+    ),
+    mins AS (
+      SELECT zone_id, min(ilat) AS mlat, min(ilon) AS mlon
+      FROM verts GROUP BY 1
+    ),
+    v AS (
+      SELECT verts.zone_id, j, nv,
+             CAST(ilat - mlat AS BIGINT) AS ly, CAST(ilon - mlon AS BIGINT) AS lx,
+             mlat, mlon, ilat, ilon
+      FROM verts JOIN mins ON verts.zone_id = mins.zone_id
+    ),
+    edges AS (
+      SELECT a.zone_id, a.nv, a.mlat, a.mlon, a.ilat, a.ilon,
+             a.lx * b.ly - b.lx * a.ly AS crs,
+             (a.lx + b.lx) * (a.lx * b.ly - b.lx * a.ly) AS cxw,
+             (a.ly + b.ly) * (a.lx * b.ly - b.lx * a.ly) AS cyw
+      FROM v a JOIN v b
+        ON a.zone_id = b.zone_id AND b.j = (a.j + 1) % a.nv
+    ),
+    g AS (
+      SELECT zone_id, max(nv) AS nv, max(mlat) AS mlat, max(mlon) AS mlon,
+             min(ilat) AS ilat_min, max(ilat) AS ilat_max,
+             min(ilon) AS ilon_min, max(ilon) AS ilon_max,
+             CAST(sum(crs) AS BIGINT) AS s_cross,
+             CAST(sum(cxw) AS BIGINT) AS s_cx,
+             CAST(sum(cyw) AS BIGINT) AS s_cy
+      FROM edges GROUP BY 1
+    )
+    SELECT zone_id, CAST(nv AS INT) AS nv,
+           round(abs(CAST(s_cross AS DOUBLE)) / 2.0 / 1.0e8, 9) AS area_deg2,
+           round((CAST(mlat AS DOUBLE)
+                  + CAST(s_cy AS DOUBLE) / (3.0 * CAST(s_cross AS DOUBLE))) / 10000.0, 9)
+             AS c_lat,
+           round((CAST(mlon AS DOUBLE)
+                  + CAST(s_cx AS DOUBLE) / (3.0 * CAST(s_cross AS DOUBLE))) / 10000.0, 9)
+             AS c_lon,
+           CAST(ilat_min AS DOUBLE) / 10000.0 AS lat_min,
+           CAST(ilat_max AS DOUBLE) / 10000.0 AS lat_max,
+           CAST(ilon_min AS DOUBLE) / 10000.0 AS lon_min,
+           CAST(ilon_max AS DOUBLE) / 10000.0 AS lon_max
+    FROM g
+    """
+
+
+REGISTRY["polygon_stats"].oracle = _polygon_stats_oracle()
+
+
+# emerging-hotspot classification -------------------------------------------------
+
+_EH_Z = 1.645  # 90% one-sided hot threshold on Gi* z
+_EH_S = 2  # Mann-Kendall S threshold for a trend (|S| > 2 of max 28)
+
+
+@register(
+    "emerging_hotspots",
+    f"""
+    WITH gi AS ({{GI}}),
+    mk AS ({{MK}})
+    SELECT gi.cy, gi.cx, gi.gi_z,
+           CAST(coalesce(mk.s_stat, 0) AS BIGINT) AS s_stat,
+           CASE
+             WHEN gi.gi_z > {_EH_Z!r} AND coalesce(mk.s_stat, 0) > {_EH_S} THEN 'intensifying'
+             WHEN gi.gi_z > {_EH_Z!r} AND coalesce(mk.s_stat, 0) < -{_EH_S} THEN 'diminishing'
+             WHEN gi.gi_z > {_EH_Z!r} THEN 'persistent'
+             WHEN coalesce(mk.s_stat, 0) > {_EH_S} THEN 'emerging'
+             WHEN gi.gi_z < -{_EH_Z!r} THEN 'coldspot'
+             ELSE 'none'
+           END AS category
+    FROM gi LEFT JOIN mk ON gi.cy = mk.cy AND gi.cx = mk.cx
+    """,
+    doc=(
+        "emerging-hot-spot classification per cell: the space-time-cube "
+        "product that composes Getis-Ord Gi* (spatial significance) with "
+        "the Mann-Kendall trend S (temporal direction) into the standard "
+        "categories (intensifying / diminishing / persistent / emerging / "
+        "coldspot) — the analytic a fire-monitoring tiling service "
+        "publishes from its density cells"
+    ),
+)
+def emerging_hotspots(spark, sf_dir):
+    """Pure composition of the two already-verified frames: a LEFT equi-
+    join on the cell key (cells whose points all fall in one time bucket
+    have no MK pairs; coalesce(S, 0) treats them as trendless, mirrored in
+    the oracle) followed by a codegen CASE. The inputs are rounded/integer
+    columns with established hash parity, so the classification thresholds
+    compare identical values on both engines."""
+    gi = getis_ord_gi(spark, sf_dir)
+    mk = mann_kendall_trend(spark, sf_dir).select(
+        F.col("cy").alias("mcy"), F.col("cx").alias("mcx"), "s_stat"
+    )
+    j = gi.join(
+        mk, (gi.cy == F.col("mcy")) & (gi.cx == F.col("mcx")), "left"
+    ).select("cy", "cx", "gi_z", F.coalesce("s_stat", F.lit(0)).alias("s_stat"))
+    cat = (
+        F.when((F.col("gi_z") > _EH_Z) & (F.col("s_stat") > _EH_S), "intensifying")
+        .when((F.col("gi_z") > _EH_Z) & (F.col("s_stat") < -_EH_S), "diminishing")
+        .when(F.col("gi_z") > _EH_Z, "persistent")
+        .when(F.col("s_stat") > _EH_S, "emerging")
+        .when(F.col("gi_z") < -_EH_Z, "coldspot")
+        .otherwise("none")
+    )
+    return j.select("cy", "cx", "gi_z", "s_stat", cat.alias("category"))
+
+
+REGISTRY["emerging_hotspots"].oracle = REGISTRY["emerging_hotspots"].oracle.format(
+    GI=REGISTRY["getis_ord_gi"].oracle, MK=REGISTRY["mann_kendall_trend"].oracle
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

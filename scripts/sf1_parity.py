@@ -52,6 +52,13 @@ QUERIES = [
     "tile_pyramid",
     "getis_ord_gi",
     "mann_kendall_trend",
+    # round-4 continuation ops whose pair/candidate counts scale with the
+    # 10x corpus (bloom_registers and polygon_stats are fixed-size inputs
+    # here — orders are copied unchanged and the zone set is static)
+    "snap_to_segments",
+    "bloom_semi_prune",
+    "grid_contour",
+    "emerging_hotspots",
 ]
 
 # spatiotemporal_join at full sf1 produces ~1e8 pairs — too many to collect

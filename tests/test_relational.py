@@ -667,3 +667,221 @@ def test_cusum_detects_level_shift(spark):
     assert up_u > 10 and up_u > 3 * dn_u, (up_u, dn_u)
     assert dn_d > 10 and dn_d > 3 * up_d, (up_d, dn_d)
     assert up_f < 2 and dn_f < 2, (up_f, dn_f)
+
+
+def test_bloom_no_false_negatives_and_flagged_fps(spark, sf_dir):
+    """Bloom contract: every true member key passes the filter (zero false
+    negatives — the sketch's hard guarantee); any extra survivor is a
+    false positive and must carry true_member=false; survivors are a
+    small superset (FPR at m=65536/k=4 is << 1% at these key counts)."""
+    from pyspark.sql import functions as F
+
+    members = {
+        r.o_custkey
+        for r in relational._t(spark, sf_dir, "orders")
+        .filter(F.expr(relational._BLOOM_PRED))
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    out = {
+        r.c_custkey: r.true_member
+        for r in relational.REGISTRY["bloom_semi_prune"].fn(spark, sf_dir).collect()
+    }
+    assert members <= set(out), "bloom dropped a true member (impossible)"
+    for k in members:
+        assert out[k] is True
+    fps = [k for k, v in out.items() if not v]
+    assert set(k for k, v in out.items() if v) == members
+    n_probe = relational._t(spark, sf_dir, "customer").count()
+    assert len(fps) <= max(5, 0.02 * (n_probe - len(members))), fps
+
+
+def test_bloom_registers_match_reference_bits(spark, sf_dir):
+    """Register words equal a single-node reference Bloom build (md5 double
+    hashing re-derived in Python), and every word value is a positive
+    BIGINT (32-bit words leave the sign bit clear on both engines)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.o_orderstatus, r.word): r.bits
+        for r in relational.REGISTRY["bloom_registers"].fn(spark, sf_dir).collect()
+    }
+    assert all(0 < b < (1 << 32) for b in got.values())
+    ref: dict[tuple[str, int], int] = {}
+    keys = (
+        relational._t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_custkey")
+        .distinct()
+        .collect()
+    )
+    m, k = relational._BLOOM_M, relational._BLOOM_K
+    for r in keys:
+        h = int(hashlib.md5(str(r.o_custkey).encode()).hexdigest()[:15], 16)
+        h1, h2 = h % m, 1 + ((h >> 20) % (m - 1))
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            key = (r.o_orderstatus, pos >> 5)
+            ref[key] = ref.get(key, 0) | (1 << (pos % 32))
+    assert got == ref
+
+
+def test_snap_to_segments_matches_brute_force(spark, sf_dir):
+    """The cell-cover equi-join finds exactly the brute-force nearest
+    segment within the snap radius for every point (cover exactness), and
+    the clamped projection parameter t stays in [0, 1]."""
+    out = {
+        r.c_custkey: (r.seg_id, r.t, r.d2)
+        for r in relational.REGISTRY["snap_to_segments"].fn(spark, sf_dir).collect()
+    }
+    custs = [
+        r.c_custkey
+        for r in relational._t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    segs = [
+        (
+            r.s_suppkey,
+            (r.s_suppkey * 13 % 400) / 10.0 - 20.0,
+            (r.s_suppkey * 29 % 300) / 10.0 - 15.0,
+            (r.s_suppkey * 7 % 19 - 9) / 10.0,
+            (r.s_suppkey * 11 % 17 - 8) / 10.0,
+        )
+        for r in relational._t(spark, sf_dir, "supplier")
+        .select("s_suppkey")
+        .collect()
+    ]
+    ref = {}
+    for ck in custs:
+        py = (ck * 37 % 300) / 10.0 - 15.0
+        px = (ck * 73 % 720) / 10.0 - 36.0
+        best = None
+        for sid, x1, y1, dx, dy in segs:
+            l2 = dx * dx + dy * dy
+            t = 0.0 if l2 == 0.0 else (px - x1) * dx + (py - y1) * dy
+            if l2 != 0.0:
+                t = t / l2
+                t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+            d2 = (px - (x1 + t * dx)) ** 2 + (py - (y1 + t * dy)) ** 2
+            if d2 <= relational._SNAP_R2 and (
+                best is None or (d2, sid) < (best[1], best[0])
+            ):
+                best = (sid, d2)
+        if best is not None:
+            ref[ck] = best[0]
+    assert {k: v[0] for k, v in out.items()} == ref
+    assert all(0.0 <= t <= 1.0 for _, t, _ in out.values())
+
+
+def test_grid_contour_separates_inside_outside(spark, sf_dir):
+    """Marching-squares invariants: every emitted segment sits on a block
+    whose 4 corners are genuinely mixed (case 1..14, never 0/15); endpoint
+    coordinates are edge midpoints of that block in 2x units; and the
+    contour is 'closed' in the weak sense that every non-saddle case emits
+    exactly one segment and the saddles exactly two."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    rows = relational.REGISTRY["grid_contour"].fn(spark, sf_dir).collect()
+    assert rows, "contour is vacuous"
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._pt_df(spark, sf_dir)
+        .select(
+            F.floor(F.col("lat") / relational._GI_CELL).alias("cy"),
+            F.floor(F.col("lon") / relational._GI_CELL).alias("cx"),
+        )
+        .groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    }
+
+    def inside(cy, cx):
+        return cells.get((cy, cx), 0) >= relational._MS_T
+
+    per_block = Counter()
+    for r in rows:
+        bits = (
+            1 * inside(r.gy, r.gx)
+            + 2 * inside(r.gy, r.gx + 1)
+            + 4 * inside(r.gy + 1, r.gx + 1)
+            + 8 * inside(r.gy + 1, r.gx)
+        )
+        assert bits == r.case_id and 1 <= bits <= 14
+        per_block[(r.gy, r.gx)] += 1
+        for x, y in ((r.x1, r.y1), (r.x2, r.y2)):
+            # edge midpoints: exactly one coordinate is odd (the midpoint
+            # axis), the other is an even block-corner coordinate
+            assert (x - 2 * r.gx, y - 2 * r.gy) in {(1, 0), (2, 1), (1, 2), (0, 1)}
+    for (gy, gx), n in per_block.items():
+        case = (
+            1 * inside(gy, gx)
+            + 2 * inside(gy, gx + 1)
+            + 4 * inside(gy + 1, gx + 1)
+            + 8 * inside(gy + 1, gx)
+        )
+        assert n == (2 if case in (5, 10) else 1)
+
+
+def test_polygon_stats_matches_shoelace_reference(spark):
+    """Area/centroid/bbox equal an independent float shoelace computed
+    straight from demo_zones, and the scaled-integer path is exact: a
+    square test zone yields its closed-form area and centroid."""
+    from filda_spark.spatial import demo_zones
+
+    out = {
+        r.zone_id: r
+        for r in relational.REGISTRY["polygon_stats"].fn(spark, "").collect()
+    }
+    assert len(out) == len(demo_zones())
+    for z in demo_zones():
+        xs, ys = z["lon"], z["lat"]
+        n = len(xs)
+        a2 = sum(xs[j] * ys[(j + 1) % n] - xs[(j + 1) % n] * ys[j] for j in range(n))
+        cx = sum(
+            (xs[j] + xs[(j + 1) % n])
+            * (xs[j] * ys[(j + 1) % n] - xs[(j + 1) % n] * ys[j])
+            for j in range(n)
+        ) / (3.0 * a2)
+        cy = sum(
+            (ys[j] + ys[(j + 1) % n])
+            * (xs[j] * ys[(j + 1) % n] - xs[(j + 1) % n] * ys[j])
+            for j in range(n)
+        ) / (3.0 * a2)
+        r = out[z["zone_id"]]
+        assert abs(r.area_deg2 - abs(a2) / 2.0) < 1e-6
+        assert abs(r.c_lon - cx) < 1e-6 and abs(r.c_lat - cy) < 1e-6
+        assert r.lat_min == min(ys) and r.lon_max == max(xs)
+
+
+def test_emerging_hotspots_consistent_with_parts(spark, sf_dir):
+    """Each cell's category re-derives from its own gi_z and s_stat, and
+    at the correctness SF all six categories (incl. 'none') are
+    populated — the classifier is non-vacuous on every branch."""
+    rows = relational.REGISTRY["emerging_hotspots"].fn(spark, sf_dir).collect()
+    cats = set()
+    for r in rows:
+        z, s = r.gi_z, r.s_stat
+        if z is not None and z > relational._EH_Z:
+            want = (
+                "intensifying"
+                if s > relational._EH_S
+                else ("diminishing" if s < -relational._EH_S else "persistent")
+            )
+        elif s > relational._EH_S:
+            want = "emerging"
+        elif z is not None and z < -relational._EH_Z:
+            want = "coldspot"
+        else:
+            want = "none"
+        assert r.category == want, (r, want)
+        cats.add(r.category)
+    if sf_dir.endswith("0.01"):
+        assert cats == {
+            "intensifying", "diminishing", "persistent",
+            "emerging", "coldspot", "none",
+        }
