@@ -1,0 +1,58 @@
+"""The driver's correctness gate verifies only the first 50 registered
+queries, so ``__spark_entry__``'s least-recently-verified-first rotation
+decides what earns an official correctness row each round (VERDICT.md r3
+finding #1). Pin its contract: never-checked queries lead, then stalest
+round, ties in registration order; queries() and oracle_sql() agree."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def test_never_checked_queries_lead_the_window():
+    seen = entry._last_checked()
+    names = list(entry.queries())
+    ranks = [seen.get(n, -1) for n in names]
+    # non-decreasing last-checked round: never-checked (-1) first, then
+    # each older round before any newer one
+    assert ranks == sorted(ranks), (
+        "rotation violated: a fresher-checked query precedes a staler one"
+    )
+
+
+def test_ties_keep_registration_order():
+    from filda_spark import relational
+
+    seen = entry._last_checked()
+    names = list(entry.queries())
+    reg = {k: i for i, k in enumerate(relational.REGISTRY)}
+    prev = {}
+    for n in names:
+        r = seen.get(n, -1)
+        if r in prev and n in reg and prev[r] in reg:
+            assert reg[prev[r]] < reg[n]
+        prev[r] = n
+
+
+def test_queries_and_oracles_align():
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert list(q)[: len(o)] == [k for k in q if k in o][: len(o)]
+    # every oracle belongs to a registered query; the driver's 50-row
+    # window therefore always checks oracle-paired entries
+    assert set(o) <= set(q)
+
+
+def test_window_converges_within_two_rounds():
+    """With <= 100 registered queries and a 50-row window, every query has
+    a driver row from one of the last two rounds once the rotation has run
+    twice: the 50 stalest are always checked first."""
+    q = entry.queries()
+    assert len(q) <= 100, (
+        "registry grew past 100: a query can now go 3+ rounds without a "
+        "driver correctness row — either widen this bound deliberately or "
+        "retire an op"
+    )
