@@ -52,6 +52,19 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _h60(col: str):
+    """60-bit non-negative BIGINT from md5 — the cross-engine hash every
+    sketch/sample op keys on. Spark twin of the SQL idiom
+    ``CAST(concat('0x', substr(md5(CAST(x AS VARCHAR)), 1, 15)) AS BIGINT)``
+    (see ``_MD5_60``): both take the first 15 hex chars (60 bits, so the
+    value fits a signed BIGINT with the sign bit clear on both engines).
+    Single-sourced here — widening the hash means editing this pair only.
+    """
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projections / filters / predicates
 # ---------------------------------------------------------------------------
@@ -2366,9 +2379,7 @@ def hll_registers(spark, sf_dir):
     d = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
     h = d.select(
         "event_type",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+        _h60("user_id").alias("h"),
     )
     rw = h.select(
         "event_type",
@@ -2433,9 +2444,7 @@ def weighted_sample(spark, sf_dir):
         "doc_id",
         "n_chars",
         (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-            .cast("long")
-            .cast("double")
+            _h60("doc_id").cast("double")
             / F.lit(1152921504606846976.0)
             / (F.col("n_chars") + 1).cast("double")
         ).alias("k"),
@@ -3275,17 +3284,36 @@ def dbscan_clusters(spark, sf_dir, block_edge_cap: int = 2_000_000):
 
 _GI_CELL = 0.5  # Gi* analysis cell, degrees (the dedup/cover cell size)
 
+# the half-degree analysis cell-count grid shared by getis_ord_gi,
+# grid_contour (and, with a time axis added, mann_kendall/cusum): single-
+# sourced in BOTH dialects so the cell derivation cannot drift between ops
+_CELLS_SQL = f"""
+      SELECT CAST(floor(lat / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor(lon / {_GI_CELL!r}) AS BIGINT) AS cx,
+             count(*) AS x
+      FROM p GROUP BY 1, 2
+"""
+
+
+def _cell_counts(spark, sf_dir) -> DataFrame:
+    """Spark twin of ``_CELLS_SQL``: per-(cy, cx) point counts on the
+    Gi* analysis grid (one partial-agg shuffle)."""
+    return (
+        _pt_df(spark, sf_dir)
+        .select(
+            F.floor(F.col("lat") / _GI_CELL).alias("cy"),
+            F.floor(F.col("lon") / _GI_CELL).alias("cx"),
+        )
+        .groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
 
 @register(
     "getis_ord_gi",
     f"""
     WITH p AS ({_PT_SQL}),
-    cells AS (
-      SELECT CAST(floor(lat / {_GI_CELL!r}) AS BIGINT) AS cy,
-             CAST(floor(lon / {_GI_CELL!r}) AS BIGINT) AS cx,
-             count(*) AS x
-      FROM p GROUP BY 1, 2
-    ),
+    cells AS ({_CELLS_SQL}),
     g AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS sx,
@@ -3327,15 +3355,7 @@ def getis_ord_gi(spark, sf_dir):
     global stats (the tfidf_topterms pattern) -> codegen z-score. Every
     aggregate is BIGINT until the final double formula, so parity cannot
     drift with aggregation order."""
-    p = _pt_df(spark, sf_dir)
-    cells = (
-        p.select(
-            F.floor(F.col("lat") / _GI_CELL).alias("cy"),
-            F.floor(F.col("lon") / _GI_CELL).alias("cx"),
-        )
-        .groupBy("cy", "cx")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    cells = _cell_counts(spark, sf_dir)
     g = cells.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -3627,9 +3647,7 @@ def kmv_set_ops(spark, sf_dir):
     h = flags.filter((F.col("in_a") == 1) | (F.col("in_b") == 1)).select(
         "in_a",
         "in_b",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+        _h60("user_id").alias("h"),
     )
     w = Window.orderBy("h")
     kmin = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KSO_K)
@@ -3887,9 +3905,7 @@ def bloom_registers(spark, sf_dir):
     d = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey").distinct()
     h = d.select(
         "o_orderstatus",
-        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
+        _h60("o_custkey").alias("h"),
     )
     p = h.select(
         "o_orderstatus",
@@ -3956,12 +3972,9 @@ def bloom_semi_prune(spark, sf_dir):
     member = (
         orders.filter(F.expr(_BLOOM_PRED)).select("o_custkey").distinct()
     )
-    h60 = F.conv(
-        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
-    ).cast("long")
     idx = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("i")
     reg = (
-        member.select(h60.alias("h"), idx)
+        member.select(_h60("o_custkey").alias("h"), idx)
         .select(F.expr(_bloom_pos_sql("h", "i")).alias("pos"))
         .select(
             F.shiftright(F.col("pos"), 5).cast("long").alias("word"),
@@ -3974,9 +3987,7 @@ def bloom_semi_prune(spark, sf_dir):
         _t(spark, sf_dir, "customer")
         .select(
             "c_custkey",
-            F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
+            _h60("c_custkey").alias("h"),
         )
         .select("c_custkey", idx, "h")
         .select("c_custkey", F.expr(_bloom_pos_sql("h", "i")).alias("pos"))
@@ -4160,12 +4171,7 @@ _MS_EY = "CASE {e} WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END"
     "grid_contour",
     f"""
     WITH p AS ({_PT_SQL}),
-    cells AS (
-      SELECT CAST(floor(lat / {_GI_CELL!r}) AS BIGINT) AS cy,
-             CAST(floor(lon / {_GI_CELL!r}) AS BIGINT) AS cx,
-             count(*) AS x
-      FROM p GROUP BY 1, 2
-    ),
+    cells AS ({_CELLS_SQL}),
     corners AS (
       SELECT i.cy - d.dy AS gy, i.cx - d.dx AS gx, CAST(sum(d.w) AS INT) AS case_id
       FROM (SELECT cy, cx FROM cells WHERE x >= {_MS_T}) i
@@ -4198,15 +4204,7 @@ def grid_contour(spark, sf_dir):
     the textbook formulation. The 16-case segment table is a broadcast
     literal; endpoints are 2x-scaled integers (midpoint variant), so no
     float appears anywhere in the plan."""
-    p = _pt_df(spark, sf_dir)
-    cells = (
-        p.select(
-            F.floor(F.col("lat") / _GI_CELL).alias("cy"),
-            F.floor(F.col("lon") / _GI_CELL).alias("cx"),
-        )
-        .groupBy("cy", "cx")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    cells = _cell_counts(spark, sf_dir)
     inside = cells.filter(F.col("x") >= _MS_T).select("cy", "cx")
     corners = (
         inside.select(

@@ -828,9 +828,12 @@ def test_grid_contour_separates_inside_outside(spark, sf_dir):
 
 
 def test_polygon_stats_matches_shoelace_reference(spark):
-    """Area/centroid/bbox equal an independent float shoelace computed
-    straight from demo_zones, and the scaled-integer path is exact: a
-    square test zone yields its closed-form area and centroid."""
+    """The scaled-integer shoelace path is EXACT: area and centroid for
+    every zone equal an arbitrary-precision Fraction computation over the
+    same 1e-4-deg integer vertices (to the op's final 1e-9 rounding), and
+    all four bbox fields equal the vertex extrema exactly."""
+    from fractions import Fraction
+
     from filda_spark.spatial import demo_zones
 
     out = {
@@ -839,34 +842,48 @@ def test_polygon_stats_matches_shoelace_reference(spark):
     }
     assert len(out) == len(demo_zones())
     for z in demo_zones():
-        xs, ys = z["lon"], z["lat"]
-        n = len(xs)
-        a2 = sum(xs[j] * ys[(j + 1) % n] - xs[(j + 1) % n] * ys[j] for j in range(n))
-        cx = sum(
-            (xs[j] + xs[(j + 1) % n])
-            * (xs[j] * ys[(j + 1) % n] - xs[(j + 1) % n] * ys[j])
-            for j in range(n)
-        ) / (3.0 * a2)
-        cy = sum(
-            (ys[j] + ys[(j + 1) % n])
-            * (xs[j] * ys[(j + 1) % n] - xs[(j + 1) % n] * ys[j])
-            for j in range(n)
-        ) / (3.0 * a2)
+        ix = [round(v * 10000) for v in z["lon"]]
+        iy = [round(v * 10000) for v in z["lat"]]
+        n = len(ix)
+        crs = [
+            ix[j] * iy[(j + 1) % n] - ix[(j + 1) % n] * iy[j] for j in range(n)
+        ]
+        a2 = sum(crs)
+        cx = Fraction(
+            sum((ix[j] + ix[(j + 1) % n]) * crs[j] for j in range(n)), 3 * a2
+        )
+        cy = Fraction(
+            sum((iy[j] + iy[(j + 1) % n]) * crs[j] for j in range(n)), 3 * a2
+        )
         r = out[z["zone_id"]]
-        assert abs(r.area_deg2 - abs(a2) / 2.0) < 1e-6
-        assert abs(r.c_lon - cx) < 1e-6 and abs(r.c_lat - cy) < 1e-6
-        assert r.lat_min == min(ys) and r.lon_max == max(xs)
+        # exact up to the op's final float division + 1e-9 rounding
+        assert abs(r.area_deg2 - abs(Fraction(a2, 2)) / 10**8) < 1.5e-9
+        assert abs(r.c_lon - cx / 10**4) < 1.5e-9
+        assert abs(r.c_lat - cy / 10**4) < 1.5e-9
+        assert r.lat_min == min(z["lat"]) and r.lat_max == max(z["lat"])
+        assert r.lon_min == min(z["lon"]) and r.lon_max == max(z["lon"])
 
 
 def test_emerging_hotspots_consistent_with_parts(spark, sf_dir):
     """Each cell's category re-derives from its own gi_z and s_stat, and
     at the correctness SF all six categories (incl. 'none') are
-    populated — the classifier is non-vacuous on every branch."""
+    populated — the classifier is non-vacuous on every branch.
+
+    NaN ordering: both Spark and DuckDB compare NaN GREATER than every
+    value, so a NaN gi_z (degenerate grid with zero variance) takes the
+    hot branch in BOTH engines — the reference below mirrors that, where
+    naive Python ``nan > x`` (False) would diverge."""
+    import math
+
     rows = relational.REGISTRY["emerging_hotspots"].fn(spark, sf_dir).collect()
     cats = set()
     for r in rows:
         z, s = r.gi_z, r.s_stat
-        if z is not None and z > relational._EH_Z:
+        z_hot = z is not None and (math.isnan(z) or z > relational._EH_Z)
+        z_cold = (
+            z is not None and not math.isnan(z) and z < -relational._EH_Z
+        )
+        if z_hot:
             want = (
                 "intensifying"
                 if s > relational._EH_S
@@ -874,7 +891,7 @@ def test_emerging_hotspots_consistent_with_parts(spark, sf_dir):
             )
         elif s > relational._EH_S:
             want = "emerging"
-        elif z is not None and z < -relational._EH_Z:
+        elif z_cold:
             want = "coldspot"
         else:
             want = "none"
