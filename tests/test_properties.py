@@ -380,3 +380,142 @@ def test_hex_line_invariants(a_lat, a_lon, b_lat, b_lon):
         np.array([b_lat]), np.array([b_lon]), np.array([a_lat]), np.array([a_lon]), 7
     )
     assert offs_r[1] - offs_r[0] == len(seg)
+
+
+# round-4 continuation ops: engine-math twins ---------------------------------
+
+
+def test_marching_squares_case_table_exhaustive():
+    """For every case 1..14 the segment table must use exactly the edges
+    whose two adjacent corners straddle the contour, each crossed edge
+    exactly once — the defining property of marching squares. Exhaustive
+    (16 cases), not sampled."""
+    from filda_spark.relational import _MS_SEGS
+
+    # corner bits: v00=1 (y=0,x=0), v10=2 (0,1), v11=4 (1,1), v01=8 (1,0)
+    # edge -> the two corner weights it connects
+    edge_corners = {0: (1, 2), 1: (2, 4), 2: (4, 8), 3: (8, 1)}
+    segs_by_case: dict[int, list[tuple[int, int]]] = {}
+    for case_id, _seg_idx, ea, eb in _MS_SEGS:
+        segs_by_case.setdefault(case_id, []).append((ea, eb))
+    for case in range(16):
+        crossed = {
+            e
+            for e, (ca, cb) in edge_corners.items()
+            if bool(case & ca) != bool(case & cb)
+        }
+        used = [e for seg in segs_by_case.get(case, []) for e in seg]
+        if case in (0, 15):
+            assert not used
+        else:
+            assert sorted(used) == sorted(crossed), (case, used, crossed)
+            assert len(used) == len(set(used))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(-20, 20), st.floats(-15, 15),   # segment start
+    st.floats(-0.9, 0.9), st.floats(-0.8, 0.8),  # extent (op's max)
+    st.floats(-36, 36), st.floats(-15, 15),   # point
+)
+def test_snap_cover_lemma(x1, y1, dx, dy, px, py):
+    """The cell-cover exactness proof behind snap_to_segments, numerically:
+    whenever the clamped point-to-segment distance is within the snap
+    radius, the point's 1-deg cell lies inside the segment's bbox cells
+    expanded by 1 — so the cover equi-join can never miss a pair."""
+    import math
+
+    l2 = dx * dx + dy * dy
+    t = 0.0
+    if l2 != 0.0:
+        t = ((px - x1) * dx + (py - y1) * dy) / l2
+        t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+    d2 = (px - (x1 + t * dx)) ** 2 + (py - (y1 + t * dy)) ** 2
+    if d2 <= 0.25:
+        assert math.floor(min(x1, x1 + dx)) - 1 <= math.floor(px) <= math.floor(max(x1, x1 + dx)) + 1
+        assert math.floor(min(y1, y1 + dy)) - 1 <= math.floor(py) <= math.floor(max(y1, y1 + dy)) + 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=200, unique=True))
+def test_bloom_never_false_negative(keys):
+    """The Bloom property the pruning join rests on: every inserted key's
+    k probe positions are set, for arbitrary key sets — same md5 double
+    hashing as the engine/oracle pair."""
+    import hashlib
+
+    from filda_spark.relational import _BLOOM_K, _BLOOM_M
+
+    words: dict[int, int] = {}
+
+    def positions(key: int) -> list[int]:
+        h = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+        h1, h2 = h % _BLOOM_M, 1 + ((h >> 20) % (_BLOOM_M - 1))
+        return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+
+    for k in keys:
+        for pos in positions(k):
+            assert 0 <= pos < _BLOOM_M
+            words[pos >> 5] = words.get(pos >> 5, 0) | (1 << (pos % 32))
+    assert all(0 < w < (1 << 32) for w in words.values())
+    for k in keys:
+        assert all(
+            words.get(pos >> 5, 0) & (1 << (pos % 32)) for pos in positions(k)
+        )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(3, 12),
+    st.floats(-80, 80),
+    st.floats(-175, 175),
+    st.floats(0.5, 20.0),
+    st.integers(0, 1),
+    st.integers(0, 2**31),
+)
+def test_shoelace_local_frame_math(nv, clat, clon, rbase, reverse, seed):
+    """polygon_stats' integer local-frame shoelace equals arbitrary-
+    precision rationals for random convex polygons of either orientation
+    (CW reverses the cross-sum sign; centroid must still come out right),
+    and every intermediate product stays far inside int64."""
+    import math
+    from fractions import Fraction
+
+    rng = np.random.default_rng(seed)
+    lats, lons = [], []
+    for j in range(nv):
+        r = rbase * (0.6 + 0.4 * float(rng.random()))
+        th = 2 * math.pi * j / nv
+        lats.append(round(clat + r * math.sin(th), 4))
+        lons.append(round(clon + r * math.cos(th), 4))
+    if reverse:
+        lats, lons = lats[::-1], lons[::-1]
+    iy = [round(v * 10000) for v in lats]
+    ix = [round(v * 10000) for v in lons]
+    my, mx = min(iy), min(ix)
+    ly = [v - my for v in iy]
+    lx = [v - mx for v in ix]
+    crs = [lx[j] * ly[(j + 1) % nv] - lx[(j + 1) % nv] * ly[j] for j in range(nv)]
+    s_cross = sum(crs)
+    if s_cross == 0:  # degenerate collinear draw — the op never emits these
+        return
+    s_cx = sum((lx[j] + lx[(j + 1) % nv]) * crs[j] for j in range(nv))
+    s_cy = sum((ly[j] + ly[(j + 1) % nv]) * crs[j] for j in range(nv))
+    for v in (s_cross, s_cx, s_cy):
+        assert abs(v) < 2**62  # engine headroom: local frame keeps it small
+    # the global-frame Fraction ground truth
+    g_cross = sum(
+        ix[j] * iy[(j + 1) % nv] - ix[(j + 1) % nv] * iy[j] for j in range(nv)
+    )
+    assert s_cross == g_cross  # shoelace is translation-invariant, exactly
+    cx = Fraction(mx, 1) + Fraction(s_cx, 3 * s_cross)
+    cy = Fraction(my, 1) + Fraction(s_cy, 3 * s_cross)
+    gx = Fraction(
+        sum((ix[j] + ix[(j + 1) % nv]) * (ix[j] * iy[(j + 1) % nv] - ix[(j + 1) % nv] * iy[j]) for j in range(nv)),
+        3 * g_cross,
+    )
+    gy = Fraction(
+        sum((iy[j] + iy[(j + 1) % nv]) * (ix[j] * iy[(j + 1) % nv] - ix[(j + 1) % nv] * iy[j]) for j in range(nv)),
+        3 * g_cross,
+    )
+    assert cx == gx and cy == gy
