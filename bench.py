@@ -87,6 +87,9 @@ HEADLINE = [
     "grid_contour",
     "polygon_stats",
     "emerging_hotspots",
+    "local_moran",
+    "log_quantiles",
+    "slope_aspect",
 ]
 
 

