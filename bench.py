@@ -90,6 +90,9 @@ HEADLINE = [
     "local_moran",
     "log_quantiles",
     "slope_aspect",
+    "triangle_count",
+    "sssp",
+    "od_flows",
 ]
 
 

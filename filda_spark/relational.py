@@ -4818,6 +4818,262 @@ def slope_aspect(spark, sf_dir):
     )
 
 
+# triangle counting ---------------------------------------------------------------
+
+_TRI_E_SQL = f"""
+      SELECT DISTINCT least(l_orderkey % {_PR_N}, l_partkey % {_PR_N}) AS u,
+             greatest(l_orderkey % {_PR_N}, l_partkey % {_PR_N}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {_PR_N} <> l_partkey % {_PR_N}
+"""
+
+
+@register(
+    "triangle_count",
+    f"""
+    WITH e AS ({_TRI_E_SQL}),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+    FROM corners GROUP BY node
+    """,
+    doc=(
+        "per-node triangle counts over the order->part graph (id-ordered "
+        "edge orientation, each triangle enumerated exactly once as "
+        "a<b<c) — the clustering-coefficient / community-density primitive; "
+        "pure integer counting, two equi-joins"
+    ),
+)
+def triangle_count(spark, sf_dir):
+    """Canonical u<v edge set, then the standard two-join triangle
+    enumeration: wedges (a<b, b<c) closed by the (a, c) edge — both joins
+    are equi-joins on node keys. At real scale the join order follows
+    degree orientation (orient each edge toward the higher-(degree, id)
+    endpoint) which bounds wedge fan-out by sqrt(m); id ordering is the
+    deterministic sandbox stand-in with the same plan shape. Corner
+    attribution is a constant 3x fan-out + one partial-agg groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    s, d = F.col("l_orderkey") % _PR_N, F.col("l_partkey") % _PR_N
+    e = (
+        li.filter(s != d)
+        .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+# single-source shortest path (fixed-round Bellman-Ford) ---------------------------
+
+_SSSP_ROUNDS = 6
+
+
+def _sssp_oracle_sql() -> str:
+    """Bellman-Ford unrolled into chained CTEs (the pagerank idiom): at a
+    fixed round count the recursion d_k(v) = min(d_{k-1}(v), min_u(d_{k-1}(u)
+    + w(u,v))) is plain SQL; all-integer, so no float drift anywhere."""
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey % {_PR_N} AS src, l_partkey % {_PR_N} AS dst,
+             1 + (l_orderkey % {_PR_N} + l_partkey % {_PR_N}) % 5 AS w
+      FROM lineitem
+      WHERE l_orderkey % {_PR_N} <> l_partkey % {_PR_N}
+    ),
+    nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+    s AS (SELECT min(v) AS sv FROM nodes),
+    d0 AS (
+      SELECT v, CASE WHEN v = (SELECT sv FROM s) THEN CAST(0 AS BIGINT) END AS dist
+      FROM nodes
+    )"""
+    steps = []
+    for k in range(1, _SSSP_ROUNDS + 1):
+        steps.append(f"""
+    d{k} AS (
+      SELECT n.v,
+             CAST(least(coalesce(min(p.dist), min(q.dist + e.w)),
+                        coalesce(min(q.dist + e.w), min(p.dist))) AS BIGINT) AS dist
+      FROM nodes n
+      LEFT JOIN d{k - 1} p ON p.v = n.v
+      LEFT JOIN e ON e.dst = n.v
+      LEFT JOIN d{k - 1} q ON q.v = e.src
+      GROUP BY n.v
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT v, dist FROM d{_SSSP_ROUNDS} WHERE dist IS NOT NULL
+    """
+    )
+
+
+@register(
+    "sssp",
+    _sssp_oracle_sql(),
+    doc=(
+        f"single-source shortest path, {_SSSP_ROUNDS} unrolled Bellman-Ford "
+        "rounds from the minimum node id over the weighted order->part "
+        "graph (w = 1 + (src+dst) %% 5) — the iterative graph-traversal "
+        "class alongside pagerank/dup_components; BIGINT distances, so the "
+        "min-relaxation is exact at any aggregation order"
+    ),
+)
+def sssp(spark, sf_dir):
+    """Each round is one equi-join (frontier x edges on src) + a partial-
+    aggregated min per dst + a full-outer-style min merge with the prior
+    distances — the textbook distributed Bellman-Ford step where the
+    shuffle carries candidate distances, not the graph. Integer min is
+    merge-order independent, so no rounding discipline is needed. At real
+    iteration counts the loop adds localCheckpoint like dup_components;
+    6 static rounds stay under the plan-growth threshold. The source is
+    the min node id (one scalar broadcast), never a hard-coded literal
+    that might not exist at small SF."""
+    li = _t(spark, sf_dir, "lineitem")
+    s, d = F.col("l_orderkey") % _PR_N, F.col("l_partkey") % _PR_N
+    # w is a pure function of (src, dst): derive it AFTER the distinct so
+    # the dedup shuffle carries two columns, not three
+    e = (
+        li.filter(s != d)
+        .select(s.alias("src"), d.alias("dst"))
+        .distinct()
+        .select(
+            "src", "dst", (1 + (F.col("src") + F.col("dst")) % 5).cast("long").alias("w")
+        )
+    )
+    from pyspark import StorageLevel
+
+    while len(_PAGERANK_CACHED) > 4:
+        _PAGERANK_CACHED.pop(0).unpersist()
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PAGERANK_CACHED.append(nodes)
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    _PAGERANK_CACHED.append(e)
+    src0 = nodes.agg(F.min("v").alias("sv"))
+    dist = (
+        nodes.crossJoin(F.broadcast(src0))
+        .select(
+            "v", F.when(F.col("v") == F.col("sv"), F.lit(0).cast("long")).alias("dist")
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relax = (
+            e.join(dist.select(F.col("v").alias("src"), F.col("dist").alias("du")), "src")
+            .select(F.col("dst").alias("v"), (F.col("du") + F.col("w")).alias("cand"))
+            .groupBy("v")
+            .agg(F.min("cand").alias("cand"))
+        )
+        # dist appears TWICE per round (relax input + merge) — without the
+        # per-round localCheckpoint the lineage doubles each round (2^k
+        # subtree copies; measured 13.9 s vs ~1 s for 6 rounds at sf0.1),
+        # the same truncation dup_components applies
+        dist = (
+            dist.join(relax, "v", "left")
+            .select("v", F.least(F.col("dist"), F.col("cand")).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.filter(F.col("dist").isNotNull()).select("v", "dist")
+
+
+# origin-destination flow matrix ---------------------------------------------------
+
+
+@register(
+    "od_flows",
+    f"""
+    WITH p AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms, event_id,
+             CAST(floor((CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor((CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cx
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id, cy AS dcy, cx AS dcx, t_ms,
+             lag(cy) OVER w AS ocy, lag(cx) OVER w AS ocx,
+             lag(t_ms) OVER w AS o_ms
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    )
+    SELECT ocy, ocx, dcy, dcx,
+           CAST(count(*) AS BIGINT) AS n_trips,
+           round(CAST(sum(t_ms - o_ms) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000.0, 6) AS avg_leg_sec
+    FROM legs WHERE ocy IS NOT NULL
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc=(
+        "origin-destination flow matrix: consecutive per-user event "
+        "positions (deterministic tie-break on event_id) quantized to the "
+        "analysis grid, grouped into (origin cell, destination cell) trip "
+        "counts with mean leg duration — the mobility-analytics rollup a "
+        "trajectory store serves; durations summed as BIGINT ms, one "
+        "double division at the end"
+    ),
+)
+def od_flows(spark, sf_dir):
+    """One exchange for the per-user lag window (the trajectory_speed /
+    stay_points partitioning), then one partial-agg shuffle on the OD cell
+    pair. Flow cardinality is bounded by inhabited-cell pairs actually
+    connected by trips — at 10^12 events the partial aggregation absorbs
+    the volume map-side exactly like the tile rollups."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        F.floor(
+            ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0) / _GI_CELL
+        ).alias("cy"),
+        F.floor(
+            (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0)
+            / _GI_CELL
+        ).alias("cx"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    legs = p.select(
+        F.col("cy").alias("dcy"),
+        F.col("cx").alias("dcx"),
+        "t_ms",
+        F.lag("cy").over(w).alias("ocy"),
+        F.lag("cx").over(w).alias("ocx"),
+        F.lag("t_ms").over(w).alias("o_ms"),
+    ).filter(F.col("ocy").isNotNull())
+    return legs.groupBy("ocy", "ocx", "dcy", "dcx").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.round(
+            F.sum(F.col("t_ms") - F.col("o_ms")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 1000.0,
+            6,
+        ).alias("avg_leg_sec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

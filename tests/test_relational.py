@@ -980,3 +980,101 @@ def test_slope_aspect_consistency(spark, sf_dir):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 assert (r.cy + dy, r.cx + dx) in inhabited
+
+
+def _pr_edges(sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    u = (li.l_orderkey % relational._PR_N).to_numpy()
+    v = (li.l_partkey % relational._PR_N).to_numpy()
+    return {(a, b) for a, b in zip(u.tolist(), v.tolist()) if a != b}
+
+
+def test_triangle_count_matches_brute_force(spark, sf_dir):
+    """Per-node counts must equal an adjacency-set brute force, and the
+    global sum must be exactly 3x the number of distinct triangles."""
+    und = {(min(a, b), max(a, b)) for a, b in _pr_edges(sf_dir)}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = {
+        tuple(sorted((a, b, c)))
+        for a, b in und
+        for c in adj[a] & adj[b]
+    }
+    want = {}
+    for t in tris:
+        for n in t:
+            want[n] = want.get(n, 0) + 1
+    got = {
+        r.node: r.n_tri
+        for r in relational.REGISTRY["triangle_count"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 3 * len(tris)
+
+
+def test_sssp_matches_dijkstra(spark, sf_dir):
+    """The 6-round Bellman-Ford must have converged on this graph (round 6
+    == round 7 in a python mirror) and must then equal true shortest
+    paths from the min node id (heap Dijkstra reference)."""
+    import heapq
+
+    edges = {}
+    for a, b in _pr_edges(sf_dir):
+        edges.setdefault(a, []).append((b, 1 + (a + b) % 5))
+    nodes = set(edges) | {b for outs in edges.values() for b, _ in outs}
+    src = min(nodes)
+
+    def bf(rounds):
+        d = {src: 0}
+        for _ in range(rounds):
+            nd = dict(d)
+            for a, outs in edges.items():
+                if a in d:
+                    for b, w in outs:
+                        if b not in nd or d[a] + w < nd[b]:
+                            nd[b] = min(nd.get(b, d[a] + w), d[a] + w)
+            d = nd
+        return d
+
+    assert bf(6) == bf(7), "fixture graph no longer converges in 6 rounds"
+    dist, pq = {src: 0}, [(0, src)]
+    while pq:
+        dd, a = heapq.heappop(pq)
+        if dd > dist.get(a, 1 << 60):
+            continue
+        for b, w in edges.get(a, []):
+            if dd + w < dist.get(b, 1 << 60):
+                dist[b] = dd + w
+                heapq.heappush(pq, (dd + w, b))
+    got = {r.v: r.dist for r in relational.REGISTRY["sssp"].fn(spark, sf_dir).collect()}
+    assert got == dist
+
+
+def test_od_flows_mirror(spark, sf_dir):
+    """Leg count must equal rows minus one per user, every flow's origin
+    and destination must be inhabited cells, and a pandas mirror of the
+    lag/groupBy must agree on trip counts."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    ev["t_ms"] = (ev.ts.astype("int64") // 10**6)
+    ev["cy"] = ((ev.event_id * 7919 % 2000) / 100.0 / relational._GI_CELL).apply(
+        lambda x: int(x) if x >= 0 else int(x) - 1
+    )
+    ev["cx"] = (((ev.event_id * 104729 % 2400) / 100.0 + 10.0) / relational._GI_CELL).astype(int)
+    ev = ev.sort_values(["user_id", "t_ms", "event_id"], kind="mergesort")
+    ev["ocy"] = ev.groupby("user_id").cy.shift(1)
+    ev["ocx"] = ev.groupby("user_id").cx.shift(1)
+    legs = ev.dropna(subset=["ocy"])
+    want = (
+        legs.groupby(["ocy", "ocx", "cy", "cx"]).size().to_dict()
+    )
+    rows = relational.REGISTRY["od_flows"].fn(spark, sf_dir).collect()
+    got = {(r.ocy, r.ocx, r.dcy, r.dcx): r.n_trips for r in rows}
+    assert got == {tuple(int(k) for k in key): v for key, v in want.items()}
+    assert sum(got.values()) == len(ev) - ev.user_id.nunique()
+    assert all(r.avg_leg_sec >= 0 for r in rows)
