@@ -93,6 +93,8 @@ HEADLINE = [
     "triangle_count",
     "sssp",
     "od_flows",
+    "hilbert_key",
+    "ripley_k",
 ]
 
 

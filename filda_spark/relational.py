@@ -5074,6 +5074,223 @@ def od_flows(spark, sf_dir):
     )
 
 
+# Hilbert curve layout key ---------------------------------------------------------
+
+_HB_ORDER = 8  # bits per axis -> 256x256 grid, 16-bit key
+_HB_N = 1 << _HB_ORDER
+
+
+def _hilbert_cte_chain() -> tuple[str, str]:
+    """The standard xy2d ladder (accumulate the quadrant digit, then
+    rotate/flip the frame) unrolled over the 8 bit levels — the cusum /
+    interleave idiom: the recursion is written ONCE here as chained CTEs
+    and mirrored step-for-step by the Spark loop. rx/ry come from the
+    pre-rotation x/y, so digit and rotation live in one SELECT."""
+    chain = [
+        f"""h0 AS (
+      SELECT event_id,
+             least(CAST(floor((lat + 90.0) / 180.0 * {_HB_N}.0) AS BIGINT), {_HB_N - 1}) AS y,
+             least(CAST(floor((lon + 180.0) / 360.0 * {_HB_N}.0) AS BIGINT), {_HB_N - 1}) AS x,
+             CAST(0 AS BIGINT) AS d
+      FROM p
+    )"""
+    ]
+    for k, s in enumerate(1 << b for b in range(_HB_ORDER - 1, -1, -1)):
+        chain.append(
+            f"""h{k + 1} AS (
+      SELECT event_id,
+             CASE WHEN (y & {s}) > 0 THEN x
+                  WHEN (x & {s}) > 0 THEN {_HB_N - 1} - y ELSE y END AS x,
+             CASE WHEN (y & {s}) > 0 THEN y
+                  WHEN (x & {s}) > 0 THEN {_HB_N - 1} - x ELSE x END AS y,
+             d + {s * s} * (CASE WHEN (x & {s}) > 0 AND (y & {s}) > 0 THEN 2
+                                 WHEN (x & {s}) > 0 THEN 3
+                                 WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS d
+      FROM h{k}
+    )"""
+        )
+    return ",\n    ".join(chain), f"h{_HB_ORDER}"
+
+
+_HB_CTES, _HB_LAST = _hilbert_cte_chain()
+
+
+@register(
+    "hilbert_key",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    {_HB_CTES}
+    SELECT event_id, d AS hkey, (d >> 6) AS hbucket
+    FROM {_HB_LAST}
+    """,
+    doc=(
+        "Hilbert-curve layout key (order 8, 16-bit): the space-filling "
+        "curve with strictly better locality than Z-order (consecutive "
+        "keys are ALWAYS 4-adjacent grid neighbors — no Morton jumps), so "
+        "bbox scans over hilbert-clustered files touch fewer file ranges; "
+        "the xy2d rotate/flip ladder unrolls into pure integer CASE "
+        "algebra, zero Python, zero shuffles"
+    ),
+)
+def hilbert_key(spark, sf_dir):
+    """Quantize -> 8 chained integer selects (one whole-stage-codegen
+    span; Catalyst collapses the projection chain) — the layout key is
+    computed at scan speed exactly like zorder_key, and
+    repartitionByRange(hbucket) + sortWithinPartitions(hkey) yields the
+    Hilbert file layout."""
+    df = _pt_df(spark, sf_dir).select(
+        "event_id",
+        F.least(
+            F.floor((F.col("lat") + 90.0) / 180.0 * float(_HB_N)).cast("long"),
+            F.lit(_HB_N - 1),
+        ).alias("y"),
+        F.least(
+            F.floor((F.col("lon") + 180.0) / 360.0 * float(_HB_N)).cast("long"),
+            F.lit(_HB_N - 1),
+        ).alias("x"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    for s in (1 << b for b in range(_HB_ORDER - 1, -1, -1)):
+        rx = F.col("x").bitwiseAND(F.lit(s)) > 0
+        ry = F.col("y").bitwiseAND(F.lit(s)) > 0
+        digit = (
+            F.when(rx & ry, 2).when(rx, 3).when(ry, 1).otherwise(0)
+        )
+        df = df.select(
+            "event_id",
+            F.when(ry, F.col("x"))
+            .when(rx, F.lit(_HB_N - 1) - F.col("y"))
+            .otherwise(F.col("y"))
+            .alias("x"),
+            F.when(ry, F.col("y"))
+            .when(rx, F.lit(_HB_N - 1) - F.col("x"))
+            .otherwise(F.col("x"))
+            .alias("y"),
+            (F.col("d") + F.lit(s * s) * digit).alias("d"),
+        )
+    return df.select(
+        "event_id", F.col("d").alias("hkey"), F.shiftright(F.col("d"), 6).alias("hbucket")
+    )
+
+
+# Ripley's K point-pattern statistic ------------------------------------------------
+
+_RK_RADII = (0.25, 0.5, 1.0)  # degrees; max radius bounds the cover cell
+_RK_PI = 3.141592653589793
+
+
+@register(
+    "ripley_k",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             (max(lat) - min(lat)) * (max(lon) - min(lon)) AS area
+      FROM p
+    ),
+    pr AS (
+      SELECT {" , ".join(
+          f"CAST(sum(CASE WHEN (a.lat - b.lat) * (a.lat - b.lat)"
+          f" + (a.lon - b.lon) * (a.lon - b.lon) <= {r * r!r}"
+          f" THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
+          for i, r in enumerate(_RK_RADII))}
+      FROM p a JOIN p b
+        ON abs(floor(a.lat) - floor(b.lat)) <= 1
+       AND abs(floor(a.lon) - floor(b.lon)) <= 1
+       AND a.event_id < b.event_id
+    ),
+    rows_ AS (
+      {" UNION ALL ".join(
+          f"SELECT {r!r} AS radius, n{i} AS n_pairs FROM pr"
+          for i, r in enumerate(_RK_RADII))}
+    )
+    SELECT radius, n_pairs,
+           round(area * 2.0 * CAST(n_pairs AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS k_hat,
+           round(sqrt(area * 2.0 * CAST(n_pairs AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / {_RK_PI!r}), 6)
+             AS l_hat
+    FROM rows_ CROSS JOIN g
+    """,
+    doc=(
+        "Ripley's K point-pattern statistic at three radii (K̂(r) = "
+        "A·2·pairs(r)/(n(n−1)), plus the variance-stabilized L̂ = "
+        "sqrt(K̂/π)) — the clustering-vs-CSR diagnostic run over fire "
+        "detections; pair counts are integers from ONE cover pass "
+        "(conditional sums per radius, not a join per radius)"
+    ),
+)
+def ripley_k(spark, sf_dir):
+    """The dedup/radius_join cover shape: the right side explodes to its
+    3x3 1-degree neighbor cells so candidate pairs meet on a pure cell
+    equi-join (never points x points); all three radii are conditional
+    sums over the single pair stream, so the cover shuffles once. The
+    global (n, area) frame is a one-row broadcast. At 10^12 points the
+    pair stream is the same skew surface as dedup — the (cell, salt)
+    lever applies verbatim."""
+    pts = _pt_df(spark, sf_dir).select(
+        "event_id", "lat", "lon",
+        F.floor("lat").alias("gy"), F.floor("lon").alias("gx"),
+    )
+    g = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        ((F.max("lat") - F.min("lat")) * (F.max("lon") - F.min("lon"))).alias("area"),
+    )
+    right = pts.select(
+        F.col("event_id").alias("eb"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("gy") + dy).alias("gy"), (F.col("gx") + dx).alias("gx")
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select("eb", "blat", "blon", F.col("k.gy").alias("gy"), F.col("k.gx").alias("gx"))
+    d2 = (F.col("lat") - F.col("blat")) * (F.col("lat") - F.col("blat")) + (
+        F.col("lon") - F.col("blon")
+    ) * (F.col("lon") - F.col("blon"))
+    pr = (
+        pts.join(right, ["gy", "gx"])
+        .filter(F.col("event_id") < F.col("eb"))
+        .agg(
+            *[
+                F.sum(F.when(d2 <= r * r, 1).otherwise(0)).alias(f"n{i}")
+                for i, r in enumerate(_RK_RADII)
+            ]
+        )
+    )
+    rows = pr.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("radius"), F.col(f"n{i}").alias("n_pairs")
+                    )
+                    for i, r in enumerate(_RK_RADII)
+                ]
+            )
+        ).alias("k")
+    ).select(F.col("k.radius").alias("radius"), F.col("k.n_pairs").alias("n_pairs"))
+    khat = (
+        F.col("area")
+        * 2.0
+        * F.col("n_pairs").cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    )
+    return rows.crossJoin(F.broadcast(g)).select(
+        "radius",
+        "n_pairs",
+        F.round(khat, 6).alias("k_hat"),
+        F.round(F.sqrt(khat / _RK_PI), 6).alias("l_hat"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1078,3 +1078,98 @@ def test_od_flows_mirror(spark, sf_dir):
     assert got == {tuple(int(k) for k in key): v for key, v in want.items()}
     assert sum(got.values()) == len(ev) - ev.user_id.nunique()
     assert all(r.avg_leg_sec >= 0 for r in rows)
+
+
+def _hilbert_xy2d(order, x, y):
+    n = 1 << order
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_bijective_and_local(spark, sf_dir):
+    """Full 256x256 domain: the mirror transform must be a bijection onto
+    0..65535 and consecutive keys must ALWAYS be 4-adjacent grid neighbors
+    (the locality guarantee Z-order lacks); the Spark op must match the
+    mirror on the event corpus."""
+    n = relational._HB_N
+    inv = {}
+    for x in range(n):
+        for y in range(n):
+            inv[_hilbert_xy2d(relational._HB_ORDER, x, y)] = (x, y)
+    assert len(inv) == n * n and min(inv) == 0 and max(inv) == n * n - 1
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = inv[d], inv[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, d
+
+    import pandas as pd
+
+    rows = relational.REGISTRY["hilbert_key"].fn(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    lat = (ev.event_id * 7919 % 2000) / 100.0
+    lon = (ev.event_id * 104729 % 2400) / 100.0 + 10.0
+    qy = ((lat + 90.0) / 180.0 * n).astype(int).clip(upper=n - 1)
+    qx = ((lon + 180.0) / 360.0 * n).astype(int).clip(upper=n - 1)
+    want = {
+        int(e): _hilbert_xy2d(relational._HB_ORDER, int(xx), int(yy))
+        for e, xx, yy in zip(ev.event_id, qx, qy)
+    }
+    assert {r.event_id: r.hkey for r in rows} == want
+    for r in rows:
+        assert r.hbucket == r.hkey >> 6
+
+
+def test_ripley_k_csr_and_monotone(spark, sf_dir):
+    """K̂ must be monotone nondecreasing in r, every L̂ must satisfy
+    L = sqrt(K/pi), and on the (near-uniform) lattice corpus L̂(r) must be
+    within a loose band of r (the CSR identity K(r) = pi r^2 holds up to
+    edge effects, which only depress it)."""
+    rows = sorted(
+        relational.REGISTRY["ripley_k"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.radius,
+    )
+    assert [r.radius for r in rows] == sorted(relational._RK_RADII)
+    ks = [r.k_hat for r in rows]
+    assert ks == sorted(ks)
+    import math
+
+    for r in rows:
+        # l_hat comes from the UNROUNDED K (mirrored in the oracle); the
+        # 6-dp k_hat only supports the identity to ~1e-6
+        assert abs(r.l_hat - math.sqrt(r.k_hat / relational._RK_PI)) < 2e-6
+        # lattice corpus ~ CSR: edge effects bias L down, clustering up
+        assert 0.5 * r.radius < r.l_hat < 1.5 * r.radius, (r.radius, r.l_hat)
+
+
+def test_ripley_k_cover_matches_brute_force(spark, sf_dir):
+    """The cell-cover pair counts must equal an O(n^2) numpy brute force
+    (proves the 3x3 one-degree cover loses no pair at r_max = 1.0)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    lat = ((ev.event_id * 7919 % 2000) / 100.0).to_numpy()
+    lon = ((ev.event_id * 104729 % 2400) / 100.0 + 10.0).to_numpy()
+    # brute force in blocks to bound memory at sf0.01 (10k points)
+    n = len(lat)
+    want = {r: 0 for r in relational._RK_RADII}
+    for i0 in range(0, n, 2000):
+        sl = slice(i0, min(i0 + 2000, n))
+        d2 = (lat[sl, None] - lat[None, :]) ** 2 + (lon[sl, None] - lon[None, :]) ** 2
+        iu = np.arange(i0, min(i0 + 2000, n))[:, None] < np.arange(n)[None, :]
+        for r in want:
+            want[r] += int(((d2 <= r * r) & iu).sum())
+    got = {
+        r.radius: r.n_pairs
+        for r in relational.REGISTRY["ripley_k"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
