@@ -95,6 +95,9 @@ HEADLINE = [
     "od_flows",
     "hilbert_key",
     "ripley_k",
+    "knox_pairs",
+    "kde_epanechnikov",
+    "track_simplify",
 ]
 
 

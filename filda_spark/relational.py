@@ -5291,6 +5291,343 @@ def ripley_k(spark, sf_dir):
     )
 
 
+# Knox space-time interaction test --------------------------------------------------
+
+_KNOX_DS = 0.5  # space threshold, degrees
+_KNOX_NT = 16  # time buckets; pairs within 1 bucket are "time-close"
+
+
+@register(
+    "knox_pairs",
+    f"""
+    WITH p0 AS (
+      SELECT event_id, epoch_ms(ts) AS t_ms,
+             CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0 AS lat,
+             CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0 AS lon
+      FROM events
+    ),
+    bounds AS (SELECT min(t_ms) AS t0, max(t_ms) + 1 AS t1 FROM p0),
+    p AS (
+      SELECT event_id, lat, lon,
+             CAST(floor(CAST((t_ms - t0) AS DOUBLE) / CAST((t1 - t0) AS DOUBLE)
+                        * {_KNOX_NT}) AS BIGINT) AS tb
+      FROM p0 CROSS JOIN bounds
+    ),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+    sp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_space,
+             CAST(sum(CASE WHEN abs(a.tb - b.tb) <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both
+      FROM p a JOIN p b
+        ON abs(floor(a.lat) - floor(b.lat)) <= 1
+       AND abs(floor(a.lon) - floor(b.lon)) <= 1
+       AND a.event_id < b.event_id
+       AND (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) <= {_KNOX_DS * _KNOX_DS!r}
+    ),
+    tm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_time
+      FROM p a JOIN p b
+        ON abs(a.tb - b.tb) <= 1 AND a.event_id < b.event_id
+    )
+    SELECT sp.n_space, tm.n_time, sp.n_both,
+           CAST(g.n * (g.n - 1) / 2 AS BIGINT) AS n_pairs,
+           round(CAST(sp.n_both AS DOUBLE)
+                 / (CAST(sp.n_space AS DOUBLE) * CAST(tm.n_time AS DOUBLE)
+                    / CAST(g.n * (g.n - 1) / 2 AS DOUBLE)), 6) AS knox_ratio
+    FROM sp CROSS JOIN tm CROSS JOIN g
+    """,
+    doc=(
+        "Knox space-time interaction test: pairs close in space (<=0.5 "
+        "deg), close in time (adjacent 1/16-span buckets), and close in "
+        "BOTH, against the independence expectation "
+        "E = n_space*n_time/C(n,2) — the epidemiology/fire-spread "
+        "clustering diagnostic; every count is integer-exact, one double "
+        "ratio at the end"
+    ),
+)
+def knox_pairs(spark, sf_dir):
+    """Two cover self-joins, each the established shape: space-close pairs
+    via the 3x3 one-degree cell cover (time closeness folded in as a
+    conditional sum — no third join), time-close pairs via a +-1 bucket
+    explode equi-join on the time axis (the spatiotemporal_join /
+    interval_bucket shape). n_pairs comes from the scalar count, not a
+    join. At 10^12 rows both covers partial-aggregate to single-row
+    frames before the final scalar crossJoin."""
+    ev = _t(spark, sf_dir, "events")
+    p0 = ev.select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0).alias("lat"),
+        (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0).alias(
+            "lon"
+        ),
+    )
+    bounds = p0.agg(F.min("t_ms").alias("t0"), (F.max("t_ms") + 1).alias("t1"))
+    p = p0.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "lat",
+        "lon",
+        F.floor(
+            (F.col("t_ms") - F.col("t0")).cast("double")
+            / (F.col("t1") - F.col("t0")).cast("double")
+            * _KNOX_NT
+        )
+        .cast("long")
+        .alias("tb"),
+    )
+    g = p.agg(F.count(F.lit(1)).alias("n"))
+    left = p.select(
+        "event_id", "lat", "lon", "tb",
+        F.floor("lat").alias("gy"), F.floor("lon").alias("gx"),
+    )
+    right = p.select(
+        F.col("event_id").alias("eb"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.col("tb").alias("btb"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.floor("lat") + dy).alias("gy"),
+                        (F.floor("lon") + dx).alias("gx"),
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select("eb", "blat", "blon", "btb", F.col("k.gy").alias("gy"), F.col("k.gx").alias("gx"))
+    d2 = (F.col("lat") - F.col("blat")) * (F.col("lat") - F.col("blat")) + (
+        F.col("lon") - F.col("blon")
+    ) * (F.col("lon") - F.col("blon"))
+    sp = (
+        left.join(right, ["gy", "gx"])
+        .filter((F.col("event_id") < F.col("eb")) & (d2 <= _KNOX_DS * _KNOX_DS))
+        .agg(
+            F.count(F.lit(1)).alias("n_space"),
+            F.sum(
+                F.when(F.abs(F.col("tb") - F.col("btb")) <= 1, 1).otherwise(0)
+            ).alias("n_both"),
+        )
+    )
+    tright = p.select(
+        F.col("event_id").alias("eb"),
+        F.explode(
+            F.array(*[(F.col("tb") + dt).alias("tb") for dt in (-1, 0, 1)])
+        ).alias("tb"),
+    )
+    tm = (
+        p.select("event_id", "tb")
+        .join(tright, "tb")
+        .filter(F.col("event_id") < F.col("eb"))
+        .agg(F.count(F.lit(1)).alias("n_time"))
+    )
+    npairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    return (
+        sp.crossJoin(F.broadcast(tm))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "n_space",
+            "n_time",
+            "n_both",
+            npairs.alias("n_pairs"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (
+                    F.col("n_space").cast("double")
+                    * F.col("n_time").cast("double")
+                    / npairs.cast("double")
+                ),
+                6,
+            ).alias("knox_ratio"),
+        )
+    )
+
+
+# Epanechnikov kernel density -------------------------------------------------------
+
+_KDE_H = 1.0  # bandwidth, degrees (2 analysis cells)
+
+
+@register(
+    "kde_epanechnikov",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    g AS (SELECT CAST(sum(x) AS BIGINT) AS n FROM cells),
+    w AS (
+      SELECT c.cy, c.cx,
+             sum(CAST(p.x AS DOUBLE)
+                 * (1.0 - ((CAST(c.cy AS DOUBLE) + 0.5) * {_GI_CELL!r}
+                           - (CAST(p.cy AS DOUBLE) + 0.5) * {_GI_CELL!r})
+                         * ((CAST(c.cy AS DOUBLE) + 0.5) * {_GI_CELL!r}
+                           - (CAST(p.cy AS DOUBLE) + 0.5) * {_GI_CELL!r})
+                         / {_KDE_H * _KDE_H!r}
+                         - ((CAST(c.cx AS DOUBLE) + 0.5) * {_GI_CELL!r}
+                           - (CAST(p.cx AS DOUBLE) + 0.5) * {_GI_CELL!r})
+                         * ((CAST(c.cx AS DOUBLE) + 0.5) * {_GI_CELL!r}
+                           - (CAST(p.cx AS DOUBLE) + 0.5) * {_GI_CELL!r})
+                         / {_KDE_H * _KDE_H!r})) AS wsum
+      FROM cells c JOIN cells p
+        ON abs(c.cy - p.cy) <= 2 AND abs(c.cx - p.cx) <= 2
+      WHERE ((CAST(c.cy AS DOUBLE) + 0.5) * {_GI_CELL!r}
+             - (CAST(p.cy AS DOUBLE) + 0.5) * {_GI_CELL!r})
+            * ((CAST(c.cy AS DOUBLE) + 0.5) * {_GI_CELL!r}
+             - (CAST(p.cy AS DOUBLE) + 0.5) * {_GI_CELL!r})
+            + ((CAST(c.cx AS DOUBLE) + 0.5) * {_GI_CELL!r}
+             - (CAST(p.cx AS DOUBLE) + 0.5) * {_GI_CELL!r})
+            * ((CAST(c.cx AS DOUBLE) + 0.5) * {_GI_CELL!r}
+             - (CAST(p.cx AS DOUBLE) + 0.5) * {_GI_CELL!r})
+            < {_KDE_H * _KDE_H!r}
+      GROUP BY c.cy, c.cx
+    )
+    SELECT w.cy, w.cx,
+           round(w.wsum * 2.0 / ({_RK_PI!r} * {_KDE_H * _KDE_H!r} * CAST(g.n AS DOUBLE)),
+                 9) AS density
+    FROM w CROSS JOIN g
+    """,
+    doc=(
+        "kernel density surface with the Epanechnikov kernel "
+        "K(u) = 2/(pi h^2) (1 - d^2/h^2): POLYNOMIAL, so every kernel "
+        "weight is plain IEEE multiply/divide that matches bit-for-bit "
+        "across engines — the reason this op avoids the Gaussian kernel, "
+        "whose libm exp() would break hash parity; evaluated cell-to-cell "
+        "on the density grid (binned KDE, the production form at scale)"
+    ),
+)
+def kde_epanechnikov(spark, sf_dir):
+    """Binned KDE: the kernel is evaluated between CELL centers (the
+    standard linear-binning approximation — cost O(cells x cover), not
+    O(points x cells)), with the point counts as weights. The cover is a
+    kRing-2 stencil explode equi-join (bandwidth = 2 analysis cells); one
+    partial-agg shuffle; the normalizer is a one-row broadcast. Sum-order
+    drift of the double weights is absorbed by the 9-dp round (weights
+    are O(1), cells hold <=10^4 counts)."""
+    cells = _cell_counts(spark, sf_dir)
+    g = cells.agg(F.sum("x").alias("n"))
+    center = lambda c: (c.cast("double") + 0.5) * _GI_CELL  # noqa: E731
+    right = cells.select(
+        F.col("x").alias("px"),
+        F.col("cy").alias("pcy"),
+        F.col("cx").alias("pcx"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cy") + dy).alias("cy"), (F.col("cx") + dx).alias("cx")
+                    )
+                    for dy in range(-2, 3)
+                    for dx in range(-2, 3)
+                ]
+            )
+        ).alias("k"),
+    ).select("px", "pcy", "pcx", F.col("k.cy").alias("cy"), F.col("k.cx").alias("cx"))
+    dy = center(F.col("cy")) - center(F.col("pcy"))
+    dx = center(F.col("cx")) - center(F.col("pcx"))
+    d2 = dy * dy + dx * dx
+    h2 = _KDE_H * _KDE_H
+    w = (
+        cells.select("cy", "cx")
+        .join(right, ["cy", "cx"])
+        .filter(d2 < h2)
+        .groupBy("cy", "cx")
+        .agg(
+            F.sum(
+                F.col("px").cast("double")
+                * (1.0 - dy * dy / h2 - dx * dx / h2)
+            ).alias("wsum")
+        )
+    )
+    return w.crossJoin(F.broadcast(g)).select(
+        "cy",
+        "cx",
+        F.round(
+            F.col("wsum") * 2.0 / (_RK_PI * h2 * F.col("n").cast("double")), 9
+        ).alias("density"),
+    )
+
+
+# one-sweep track simplification ----------------------------------------------------
+
+_TS_AREA2 = 2500  # 2x triangle-area threshold in (0.01 deg)^2 integer units
+
+
+@register(
+    "track_simplify",
+    f"""
+    WITH p AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms, event_id,
+             CAST(event_id * 7919 % 2000 AS BIGINT) AS iy,
+             CAST(event_id * 104729 % 2400 AS BIGINT) + 1000 AS ix
+      FROM events
+    ),
+    tri AS (
+      SELECT user_id, event_id, t_ms, iy, ix,
+             lag(iy) OVER w AS py, lag(ix) OVER w AS px,
+             lead(iy) OVER w AS ny, lead(ix) OVER w AS nx
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(iy AS DOUBLE) / 100.0 AS lat,
+           CAST(ix - 1000 AS DOUBLE) / 100.0 AS lon,
+           CAST(CASE WHEN py IS NULL OR ny IS NULL THEN NULL
+                ELSE abs((ix - px) * (ny - py) - (nx - px) * (iy - py))
+                END AS BIGINT) AS area2
+    FROM tri
+    WHERE py IS NULL OR ny IS NULL
+       OR abs((ix - px) * (ny - py) - (nx - px) * (iy - py)) >= {_TS_AREA2}
+    """,
+    doc=(
+        "one-sweep Visvalingam track simplification: an interior vertex "
+        "survives iff twice the triangle area spanned with its ordered "
+        "neighbors meets the threshold (endpoints always survive) — "
+        "coordinates are the lattice's EXACT centi-degree integers, so "
+        "the shoelace cross product is BIGINT and the keep/drop decision "
+        "cannot drift; the single-sweep variant is the deterministic, "
+        "order-independent form of Visvalingam's iterative removal"
+    ),
+)
+def track_simplify(spark, sf_dir):
+    """One per-user window exchange (lag+lead share the frame), then a
+    codegen filter — no second pass, no iteration: cost is one shuffle of
+    the trajectory table regardless of how many vertices drop. The
+    integer cross product reuses polygon_stats' exact-shoelace idiom."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        (F.col("event_id") * 7919 % 2000).alias("iy"),
+        (F.col("event_id") * 104729 % 2400 + 1000).alias("ix"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    tri = p.select(
+        "user_id",
+        "event_id",
+        "iy",
+        "ix",
+        F.lag("iy").over(w).alias("py"),
+        F.lag("ix").over(w).alias("px"),
+        F.lead("iy").over(w).alias("ny"),
+        F.lead("ix").over(w).alias("nx"),
+    )
+    cross = F.abs(
+        (F.col("ix") - F.col("px")) * (F.col("ny") - F.col("py"))
+        - (F.col("nx") - F.col("px")) * (F.col("iy") - F.col("py"))
+    )
+    ends = F.col("py").isNull() | F.col("ny").isNull()
+    return tri.filter(ends | (cross >= _TS_AREA2)).select(
+        "user_id",
+        "event_id",
+        (F.col("iy").cast("double") / 100.0).alias("lat"),
+        ((F.col("ix") - 1000).cast("double") / 100.0).alias("lon"),
+        F.when(ends, F.lit(None)).otherwise(cross).cast("long").alias("area2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

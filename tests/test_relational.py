@@ -1173,3 +1173,80 @@ def test_ripley_k_cover_matches_brute_force(spark, sf_dir):
         for r in relational.REGISTRY["ripley_k"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_knox_pairs_matches_brute_force(spark, sf_dir):
+    """All four Knox counts must equal a blocked O(n^2) numpy reference
+    (space cover AND time-bucket cover lose no pair), and the ratio must
+    be the one double expression of those integers."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    t_ms = (ev.ts.astype("int64") // 10**6).to_numpy()
+    t0, t1 = t_ms.min(), t_ms.max() + 1
+    tb = np.floor((t_ms - t0).astype(float) / float(t1 - t0) * relational._KNOX_NT)
+    lat = ((ev.event_id * 7919 % 2000) / 100.0).to_numpy()
+    lon = ((ev.event_id * 104729 % 2400) / 100.0 + 10.0).to_numpy()
+    n = len(lat)
+    ds2 = relational._KNOX_DS**2
+    n_space = n_time = n_both = 0
+    for i0 in range(0, n, 2000):
+        sl = slice(i0, min(i0 + 2000, n))
+        iu = np.arange(i0, min(i0 + 2000, n))[:, None] < np.arange(n)[None, :]
+        sp = ((lat[sl, None] - lat[None, :]) ** 2 + (lon[sl, None] - lon[None, :]) ** 2 <= ds2) & iu
+        tm = (np.abs(tb[sl, None] - tb[None, :]) <= 1) & iu
+        n_space += int(sp.sum()); n_time += int(tm.sum()); n_both += int((sp & tm).sum())
+    r = relational.REGISTRY["knox_pairs"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_space, r.n_time, r.n_both) == (n_space, n_time, n_both)
+    assert r.n_pairs == n * (n - 1) // 2
+    want = n_both / (n_space * n_time / (n * (n - 1) / 2))
+    assert abs(r.knox_ratio - round(want, 6)) < 1e-12
+
+
+def test_kde_density_integrates_to_one(spark, sf_dir):
+    """The binned Epanechnikov surface must be non-negative everywhere and
+    integrate to ~1 over the grid (cell area x sum of densities; edge
+    truncation only loses mass, boundary-cell snapping can add a little)."""
+    rows = relational.REGISTRY["kde_epanechnikov"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.density >= 0 for r in rows)
+    cell_area = relational._GI_CELL**2
+    total = sum(r.density for r in rows) * cell_area
+    assert 0.7 < total < 1.1, total
+    # the surface must show real structure over the near-uniform lattice
+    # (smoothing keeps it tight — interior ~ uniform, edges taper) without
+    # inverting: max > median > min by clear margins
+    ds = sorted(r.density for r in rows)
+    assert ds[-1] > 1.2 * ds[len(ds) // 2] > 1.2 * ds[0]
+
+
+def test_track_simplify_semantics(spark, sf_dir):
+    """Both endpoints of every user track survive, every surviving
+    interior vertex carries area2 >= threshold, and a pandas mirror of
+    the one-sweep rule agrees row-for-row."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    ev["t_ms"] = ev.ts.astype("int64") // 10**6
+    ev["iy"] = ev.event_id * 7919 % 2000
+    ev["ix"] = ev.event_id * 104729 % 2400 + 1000
+    ev = ev.sort_values(["user_id", "t_ms", "event_id"], kind="mergesort")
+    keep = set()
+    for _, grp in ev.groupby("user_id"):
+        ids = grp.event_id.to_list()
+        ys, xs = grp.iy.to_list(), grp.ix.to_list()
+        for j, eid in enumerate(ids):
+            if j == 0 or j == len(ids) - 1:
+                keep.add(eid)
+            else:
+                a2 = abs(
+                    (xs[j] - xs[j - 1]) * (ys[j + 1] - ys[j - 1])
+                    - (xs[j + 1] - xs[j - 1]) * (ys[j] - ys[j - 1])
+                )
+                if a2 >= relational._TS_AREA2:
+                    keep.add(eid)
+    rows = relational.REGISTRY["track_simplify"].fn(spark, sf_dir).collect()
+    assert {r.event_id for r in rows} == keep
+    for r in rows:
+        assert r.area2 is None or r.area2 >= relational._TS_AREA2
