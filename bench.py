@@ -98,6 +98,7 @@ HEADLINE = [
     "knox_pairs",
     "kde_epanechnikov",
     "track_simplify",
+    "quadtree_bins",
 ]
 
 

@@ -5628,6 +5628,102 @@ def track_simplify(spark, sf_dir):
     )
 
 
+# adaptive quadtree binning ---------------------------------------------------------
+
+_QT_D = 8  # max depth (2^8 x 2^8 world grid at the finest level)
+_QT_CAP = 256  # split a cell while it holds more than this many points
+
+
+@register(
+    "quadtree_bins",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    base AS (
+      SELECT least(CAST(floor((lat + 90.0) / 180.0 * {1 << _QT_D}.0) AS BIGINT),
+                   {(1 << _QT_D) - 1}) AS qy0,
+             least(CAST(floor((lon + 180.0) / 360.0 * {1 << _QT_D}.0) AS BIGINT),
+                   {(1 << _QT_D) - 1}) AS qx0
+      FROM p
+    ),
+    counts AS (
+      SELECT d.depth,
+             (qy0 >> ({_QT_D} - d.depth)) AS qy,
+             (qx0 >> ({_QT_D} - d.depth)) AS qx,
+             CAST(count(*) AS BIGINT) AS n_pts
+      FROM base CROSS JOIN (VALUES {", ".join(f"({d})" for d in range(_QT_D + 1))}) d(depth)
+      GROUP BY 1, 2, 3
+    )
+    SELECT c.depth, c.qy, c.qx, c.n_pts
+    FROM counts c LEFT JOIN counts par
+      ON par.depth = c.depth - 1
+     AND par.qy = (c.qy >> 1) AND par.qx = (c.qx >> 1)
+    WHERE (c.n_pts <= {_QT_CAP} AND (c.depth = 0 OR par.n_pts > {_QT_CAP}))
+       OR (c.depth = {_QT_D} AND c.n_pts > {_QT_CAP})
+    """,
+    doc=(
+        "adaptive quadtree tiling: split any cell holding more than "
+        f"{_QT_CAP} points, to max depth {_QT_D} — the variable-resolution "
+        "tile layout that keeps per-tile row counts bounded under hotspot "
+        "skew (dense urban/flare regions get deep small tiles, empty ocean "
+        "stays coarse); derived WITHOUT iteration: a cell is a leaf iff it "
+        "fits the cap and its parent does not (or it is a capped max-depth "
+        "cell), so the whole tree falls out of one multi-depth rollup plus "
+        "one parent equi-join"
+    ),
+)
+def quadtree_bins(spark, sf_dir):
+    """tile_pyramid's fan-out rollup (constant (D+1)x map-side explode ->
+    ONE partial-aggregated exchange) followed by a self equi-join of the
+    bounded cell frame on the parent key and a codegen leaf filter. No
+    loop, no driver traffic: the classic 'adaptive binning needs
+    recursion' shape re-expressed as two relational passes. At 10^12
+    points the counts frame is O(inhabited cells x depth) and the cap
+    bounds every served tile, which is the point."""
+    p = _pt_df(spark, sf_dir)
+    n = 1 << _QT_D
+    base = p.select(
+        F.least(
+            F.floor((F.col("lat") + 90.0) / 180.0 * float(n)).cast("long"),
+            F.lit(n - 1),
+        ).alias("qy0"),
+        F.least(
+            F.floor((F.col("lon") + 180.0) / 360.0 * float(n)).cast("long"),
+            F.lit(n - 1),
+        ).alias("qx0"),
+    )
+    counts = (
+        base.select(
+            "qy0",
+            "qx0",
+            F.explode(F.array(*[F.lit(d) for d in range(_QT_D + 1)])).alias("depth"),
+        )
+        .groupBy(
+            "depth",
+            F.expr(f"shiftright(qy0, {_QT_D} - depth)").alias("qy"),
+            F.expr(f"shiftright(qx0, {_QT_D} - depth)").alias("qx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+    )
+    par = counts.select(
+        (F.col("depth") + 1).alias("pdepth"),
+        F.col("qy").alias("pqy"),
+        F.col("qx").alias("pqx"),
+        F.col("n_pts").alias("par_n"),
+    )
+    j = counts.join(
+        par,
+        (F.col("depth") == F.col("pdepth"))
+        & (F.shiftright(F.col("qy"), 1) == F.col("pqy"))
+        & (F.shiftright(F.col("qx"), 1) == F.col("pqx")),
+        "left",
+    )
+    leaf = (
+        (F.col("n_pts") <= _QT_CAP)
+        & ((F.col("depth") == 0) | (F.col("par_n") > _QT_CAP))
+    ) | ((F.col("depth") == _QT_D) & (F.col("n_pts") > _QT_CAP))
+    return j.filter(leaf).select("depth", "qy", "qx", "n_pts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1250,3 +1250,44 @@ def test_track_simplify_semantics(spark, sf_dir):
     assert {r.event_id for r in rows} == keep
     for r in rows:
         assert r.area2 is None or r.area2 >= relational._TS_AREA2
+
+
+def test_quadtree_partitions_points_exactly(spark, sf_dir):
+    """The leaf set must tile the point set: every point falls in exactly
+    one leaf, leaf counts sum to n, every non-max-depth leaf respects the
+    cap, and every leaf deeper than 0 was forced by an over-cap parent."""
+    import pandas as pd
+
+    leaves = relational.REGISTRY["quadtree_bins"].fn(spark, sf_dir).collect()
+    assert leaves
+    d_max, cap, n_grid = relational._QT_D, relational._QT_CAP, 1 << relational._QT_D
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    lat = (ev.event_id * 7919 % 2000) / 100.0
+    lon = (ev.event_id * 104729 % 2400) / 100.0 + 10.0
+    qy0 = ((lat + 90.0) / 180.0 * n_grid).astype(int).clip(upper=n_grid - 1)
+    qx0 = ((lon + 180.0) / 360.0 * n_grid).astype(int).clip(upper=n_grid - 1)
+    leaf_set = {(r.depth, r.qy, r.qx) for r in leaves}
+    counts = {}
+    for y0, x0 in zip(qy0, qx0):
+        hits = [
+            d for d in range(d_max + 1)
+            if (d, y0 >> (d_max - d), x0 >> (d_max - d)) in leaf_set
+        ]
+        assert len(hits) == 1, (y0, x0, hits)
+        key = (hits[0], y0 >> (d_max - hits[0]), x0 >> (d_max - hits[0]))
+        counts[key] = counts.get(key, 0) + 1
+    got = {(r.depth, r.qy, r.qx): r.n_pts for r in leaves}
+    assert got == counts
+    assert sum(got.values()) == len(ev)
+    parents = {}
+    for (d, y, x), n in got.items():
+        if d < d_max:
+            assert n <= cap, (d, y, x, n)
+    # reconstruct parent counts from the point set to verify the force rule
+    for (d, y, x), n in got.items():
+        if d > 0:
+            pn = sum(
+                1 for y0, x0 in zip(qy0, qx0)
+                if (y0 >> (d_max - d + 1), x0 >> (d_max - d + 1)) == (y >> 1, x >> 1)
+            )
+            assert pn > cap, (d, y, x, pn)
