@@ -2141,6 +2141,25 @@ _PR_DAMP = 0.85
 _PAGERANK_CACHED: list = []
 
 
+def _persist_evict(df: DataFrame, cap: int = 6) -> DataFrame:
+    """Persist a small aggregated frame that a query references more than
+    once (cell counts, distinct edges, bucket series — O(inhabited cells)
+    or O(edges), never O(input rows)) so each downstream branch reads the
+    cached frame instead of re-embedding the base scan + shuffle subtree
+    (per-branch column pruning defeats ReuseExchange — the hex_compact
+    finding; unpersisted, local_moran re-scanned the base table 7x and
+    triangle_count 9x). Same bounded eviction list as pagerank/sssp:
+    at most ``cap`` frames stay alive; evicting a frame mid-use only
+    forces recompute, never wrong results."""
+    from pyspark import StorageLevel
+
+    while len(_PAGERANK_CACHED) >= cap:
+        _PAGERANK_CACHED.pop(0).unpersist()
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PAGERANK_CACHED.append(out)
+    return out
+
+
 def _pagerank_oracle_sql() -> str:
     """Fixed-iteration PageRank unrolled into chained CTEs — the SQL twin of
     the Spark loop, same float ops in the same per-term order (sum order is
@@ -2609,6 +2628,59 @@ def _spatiotemporal_pairs(
             dt.cast("long").alias("dt_ms"),
         )
     )
+
+
+def _salted_cover_join(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    key: list[str],
+    left_id: str,
+    salt_threshold: int = ST_SALT_THRESHOLD,
+    n_salt: int = 8,
+) -> DataFrame:
+    """The _spatiotemporal_pairs hot-key lever, factored for every cover
+    self-join whose pair volume explodes AFTER the join: ``left`` keys by
+    its own cover cell, ``right`` is the exploded neighbor side. Keys
+    holding more than ``salt_threshold`` left rows split ``n_salt`` ways
+    (left at hash(id) %% n_salt, right replicated across salts for hot
+    keys only — each pair still meets exactly once, at the left row's
+    salt); the explicit repartition keeps join parallelism proportional
+    to the PAIR workload, which byte-based planning and AQE coalescing
+    cannot see (a one-file scan otherwise runs the whole candidate
+    expansion in 1-2 tasks — the pipeline.dedup finding; measured 55.6 s
+    -> 9.9 s for ripley_k at sf0.1/local[32])."""
+    hot = (
+        left.groupBy(*key)
+        .count()
+        .filter(F.col("count") > salt_threshold)
+        .select(*key, F.lit(True).alias("_hot"))
+    )
+    lf = (
+        left.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_hot"), F.pmod(F.hash(left_id), F.lit(n_salt))).otherwise(
+                F.lit(0)
+            ),
+        )
+        .drop("_hot")
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lf = lf.repartition(n_parts, *key, "_salt")
+    rt = (
+        right.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_hot")
+    )
+    return lf.join(rt, key + ["_salt"]).drop("_salt")
 
 
 # ranked kNN join -------------------------------------------------------------
@@ -3354,8 +3426,10 @@ def getis_ord_gi(spark, sf_dir):
     integer neighborhood sums -> scalar-broadcast crossJoin of the one-row
     global stats (the tfidf_topterms pattern) -> codegen z-score. Every
     aggregate is BIGINT until the final double formula, so parity cannot
-    drift with aggregation order."""
-    cells = _cell_counts(spark, sf_dir)
+    drift with aggregation order. The cell frame is referenced three
+    times (globals, stencil left, stencil right) — persisted so the
+    base scan + count shuffle run once."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
     g = cells.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -3460,6 +3534,9 @@ def mann_kendall_trend(spark, sf_dir, events: DataFrame | None = None):
         .groupBy("cy", "cx", "tb")
         .agg(F.count(F.lit(1)).alias("x"))
     )
+    # both self-join sides reference the series frame: persist so the
+    # base scan + bounds agg + bucket-count shuffle run once, not twice
+    series = _persist_evict(series)
     a = series.select("cy", "cx", F.col("tb").alias("ta"), F.col("x").alias("xa"))
     b = series.select("cy", "cx", F.col("tb").alias("tbk"), F.col("x").alias("xb"))
     sign = F.when(F.col("xb") > F.col("xa"), 1).when(
@@ -4523,8 +4600,10 @@ def local_moran(spark, sf_dir):
     second moment. Every aggregate is BIGINT; headroom at 10^12 points:
     the grid is bounded by geography (O(10^5) half-degree cells), so
     |d| <= n*x_max ~ 10^5 * per-cell count and the triple product stays
-    under 2^63 for any corpus this grid can express."""
-    cells = _cell_counts(spark, sf_dir)
+    under 2^63 for any corpus this grid can express. The cell frame is
+    referenced via four branches (globals, moment, stencil left/right) —
+    persisted so the base scan + count shuffle run once, not 7x."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
     g = cells.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
     )
@@ -4863,20 +4942,19 @@ def triangle_count(spark, sf_dir):
     attribution is a constant 3x fan-out + one partial-agg groupBy."""
     li = _t(spark, sf_dir, "lineitem")
     s, d = F.col("l_orderkey") % _PR_N, F.col("l_partkey") % _PR_N
-    e = (
+    e = _persist_evict(
         li.filter(s != d)
         .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
         .distinct()
-    )
+    )  # three wedge-join references: scan + dedup shuffle run once, not 3x
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
+    # corner attribution via explode, NOT a 3-way union of tri: the union
+    # re-embedded the two wedge joins into each branch (3x join work);
+    # the explode is a constant map-side fan-out over ONE join pass
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
 
 
@@ -5220,15 +5298,30 @@ _RK_PI = 3.141592653589793
         "(conditional sums per radius, not a join per radius)"
     ),
 )
-def ripley_k(spark, sf_dir):
+def ripley_k(spark, sf_dir, events: DataFrame | None = None):
     """The dedup/radius_join cover shape: the right side explodes to its
     3x3 1-degree neighbor cells so candidate pairs meet on a pure cell
     equi-join (never points x points); all three radii are conditional
     sums over the single pair stream, so the cover shuffles once. The
     global (n, area) frame is a one-row broadcast. At 10^12 points the
     pair stream is the same skew surface as dedup — the (cell, salt)
-    lever applies verbatim."""
-    pts = _pt_df(spark, sf_dir).select(
+    lever IS applied (_salted_cover_join: hot cells split 8 ways, the
+    explicit repartition keeps pair parallelism visible to the
+    scheduler; 55.6 s -> 9.9 s at sf0.1/local[32]). The point frame is deliberately NOT
+    persisted: each of its three references re-derives from a
+    column-pruned map-only scan (event_id only), cheaper at scale than
+    materializing O(n) points (contrast _persist_evict on the
+    O(cells)-sized frames)."""
+    base = (
+        _pt_df(spark, sf_dir)
+        if events is None
+        else events.select(
+            "event_id",
+            ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0).alias("lat"),
+            (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0).alias("lon"),
+        )
+    )
+    pts = base.select(
         "event_id", "lat", "lon",
         F.floor("lat").alias("gy"), F.floor("lon").alias("gx"),
     )
@@ -5256,7 +5349,7 @@ def ripley_k(spark, sf_dir):
         F.col("lon") - F.col("blon")
     ) * (F.col("lon") - F.col("blon"))
     pr = (
-        pts.join(right, ["gy", "gx"])
+        _salted_cover_join(spark, pts, right, ["gy", "gx"], "event_id")
         .filter(F.col("event_id") < F.col("eb"))
         .agg(
             *[
@@ -5346,15 +5439,20 @@ _KNOX_NT = 16  # time buckets; pairs within 1 bucket are "time-close"
         "ratio at the end"
     ),
 )
-def knox_pairs(spark, sf_dir):
-    """Two cover self-joins, each the established shape: space-close pairs
-    via the 3x3 one-degree cell cover (time closeness folded in as a
-    conditional sum — no third join), time-close pairs via a +-1 bucket
-    explode equi-join on the time axis (the spatiotemporal_join /
-    interval_bucket shape). n_pairs comes from the scalar count, not a
-    join. At 10^12 rows both covers partial-aggregate to single-row
-    frames before the final scalar crossJoin."""
-    ev = _t(spark, sf_dir, "events")
+def knox_pairs(spark, sf_dir, events: DataFrame | None = None):
+    """One cover self-join + one histogram: space-close pairs via the 3x3
+    cell cover at the threshold's own cell size (time closeness folded in
+    as a conditional sum — no second pair pass), riding
+    _salted_cover_join (hot cells split 8 ways + explicit repartition).
+    Time-close pairs are NOT enumerated at all: pairs within +-1 bucket
+    are bucket-histogram algebra, sum C(c_b,2) + sum c_b*c_{b+1} over the
+    16-row histogram (the former bucket-cover self-join generated ~2e9
+    candidate rows at sf0.1 to produce one integer; 53.7 s -> 3.7 s).
+    n_pairs comes from the scalar count, not a join. The point frame is
+    deliberately NOT persisted: each reference re-derives from a
+    column-pruned (event_id, ts) scan + one broadcast, cheaper at scale
+    than materializing O(n) points."""
+    ev = events if events is not None else _t(spark, sf_dir, "events")
     p0 = ev.select(
         "event_id",
         F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
@@ -5377,9 +5475,15 @@ def knox_pairs(spark, sf_dir):
         .alias("tb"),
     )
     g = p.agg(F.count(F.lit(1)).alias("n"))
+    # cover cell = the space threshold itself (0.5 deg), NOT the oracle's
+    # 1-deg floor: any pair within _KNOX_DS differs by <=1 in each
+    # 0.5-deg cell index, and the tighter cover admits 4x fewer candidate
+    # pairs (the refine filter makes the two covers result-identical —
+    # the oracle keeps its 1-deg form, which parity therefore checks)
     left = p.select(
         "event_id", "lat", "lon", "tb",
-        F.floor("lat").alias("gy"), F.floor("lon").alias("gx"),
+        F.floor(F.col("lat") / _KNOX_DS).alias("gy"),
+        F.floor(F.col("lon") / _KNOX_DS).alias("gx"),
     )
     right = p.select(
         F.col("event_id").alias("eb"),
@@ -5390,8 +5494,8 @@ def knox_pairs(spark, sf_dir):
             F.array(
                 *[
                     F.struct(
-                        (F.floor("lat") + dy).alias("gy"),
-                        (F.floor("lon") + dx).alias("gx"),
+                        (F.floor(F.col("lat") / _KNOX_DS) + dy).alias("gy"),
+                        (F.floor(F.col("lon") / _KNOX_DS) + dx).alias("gx"),
                     )
                     for dy in (-1, 0, 1)
                     for dx in (-1, 0, 1)
@@ -5403,7 +5507,7 @@ def knox_pairs(spark, sf_dir):
         F.col("lon") - F.col("blon")
     ) * (F.col("lon") - F.col("blon"))
     sp = (
-        left.join(right, ["gy", "gx"])
+        _salted_cover_join(spark, left, right, ["gy", "gx"], "event_id")
         .filter((F.col("event_id") < F.col("eb")) & (d2 <= _KNOX_DS * _KNOX_DS))
         .agg(
             F.count(F.lit(1)).alias("n_space"),
@@ -5412,17 +5516,30 @@ def knox_pairs(spark, sf_dir):
             ).alias("n_both"),
         )
     )
-    tright = p.select(
-        F.col("event_id").alias("eb"),
-        F.explode(
-            F.array(*[(F.col("tb") + dt).alias("tb") for dt in (-1, 0, 1)])
-        ).alias("tb"),
-    )
+    # n_time never needs a pair join: pairs within +-1 bucket are pure
+    # bucket-histogram algebra, sum_b C(c_b,2) + sum_b c_b*c_{b+1} — one
+    # partial-agg shuffle to the 16-row histogram, then a window over it
+    # (the former tb-cover self-join enumerated ~2e9 candidate rows at
+    # sf0.1 to produce this ONE integer). The lead is gated on tb
+    # adjacency so an empty bucket contributes 0, not its successor.
+    bc = p.groupBy("tb").agg(F.count(F.lit(1)).alias("c"))
+    bw = Window.orderBy("tb")
     tm = (
-        p.select("event_id", "tb")
-        .join(tright, "tb")
-        .filter(F.col("event_id") < F.col("eb"))
-        .agg(F.count(F.lit(1)).alias("n_time"))
+        bc.select(
+            "tb",
+            "c",
+            F.lead("c").over(bw).alias("nc"),
+            F.lead("tb").over(bw).alias("ntb"),
+        )
+        .select(
+            (
+                (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+                + F.when(
+                    F.col("ntb") == F.col("tb") + 1, F.col("c") * F.col("nc")
+                ).otherwise(F.lit(0))
+            ).alias("t_pairs")
+        )
+        .agg(F.sum("t_pairs").alias("n_time"))
     )
     npairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
     return (
@@ -5504,8 +5621,10 @@ def kde_epanechnikov(spark, sf_dir):
     kRing-2 stencil explode equi-join (bandwidth = 2 analysis cells); one
     partial-agg shuffle; the normalizer is a one-row broadcast. Sum-order
     drift of the double weights is absorbed by the 9-dp round (weights
-    are O(1), cells hold <=10^4 counts)."""
-    cells = _cell_counts(spark, sf_dir)
+    are O(1), cells hold <=10^4 counts). The cell frame is referenced
+    three times (normalizer, stencil left/right) — persisted so the base
+    scan + count shuffle run once."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
     g = cells.agg(F.sum("x").alias("n"))
     center = lambda c: (c.cast("double") + 0.5) * _GI_CELL  # noqa: E731
     right = cells.select(
@@ -5704,6 +5823,9 @@ def quadtree_bins(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_pts"))
     )
+    # the counts frame feeds both sides of the parent self-join — persist
+    # so the base scan + level-explode shuffle run once, not twice
+    counts = _persist_evict(counts)
     par = counts.select(
         (F.col("depth") + 1).alias("pdepth"),
         F.col("qy").alias("pqy"),

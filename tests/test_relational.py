@@ -1291,3 +1291,66 @@ def test_quadtree_partitions_points_exactly(spark, sf_dir):
                 if (y0 >> (d_max - d + 1), x0 >> (d_max - d + 1)) == (y >> 1, x >> 1)
             )
             assert pn > cap, (d, y, x, pn)
+
+
+def test_salted_cover_join_result_invariant(spark, sf_dir):
+    """_salted_cover_join must be a pure execution-strategy lever: forcing
+    EVERY key hot (threshold 0) with a non-trivial salt count must yield
+    exactly the plain equi-join's pair multiset — each (left, right) pair
+    meets exactly once, at the left row's salt."""
+    from pyspark.sql import functions as F
+
+    pts = relational._pt_df(spark, sf_dir).limit(4000).select(
+        "event_id",
+        F.floor("lat").alias("gy"),
+        F.floor("lon").alias("gx"),
+    )
+    right = pts.select(
+        F.col("event_id").alias("eb"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("gy") + dy).alias("gy"), (F.col("gx") + dx).alias("gx")
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select("eb", F.col("k.gy").alias("gy"), F.col("k.gx").alias("gx"))
+    plain = sorted(
+        (r.event_id, r.eb)
+        for r in pts.join(right, ["gy", "gx"]).select("event_id", "eb").collect()
+    )
+    salted = sorted(
+        (r.event_id, r.eb)
+        for r in relational._salted_cover_join(
+            spark, pts, right, ["gy", "gx"], "event_id", salt_threshold=0, n_salt=5
+        )
+        .select("event_id", "eb")
+        .collect()
+    )
+    assert plain == salted and plain
+
+
+def test_knox_time_histogram_matches_pair_enumeration(spark, sf_dir):
+    """The bucket-histogram n_time (sum C(c_b,2) + sum c_b*c_{b+1}) must
+    equal brute-force pair enumeration over the same bucket assignment."""
+    import itertools
+
+    row = relational.REGISTRY["knox_pairs"].fn(spark, sf_dir).collect()[0]
+    ev = relational._t(spark, sf_dir, "events").select("event_id", "ts").toPandas()
+    import pandas as pd
+
+    t_ms = pd.to_datetime(ev["ts"]).astype("int64") // 10**6
+    t0, t1 = t_ms.min(), t_ms.max() + 1
+    tb = ((t_ms - t0) / (t1 - t0) * relational._KNOX_NT).astype("int64")
+    counts = tb.value_counts()
+    expect = sum(
+        int(c) * (int(c) - 1) // 2 for c in counts
+    ) + sum(
+        int(counts.get(b, 0)) * int(counts.get(b + 1, 0))
+        for b in range(int(tb.min()), int(tb.max()) + 1)
+    )
+    assert row.n_time == expect
