@@ -59,7 +59,26 @@ QUERIES = [
     "bloom_semi_prune",
     "grid_contour",
     "emerging_hotspots",
+    # round-4 session-2 ops at 10x rows: the cell-bounded / map-only /
+    # window ops run full-corpus with their registered oracles; the two
+    # all-pairs covers (ripley, knox) run on a deterministic window at
+    # FULL sf1 density (the spatiotemporal_join treatment)
+    "local_moran",
+    "log_quantiles",
+    "slope_aspect",
+    "od_flows",
+    "hilbert_key",
+    "track_simplify",
+    "quadtree_bins",
+    "kde_epanechnikov",
+    "ripley_k_window",
+    "knox_pairs_window",
 ]
+
+# 2x2-degree window at full sf1 density for the pair-cover ops (~8k points
+# -> ~3e7 DuckDB pair candidates; the quantity that drives pair blowup is
+# density, which this preserves exactly)
+_RPK_WIN = dict(lat0=2.0, lat1=4.0, lon0=12.0, lon1=14.0)
 
 # spatiotemporal_join at full sf1 produces ~1e8 pairs — too many to collect
 # into the pandas comparison (and the oracle is a deliberately naive range
@@ -262,6 +281,40 @@ def main() -> int:
                  AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
                      <= {R._ST_D * R._ST_D!r}
                 """
+            elif name in ("ripley_k_window", "knox_pairs_window"):
+                w = _RPK_WIN
+                lat = (F.col("event_id") * 7919 % 2000).cast("double") / 100.0
+                lon = ((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0
+                ev = R._t(spark, DST, "events").filter(
+                    (lat >= w["lat0"]) & (lat < w["lat1"])
+                    & (lon >= w["lon0"]) & (lon < w["lon1"])
+                )
+                base = name.removesuffix("_window")
+                sdf = R.REGISTRY[base].fn(spark, DST, events=ev)
+                win_sql = (
+                    f"lat >= {w['lat0']} AND lat < {w['lat1']}"
+                    f" AND lon >= {w['lon0']} AND lon < {w['lon1']}"
+                )
+                osql = R.REGISTRY[base].oracle
+                if base == "ripley_k":
+                    # rename the _PT_SQL CTE and interpose a windowed view
+                    # under the original name (downstream CTEs untouched)
+                    osql = osql.replace("WITH p AS (", "WITH p0_ AS (", 1).replace(
+                        "),\n    g AS",
+                        f"),\n    p AS (SELECT * FROM p0_ WHERE {win_sql}),\n    g AS",
+                        1,
+                    )
+                else:
+                    # knox: window p0 BEFORE the bucket computation so the
+                    # time span comes from the windowed subset (mirrors the
+                    # Spark side, which receives the filtered frame)
+                    osql = osql.replace(
+                        "bounds AS (SELECT min(t_ms) AS t0, max(t_ms) + 1 AS t1 FROM p0)",
+                        f"p0w AS (SELECT * FROM p0 WHERE {win_sql}),\n"
+                        "    bounds AS (SELECT min(t_ms) AS t0, max(t_ms) + 1 AS t1 FROM p0w)",
+                        1,
+                    ).replace("FROM p0 CROSS JOIN bounds", "FROM p0w CROSS JOIN bounds", 1)
+                assert "p0w" in osql or "p0_" in osql, "oracle rewrite failed"
             elif name == "dup_components":
                 # the driver-gate oracle (recursive reach CTE) is quadratic
                 # in component size and the 10x corpus has dense exact-dup

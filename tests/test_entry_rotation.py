@@ -46,13 +46,17 @@ def test_queries_and_oracles_align():
     assert set(o) <= set(q)
 
 
-def test_window_converges_within_two_rounds():
-    """With <= 100 registered queries and a 50-row window, every query has
-    a driver row from one of the last two rounds once the rotation has run
-    twice: the 50 stalest are always checked first."""
+def test_window_converges_within_three_rounds():
+    """With <= 150 registered queries and a 50-row window, every query has
+    a driver row from one of the last three rounds once the rotation has
+    cycled: the 50 stalest are always checked first. (Bound widened
+    DELIBERATELY from 100 at 111 registered ops — round-4 session 2; the
+    compensating control is scripts/check_parity.py, which replays the
+    full gate over ALL registered queries every build session and is
+    recorded per-round in BASELINE.md.)"""
     q = entry.queries()
-    assert len(q) <= 100, (
-        "registry grew past 100: a query can now go 3+ rounds without a "
+    assert len(q) <= 150, (
+        "registry grew past 150: a query can now go 4+ rounds without a "
         "driver correctness row — either widen this bound deliberately or "
         "retire an op"
     )
