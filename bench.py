@@ -99,6 +99,7 @@ HEADLINE = [
     "kde_epanechnikov",
     "track_simplify",
     "quadtree_bins",
+    "colocation_patterns",
 ]
 
 

@@ -5846,6 +5846,149 @@ def quadtree_bins(spark, sf_dir):
     return j.filter(leaf).select("depth", "qy", "qx", "n_pts")
 
 
+# co-location pattern mining --------------------------------------------------------
+
+_CL_D = 0.5  # neighborhood distance, degrees (also the cover cell size)
+
+
+@register(
+    "colocation_patterns",
+    f"""
+    WITH p AS (
+      SELECT event_id, event_type,
+             CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0 AS lat,
+             CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0 AS lon
+      FROM events
+    ),
+    pairs AS (
+      SELECT DISTINCT a.event_id AS aid, a.event_type AS ta, b.event_type AS tb
+      FROM p a JOIN p b
+        ON a.event_id <> b.event_id
+       AND a.event_type <> b.event_type
+       AND (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) <= {_CL_D * _CL_D!r}
+    ),
+    part AS (
+      SELECT ta, tb, CAST(count(*) AS BIGINT) AS k FROM pairs GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1
+    )
+    SELECT f.ta AS type_a, f.tb AS type_b,
+           f.k AS a_participants, r.k AS b_participants,
+           na.n AS n_a, nb.n AS n_b,
+           round(least(CAST(f.k AS DOUBLE) / CAST(na.n AS DOUBLE),
+                       CAST(r.k AS DOUBLE) / CAST(nb.n AS DOUBLE)), 6) AS pi
+    FROM part f
+    JOIN part r ON f.ta = r.tb AND f.tb = r.ta AND f.ta < f.tb
+    JOIN tot na ON na.event_type = f.ta
+    JOIN tot nb ON nb.event_type = f.tb
+    """,
+    doc=(
+        "co-location pattern mining (Shekhar-Huang participation index) "
+        "over event types: for each type pair (A, B), the fraction of A "
+        "instances with >=1 B within 0.5 deg and vice versa; "
+        "PI = min(pr_A, pr_B) ranks spatially-associated type pairs (the "
+        "fire-analytics question 'which detection classes co-occur "
+        "spatially' — flares vs persistent hotspots). Instance "
+        "participation is a distinct count, so a dense neighbor clique "
+        "counts once; pair existence is symmetric at the instance level, "
+        "so the direction join drops nothing"
+    ),
+)
+def colocation_patterns(spark, sf_dir, events: DataFrame | None = None):
+    """The salted cover self-join (cell size = the distance threshold
+    itself) streams candidate pairs once; participation collapses the
+    pair stream IMMEDIATELY to distinct (instance, partner-type) — the
+    map-side-combinable key — so the heavy stream never reaches a wide
+    shuffle. The per-direction counts and type totals are tiny frames
+    (T and T^2 rows); their joins all broadcast. At 10^12 points the
+    only scale surface is the cover pair stream, which inherits
+    _salted_cover_join's hot-cell lever verbatim."""
+    ev = events if events is not None else _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        "event_type",
+        ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0).alias("lat"),
+        (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0).alias(
+            "lon"
+        ),
+    )
+    left = p.select(
+        "event_id", "event_type", "lat", "lon",
+        F.floor(F.col("lat") / _CL_D).alias("gy"),
+        F.floor(F.col("lon") / _CL_D).alias("gx"),
+    )
+    right = p.select(
+        F.col("event_id").alias("eb"),
+        F.col("event_type").alias("btype"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.floor(F.col("lat") / _CL_D) + dy).alias("gy"),
+                        (F.floor(F.col("lon") / _CL_D) + dx).alias("gx"),
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select(
+        "eb", "btype", "blat", "blon",
+        F.col("k.gy").alias("gy"), F.col("k.gx").alias("gx"),
+    )
+    d2 = (F.col("lat") - F.col("blat")) * (F.col("lat") - F.col("blat")) + (
+        F.col("lon") - F.col("blon")
+    ) * (F.col("lon") - F.col("blon"))
+    part = (
+        _salted_cover_join(spark, left, right, ["gy", "gx"], "event_id")
+        .filter(
+            (F.col("event_id") != F.col("eb"))
+            & (F.col("event_type") != F.col("btype"))
+            & (d2 <= _CL_D * _CL_D)
+        )
+        .select("event_id", F.col("event_type").alias("ta"), F.col("btype").alias("tb"))
+        .distinct()
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    # the T^2-row directional frame closes over the whole pair stream and
+    # is referenced twice (forward + swapped) — persist so the cover join
+    # + distinct run once, not twice
+    part = _persist_evict(part)
+    tot = p.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    r = part.select(
+        F.col("ta").alias("r_ta"), F.col("tb").alias("r_tb"), F.col("k").alias("rk")
+    )
+    return (
+        part.join(
+            F.broadcast(r),
+            (F.col("ta") == F.col("r_tb")) & (F.col("tb") == F.col("r_ta")),
+        )
+        .filter(F.col("ta") < F.col("tb"))
+        .join(F.broadcast(tot.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))), "ta")
+        .join(F.broadcast(tot.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("k").alias("a_participants"),
+            F.col("rk").alias("b_participants"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.least(
+                    F.col("k").cast("double") / F.col("n_a").cast("double"),
+                    F.col("rk").cast("double") / F.col("n_b").cast("double"),
+                ),
+                6,
+            ).alias("pi"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

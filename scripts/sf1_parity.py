@@ -73,6 +73,9 @@ QUERIES = [
     "kde_epanechnikov",
     "ripley_k_window",
     "knox_pairs_window",
+    # session-3: participation-index co-location mining — same windowed
+    # treatment (the oracle is a naive theta self-join, quadratic at sf1)
+    "colocation_patterns_window",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points
@@ -281,7 +284,11 @@ def main() -> int:
                  AND (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
                      <= {R._ST_D * R._ST_D!r}
                 """
-            elif name in ("ripley_k_window", "knox_pairs_window"):
+            elif name in (
+                "ripley_k_window",
+                "knox_pairs_window",
+                "colocation_patterns_window",
+            ):
                 w = _RPK_WIN
                 lat = (F.col("event_id") * 7919 % 2000).cast("double") / 100.0
                 lon = ((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0
@@ -302,6 +309,12 @@ def main() -> int:
                     osql = osql.replace("WITH p AS (", "WITH p0_ AS (", 1).replace(
                         "),\n    g AS",
                         f"),\n    p AS (SELECT * FROM p0_ WHERE {win_sql}),\n    g AS",
+                        1,
+                    )
+                elif base == "colocation_patterns":
+                    osql = osql.replace("WITH p AS (", "WITH p0_ AS (", 1).replace(
+                        "),\n    pairs AS",
+                        f"),\n    p AS (SELECT * FROM p0_ WHERE {win_sql}),\n    pairs AS",
                         1,
                     )
                 else:

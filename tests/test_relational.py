@@ -1354,3 +1354,20 @@ def test_knox_time_histogram_matches_pair_enumeration(spark, sf_dir):
         for b in range(int(tb.min()), int(tb.max()) + 1)
     )
     assert row.n_time == expect
+
+
+def test_colocation_patterns_invariants(spark, sf_dir):
+    """Participation index is min of the two directional participation
+    fractions, each bounded by 1; participant counts never exceed the
+    type totals; pairs are canonical (type_a < type_b) and unique."""
+    rows = relational.REGISTRY["colocation_patterns"].fn(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert (r.type_a, r.type_b) not in seen
+        seen.add((r.type_a, r.type_b))
+        assert 0 < r.a_participants <= r.n_a
+        assert 0 < r.b_participants <= r.n_b
+        want = round(min(r.a_participants / r.n_a, r.b_participants / r.n_b), 6)
+        assert abs(r.pi - want) < 1e-12
