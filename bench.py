@@ -100,6 +100,7 @@ HEADLINE = [
     "track_simplify",
     "quadtree_bins",
     "colocation_patterns",
+    "focal_majority",
 ]
 
 
@@ -545,12 +546,84 @@ def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
     return round(100.0 * d[7] / total, 1) if total else None
 
 
+def run_skew_cover() -> dict:
+    """Degenerate-hot-cell bench for ``relational._salted_cover_join`` (the
+    lever ripley_k / knox_pairs / colocation_patterns ride): N_HOT points in
+    ONE cover cell — the invisible-quadratic shape — joined unsalted
+    (threshold above N) vs salted 8 / 32 ways. Pair counts are asserted
+    identical; the wall contrast is the evidence that the explicit
+    (cell, salt) repartition spreads a hot cell's pair stream across
+    tasks (byte-based planning cannot see pair workload)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from filda_spark import relational as R
+    from filda_spark.session import get_spark
+
+    N_HOT = 8000  # same magnitude as the pipeline.dedup hot-cell bench
+    spark = get_spark(
+        "filda-skew-cover", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    try:
+        pts = spark.range(N_HOT).select(
+            F.col("id").alias("event_id"),
+            F.lit(0).cast("long").alias("gy"),
+            F.lit(10).cast("long").alias("gx"),
+        )
+        pts.write.mode("overwrite").parquet("/tmp/filda_skew_cover")
+        pts = spark.read.parquet("/tmp/filda_skew_cover")
+        right = pts.select(
+            F.col("event_id").alias("eb"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("gy") + dy).alias("gy"),
+                            (F.col("gx") + dx).alias("gx"),
+                        )
+                        for dy in (-1, 0, 1)
+                        for dx in (-1, 0, 1)
+                    ]
+                )
+            ).alias("k"),
+        ).select("eb", F.col("k.gy").alias("gy"), F.col("k.gx").alias("gx"))
+        out: dict = {"metric": "salted cover join on a degenerate hot cell", "n_hot": N_HOT}
+        counts = set()
+        for label, kw in (
+            ("unsalted", dict(salt_threshold=N_HOT + 1)),
+            ("salt8", dict(n_salt=8)),
+            ("salt32", dict(n_salt=32)),
+        ):
+            t0 = time.perf_counter()
+            n = (
+                R._salted_cover_join(spark, pts, right, ["gy", "gx"], "event_id", **kw)
+                .filter(F.col("event_id") < F.col("eb"))
+                .count()
+            )
+            out[label + "_sec"] = round(time.perf_counter() - t0, 3)
+            counts.add(n)
+        assert len(counts) == 1, f"pair counts diverged: {counts}"
+        out["pairs"] = counts.pop()
+        out["unit"] = "sec"
+        return out
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     canary = _host_canary()
     if "--scaling" in sys.argv:
         s0 = _cpu_stat()
         out = run_scaling()
+        out["steal_pct"] = _steal_pct(s0, _cpu_stat())
+        out["host_canary"] = canary
+        print(json.dumps(out))
+        return
+    if "--skew-cover" in sys.argv:
+        s0 = _cpu_stat()
+        out = run_skew_cover()
         out["steal_pct"] = _steal_pct(s0, _cpu_stat())
         out["host_canary"] = canary
         print(json.dumps(out))

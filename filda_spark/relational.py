@@ -5846,6 +5846,127 @@ def quadtree_bins(spark, sf_dir):
     return j.filter(leaf).select("depth", "qy", "qx", "n_pts")
 
 
+# focal majority (categorical map algebra) ------------------------------------------
+
+
+@register(
+    "focal_majority",
+    f"""
+    WITH p AS (
+      SELECT event_type,
+             CAST(floor((CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor((CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cx
+      FROM events
+    ),
+    tc AS (
+      SELECT cy, cx, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM p GROUP BY 1, 2, 3
+    ),
+    cat AS (
+      SELECT cy, cx, event_type AS cell_cat
+      FROM (
+        SELECT cy, cx, event_type,
+               row_number() OVER (PARTITION BY cy, cx
+                                  ORDER BY c DESC, event_type ASC) AS rn
+        FROM tc
+      ) WHERE rn = 1
+    ),
+    nbr AS (
+      SELECT a.cy, a.cx, b.cell_cat, CAST(count(*) AS BIGINT) AS nc
+      FROM cat a JOIN cat b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+      GROUP BY 1, 2, 3
+    )
+    SELECT n.cy, n.cx, c.cell_cat, n.cell_cat AS focal_cat, n.nc AS focal_votes
+    FROM (
+      SELECT cy, cx, cell_cat, nc,
+             row_number() OVER (PARTITION BY cy, cx
+                                ORDER BY nc DESC, cell_cat ASC) AS rn
+      FROM nbr
+    ) n JOIN cat c ON c.cy = n.cy AND c.cx = n.cx
+    WHERE n.rn = 1
+    """,
+    doc=(
+        "focal majority filter (categorical map algebra, the mode "
+        "companion to slope_aspect's gradient): each analysis cell takes "
+        "the dominant event type of its own points (count desc, type asc "
+        "tie-break), then the 3x3 neighborhood MAJORITY of those cell "
+        "categories — the standard raster smoothing for categorical "
+        "layers (land-cover cleanup, fire-class despeckle); counts are "
+        "integers and both argmaxes use total orders, so the output is "
+        "parallelism-independent"
+    ),
+)
+def focal_majority(spark, sf_dir):
+    """Two stencil-family passes on one persisted cell frame: per-cell
+    category = WindowGroupLimit top-1 over the (cell, type) counts (the
+    kmv/knn idiom — Catalyst forwards <=1 row per partition before the
+    exchange), then the 8+1-neighbor explode equi-join (the Gi* shape)
+    with a second top-1 window over neighborhood votes. Self excluded is
+    NOT wanted here (ArcGIS focal majority includes the center cell).
+    Bounded by inhabited cells at any corpus size."""
+    tc = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.floor(
+                ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0) / _GI_CELL
+            ).alias("cy"),
+            F.floor(
+                (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0)
+                / _GI_CELL
+            ).alias("cx"),
+            F.col("event_type"),
+        )
+        .groupBy("cy", "cx", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cell = Window.partitionBy("cy", "cx").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    cat = _persist_evict(
+        tc.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("cy", "cx", F.col("event_type").alias("cell_cat"))
+    )
+    nbr_side = cat.select(
+        F.col("cell_cat").alias("bcat"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cy") + dy).alias("cy"), (F.col("cx") + dx).alias("cx")
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select("bcat", F.col("k.cy").alias("cy"), F.col("k.cx").alias("cx"))
+    nbr = (
+        cat.select("cy", "cx")
+        .join(nbr_side, ["cy", "cx"])
+        .groupBy("cy", "cx", "bcat")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    w_focal = Window.partitionBy("cy", "cx").orderBy(
+        F.col("nc").desc(), F.col("bcat").asc()
+    )
+    return (
+        nbr.withColumn("rn", F.row_number().over(w_focal))
+        .filter(F.col("rn") == 1)
+        .join(cat, ["cy", "cx"])
+        .select(
+            "cy",
+            "cx",
+            "cell_cat",
+            F.col("bcat").alias("focal_cat"),
+            F.col("nc").alias("focal_votes"),
+        )
+    )
+
+
 # co-location pattern mining --------------------------------------------------------
 
 _CL_D = 0.5  # neighborhood distance, degrees (also the cover cell size)

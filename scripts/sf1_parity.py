@@ -76,6 +76,8 @@ QUERIES = [
     # session-3: participation-index co-location mining — same windowed
     # treatment (the oracle is a naive theta self-join, quadratic at sf1)
     "colocation_patterns_window",
+    # session-3: categorical focal majority — cell-bounded, full corpus
+    "focal_majority",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

@@ -1371,3 +1371,21 @@ def test_colocation_patterns_invariants(spark, sf_dir):
         assert 0 < r.b_participants <= r.n_b
         want = round(min(r.a_participants / r.n_a, r.b_participants / r.n_b), 6)
         assert abs(r.pi - want) < 1e-12
+
+
+def test_focal_majority_semantics(spark, sf_dir):
+    """The focal category must be the exact mode of the 3x3 neighborhood's
+    cell categories (center included; count desc, type asc tie-break) —
+    re-derived per row from the collected cell-category map."""
+    rows = relational.REGISTRY["focal_majority"].fn(spark, sf_dir).collect()
+    assert rows
+    cats = {(r.cy, r.cx): r.cell_cat for r in rows}
+    for r in rows[:500]:
+        votes = {}
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                c = cats.get((r.cy + dy, r.cx + dx))
+                if c is not None:
+                    votes[c] = votes.get(c, 0) + 1
+        want = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (r.focal_cat, r.focal_votes) == want
