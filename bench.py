@@ -101,6 +101,8 @@ HEADLINE = [
     "quadtree_bins",
     "colocation_patterns",
     "focal_majority",
+    "hillshade",
+    "empirical_variogram",
 ]
 
 

@@ -4897,6 +4897,146 @@ def slope_aspect(spark, sf_dir):
     )
 
 
+# empirical semivariogram ----------------------------------------------------------
+
+_VG_R = 3  # max lag radius in analysis cells (kRing-3 cover, 49x fan-out)
+
+
+@register(
+    "empirical_variogram",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    pr AS (
+      SELECT (b.cy - a.cy) * (b.cy - a.cy) + (b.cx - a.cx) * (b.cx - a.cx) AS d2i,
+             CAST((a.x - b.x) * (a.x - b.x) AS BIGINT) AS sq
+      FROM cells a JOIN cells b
+        ON abs(a.cy - b.cy) <= {_VG_R} AND abs(a.cx - b.cx) <= {_VG_R}
+       AND (b.cy > a.cy OR (b.cy = a.cy AND b.cx > a.cx))
+    )
+    SELECT d2i,
+           round(sqrt(CAST(d2i AS DOUBLE)) * {_GI_CELL!r}, 6) AS lag_deg,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(sq) AS DOUBLE) / (2.0 * CAST(count(*) AS DOUBLE)), 6)
+             AS gamma
+    FROM pr GROUP BY d2i
+    """,
+    doc=(
+        "empirical semivariogram of the detection-density surface: "
+        "gamma(h) = sum((x_a - x_b)^2) / (2 n_h) over cell pairs grouped "
+        "by their EXACT integer squared cell offset d2i (no float lag "
+        "banding to diverge) up to a 3-cell radius — the geostatistics "
+        "primitive that sizes IDW/kriging neighborhoods (range/sill/nugget "
+        "read-off); squared differences are BIGINT, one double division "
+        "per lag"
+    ),
+)
+def empirical_variogram(spark, sf_dir):
+    """The stencil family at radius 3: persisted cell frame, kRing-3
+    explode (constant 49x minus self/backward — each unordered pair meets
+    once via the lexicographic gate), equi-join on the cell key, one
+    partial-agg shuffle to O(#lags) rows. Bounded by inhabited cells x
+    cover at any corpus size."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    right = cells.select(
+        F.col("cy").alias("bcy"),
+        F.col("cx").alias("bcx"),
+        F.col("x").alias("bx_"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cy") + dy).alias("cy"), (F.col("cx") + dx).alias("cx")
+                    )
+                    for dy in range(-_VG_R, _VG_R + 1)
+                    for dx in range(-_VG_R, _VG_R + 1)
+                ]
+            )
+        ).alias("k"),
+    ).select("bcy", "bcx", "bx_", F.col("k.cy").alias("cy"), F.col("k.cx").alias("cx"))
+    dy = F.col("bcy") - F.col("cy")
+    dx = F.col("bcx") - F.col("cx")
+    diff = F.col("x") - F.col("bx_")
+    pr = (
+        cells.join(right, ["cy", "cx"])
+        .filter(
+            (F.col("bcy") > F.col("cy"))
+            | ((F.col("bcy") == F.col("cy")) & (F.col("bcx") > F.col("cx")))
+        )
+        .select((dy * dy + dx * dx).alias("d2i"), (diff * diff).alias("sq"))
+    )
+    return (
+        pr.groupBy("d2i")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("sq").alias("ssq"))
+        .select(
+            "d2i",
+            F.round(F.sqrt(F.col("d2i").cast("double")) * _GI_CELL, 6).alias("lag_deg"),
+            "n_pairs",
+            F.round(
+                F.col("ssq").cast("double") / (2.0 * F.col("n_pairs").cast("double")), 6
+            ).alias("gamma"),
+        )
+    )
+
+
+# hillshade (analytic shading of the density surface) -----------------------------
+
+# light vector for the standard NW sun (azimuth 315 deg, altitude 45 deg),
+# precomputed as exact double literals so NO trig runs in either engine:
+# L = (cos(alt)*sin(az), cos(alt)*cos(az), sin(alt)) = (-0.5, 0.5, sqrt(.5))
+_HS_LX, _HS_LY, _HS_LZ = -0.5, 0.5, 0.7071067811865476
+
+
+@register(
+    "hillshade",
+    f"""
+    WITH sa AS ({{SA}})
+    SELECT cy, cx,
+           round(255.0 * greatest(0.0,
+                 ((0.0 - CAST(gx AS DOUBLE) / 8.0) * {_HS_LX!r}
+                  + (0.0 - CAST(gy AS DOUBLE) / 8.0) * {_HS_LY!r} + {_HS_LZ!r})
+                 / sqrt(1.0 + (CAST(gx AS DOUBLE) / 8.0) * (CAST(gx AS DOUBLE) / 8.0)
+                            + (CAST(gy AS DOUBLE) / 8.0) * (CAST(gy AS DOUBLE) / 8.0))),
+                 6) AS hillshade
+    FROM sa
+    """,
+    doc=(
+        "analytic hillshade of the detection-density surface (the "
+        "cartographic rendering primitive over the same Horn gradient as "
+        "slope_aspect): illumination = 255*max(0, n . L) with the surface "
+        "normal n = (-gx/8, -gy/8, 1)/|.| and the standard NW sun "
+        "(az 315 deg, alt 45 deg) baked in as exact double LITERALS — no "
+        "trig evaluates in either engine, so the only float ops are "
+        "mul/add/div/sqrt (IEEE-exact cross-engine); composed over the "
+        "verified slope_aspect gradient exactly like emerging_hotspots "
+        "composes Gi* + Mann-Kendall"
+    ),
+)
+def hillshade(spark, sf_dir):
+    """Pure composition: slope_aspect's stencil plan (one partial-agg
+    shuffle + one equi-join, BIGINT gx/gy) followed by a codegen'd
+    normal-dot-light projection. No new shuffle class; bounded by
+    inhabited cells."""
+    sa = slope_aspect(spark, sf_dir)
+    gxs = F.col("gx").cast("double") / 8.0
+    gys = F.col("gy").cast("double") / 8.0
+    dot = (0.0 - gxs) * _HS_LX + (0.0 - gys) * _HS_LY + _HS_LZ
+    return sa.select(
+        "cy",
+        "cx",
+        F.round(
+            255.0
+            * F.greatest(F.lit(0.0), dot / F.sqrt(1.0 + gxs * gxs + gys * gys)),
+            6,
+        ).alias("hillshade"),
+    )
+
+
+REGISTRY["hillshade"].oracle = REGISTRY["hillshade"].oracle.format(
+    SA=REGISTRY["slope_aspect"].oracle
+)
+
+
 # triangle counting ---------------------------------------------------------------
 
 _TRI_E_SQL = f"""

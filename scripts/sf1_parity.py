@@ -78,6 +78,10 @@ QUERIES = [
     "colocation_patterns_window",
     # session-3: categorical focal majority — cell-bounded, full corpus
     "focal_majority",
+    # session-3: trig-free hillshade over the slope_aspect gradient
+    "hillshade",
+    # session-3: geostatistics lag structure — cell-bounded, full corpus
+    "empirical_variogram",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

@@ -1389,3 +1389,48 @@ def test_focal_majority_semantics(spark, sf_dir):
                     votes[c] = votes.get(c, 0) + 1
         want = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert (r.focal_cat, r.focal_votes) == want
+
+
+def test_hillshade_bounds_and_formula(spark, sf_dir):
+    """Hillshade must stay in [0, 255] and re-derive exactly from the
+    slope_aspect gradient via the literal NW light vector."""
+    import math
+
+    hs = {
+        (r.cy, r.cx): r.hillshade
+        for r in relational.REGISTRY["hillshade"].fn(spark, sf_dir).collect()
+    }
+    sa = relational.REGISTRY["slope_aspect"].fn(spark, sf_dir).collect()
+    assert hs and len(hs) == len(sa)
+    for r in sa[:500]:
+        gxs, gys = r.gx / 8.0, r.gy / 8.0
+        dot = (0.0 - gxs) * relational._HS_LX + (0.0 - gys) * relational._HS_LY + relational._HS_LZ
+        want = round(255.0 * max(0.0, dot / math.sqrt(1.0 + gxs * gxs + gys * gys)), 6)
+        got = hs[(r.cy, r.cx)]
+        assert 0.0 <= got <= 255.0
+        assert abs(got - want) < 1e-9
+
+
+def test_empirical_variogram_matches_brute_force(spark, sf_dir):
+    """gamma(h) per exact squared cell offset must equal an O(cells^2)
+    brute force over the collected cell counts."""
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    want = {}
+    keys = sorted(cells)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            dy, dx = b[0] - a[0], b[1] - a[1]
+            if abs(dy) > relational._VG_R or abs(dx) > relational._VG_R:
+                continue
+            d2i = dy * dy + dx * dx
+            n, s = want.get(d2i, (0, 0))
+            want[d2i] = (n + 1, s + (cells[a] - cells[b]) ** 2)
+    rows = relational.REGISTRY["empirical_variogram"].fn(spark, sf_dir).collect()
+    assert {r.d2i for r in rows} == set(want)
+    for r in rows:
+        n, s = want[r.d2i]
+        assert r.n_pairs == n
+        assert abs(r.gamma - round(s / (2.0 * n), 6)) < 1e-12
