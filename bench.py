@@ -370,7 +370,7 @@ def run_skew() -> dict:
         # bucket worst case (~N^2/2 pairs in one join key)
         from filda_spark import relational
 
-        N_HOT_ST = int(1.6 * relational.ST_SALT_THRESHOLD)
+        N_HOT_ST = 8_000  # lc*rc ~ 6.4e7 per hot key, well past ST_PAIR_CAP
         hot = spark.range(N_HOT_ST).select(
             (F.col("id") * 12_000 + 7).alias("event_id"),
             (F.col("id") % 1000 * 1000).alias("ms"),
@@ -388,7 +388,7 @@ def run_skew() -> dict:
         walls["st_join_hot_salt8"] = timed(st(spark, "", events=ev))
         walls["st_join_hot_salt32"] = timed(st(spark, "", n_salt=32, events=ev))
         walls["st_join_hot_unsalted"] = timed(
-            st(spark, "", salt_threshold=1 << 30, events=ev)
+            st(spark, "", pair_cap=float("inf"), events=ev)
         )
         shutil.rmtree(stage, ignore_errors=True)
         return {
@@ -408,7 +408,7 @@ def run_skew() -> dict:
                     walls["dedup_hotcell_unsalted"] / max(walls["dedup_hotcell_salt32"], 1e-9), 2
                 ),
                 "st_join_n_hot_key": N_HOT_ST,
-                "st_join_salt_threshold": relational.ST_SALT_THRESHOLD,
+                "st_join_pair_cap": relational.ST_PAIR_CAP,
                 "st_join_salt8_speedup_vs_unsalted": round(
                     walls["st_join_hot_unsalted"] / max(walls["st_join_hot_salt8"], 1e-9), 2
                 ),
@@ -575,25 +575,13 @@ def run_skew_cover() -> dict:
         )
         pts.write.mode("overwrite").parquet("/tmp/filda_skew_cover")
         pts = spark.read.parquet("/tmp/filda_skew_cover")
-        right = pts.select(
-            F.col("event_id").alias("eb"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            (F.col("gy") + dy).alias("gy"),
-                            (F.col("gx") + dx).alias("gx"),
-                        )
-                        for dy in (-1, 0, 1)
-                        for dx in (-1, 0, 1)
-                    ]
-                )
-            ).alias("k"),
-        ).select("eb", F.col("k.gy").alias("gy"), F.col("k.gx").alias("gx"))
+        right = R._ring_explode(
+            pts, F.col("gy"), F.col("gx"), [F.col("event_id").alias("eb")]
+        )
         out: dict = {"metric": "salted cover join on a degenerate hot cell", "n_hot": N_HOT}
         counts = set()
         for label, kw in (
-            ("unsalted", dict(salt_threshold=N_HOT + 1)),
+            ("unsalted", dict(pair_cap=float("inf"))),
             ("salt8", dict(n_salt=8)),
             ("salt32", dict(n_salt=32)),
         ):

@@ -21,7 +21,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -2140,6 +2140,13 @@ _PR_ITERS = 5
 _PR_DAMP = 0.85
 _PAGERANK_CACHED: list = []
 
+# _persist_evict's own eviction list, deliberately SEPARATE from
+# _PAGERANK_CACHED: pagerank/sssp trim their list to 2/4 entries at call
+# time, and sharing one list let a graph op silently unpersist other
+# queries' cell/edge caches queued behind it (the re-embedded-scan
+# regression _persist_evict exists to prevent) — review finding r4.
+_QUERY_CACHED: list = []
+
 
 def _persist_evict(df: DataFrame, cap: int = 6) -> DataFrame:
     """Persist a small aggregated frame that a query references more than
@@ -2148,15 +2155,15 @@ def _persist_evict(df: DataFrame, cap: int = 6) -> DataFrame:
     cached frame instead of re-embedding the base scan + shuffle subtree
     (per-branch column pruning defeats ReuseExchange — the hex_compact
     finding; unpersisted, local_moran re-scanned the base table 7x and
-    triangle_count 9x). Same bounded eviction list as pagerank/sssp:
-    at most ``cap`` frames stay alive; evicting a frame mid-use only
-    forces recompute, never wrong results."""
+    triangle_count 9x). Bounded eviction: at most ``cap`` frames stay
+    alive; evicting a frame mid-use only forces recompute, never wrong
+    results."""
     from pyspark import StorageLevel
 
-    while len(_PAGERANK_CACHED) >= cap:
-        _PAGERANK_CACHED.pop(0).unpersist()
+    while len(_QUERY_CACHED) >= cap:
+        _QUERY_CACHED.pop(0).unpersist()
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PAGERANK_CACHED.append(out)
+    _QUERY_CACHED.append(out)
     return out
 
 
@@ -2510,13 +2517,23 @@ def spatiotemporal_join(spark, sf_dir):
     return _spatiotemporal_pairs(spark, sf_dir)
 
 
-ST_SALT_THRESHOLD = 5000
+ST_PAIR_CAP = 25_000_000  # candidate pairs per (key, salt) task before salting
+
+
+def _c2(n: Column) -> Column:
+    """C(n,2) = n(n-1)/2 in pure int64 ops (shift + bitand — no double
+    division, whose 2^53 mantissa silently rounds counts past ~9e15;
+    review finding r4). Exact until the RESULT overflows int64
+    (n > ~4.3e9); the SQL twin is (n // 2)*(n-1) + (n % 2)*((n-1) // 2)."""
+    return F.shiftright(n, 1) * (n - 1) + n.bitwiseAND(F.lit(1)) * F.shiftright(
+        n - 1, 1
+    )
 
 
 def _spatiotemporal_pairs(
     spark,
     sf_dir,
-    salt_threshold: int = ST_SALT_THRESHOLD,
+    pair_cap: float = ST_PAIR_CAP,
     n_salt: int = 8,
     events: DataFrame | None = None,
 ):
@@ -2529,16 +2546,9 @@ def _spatiotemporal_pairs(
     pure equi-join on (cy, cx, tb), shuffled on composite keys that follow
     the data distribution.
 
-    Hotspot salting (same lever as pipeline.dedup): a degenerate
-    (cell, time-bucket) — everything co-located at one flare during one
-    bucket — is an invisible quadratic, so keys holding more than
-    ``salt_threshold`` left rows are split ``n_salt`` ways: the LEFT side
-    takes salt = hash(a_id) % n_salt, the RIGHT side replicates across all
-    salts for hot keys only. Each pair still meets exactly once (at the
-    left row's salt). Cold keys pay nothing (salt 0, no replication).
-    The explicit repartition on (cy, cx, tb, salt) keeps the pair
-    parallelism proportional to the PAIR workload — byte-based planning
-    (and AQE coalescing) cannot see a hot key's quadratic candidate set."""
+    Hotspot salting rides ``_salted_cover_join`` (one implementation for
+    every cover join; the inline copy this function originally carried is
+    gone — review finding r4)."""
     ev = events if events is not None else _t(spark, sf_dir, "events")
     p = ev.select(
         "event_id",
@@ -2579,43 +2589,15 @@ def _spatiotemporal_pairs(
         "b_id", "b_ms", "b_lat", "b_lon",
         F.col("k.cy").alias("cy"), F.col("k.cx").alias("cx"), F.col("k.tb").alias("tb"),
     )
-    key = ["cy", "cx", "tb"]
-    hot = (
-        a.groupBy(*key)
-        .count()
-        .filter(F.col("count") > salt_threshold)
-        .select(*key, F.lit(True).alias("_hot"))
-    )
-    a = (
-        a.join(F.broadcast(hot), key, "left")
-        .withColumn(
-            "salt",
-            F.when(F.col("_hot"), F.pmod(F.hash("a_id"), F.lit(n_salt))).otherwise(
-                F.lit(0)
-            ),
-        )
-        .drop("_hot")
-    )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = a.repartition(n_parts, *key, "salt")
-    b = (
-        b.join(F.broadcast(hot), key, "left")
-        .withColumn(
-            "salt",
-            F.explode(
-                F.when(F.col("_hot"), F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(
-                    F.array(F.lit(0))
-                )
-            ),
-        )
-        .drop("_hot")
-    )
     d2 = (F.col("a_lat") - F.col("b_lat")) * (F.col("a_lat") - F.col("b_lat")) + (
         F.col("a_lon") - F.col("b_lon")
     ) * (F.col("a_lon") - F.col("b_lon"))
     dt = F.abs(F.col("a_ms") - F.col("b_ms"))
     return (
-        a.join(b, key + ["salt"])
+        _salted_cover_join(
+            spark, a, b, ["cy", "cx", "tb"], "a_id",
+            pair_cap=pair_cap, n_salt=n_salt,
+        )
         .filter(
             (F.col("a_id") < F.col("b_id"))
             & (dt <= F.lit(_ST_T_MS))
@@ -2630,30 +2612,74 @@ def _spatiotemporal_pairs(
     )
 
 
+def _ring_explode(
+    df: DataFrame,
+    gy: Column,
+    gx: Column,
+    carried: list,
+    radius: int = 1,
+    names: tuple[str, str] = ("gy", "gx"),
+) -> DataFrame:
+    """Explode ``df`` into its (2r+1)^2 neighbor cover cells: the build
+    side of every 2D cover equi-join (radius_join / ripley_k / knox_pairs
+    / colocation_patterns / empirical_variogram / the skew benches).
+    ``carried`` columns ride along unchanged; the output keys on
+    ``names``. Constant map-side fan-out — no shuffle."""
+    ny, nx = names
+    k = F.explode(
+        F.array(
+            *[
+                F.struct((gy + dy).alias(ny), (gx + dx).alias(nx))
+                for dy in range(-radius, radius + 1)
+                for dx in range(-radius, radius + 1)
+            ]
+        )
+    ).alias("_k")
+    base = df.select(*carried, k)
+    kept = [c for c in base.columns if c != "_k"]
+    return base.select(
+        *kept, F.col(f"_k.{ny}").alias(ny), F.col(f"_k.{nx}").alias(nx)
+    )
+
+
 def _salted_cover_join(
     spark,
     left: DataFrame,
     right: DataFrame,
     key: list[str],
     left_id: str,
-    salt_threshold: int = ST_SALT_THRESHOLD,
+    pair_cap: float = ST_PAIR_CAP,
     n_salt: int = 8,
 ) -> DataFrame:
-    """The _spatiotemporal_pairs hot-key lever, factored for every cover
-    self-join whose pair volume explodes AFTER the join: ``left`` keys by
-    its own cover cell, ``right`` is the exploded neighbor side. Keys
-    holding more than ``salt_threshold`` left rows split ``n_salt`` ways
+    """The hot-key lever for every cover join whose pair volume explodes
+    AFTER the join: ``left`` keys by its own cover cell, ``right`` is the
+    exploded neighbor side. Keys whose candidate-pair volume
+    (left rows x right fan-in) exceeds ``pair_cap`` split ``n_salt`` ways
     (left at hash(id) %% n_salt, right replicated across salts for hot
     keys only — each pair still meets exactly once, at the left row's
     salt); the explicit repartition keeps join parallelism proportional
     to the PAIR workload, which byte-based planning and AQE coalescing
     cannot see (a one-file scan otherwise runs the whole candidate
     expansion in 1-2 tasks — the pipeline.dedup finding; measured 55.6 s
-    -> 9.9 s for ripley_k at sf0.1/local[32])."""
+    -> 9.9 s for ripley_k at sf0.1/local[32]).
+
+    Hot detection deliberately uses BOTH sides: a below-threshold cell
+    adjacent to a megacity receives the megacity's full right-side
+    fan-in, so left-count-only detection leaves that key's pair stream
+    in one task (review finding r4). Counting the exploded right is one
+    partial-agg pass over a column-pruned re-evaluation of the explode —
+    cheap relative to the quadratic it guards. Salting splits the LEFT
+    rows, so the lever caps a hot key's task at ~(lc/n_salt)*rc pairs;
+    the residual un-splittable case (lc ~ 1, rc huge) is linear in rc,
+    not quadratic — any quadratic blow-up has lc large and splits."""
+    lc = left.groupBy(*key).agg(F.count(F.lit(1)).alias("_lc"))
+    rc = right.groupBy(*key).agg(F.count(F.lit(1)).alias("_rc"))
     hot = (
-        left.groupBy(*key)
-        .count()
-        .filter(F.col("count") > salt_threshold)
+        lc.join(rc, key)
+        .filter(
+            F.col("_lc").cast("double") * F.col("_rc").cast("double")
+            > F.lit(float(pair_cap))
+        )
         .select(*key, F.lit(True).alias("_hot"))
     )
     lf = (
@@ -4909,7 +4935,7 @@ _VG_R = 3  # max lag radius in analysis cells (kRing-3 cover, 49x fan-out)
     cells AS ({_CELLS_SQL}),
     pr AS (
       SELECT (b.cy - a.cy) * (b.cy - a.cy) + (b.cx - a.cx) * (b.cx - a.cx) AS d2i,
-             CAST((a.x - b.x) * (a.x - b.x) AS BIGINT) AS sq
+             CAST(a.x - b.x AS HUGEINT) * CAST(a.x - b.x AS HUGEINT) AS sq
       FROM cells a JOIN cells b
         ON abs(a.cy - b.cy) <= {_VG_R} AND abs(a.cx - b.cx) <= {_VG_R}
        AND (b.cy > a.cy OR (b.cy = a.cy AND b.cx > a.cx))
@@ -4927,8 +4953,11 @@ _VG_R = 3  # max lag radius in analysis cells (kRing-3 cover, 49x fan-out)
         "by their EXACT integer squared cell offset d2i (no float lag "
         "banding to diverge) up to a 3-cell radius — the geostatistics "
         "primitive that sizes IDW/kriging neighborhoods (range/sill/nugget "
-        "read-off); squared differences are BIGINT, one double division "
-        "per lag"
+        "read-off); squared differences and their sums are 128-bit "
+        "integers (Spark DECIMAL(38,0) / DuckDB HUGEINT — a clustered "
+        "corpus pushes sum(diff^2) past int64: counts of 1e8 per cell "
+        "give diff^2 ~ 1e16, and ~1e3 pairs per lag overflow BIGINT; "
+        "review finding r4), one double division per lag"
     ),
 )
 def empirical_variogram(spark, sf_dir):
@@ -4936,24 +4965,22 @@ def empirical_variogram(spark, sf_dir):
     explode (constant 49x minus self/backward — each unordered pair meets
     once via the lexicographic gate), equi-join on the cell key, one
     partial-agg shuffle to O(#lags) rows. Bounded by inhabited cells x
-    cover at any corpus size."""
+    cover at any corpus size; the pair-square sum carries 2^127 headroom
+    (DECIMAL(38,0), the local_moran treatment) so gamma stays exact-until-
+    rounded on any inhabitable skew."""
     cells = _persist_evict(_cell_counts(spark, sf_dir))
-    right = cells.select(
-        F.col("cy").alias("bcy"),
-        F.col("cx").alias("bcx"),
-        F.col("x").alias("bx_"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (F.col("cy") + dy).alias("cy"), (F.col("cx") + dx).alias("cx")
-                    )
-                    for dy in range(-_VG_R, _VG_R + 1)
-                    for dx in range(-_VG_R, _VG_R + 1)
-                ]
-            )
-        ).alias("k"),
-    ).select("bcy", "bcx", "bx_", F.col("k.cy").alias("cy"), F.col("k.cx").alias("cx"))
+    right = _ring_explode(
+        cells,
+        F.col("cy"),
+        F.col("cx"),
+        [
+            F.col("cy").alias("bcy"),
+            F.col("cx").alias("bcx"),
+            F.col("x").alias("bx_"),
+        ],
+        radius=_VG_R,
+        names=("cy", "cx"),
+    )
     dy = F.col("bcy") - F.col("cy")
     dx = F.col("bcx") - F.col("cx")
     diff = F.col("x") - F.col("bx_")
@@ -4963,7 +4990,10 @@ def empirical_variogram(spark, sf_dir):
             (F.col("bcy") > F.col("cy"))
             | ((F.col("bcy") == F.col("cy")) & (F.col("bcx") > F.col("cx")))
         )
-        .select((dy * dy + dx * dx).alias("d2i"), (diff * diff).alias("sq"))
+        .select(
+            (dy * dy + dx * dx).alias("d2i"),
+            (diff.cast("decimal(19,0)") * diff.cast("decimal(19,0)")).alias("sq"),
+        )
     )
     return (
         pr.groupBy("d2i")
@@ -5469,22 +5499,16 @@ def ripley_k(spark, sf_dir, events: DataFrame | None = None):
         F.count(F.lit(1)).alias("n"),
         ((F.max("lat") - F.min("lat")) * (F.max("lon") - F.min("lon"))).alias("area"),
     )
-    right = pts.select(
-        F.col("event_id").alias("eb"),
-        F.col("lat").alias("blat"),
-        F.col("lon").alias("blon"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (F.col("gy") + dy).alias("gy"), (F.col("gx") + dx).alias("gx")
-                    )
-                    for dy in (-1, 0, 1)
-                    for dx in (-1, 0, 1)
-                ]
-            )
-        ).alias("k"),
-    ).select("eb", "blat", "blon", F.col("k.gy").alias("gy"), F.col("k.gx").alias("gx"))
+    right = _ring_explode(
+        pts,
+        F.col("gy"),
+        F.col("gx"),
+        [
+            F.col("event_id").alias("eb"),
+            F.col("lat").alias("blat"),
+            F.col("lon").alias("blon"),
+        ],
+    )
     d2 = (F.col("lat") - F.col("blat")) * (F.col("lat") - F.col("blat")) + (
         F.col("lon") - F.col("blon")
     ) * (F.col("lon") - F.col("blon"))
@@ -5564,10 +5588,13 @@ _KNOX_NT = 16  # time buckets; pairs within 1 bucket are "time-close"
         ON abs(a.tb - b.tb) <= 1 AND a.event_id < b.event_id
     )
     SELECT sp.n_space, tm.n_time, sp.n_both,
-           CAST(g.n * (g.n - 1) / 2 AS BIGINT) AS n_pairs,
+           CAST((g.n // 2) * (g.n - 1) + (g.n % 2) * ((g.n - 1) // 2)
+                AS BIGINT) AS n_pairs,
            round(CAST(sp.n_both AS DOUBLE)
                  / (CAST(sp.n_space AS DOUBLE) * CAST(tm.n_time AS DOUBLE)
-                    / CAST(g.n * (g.n - 1) / 2 AS DOUBLE)), 6) AS knox_ratio
+                    / CAST((g.n // 2) * (g.n - 1)
+                           + (g.n % 2) * ((g.n - 1) // 2) AS DOUBLE)),
+                 6) AS knox_ratio
     FROM sp CROSS JOIN tm CROSS JOIN g
     """,
     doc=(
@@ -5575,8 +5602,11 @@ _KNOX_NT = 16  # time buckets; pairs within 1 bucket are "time-close"
         "deg), close in time (adjacent 1/16-span buckets), and close in "
         "BOTH, against the independence expectation "
         "E = n_space*n_time/C(n,2) — the epidemiology/fire-spread "
-        "clustering diagnostic; every count is integer-exact, one double "
-        "ratio at the end"
+        "clustering diagnostic; every count is integer-exact (C(n,2) via "
+        "overflow-safe integer division — exact until the COUNT itself "
+        "exceeds int64, i.e. ~4.3e9 events per bucket; past that the "
+        "counts need DECIMAL(38,0), the empirical_variogram treatment), "
+        "one double ratio at the end"
     ),
 )
 def knox_pairs(spark, sf_dir, events: DataFrame | None = None):
@@ -5625,24 +5655,17 @@ def knox_pairs(spark, sf_dir, events: DataFrame | None = None):
         F.floor(F.col("lat") / _KNOX_DS).alias("gy"),
         F.floor(F.col("lon") / _KNOX_DS).alias("gx"),
     )
-    right = p.select(
-        F.col("event_id").alias("eb"),
-        F.col("lat").alias("blat"),
-        F.col("lon").alias("blon"),
-        F.col("tb").alias("btb"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (F.floor(F.col("lat") / _KNOX_DS) + dy).alias("gy"),
-                        (F.floor(F.col("lon") / _KNOX_DS) + dx).alias("gx"),
-                    )
-                    for dy in (-1, 0, 1)
-                    for dx in (-1, 0, 1)
-                ]
-            )
-        ).alias("k"),
-    ).select("eb", "blat", "blon", "btb", F.col("k.gy").alias("gy"), F.col("k.gx").alias("gx"))
+    right = _ring_explode(
+        p,
+        F.floor(F.col("lat") / _KNOX_DS),
+        F.floor(F.col("lon") / _KNOX_DS),
+        [
+            F.col("event_id").alias("eb"),
+            F.col("lat").alias("blat"),
+            F.col("lon").alias("blon"),
+            F.col("tb").alias("btb"),
+        ],
+    )
     d2 = (F.col("lat") - F.col("blat")) * (F.col("lat") - F.col("blat")) + (
         F.col("lon") - F.col("blon")
     ) * (F.col("lon") - F.col("blon"))
@@ -5673,7 +5696,7 @@ def knox_pairs(spark, sf_dir, events: DataFrame | None = None):
         )
         .select(
             (
-                (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+                _c2(F.col("c"))
                 + F.when(
                     F.col("ntb") == F.col("tb") + 1, F.col("c") * F.col("nc")
                 ).otherwise(F.lit(0))
@@ -5681,7 +5704,7 @@ def knox_pairs(spark, sf_dir, events: DataFrame | None = None):
         )
         .agg(F.sum("t_pairs").alias("n_time"))
     )
-    npairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    npairs = _c2(F.col("n"))
     return (
         sp.crossJoin(F.broadcast(tm))
         .crossJoin(F.broadcast(g))
@@ -6180,26 +6203,16 @@ def colocation_patterns(spark, sf_dir, events: DataFrame | None = None):
         F.floor(F.col("lat") / _CL_D).alias("gy"),
         F.floor(F.col("lon") / _CL_D).alias("gx"),
     )
-    right = p.select(
-        F.col("event_id").alias("eb"),
-        F.col("event_type").alias("btype"),
-        F.col("lat").alias("blat"),
-        F.col("lon").alias("blon"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (F.floor(F.col("lat") / _CL_D) + dy).alias("gy"),
-                        (F.floor(F.col("lon") / _CL_D) + dx).alias("gx"),
-                    )
-                    for dy in (-1, 0, 1)
-                    for dx in (-1, 0, 1)
-                ]
-            )
-        ).alias("k"),
-    ).select(
-        "eb", "btype", "blat", "blon",
-        F.col("k.gy").alias("gy"), F.col("k.gx").alias("gx"),
+    right = _ring_explode(
+        p,
+        F.floor(F.col("lat") / _CL_D),
+        F.floor(F.col("lon") / _CL_D),
+        [
+            F.col("event_id").alias("eb"),
+            F.col("event_type").alias("btype"),
+            F.col("lat").alias("blat"),
+            F.col("lon").alias("blon"),
+        ],
     )
     d2 = (F.col("lat") - F.col("blat")) * (F.col("lat") - F.col("blat")) + (
         F.col("lon") - F.col("blon")

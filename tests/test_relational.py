@@ -51,10 +51,10 @@ def test_spatiotemporal_salting_mirrors_pairs(spark):
         "event_id", F.timestamp_millis(F.col("ms")).alias("ts")
     )
     salted = relational._spatiotemporal_pairs(
-        spark, "", salt_threshold=10, n_salt=4, events=ev
+        spark, "", pair_cap=100.0, n_salt=4, events=ev
     )
     unsalted = relational._spatiotemporal_pairs(
-        spark, "", salt_threshold=1 << 30, events=ev
+        spark, "", pair_cap=float("inf"), events=ev
     )
     a = sorted(map(tuple, salted.collect()))
     b = sorted(map(tuple, unsalted.collect()))
@@ -1305,20 +1305,9 @@ def test_salted_cover_join_result_invariant(spark, sf_dir):
         F.floor("lat").alias("gy"),
         F.floor("lon").alias("gx"),
     )
-    right = pts.select(
-        F.col("event_id").alias("eb"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (F.col("gy") + dy).alias("gy"), (F.col("gx") + dx).alias("gx")
-                    )
-                    for dy in (-1, 0, 1)
-                    for dx in (-1, 0, 1)
-                ]
-            )
-        ).alias("k"),
-    ).select("eb", F.col("k.gy").alias("gy"), F.col("k.gx").alias("gx"))
+    right = relational._ring_explode(
+        pts, F.col("gy"), F.col("gx"), [F.col("event_id").alias("eb")]
+    )
     plain = sorted(
         (r.event_id, r.eb)
         for r in pts.join(right, ["gy", "gx"]).select("event_id", "eb").collect()
@@ -1326,7 +1315,7 @@ def test_salted_cover_join_result_invariant(spark, sf_dir):
     salted = sorted(
         (r.event_id, r.eb)
         for r in relational._salted_cover_join(
-            spark, pts, right, ["gy", "gx"], "event_id", salt_threshold=0, n_salt=5
+            spark, pts, right, ["gy", "gx"], "event_id", pair_cap=0.0, n_salt=5
         )
         .select("event_id", "eb")
         .collect()
@@ -1337,8 +1326,6 @@ def test_salted_cover_join_result_invariant(spark, sf_dir):
 def test_knox_time_histogram_matches_pair_enumeration(spark, sf_dir):
     """The bucket-histogram n_time (sum C(c_b,2) + sum c_b*c_{b+1}) must
     equal brute-force pair enumeration over the same bucket assignment."""
-    import itertools
-
     row = relational.REGISTRY["knox_pairs"].fn(spark, sf_dir).collect()[0]
     ev = relational._t(spark, sf_dir, "events").select("event_id", "ts").toPandas()
     import pandas as pd
