@@ -6263,6 +6263,222 @@ def colocation_patterns(spark, sf_dir, events: DataFrame | None = None):
     )
 
 
+# D8 flow direction + accumulation (hydrology pair over the density surface) ----
+
+# ESRI D8 codes, (dy, dx, code) with +y north; inverse neighbor distance is
+# an exact double LITERAL (1 cardinal, 1/sqrt(2) diagonal) so the drop is a
+# single IEEE multiply — identical cross-engine, no libm
+_D8_INV_SQRT2 = 0.7071067811865476
+_D8_DIRS = [
+    (0, 1, 1), (-1, 1, 2), (-1, 0, 4), (-1, -1, 8),
+    (0, -1, 16), (1, -1, 32), (1, 0, 64), (1, 1, 128),
+]
+
+_D8_DIR_CASE_SQL = "CASE " + " ".join(
+    f"WHEN b.cy - a.cy = {dy} AND b.cx - a.cx = {dx} THEN {code}"
+    for dy, dx, code in _D8_DIRS
+) + " END"
+
+_D8_INV_SQL = (
+    "CASE WHEN a.cy = b.cy OR a.cx = b.cx THEN 1.0 "
+    f"ELSE {_D8_INV_SQRT2!r} END"
+)
+
+# the D8 pipeline as a reusable CTE chain (d8_flow_dir selects from it;
+# flow_accumulation builds its edge set on top)
+_D8_SQL = f"""
+    p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    nbr AS (
+      SELECT a.cy, a.cx,
+             CAST(a.x - b.x AS DOUBLE) * ({_D8_INV_SQL}) AS drp,
+             {_D8_DIR_CASE_SQL} AS dir,
+             count(*) OVER (PARTITION BY a.cy, a.cx) AS nn
+      FROM cells a JOIN cells b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+       AND NOT (a.cy = b.cy AND a.cx = b.cx)
+    ),
+    ranked AS (
+      SELECT cy, cx, dir, drp,
+             row_number() OVER (PARTITION BY cy, cx ORDER BY drp DESC, dir) AS rn
+      FROM nbr WHERE nn = 8
+    ),
+    d8 AS (
+      SELECT cy, cx,
+             CAST(CASE WHEN drp > 0.0 THEN dir ELSE 0 END AS INT) AS d8_dir,
+             round(CASE WHEN drp > 0.0 THEN drp ELSE 0.0 END, 6) AS steepest_drop
+      FROM ranked WHERE rn = 1
+    )
+"""
+
+
+def _d8_frame(spark, sf_dir) -> DataFrame:
+    """Spark twin of the ``_D8_SQL`` chain: the slope_aspect stencil join
+    with the direction code + inverse distance riding the exploded struct,
+    then one window (count + row_number share the (cy, cx) exchange) for
+    the argmax. Post-shuffle cardinality is 8x inhabited cells."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    right = cells.select(
+        F.col("x").alias("bx_"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        # neighbor at a + (dy, dx) means b lands on a = b - (dy, dx)
+                        (F.col("cy") - dy).alias("cy"),
+                        (F.col("cx") - dx).alias("cx"),
+                        F.lit(code).alias("dir"),
+                        F.lit(
+                            1.0 if dy == 0 or dx == 0 else _D8_INV_SQRT2
+                        ).alias("inv"),
+                    )
+                    for dy, dx, code in _D8_DIRS
+                ]
+            )
+        ).alias("k"),
+    ).select("bx_", "k.cy", "k.cx", "k.dir", "k.inv")
+    j = cells.join(right, ["cy", "cx"]).select(
+        "cy",
+        "cx",
+        ((F.col("x") - F.col("bx_")).cast("double") * F.col("inv")).alias("drp"),
+        "dir",
+    )
+    part = Window.partitionBy("cy", "cx")
+    r = j.select(
+        "*",
+        F.count(F.lit(1)).over(part).alias("nn"),
+        F.row_number().over(part.orderBy(F.col("drp").desc(), F.col("dir"))).alias(
+            "rn"
+        ),
+    )
+    return r.filter((F.col("nn") == 8) & (F.col("rn") == 1)).select(
+        "cy",
+        "cx",
+        F.when(F.col("drp") > 0.0, F.col("dir"))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("d8_dir"),
+        F.round(
+            F.when(F.col("drp") > 0.0, F.col("drp")).otherwise(F.lit(0.0)), 6
+        ).alias("steepest_drop"),
+    )
+
+
+@register(
+    "d8_flow_dir",
+    f"WITH {_D8_SQL} SELECT cy, cx, d8_dir, steepest_drop FROM d8",
+    doc=(
+        "D8 steepest-descent flow direction over the detection-density "
+        "surface (ESRI codes E=1..NE=128, 0 = sink/flat): the hydrology "
+        "primitive completing the terrain family (slope/aspect/hillshade/"
+        "variogram) — drop = (x_a - x_b) * inv_dist with inv_dist an exact "
+        "double literal, so the only float op is one IEEE multiply; argmax "
+        "by (drop DESC, code) is deterministic cross-engine; interior "
+        "cells only (nn = 8, the slope_aspect gate)"
+    ),
+)
+def d8_flow_dir(spark, sf_dir):
+    """See _d8_frame: one partial-agg shuffle to cells, one stencil
+    equi-join (constant 8x fan-out), one (cy, cx) window exchange shared
+    by the nn count and the argmax row_number. Bounded by inhabited
+    cells at any corpus size."""
+    return _d8_frame(spark, sf_dir)
+
+
+_FA_ROUNDS = 4  # fixed accumulation rounds (upstream horizon = 4 cells)
+
+
+def _fa_edges_sql() -> str:
+    dy_case = "CASE " + " ".join(
+        f"WHEN d8_dir = {code} THEN {dy}" for dy, dx, code in _D8_DIRS
+    ) + " END"
+    dx_case = "CASE " + " ".join(
+        f"WHEN d8_dir = {code} THEN {dx}" for dy, dx, code in _D8_DIRS
+    ) + " END"
+    return (
+        f"SELECT cy AS scy, cx AS scx, cy + {dy_case} AS tcy, "
+        f"cx + {dx_case} AS tcx FROM d8 WHERE d8_dir > 0"
+    )
+
+
+def _fa_oracle_sql() -> str:
+    steps = []
+    for k in range(1, _FA_ROUNDS + 1):
+        steps.append(f"""
+    a{k} AS (
+      SELECT c.cy, c.cx, CAST(1 + coalesce(sum(p.acc), 0) AS BIGINT) AS acc
+      FROM a0 c
+      LEFT JOIN e ON e.tcy = c.cy AND e.tcx = c.cx
+      LEFT JOIN a{k - 1} p ON p.cy = e.scy AND p.cx = e.scx
+      GROUP BY c.cy, c.cx
+    )""")
+    return (
+        f"WITH {_D8_SQL},\n    e AS ({_fa_edges_sql()}),\n"
+        "    a0 AS (SELECT cy, cx, CAST(1 AS BIGINT) AS acc FROM cells),"
+        + ",".join(steps)
+        + f"\n    SELECT cy, cx, acc FROM a{_FA_ROUNDS}"
+    )
+
+
+@register(
+    "flow_accumulation",
+    _fa_oracle_sql(),
+    doc=(
+        "D8 flow accumulation, fixed 4 rounds (acc = 1 + sum of upstream "
+        "neighbors' previous acc): counts the contributing cells within a "
+        "4-cell upstream horizon — exact accumulation wherever the flow "
+        "path depth is <= 4 (the D8 graph is acyclic by construction: "
+        "every edge strictly descends the surface). BIGINT end to end; "
+        "the iterative-op class with a fully unrolled CTE oracle "
+        "(the pagerank pattern)"
+    ),
+)
+def flow_accumulation(spark, sf_dir):
+    """Each round is one equi-join (edges x acc on the source key) + one
+    partial-agg groupBy on the target + a left join back to the cell set
+    — the pagerank round shape where the shuffle carries contributions,
+    not the graph. Edge and base frames are persisted (every round
+    references them); each cell has <= 1 outgoing edge, so the edge set
+    is bounded by inhabited cells. At real horizons the loop adds
+    localCheckpoint every few rounds (dup_components' plan-size control);
+    4 static rounds stay under that threshold."""
+    d8 = _d8_frame(spark, sf_dir).filter(F.col("d8_dir") > 0)
+    dy = F.when(F.lit(False), 0)
+    dx = F.when(F.lit(False), 0)
+    for ddy, ddx, code in _D8_DIRS:
+        dy = dy.when(F.col("d8_dir") == code, ddy)
+        dx = dx.when(F.col("d8_dir") == code, ddx)
+    edges = _persist_evict(
+        d8.select(
+            F.col("cy").alias("scy"),
+            F.col("cx").alias("scx"),
+            (F.col("cy") + dy).alias("tcy"),
+            (F.col("cx") + dx).alias("tcx"),
+        )
+    )
+    base = _persist_evict(_cell_counts(spark, sf_dir).select("cy", "cx"))
+    acc = base.select("cy", "cx", F.lit(1).cast("long").alias("acc"))
+    for _ in range(_FA_ROUNDS):
+        inc = (
+            edges.join(
+                acc.select(
+                    F.col("cy").alias("scy"),
+                    F.col("cx").alias("scx"),
+                    F.col("acc").alias("p_acc"),
+                ),
+                ["scy", "scx"],
+            )
+            .groupBy(F.col("tcy").alias("cy"), F.col("tcx").alias("cx"))
+            .agg(F.sum("p_acc").alias("s"))
+        )
+        acc = base.join(inc, ["cy", "cx"], "left").select(
+            "cy",
+            "cx",
+            (F.lit(1) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("acc"),
+        )
+    return acc
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1421,3 +1421,74 @@ def test_empirical_variogram_matches_brute_force(spark, sf_dir):
         n, s = want[r.d2i]
         assert r.n_pairs == n
         assert abs(r.gamma - round(s / (2.0 * n), 6)) < 1e-12
+
+
+def test_d8_flow_dir_matches_brute_force(spark, sf_dir):
+    """The chosen direction must be the true steepest distance-weighted
+    descent among the 8 neighbors (ties to the lowest ESRI code), sinks
+    and flats must code 0 with drop 0, and the result must cover exactly
+    the interior cells of the inhabited set."""
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    rows = relational.REGISTRY["d8_flow_dir"].fn(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add((r.cy, r.cx))
+        x = cells[(r.cy, r.cx)]
+        best = None
+        for dy, dx, code in relational._D8_DIRS:
+            nb = cells.get((r.cy + dy, r.cx + dx))
+            assert nb is not None  # interior cells only
+            inv = 1.0 if dy == 0 or dx == 0 else relational._D8_INV_SQRT2
+            drp = float(x - nb) * inv
+            if best is None or drp > best[0] or (drp == best[0] and code < best[1]):
+                best = (drp, code)
+        if best[0] > 0.0:
+            assert r.d8_dir == best[1]
+            assert abs(r.steepest_drop - round(best[0], 6)) < 1e-12
+        else:
+            assert r.d8_dir == 0 and r.steepest_drop == 0.0
+    interior = {
+        (cy, cx)
+        for (cy, cx) in cells
+        if all(
+            (cy + dy, cx + dx) in cells
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)
+        )
+    }
+    assert seen == interior
+
+
+def test_flow_accumulation_matches_brute_force(spark, sf_dir):
+    """acc must equal the 4-round recurrence acc_k = 1 + sum of direct
+    upstream neighbors' acc_{k-1} (walked in plain Python over the D8
+    edge dict) — i.e. 1 + the number of cells whose flow path reaches the
+    cell in <= 4 hops."""
+    d8 = relational.REGISTRY["d8_flow_dir"].fn(spark, sf_dir).collect()
+    offs = {code: (dy, dx) for dy, dx, code in relational._D8_DIRS}
+    step = {}
+    for r in d8:
+        if r.d8_dir:
+            dy, dx = offs[r.d8_dir]
+            step[(r.cy, r.cx)] = (r.cy + dy, r.cx + dx)
+    cells = {
+        (r.cy, r.cx)
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    acc = {c: 1 for c in cells}
+    for _ in range(relational._FA_ROUNDS):
+        new = {c: 1 for c in cells}
+        for s, t in step.items():
+            assert t in new  # D8 targets are inhabited by the nn=8 gate
+            new[t] += acc[s]
+        acc = new
+    rows = relational.REGISTRY["flow_accumulation"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(cells)
+    for r in rows:
+        assert r.acc == acc[(r.cy, r.cx)], (r.cy, r.cx)
+    assert any(r.acc > 1 for r in rows)  # non-vacuous: real flow happened
