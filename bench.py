@@ -103,6 +103,12 @@ HEADLINE = [
     "focal_majority",
     "hillshade",
     "empirical_variogram",
+    "d8_flow_dir",
+    "flow_accumulation",
+    "theil_sen_trend",
+    "join_counts",
+    "std_ellipse",
+    "chunk_documents",
 ]
 
 

@@ -2520,6 +2520,12 @@ def spatiotemporal_join(spark, sf_dir):
 ST_PAIR_CAP = 25_000_000  # candidate pairs per (key, salt) task before salting
 
 
+_RING2 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+_RING3 = [
+    (dy, dx, dt) for dy in (-1, 0, 1) for dx in (-1, 0, 1) for dt in (-1, 0, 1)
+]
+
+
 def _c2(n: Column) -> Column:
     """C(n,2) = n(n-1)/2 in pure int64 ops (shift + bitand — no double
     division, whose 2^53 mantissa silently rounds counts past ~9e15;
@@ -2596,7 +2602,7 @@ def _spatiotemporal_pairs(
     return (
         _salted_cover_join(
             spark, a, b, ["cy", "cx", "tb"], "a_id",
-            pair_cap=pair_cap, n_salt=n_salt,
+            pair_cap=pair_cap, n_salt=n_salt, ring=_RING3,
         )
         .filter(
             (F.col("a_id") < F.col("b_id"))
@@ -2650,6 +2656,7 @@ def _salted_cover_join(
     left_id: str,
     pair_cap: float = ST_PAIR_CAP,
     n_salt: int = 8,
+    ring: list[tuple] | None = None,
 ) -> DataFrame:
     """The hot-key lever for every cover join whose pair volume explodes
     AFTER the join: ``left`` keys by its own cover cell, ``right`` is the
@@ -2666,14 +2673,43 @@ def _salted_cover_join(
     Hot detection deliberately uses BOTH sides: a below-threshold cell
     adjacent to a megacity receives the megacity's full right-side
     fan-in, so left-count-only detection leaves that key's pair stream
-    in one task (review finding r4). Counting the exploded right is one
-    partial-agg pass over a column-pruned re-evaluation of the explode —
-    cheap relative to the quadratic it guards. Salting splits the LEFT
-    rows, so the lever caps a hot key's task at ~(lc/n_salt)*rc pairs;
-    the residual un-splittable case (lc ~ 1, rc huge) is linear in rc,
-    not quadratic — any quadratic blow-up has lc large and splits."""
+    in one task (review finding r4). When ``right`` is the ring-explode
+    of the SAME point set as ``left`` (every current caller), pass the
+    explode's offset tuples as ``ring`` and the fan-in is derived from
+    the left counts at O(keys x |ring|) cost — the hot set is only an
+    execution-strategy input (any hot set yields identical results, see
+    the invariance test), so a mismatched ring can cost time, never
+    correctness. Without ``ring`` the exploded right is counted directly
+    (one partial-agg pass, generic). Salting splits the LEFT rows, so
+    the lever caps a hot key's task at ~(lc/n_salt)*rc pairs; the
+    residual un-splittable case (lc ~ 1, rc huge) is linear in rc, not
+    quadratic — any quadratic blow-up has lc large and splits."""
     lc = left.groupBy(*key).agg(F.count(F.lit(1)).alias("_lc"))
-    rc = right.groupBy(*key).agg(F.count(F.lit(1)).alias("_rc"))
+    if ring is not None:
+        lc = _persist_evict(lc)  # referenced by the fan-in derivation AND hot
+        rc = (
+            lc.select(
+                "_lc",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                *[
+                                    (F.col(k) + F.lit(off[i])).alias(k)
+                                    for i, k in enumerate(key)
+                                ]
+                            )
+                            for off in ring
+                        ]
+                    )
+                ).alias("_k"),
+            )
+            .select("_lc", *[F.col(f"_k.{k}").alias(k) for k in key])
+            .groupBy(*key)
+            .agg(F.sum("_lc").alias("_rc"))
+        )
+    else:
+        rc = right.groupBy(*key).agg(F.count(F.lit(1)).alias("_rc"))
     hot = (
         lc.join(rc, key)
         .filter(
@@ -3497,11 +3533,10 @@ def getis_ord_gi(spark, sf_dir):
 
 _MK_BUCKETS = 8  # Mann-Kendall time buckets over the corpus span
 
-
-@register(
-    "mann_kendall_trend",
-    f"""
-    WITH p0 AS (
+# the per-(cell, bucket) count series CTE chain, single-sourced for
+# mann_kendall_trend and theil_sen_trend (the Spark twin is _mk_series)
+_MK_SERIES_SQL = f"""
+    p0 AS (
       SELECT event_id, epoch_ms(ts) AS t_ms,
              CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0 AS lat,
              CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0 AS lon
@@ -3516,6 +3551,44 @@ _MK_BUCKETS = 8  # Mann-Kendall time buckets over the corpus span
              count(*) AS x
       FROM p0 CROSS JOIN bounds GROUP BY 1, 2, 3
     )
+"""
+
+
+def _mk_series(spark, sf_dir, events: DataFrame | None = None) -> DataFrame:
+    """Spark twin of ``_MK_SERIES_SQL``: per-(cell, bucket) counts in one
+    partial-agg shuffle; bucket bounds from one scalar min/max agg
+    broadcast into the projection."""
+    ev = events if events is not None else _t(spark, sf_dir, "events")
+    p0 = ev.select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0).alias("lat"),
+        (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0).alias(
+            "lon"
+        ),
+    )
+    bounds = p0.agg(F.min("t_ms").alias("t0"), (F.max("t_ms") + 1).alias("t1"))
+    return (
+        p0.crossJoin(F.broadcast(bounds))
+        .select(
+            F.floor(F.col("lat") / _GI_CELL).alias("cy"),
+            F.floor(F.col("lon") / _GI_CELL).alias("cx"),
+            F.floor(
+                (F.col("t_ms") - F.col("t0")).cast("double")
+                / (F.col("t1") - F.col("t0")).cast("double")
+                * _MK_BUCKETS
+            )
+            .cast("long")
+            .alias("tb"),
+        )
+        .groupBy("cy", "cx", "tb")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    f"""
+    WITH {_MK_SERIES_SQL}
     SELECT a.cy, a.cx,
            CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
                 AS BIGINT) AS s_stat,
@@ -3537,32 +3610,9 @@ def mann_kendall_trend(spark, sf_dir, events: DataFrame | None = None):
     (bounded fan-out: <= C(8,2)=28 pairs per cell, a constant — not a
     range join); sign sums stay BIGINT. The bucket bounds come from one
     scalar min/max agg broadcast into the projection."""
-    ev = events if events is not None else _t(spark, sf_dir, "events")
-    p0 = ev.select(
-        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
-        ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0).alias("lat"),
-        (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0).alias("lon"),
-    )
-    bounds = p0.agg(F.min("t_ms").alias("t0"), (F.max("t_ms") + 1).alias("t1"))
-    series = (
-        p0.crossJoin(F.broadcast(bounds))
-        .select(
-            F.floor(F.col("lat") / _GI_CELL).alias("cy"),
-            F.floor(F.col("lon") / _GI_CELL).alias("cx"),
-            F.floor(
-                (F.col("t_ms") - F.col("t0")).cast("double")
-                / (F.col("t1") - F.col("t0")).cast("double")
-                * _MK_BUCKETS
-            )
-            .cast("long")
-            .alias("tb"),
-        )
-        .groupBy("cy", "cx", "tb")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
     # both self-join sides reference the series frame: persist so the
     # base scan + bounds agg + bucket-count shuffle run once, not twice
-    series = _persist_evict(series)
+    series = _persist_evict(_mk_series(spark, sf_dir, events))
     a = series.select("cy", "cx", F.col("tb").alias("ta"), F.col("x").alias("xa"))
     b = series.select("cy", "cx", F.col("tb").alias("tbk"), F.col("x").alias("xb"))
     sign = F.when(F.col("xb") > F.col("xa"), 1).when(
@@ -3603,21 +3653,7 @@ _CUSUM_XCOLS_SQL = ",\n             ".join(
 @register(
     "cusum_changepoint",
     f"""
-    WITH p0 AS (
-      SELECT event_id, epoch_ms(ts) AS t_ms,
-             CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0 AS lat,
-             CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0 AS lon
-      FROM events
-    ),
-    bounds AS (SELECT min(t_ms) AS t0, max(t_ms) + 1 AS t1 FROM p0),
-    series AS (
-      SELECT CAST(floor(lat / {_GI_CELL!r}) AS BIGINT) AS cy,
-             CAST(floor(lon / {_GI_CELL!r}) AS BIGINT) AS cx,
-             CAST(floor(CAST((t_ms - t0) AS DOUBLE) / CAST((t1 - t0) AS DOUBLE)
-                        * {_MK_BUCKETS}) AS BIGINT) AS tb,
-             count(*) AS x
-      FROM p0 CROSS JOIN bounds GROUP BY 1, 2, 3
-    ),
+    WITH {_MK_SERIES_SQL},
     wide AS (
       SELECT cy, cx,
              {_CUSUM_XCOLS_SQL}
@@ -3648,29 +3684,7 @@ def cusum_changepoint(spark, sf_dir, events: DataFrame | None = None):
     grouped aggregation that built them (one exchange total), then the
     unrolled fold runs as whole-stage-codegen column algebra — no second
     shuffle, no UDF, no higher-order-function parity risk."""
-    ev = events if events is not None else _t(spark, sf_dir, "events")
-    p0 = ev.select(
-        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
-        ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0).alias("lat"),
-        (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0).alias("lon"),
-    )
-    bounds = p0.agg(F.min("t_ms").alias("t0"), (F.max("t_ms") + 1).alias("t1"))
-    series = (
-        p0.crossJoin(F.broadcast(bounds))
-        .select(
-            F.floor(F.col("lat") / _GI_CELL).alias("cy"),
-            F.floor(F.col("lon") / _GI_CELL).alias("cx"),
-            F.floor(
-                (F.col("t_ms") - F.col("t0")).cast("double")
-                / (F.col("t1") - F.col("t0")).cast("double")
-                * _MK_BUCKETS
-            )
-            .cast("long")
-            .alias("tb"),
-        )
-        .groupBy("cy", "cx", "tb")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
+    series = _mk_series(spark, sf_dir, events)
     wide = series.groupBy("cy", "cx").agg(
         *[
             F.sum(F.when(F.col("tb") == i, F.col("x")).otherwise(0))
@@ -5513,7 +5527,9 @@ def ripley_k(spark, sf_dir, events: DataFrame | None = None):
         F.col("lon") - F.col("blon")
     ) * (F.col("lon") - F.col("blon"))
     pr = (
-        _salted_cover_join(spark, pts, right, ["gy", "gx"], "event_id")
+        _salted_cover_join(
+            spark, pts, right, ["gy", "gx"], "event_id", ring=_RING2
+        )
         .filter(F.col("event_id") < F.col("eb"))
         .agg(
             *[
@@ -5670,7 +5686,9 @@ def knox_pairs(spark, sf_dir, events: DataFrame | None = None):
         F.col("lon") - F.col("blon")
     ) * (F.col("lon") - F.col("blon"))
     sp = (
-        _salted_cover_join(spark, left, right, ["gy", "gx"], "event_id")
+        _salted_cover_join(
+            spark, left, right, ["gy", "gx"], "event_id", ring=_RING2
+        )
         .filter((F.col("event_id") < F.col("eb")) & (d2 <= _KNOX_DS * _KNOX_DS))
         .agg(
             F.count(F.lit(1)).alias("n_space"),
@@ -6218,7 +6236,9 @@ def colocation_patterns(spark, sf_dir, events: DataFrame | None = None):
         F.col("lon") - F.col("blon")
     ) * (F.col("lon") - F.col("blon"))
     part = (
-        _salted_cover_join(spark, left, right, ["gy", "gx"], "event_id")
+        _salted_cover_join(
+            spark, left, right, ["gy", "gx"], "event_id", ring=_RING2
+        )
         .filter(
             (F.col("event_id") != F.col("eb"))
             & (F.col("event_type") != F.col("btype"))
@@ -6477,6 +6497,385 @@ def flow_accumulation(spark, sf_dir):
             (F.lit(1) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("acc"),
         )
     return acc
+
+
+# Theil-Sen robust trend ------------------------------------------------------
+
+
+@register(
+    "theil_sen_trend",
+    f"""
+    WITH {_MK_SERIES_SQL},
+    pr AS (
+      SELECT a.cy, a.cx,
+             CAST(b.x - a.x AS DOUBLE) / CAST(b.tb - a.tb AS DOUBLE) AS slope
+      FROM series a JOIN series b
+        ON a.cy = b.cy AND a.cx = b.cx AND a.tb < b.tb
+    ),
+    r AS (
+      SELECT cy, cx, slope,
+             row_number() OVER (PARTITION BY cy, cx ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY cy, cx) AS m
+      FROM pr
+    )
+    SELECT cy, cx, CAST(max(m) AS BIGINT) AS n_pairs,
+           round(avg(slope), 6) AS sen_slope
+    FROM r
+    WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+    GROUP BY cy, cx
+    """,
+    doc=(
+        "Theil-Sen robust trend per cell over the 8 time buckets: the "
+        "median of all pairwise slopes (x_j - x_i)/(t_j - t_i) — the "
+        "outlier-resistant companion to mann_kendall_trend's S statistic "
+        "(one burst bucket cannot flip the slope estimate); the median is "
+        "the mean of the two middle order statistics, so ties and even "
+        "counts are deterministic cross-engine"
+    ),
+)
+def theil_sen_trend(spark, sf_dir, events: DataFrame | None = None):
+    """Same bounded self-equi-join as mann_kendall (<= C(8,2) = 28 pairs
+    per cell, never a range join) on the persisted _mk_series frame; the
+    median comes from one (cy, cx) window exchange (row_number + count
+    share it) and a final partial-agg groupBy — order statistics, not a
+    percentile approximation, so parity is exact."""
+    series = _persist_evict(_mk_series(spark, sf_dir, events))
+    a = series.select("cy", "cx", F.col("tb").alias("ta"), F.col("x").alias("xa"))
+    b = series.select("cy", "cx", F.col("tb").alias("tbk"), F.col("x").alias("xb"))
+    pr = (
+        a.join(b, ["cy", "cx"])
+        .filter(F.col("ta") < F.col("tbk"))
+        .select(
+            "cy",
+            "cx",
+            (
+                (F.col("xb") - F.col("xa")).cast("double")
+                / (F.col("tbk") - F.col("ta")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    part = Window.partitionBy("cy", "cx")
+    r = pr.select(
+        "*",
+        F.row_number().over(part.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("m"),
+    )
+    return (
+        r.filter(
+            (F.col("rn") == F.shiftright(F.col("m") + 1, 1))
+            | (F.col("rn") == F.shiftright(F.col("m") + 2, 1))
+        )
+        .groupBy("cy", "cx")
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("sen_slope"),
+        )
+    )
+
+
+# join count statistics (binary-surface spatial autocorrelation) ---------------
+
+_JC_THRESH = 2  # cells with >= 2 detections are "black"
+
+
+@register(
+    "join_counts",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN x >= {_JC_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM cells
+    ),
+    pr AS (
+      SELECT CASE WHEN a.x >= {_JC_THRESH} THEN 1 ELSE 0 END AS ab,
+             CASE WHEN b.x >= {_JC_THRESH} THEN 1 ELSE 0 END AS bb
+      FROM cells a JOIN cells b
+        ON (b.cy = a.cy AND b.cx = a.cx + 1)
+        OR (b.cy = a.cy + 1 AND b.cx = a.cx)
+    ),
+    j AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(ab * bb) AS BIGINT) AS jbb,
+             CAST(sum((1 - ab) * (1 - bb)) AS BIGINT) AS jww
+      FROM pr
+    )
+    SELECT j.m, j.jbb, CAST(j.m - j.jbb - j.jww AS BIGINT) AS jbw, j.jww,
+           g.nb AS n_black, g.n AS n_cells,
+           round(CAST(j.m AS DOUBLE) * CAST(g.nb AS DOUBLE)
+                 * CAST(g.nb - 1 AS DOUBLE)
+                 / (CAST(g.n AS DOUBLE) * CAST(g.n - 1 AS DOUBLE)), 6) AS e_bb
+    FROM j CROSS JOIN g
+    """,
+    doc=(
+        "join count statistics (Cliff-Ord BB/BW/WW) over the binarized "
+        "density surface (black = cell count >= 2, rook adjacency among "
+        "inhabited cells): the categorical-surface autocorrelation "
+        "diagnostic — observed same-color joins vs the E[BB] = "
+        "m*nb*(nb-1)/(n*(n-1)) independence expectation; every count is "
+        "integer-exact, one double expression at the end"
+    ),
+)
+def join_counts(spark, sf_dir):
+    """Each unordered rook pair meets exactly once: the right side
+    explodes to its W and N neighbor positions only (2x constant map-side
+    fan-out — half the stencil, since (a, a+e) and (a+e, a) are the same
+    join), then a pure equi-join on the cell key and ONE conditional-sum
+    agg to a single row. Bounded by inhabited cells at any corpus size."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("x") >= _JC_THRESH, 1).otherwise(0)).alias("nb"),
+    )
+    right = cells.select(
+        F.col("x").alias("bx_"),
+        F.explode(
+            F.array(
+                F.struct(F.col("cy").alias("cy"), (F.col("cx") - 1).alias("cx")),
+                F.struct((F.col("cy") - 1).alias("cy"), F.col("cx").alias("cx")),
+            )
+        ).alias("k"),
+    ).select("bx_", "k.cy", "k.cx")
+    ab = F.when(F.col("x") >= _JC_THRESH, 1).otherwise(0)
+    bb = F.when(F.col("bx_") >= _JC_THRESH, 1).otherwise(0)
+    j = cells.join(right, ["cy", "cx"]).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(ab * bb).alias("jbb"),
+        F.sum((1 - ab) * (1 - bb)).alias("jww"),
+    )
+    md, nbd = F.col("m").cast("double"), F.col("nb").cast("double")
+    nd = F.col("n").cast("double")
+    return j.crossJoin(F.broadcast(g)).select(
+        "m",
+        "jbb",
+        (F.col("m") - F.col("jbb") - F.col("jww")).cast("long").alias("jbw"),
+        "jww",
+        F.col("nb").alias("n_black"),
+        F.col("n").alias("n_cells"),
+        F.round(
+            md * nbd * (F.col("nb") - 1).cast("double")
+            / (nd * (F.col("n") - 1).cast("double")),
+            6,
+        ).alias("e_bb"),
+    )
+
+
+# standard deviational ellipse -------------------------------------------------
+
+
+@register(
+    "std_ellipse",
+    """
+    WITH b AS (
+      SELECT event_type,
+             event_id * 7919 % 2000 AS iy,
+             event_id * 104729 % 2400 AS ix
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(iy AS HUGEINT)) AS sy, sum(CAST(ix AS HUGEINT)) AS sx,
+             sum(CAST(iy AS HUGEINT) * iy) AS syy,
+             sum(CAST(ix AS HUGEINT) * ix) AS sxx,
+             sum(CAST(ix AS HUGEINT) * iy) AS sxy
+      FROM b GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS myy,
+             CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS mxx,
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS mxy
+      FROM s
+    ),
+    v AS (
+      SELECT event_type, n, syd, sxd, nd,
+             myy / (nd * nd) AS vyy,
+             mxx / (nd * nd) AS vxx,
+             mxy / (nd * nd) AS vxy
+      FROM m
+    ),
+    e AS (
+      SELECT event_type, n, syd, sxd, nd, vxx, vyy, vxy,
+             (vxx + vyy) / 2.0 AS t,
+             sqrt(((vxx - vyy) / 2.0) * ((vxx - vyy) / 2.0) + vxy * vxy) AS d
+      FROM v
+    )
+    SELECT event_type, n,
+           round(syd / nd / 100.0, 6) AS mean_lat,
+           round(sxd / nd / 100.0 + 10.0, 6) AS mean_lon,
+           round(sqrt(greatest(0.0, t + d)) / 100.0, 6) AS sigma_major_deg,
+           round(sqrt(greatest(0.0, t - d)) / 100.0, 6) AS sigma_minor_deg,
+           round(2.0 * vxy / nullif(vxx - vyy, 0.0), 6) AS tan2theta
+    FROM e
+    """,
+    doc=(
+        "standard deviational ellipse per event type (mean center, major/"
+        "minor axis sigmas, orientation as tan(2*theta) = 2*Cxy/(Cxx-Cyy)): "
+        "the directional-distribution summary of a point class — all "
+        "moments accumulate on the EXACT integer centi-degree grid "
+        "(128-bit: Spark DECIMAL(38,0) / DuckDB HUGEINT, so n*Sxx - Sx^2 "
+        "cannot overflow or drift with aggregation order at 10^12 rows); "
+        "eigenvalues via the closed 2x2 form (t/2 +- sqrt(..)) — "
+        "sqrt-only IEEE float math, no libm trig in either engine"
+    ),
+)
+def std_ellipse(spark, sf_dir):
+    """ONE partial-agg shuffle on event_type builds every raw moment as a
+    128-bit-exact integer sum; the eigen decomposition is codegen column
+    algebra on the tiny per-type frame. Nothing after the first exchange
+    grows with the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    iy = F.col("event_id") * 7919 % 2000
+    ix = F.col("event_id") * 104729 % 2400
+    dec = "decimal(38,0)"
+    s = (
+        ev.select("event_type", iy.alias("iy"), ix.alias("ix"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("iy").cast(dec)).alias("sy"),
+            F.sum(F.col("ix").cast(dec)).alias("sx"),
+            F.sum((F.col("iy") * F.col("iy")).cast(dec)).alias("syy"),
+            F.sum((F.col("ix") * F.col("ix")).cast(dec)).alias("sxx"),
+            F.sum((F.col("ix") * F.col("iy")).cast(dec)).alias("sxy"),
+        )
+    )
+    nD = F.col("n").cast(dec)
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "event_type",
+        "n",
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sx").cast("double").alias("sxd"),
+        nd.alias("nd"),
+        (nD * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("myy"),
+        (nD * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("mxx"),
+        (nD * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("mxy"),
+    )
+    v = m.select(
+        "event_type",
+        "n",
+        "syd",
+        "sxd",
+        "nd",
+        (F.col("myy") / (F.col("nd") * F.col("nd"))).alias("vyy"),
+        (F.col("mxx") / (F.col("nd") * F.col("nd"))).alias("vxx"),
+        (F.col("mxy") / (F.col("nd") * F.col("nd"))).alias("vxy"),
+    )
+    e = v.select(
+        "*",
+        ((F.col("vxx") + F.col("vyy")) / 2.0).alias("t"),
+        F.sqrt(
+            ((F.col("vxx") - F.col("vyy")) / 2.0)
+            * ((F.col("vxx") - F.col("vyy")) / 2.0)
+            + F.col("vxy") * F.col("vxy")
+        ).alias("d"),
+    )
+    return e.select(
+        "event_type",
+        "n",
+        F.round(F.col("syd") / F.col("nd") / 100.0, 6).alias("mean_lat"),
+        F.round(F.col("sxd") / F.col("nd") / 100.0 + 10.0, 6).alias("mean_lon"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), F.col("t") + F.col("d"))) / 100.0, 6
+        ).alias("sigma_major_deg"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), F.col("t") - F.col("d"))) / 100.0, 6
+        ).alias("sigma_minor_deg"),
+        F.round(
+            2.0
+            * F.col("vxy")
+            / F.nullif(F.col("vxx") - F.col("vyy"), F.lit(0.0)),
+            6,
+        ).alias("tan2theta"),
+    )
+
+
+# sliding-window document chunking (LLM training-data prep) --------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH b AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM b
+    ),
+    c AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(range(0, 1 + (greatest(n_tok - {_CHUNK_TOKENS}, 0)
+                                  + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE}))
+               AS ci
+      FROM n
+    )
+    SELECT doc_id, CAST(ci AS INT) AS chunk_id,
+           CAST(ci * {_CHUNK_STRIDE} AS BIGINT) AS start_token,
+           CAST(least({_CHUNK_TOKENS}, n_tok - ci * {_CHUNK_STRIDE}) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(
+               toks[ci * {_CHUNK_STRIDE} + 1 :
+                    least(ci * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n_tok)],
+               ' ')) AS chunk_md5
+    FROM c
+    """,
+    doc=(
+        "sliding-window document chunking (64-token windows, stride 48 = "
+        "16-token overlap): the LLM training-data prep step that turns "
+        "documents into model-context-sized pieces; emits (doc_id, "
+        "chunk_id, start, length, md5-of-chunk-text) — md5 keeps the "
+        "oracle compact while pinning the exact chunk CONTENT, not just "
+        "its extent"
+    ),
+)
+def chunk_documents(spark, sf_dir):
+    """Map-only: tokenize once (regexp_extract_all, JVM-side), explode a
+    0..n_chunks-1 sequence, slice + join + hash per chunk — 0 Exchange,
+    one WholeStageCodegen + Generate span. Chunk count is
+    1 + ceil(max(n_tok - W, 0)/S), so every token lands in >= 1 chunk and
+    consecutive chunks overlap by W - S tokens."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.expr(r"regexp_extract_all(text, '\\S+', 0)").alias("toks"),
+    ).select(
+        "doc_id", "toks", F.size("toks").cast("long").alias("n_tok")
+    )
+    n_chunks = (
+        F.lit(1)
+        + (
+            F.greatest(F.col("n_tok") - _CHUNK_TOKENS, F.lit(0))
+            + F.lit(_CHUNK_STRIDE - 1)
+        )
+        / F.lit(_CHUNK_STRIDE)
+    ).cast("long")
+    ch = base.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("ci"),
+    )
+    start = F.col("ci") * _CHUNK_STRIDE
+    return ch.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_id"),
+        start.alias("start_token"),
+        F.least(F.lit(_CHUNK_TOKENS), F.col("n_tok") - start)
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), start + 1, _CHUNK_TOKENS), " ")
+        ).alias("chunk_md5"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

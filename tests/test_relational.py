@@ -1492,3 +1492,124 @@ def test_flow_accumulation_matches_brute_force(spark, sf_dir):
     for r in rows:
         assert r.acc == acc[(r.cy, r.cx)], (r.cy, r.cx)
     assert any(r.acc > 1 for r in rows)  # non-vacuous: real flow happened
+
+
+def test_theil_sen_matches_numpy_median(spark, sf_dir):
+    """sen_slope must equal the numpy median of all pairwise bucket
+    slopes for every cell (same bucket assignment, same float ops)."""
+    import numpy as np
+
+    series = {}
+    for r in relational._mk_series(spark, sf_dir).collect():
+        series.setdefault((r.cy, r.cx), []).append((r.tb, r.x))
+    rows = relational.REGISTRY["theil_sen_trend"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cell = {(r.cy, r.cx): r for r in rows}
+    for cell, pts in series.items():
+        pts.sort()
+        slopes = [
+            float(xb - xa) / float(tb - ta)
+            for i, (ta, xa) in enumerate(pts)
+            for (tb, xb) in pts[i + 1 :]
+        ]
+        if not slopes:
+            assert cell not in by_cell
+            continue
+        r = by_cell[cell]
+        assert r.n_pairs == len(slopes)
+        assert abs(r.sen_slope - round(float(np.median(slopes)), 6)) < 1e-12, cell
+
+
+def test_join_counts_brute_force(spark, sf_dir):
+    """BB/BW/WW must match a dict walk over the rook pairs of the
+    inhabited cell set, and the three must sum to m."""
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    bb = bw = ww = m = 0
+    for (cy, cx), x in cells.items():
+        for dy, dx in ((0, 1), (1, 0)):
+            nb = cells.get((cy + dy, cx + dx))
+            if nb is None:
+                continue
+            m += 1
+            a, b = x >= relational._JC_THRESH, nb >= relational._JC_THRESH
+            if a and b:
+                bb += 1
+            elif not a and not b:
+                ww += 1
+            else:
+                bw += 1
+    r = relational.REGISTRY["join_counts"].fn(spark, sf_dir).collect()[0]
+    assert (r.m, r.jbb, r.jbw, r.jww) == (m, bb, bw, ww)
+    assert r.jbb + r.jbw + r.jww == r.m
+    n = len(cells)
+    nb_ = sum(1 for x in cells.values() if x >= relational._JC_THRESH)
+    assert r.n_cells == n and r.n_black == nb_
+    assert abs(r.e_bb - round(m * nb_ * (nb_ - 1) / (n * (n - 1)), 6)) < 1e-9
+
+
+def test_std_ellipse_matches_numpy(spark, sf_dir):
+    """Mean center and axis sigmas must match numpy's population moments
+    and 2x2 eigenvalues per event type; major >= minor >= 0."""
+    import numpy as np
+
+    ev = relational._t(spark, sf_dir, "events").select(
+        "event_type", "event_id"
+    ).toPandas()
+    rows = relational.REGISTRY["std_ellipse"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        g = ev[ev.event_type == r.event_type]
+        iy = (g.event_id.to_numpy(dtype=object) * 7919 % 2000).astype(float)
+        ix = (g.event_id.to_numpy(dtype=object) * 104729 % 2400).astype(float)
+        assert r.n == len(g)
+        assert abs(r.mean_lat - round(iy.mean() / 100.0, 6)) < 1e-6
+        assert abs(r.mean_lon - round(ix.mean() / 100.0 + 10.0, 6)) < 1e-6
+        vyy, vxx = iy.var(), ix.var()
+        vxy = ((ix - ix.mean()) * (iy - iy.mean())).mean()
+        t = (vxx + vyy) / 2.0
+        d = np.sqrt(((vxx - vyy) / 2.0) ** 2 + vxy * vxy)
+        assert abs(r.sigma_major_deg - np.sqrt(max(t + d, 0.0)) / 100.0) < 1e-4
+        assert abs(r.sigma_minor_deg - np.sqrt(max(t - d, 0.0)) / 100.0) < 1e-4
+        assert r.sigma_major_deg >= r.sigma_minor_deg >= 0.0
+
+
+def test_chunk_documents_coverage_and_content(spark, sf_dir):
+    """Every token must land in >= 1 chunk, consecutive chunks overlap by
+    exactly W - S tokens, and each chunk_md5 must equal the md5 of the
+    corresponding token slice re-derived in Python."""
+    import hashlib
+    import re
+
+    docs = {
+        r.doc_id: r.text
+        for r in relational._t(spark, sf_dir, "documents")
+        .limit(200)
+        .collect()
+    }
+    rows = [
+        r
+        for r in relational.REGISTRY["chunk_documents"].fn(spark, sf_dir).collect()
+        if r.doc_id in docs
+    ]
+    assert rows
+    W, S = relational._CHUNK_TOKENS, relational._CHUNK_STRIDE
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = re.findall(r"\S+", docs[doc_id])
+        chunks.sort(key=lambda r: r.chunk_id)
+        # chunk ids are dense from 0, starts step by the stride
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        last = chunks[-1]
+        # coverage: the last chunk reaches the final token
+        assert last.start_token + last.chunk_tokens == len(toks)
+        for c in chunks:
+            assert c.start_token == c.chunk_id * S
+            piece = " ".join(toks[c.start_token : c.start_token + W])
+            assert c.chunk_tokens == min(W, len(toks) - c.start_token)
+            assert c.chunk_md5 == hashlib.md5(piece.encode()).hexdigest()
