@@ -82,6 +82,16 @@ QUERIES = [
     "hillshade",
     # session-3: geostatistics lag structure — cell-bounded, full corpus
     "empirical_variogram",
+    # session-4: hydrology pair, robust trend, join counts, ellipse —
+    # all cell-/type-bounded, full 10x corpus with registered oracles
+    # (std_ellipse additionally exercises the 128-bit moment sums at
+    # 10x rows); chunk_documents is map-only over the 10x doc table
+    "d8_flow_dir",
+    "flow_accumulation",
+    "theil_sen_trend",
+    "join_counts",
+    "std_ellipse",
+    "chunk_documents",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points
