@@ -109,6 +109,8 @@ HEADLINE = [
     "join_counts",
     "std_ellipse",
     "chunk_documents",
+    "boilerplate_chunks",
+    "k_core",
 ]
 
 

@@ -6800,11 +6800,10 @@ def std_ellipse(spark, sf_dir):
 _CHUNK_TOKENS = 64
 _CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
 
-
-@register(
-    "chunk_documents",
-    f"""
-    WITH b AS (
+# the chunk relation as a reusable CTE chain, single-sourced for
+# chunk_documents and boilerplate_chunks (Spark twin: _chunk_frame)
+_CHUNKS_SQL = f"""
+    b AS (
       SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
       FROM documents
     ),
@@ -6817,32 +6816,25 @@ _CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
                                   + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE}))
                AS ci
       FROM n
-    )
-    SELECT doc_id, CAST(ci AS INT) AS chunk_id,
-           CAST(ci * {_CHUNK_STRIDE} AS BIGINT) AS start_token,
-           CAST(least({_CHUNK_TOKENS}, n_tok - ci * {_CHUNK_STRIDE}) AS BIGINT)
-             AS chunk_tokens,
-           md5(array_to_string(
-               toks[ci * {_CHUNK_STRIDE} + 1 :
-                    least(ci * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n_tok)],
-               ' ')) AS chunk_md5
-    FROM c
-    """,
-    doc=(
-        "sliding-window document chunking (64-token windows, stride 48 = "
-        "16-token overlap): the LLM training-data prep step that turns "
-        "documents into model-context-sized pieces; emits (doc_id, "
-        "chunk_id, start, length, md5-of-chunk-text) — md5 keeps the "
-        "oracle compact while pinning the exact chunk CONTENT, not just "
-        "its extent"
     ),
-)
-def chunk_documents(spark, sf_dir):
-    """Map-only: tokenize once (regexp_extract_all, JVM-side), explode a
-    0..n_chunks-1 sequence, slice + join + hash per chunk — 0 Exchange,
-    one WholeStageCodegen + Generate span. Chunk count is
-    1 + ceil(max(n_tok - W, 0)/S), so every token lands in >= 1 chunk and
-    consecutive chunks overlap by W - S tokens."""
+    chunks AS (
+      SELECT doc_id, CAST(ci AS INT) AS chunk_id,
+             CAST(ci * {_CHUNK_STRIDE} AS BIGINT) AS start_token,
+             CAST(least({_CHUNK_TOKENS}, n_tok - ci * {_CHUNK_STRIDE}) AS BIGINT)
+               AS chunk_tokens,
+             md5(array_to_string(
+                 toks[ci * {_CHUNK_STRIDE} + 1 :
+                      least(ci * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}, n_tok)],
+                 ' ')) AS chunk_md5
+      FROM c
+    )
+"""
+
+
+def _chunk_frame(spark, sf_dir) -> DataFrame:
+    """Spark twin of ``_CHUNKS_SQL``: map-only — tokenize once
+    (regexp_extract_all, JVM-side), explode a 0..n_chunks-1 sequence,
+    slice + join + hash per chunk. 0 Exchange."""
     d = _t(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -6875,6 +6867,181 @@ def chunk_documents(spark, sf_dir):
         F.md5(
             F.array_join(F.slice(F.col("toks"), start + 1, _CHUNK_TOKENS), " ")
         ).alias("chunk_md5"),
+    )
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH {_CHUNKS_SQL}
+    SELECT doc_id, chunk_id, start_token, chunk_tokens, chunk_md5 FROM chunks
+    """,
+    doc=(
+        "sliding-window document chunking (64-token windows, stride 48 = "
+        "16-token overlap): the LLM training-data prep step that turns "
+        "documents into model-context-sized pieces; emits (doc_id, "
+        "chunk_id, start, length, md5-of-chunk-text) — md5 keeps the "
+        "oracle compact while pinning the exact chunk CONTENT, not just "
+        "its extent"
+    ),
+)
+def chunk_documents(spark, sf_dir):
+    """See _chunk_frame — one WholeStageCodegen + Generate span, 0
+    Exchange. Chunk count is 1 + ceil(max(n_tok - W, 0)/S), so every
+    token lands in >= 1 chunk and consecutive chunks overlap by W - S
+    tokens."""
+    return _chunk_frame(spark, sf_dir)
+
+
+@register(
+    "boilerplate_chunks",
+    f"""
+    WITH {_CHUNKS_SQL}
+    SELECT chunk_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    doc=(
+        "boilerplate detection over the chunk relation: 64-token windows "
+        "whose exact content recurs in >= 2 distinct documents (headers, "
+        "navigation, license blocks — the C4/RefinedWeb-style repeated-"
+        "passage cleaning signal); emits (chunk_md5, n_docs, "
+        "n_occurrences) for downstream removal joins"
+    ),
+)
+def boilerplate_chunks(spark, sf_dir):
+    """The map-only chunk frame followed by ONE distinct-count shuffle on
+    the chunk hash (partial-agg combine absorbs within-doc repeats
+    map-side). The output is bounded by recurring chunks, and the removal
+    join it feeds is a broadcast semi-join at any corpus size where
+    boilerplate is rare — the cleaning-pipeline shape."""
+    return (
+        _chunk_frame(spark, sf_dir)
+        .groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# k-core decomposition (fixed-round peeling) -----------------------------------
+
+_KC_K = 3  # core order
+_KC_ROUNDS = 4  # fixed peeling rounds (pagerank-style unrolled oracle)
+_KC_N = 20000  # node id space — sparse enough (~6 avg degree) that peeling bites
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled peeling rounds: a{k} = nodes of a{k-1} whose degree in the
+    a{k-1}-induced subgraph is >= K; the final degree is computed over the
+    a{R}-induced subgraph (survivors that lost every edge report 0)."""
+    head = f"""
+    WITH e0 AS (
+      SELECT DISTINCT least(l_orderkey % {_KC_N}, l_partkey % {_KC_N}) AS a,
+             greatest(l_orderkey % {_KC_N}, l_partkey % {_KC_N}) AS b
+      FROM lineitem
+      WHERE l_orderkey % {_KC_N} <> l_partkey % {_KC_N}
+    ),
+    a0 AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0)"""
+    steps = []
+    for k in range(1, _KC_ROUNDS + 2):
+        src = f"a{k - 1}"
+        name = f"a{k}" if k <= _KC_ROUNDS else "degf"
+        body = f"""
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT e.a AS v FROM e0 e
+          JOIN {src} x ON e.a = x.v JOIN {src} y ON e.b = y.v
+        UNION ALL
+        SELECT e.b FROM e0 e
+          JOIN {src} x ON e.a = x.v JOIN {src} y ON e.b = y.v
+      ) GROUP BY v"""
+        if k <= _KC_ROUNDS:
+            steps.append(
+                f"""
+    {name} AS (
+      SELECT v FROM ({body}
+      ) WHERE d >= {_KC_K}
+    )"""
+            )
+        else:
+            steps.append(f"""
+    {name} AS ({body}
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT s.v AS node, CAST(coalesce(d.d, 0) AS BIGINT) AS degree
+    FROM a{_KC_ROUNDS} s LEFT JOIN degf d ON d.v = s.v"""
+    )
+
+
+@register(
+    "k_core",
+    _kcore_oracle_sql(),
+    doc=(
+        f"k-core decomposition (k={_KC_K}, fixed {_KC_ROUNDS} peeling "
+        "rounds): iteratively remove nodes of degree < k and report the "
+        "survivors with their induced-subgraph degree — the dense-"
+        "community extraction primitive (fraud rings, co-detection "
+        "cliques); a genuinely different iterative class from CC/"
+        "pagerank/sssp (the state is a shrinking VERTEX SET, not labels "
+        "or distances); integer-exact end to end"
+    ),
+)
+def k_core(spark, sf_dir):
+    """Each round semi-joins the persisted canonical edge set against the
+    shrinking alive set (broadcast at this graph size, shuffle equi-join
+    at scale), explodes both endpoints, and partial-aggregates degrees —
+    the shuffle carries per-node counts, never the graph. The alive frame
+    is localCheckpoint-truncated every round (dup_components' plan-size
+    discipline: the unrolled lineage would otherwise grow by two joins
+    per round)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sa = F.col("l_orderkey") % _KC_N
+    sb = F.col("l_partkey") % _KC_N
+    e = _persist_evict(
+        li.filter(sa != sb)
+        .select(
+            F.least(sa, sb).alias("a"),
+            F.greatest(sa, sb).alias("b"),
+        )
+        .distinct()
+    )
+    alive = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .distinct()
+    )
+
+    def degrees(alive_set: DataFrame) -> DataFrame:
+        kept = e.join(
+            F.broadcast(alive_set.select(F.col("v").alias("a"))), "a"
+        ).join(F.broadcast(alive_set.select(F.col("v").alias("b"))), "b")
+        return (
+            kept.select(F.col("a").alias("v"))
+            .union(kept.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    for _ in range(_KC_ROUNDS):
+        alive = (
+            degrees(alive)
+            .filter(F.col("d") >= _KC_K)
+            .select("v")
+            .localCheckpoint()
+        )
+    degf = degrees(alive)
+    return alive.join(degf, "v", "left").select(
+        F.col("v").alias("node"),
+        F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("degree"),
     )
 
 

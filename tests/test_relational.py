@@ -1613,3 +1613,67 @@ def test_chunk_documents_coverage_and_content(spark, sf_dir):
             piece = " ".join(toks[c.start_token : c.start_token + W])
             assert c.chunk_tokens == min(W, len(toks) - c.start_token)
             assert c.chunk_md5 == hashlib.md5(piece.encode()).hexdigest()
+
+
+def test_boilerplate_chunks_matches_python(spark, sf_dir):
+    """The reported (chunk_md5, n_docs, n_occurrences) set must equal a
+    plain-Python walk over the same 64/48 chunk derivation."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    W, S = relational._CHUNK_TOKENS, relational._CHUNK_STRIDE
+    docs_of = defaultdict(set)
+    occ = defaultdict(int)
+    for r in relational._t(spark, sf_dir, "documents").collect():
+        toks = re.findall(r"\S+", r.text)
+        n_chunks = 1 + (max(len(toks) - W, 0) + S - 1) // S
+        for ci in range(n_chunks):
+            h = hashlib.md5(
+                " ".join(toks[ci * S : ci * S + W]).encode()
+            ).hexdigest()
+            docs_of[h].add(r.doc_id)
+            occ[h] += 1
+    expect = {
+        (h, len(d), occ[h]) for h, d in docs_of.items() if len(d) >= 2
+    }
+    rows = relational.REGISTRY["boilerplate_chunks"].fn(spark, sf_dir).collect()
+    got = {(r.chunk_md5, r.n_docs, r.n_occurrences) for r in rows}
+    assert got == expect and got
+
+
+def test_k_core_matches_brute_force(spark, sf_dir):
+    """Survivors and their induced degrees must match a plain-Python
+    peel over the same canonical edge set; peeling must be non-vacuous
+    and converged (every survivor degree >= K) at this scale."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    li = relational._t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % relational._KC_N).alias("sa"),
+        (F.col("l_partkey") % relational._KC_N).alias("sb"),
+    ).collect()
+    edges = {
+        (min(r.sa, r.sb), max(r.sa, r.sb)) for r in li if r.sa != r.sb
+    }
+    alive = {v for e in edges for v in e}
+    n0 = len(alive)
+    for _ in range(relational._KC_ROUNDS):
+        deg = Counter()
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        alive = {v for v in alive if deg[v] >= relational._KC_K}
+    deg = Counter()
+    for a, b in edges:
+        if a in alive and b in alive:
+            deg[a] += 1
+            deg[b] += 1
+    rows = relational.REGISTRY["k_core"].fn(spark, sf_dir).collect()
+    assert {r.node for r in rows} == alive
+    for r in rows:
+        assert r.degree == deg[r.node]
+    assert 0 < len(alive) < n0  # peeling actually removed nodes
+    assert min(r.degree for r in rows) >= relational._KC_K  # converged
