@@ -111,6 +111,7 @@ HEADLINE = [
     "chunk_documents",
     "boilerplate_chunks",
     "k_core",
+    "watershed_basins",
 ]
 
 

@@ -7045,6 +7045,116 @@ def k_core(spark, sf_dir):
     )
 
 
+# watershed basins (pointer-doubling over the D8 flow graph) -------------------
+
+_WB_ROUNDS = 5  # pointer-doubling rounds: resolves flow paths up to 2^5 deep
+
+
+def _wb_oracle_sql() -> str:
+    head = (
+        f"WITH {_D8_SQL},\n    e AS ({_fa_edges_sql()}),\n"
+        """    l0 AS (
+      SELECT c.cy, c.cx,
+             coalesce(e.tcy, c.cy) AS ty, coalesce(e.tcx, c.cx) AS tx
+      FROM cells c LEFT JOIN e ON e.scy = c.cy AND e.scx = c.cx
+    )"""
+    )
+    steps = []
+    for k in range(1, _WB_ROUNDS + 1):
+        steps.append(f"""
+    l{k} AS (
+      SELECT a.cy, a.cx, b.ty, b.tx
+      FROM l{k - 1} a JOIN l{k - 1} b ON a.ty = b.cy AND a.tx = b.cx
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT cy, cx, ty AS basin_cy, tx AS basin_cx,
+           CAST(CASE WHEN ty = cy AND tx = cx THEN 1 ELSE 0 END AS INT)
+             AS is_sink
+    FROM l{_WB_ROUNDS}"""
+    )
+
+
+@register(
+    "watershed_basins",
+    _wb_oracle_sql(),
+    doc=(
+        "watershed labeling over the D8 flow graph: every cell labeled "
+        "with the sink its flow path terminates at, via pointer doubling "
+        "(label <- label-of-label, so round k resolves depth 2^k — "
+        f"{_WB_ROUNDS} rounds cover depth {2**_WB_ROUNDS}, and the D8 "
+        "path depth is bounded by the longest strictly-descending cell "
+        "chain); completes the hydrology family d8_flow_dir -> "
+        "flow_accumulation -> basins; integer keys end to end"
+    ),
+)
+def watershed_basins(spark, sf_dir):
+    """The dup_components pointer-doubling shape on a FUNCTIONAL graph
+    (out-degree <= 1, acyclic because every D8 edge strictly descends):
+    each round is ONE self-equi-join of the label frame on the target
+    key — depth doubles per round, so convergence is O(log depth), and
+    the per-round plan stays constant-size via localCheckpoint. Sinks
+    (and non-interior cells, which have no outflow) label themselves."""
+    d8 = _d8_frame(spark, sf_dir).filter(F.col("d8_dir") > 0)
+    dy = F.when(F.lit(False), 0)
+    dx = F.when(F.lit(False), 0)
+    for ddy, ddx, code in _D8_DIRS:
+        dy = dy.when(F.col("d8_dir") == code, ddy)
+        dx = dx.when(F.col("d8_dir") == code, ddx)
+    edges = d8.select(
+        F.col("cy").alias("scy"),
+        F.col("cx").alias("scx"),
+        (F.col("cy") + dy).alias("tcy"),
+        (F.col("cx") + dx).alias("tcx"),
+    )
+    lab = (
+        _cell_counts(spark, sf_dir)
+        .select("cy", "cx")
+        .join(
+            edges.withColumnRenamed("scy", "cy").withColumnRenamed("scx", "cx"),
+            ["cy", "cx"],
+            "left",
+        )
+        .select(
+            "cy",
+            "cx",
+            F.coalesce(F.col("tcy"), F.col("cy")).alias("ty"),
+            F.coalesce(F.col("tcx"), F.col("cx")).alias("tx"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_WB_ROUNDS):
+        nxt = lab.select(
+            F.col("cy").alias("ty"),
+            F.col("cx").alias("tx"),
+            F.col("ty").alias("nty"),
+            F.col("tx").alias("ntx"),
+        )
+        lab = (
+            lab.join(nxt, ["ty", "tx"])
+            .select(
+                "cy",
+                "cx",
+                F.col("nty").alias("ty"),
+                F.col("ntx").alias("tx"),
+            )
+            .localCheckpoint()
+        )
+    return lab.select(
+        "cy",
+        "cx",
+        F.col("ty").alias("basin_cy"),
+        F.col("tx").alias("basin_cx"),
+        F.when((F.col("ty") == F.col("cy")) & (F.col("tx") == F.col("cx")), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_sink"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1677,3 +1677,40 @@ def test_k_core_matches_brute_force(spark, sf_dir):
         assert r.degree == deg[r.node]
     assert 0 < len(alive) < n0  # peeling actually removed nodes
     assert min(r.degree for r in rows) >= relational._KC_K  # converged
+
+
+def test_watershed_basins_matches_walk(spark, sf_dir):
+    """Every cell's basin label must equal the sink reached by walking
+    its D8 flow path in plain Python; sinks self-label; basins partition
+    the cell set (non-vacuous: > 1 basin, >= 1 multi-cell basin)."""
+    d8 = relational.REGISTRY["d8_flow_dir"].fn(spark, sf_dir).collect()
+    offs = {code: (dy, dx) for dy, dx, code in relational._D8_DIRS}
+    step = {}
+    for r in d8:
+        if r.d8_dir:
+            dy, dx = offs[r.d8_dir]
+            step[(r.cy, r.cx)] = (r.cy + dy, r.cx + dx)
+    rows = relational.REGISTRY["watershed_basins"].fn(spark, sf_dir).collect()
+    cells = {
+        (r.cy, r.cx)
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    assert {(r.cy, r.cx) for r in rows} == cells
+    basins = set()
+    multi = 0
+    from collections import Counter
+
+    sizes = Counter()
+    for r in rows:
+        c = (r.cy, r.cx)
+        guard = 0
+        while c in step:
+            c = step[c]
+            guard += 1
+            assert guard <= 2 ** relational._WB_ROUNDS
+        assert (r.basin_cy, r.basin_cx) == c, (r.cy, r.cx)
+        assert r.is_sink == (1 if (r.cy, r.cx) == c else 0)
+        basins.add(c)
+        sizes[c] += 1
+    assert len(basins) > 1
+    assert max(sizes.values()) > 1
