@@ -61,10 +61,35 @@ def _last_checked() -> dict[str, int]:
     return seen
 
 
+# VERDICT r3 named ten never-driver-checked queries that must earn a row in
+# r4 (plus mcbef_eval, the r3 "what's missing" item); with >50 never-checked
+# entries in the registry the plain LRU rule would push some of them past the
+# 50-row window, so they are pinned ahead of the never-checked tier (checked
+# queries are unaffected: a pin never evicts a staler row from rotation, only
+# reorders within the never-checked group — the ~4 unpinned never-checked
+# entries that miss this round's window lead the r5 window by the same rule).
+_PINNED = (
+    "mcbef_eval",
+    "fire_perimeters",
+    "fire_rate_windowed",
+    "stream_dedup",
+    "ann_ivf_topk",
+    "dedup_keep_best",
+    "dup_components",
+    "knn_join",
+    "sample_stratified",
+    "scd2_history",
+    "tfidf_topterms",
+)
+
+
 def _ordered(d: dict) -> dict:
     seen = _last_checked()
     reg = {k: i for i, k in enumerate(d)}
-    names = sorted(d, key=lambda k: (seen.get(k, -1), reg[k]))
+    pin = {k: i for i, k in enumerate(_PINNED)}
+    names = sorted(
+        d, key=lambda k: (seen.get(k, -1), pin.get(k, len(pin)), reg[k])
+    )
     return {k: d[k] for k in names}
 
 

@@ -7155,6 +7155,101 @@ def watershed_basins(spark, sf_dir):
     )
 
 
+# benchmark decontamination (n-gram overlap vs a held-out eval split) ----------
+
+_CT_GRAM = 8  # token n-gram size
+_CT_EVAL_MOD = 10  # doc_id % MOD == 0 -> eval split
+
+
+@register(
+    "contamination_check",
+    f"""
+    WITH b AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+      FROM b WHERE len(toks) >= {_CT_GRAM}
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, n_tok - {_CT_GRAM - 1}),
+               i -> md5(array_to_string(toks[i + 1 : i + {_CT_GRAM}], ' '))))
+               AS gs
+      FROM n
+    ),
+    gd AS (
+      SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS gh
+      FROM g
+    ),
+    ev AS (
+      SELECT DISTINCT gh FROM gd WHERE doc_id % {_CT_EVAL_MOD} = 0
+    )
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_overlap, d.n_grams,
+           round(CAST(count(*) AS DOUBLE) / CAST(d.n_grams AS DOUBLE), 6)
+             AS contamination
+    FROM gd d JOIN ev e ON d.gh = e.gh
+    WHERE d.doc_id % {_CT_EVAL_MOD} <> 0
+    GROUP BY d.doc_id, d.n_grams
+    """,
+    doc=(
+        f"benchmark decontamination: train documents sharing >= 1 exact "
+        f"{_CT_GRAM}-token n-gram with the held-out eval split "
+        f"(doc_id %% {_CT_EVAL_MOD} == 0), with the overlap count and the "
+        "contaminated fraction of the doc's distinct grams — the "
+        "GPT-3/PaLM-style eval-leakage scan every LLM training pipeline "
+        "runs before training"
+    ),
+)
+def contamination_check(spark, sf_dir):
+    """Per-document gram sets are built and DEDUPED map-side
+    (transform + array_distinct inside one row — no distinct shuffle ever
+    touches the gram stream), so n_grams rides the row for free; the only
+    exchanges are the eval-set distinct (1/MOD of the grams) and the
+    overlap groupBy. The gram join broadcasts the eval set here; at a
+    10^12-doc corpus it becomes a shuffle equi-join on the gram hash —
+    both sides already distinct, no fan-out."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.expr(r"regexp_extract_all(text, '\\S+', 0)").alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").cast("long").alias("n_tok"))
+    base = base.filter(F.col("n_tok") >= _CT_GRAM)
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, n_tok - {_CT_GRAM}),"
+            f" i -> md5(array_join(slice(toks, i + 1, {_CT_GRAM}), ' ')))"
+        )
+    )
+    gd = base.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.explode(grams).alias("gh"),
+    )
+    ev = (
+        gd.filter(F.col("doc_id") % _CT_EVAL_MOD == 0)
+        .select("gh")
+        .distinct()
+    )
+    return (
+        gd.filter(F.col("doc_id") % _CT_EVAL_MOD != 0)
+        .join(F.broadcast(ev), "gh")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_grams",
+            F.round(
+                F.col("n_overlap").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
