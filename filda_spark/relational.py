@@ -7250,6 +7250,538 @@ def contamination_check(spark, sf_dir):
     )
 
 
+# Geary's C + terrain ruggedness (shared exclude-self 3x3 stencil) ------------
+
+# the exclude-self 8-neighborhood pair relation over the analysis cells:
+# Geary and TRI both consume it (Gi* keeps self, so it stays separate)
+_NBR8_SQL = """
+    pairs AS (
+      SELECT a.cy, a.cx, a.x AS ax, b.x AS bx
+      FROM cells a JOIN cells b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+       AND NOT (a.cy = b.cy AND a.cx = b.cx)
+    )
+"""
+
+
+def _nbr8_pairs(spark, sf_dir) -> DataFrame:
+    """Spark twin of ``_NBR8_SQL``: cells exploded to their 8 shifted
+    positions (constant fan-out, no range join) equi-joined back to the
+    cell frame — each inhabited (center, neighbor) pair met exactly once,
+    with both counts riding the row. One partial-agg shuffle for cells +
+    one stencil equi-join; post-join cardinality <= 8x inhabited cells."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    right = cells.select(
+        F.col("x").alias("bx"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cy") - dy).alias("cy"),
+                        (F.col("cx") - dx).alias("cx"),
+                    )
+                    for dy, dx, _ in _D8_DIRS
+                ]
+            )
+        ).alias("k"),
+    ).select("bx", "k.cy", "k.cx")
+    return cells.withColumnRenamed("x", "ax").join(right, ["cy", "cx"])
+
+
+@register(
+    "geary_c",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    {_NBR8_SQL},
+    loc AS (
+      SELECT cy, cx, CAST(count(*) AS BIGINT) AS wn,
+             CAST(sum((ax - bx) * (ax - bx)) AS BIGINT) AS ssd
+      FROM pairs GROUP BY cy, cx
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM cells
+    )
+    SELECT loc.cy, loc.cx, wn, ssd,
+           round((CAST(ssd AS DOUBLE) / CAST(wn AS DOUBLE))
+                 / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             AS geary_c
+    FROM loc CROSS JOIN g
+    """,
+    doc=(
+        "local Geary's C over the detection cell grid (exclude-self 3x3 "
+        "weights): mean squared neighbor difference / global variance — "
+        "the dissimilarity companion to local_moran (Moran finds "
+        "clusters, Geary finds edges/outliers between unlike neighbors); "
+        "neighborhood and global sums are BIGINT-exact, one double "
+        "division chain at the end"
+    ),
+)
+def geary_c(spark, sf_dir):
+    """Shared _nbr8_pairs stencil (one cells shuffle + one 8x constant-"
+    fan-out equi-join) -> per-cell BIGINT sum of squared differences ->
+    scalar-broadcast crossJoin of the one-row global moments (the
+    getis_ord_gi pattern) -> codegen ratio. Integer until the final
+    double formula, so aggregation order cannot move parity."""
+    pairs = _nbr8_pairs(spark, sf_dir)
+    loc = pairs.groupBy("cy", "cx").agg(
+        F.count(F.lit(1)).alias("wn"),
+        F.sum(
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        ).alias("ssd"),
+    )
+    cells = _cell_counts(spark, sf_dir)
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / nd
+    m2 = F.col("sxx").cast("double") / nd - mean * mean
+    return loc.crossJoin(F.broadcast(g)).select(
+        "cy",
+        "cx",
+        "wn",
+        "ssd",
+        F.round(
+            (F.col("ssd").cast("double") / F.col("wn").cast("double")) / m2, 6
+        ).alias("geary_c"),
+    )
+
+
+@register(
+    "terrain_ruggedness",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    {_NBR8_SQL},
+    loc AS (
+      SELECT cy, cx, CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum((bx - ax) * (bx - ax)) AS BIGINT) AS ssd
+      FROM pairs GROUP BY cy, cx
+    )
+    SELECT cy, cx, ssd, round(sqrt(CAST(ssd AS DOUBLE)), 6) AS tri
+    FROM loc WHERE nn = 8
+    """,
+    doc=(
+        "terrain ruggedness index (Riley 1999) over the detection-density "
+        "surface: sqrt of the summed squared differences to the 8 "
+        "neighbors, interior cells only (nn = 8, the slope_aspect gate) — "
+        "completes the focal-terrain family slope/aspect/hillshade/TRI; "
+        "the sum is BIGINT-exact and sqrt is correctly rounded per IEEE "
+        "754, so the only float op is parity-safe"
+    ),
+)
+def terrain_ruggedness(spark, sf_dir):
+    """Same shared stencil as geary_c: one partial-agg groupBy over the
+    pair relation, then a codegen sqrt. The nn = 8 interior gate rides
+    the same aggregate (no second pass)."""
+    pairs = _nbr8_pairs(spark, sf_dir)
+    loc = pairs.groupBy("cy", "cx").agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(
+            (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+        ).alias("ssd"),
+    )
+    return loc.filter(F.col("nn") == 8).select(
+        "cy",
+        "cx",
+        "ssd",
+        F.round(F.sqrt(F.col("ssd").cast("double")), 6).alias("tri"),
+    )
+
+
+# flow length (pointer-doubling with accumulated path length) ------------------
+
+_SQRT2 = 1.4142135623730951  # exact double literal, shared by both dialects
+_FL_ROUNDS = 5  # doubling rounds: resolves flow paths up to 2^5 deep
+
+
+def _fl_oracle_sql() -> str:
+    dy_case = "CASE " + " ".join(
+        f"WHEN d8_dir = {code} THEN {dy}" for dy, dx, code in _D8_DIRS
+    ) + " END"
+    dx_case = "CASE " + " ".join(
+        f"WHEN d8_dir = {code} THEN {dx}" for dy, dx, code in _D8_DIRS
+    ) + " END"
+    head = (
+        f"WITH {_D8_SQL},\n"
+        f"""    e AS (
+      SELECT cy AS scy, cx AS scx, cy + {dy_case} AS tcy,
+             cx + {dx_case} AS tcx,
+             CASE WHEN d8_dir IN (1, 4, 16, 64) THEN 1.0
+                  ELSE {_SQRT2!r} END AS elen
+      FROM d8 WHERE d8_dir > 0
+    ),
+    l0 AS (
+      SELECT c.cy, c.cx,
+             coalesce(e.tcy, c.cy) AS ty, coalesce(e.tcx, c.cx) AS tx,
+             CAST(CASE WHEN e.tcy IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS hops,
+             coalesce(e.elen, 0.0) AS len
+      FROM cells c LEFT JOIN e ON e.scy = c.cy AND e.scx = c.cx
+    )"""
+    )
+    steps = []
+    for k in range(1, _FL_ROUNDS + 1):
+        steps.append(f"""
+    l{k} AS (
+      SELECT a.cy, a.cx, b.ty, b.tx,
+             a.hops + b.hops AS hops, a.len + b.len AS len
+      FROM l{k - 1} a JOIN l{k - 1} b ON a.ty = b.cy AND a.tx = b.cx
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT cy, cx, hops, round(len, 6) AS flow_len
+    FROM l{_FL_ROUNDS}"""
+    )
+
+
+@register(
+    "flow_length",
+    _fl_oracle_sql(),
+    doc=(
+        "downstream flow-path length over the D8 flow graph: hop count "
+        "(BIGINT) and euclidean cell-length (1 per cardinal step, sqrt(2) "
+        "per diagonal) from every cell to its sink, via the watershed_"
+        "basins pointer-doubling shape extended with an accumulated "
+        "(hops, len) payload — round k resolves depth 2^k, and both "
+        "engines sum the lengths through the identical doubling tree, so "
+        "the float accumulation order is pinned cross-engine"
+    ),
+)
+def flow_length(spark, sf_dir):
+    """Functional-graph pointer doubling (watershed_basins) carrying two
+    accumulators: each round is ONE self-equi-join of the label frame on
+    the target key, adding the jumped-to cell's (hops, len) — O(log
+    depth) rounds, constant per-round plan via localCheckpoint. Sinks and
+    non-interior cells carry (0, 0.0) and are self-fixpoints."""
+    d8 = _d8_frame(spark, sf_dir).filter(F.col("d8_dir") > 0)
+    dy = F.when(F.lit(False), 0)
+    dx = F.when(F.lit(False), 0)
+    for ddy, ddx, code in _D8_DIRS:
+        dy = dy.when(F.col("d8_dir") == code, ddy)
+        dx = dx.when(F.col("d8_dir") == code, ddx)
+    edges = d8.select(
+        F.col("cy").alias("scy"),
+        F.col("cx").alias("scx"),
+        (F.col("cy") + dy).alias("tcy"),
+        (F.col("cx") + dx).alias("tcx"),
+        F.when(F.col("d8_dir").isin(1, 4, 16, 64), F.lit(1.0))
+        .otherwise(F.lit(_SQRT2))
+        .alias("elen"),
+    )
+    lab = (
+        _cell_counts(spark, sf_dir)
+        .select("cy", "cx")
+        .join(
+            edges.withColumnRenamed("scy", "cy").withColumnRenamed("scx", "cx"),
+            ["cy", "cx"],
+            "left",
+        )
+        .select(
+            "cy",
+            "cx",
+            F.coalesce(F.col("tcy"), F.col("cy")).alias("ty"),
+            F.coalesce(F.col("tcx"), F.col("cx")).alias("tx"),
+            F.when(F.col("tcy").isNull(), 0)
+            .otherwise(1)
+            .cast("long")
+            .alias("hops"),
+            F.coalesce(F.col("elen"), F.lit(0.0)).alias("len"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_FL_ROUNDS):
+        nxt = lab.select(
+            F.col("cy").alias("ty"),
+            F.col("cx").alias("tx"),
+            F.col("ty").alias("nty"),
+            F.col("tx").alias("ntx"),
+            F.col("hops").alias("nhops"),
+            F.col("len").alias("nlen"),
+        )
+        lab = (
+            lab.join(nxt, ["ty", "tx"])
+            .select(
+                "cy",
+                "cx",
+                F.col("nty").alias("ty"),
+                F.col("ntx").alias("tx"),
+                (F.col("hops") + F.col("nhops")).alias("hops"),
+                (F.col("len") + F.col("nlen")).alias("len"),
+            )
+            .localCheckpoint()
+        )
+    return lab.select(
+        "cy", "cx", "hops", F.round(F.col("len"), 6).alias("flow_len")
+    )
+
+
+# Gopher-style repetition filters ----------------------------------------------
+
+
+@register(
+    "gopher_repetition",
+    """
+    WITH b AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+      FROM b WHERE len(toks) >= 5
+    ),
+    g AS (
+      SELECT doc_id, n_tok,
+             list_transform(range(0, n_tok - 1),
+               i -> toks[i + 1] || ' ' || toks[i + 2]) AS g2,
+             list_transform(range(0, n_tok - 4),
+               i -> md5(array_to_string(toks[i + 1 : i + 5], ' '))) AS g5
+      FROM n
+    ),
+    d AS (
+      SELECT doc_id, n_tok, g2,
+             CAST(len(g5) AS BIGINT) AS n5,
+             CAST(len(g5) - len(list_distinct(g5)) AS BIGINT) AS dup5
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_n
+      FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS g FROM d)
+        GROUP BY doc_id, g
+      )
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_tok, m.top2_n,
+           round(CAST(2 * m.top2_n AS DOUBLE) / CAST(d.n_tok AS DOUBLE), 6)
+             AS top2_frac,
+           d.dup5,
+           round(CAST(d.dup5 AS DOUBLE) / CAST(d.n5 AS DOUBLE), 6)
+             AS dup5_frac
+    FROM d JOIN m ON d.doc_id = m.doc_id
+    """,
+    doc=(
+        "Gopher-style repetition quality filters (Rae et al. 2021 table "
+        "A1, token-space): per document, the token fraction covered by "
+        "the most frequent bigram (top2_frac) and the duplicate-5-gram "
+        "fraction (dup5_frac) — the two within-document repetition "
+        "signals every LLM cleaning pipeline thresholds on (alongside the "
+        "cross-document signals boilerplate_chunks / minhash_lsh_pairs)"
+    ),
+)
+def gopher_repetition(spark, sf_dir):
+    """The 5-gram duplicate fraction is computed ENTIRELY map-side
+    (transform + array_distinct inside one row, the contamination_check
+    idiom) — no shuffle ever carries a 5-gram. Only bigram mode-counting
+    shuffles, and it shuffles (doc_id, bigram) partial counts whose
+    cardinality partial-agg combine caps at distinct-bigrams-per-doc.
+    Join back on doc_id; at any corpus size both frames are
+    one-row-per-doc."""
+    d = _t(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "doc_id",
+            F.expr(r"regexp_extract_all(text, '\\S+', 0)").alias("toks"),
+        )
+        .select(
+            "doc_id", "toks", F.size("toks").cast("long").alias("n_tok")
+        )
+        .filter(F.col("n_tok") >= 5)
+    )
+    g2 = F.expr(
+        "transform(sequence(0, n_tok - 2),"
+        " i -> concat(element_at(toks, CAST(i + 1 AS INT)), ' ',"
+        " element_at(toks, CAST(i + 2 AS INT))))"
+    )
+    g5 = F.expr(
+        "transform(sequence(0, n_tok - 5),"
+        " i -> md5(array_join(slice(toks, CAST(i + 1 AS INT), 5), ' ')))"
+    )
+    dside = _persist_evict(
+        base.select(
+            "doc_id",
+            "n_tok",
+            g2.alias("g2"),
+            F.size(g5).cast("long").alias("n5"),
+            (F.size(g5) - F.size(F.array_distinct(g5)))
+            .cast("long")
+            .alias("dup5"),
+        )
+    )
+    m = (
+        dside.select("doc_id", F.explode("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top2_n"))
+    )
+    return dside.join(m, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        "top2_n",
+        F.round(
+            (F.lit(2) * F.col("top2_n")).cast("double")
+            / F.col("n_tok").cast("double"),
+            6,
+        ).alias("top2_frac"),
+        "dup5",
+        F.round(
+            F.col("dup5").cast("double") / F.col("n5").cast("double"), 6
+        ).alias("dup5_frac"),
+    )
+
+
+# unigram-LM log-probability (perplexity-style quality filter) -----------------
+
+
+@register(
+    "unigram_logprob",
+    """
+    WITH b AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents
+    ),
+    v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY tok),
+    tt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM v)
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           round(avg(ln(CAST(v.c AS DOUBLE) / CAST(tt.total AS DOUBLE))), 6)
+             AS avg_logp
+    FROM b JOIN v ON b.tok = v.tok CROSS JOIN tt
+    GROUP BY b.doc_id
+    """,
+    doc=(
+        "unigram-LM document log-probability: train a unigram language "
+        "model on the corpus itself (token counts / total), then score "
+        "each document by its mean token log-probability — the "
+        "CCNet/KenLM-style perplexity quality filter with the simplest "
+        "possible LM (no external model; low avg_logp = "
+        "rare-token-heavy/garbled text, the standard removal signal)"
+    ),
+)
+def unigram_logprob(spark, sf_dir):
+    """Two passes over the exploded token stream: one partial-agg groupBy
+    builds the vocabulary (count per token), one scalar-broadcast
+    crossJoin attaches the corpus total (the tfidf_topterms pattern), and
+    the scoring join is broadcast here (sandbox vocab is small) — at web
+    scale it becomes a shuffle equi-join on the token, both sides already
+    aggregated, no fan-out. The per-doc avg sums ~10^1..10^3 doubles, so
+    the 6-dp round absorbs engine-order ULP drift."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _persist_evict(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '\\S+', 0)")
+            ).alias("tok"),
+        )
+    )
+    v = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tt = v.agg(F.sum("c").alias("total"))
+    return (
+        toks.join(F.broadcast(v), "tok")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.round(
+                F.avg(
+                    F.log(
+                        F.col("c").cast("double")
+                        / F.col("total").cast("double")
+                    )
+                ),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+# token-budget sequence packing ------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per training bin
+
+
+@register(
+    "sequence_pack",
+    f"""
+    WITH n AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, source, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM n
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM w
+    """,
+    doc=(
+        f"token-budget sequence packing: within each source shard, "
+        f"documents are packed in doc_id order into {_PACK_BUDGET}-token "
+        "training bins by running token total (bin = cum_before // "
+        "budget, offset = cum_before % budget) — the streaming "
+        "approximation of first-fit packing every LLM batch builder "
+        "uses (a doc can overflow its bin by < one doc; no doc is "
+        "split); deterministic, integer-exact"
+    ),
+)
+def sequence_pack(spark, sf_dir):
+    """The prefix sum is windowed PER SOURCE SHARD (partitionBy source),
+    never globally — one exchange on the shard key and each shard's
+    running total is a single ordered scan within its partition, which is
+    exactly how a production packer shards the corpus (a global ordered
+    cumsum would serialize on one task). Everything else is codegen
+    column algebra."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = n.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr(f"CAST(cum_before DIV {_PACK_BUDGET} AS BIGINT)").alias(
+            "bin_id"
+        ),
+        (F.col("cum_before") % _PACK_BUDGET).cast("long").alias("bin_offset"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1714,3 +1714,187 @@ def test_watershed_basins_matches_walk(spark, sf_dir):
         sizes[c] += 1
     assert len(basins) > 1
     assert max(sizes.values()) > 1
+
+
+def test_geary_c_matches_brute_force(spark, sf_dir):
+    """Per-cell Geary numerator = sum of squared differences to the
+    inhabited 3x3 neighbors (self excluded), standardized by the global
+    cell-count variance — recomputed in plain Python per cell."""
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    xs = list(cells.values())
+    n = len(xs)
+    mean = sum(xs) / n
+    m2 = sum(v * v for v in xs) / n - mean * mean
+    rows = relational.REGISTRY["geary_c"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        x = cells[(r.cy, r.cx)]
+        nbrs = [
+            cells[(r.cy + dy, r.cx + dx)]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0) and (r.cy + dy, r.cx + dx) in cells
+        ]
+        assert r.wn == len(nbrs)
+        ssd = sum((x - b) ** 2 for b in nbrs)
+        assert r.ssd == ssd
+        assert abs(r.geary_c - round((ssd / len(nbrs)) / m2, 6)) < 1e-12
+    # every inhabited cell has >= 1 inhabited neighbor on this corpus
+    assert {(r.cy, r.cx) for r in rows} == set(cells)
+
+
+def test_terrain_ruggedness_interior_and_formula(spark, sf_dir):
+    """TRI = sqrt(sum of squared neighbor differences), emitted for
+    exactly the interior cells (all 8 neighbors inhabited)."""
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    rows = relational.REGISTRY["terrain_ruggedness"].fn(spark, sf_dir).collect()
+    assert rows
+    interior = {
+        (cy, cx)
+        for (cy, cx) in cells
+        if all(
+            (cy + dy, cx + dx) in cells
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)
+        )
+    }
+    assert {(r.cy, r.cx) for r in rows} == interior
+    for r in rows:
+        x = cells[(r.cy, r.cx)]
+        ssd = sum(
+            (cells[(r.cy + dy, r.cx + dx)] - x) ** 2
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)
+        )
+        assert r.ssd == ssd
+        assert abs(r.tri - round(ssd ** 0.5, 6)) < 1e-12
+
+
+def test_flow_length_matches_walk(spark, sf_dir):
+    """hops and euclidean length must equal the plain-Python walk down
+    the D8 flow path (1 per cardinal step, sqrt(2) per diagonal)."""
+    d8 = relational.REGISTRY["d8_flow_dir"].fn(spark, sf_dir).collect()
+    offs = {code: (dy, dx) for dy, dx, code in relational._D8_DIRS}
+    step = {}
+    for r in d8:
+        if r.d8_dir:
+            dy, dx = offs[r.d8_dir]
+            cost = 1.0 if dy == 0 or dx == 0 else relational._SQRT2
+            step[(r.cy, r.cx)] = ((r.cy + dy, r.cx + dx), cost)
+    rows = relational.REGISTRY["flow_length"].fn(spark, sf_dir).collect()
+    cells = {
+        (r.cy, r.cx)
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    assert {(r.cy, r.cx) for r in rows} == cells
+    moved = 0
+    for r in rows:
+        c = (r.cy, r.cx)
+        hops, length = 0, 0.0
+        while c in step:
+            c, cost = step[c][0], step[c][1]
+            hops += 1
+            length += cost
+            assert hops <= 2 ** relational._FL_ROUNDS
+        assert r.hops == hops
+        assert abs(r.flow_len - round(length, 6)) < 1e-9
+        moved += hops > 0
+    assert moved > 0
+
+
+def test_gopher_repetition_matches_python(spark, sf_dir):
+    """top-bigram and duplicate-5-gram fractions recomputed per document
+    with a plain-Python tokenizer; every >= 5-token doc is covered."""
+    from collections import Counter
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    rows = {
+        r.doc_id: r
+        for r in relational.REGISTRY["gopher_repetition"].fn(spark, sf_dir).collect()
+    }
+    checked = 0
+    for doc_id, text in docs:
+        toks = text.split()
+        if len(toks) < 5:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        assert r.n_tok == len(toks)
+        g2 = Counter(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+        top2 = max(g2.values())
+        assert r.top2_n == top2
+        assert abs(r.top2_frac - round(2 * top2 / len(toks), 6)) < 1e-12
+        g5 = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+        dup5 = len(g5) - len(set(g5))
+        assert r.dup5 == dup5
+        assert abs(r.dup5_frac - round(dup5 / len(g5), 6)) < 1e-12
+        checked += 1
+    assert checked == len(rows)
+
+
+def test_unigram_logprob_matches_python(spark, sf_dir):
+    """Mean token log-probability under the corpus unigram LM,
+    recomputed with Python floats (math.log == IEEE double ln)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    vocab = Counter()
+    for _, text in docs:
+        vocab.update(text.split())
+    total = sum(vocab.values())
+    rows = {
+        r.doc_id: r
+        for r in relational.REGISTRY["unigram_logprob"].fn(spark, sf_dir).collect()
+    }
+    assert len(rows) == sum(1 for _, t in docs if t.split())
+    for doc_id, text in docs:
+        toks = text.split()
+        if not toks:
+            continue
+        r = rows[doc_id]
+        assert r.n_tok == len(toks)
+        want = sum(math.log(vocab[t] / total) for t in toks) / len(toks)
+        assert abs(r.avg_logp - want) < 1e-6  # 6-dp round on the engine side
+
+
+def test_sequence_pack_semantics(spark, sf_dir):
+    """Within each source shard (doc_id order), bin/offset must follow
+    the running token total exactly, and no document is ever split."""
+    rows = relational.REGISTRY["sequence_pack"].fn(spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    budget = relational._PACK_BUDGET
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.bin_id == cum // budget
+            assert r.bin_offset == cum % budget
+            cum += r.n_tok
+    # non-vacuous: more than one bin somewhere
+    assert max(r.bin_id for r in rows) >= 1
