@@ -112,6 +112,18 @@ HEADLINE = [
     "boilerplate_chunks",
     "k_core",
     "watershed_basins",
+    # round-4 session-5 additions
+    "contamination_check",
+    "geary_c",
+    "terrain_ruggedness",
+    "flow_length",
+    "gopher_repetition",
+    "unigram_logprob",
+    "sequence_pack",
+    "histogram_equalize",
+    "clark_evans",
+    "line_of_sight",
+    "kmeans_assign",
 ]
 
 

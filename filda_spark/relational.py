@@ -7782,6 +7782,426 @@ def sequence_pack(spark, sf_dir):
     )
 
 
+# histogram equalization (integer-exact CDF remap) -----------------------------
+
+
+@register(
+    "histogram_equalize",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    h AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY x),
+    cdf AS (
+      SELECT x, c, CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS cum FROM h
+    ),
+    g AS (
+      SELECT CAST(min(cum) AS BIGINT) AS cmin, CAST(sum(c) AS BIGINT) AS n
+      FROM cdf
+    )
+    SELECT cells.cy, cells.cx, cells.x,
+           CAST(CASE WHEN g.n > g.cmin
+                     THEN ((cdf.cum - g.cmin) * 255) // (g.n - g.cmin)
+                     ELSE 0 END AS BIGINT) AS eq
+    FROM cells JOIN cdf ON cells.x = cdf.x CROSS JOIN g
+    """,
+    doc=(
+        "histogram equalization of the detection-density raster: each "
+        "cell's count remapped to 0..255 by the empirical CDF "
+        "(eq = (cdf - cdf_min) * 255 // (n - cdf_min), the classic "
+        "image-contrast stretch, here for density-map rendering) — "
+        "ENTIRELY integer arithmetic (floor division), so parity cannot "
+        "drift; degenerate single-level rasters map to 0"
+    ),
+)
+def histogram_equalize(spark, sf_dir):
+    """The ordered CDF window runs over the VALUE DOMAIN (distinct count
+    levels — bounded by max cell count, a few hundred at any corpus
+    size), never over the cells, so the single-partition ordered scan is
+    on a tiny frame; cells get their level by a broadcast equi-join on
+    the level. One partial-agg shuffle (cells), one domain groupBy, one
+    scalar crossJoin."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    h = cells.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    cdf = h.select(
+        "x",
+        "c",
+        F.sum("c")
+        .over(Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    g = cdf.agg(F.min("cum").alias("cmin"), F.sum("c").alias("n"))
+    return (
+        cells.join(F.broadcast(cdf.select("x", "cum")), "x")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "cy",
+            "cx",
+            "x",
+            F.when(
+                F.col("n") > F.col("cmin"),
+                F.expr("((cum - cmin) * 255) DIV (n - cmin)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("eq"),
+        )
+    )
+
+
+# Clark-Evans nearest-neighbor index -------------------------------------------
+
+_CE_R2 = _GI_CELL * _GI_CELL  # censoring radius^2 = one cell (ring-covered)
+
+
+@register(
+    "clark_evans",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    pts AS (
+      SELECT event_id, lat, lon,
+             CAST(floor(lat / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor(lon / {_GI_CELL!r}) AS BIGINT) AS cx
+      FROM p
+    ),
+    nn AS (
+      SELECT a.event_id, min((a.lat - b.lat) * (a.lat - b.lat)
+                           + (a.lon - b.lon) * (a.lon - b.lon)) AS mind2
+      FROM pts a JOIN pts b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+       AND a.event_id <> b.event_id
+      WHERE (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) <= {_CE_R2!r}
+      GROUP BY a.event_id
+    ),
+    bb AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pts,
+             (max(lat) - min(lat)) * (max(lon) - min(lon)) AS area
+      FROM pts
+    )
+    SELECT bb.n_pts,
+           CAST(count(*) AS BIGINT) AS n_with_nn,
+           round(avg(sqrt(mind2)), 6) AS mean_nn,
+           round(avg(sqrt(mind2))
+                 / (0.5 / sqrt(CAST(bb.n_pts AS DOUBLE) / bb.area)), 6)
+             AS r_index
+    FROM nn CROSS JOIN bb
+    GROUP BY bb.n_pts, bb.area
+    """,
+    doc=(
+        f"Clark-Evans nearest-neighbor index over the detections: "
+        f"R = mean observed NN distance / expected under CSR "
+        f"(0.5/sqrt(density)), with the NN search censored at one "
+        f"analysis cell ({_GI_CELL} deg — points with no neighbor that "
+        "close are excluded and counted) — R << 1 clustered, R ~ 1 "
+        "random; the point-pattern summary completing ripley_k / "
+        "knox_pairs; density uses the bounding-box area"
+    ),
+)
+def clark_evans(spark, sf_dir):
+    """The same bounded cell-cover join every pair op uses (kRing explode
+    -> equi-join on the cell key, radius <= cell size so the 3x3 ring
+    provably covers the censoring disk) -> per-point min d2 (partial-agg
+    min, integer-keyed) -> one-row global stats crossJoined. The only
+    order-sensitive float op is the final avg over ~n doubles, absorbed
+    by the 6-dp round."""
+    pts = _pt_df(spark, sf_dir).select(
+        "event_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / _GI_CELL).alias("cy"),
+        F.floor(F.col("lon") / _GI_CELL).alias("cx"),
+    )
+    ring = pts.select(
+        F.col("event_id").alias("nb_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cy") + dy).alias("cy"),
+                        (F.col("cx") + dx).alias("cx"),
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("k"),
+    ).select("nb_id", "b_lat", "b_lon", "k.cy", "k.cx")
+    d2 = (F.col("lat") - F.col("b_lat")) * (F.col("lat") - F.col("b_lat")) + (
+        F.col("lon") - F.col("b_lon")
+    ) * (F.col("lon") - F.col("b_lon"))
+    nn = (
+        pts.join(ring, ["cy", "cx"])
+        .filter((F.col("event_id") != F.col("nb_id")) & (d2 <= F.lit(_CE_R2)))
+        .groupBy("event_id")
+        .agg(F.min(d2).alias("mind2"))
+    )
+    bb = pts.agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        (
+            (F.max("lat") - F.min("lat")) * (F.max("lon") - F.min("lon"))
+        ).alias("area"),
+    )
+    mean_nn = F.avg(F.sqrt(F.col("mind2")))
+    expected = F.lit(0.5) / F.sqrt(
+        F.first("n_pts").cast("double") / F.first("area")
+    )
+    return (
+        nn.crossJoin(F.broadcast(bb))
+        .groupBy()
+        .agg(
+            F.first("n_pts").alias("n_pts"),
+            F.count(F.lit(1)).alias("n_with_nn"),
+            F.round(mean_nn, 6).alias("mean_nn"),
+            F.round(mean_nn / expected, 6).alias("r_index"),
+        )
+    )
+
+
+# line-of-sight / viewshed along the 8 rays ------------------------------------
+
+
+@register(
+    "line_of_sight",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    o AS (
+      SELECT cy AS ocy, cx AS ocx, x AS ox
+      FROM cells ORDER BY x DESC, cy, cx LIMIT 1
+    ),
+    ray AS (
+      SELECT c.cy, c.cx, c.x,
+             CASE WHEN c.cy - o.ocy = 0 THEN 0 WHEN c.cy > o.ocy THEN 1 ELSE -1 END AS sy,
+             CASE WHEN c.cx - o.ocx = 0 THEN 0 WHEN c.cx > o.ocx THEN 1 ELSE -1 END AS sx,
+             greatest(abs(c.cy - o.ocy), abs(c.cx - o.ocx)) AS steps,
+             CAST(c.x - o.ox AS DOUBLE)
+               / (CAST(greatest(abs(c.cy - o.ocy), abs(c.cx - o.ocx)) AS DOUBLE)
+                  * (CASE WHEN c.cy = o.ocy OR c.cx = o.ocx THEN 1.0
+                          ELSE {_SQRT2!r} END)) AS slope
+      FROM cells c CROSS JOIN o
+      WHERE NOT (c.cy = o.ocy AND c.cx = o.ocx)
+        AND (c.cy = o.ocy OR c.cx = o.ocx
+             OR abs(c.cy - o.ocy) = abs(c.cx - o.ocx))
+    )
+    SELECT cy, cx, sy, sx, CAST(steps AS BIGINT) AS steps, x,
+           CAST(CASE WHEN slope > coalesce(max(slope) OVER (
+             PARTITION BY sy, sx ORDER BY steps
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             -1e308) THEN 1 ELSE 0 END AS INT) AS visible
+    FROM ray
+    """,
+    doc=(
+        "line-of-sight (viewshed) along the 8 rays from the densest cell "
+        "(ties to lowest (cy, cx)): a ray cell is visible iff its "
+        "elevation angle (count difference / euclidean ray distance) "
+        "strictly exceeds the running max of every nearer cell on the "
+        "ray — the classic DEM visibility sweep, over the density "
+        "surface with gaps simply absent; slopes on cardinal rays are "
+        "int/int doubles, diagonals share the one sqrt(2) literal"
+    ),
+)
+def line_of_sight(spark, sf_dir):
+    """Observer selection is a one-row sorted-limit frame broadcast to "
+    the cells (the bottom_pct_threshold shape); the ray filter is
+    codegen; visibility is ONE window exchange partitioned on the 8 ray
+    keys with a running max — no join ever carries more than the <= 8 *
+    max_extent ray cells. The running-max comparison is on doubles both
+    engines computed with the identical expression."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    o = (
+        cells.orderBy(F.col("x").desc(), "cy", "cx")
+        .limit(1)
+        .select(
+            F.col("cy").alias("ocy"),
+            F.col("cx").alias("ocx"),
+            F.col("x").alias("ox"),
+        )
+    )
+    j = cells.crossJoin(F.broadcast(o))
+    dy, dx = F.col("cy") - F.col("ocy"), F.col("cx") - F.col("ocx")
+    on_ray = (dy == 0) | (dx == 0) | (F.abs(dy) == F.abs(dx))
+    steps = F.greatest(F.abs(dy), F.abs(dx))
+    diag = F.when((dy == 0) | (dx == 0), F.lit(1.0)).otherwise(F.lit(_SQRT2))
+    ray = j.filter(on_ray & ~((dy == 0) & (dx == 0))).select(
+        "cy",
+        "cx",
+        "x",
+        F.signum(dy).cast("int").alias("sy"),
+        F.signum(dx).cast("int").alias("sx"),
+        steps.cast("long").alias("steps"),
+        (
+            (F.col("x") - F.col("ox")).cast("double")
+            / (steps.cast("double") * diag)
+        ).alias("slope"),
+    )
+    w = (
+        Window.partitionBy("sy", "sx")
+        .orderBy("steps")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ray.select(
+        "cy",
+        "cx",
+        "sy",
+        "sx",
+        "steps",
+        "x",
+        F.when(
+            F.col("slope")
+            > F.coalesce(F.max("slope").over(w), F.lit(-1e308)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("visible"),
+    )
+
+
+# fixed-round Lloyd k-means over the event lattice -----------------------------
+
+_KM_K = 8
+_KM_ROUNDS = 3
+
+# integer event coordinates (the centi-degree lattice _PT_SQL scales down):
+# keeping them BIGINT makes every centroid an exact BIGINT/BIGINT division
+_KM_PTS_SQL = """
+    pts AS (
+      SELECT event_id,
+             CAST(event_id * 7919 % 2000 AS BIGINT) AS py,
+             CAST(event_id * 104729 % 2400 AS BIGINT) AS px
+      FROM events
+    )
+"""
+
+
+def _km_oracle_sql() -> str:
+    head = (
+        f"WITH {_KM_PTS_SQL},"
+        f"""
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY event_id) AS cid,
+             CAST(py AS DOUBLE) AS clat, CAST(px AS DOUBLE) AS clon
+      FROM (SELECT * FROM pts ORDER BY event_id LIMIT {_KM_K})
+    )"""
+    )
+    steps = []
+    for k in range(1, _KM_ROUNDS + 1):
+        steps.append(f"""
+    a{k} AS (
+      SELECT event_id, py, px, cid, d2 FROM (
+        SELECT p.event_id, p.py, p.px, c.cid,
+               (CAST(p.py AS DOUBLE) - c.clat) * (CAST(p.py AS DOUBLE) - c.clat)
+             + (CAST(p.px AS DOUBLE) - c.clon) * (CAST(p.px AS DOUBLE) - c.clon)
+                 AS d2,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY (CAST(p.py AS DOUBLE) - c.clat)
+                                         * (CAST(p.py AS DOUBLE) - c.clat)
+                                         + (CAST(p.px AS DOUBLE) - c.clon)
+                                         * (CAST(p.px AS DOUBLE) - c.clon),
+                                           c.cid) AS rn
+        FROM pts p CROSS JOIN c{k - 1} c
+      ) WHERE rn = 1
+    ),
+    c{k} AS (
+      SELECT cid,
+             CAST(sum(py) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS clat,
+             CAST(sum(px) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS clon
+      FROM a{k} GROUP BY cid
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT event_id, CAST(cid AS BIGINT) AS cid, d2
+    FROM a{_KM_ROUNDS}"""
+    )
+
+
+@register(
+    "kmeans_assign",
+    _km_oracle_sql(),
+    doc=(
+        f"fixed-round Lloyd k-means (k = {_KM_K}, {_KM_ROUNDS} rounds) "
+        "over the integer event lattice: seeds are the first k events by "
+        "id, every centroid is an exact BIGINT-sum / BIGINT-count "
+        "division (so centroids are bit-identical cross-engine and a "
+        "borderline point can never flip), assignment ties break on "
+        "cluster id — the canonical iterative-refinement ML op "
+        "(training-data clustering / semdedup's first stage), in the "
+        "unrolled-oracle class of pagerank/flow_accumulation"
+    ),
+)
+def kmeans_assign(spark, sf_dir):
+    """Per round: crossJoin the k-row broadcast centroid frame (constant
+    k-fold map-side fan-out, never a shuffle of pairs), argmin via ONE
+    partial-agg min over a (d2, cid, py, px) struct — lexicographic
+    struct min IS the (distance, id) tie-break, and carrying the coords
+    in the struct saves the rejoin — then one groupBy(cid) with BIGINT
+    coordinate sums. The loop state is k rows; localCheckpoint is
+    unnecessary at 3 rounds."""
+    ev = _t(spark, sf_dir, "events")
+    pts = _persist_evict(
+        ev.select(
+            "event_id",
+            (F.col("event_id") * 7919 % 2000).cast("long").alias("py"),
+            (F.col("event_id") * 104729 % 2400).cast("long").alias("px"),
+        )
+    )
+    seeds = pts.orderBy("event_id").limit(_KM_K)
+    centers = seeds.select(
+        F.row_number()
+        .over(Window.orderBy("event_id"))
+        .cast("long")
+        .alias("cid"),
+        F.col("py").cast("double").alias("clat"),
+        F.col("px").cast("double").alias("clon"),
+    )
+    assign = None
+    for _ in range(_KM_ROUNDS):
+        d2 = (F.col("py").cast("double") - F.col("clat")) * (
+            F.col("py").cast("double") - F.col("clat")
+        ) + (F.col("px").cast("double") - F.col("clon")) * (
+            F.col("px").cast("double") - F.col("clon")
+        )
+        best = (
+            pts.crossJoin(F.broadcast(centers))
+            .groupBy("event_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        d2.alias("d2"),
+                        F.col("cid").alias("cid"),
+                        F.col("py").alias("py"),
+                        F.col("px").alias("px"),
+                    )
+                ).alias("b")
+            )
+        )
+        assign = best.select(
+            "event_id", "b.cid", "b.d2", "b.py", "b.px"
+        )
+        centers = assign.groupBy("cid").agg(
+            (
+                F.sum("py").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("clat"),
+            (
+                F.sum("px").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("clon"),
+        )
+    # d2 is emitted UNROUNDED: centroids are exact BIGINT/BIGINT quotients,
+    # so d2 is the same dyadic double bit-for-bit on both engines — while a
+    # 6-dp round would MANUFACTURE divergence (dyadic values can sit exactly
+    # on a decimal half, where Java BigDecimal and C++ round() disagree)
+    return assign.select(
+        "event_id", F.col("cid").cast("long").alias("cid"), "d2"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1898,3 +1898,158 @@ def test_sequence_pack_semantics(spark, sf_dir):
             cum += r.n_tok
     # non-vacuous: more than one bin somewhere
     assert max(r.bin_id for r in rows) >= 1
+
+
+def test_histogram_equalize_matches_python(spark, sf_dir):
+    """eq = (cdf - cdf_min) * 255 // (n - cdf_min) recomputed from the
+    cell counts in plain Python; output covers every cell; eq in 0..255
+    and monotone in x."""
+    from collections import Counter
+
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    hist = Counter(cells.values())
+    cum, cdf = 0, {}
+    for v in sorted(hist):
+        cum += hist[v]
+        cdf[v] = cum
+    cmin, n = min(cdf.values()), len(cells)
+    rows = relational.REGISTRY["histogram_equalize"].fn(spark, sf_dir).collect()
+    assert {(r.cy, r.cx) for r in rows} == set(cells)
+    for r in rows:
+        assert r.x == cells[(r.cy, r.cx)]
+        want = ((cdf[r.x] - cmin) * 255) // (n - cmin) if n > cmin else 0
+        assert r.eq == want
+        assert 0 <= r.eq <= 255
+
+
+def test_clark_evans_matches_brute_force(spark, sf_dir):
+    """Censored-NN mean and R index recomputed by brute force over all
+    point pairs (the cover join must find exactly the true NN whenever
+    it lies within the censoring radius)."""
+    pts = {
+        r.event_id: (r.lat, r.lon)
+        for r in relational._pt_df(spark, sf_dir).collect()
+    }
+    ids = sorted(pts)
+    r2cap = relational._CE_R2
+    mind = {}
+    for i in ids:
+        best = None
+        for j in ids:
+            if i == j:
+                continue
+            d2 = (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
+            if d2 <= r2cap and (best is None or d2 < best):
+                best = d2
+        if best is not None:
+            mind[i] = best
+    row = relational.REGISTRY["clark_evans"].fn(spark, sf_dir).collect()[0]
+    assert row.n_pts == len(ids)
+    assert row.n_with_nn == len(mind)
+    lats = [p[0] for p in pts.values()]
+    lons = [p[1] for p in pts.values()]
+    area = (max(lats) - min(lats)) * (max(lons) - min(lons))
+    mean_nn = sum(d ** 0.5 for d in mind.values()) / len(mind)
+    expected = 0.5 / (len(ids) / area) ** 0.5
+    assert abs(row.mean_nn - mean_nn) < 1e-6
+    assert abs(row.r_index - mean_nn / expected) < 1e-6
+
+
+def test_line_of_sight_matches_walk(spark, sf_dir):
+    """Visibility recomputed by walking each ray outward with a running
+    max elevation angle; observer is the densest cell."""
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    ocy, ocx = max(cells, key=lambda c: (cells[c], -c[0], -c[1]))
+    ox = cells[(ocy, ocx)]
+    rows = relational.REGISTRY["line_of_sight"].fn(spark, sf_dir).collect()
+    assert rows
+    got = {(r.cy, r.cx): r for r in rows}
+    seen = set()
+    n_vis, n_hid = 0, 0
+    for sy in (-1, 0, 1):
+        for sx in (-1, 0, 1):
+            if sy == 0 and sx == 0:
+                continue
+            unit = 1.0 if sy == 0 or sx == 0 else relational._SQRT2
+            best = float("-inf")
+            for step in range(1, 10000):
+                c = (ocy + sy * step, ocx + sx * step)
+                if not (
+                    min(k[0] for k in cells)
+                    <= c[0]
+                    <= max(k[0] for k in cells)
+                ) and not (
+                    min(k[1] for k in cells)
+                    <= c[1]
+                    <= max(k[1] for k in cells)
+                ):
+                    break
+                if c not in cells:
+                    continue
+                slope = (cells[c] - ox) / (step * unit)
+                r = got[c]
+                seen.add(c)
+                assert (r.sy, r.sx, r.steps) == (sy, sx, step)
+                assert r.visible == (1 if slope > best else 0)
+                n_vis += r.visible
+                n_hid += 1 - r.visible
+                best = max(best, slope)
+    assert seen == set(got)
+    assert n_vis > 0 and n_hid > 0  # non-vacuous both ways
+
+
+def test_kmeans_matches_python_lloyd(spark, sf_dir):
+    """Fixed-round Lloyd recomputed in plain Python with exact integer
+    centroid sums and (d2, cid) tie-breaks; assignments and d2 must
+    match bit-for-bit."""
+    pts = {
+        r.event_id: (r.py, r.px)
+        for r in relational._t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            (relational.F.col("event_id") * 7919 % 2000)
+            .cast("long")
+            .alias("py"),
+            (relational.F.col("event_id") * 104729 % 2400)
+            .cast("long")
+            .alias("px"),
+        )
+        .collect()
+    }
+    seeds = sorted(pts)[: relational._KM_K]
+    centers = {
+        i + 1: (float(pts[e][0]), float(pts[e][1]))
+        for i, e in enumerate(seeds)
+    }
+    assign = {}
+    for _ in range(relational._KM_ROUNDS):
+        assign = {}
+        for e, (py, px) in pts.items():
+            best = None
+            for cid, (cy, cx) in centers.items():
+                d2 = (py - cy) * (py - cy) + (px - cx) * (px - cx)
+                if best is None or (d2, cid) < best:
+                    best = (d2, cid)
+            assign[e] = best
+        sums = {}
+        for e, (d2, cid) in assign.items():
+            s = sums.setdefault(cid, [0, 0, 0])
+            s[0] += pts[e][0]
+            s[1] += pts[e][1]
+            s[2] += 1
+        centers = {
+            cid: (s[0] / s[2], s[1] / s[2]) for cid, s in sums.items()
+        }
+    rows = relational.REGISTRY["kmeans_assign"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(pts)
+    for r in rows:
+        d2, cid = assign[r.event_id]
+        assert r.cid == cid
+        assert r.d2 == d2  # bit-exact: centroids are exact quotients
+    assert len({r.cid for r in rows}) > 1
