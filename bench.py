@@ -124,6 +124,12 @@ HEADLINE = [
     "clark_evans",
     "line_of_sight",
     "kmeans_assign",
+    # round-4 session-7 additions
+    "skyline_2d",
+    "extreme_points",
+    "bpe_merge_step",
+    "window_funnel",
+    "retention_cohorts",
 ]
 
 

@@ -8202,6 +8202,373 @@ def kmeans_assign(spark, sf_dir):
     )
 
 
+# 2-D skyline (Pareto frontier) -------------------------------------------------
+
+
+@register(
+    "skyline_2d",
+    """
+    WITH pruned AS (
+      /* local prune: only the cheapest rows of each size can be skyline */
+      SELECT p_partkey, p_size, p_retailprice
+      FROM (
+        SELECT p_partkey, p_size, p_retailprice,
+               min(p_retailprice) OVER (PARTITION BY p_size) AS mn
+        FROM part
+      ) WHERE p_retailprice = mn
+    )
+    SELECT a.p_partkey, CAST(a.p_size AS INT) AS p_size, a.p_retailprice
+    FROM pruned a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pruned b
+      WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+        AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice)
+    )
+    """,
+    doc=(
+        "2-D skyline query (Pareto frontier: maximize p_size, minimize "
+        "p_retailprice — 'the biggest cheapest parts'): the classic "
+        "preference-query operator, computed with the standard two-phase "
+        "distributed algorithm — a partition-local prune (only the "
+        "cheapest row(s) per size can survive) followed by exact "
+        "dominance over the tiny survivor set; equal (size, price) pairs "
+        "do not dominate each other, so ties all stay"
+    ),
+)
+def skyline_2d(spark, sf_dir):
+    """Phase 1 is one window exchange on p_size (the partial skyline:
+    survivors <= distinct sizes x ties, ~50 rows at ANY corpus scale
+    because the domain is the prune key). Phase 2 is a broadcast
+    nested-loop anti-join over that O(domain) set — the inequality
+    dominance predicate never touches the full table. This is how a
+    skyline actually distributes: local prune in each partition, exact
+    pass on the union of local frontiers."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    mn = F.min("p_retailprice").over(Window.partitionBy("p_size"))
+    pruned = _persist_evict(
+        p.withColumn("mn", mn).filter(F.col("p_retailprice") == F.col("mn")).drop("mn")
+    )
+    dom = pruned.select(
+        F.col("p_size").alias("b_size"),
+        F.col("p_retailprice").alias("b_price"),
+    )
+    cond = (
+        (F.col("b_size") >= F.col("p_size"))
+        & (F.col("b_price") <= F.col("p_retailprice"))
+        & (
+            (F.col("b_size") > F.col("p_size"))
+            | (F.col("b_price") < F.col("p_retailprice"))
+        )
+    )
+    return pruned.join(F.broadcast(dom), cond, "left_anti").select(
+        "p_partkey", F.col("p_size").cast("int").alias("p_size"), "p_retailprice"
+    )
+
+
+# directional extreme points (convex-hull summary) -----------------------------
+
+# 16 integer direction vectors (D8 + the knight-step interleavings): dot
+# products stay BIGINT-exact, and 16 directions bound the hull tightly
+# enough for envelope/extent summaries
+_EP_DIRS = [
+    (1, 0), (2, 1), (1, 1), (1, 2),
+    (0, 1), (-1, 2), (-1, 1), (-2, 1),
+    (-1, 0), (-2, -1), (-1, -1), (-1, -2),
+    (0, -1), (1, -2), (1, -1), (2, -1),
+]
+
+_EP_DIR_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS diridx, {dy} AS dy, {dx} AS dx"
+    for i, (dy, dx) in enumerate(_EP_DIRS)
+)
+
+
+@register(
+    "extreme_points",
+    f"""
+    WITH {_KM_PTS_SQL},
+    ev AS (
+      SELECT e.event_type, p.event_id, p.py, p.px
+      FROM events e JOIN pts p ON e.event_id = p.event_id
+    ),
+    dirs AS ({_EP_DIR_SQL}),
+    scored AS (
+      SELECT event_type, diridx, event_id, py, px,
+             CAST(dy * py + dx * px AS BIGINT) AS dot,
+             row_number() OVER (PARTITION BY event_type, diridx
+                                ORDER BY dy * py + dx * px DESC, event_id)
+               AS rn
+      FROM ev CROSS JOIN dirs
+    )
+    SELECT event_type, CAST(diridx AS INT) AS diridx, event_id, py, px, dot
+    FROM scored WHERE rn = 1
+    """,
+    doc=(
+        "directional extreme points per event type: for 16 exact integer "
+        "direction vectors, the point maximizing the dot product (ties "
+        "to lowest event_id) — the rotating-calipers convex-envelope "
+        "summary (every reported point IS a hull vertex; 16 directions "
+        "give the bounding 16-gon used for extent/footprint estimates); "
+        "all scores BIGINT, no float anywhere"
+    ),
+)
+def extreme_points(spark, sf_dir):
+    """A constant 16x map-side fan-out (explode over the direction
+    literals — no join materializes point x direction through a
+    shuffle), then ONE partial-agg struct-min per (type, dir): map-side
+    combine reduces every partition to <= |types| x 16 rows before the
+    exchange, so the shuffle is O(groups), not O(points)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.col("event_id") * 7919 % 2000).cast("long").alias("py"),
+        (F.col("event_id") * 104729 % 2400).cast("long").alias("px"),
+    )
+    scored = ev.select(
+        "event_type",
+        "event_id",
+        "py",
+        "px",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("diridx"),
+                        (
+                            F.lit(dy) * F.col("py") + F.lit(dx) * F.col("px")
+                        ).alias("dot"),
+                    )
+                    for i, (dy, dx) in enumerate(_EP_DIRS)
+                ]
+            )
+        ).alias("k"),
+    ).select("event_type", "event_id", "py", "px", "k.diridx", "k.dot")
+    best = scored.groupBy("event_type", "diridx").agg(
+        F.min(
+            F.struct(
+                (-F.col("dot")).alias("ndot"),
+                F.col("event_id").alias("event_id"),
+                F.col("py").alias("py"),
+                F.col("px").alias("px"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("diridx").cast("int").alias("diridx"),
+        "b.event_id",
+        "b.py",
+        "b.px",
+        (-F.col("b.ndot")).cast("long").alias("dot"),
+    )
+
+
+# first BPE merge step (adjacent-pair statistics) -------------------------------
+
+_BPE_TOPK = 32
+
+
+@register(
+    "bpe_merge_step",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT substring(tok, i, 2) AS pair
+      FROM toks CROSS JOIN unnest(range(1, length(tok))) AS t(i)
+      WHERE length(tok) >= 2
+    ),
+    counted AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, pair) AS rnk
+      FROM pairs GROUP BY pair
+    )
+    SELECT CAST(rnk AS INT) AS rnk, pair, n
+    FROM counted WHERE rnk <= {_BPE_TOPK}
+    """,
+    doc=(
+        f"first BPE merge step: corpus-wide adjacent character-pair "
+        f"frequencies within tokens, top {_BPE_TOPK} by (count DESC, "
+        "pair) — the inner statistic a byte-pair-encoding tokenizer "
+        "trainer computes every merge round (run it on the corpus after "
+        "each merge to re-rank); pure integer counts, deterministic "
+        "total order"
+    ),
+)
+def bpe_merge_step(spark, sf_dir):
+    """Token explode + in-token pair explode are both map-side
+    (Generate), the count is ONE partial-agg groupBy on the pair (domain
+    <= alphabet^2, so map-side combine collapses each partition to a few "
+    hundred rows), and the global top-k is a sorted limit over that tiny
+    domain — the bottom_pct_threshold shape, never a full sort of the
+    pair stream."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr(r"regexp_extract_all(text, '\\S+', 0)")
+        ).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, CAST(i AS INT), 2))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BPE_TOPK)
+        .select(F.col("rnk").cast("int").alias("rnk"), "pair", "n")
+    )
+
+
+# event funnel (view -> click -> purchase) --------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "window_funnel",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = '{_FUNNEL[1]}' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = '{_FUNNEL[2]}' GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(epoch_us(s1.t1) AS BIGINT) AS t1_us,
+           CAST(epoch_us(s2.t2) AS BIGINT) AS t2_us,
+           CAST(epoch_us(s3.t3) AS BIGINT) AS t3_us,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INT)
+             AS depth
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    doc=(
+        "ordered event funnel per user (view -> click -> purchase): the "
+        "earliest view, the earliest click strictly after it, the "
+        "earliest purchase strictly after that, and the funnel depth "
+        "reached — the product-analytics conversion operator; "
+        "timestamps emitted as epoch microseconds so parity is integer"
+    ),
+)
+def window_funnel(spark, sf_dir):
+    """Each stage is one filtered partial-agg groupBy on user_id plus an
+    equi-join on user_id with the time predicate riding the join filter
+    — three narrow shuffles on the same key (co-partitioned after the
+    first), never a window over the raw event stream. Stage frames are
+    one-row-per-user, so the left joins are broadcast-sized here and
+    stay key-co-located at scale."""
+    ev = _persist_evict(
+        _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == _FUNNEL[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == _FUNNEL[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # events.ts is TIMESTAMP_NTZ; the session timezone is pinned UTC
+    # (session.py), so the NTZ -> LTZ cast is the identity epoch mapping
+    # DuckDB's epoch_us applies to its naive TIMESTAMP
+    us = lambda c: F.expr(  # noqa: E731
+        f"CAST(unix_micros(CAST({c} AS TIMESTAMP_LTZ)) AS BIGINT)"
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            us("t1").alias("t1_us"),
+            us("t2").alias("t2_us"),
+            us("t3").alias("t3_us"),
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("depth"),
+        )
+    )
+
+
+# retention cohorts --------------------------------------------------------------
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) // 604800 AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT e.user_id, f.cohort_wk,
+             CAST(floor(epoch(e.ts)) AS BIGINT) // 604800 - f.cohort_wk
+               AS wk_offset
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT cohort_wk, wk_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM a GROUP BY cohort_wk, wk_offset
+    """,
+    doc=(
+        "retention cohort matrix: users bucketed by the epoch week of "
+        "their first event (cohort), counted distinct in every later "
+        "week offset they were active — the standard growth-analytics "
+        "triangle; week = epoch_seconds // 604800, integer-exact on "
+        "both engines"
+    ),
+)
+def retention_cohorts(spark, sf_dir):
+    """One partial-agg groupBy for first-touch, one equi-join on user_id
+    (co-partitioned with the groupBy's exchange), one distinct-count
+    groupBy on the (cohort, offset) pair — the count-distinct shuffle
+    carries (cohort, offset, user) triples partial-deduped map-side."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    wk = lambda c: F.expr(  # noqa: E731
+        f"CAST(unix_timestamp({c}) DIV 604800 AS BIGINT)"
+    )
+    f = ev.groupBy("user_id").agg(
+        wk("min(ts)").alias("cohort_wk")
+    )
+    a = ev.join(f, "user_id").select(
+        "user_id",
+        "cohort_wk",
+        (wk("ts") - F.col("cohort_wk")).alias("wk_offset"),
+    )
+    return a.groupBy("cohort_wk", "wk_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
