@@ -7205,11 +7205,17 @@ _CT_EVAL_MOD = 10  # doc_id % MOD == 0 -> eval split
 def contamination_check(spark, sf_dir):
     """Per-document gram sets are built and DEDUPED map-side
     (transform + array_distinct inside one row — no distinct shuffle ever
-    touches the gram stream), so n_grams rides the row for free; the only
-    exchanges are the eval-set distinct (1/MOD of the grams) and the
-    overlap groupBy. The gram join broadcasts the eval set here; at a
-    10^12-doc corpus it becomes a shuffle equi-join on the gram hash —
-    both sides already distinct, no fan-out."""
+    touches the gram stream); the only exchanges are the eval-set
+    distinct (1/MOD of the grams), the overlap groupBy, and an O(docs)
+    count-back join. ``n_grams`` deliberately does NOT ride the exploded
+    rows: keeping it beside the Generate made the projection re-evaluate
+    the whole md5 gram array once PER EXPLODED GRAM (a ~n_grams-fold
+    recompute, measured 2 s -> 20 s at sf0.1), so it is computed in its
+    own per-doc pass and joined back on doc_id after the overlap agg —
+    both sides of that join are O(contaminated docs) / O(docs). The gram
+    join broadcasts the eval set here; at a 10^12-doc corpus it becomes
+    a shuffle equi-join on the gram hash — both sides already distinct,
+    no fan-out."""
     d = _t(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -7222,31 +7228,30 @@ def contamination_check(spark, sf_dir):
             f" i -> md5(array_join(slice(toks, i + 1, {_CT_GRAM}), ' ')))"
         )
     )
-    gd = base.select(
-        "doc_id",
-        F.size(grams).cast("long").alias("n_grams"),
-        F.explode(grams).alias("gh"),
+    gd = base.select("doc_id", F.explode(grams).alias("gh"))
+    counts = base.select(
+        "doc_id", F.size(grams).cast("long").alias("n_grams")
     )
     ev = (
         gd.filter(F.col("doc_id") % _CT_EVAL_MOD == 0)
         .select("gh")
         .distinct()
     )
-    return (
+    ov = (
         gd.filter(F.col("doc_id") % _CT_EVAL_MOD != 0)
         .join(F.broadcast(ev), "gh")
-        .groupBy("doc_id", "n_grams")
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
-        .select(
-            "doc_id",
-            "n_overlap",
-            "n_grams",
-            F.round(
-                F.col("n_overlap").cast("double")
-                / F.col("n_grams").cast("double"),
-                6,
-            ).alias("contamination"),
-        )
+    )
+    return ov.join(counts, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_grams",
+        F.round(
+            F.col("n_overlap").cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("contamination"),
     )
 
 
@@ -7850,7 +7855,15 @@ def histogram_equalize(spark, sf_dir):
 
 # Clark-Evans nearest-neighbor index -------------------------------------------
 
-_CE_R2 = _GI_CELL * _GI_CELL  # censoring radius^2 = one cell (ring-covered)
+# Censoring cell sized to the point density, NOT the 0.5-deg Gi* analysis
+# cell: mean NN distance at the corpus density is ~0.5/sqrt(rho) ~ 0.014-0.14
+# deg across the sf range, so a 0.1-deg censor keeps the statistic while the
+# cover join generates ~25x fewer candidate pairs than the Gi* cell would
+# (the 3x3 ring over 0.5-deg cells at sf0.1 density was ~1.7e9 pairs / 16 s;
+# this is ~7e7 / ~2 s). Radius == cell size, so the 3x3 ring still provably
+# covers the censoring disk.
+_CE_CELL = 0.1
+_CE_R2 = _CE_CELL * _CE_CELL  # censoring radius^2 = one cell (ring-covered)
 
 
 @register(
@@ -7859,8 +7872,8 @@ _CE_R2 = _GI_CELL * _GI_CELL  # censoring radius^2 = one cell (ring-covered)
     WITH p AS ({_PT_SQL}),
     pts AS (
       SELECT event_id, lat, lon,
-             CAST(floor(lat / {_GI_CELL!r}) AS BIGINT) AS cy,
-             CAST(floor(lon / {_GI_CELL!r}) AS BIGINT) AS cx
+             CAST(floor(lat / {_CE_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor(lon / {_CE_CELL!r}) AS BIGINT) AS cx
       FROM p
     ),
     nn AS (
@@ -7891,7 +7904,7 @@ _CE_R2 = _GI_CELL * _GI_CELL  # censoring radius^2 = one cell (ring-covered)
         f"Clark-Evans nearest-neighbor index over the detections: "
         f"R = mean observed NN distance / expected under CSR "
         f"(0.5/sqrt(density)), with the NN search censored at one "
-        f"analysis cell ({_GI_CELL} deg — points with no neighbor that "
+        f"density-sized cell ({_CE_CELL} deg — points with no neighbor that "
         "close are excluded and counted) — R << 1 clustered, R ~ 1 "
         "random; the point-pattern summary completing ripley_k / "
         "knox_pairs; density uses the bounding-box area"
@@ -7908,8 +7921,8 @@ def clark_evans(spark, sf_dir):
         "event_id",
         "lat",
         "lon",
-        F.floor(F.col("lat") / _GI_CELL).alias("cy"),
-        F.floor(F.col("lon") / _GI_CELL).alias("cx"),
+        F.floor(F.col("lat") / _CE_CELL).alias("cy"),
+        F.floor(F.col("lon") / _CE_CELL).alias("cx"),
     )
     ring = pts.select(
         F.col("event_id").alias("nb_id"),
