@@ -130,6 +130,11 @@ HEADLINE = [
     "bpe_merge_step",
     "window_funnel",
     "retention_cohorts",
+    # round-4 session-8 additions
+    "cost_distance",
+    "rasterize_segments",
+    "winnowing_fingerprint",
+    "domain_mix_weights",
 ]
 
 

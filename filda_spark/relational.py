@@ -8582,6 +8582,233 @@ def retention_cohorts(spark, sf_dir):
     )
 
 
+# accumulated-cost distance (fixed-round Bellman-Ford over the cell grid) -------
+
+_CD_ROUNDS = 10
+
+
+def _cost_distance_oracle_sql() -> str:
+    """The sssp unrolled-CTE idiom on the raster grid graph: the cost of
+    entering a cell is its density count x (all BIGINT, so min-relaxation
+    is aggregation-order exact), edges are the 8-neighborhood."""
+    head = f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    o AS (
+      SELECT cy AS ocy, cx AS ocx FROM cells ORDER BY x DESC, cy, cx LIMIT 1
+    ),
+    d0 AS (
+      SELECT c.cy, c.cx,
+             CASE WHEN c.cy = o.ocy AND c.cx = o.ocx
+                  THEN CAST(0 AS BIGINT) END AS dist
+      FROM cells c CROSS JOIN o
+    )"""
+    steps = []
+    for k in range(1, _CD_ROUNDS + 1):
+        steps.append(f"""
+    d{k} AS (
+      SELECT c.cy, c.cx,
+             CAST(least(coalesce(min(p.dist), min(q.dist + c.x)),
+                        coalesce(min(q.dist + c.x), min(p.dist))) AS BIGINT)
+               AS dist
+      FROM cells c
+      LEFT JOIN d{k - 1} p ON p.cy = c.cy AND p.cx = c.cx
+      LEFT JOIN d{k - 1} q
+        ON abs(q.cy - c.cy) <= 1 AND abs(q.cx - c.cx) <= 1
+       AND NOT (q.cy = c.cy AND q.cx = c.cx)
+      GROUP BY c.cy, c.cx
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT cy, cx, dist FROM d{_CD_ROUNDS} WHERE dist IS NOT NULL
+    """
+    )
+
+
+@register(
+    "cost_distance",
+    _cost_distance_oracle_sql(),
+    doc=(
+        f"accumulated-cost distance (GIS cost surface): least total "
+        f"friction from the densest cell, where entering a cell costs its "
+        f"point count — {_CD_ROUNDS} unrolled Bellman-Ford rounds over the "
+        "8-neighbor grid graph (cells beyond that relaxation horizon stay "
+        "unreached and are excluded); BIGINT costs, so the min-relaxation "
+        "is exact at any aggregation order"
+    ),
+)
+def cost_distance(spark, sf_dir):
+    """sssp's loop shape on the raster: the 8 candidate edges per cell are
+    generated MAP-SIDE from the frontier (a constant explode over the
+    offset literals — the grid graph never materializes through a
+    shuffle), each round is one equi-join on the cell key + a partial-agg
+    min + a min-merge with the prior round, localCheckpoint truncating the
+    doubling lineage exactly as sssp/dup_components do. Source selection
+    is a one-row broadcast (densest cell, ties to lowest (cy, cx)), never
+    a literal that might not exist at small SF."""
+    from pyspark import StorageLevel
+
+    while len(_PAGERANK_CACHED) > 4:
+        _PAGERANK_CACHED.pop(0).unpersist()
+    cells = _cell_counts(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    _PAGERANK_CACHED.append(cells)
+    src0 = (
+        cells.orderBy(F.col("x").desc(), "cy", "cx")
+        .limit(1)
+        .select(F.col("cy").alias("ocy"), F.col("cx").alias("ocx"))
+    )
+    dist = (
+        cells.crossJoin(F.broadcast(src0))
+        .select(
+            "cy",
+            "cx",
+            F.when(
+                (F.col("cy") == F.col("ocy")) & (F.col("cx") == F.col("ocx")),
+                F.lit(0).cast("long"),
+            ).alias("dist"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+    for _ in range(_CD_ROUNDS):
+        frontier = dist.filter(F.col("dist").isNotNull())
+        cand = (
+            frontier.select(
+                F.col("dist").alias("du"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                (F.col("cy") + dy).alias("cy"),
+                                (F.col("cx") + dx).alias("cx"),
+                            )
+                            for dy, dx in offsets
+                        ]
+                    )
+                ).alias("k"),
+            )
+            .select("k.cy", "k.cx", "du")
+            .join(cells, ["cy", "cx"])
+            .groupBy("cy", "cx")
+            .agg(F.min(F.col("du") + F.col("x")).alias("cand"))
+        )
+        dist = (
+            dist.join(cand, ["cy", "cx"], "left")
+            .select(
+                "cy", "cx", F.least(F.col("dist"), F.col("cand")).alias("dist")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return dist.filter(F.col("dist").isNotNull()).select("cy", "cx", "dist")
+
+
+# trajectory rasterization (supercover DDA over per-user legs) ------------------
+
+
+@register(
+    "rasterize_segments",
+    f"""
+    WITH p AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms, event_id,
+             CAST(floor((CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor((CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cx
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id, cy AS dcy, cx AS dcx,
+             lag(cy) OVER w AS ocy, lag(cx) OVER w AS ocx
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    ),
+    moves AS (
+      SELECT user_id, ocy, ocx, dcy, dcx,
+             greatest(abs(dcy - ocy), abs(dcx - ocx)) AS steps
+      FROM legs WHERE ocy IS NOT NULL
+        AND greatest(abs(dcy - ocy), abs(dcx - ocx)) >= 1
+    ),
+    painted AS (
+      SELECT user_id,
+             (ocy * steps + i * (dcy - ocy)) // steps AS cy,
+             (ocx * steps + i * (dcx - ocx)) // steps AS cx
+      FROM moves CROSS JOIN unnest(range(1, steps + 1)) AS t(i)
+    )
+    SELECT cy, cx, CAST(count(*) AS BIGINT) AS n_entries,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM painted GROUP BY cy, cx
+    """,
+    doc=(
+        "trajectory rasterization: every per-user movement leg walked "
+        "cell-by-cell with an integer DDA (param i/steps interpolation, "
+        "floor division — exact because cell indices are non-negative on "
+        "this grid), counting entries and distinct users per grid cell — "
+        "the vector->raster density operator (road-usage heatmaps, "
+        "corridor load); origins are not re-painted, so each fix cell is "
+        "entered once per leg"
+    ),
+)
+def rasterize_segments(spark, sf_dir):
+    """One per-user lag window (the od_flows exchange), then the DDA walk
+    is a MAP-SIDE explode over sequence(1, steps) — the fan-out is the
+    painted-cell count, never a join — absorbed by the partial-agg
+    groupBy on the cell key. The distinct-user count rides the same
+    shuffle partial-deduped. All-integer interpolation: floor((o*steps +
+    i*(d-o))/steps) with a non-negative numerator, so Spark's truncating
+    DIV and DuckDB's flooring // agree."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        F.floor(
+            ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0) / _GI_CELL
+        ).alias("cy"),
+        F.floor(
+            (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0)
+            / _GI_CELL
+        ).alias("cx"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    legs = p.select(
+        "user_id",
+        F.col("cy").alias("dcy"),
+        F.col("cx").alias("dcx"),
+        F.lag("cy").over(w).alias("ocy"),
+        F.lag("cx").over(w).alias("ocx"),
+    )
+    moves = legs.filter(F.col("ocy").isNotNull()).select(
+        "user_id",
+        "ocy",
+        "ocx",
+        "dcy",
+        "dcx",
+        F.greatest(
+            F.abs(F.col("dcy") - F.col("ocy")), F.abs(F.col("dcx") - F.col("ocx"))
+        ).alias("steps"),
+    ).filter(F.col("steps") >= 1)
+    painted = moves.select(
+        "user_id",
+        F.explode(F.expr("sequence(1, steps)")).alias("i"),
+        "ocy",
+        "ocx",
+        "dcy",
+        "dcx",
+        "steps",
+    ).select(
+        "user_id",
+        F.expr("(ocy * steps + i * (dcy - ocy)) DIV steps").alias("cy"),
+        F.expr("(ocx * steps + i * (dcx - ocx)) DIV steps").alias("cx"),
+    )
+    return painted.groupBy("cy", "cx").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

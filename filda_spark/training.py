@@ -786,3 +786,169 @@ def dedup_keep_best(spark, sf_dir):
         .withColumn("kept", F.row_number().over(w) == 1)
         .select("doc_id", "component", "quality", "kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) + domain mixture weights
+# ---------------------------------------------------------------------------
+
+# winnowing parameters: token 3-grams, window of 4 consecutive gram hashes.
+# The hash is the top 40 bits of md5 (BIGINT-exact on both engines); the
+# packed selection key is h * _WN_POSMOD + (_WN_POSMOD - 1 - pos), so an
+# integer MIN over the window picks the smallest hash with ties to the
+# RIGHTMOST position — the winnowing rule — in one aggregate. _WN_POSMOD
+# bounds gram positions per document (2^20; a 1M-token doc would need a
+# wider pack, noted here rather than silently wrong: positions are checked
+# against the bound in tests).
+_WN_K = 3
+_WN_W = 4
+_WN_POSMOD = 1 << 20
+
+
+@register(
+    "winnowing_fingerprint",
+    f"""
+    WITH b AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_tok - {_WN_K - 1} AS m, i AS pos,
+             CAST(concat('0x', substr(md5(
+               array_to_string(toks[i + 1 : i + {_WN_K}], ' ')), 1, 10))
+               AS BIGINT) AS h
+      FROM b CROSS JOIN unnest(range(0, n_tok - {_WN_K - 1})) AS t(i)
+      WHERE n_tok >= {_WN_K + _WN_W - 1}
+    ),
+    keyed AS (
+      SELECT doc_id, pos, m,
+             min(h * {_WN_POSMOD} + ({_WN_POSMOD} - 1 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS mk
+      FROM g
+    )
+    SELECT DISTINCT doc_id,
+           CAST(mk // {_WN_POSMOD} AS BIGINT) AS fp,
+           CAST({_WN_POSMOD} - 1 - mk % {_WN_POSMOD} AS BIGINT) AS sel_pos
+    FROM keyed WHERE pos <= m - {_WN_W}
+    """,
+    doc=(
+        f"MOSS winnowing fingerprints: token {_WN_K}-gram hashes, every "
+        f"window of {_WN_W} consecutive hashes contributes its minimum "
+        "(ties to the rightmost position), selections deduped — the "
+        "guarantee-bearing plagiarism/near-dup fingerprint (any shared "
+        f"run of >= {_WN_K + _WN_W - 1} tokens shares a fingerprint), "
+        "distinct from doc_fingerprint's single global min-hash"
+    ),
+)
+def winnowing_fingerprint(spark, sf_dir):
+    """Gram positions explode map-side (posexplode of the raw gram
+    strings; md5 runs per exploded ROW, never inside a projection beside
+    the Generate — the contamination_check recompute lesson), then ONE
+    per-document window (partitionBy doc_id, the only exchange) computes
+    every window minimum with the position packed into the integer key.
+    Selection dedup is a distinct over O(selected) rows ~ 2/(w+1) of the
+    gram stream."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    ).select(
+        "doc_id", "toks", F.size("toks").cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") >= _WN_K + _WN_W - 1)
+    garr = F.expr(
+        f"transform(sequence(0, n_tok - {_WN_K}),"
+        f" i -> array_join(slice(toks, CAST(i + 1 AS INT), {_WN_K}), ' '))"
+    )
+    g = base.select(
+        "doc_id",
+        (F.col("n_tok") - (_WN_K - 1)).alias("m"),
+        F.posexplode(garr).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "m",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr("CAST(conv(substr(md5(gram), 1, 10), 16, 10) AS BIGINT)").alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WN_W - 1)
+    )
+    keyed = g.select(
+        "doc_id",
+        "pos",
+        "m",
+        F.min(
+            F.col("h") * _WN_POSMOD + (F.lit(_WN_POSMOD - 1) - F.col("pos"))
+        ).over(w).alias("mk"),
+    )
+    return (
+        keyed.filter(F.col("pos") <= F.col("m") - _WN_W)
+        .select(
+            "doc_id",
+            F.expr(f"CAST(mk DIV {_WN_POSMOD} AS BIGINT)").alias("fp"),
+            (F.lit(_WN_POSMOD - 1) - F.col("mk") % _WN_POSMOD)
+            .cast("long")
+            .alias("sel_pos"),
+        )
+        .distinct()
+    )
+
+
+_MIX_ALPHA = 0.3  # sampling temperature (multilingual-LM style)
+
+
+@register(
+    "domain_mix_weights",
+    f"""
+    WITH g AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ),
+    t AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+             sum(pow(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA!r})) AS z
+      FROM g
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / tot, 6) AS p_raw,
+           round(pow(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA!r}) / z, 6)
+             AS mix_weight
+    FROM g CROSS JOIN t
+    """,
+    doc=(
+        f"temperature-scaled domain mixture weights (alpha = {_MIX_ALPHA}): "
+        "per (source, lang) token share p and sampling weight "
+        "p^alpha / sum(p^alpha) — the corpus-mixing knob every "
+        "multilingual / multi-domain training run sets (alpha < 1 "
+        "up-weights low-resource domains); n^alpha is used directly since "
+        "the total^alpha factor cancels in the normalization"
+    ),
+)
+def domain_mix_weights(spark, sf_dir):
+    """One partial-agg groupBy on the (source, lang) domain key (token
+    counting rides it map-side), then a one-row scalar aggregate
+    broadcast back over the O(domains) frame — the tfidf_topterms
+    scalar-crossJoin idiom. The only float reduction is the sum of
+    |domains| pow terms, absorbed by the 6-dp round."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    t = g.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA))).alias("z"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("tot"), 6).alias("p_raw"),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA)) / F.col("z"), 6
+        ).alias("mix_weight"),
+    )

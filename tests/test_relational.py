@@ -2053,3 +2053,248 @@ def test_kmeans_matches_python_lloyd(spark, sf_dir):
         assert r.cid == cid
         assert r.d2 == d2  # bit-exact: centroids are exact quotients
     assert len({r.cid for r in rows}) > 1
+
+
+# --- round-4 session-7/8 ops: independent brute-force oracles -------------------
+
+
+def _events_rows(spark, sf_dir):
+    return relational._t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    ).collect()
+
+
+def test_skyline_2d_matches_brute_force(spark, sf_dir):
+    """Pareto frontier (max p_size, min p_retailprice) recomputed by the
+    O(n^2) dominance definition over all parts; equal pairs never
+    dominate, so ties must all survive."""
+    parts = relational._t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    ).collect()
+    rows = [(r.p_partkey, r.p_size, float(r.p_retailprice)) for r in parts]
+    want = {
+        (k, s, p)
+        for k, s, p in rows
+        if not any(
+            bs >= s and bp <= p and (bs > s or bp < p) for _, bs, bp in rows
+        )
+    }
+    got = {
+        (r.p_partkey, r.p_size, float(r.p_retailprice))
+        for r in relational.REGISTRY["skyline_2d"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_extreme_points_matches_brute_force(spark, sf_dir):
+    """Per (event_type, direction) argmax dot recomputed pointwise; the
+    winner must be a convex-hull vertex of its type's point set (its dot
+    is >= every other point's for that direction)."""
+    ev = _events_rows(spark, sf_dir)
+    pts = [
+        (r.event_type, r.event_id, r.event_id * 7919 % 2000,
+         r.event_id * 104729 % 2400)
+        for r in ev
+    ]
+    want = {}
+    for i, (dy, dx) in enumerate(relational._EP_DIRS):
+        for et, eid, py, px in pts:
+            key = (et, i)
+            cand = (-(dy * py + dx * px), eid, py, px)
+            if key not in want or cand < want[key]:
+                want[key] = cand
+    got = relational.REGISTRY["extreme_points"].fn(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        nd, eid, py, px = want[(r.event_type, r.diridx)]
+        assert (r.event_id, r.py, r.px, r.dot) == (eid, py, px, -nd)
+
+
+def test_bpe_merge_step_matches_brute_force(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    docs = relational._t(spark, sf_dir, "documents").select("text").collect()
+    c = Counter()
+    for r in docs:
+        for tok in re.findall(r"\S+", r.text):
+            for i in range(len(tok) - 1):
+                c[tok[i:i + 2]] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: relational._BPE_TOPK]
+    got = sorted(
+        relational.REGISTRY["bpe_merge_step"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [(r.pair, r.n) for r in got] == want
+    assert [r.rnk for r in got] == list(range(1, len(want) + 1))
+
+
+def test_window_funnel_matches_brute_force(spark, sf_dir):
+    """Funnel stages recomputed per user: earliest view, earliest click
+    strictly after it, earliest purchase strictly after that."""
+    ev = _events_rows(spark, sf_dir)
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    want = {}
+    for u, rows in by_user.items():
+        views = [t for t, k in rows if k == "view"]
+        if not views:
+            continue
+        t1 = min(views)
+        clicks = [t for t, k in rows if k == "click" and t > t1]
+        t2 = min(clicks) if clicks else None
+        buys = [t for t, k in rows if k == "purchase" and t2 and t > t2]
+        t3 = min(buys) if buys else None
+        depth = 3 if t3 else (2 if t2 else 1)
+        us = lambda t: None if t is None else int(t.timestamp() * 1_000_000)  # noqa: E731
+        want[u] = (us(t1), us(t2), us(t3), depth)
+    got = relational.REGISTRY["window_funnel"].fn(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert (r.t1_us, r.t2_us, r.t3_us, r.depth) == want[r.user_id]
+
+
+def test_retention_cohorts_matches_brute_force(spark, sf_dir):
+    ev = _events_rows(spark, sf_dir)
+    first = {}
+    for r in ev:
+        wk = int(r.ts.timestamp()) // 604800
+        if r.user_id not in first or wk < first[r.user_id]:
+            first[r.user_id] = wk
+    cells = {}
+    for r in ev:
+        wk = int(r.ts.timestamp()) // 604800
+        cells.setdefault((first[r.user_id], wk - first[r.user_id]), set()).add(
+            r.user_id
+        )
+    got = relational.REGISTRY["retention_cohorts"].fn(spark, sf_dir).collect()
+    assert {(r.cohort_wk, r.wk_offset): r.n_users for r in got} == {
+        k: len(v) for k, v in cells.items()
+    }
+
+
+def test_cost_distance_matches_brute_force(spark, sf_dir):
+    """Fixed-round Bellman-Ford re-run in Python over the same cell
+    counts: integer relaxation is order-independent, so equality is
+    exact."""
+    cells = {
+        (r.cy, r.cx): r.x for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    src = min(cells, key=lambda k: (-cells[k], k))
+    dist = {src: 0}
+    for _ in range(relational._CD_ROUNDS):
+        nxt = dict(dist)
+        for (cy, cx), d in dist.items():
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if (dy, dx) == (0, 0):
+                        continue
+                    nb = (cy + dy, cx + dx)
+                    if nb in cells:
+                        cand = d + cells[nb]
+                        if nb not in nxt or cand < nxt[nb]:
+                            nxt[nb] = cand
+        dist = nxt
+    got = {
+        (r.cy, r.cx): r.dist
+        for r in relational.REGISTRY["cost_distance"].fn(spark, sf_dir).collect()
+    }
+    assert got == dist
+
+
+def test_rasterize_segments_matches_brute_force(spark, sf_dir):
+    """DDA walk re-run in Python (exact integer interpolation), counting
+    entries and distinct users per cell."""
+    ev = _events_rows(spark, sf_dir)
+    cell = relational._GI_CELL
+    import math
+
+    fixes = {}
+    for r in ev:
+        lat = (r.event_id * 7919 % 2000) / 100.0
+        lon = (r.event_id * 104729 % 2400) / 100.0 + 10.0
+        fixes.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp() * 1000), r.event_id,
+             math.floor(lat / cell), math.floor(lon / cell))
+        )
+    entries, users = {}, {}
+    for u, rows in fixes.items():
+        rows.sort()
+        for (_, _, ocy, ocx), (_, _, dcy, dcx) in zip(rows, rows[1:]):
+            steps = max(abs(dcy - ocy), abs(dcx - ocx))
+            if steps < 1:
+                continue
+            for i in range(1, steps + 1):
+                c = ((ocy * steps + i * (dcy - ocy)) // steps,
+                     (ocx * steps + i * (dcx - ocx)) // steps)
+                entries[c] = entries.get(c, 0) + 1
+                users.setdefault(c, set()).add(u)
+    got = relational.REGISTRY["rasterize_segments"].fn(spark, sf_dir).collect()
+    assert {(r.cy, r.cx): (r.n_entries, r.n_users) for r in got} == {
+        c: (n, len(users[c])) for c, n in entries.items()
+    }
+
+
+def test_winnowing_fingerprint_matches_brute_force(spark, sf_dir):
+    """Winnowing re-run in Python (hashlib md5, rightmost-min rule) plus
+    the MOSS guarantee: every full window of _WN_W gram hashes contributes
+    a selection, and every selected position is the rightmost argmin of at
+    least one window."""
+    import hashlib
+
+    from filda_spark import training as T
+
+    K, W, PM = T._WN_K, T._WN_W, T._WN_POSMOD
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    want = set()
+    for r in docs:
+        toks = r.text.split(" ")
+        if len(toks) < K + W - 1:
+            continue
+        hs = [
+            int(
+                hashlib.md5(" ".join(toks[i:i + K]).encode()).hexdigest()[:10], 16
+            )
+            for i in range(len(toks) - K + 1)
+        ]
+        assert len(hs) < PM  # the packed-key position bound holds
+        for s in range(len(hs) - W + 1):
+            win = hs[s:s + W]
+            m = min(win)
+            pos = s + max(i for i, h in enumerate(win) if h == m)
+            want.add((r.doc_id, m, pos))
+    got = {
+        (r.doc_id, r.fp, r.sel_pos)
+        for r in relational.REGISTRY["winnowing_fingerprint"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+
+
+def test_domain_mix_weights_matches_brute_force(spark, sf_dir):
+    from filda_spark import training as T
+
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "source", "lang", "text"
+    ).collect()
+    agg = {}
+    for r in docs:
+        k = (r.source, r.lang)
+        nd, nt = agg.get(k, (0, 0))
+        agg[k] = (nd + 1, nt + len(r.text.split(" ")))
+    tot = sum(nt for _, nt in agg.values())
+    z = sum(nt ** T._MIX_ALPHA for _, nt in agg.values())
+    got = relational.REGISTRY["domain_mix_weights"].fn(spark, sf_dir).collect()
+    assert len(got) == len(agg)
+    s = 0.0
+    for r in got:
+        nd, nt = agg[(r.source, r.lang)]
+        assert (r.n_docs, r.n_tokens) == (nd, nt)
+        assert abs(r.p_raw - nt / tot) < 2e-6
+        assert abs(r.mix_weight - nt ** T._MIX_ALPHA / z) < 2e-6
+        s += r.mix_weight
+    assert abs(s - 1.0) < 1e-4  # weights are a distribution
