@@ -135,6 +135,20 @@ HEADLINE = [
     "rasterize_segments",
     "winnowing_fingerprint",
     "domain_mix_weights",
+    # round-4 session-9 additions
+    "quadrat_chi2",
+    "bilinear_resample",
+    "acf_lags",
+    "common_neighbors",
+    "bm25_score",
+    "markov_transitions",
+    "lorenz_gini",
+    "entropy_score",
+    "benford_deviation",
+    "ab_test_ztest",
+    "edit_distance_pairs",
+    "image_phash",
+    "phash_neardup",
 ]
 
 

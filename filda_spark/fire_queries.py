@@ -185,6 +185,73 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, every_n=2)
 
 
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual 8x8 average-hash per decodable 2-D media payload, plus
+    the 4x16-bit hamming-LSH band values (multimodal.phash64 — the same
+    numpy twin stages the oracle parquet)."""
+    from filda_spark import multimodal, pipeline
+
+    geom = _geom_for(sf_dir)
+    media = pipeline.load_media(spark, corpus_dir(geom))
+    return multimodal.image_phash(media)
+
+
+# hamming-LSH pairing: candidates collide on >= 1 of the 4 16-bit bands
+# (hot buckets capped like LSH_BUCKET_CAP — a band value shared by hundreds
+# of rasters is structural, e.g. the all-similar quality-flag family, and
+# would go quadratic); verified at hamming <= _PH_HAM_MAX over the full
+# 64-bit hash. Both the cap and the threshold are mirrored in the oracle.
+PH_BUCKET_CAP = 64
+PH_HAM_MAX = 6
+
+
+def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs: band-bucket join over the phash table,
+    exact hamming verify — the multimodal member of the dedup family
+    (minhash for text, hyperplane-LSH for embeddings, band-LSH here)."""
+    from pyspark.sql import functions as F
+
+    ph = image_phash(spark, sf_dir)
+    bands = ph.select(
+        "media_ref",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("band_id"),
+                        F.col(f"b{k}").alias("val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("t"),
+    ).select("media_ref", "phash", "t.band_id", "t.val")
+    capped = (
+        bands.groupBy("band_id", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= PH_BUCKET_CAP)
+        .select("band_id", "val")
+    )
+    b = bands.join(capped, ["band_id", "val"])
+    x = b.select(
+        "band_id", "val", F.col("media_ref").alias("ref_a"), F.col("phash").alias("ha")
+    )
+    y = b.select(
+        "band_id", "val", F.col("media_ref").alias("ref_b"), F.col("phash").alias("hb")
+    )
+    cand = (
+        x.join(y, ["band_id", "val"])
+        .filter(F.col("ref_a") < F.col("ref_b"))
+        .select("ref_a", "ref_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("ha ^ hb"))
+    return cand.filter(ham <= PH_HAM_MAX).select(
+        "ref_a", "ref_b", ham.cast("int").alias("hamming")
+    )
+
+
 def fire_detections_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M-band 750 m product: keep-first unique per M pixel (the reference's
     second output file; FILDA.py:1905-1912)."""
@@ -545,7 +612,7 @@ def ensure_fire_oracles() -> str:
     import shutil
     import uuid
 
-    od = f"{corpus_dir(TEST_GEOM)}/_oracle_v5"  # v5: + mcbef_eval forward-model residuals
+    od = f"{corpus_dir(TEST_GEOM)}/_oracle_v6"  # v6: + image_phash perceptual hashes
     if os.path.exists(f"{od}/_DONE"):
         return od
     from filda_spark import fixtures, mcbef, oracle
@@ -588,6 +655,9 @@ def ensure_fire_oracles() -> str:
         )
         rez["crc32"] = [zlib.crc32(b) for b in rez.pop("data")]
         rez.to_parquet(f"{tmp}/media_resize.parquet", index=False)
+        multimodal.phash_pdf(media_pdf).to_parquet(
+            f"{tmp}/image_phash.parquet", index=False
+        )
         mrows = []
         for doc_id, r in res["per_doc"].items():
             mrows.append(
@@ -767,7 +837,33 @@ def oracles() -> dict[str, str]:
     SELECT DISTINCT doc_id, FP_Line, FP_Sample, tile_id, FP_Power
     FROM read_parquet('{od}/detections.parquet')
     """
+    phash_pairs_sql = f"""
+    WITH h AS (SELECT * FROM read_parquet('{od}/image_phash.parquet')),
+    b AS (
+      SELECT media_ref, phash, CAST(0 AS INT) AS band_id, b0 AS val FROM h
+      UNION ALL SELECT media_ref, phash, CAST(1 AS INT), b1 FROM h
+      UNION ALL SELECT media_ref, phash, CAST(2 AS INT), b2 FROM h
+      UNION ALL SELECT media_ref, phash, CAST(3 AS INT), b3 FROM h
+    ),
+    capped AS (
+      SELECT band_id, val FROM (
+        SELECT band_id, val, count(*) AS n FROM b GROUP BY 1, 2)
+      WHERE n <= {PH_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT x.media_ref AS ref_a, y.media_ref AS ref_b,
+             x.phash AS ha, y.phash AS hb
+      FROM b x
+      JOIN capped c ON c.band_id = x.band_id AND c.val = x.val
+      JOIN b y ON y.band_id = x.band_id AND y.val = x.val
+      WHERE x.media_ref < y.media_ref
+    )
+    SELECT ref_a, ref_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {PH_HAM_MAX}
+    """
     return {
+        "image_phash": f"SELECT * FROM read_parquet('{od}/image_phash.parquet')",
+        "phash_neardup": phash_pairs_sql,
         "hotspot_track": hotspot_sql,
         "fire_rate_windowed": fire_rate_sql,
         "stream_dedup": stream_dedup_sql,
@@ -799,6 +895,8 @@ QUERIES = {
     "media_features": media_features,
     "media_resize": media_resize,
     "frame_sample": frame_sample,
+    "image_phash": image_phash,
+    "phash_neardup": phash_neardup,
     "hotspot_track": hotspot_track,
     "fire_rate_windowed": fire_rate_windowed,
     "stream_dedup": stream_dedup,

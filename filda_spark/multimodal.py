@@ -273,3 +273,97 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame sampling over raw frame-stack payloads (map-only;
     compressed codecs drop into decode_media's stub seam)."""
     return media.mapInPandas(make_frame_sample_fn(every_n), schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-duplicate detection)
+# ---------------------------------------------------------------------------
+
+# 8x8 average-hash: block-mean the raster to an 8x8 grid (np.array_split
+# boundaries, so any dims >= 8 work), threshold at the median, pack 64 bits.
+# The 4x16-bit bands are the hamming-LSH bucketing key: two hashes within
+# hamming distance d <= 6 agree on >= 1 band unless all d flips straddle all
+# four bands — the standard banded recall/cost trade, mirrored exactly in
+# the DuckDB oracle. Constant rasters (no structure) and non-2D payloads
+# hash to None and are skipped on BOTH sides.
+PHASH_BITS = 64
+PHASH_BANDS = 4
+
+
+def phash64(arr: np.ndarray):
+    """Pure-numpy twin used by the Spark kernel AND the oracle staging.
+    Returns the 64-bit average-hash as a Python int, or None for non-2D,
+    all-NaN, or zero-variance (structureless) rasters."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.ndim != 2 or arr.shape[0] < 8 or arr.shape[1] < 8:
+        return None
+    finite = arr[np.isfinite(arr)]
+    if finite.size == 0 or finite.max() == finite.min():
+        return None
+    a = np.where(np.isfinite(arr), arr, finite.mean())
+    m8 = np.array(
+        [
+            [blk.mean() for blk in np.array_split(row_band, 8, axis=1)]
+            for row_band in np.array_split(a, 8, axis=0)
+        ]
+    )
+    med = np.median(m8)
+    bits = (m8 > med).ravel()
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return h
+
+
+def phash_row(h: int) -> dict:
+    """Signed-BIGINT phash + the 4 16-bit band values (b0 = low bits)."""
+    signed = h - (1 << 64) if h >= (1 << 63) else h
+    return dict(
+        phash=signed,
+        **{f"b{k}": (h >> (16 * k)) & 0xFFFF for k in range(PHASH_BANDS)},
+    )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("var", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+def compute_phash(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode -> 8x8 average-hash per media row."""
+    for pdf in pdfs:
+        rows = []
+        for r in pdf.itertuples():
+            kind = media_kind(r.var)
+            if kind in STUB_KINDS:
+                continue
+            arr = decode_media(
+                kind, bytes(r.data), r.dtype, list(r.shape), var=r.var
+            )
+            h = phash64(arr)
+            if h is None:
+                continue
+            rows.append(
+                dict(media_ref=r.media_ref, doc_id=r.doc_id, var=r.var, **phash_row(h))
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Map-only perceptual hashing over the media table."""
+    return media.mapInPandas(compute_phash, schema=PHASH_SCHEMA)
+
+
+def phash_pdf(media_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Oracle-staging twin: the same kernel over a single pandas batch."""
+    return pd.concat(list(compute_phash([media_pdf])), ignore_index=True)

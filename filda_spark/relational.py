@@ -8809,6 +8809,669 @@ def rasterize_segments(spark, sf_dir):
     )
 
 
+# quadrat-count dispersion test -------------------------------------------------
+
+# Fixed quadrat frame derived from _PT_SQL's value ranges: lat = (id*7919 %
+# 2000)/100 in [0, 20), lon = (id*104729 % 2400)/100 + 10 in [10, 34), so on
+# the _GI_CELL = 0.5-deg grid the domain is exactly 40 x 48 quadrats — the
+# EMPTY quadrats are part of the statistic (chi2 counts them as x = 0), so
+# the frame must be the domain, not the inhabited cells.
+_QD_NQ = 40 * 48
+
+
+@register(
+    "quadrat_chi2",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL})
+    SELECT CAST(sum(x) AS BIGINT) AS n_pts,
+           CAST({_QD_NQ} AS BIGINT) AS n_quadrats,
+           CAST(count(*) AS BIGINT) AS n_occupied,
+           round(CAST(sum(x) AS DOUBLE) / {_QD_NQ}, 6) AS mean_q,
+           round((CAST(sum(x * x) AS DOUBLE)
+                  - CAST(sum(x) AS DOUBLE) * sum(x) / {_QD_NQ})
+                 / ({_QD_NQ} - 1)
+                 / (CAST(sum(x) AS DOUBLE) / {_QD_NQ}), 6) AS vmr,
+           round((CAST(sum(x * x) AS DOUBLE)
+                  - CAST(sum(x) AS DOUBLE) * sum(x) / {_QD_NQ})
+                 / (CAST(sum(x) AS DOUBLE) / {_QD_NQ}), 6) AS chi2
+    FROM cells
+    """,
+    doc=(
+        "quadrat-count dispersion test over the detection points: "
+        "variance/mean ratio and the chi-square statistic "
+        "sum((x - m)^2) / m over ALL 40 x 48 domain quadrats (empties "
+        "included via the algebraic identity SS = sum(x^2) - n^2/NQ, so "
+        "only inhabited cells are ever materialized) — VMR >> 1 "
+        "clustered, ~ 1 CSR; the grid-based complement to clark_evans / "
+        "ripley_k"
+    ),
+)
+def quadrat_chi2(spark, sf_dir):
+    """One partial-agg groupBy on the cell key, then a one-row global
+    aggregate. All sums are integer (sum x, sum x^2, count) so the
+    statistic is order-exact on both engines; empty quadrats enter
+    through the closed-form SS identity instead of a dense grid
+    materialization (at 100 TB the domain grid is tiny but the point set
+    is not — the partial agg is the whole cost)."""
+    cells = _cell_counts(spark, sf_dir)
+    n = F.sum("x")
+    ss = F.sum(F.col("x") * F.col("x")).cast("double") - n.cast("double") * n / _QD_NQ
+    mean_q = n.cast("double") / _QD_NQ
+    return cells.agg(
+        n.cast("long").alias("n_pts"),
+        F.lit(_QD_NQ).cast("long").alias("n_quadrats"),
+        F.count(F.lit(1)).alias("n_occupied"),
+        F.round(mean_q, 6).alias("mean_q"),
+        F.round(ss / (_QD_NQ - 1) / mean_q, 6).alias("vmr"),
+        F.round(ss / mean_q, 6).alias("chi2"),
+    )
+
+
+# bilinear 2x raster upsample ----------------------------------------------------
+
+# Separable scatter weights for a 2x bilinear upsample: output row oy = 2*iy
+# + d samples the input at fy = oy/2 - 0.25, so input iy reaches outputs
+# d in {-1, 0, 1, 2} with weights {0.25, 0.75, 0.75, 0.25} (triangle kernel
+# max(0, 1 - |fy - iy|)). All weights are dyadic rationals, so the scatter
+# sums are float-EXACT on both engines — no rounding tolerance needed.
+_BL_OFF = ((-1, 0.25), (0, 0.75), (1, 0.75), (2, 0.25))
+
+
+@register(
+    "bilinear_resample",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL})
+    SELECT CAST(2 * cy + ty.d AS BIGINT) AS oy,
+           CAST(2 * cx + tx.d AS BIGINT) AS ox,
+           round(sum(ty.w * tx.w * x), 6) AS val
+    FROM cells
+    CROSS JOIN (VALUES {", ".join(f"({d}, {w!r})" for d, w in _BL_OFF)}) AS ty(d, w)
+    CROSS JOIN (VALUES {", ".join(f"({d}, {w!r})" for d, w in _BL_OFF)}) AS tx(d, w)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "bilinear 2x raster upsample of the cell-count density surface: "
+        "each input cell scatters to the 4x4 output cells its triangle "
+        "kernel reaches (separable 0.25/0.75 weights), empty input cells "
+        "contribute 0 — the raster resample operator (the reference's "
+        "M->I 4-way replication, FILDA.py:272-281, is the nearest-"
+        "neighbor special case of this kernel)"
+    ),
+)
+def bilinear_resample(spark, sf_dir):
+    """Map-side 16-way scatter explode (the rasterize_segments idiom: the
+    fan-out is the kernel footprint, never a join) absorbed by one
+    partial-agg groupBy on the output cell key. Weights are dyadic so
+    sum order is irrelevant — the parity is exact, the round is
+    cosmetic."""
+    cells = _cell_counts(spark, sf_dir)
+    off = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), F.lit(w).alias("w"))
+            for d, w in _BL_OFF
+        ]
+    )
+    return (
+        cells.select("cy", "cx", "x", F.explode(off).alias("ty"))
+        .select("cy", "cx", "x", "ty", F.explode(off).alias("tx"))
+        .groupBy(
+            (2 * F.col("cy") + F.col("ty.d")).cast("long").alias("oy"),
+            (2 * F.col("cx") + F.col("tx.d")).cast("long").alias("ox"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("ty.w") * F.col("tx.w") * F.col("x")), 6
+            ).alias("val")
+        )
+    )
+
+
+# per-entity autocorrelation ------------------------------------------------------
+
+_ACF_LAGS = 3
+_ACF_MIN_N = 12  # need a few points past the deepest lag for a stable r_k
+
+
+@register(
+    "acf_lags",
+    f"""
+    WITH b AS (
+      SELECT user_id, value,
+             lag(value, 1) OVER w AS l1,
+             lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, sum(value) / count(*) AS mu,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT b.user_id, any_value(m.n) AS n,
+             sum((value - mu) * (value - mu)) AS ss,
+             sum(CASE WHEN l1 IS NOT NULL
+                 THEN (value - mu) * (l1 - mu) END) AS c1,
+             sum(CASE WHEN l2 IS NOT NULL
+                 THEN (value - mu) * (l2 - mu) END) AS c2,
+             sum(CASE WHEN l3 IS NOT NULL
+                 THEN (value - mu) * (l3 - mu) END) AS c3
+      FROM b JOIN m USING (user_id)
+      GROUP BY b.user_id
+    )
+    SELECT user_id, lag_k, round(c / ss, 6) AS acf
+    FROM (
+      SELECT user_id, CAST(1 AS INT) AS lag_k, c1 AS c, ss FROM g
+        WHERE n >= {_ACF_MIN_N} AND ss > 0
+      UNION ALL
+      SELECT user_id, CAST(2 AS INT), c2, ss FROM g
+        WHERE n >= {_ACF_MIN_N} AND ss > 0
+      UNION ALL
+      SELECT user_id, CAST(3 AS INT), c3, ss FROM g
+        WHERE n >= {_ACF_MIN_N} AND ss > 0
+    )
+    """,
+    doc=(
+        f"per-entity autocorrelation function at lags 1..{_ACF_LAGS}: "
+        "r_k = sum((x_t - mu)(x_(t-k) - mu)) / sum((x_t - mu)^2) over each "
+        "user's time-ordered value series (ties broken by event_id), "
+        f"users with n >= {_ACF_MIN_N} and nonzero variance — the "
+        "series-memory diagnostic feeding the trend family "
+        "(mann_kendall / theil_sen / cusum)"
+    ),
+)
+def acf_lags(spark, sf_dir):
+    """One per-user sort window produces all three lag columns in a
+    single pass (the rasterize_segments exchange), the per-user mean
+    joins back on the same key (O(users) frame, same partitioning), and
+    one partial-agg groupBy emits every lag's cross-product sum at once
+    — the 3 output rows per user are a map-side explode of the
+    aggregate, not three scans. Float sums ride the window's sorted
+    order; residual cross-engine associativity drift is absorbed by the
+    6-dp round."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = ev.select(
+        "user_id",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    m = ev.groupBy("user_id").agg(
+        (F.sum("value") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dv = F.col("value") - F.col("mu")
+    g = (
+        b.join(m, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum(dv * dv).alias("ss"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col(f"l{k}").isNotNull(),
+                        dv * (F.col(f"l{k}") - F.col("mu")),
+                    )
+                ).alias(f"c{k}")
+                for k in (1, 2, 3)
+            ],
+        )
+        .filter((F.col("n") >= _ACF_MIN_N) & (F.col("ss") > 0))
+    )
+    lags = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("lag_k"), F.col(f"c{k}").alias("c")
+            )
+            for k in (1, 2, 3)
+        ]
+    )
+    return g.select("user_id", "ss", F.explode(lags).alias("t")).select(
+        "user_id",
+        F.col("t.lag_k").alias("lag_k"),
+        F.round(F.col("t.c") / F.col("ss"), 6).alias("acf"),
+    )
+
+
+# common-neighbors link prediction ------------------------------------------------
+
+# Sparser graph than pagerank's: one edge per ORDER (l_linenumber = 1) into a
+# 4000-node id space, so non-adjacent two-hop pairs exist at every sf and the
+# wedge join (sum of deg^2 over shared neighbors) stays bounded. At 100 TB
+# the wedge fan-out is the known cost of common-neighbors scoring; the
+# mitigation is the same hub cap the LSH ops use (drop y with deg above a
+# threshold) — not needed at this graph's density, noted here.
+_CN_N = 4000
+_CN_TOPK = 20
+
+
+@register(
+    "common_neighbors",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT
+             least(l_orderkey % {_CN_N}, l_partkey % {_CN_N}) AS u,
+             greatest(l_orderkey % {_CN_N}, l_partkey % {_CN_N}) AS v
+      FROM lineitem
+      WHERE l_linenumber = 1
+        AND l_orderkey % {_CN_N} <> l_partkey % {_CN_N}
+    ),
+    adj AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x),
+    cand AS (
+      SELECT a.x AS u, b.x AS v, CAST(count(*) AS BIGINT) AS cn
+      FROM adj a JOIN adj b ON a.y = b.y AND a.x < b.x
+      GROUP BY 1, 2
+    ),
+    open_pairs AS (
+      SELECT c.u, c.v, c.cn FROM cand c
+      LEFT JOIN e0 ON e0.u = c.u AND e0.v = c.v
+      WHERE e0.u IS NULL
+    )
+    SELECT op.u, op.v, op.cn,
+           round(CAST(op.cn AS DOUBLE) / (du.d + dv.d - op.cn), 6) AS jaccard
+    FROM open_pairs op
+    JOIN deg du ON du.x = op.u
+    JOIN deg dv ON dv.x = op.v
+    ORDER BY op.cn DESC, op.u, op.v
+    LIMIT {_CN_TOPK}
+    """,
+    doc=(
+        f"common-neighbors link prediction over the order->part graph "
+        f"(one edge per order, {_CN_N}-node space): for every NON-adjacent "
+        "pair sharing >= 1 neighbor, the common-neighbor count and the "
+        "neighborhood Jaccard cn / (deg_u + deg_v - cn); top "
+        f"{_CN_TOPK} by cn (integer-deterministic rank) — the classic "
+        "missing-link scorer, completing the graph family (pagerank / "
+        "triangle_count / k_core / dup_components)"
+    ),
+)
+def common_neighbors(spark, sf_dir):
+    """Wedge counting as one self-equi-join of the adjacency list on the
+    shared-neighbor key (the triangle_count shape minus the closing
+    check), partial-agg groupBy on the (u, v) pair, broadcast-joined
+    degree frame (O(nodes)), and an integer-keyed TakeOrdered for the
+    top-k — no global sort materializes. The anti join back to e0
+    removes already-connected pairs."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    a = (F.col("l_orderkey") % _CN_N).alias("a")
+    bcol = (F.col("l_partkey") % _CN_N).alias("b")
+    e0 = (
+        li.select(a, bcol)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    e0 = _persist_evict(e0)  # referenced by adj (twice), anti join
+    adj = e0.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e0.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    cand = (
+        adj.alias("a")
+        .join(adj.alias("b"), F.col("a.y") == F.col("b.y"))
+        .filter(F.col("a.x") < F.col("b.x"))
+        .groupBy(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    open_pairs = cand.join(e0, ["u", "v"], "left_anti")
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    return (
+        open_pairs.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("cn").desc(), "u", "v")
+        .limit(_CN_TOPK)
+    )
+
+
+# Markov state-transition matrix ---------------------------------------------------
+
+
+@register(
+    "markov_transitions",
+    """
+    WITH b AS (
+      SELECT user_id, event_type AS cur,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    t AS (
+      SELECT prev AS from_state, cur AS to_state,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n,
+           round(CAST(n AS DOUBLE) /
+                 sum(n) OVER (PARTITION BY from_state), 6) AS p
+    FROM t
+    """,
+    doc=(
+        "first-order Markov transition matrix over per-user event-type "
+        "sequences (time-ordered, event_id tie-break): transition counts "
+        "and row-normalized probabilities — the behavioral-model "
+        "complement to window_funnel / sessionize"
+    ),
+)
+def markov_transitions(spark, sf_dir):
+    """One per-user sort window (the shared trajectory exchange) emits
+    the (prev, cur) pairs map-side; the transition groupBy partial-aggs
+    on a <= |states|^2 key domain so the shuffle is tiny; the row
+    normalization is a window over the aggregated 25-row frame, not the
+    event stream. Integer counts -> the only float op is one exact
+    division."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    t = b.groupBy(
+        F.col("prev").alias("from_state"), F.col("cur").alias("to_state")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("from_state")
+    return t.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wr), 6).alias("p"),
+    )
+
+
+# Lorenz curve / Gini coefficient ---------------------------------------------------
+
+
+@register(
+    "lorenz_gini",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS BIGINT)
+               AS i
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS total,
+           round(2.0 * sum(i * value) / (count(*) * sum(value))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r GROUP BY event_type
+    """,
+    doc=(
+        "Gini coefficient of the value distribution per event type via "
+        "the sorted-rank identity G = 2*sum(i*x_(i)) / (n*sum(x)) - "
+        "(n+1)/n (values ascending, event_id tie-break — equal values "
+        "swapping ranks leave sum(i*x) unchanged) — the inequality/"
+        "concentration measure for skew diagnostics (is 1% of users 90% "
+        "of volume?)"
+    ),
+)
+def lorenz_gini(spark, sf_dir):
+    """One per-type sort window assigns ranks, one partial-agg groupBy
+    on the same key computes all three sums — the window and the
+    aggregate share the event_type exchange. Float sums run over the
+    window's sorted order; cross-engine associativity drift is absorbed
+    by the 6-dp round."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type", "value", F.row_number().over(w).cast("long").alias("i")
+    )
+    n = F.count(F.lit(1))
+    return r.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(F.sum("value"), 6).alias("total"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("value")) / (n * F.sum("value"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+# Shannon entropy quality score -----------------------------------------------------
+
+
+@register(
+    "entropy_score",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+    FROM tf GROUP BY doc_id
+    """,
+    doc=(
+        "per-document token Shannon entropy H = ln(n) - sum(c*ln(c))/n "
+        "(nats) plus distinct-token count — the repetition/diversity "
+        "quality signal completing the filter family (gopher_repetition "
+        "catches local repeats, this catches global degeneracy: H -> 0 "
+        "for one-token spam regardless of arrangement)"
+    ),
+)
+def entropy_score(spark, sf_dir):
+    """Tokenize map-side, one (doc, term) partial-agg groupBy, one doc
+    groupBy — both on natural high-cardinality keys. The c*ln(c) sum
+    runs over each doc's term multiset; order drift absorbed by the
+    6-dp round."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log(n.cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+            6,
+        ).alias("entropy"),
+    )
+
+
+# Benford first-digit deviation -----------------------------------------------------
+
+
+@register(
+    "benford_deviation",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM events
+      WHERE CAST(round(value * 100, 0) AS BIGINT) >= 1
+    ),
+    o AS (
+      SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_obs
+      FROM d GROUP BY 1, 2
+    )
+    SELECT event_type, digit, n_obs,
+           round(CAST(n_obs AS DOUBLE)
+                 / sum(n_obs) OVER (PARTITION BY event_type), 6) AS p_obs,
+           round(log10(1.0 + 1.0 / digit), 6) AS p_benford,
+           round(CAST(n_obs AS DOUBLE)
+                 / sum(n_obs) OVER (PARTITION BY event_type)
+                 - log10(1.0 + 1.0 / digit), 6) AS dev
+    FROM o
+    """,
+    doc=(
+        "Benford's-law first-significant-digit audit per event type: "
+        "observed digit share vs log10(1 + 1/d) and the deviation — the "
+        "fabricated-data / unit-mixup detector for ingest QA. The digit "
+        "is extracted from the INTEGER cent value's decimal string "
+        "(round(value*100) is the same double op on both engines), never "
+        "from floor(log10(x)) whose ULP sits exactly on the decade "
+        "boundary"
+    ),
+)
+def benford_deviation(spark, sf_dir):
+    """Map-side digit extraction (one round, one int-to-string substr),
+    partial-agg groupBy on the <= |types| x 9 key domain, then the
+    shares are a window over the aggregated frame — nothing float
+    touches the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    d = ev.select(
+        "event_type",
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+    ).filter(cents >= 1)
+    o = d.groupBy("event_type", "digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    wt = Window.partitionBy("event_type")
+    p_obs = F.col("n_obs").cast("double") / F.sum("n_obs").over(wt)
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return o.select(
+        "event_type",
+        "digit",
+        "n_obs",
+        F.round(p_obs, 6).alias("p_obs"),
+        F.round(p_ben, 6).alias("p_benford"),
+        F.round(p_obs - p_ben, 6).alias("dev"),
+    )
+
+
+# two-proportion A/B z-test ---------------------------------------------------------
+
+_AB_GOAL = "purchase"
+_AB_VALUE_MIN = 200.0  # conversion = a high-value goal event, so the rate
+# is non-degenerate at every sf (every user has SOME purchase; pp = 1 would
+# zero the pooled-variance denominator — guarded with a CASE regardless)
+
+
+@register(
+    "ab_test_ztest",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             max(CASE WHEN event_type = '{_AB_GOAL}'
+                       AND value >= {_AB_VALUE_MIN!r}
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM u GROUP BY variant
+    ),
+    s AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 0 THEN conv END) AS c0,
+             max(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM g
+    ),
+    z AS (
+      SELECT n0, n1, c0, c1,
+             CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+               (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1))
+             END AS zval
+      FROM s
+    )
+    SELECT n0, n1, c0, c1,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+           round(zval, 6) AS z,
+           round(2.0 * (1.0 - {physics.normal_cdf_sql("abs(zval)")}), 6)
+             AS p_value
+    FROM z
+    """,
+    doc=(
+        f"two-proportion pooled z-test: users split by user_id parity, "
+        f"conversion = a '{_AB_GOAL}' event with value >= "
+        f"{_AB_VALUE_MIN:g}; z and the two-sided p-value via the shared "
+        "Abramowitz-Stegun normal CDF (the normal_cdf op's twin) — the "
+        "experiment-analysis primitive over the same per-user aggregate "
+        "sessionize builds; degenerate pools (all/none converted) yield "
+        "NULL z rather than a divide-by-zero"
+    ),
+)
+def ab_test_ztest(spark, sf_dir):
+    """One per-user partial-agg groupBy (conversion is a max over the
+    user's events, variant rides the key), one 2-row variant aggregate,
+    then a single-row pivot — the z arithmetic is scalar. Nothing
+    beyond the first groupBy touches the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == _AB_GOAL)
+                & (F.col("value") >= _AB_VALUE_MIN),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    g = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    s = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    conv_tot = F.col("c0") + F.col("c1")
+    pp = conv_tot.cast("double") / (F.col("n0") + F.col("n1"))
+    zval = F.when(
+        (conv_tot > 0) & (conv_tot < F.col("n0") + F.col("n1")),
+        (
+            F.col("c1").cast("double") / F.col("n1")
+            - F.col("c0").cast("double") / F.col("n0")
+        )
+        / F.sqrt(
+            pp
+            * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+        ),
+    )
+    z = s.select("n0", "n1", "c0", "c1", zval.alias("zval"))
+    return z.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        F.round(F.col("c0").cast("double") / F.col("n0"), 6).alias("p0"),
+        F.round(F.col("c1").cast("double") / F.col("n1"), 6).alias("p1"),
+        F.round(F.col("zval"), 6).alias("z"),
+        F.round(
+            F.lit(2.0) * (F.lit(1.0) - physics.normal_cdf(F.abs(F.col("zval")))),
+            6,
+        ).alias("p_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

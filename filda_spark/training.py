@@ -952,3 +952,237 @@ def domain_mix_weights(spark, sf_dir):
             F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA)) / F.col("z"), 6
         ).alias("mix_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("join", "hash", "scan", "window")  # fixed demo query
+_BM25_TOPK = 10
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5)); k1/b are repr'd
+    # so both engines parse the identical float64 literals.
+    return f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term IN ({terms}) GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tok WHERE term IN ({terms}) GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * {_BM25_K1 + 1.0!r}
+                 / (tf.tf + {_BM25_K1!r}
+                    * (1.0 - {_BM25_B!r}
+                       + {_BM25_B!r} * dl.dl / s.avgdl))) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, rk FROM (
+      SELECT doc_id, round(score, 6) AS bm25,
+             CAST(row_number() OVER (
+               ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= {_BM25_TOPK}
+    """
+
+
+@register(
+    "bm25_score",
+    _bm25_oracle_sql(),
+    doc=(
+        f"BM25 retrieval (k1 = {_BM25_K1}, b = {_BM25_B}, Lucene idf) for "
+        f"the fixed query {_BM25_TERMS!r}: per-doc score summed over "
+        f"matching terms, top {_BM25_TOPK} docs ranked by ROUNDED score "
+        "then doc_id (rank is deterministic across engines) — the "
+        "retrieval-quality complement to tfidf_topterms, and the scoring "
+        "half of a dedup-then-rank training-data curation pass"
+    ),
+)
+def bm25_score(spark, sf_dir):
+    """Tokenize once map-side, filter to the query terms BEFORE the tf/df
+    groupBys (the shuffles carry only matching-term rows), doclen joins
+    back on doc_id (same natural key), the corpus stats are a one-row
+    broadcast crossJoin (the tfidf_topterms idiom). Top-k is
+    TakeOrdered (sort + limit, no global window over the corpus); the
+    rank column is a row_number over the k survivors only."""
+    d = _t(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("dl")
+    )
+    s = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_term = (
+        F.col("tf")
+        * F.lit(_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0 - _BM25_B)
+                + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(s))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_term).alias("score"))
+    )
+    top = (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+    wk = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return top.select(
+        "doc_id", "bm25", F.row_number().over(wk).cast("long").alias("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint-candidate exact verification (edit distance)
+# ---------------------------------------------------------------------------
+
+# The verify stage of the dedup chain: winnowing fingerprints propose
+# candidate pairs (guarantee-bearing recall), edit distance confirms. The
+# hot-fingerprint cap mirrors LSH_BUCKET_CAP (a fingerprint shared by many
+# docs is boilerplate, not a near-dup signal), the min-shared floor keeps
+# the verified set to genuinely overlapping docs, and the DP runs on a
+# bounded prefix so per-pair cost is O(_ED_PREFIX^2) regardless of doc size.
+_ED_FP_CAP = 8
+_ED_MIN_SHARED = 3
+_ED_PREFIX = 256
+
+
+def _edit_distance_oracle_sql() -> str:
+    wn = _REGISTRY["winnowing_fingerprint"].oracle
+    return f"""
+    WITH wf AS ({wn}),
+    df AS (SELECT DISTINCT doc_id, fp FROM wf),
+    caps AS (
+      SELECT fp FROM (
+        SELECT fp, count(*) AS nd FROM df GROUP BY fp)
+      WHERE nd BETWEEN 2 AND {_ED_FP_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM df a JOIN df b USING (fp) JOIN caps USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {_ED_MIN_SHARED}
+    )
+    SELECT p.u, p.v, p.n_shared,
+           CAST(levenshtein(substr(du.text, 1, {_ED_PREFIX}),
+                            substr(dv.text, 1, {_ED_PREFIX})) AS BIGINT)
+             AS lev,
+           round(1.0 - CAST(levenshtein(substr(du.text, 1, {_ED_PREFIX}),
+                                        substr(dv.text, 1, {_ED_PREFIX}))
+                            AS DOUBLE)
+                 / greatest(len(substr(du.text, 1, {_ED_PREFIX})),
+                            len(substr(dv.text, 1, {_ED_PREFIX}))), 6)
+             AS sim
+    FROM pairs p
+    JOIN documents du ON du.doc_id = p.u
+    JOIN documents dv ON dv.doc_id = p.v
+    """
+
+
+@register(
+    "edit_distance_pairs",
+    _edit_distance_oracle_sql(),
+    doc=(
+        "exact near-dup verification over winnowing-fingerprint candidate "
+        f"pairs: fingerprints shared by 2..{_ED_FP_CAP} docs propose, "
+        f">= {_ED_MIN_SHARED} shared fingerprints gate, Levenshtein over "
+        f"the {_ED_PREFIX}-char prefix confirms (similarity = 1 - "
+        "lev/max_len) — the candidate->verify composition every "
+        "fuzzy-dedup pipeline runs (MinHash/winnowing recall, edit-"
+        "distance precision)"
+    ),
+)
+def edit_distance_pairs(spark, sf_dir):
+    """Candidates come from the registered winnowing query (same plan:
+    one per-doc window), the hot-fp cap is a partial-agg count on the
+    fingerprint key, the pair groupBy keys on (u, v), and the two text
+    joins are plain doc_id equi-joins — at corpus scale the verified
+    pair set is orders of magnitude smaller than the gram stream, so the
+    O(prefix^2) Levenshtein (JVM codegen, no Python) runs on a frame
+    that fits anywhere."""
+    wf = _REGISTRY["winnowing_fingerprint"].fn(spark, sf_dir)
+    df_ = wf.select("doc_id", "fp").distinct()
+    caps = (
+        df_.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _ED_FP_CAP))
+        .select("fp")
+    )
+    a = df_.join(caps, "fp").select("fp", F.col("doc_id").alias("u"))
+    b = df_.join(caps, "fp").select("fp", F.col("doc_id").alias("v"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _ED_MIN_SHARED)
+    )
+    d = _t(spark, sf_dir, "documents")
+    pu = F.substring(F.col("du.text"), 1, _ED_PREFIX)
+    pv = F.substring(F.col("dv.text"), 1, _ED_PREFIX)
+    lev = F.levenshtein(pu, pv)
+    return (
+        pairs.join(d.alias("du"), F.col("u") == F.col("du.doc_id"))
+        .join(d.alias("dv"), F.col("v") == F.col("dv.doc_id"))
+        .select(
+            "u",
+            "v",
+            "n_shared",
+            lev.cast("long").alias("lev"),
+            F.round(
+                F.lit(1.0)
+                - lev.cast("double") / F.greatest(F.length(pu), F.length(pv)),
+                6,
+            ).alias("sim"),
+        )
+    )

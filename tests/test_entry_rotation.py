@@ -23,17 +23,22 @@ def test_never_checked_queries_lead_the_window():
     )
 
 
-def test_ties_keep_registration_order():
+def test_ties_keep_pin_then_registration_order():
+    """Within a last-checked tie, _PINNED entries lead in pin order
+    (VERDICT r3: the ten never-driver-checked ops must land in the
+    window), then everything else in registration order."""
     from filda_spark import relational
 
     seen = entry._last_checked()
     names = list(entry.queries())
     reg = {k: i for i, k in enumerate(relational.REGISTRY)}
+    pin = {k: i for i, k in enumerate(entry._PINNED)}
     prev = {}
     for n in names:
         r = seen.get(n, -1)
         if r in prev and n in reg and prev[r] in reg:
-            assert reg[prev[r]] < reg[n]
+            a, b = prev[r], n
+            assert (pin.get(a, len(pin)), reg[a]) < (pin.get(b, len(pin)), reg[b])
         prev[r] = n
 
 
@@ -46,17 +51,19 @@ def test_queries_and_oracles_align():
     assert set(o) <= set(q)
 
 
-def test_window_converges_within_three_rounds():
-    """With <= 150 registered queries and a 50-row window, every query has
-    a driver row from one of the last three rounds once the rotation has
+def test_window_converges_within_four_rounds():
+    """With <= 200 registered queries and a 50-row window, every query has
+    a driver row from one of the last four rounds once the rotation has
     cycled: the 50 stalest are always checked first. (Bound widened
-    DELIBERATELY from 100 at 111 registered ops — round-4 session 2; the
-    compensating control is scripts/check_parity.py, which replays the
-    full gate over ALL registered queries every build session and is
-    recorded per-round in BASELINE.md.)"""
+    DELIBERATELY from 100 at 111 ops — r4 session 2 — to 150 at 115 ops —
+    session 3 — and to 200 at 155 ops — session 9; the compensating
+    control is scripts/check_parity.py, which replays the full gate over
+    ALL registered queries every build session and is recorded per-round
+    in BASELINE.md, so no op ever goes a session without a parity run —
+    only the DRIVER-visible row rotates.)"""
     q = entry.queries()
-    assert len(q) <= 150, (
-        "registry grew past 150: a query can now go 4+ rounds without a "
+    assert len(q) <= 200, (
+        "registry grew past 200: a query can now go 5+ rounds without a "
         "driver correctness row — either widen this bound deliberately or "
         "retire an op"
     )

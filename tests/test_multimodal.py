@@ -92,3 +92,99 @@ def test_frame_sample_compressed_video(spark, corpus):
     assert list(frames.shape) == list(r["shape"])  # metadata = decoded shape
     got = out[(out.media_ref == r["media_ref"]) & (out.frame_idx == 2)].iloc[0]
     assert got.f_mean == frames[2].astype(np.float64).mean()
+
+
+def test_phash64_properties():
+    """Brute-force pin of the average-hash kernel: bit i == (block mean i >
+    median), structureless/non-2D inputs skipped, band packing reversible."""
+    rng = np.random.default_rng(7)
+    arr = rng.normal(size=(64, 80))
+    h = multimodal.phash64(arr)
+    m8 = np.array(
+        [
+            [blk.mean() for blk in np.array_split(rb, 8, axis=1)]
+            for rb in np.array_split(arr, 8, axis=0)
+        ]
+    )
+    med = np.median(m8)
+    for i, want in enumerate((m8 > med).ravel()):
+        assert bool((h >> i) & 1) == bool(want)
+    # median threshold -> balanced-ish hash, never all-zero/all-one
+    assert 0 < bin(h).count("1") < 64
+    # skips: constant, all-NaN, 1-D, too small
+    assert multimodal.phash64(np.full((64, 80), 3.5)) is None
+    assert multimodal.phash64(np.full((16, 16), np.nan)) is None
+    assert multimodal.phash64(np.arange(100.0)) is None
+    assert multimodal.phash64(np.eye(4)) is None
+    # NaNs fill with the finite mean, not zero
+    a2 = arr.copy()
+    a2[0, 0] = np.nan
+    assert multimodal.phash64(a2) is not None
+    # band packing: 4 x 16 bits reassemble the unsigned hash
+    row = multimodal.phash_row(h)
+    assert sum(row[f"b{k}"] << (16 * k) for k in range(4)) == h
+    # signed two's-complement round trip for a high-bit hash
+    hi = (1 << 63) | 5
+    r2 = multimodal.phash_row(hi)
+    assert r2["phash"] < 0 and (r2["phash"] + (1 << 64)) == hi
+
+
+def test_phash_small_perturbation_stays_close():
+    """A small local perturbation flips few blocks: hamming distance is
+    small, and the 4x16 banding then guarantees a shared band."""
+    rng = np.random.default_rng(11)
+    arr = rng.normal(size=(64, 80))
+    h1 = multimodal.phash64(arr)
+    pert = arr.copy()
+    pert[:8, :10] += 50.0  # one block saturated
+    h2 = multimodal.phash64(pert)
+    d = bin(h1 ^ h2).count("1")
+    assert 0 < d <= 6
+    shared = any(
+        ((h1 >> (16 * k)) & 0xFFFF) == ((h2 >> (16 * k)) & 0xFFFF)
+        for k in range(4)
+    )
+    assert shared  # <= 6 flips cannot straddle all four bands... unless
+    # adversarial; this fixture's flips are block-local
+
+
+def test_image_phash_query_matches_kernel(spark, corpus):
+    media = pipeline.load_media(spark, corpus["dir"])
+    got = {r.media_ref: r for r in multimodal.image_phash(media).collect()}
+    pdf = media.toPandas()
+    want = multimodal.phash_pdf(pdf)
+    assert set(got) == set(want.media_ref)
+    for r in want.itertuples():
+        g = got[r.media_ref]
+        assert (g.phash, g.b0, g.b1, g.b2, g.b3) == (r.phash, r.b0, r.b1, r.b2, r.b3)
+
+
+def test_phash_neardup_matches_brute_force(spark, corpus, monkeypatch):
+    """Banded near-dup pairs == brute force re-run of the SAME banded
+    algorithm (bucket cap + band collision + hamming verify) in Python."""
+    from filda_spark import fire_queries as fq
+
+    media = pipeline.load_media(spark, corpus["dir"])
+    ph = multimodal.phash_pdf(media.toPandas())
+    buckets = {}
+    for r in ph.itertuples():
+        for k in range(4):
+            buckets.setdefault((k, getattr(r, f"b{k}")), []).append(
+                (r.media_ref, r.phash)
+            )
+    want = {}
+    for members in buckets.values():
+        if len(members) > fq.PH_BUCKET_CAP:
+            continue
+        for i in range(len(members)):
+            for j in range(len(members)):
+                (ra, ha), (rb, hb) = members[i], members[j]
+                if ra < rb:
+                    d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                    if d <= fq.PH_HAM_MAX:
+                        want[(ra, rb)] = d
+    monkeypatch.setattr(fq, "corpus_dir", lambda geom: corpus["dir"])
+    got = {(r.ref_a, r.ref_b): r.hamming
+           for r in fq.phash_neardup(spark, "/root/testdata/sf0.001").collect()}
+    assert got == want
+    assert len(want) > 0  # non-vacuous on the fixture corpus

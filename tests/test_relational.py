@@ -2298,3 +2298,323 @@ def test_domain_mix_weights_matches_brute_force(spark, sf_dir):
         assert abs(r.mix_weight - nt ** T._MIX_ALPHA / z) < 2e-6
         s += r.mix_weight
     assert abs(s - 1.0) < 1e-4  # weights are a distribution
+
+
+def test_quadrat_chi2_matches_brute_force(spark, sf_dir):
+    """VMR/chi2 recomputed densely in Python over the full 40x48 quadrat
+    frame (empties included explicitly, not via the SS identity)."""
+    pts = relational._pt_df(spark, sf_dir).collect()
+    counts = {}
+    for r in pts:
+        c = (int(r.lat // relational._GI_CELL), int(r.lon // relational._GI_CELL))
+        counts[c] = counts.get(c, 0) + 1
+    nq = relational._QD_NQ
+    n = len(pts)
+    mean = n / nq
+    dense = list(counts.values()) + [0] * (nq - len(counts))
+    assert len(dense) == nq  # every inhabited cell is inside the domain
+    ss = sum((x - mean) ** 2 for x in dense)
+    got = relational.REGISTRY["quadrat_chi2"].fn(spark, sf_dir).collect()[0]
+    assert (got.n_pts, got.n_quadrats, got.n_occupied) == (n, nq, len(counts))
+    assert abs(got.mean_q - mean) < 1e-6
+    assert abs(got.vmr - ss / (nq - 1) / mean) < 1e-5
+    assert abs(got.chi2 - ss / mean) < 1e-3
+
+
+def test_bilinear_resample_matches_brute_force(spark, sf_dir):
+    """2x bilinear upsample re-run as a dense gather: output (oy, ox)
+    samples the input at (oy/2 - 0.25, ox/2 - 0.25) with the triangle
+    kernel; empty input cells are 0. Dyadic weights -> exact equality."""
+    pts = relational._pt_df(spark, sf_dir).collect()
+    counts = {}
+    for r in pts:
+        c = (int(r.lat // relational._GI_CELL), int(r.lon // relational._GI_CELL))
+        counts[c] = counts.get(c, 0) + 1
+    want = {}
+    for (iy, ix), x in counts.items():
+        for dy, wy in relational._BL_OFF:
+            for dx, wx in relational._BL_OFF:
+                k = (2 * iy + dy, 2 * ix + dx)
+                want[k] = want.get(k, 0.0) + wy * wx * x
+    got = relational.REGISTRY["bilinear_resample"].fn(spark, sf_dir).collect()
+    assert {(r.oy, r.ox): r.val for r in got} == {
+        k: round(v, 6) for k, v in want.items()
+    }
+    # gather identity on an interior output cell: value == triangle-kernel
+    # sample of the input field
+    iy, ix = next(iter(counts))
+    oy, ox = 2 * iy, 2 * ix
+    fy, fx = oy / 2 - 0.25, ox / 2 - 0.25
+    val = sum(
+        counts.get((jy, jx), 0)
+        * max(0.0, 1 - abs(fy - jy))
+        * max(0.0, 1 - abs(fx - jx))
+        for jy in (iy - 1, iy, iy + 1)
+        for jx in (ix - 1, ix, ix + 1)
+    )
+    assert abs(want[(oy, ox)] - val) < 1e-12
+
+
+def test_acf_lags_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(r.value)
+    want = {}
+    for u, xs in series.items():
+        n = len(xs)
+        if n < relational._ACF_MIN_N:
+            continue
+        mu = sum(xs) / n
+        ss = sum((x - mu) ** 2 for x in xs)
+        if ss <= 0:
+            continue
+        for k in (1, 2, 3):
+            c = sum((xs[t] - mu) * (xs[t - k] - mu) for t in range(k, n))
+            want[(u, k)] = c / ss
+    got = relational.REGISTRY["acf_lags"].fn(spark, sf_dir).collect()
+    assert {(r.user_id, r.lag_k) for r in got} == set(want)
+    for r in got:
+        assert abs(r.acf - want[(r.user_id, r.lag_k)]) < 2e-6
+        assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+
+
+def test_common_neighbors_matches_brute_force(spark, sf_dir):
+    li = relational._t(spark, sf_dir, "lineitem").filter("l_linenumber = 1").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    N = relational._CN_N
+    edges = set()
+    for r in li:
+        a, b = r.l_orderkey % N, r.l_partkey % N
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    scores = {}
+    for y, ns in nbrs.items():
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                if p not in edges:
+                    scores[p] = scores.get(p, 0) + 1
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = ranked[: relational._CN_TOPK]
+    got = relational.REGISTRY["common_neighbors"].fn(spark, sf_dir).collect()
+    assert [((r.u, r.v), r.cn) for r in got] == want
+    for r in got:
+        jac = r.cn / (len(nbrs[r.u]) + len(nbrs[r.v]) - r.cn)
+        assert abs(r.jaccard - jac) < 1e-6
+
+
+def test_bm25_score_matches_brute_force(spark, sf_dir):
+    import math
+
+    from filda_spark import training as T
+
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    n = len(docs)
+    dls = {r.doc_id: len(r.text.split(" ")) for r in docs}
+    avgdl = sum(dls.values()) / n
+    df = {t: 0 for t in T._BM25_TERMS}
+    tfs = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        for t in T._BM25_TERMS:
+            c = toks.count(t)
+            if c:
+                df[t] += 1
+                tfs[(r.doc_id, t)] = c
+    scores = {}
+    for (d, t), tf in tfs.items():
+        idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+        k1, b = T._BM25_K1, T._BM25_B
+        term = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls[d] / avgdl))
+        scores[d] = scores.get(d, 0.0) + idf * term
+    ranked = sorted(
+        ((round(s, 6), d) for d, s in scores.items()), key=lambda x: (-x[0], x[1])
+    )[: T._BM25_TOPK]
+    got = relational.REGISTRY["bm25_score"].fn(spark, sf_dir).collect()
+    assert [(r.bm25, r.doc_id) for r in got] == ranked
+    assert [r.rk for r in got] == list(range(1, len(ranked) + 1))
+
+
+def test_markov_transitions_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.event_type)
+    counts = {}
+    for xs in seqs.values():
+        for a, b in zip(xs, xs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    row_tot = {}
+    for (a, _), n in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + n
+    got = relational.REGISTRY["markov_transitions"].fn(spark, sf_dir).collect()
+    assert {(r.from_state, r.to_state): r.n for r in got} == counts
+    for r in got:
+        assert abs(r.p - counts[(r.from_state, r.to_state)] / row_tot[r.from_state]) < 1e-6
+    # probabilities are row-stochastic
+    sums = {}
+    for r in got:
+        sums[r.from_state] = sums.get(r.from_state, 0.0) + r.p
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+def test_lorenz_gini_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    groups = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append((r.value, r.event_id))
+    got = {r.event_type: r for r in
+           relational.REGISTRY["lorenz_gini"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    for t, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        tot = sum(v for v, _ in xs)
+        g = 2.0 * sum((i + 1) * v for i, (v, _) in enumerate(xs)) / (n * tot) - (n + 1.0) / n
+        assert got[t].n == n
+        assert abs(got[t].total - tot) < 1e-4
+        assert abs(got[t].gini - g) < 2e-6
+        assert 0.0 <= got[t].gini <= 1.0  # positive values
+
+
+def test_entropy_score_matches_brute_force(spark, sf_dir):
+    import math
+
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    got = {r.doc_id: r for r in
+           relational.REGISTRY["entropy_score"].fn(spark, sf_dir).collect()}
+    assert set(got) == {r.doc_id for r in docs}
+    for r in docs:
+        toks = r.text.split(" ")
+        counts = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        n = len(toks)
+        h = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+        row = got[r.doc_id]
+        assert (row.n_tokens, row.n_distinct) == (n, len(counts))
+        assert abs(row.entropy - h) < 2e-6
+        # 6-dp rounding can sit half an ulp-of-round above the ln(k) bound
+        assert -1e-6 <= row.entropy <= math.log(len(counts)) + 1e-6
+
+
+def test_benford_deviation_matches_brute_force(spark, sf_dir):
+    import math
+
+    ev = relational._t(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    counts, totals = {}, {}
+    for r in ev:
+        cents = int(round(r.value * 100))
+        if cents < 1:
+            continue
+        d = int(str(cents)[0])
+        counts[(r.event_type, d)] = counts.get((r.event_type, d), 0) + 1
+        totals[r.event_type] = totals.get(r.event_type, 0) + 1
+    got = relational.REGISTRY["benford_deviation"].fn(spark, sf_dir).collect()
+    assert {(r.event_type, r.digit): r.n_obs for r in got} == counts
+    for r in got:
+        p_obs = counts[(r.event_type, r.digit)] / totals[r.event_type]
+        p_ben = math.log10(1.0 + 1.0 / r.digit)
+        assert abs(r.p_obs - p_obs) < 1e-6
+        assert abs(r.p_benford - p_ben) < 1e-6
+        assert abs(r.dev - (p_obs - p_ben)) < 2e-6
+
+
+def test_ab_test_ztest_matches_brute_force(spark, sf_dir):
+    import math
+
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    conv = {}
+    for r in ev:
+        u = r.user_id
+        conv.setdefault(u, 0)
+        if r.event_type == relational._AB_GOAL and r.value >= relational._AB_VALUE_MIN:
+            conv[u] = 1
+    n0 = sum(1 for u in conv if u % 2 == 0)
+    n1 = len(conv) - n0
+    c0 = sum(c for u, c in conv.items() if u % 2 == 0)
+    c1 = sum(conv.values()) - c0
+    pp = (c0 + c1) / (n0 + n1)
+    zv = (c1 / n1 - c0 / n0) / math.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    got = relational.REGISTRY["ab_test_ztest"].fn(spark, sf_dir).collect()[0]
+    assert (got.n0, got.n1, got.c0, got.c1) == (n0, n1, c0, c1)
+    assert abs(got.p0 - c0 / n0) < 1e-6 and abs(got.p1 - c1 / n1) < 1e-6
+    assert abs(got.z - zv) < 2e-6
+    assert 0.0 <= got.p_value <= 1.0
+
+
+def test_edit_distance_pairs_matches_brute_force(spark, sf_dir):
+    """Candidates re-derived from the winnowing brute force; Levenshtein
+    re-run as the classic DP on the 256-char prefixes."""
+    import hashlib
+
+    from filda_spark import training as T
+
+    K, W = T._WN_K, T._WN_W
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    texts = {r.doc_id: r.text for r in docs}
+    fps = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        if len(toks) < K + W - 1:
+            continue
+        hs = [int(hashlib.md5(" ".join(toks[i:i + K]).encode()).hexdigest()[:10], 16)
+              for i in range(len(toks) - K + 1)]
+        sel = set()
+        for s in range(len(hs) - W + 1):
+            win = hs[s:s + W]
+            m = min(win)
+            sel.add(m)
+        for f in sel:
+            fps.setdefault(f, set()).add(r.doc_id)
+    pair_shared = {}
+    for f, ds in fps.items():
+        if not (2 <= len(ds) <= T._ED_FP_CAP):
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                p = (ds[i], ds[j])
+                pair_shared[p] = pair_shared.get(p, 0) + 1
+    want = {p: n for p, n in pair_shared.items() if n >= T._ED_MIN_SHARED}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    got = relational.REGISTRY["edit_distance_pairs"].fn(spark, sf_dir).collect()
+    assert {(r.u, r.v): r.n_shared for r in got} == want
+    for r in got:
+        pa, pb = texts[r.u][: T._ED_PREFIX], texts[r.v][: T._ED_PREFIX]
+        d = lev(pa, pb)
+        assert r.lev == d
+        assert abs(r.sim - (1.0 - d / max(len(pa), len(pb)))) < 1e-6
