@@ -149,6 +149,12 @@ HEADLINE = [
     "edit_distance_pairs",
     "image_phash",
     "phash_neardup",
+    # round-4 session-10 additions
+    "moran_correlogram",
+    "huff_gravity",
+    "runs_test",
+    "jsd_divergence",
+    "vector_quantize",
 ]
 
 

@@ -9472,6 +9472,381 @@ def ab_test_ztest(spark, sf_dir):
     )
 
 
+# Moran's I correlogram ------------------------------------------------------------
+
+_MC_R = 3  # max Chebyshev lag ring
+
+
+@register(
+    "moran_correlogram",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    st0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM cells
+    ),
+    st AS (
+      SELECT n, s,
+             CAST(sum(CAST(n * x - s AS HUGEINT)
+                      * CAST(n * x - s AS HUGEINT)) AS HUGEINT) AS den
+      FROM cells CROSS JOIN st0 GROUP BY n, s
+    ),
+    pr AS (
+      SELECT greatest(abs(b.cy - a.cy), abs(b.cx - a.cx)) AS ring,
+             CAST(st.n * a.x - st.s AS HUGEINT)
+             * CAST(st.n * b.x - st.s AS HUGEINT) AS zz
+      FROM cells a
+      JOIN cells b
+        ON abs(a.cy - b.cy) <= {_MC_R} AND abs(a.cx - b.cx) <= {_MC_R}
+       AND NOT (a.cy = b.cy AND a.cx = b.cx)
+      CROSS JOIN st
+    )
+    SELECT ring,
+           CAST(count(*) AS BIGINT) AS w_pairs,
+           round((st.n * CAST(sum(zz) AS DOUBLE))
+                 / (count(*) * CAST(st.den AS DOUBLE)), 6) AS moran_i,
+           round(-1.0 / (st.n - 1), 6) AS e_i
+    FROM pr CROSS JOIN st
+    GROUP BY ring, st.n, st.den
+    """,
+    doc=(
+        f"Moran's I correlogram over the density surface: global I at "
+        f"each Chebyshev lag ring 1..{_MC_R} (binary weights, ordered "
+        "pairs) with the CSR expectation -1/(n-1) — autocorrelation decay "
+        "vs distance, the global read-off over the same cell frame "
+        "local_moran scores per cell. Deviations carried as the scaled "
+        "integer n*x - S (the local_moran trick) with 128-bit products, "
+        "so both the numerator and Sum(z^2) are exact until ONE double "
+        "division per ring"
+    ),
+)
+def moran_correlogram(spark, sf_dir):
+    """Persisted cell frame, one kRing-3 explode -> equi-join (the
+    variogram cover, ordered pairs so W_r is the plain pair count), one
+    partial-agg groupBy to O(3) rows; the (n, S, Sum(z^2)) globals are a
+    one-row broadcast. Products ride DECIMAL(38,0) — aggregation order
+    cannot drift the statistic at any parallelism."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    zhat = lambda col: (F.col("n") * col - F.col("s")).cast("decimal(19,0)")  # noqa: E731
+    st0 = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    den = (
+        cells.crossJoin(F.broadcast(st0))
+        .select((zhat(F.col("x")) * zhat(F.col("x"))).alias("z2"))
+        .agg(F.sum("z2").cast("decimal(38,0)").alias("den"))
+    )
+    st = st0.crossJoin(den)
+    right = _ring_explode(
+        cells,
+        F.col("cy"),
+        F.col("cx"),
+        [F.col("cy").alias("bcy"), F.col("cx").alias("bcx"), F.col("x").alias("bx_")],
+        radius=_MC_R,
+        names=("cy", "cx"),
+    )
+    pr = (
+        cells.join(right, ["cy", "cx"])
+        .filter(~((F.col("bcy") == F.col("cy")) & (F.col("bcx") == F.col("cx"))))
+        .crossJoin(F.broadcast(st))
+        .select(
+            F.greatest(
+                F.abs(F.col("bcy") - F.col("cy")), F.abs(F.col("bcx") - F.col("cx"))
+            ).alias("ring"),
+            (zhat(F.col("x")) * zhat(F.col("bx_"))).alias("zz"),
+            "n",
+            "den",
+        )
+    )
+    return pr.groupBy("ring", "n", "den").agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum("zz").cast("decimal(38,0)").alias("num"),
+    ).select(
+        "ring",
+        "w_pairs",
+        F.round(
+            (F.col("n") * F.col("num").cast("double"))
+            / (F.col("w_pairs") * F.col("den").cast("double")),
+            6,
+        ).alias("moran_i"),
+        F.round(F.lit(-1.0) / (F.col("n") - 1), 6).alias("e_i"),
+    )
+
+
+# Huff gravity model ---------------------------------------------------------------
+
+_HF_K = 5  # facilities = the K densest cells
+_HF_SMOOTH = 0.5  # distance^2 smoothing so the facility's own cell is finite
+
+
+@register(
+    "huff_gravity",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    fac AS (
+      SELECT cy AS fcy, cx AS fcx, x AS attr
+      FROM cells ORDER BY x DESC, cy, cx LIMIT {_HF_K}
+    ),
+    w AS (
+      SELECT c.cy, c.cx, f.fcy, f.fcx,
+             CAST(f.attr AS DOUBLE)
+             / ((c.cy - f.fcy) * (c.cy - f.fcy)
+                + (c.cx - f.fcx) * (c.cx - f.fcx) + {_HF_SMOOTH!r}) AS wt
+      FROM cells c CROSS JOIN fac f
+    )
+    SELECT cy, cx, fcy, fcx,
+           round(wt / sum(wt) OVER (PARTITION BY cy, cx), 6) AS p_visit
+    FROM w
+    """,
+    doc=(
+        f"Huff gravity model: visit probability from every inhabited cell "
+        f"to the {_HF_K} densest cells (attractiveness = count, inverse-"
+        f"squared cell distance with +{_HF_SMOOTH} smoothing so the "
+        "facility's own cell is finite) — the spatial-interaction / "
+        "market-area primitive (catchment analysis, trade-area overlap) "
+        "the tiling family feeds"
+    ),
+)
+def huff_gravity(spark, sf_dir):
+    """The facility frame is a TakeOrdered top-K (integer attractiveness,
+    lexicographic tie-break) broadcast against the cell frame — the
+    crossJoin is O(cells x K), never points; the normalization is a
+    window on the (cy, cx) key the cell frame already carries. One
+    exchange for the cell counts, one for the window."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    fac = (
+        cells.orderBy(F.col("x").desc(), "cy", "cx")
+        .limit(_HF_K)
+        .select(
+            F.col("cy").alias("fcy"),
+            F.col("cx").alias("fcx"),
+            F.col("x").alias("attr"),
+        )
+    )
+    d2 = (F.col("cy") - F.col("fcy")) * (F.col("cy") - F.col("fcy")) + (
+        F.col("cx") - F.col("fcx")
+    ) * (F.col("cx") - F.col("fcx"))
+    w = cells.crossJoin(F.broadcast(fac)).select(
+        "cy",
+        "cx",
+        "fcy",
+        "fcx",
+        (F.col("attr").cast("double") / (d2 + F.lit(_HF_SMOOTH))).alias("wt"),
+    )
+    wn = Window.partitionBy("cy", "cx")
+    return w.select(
+        "cy",
+        "cx",
+        "fcy",
+        "fcx",
+        F.round(F.col("wt") / F.sum("wt").over(wn), 6).alias("p_visit"),
+    )
+
+
+# Wald-Wolfowitz runs test ----------------------------------------------------------
+
+_RT_MIN_N = 12
+
+
+@register(
+    "runs_test",
+    f"""
+    WITH m AS (
+      SELECT user_id, sum(value) / count(*) AS mu,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    b AS (
+      SELECT e.user_id, m.n,
+             CASE WHEN e.value > m.mu THEN 1 ELSE 0 END AS s,
+             lag(CASE WHEN e.value > m.mu THEN 1 ELSE 0 END) OVER (
+               PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS ps
+      FROM events e JOIN m USING (user_id)
+    ),
+    g AS (
+      SELECT user_id, any_value(n) AS n,
+             CAST(sum(s) AS BIGINT) AS n1,
+             CAST(sum(1 - s) AS BIGINT) AS n2,
+             CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps
+                          THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM b GROUP BY user_id
+    )
+    SELECT user_id, n1, n2, runs,
+           round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+             AS z
+    FROM g
+    WHERE n >= {_RT_MIN_N} AND n1 > 0 AND n2 > 0
+      AND 2.0 * n1 * n2 > n1 + n2
+    """,
+    doc=(
+        "Wald-Wolfowitz runs test per user: the value sequence binarized "
+        "at the user mean, observed run count vs the randomness "
+        "expectation 2*n1*n2/(n1+n2)+1, z-scored — the sequence-"
+        "randomness screen beside acf_lags (negative z = too few runs = "
+        "positive serial dependence); the variance-degenerate case "
+        "2*n1*n2 <= n1+n2 is filtered on both engines"
+    ),
+)
+def runs_test(spark, sf_dir):
+    """The acf_lags shape: per-user mean joins back on the user key, one
+    per-user sort window for the lagged sign, one partial-agg groupBy
+    emits n1/n2/runs as integers — the z expression is the only float
+    math and it runs on the aggregated O(users) frame."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        (F.sum("value") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = F.when(F.col("value") > F.col("mu"), 1).otherwise(0)
+    b = ev.join(m, "user_id").select(
+        "user_id", "n", s.alias("s"), F.lag(s).over(w).alias("ps")
+    )
+    g = (
+        b.groupBy("user_id")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum("s").alias("n1"),
+            F.sum(F.lit(1) - F.col("s")).alias("n2"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("ps").isNotNull() & (F.col("s") != F.col("ps")), 1
+                    ).otherwise(0)
+                )
+            ).alias("runs"),
+        )
+        .filter(
+            (F.col("n") >= _RT_MIN_N)
+            & (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (2.0 * F.col("n1") * F.col("n2") > F.col("n1") + F.col("n2"))
+        )
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    e_runs = 2.0 * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+    )
+    return g.select(
+        "user_id",
+        "n1",
+        "n2",
+        "runs",
+        F.round((F.col("runs") - e_runs) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+# Jensen-Shannon divergence between language term distributions ---------------------
+
+
+@register(
+    "jsd_divergence",
+    """
+    WITH tf AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM tf GROUP BY lang),
+    pairs AS (
+      SELECT a.lang AS l1, b.lang AS l2 FROM tot a JOIN tot b ON a.lang < b.lang
+    ),
+    vocab AS (
+      SELECT p.l1, p.l2, tf.term
+      FROM pairs p JOIN tf ON tf.lang IN (p.l1, p.l2)
+      GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT v.l1, v.l2, v.term,
+             CAST(coalesce(t1.c, 0) AS DOUBLE) / ta.t AS p,
+             CAST(coalesce(t2.c, 0) AS DOUBLE) / tb.t AS q
+      FROM vocab v
+      LEFT JOIN tf t1 ON t1.lang = v.l1 AND t1.term = v.term
+      LEFT JOIN tf t2 ON t2.lang = v.l2 AND t2.term = v.term
+      JOIN tot ta ON ta.lang = v.l1
+      JOIN tot tb ON tb.lang = v.l2
+    )
+    SELECT l1, l2, CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+                   + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+                 / 2.0, 6) AS jsd
+    FROM j GROUP BY l1, l2
+    """,
+    doc=(
+        "Jensen-Shannon divergence between per-language token "
+        "distributions, every language pair — the corpus-drift / "
+        "distribution-shift monitor (JSD in nats, 0 = identical mixes, "
+        "ln 2 = disjoint vocabularies); single-sided terms contribute "
+        "p*ln(2) through the shared-mixture convention"
+    ),
+)
+def jsd_divergence(spark, sf_dir):
+    """One (lang, term) partial-agg groupBy; the pair fan-out joins ride
+    the tiny O(|langs| x vocab) frame, never the token stream; totals and
+    pairs are broadcasts. The entropy sums run over O(vocab) rows per
+    pair — order drift absorbed by the 6-dp round."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = _persist_evict(tf)
+    tot = tf.groupBy("lang").agg(F.sum("c").alias("t"))
+    pairs = (
+        tot.select(F.col("lang").alias("l1"))
+        .join(tot.select(F.col("lang").alias("l2")))
+        .filter(F.col("l1") < F.col("l2"))
+    )
+    vocab = (
+        pairs.join(
+            F.broadcast(tf.select("lang", "term")),
+            (F.col("lang") == F.col("l1")) | (F.col("lang") == F.col("l2")),
+        )
+        .select("l1", "l2", "term")
+        .distinct()
+    )
+    t1 = tf.select(
+        F.col("lang").alias("l1"), F.col("term").alias("term"), F.col("c").alias("c1")
+    )
+    t2 = tf.select(
+        F.col("lang").alias("l2"), F.col("term").alias("term"), F.col("c").alias("c2")
+    )
+    ta = tot.select(F.col("lang").alias("l1"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("lang").alias("l2"), F.col("t").alias("tb"))
+    j = (
+        vocab.join(F.broadcast(t1), ["l1", "term"], "left")
+        .join(F.broadcast(t2), ["l2", "term"], "left")
+        .join(F.broadcast(ta), "l1")
+        .join(F.broadcast(tb), "l2")
+        .select(
+            "l1",
+            "l2",
+            (F.coalesce(F.col("c1"), F.lit(0)).cast("double") / F.col("ta")).alias("p"),
+            (F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.col("tb")).alias("q"),
+        )
+    )
+    mterm = (F.col("p") + F.col("q")) / 2.0
+    contrib = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / mterm)).otherwise(
+        0.0
+    ) + F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / mterm)).otherwise(0.0)
+    return j.groupBy("l1", "l2").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.sum(contrib) / 2.0, 6).alias("jsd"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

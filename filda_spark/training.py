@@ -1186,3 +1186,108 @@ def edit_distance_pairs(spark, sf_dir):
             ).alias("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ encode)
+# ---------------------------------------------------------------------------
+
+# 64-dim vectors -> 4 subspaces of 16 dims; the codebook is the first
+# _PQ_K vectors' sub-slices (deterministic — at real scale the codebook
+# comes from a k-means fit like ann_ivf's centroids, but the ENCODE plan is
+# identical: broadcast codebook, per-(vector, subspace) argmin). Distances
+# via the dot identity d2 = <s,s> - 2<s,c> + <c,c> so both engines combine
+# three bit-identical left-fold dot products in the same scalar order.
+_PQ_K = 8
+_PQ_SUBS = 4
+_PQ_SUBDIM = 16
+
+
+def _pq_dot_sql(a: str, b: str) -> str:
+    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def _pq_oracle_sql() -> str:
+    subs = []
+    for s in range(_PQ_SUBS):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        subs.append(
+            f"SELECT vec_id, CAST({s} AS INT) AS sub_id,"
+            f" (embedding)[{lo}:{hi}] AS sv FROM embeddings"
+        )
+    union = " UNION ALL ".join(subs)
+    d2 = (
+        f"{_pq_dot_sql('v.sv', 'v.sv')} - 2.0 * {_pq_dot_sql('v.sv', 'c.sv')}"
+        f" + {_pq_dot_sql('c.sv', 'c.sv')}"
+    )
+    return f"""
+    WITH sv AS ({union}),
+    cb AS (
+      SELECT vec_id AS code, sub_id, sv FROM sv WHERE vec_id < {_PQ_K}
+    ),
+    scored AS (
+      SELECT v.vec_id, v.sub_id, c.code, {d2} AS d2
+      FROM sv v JOIN cb c ON c.sub_id = v.sub_id
+    )
+    SELECT vec_id, sub_id, code, round(d2, 6) AS d2
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id, sub_id ORDER BY d2, code) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """
+
+
+@register(
+    "vector_quantize",
+    _pq_oracle_sql(),
+    doc=(
+        f"product-quantization encode: {_PQ_SUBS} x {_PQ_SUBDIM}-dim "
+        f"subspaces, {_PQ_K}-entry codebook (the first {_PQ_K} vectors' "
+        "slices — deterministic stand-in for a k-means codebook), nearest "
+        "code per (vector, subspace) by exact L2 — the vector-compression "
+        "step between ann_ivf's coarse quantizer and a scan: 64 floats "
+        f"become {_PQ_SUBS} bytes"
+    ),
+)
+def vector_quantize(spark, sf_dir):
+    """Subspace slices explode map-side (constant 4x), the codebook is a
+    TakeOrdered-free broadcast (vec_id < K filter), the join fans out
+    K-fold and ONE partial-agg-friendly window per (vec_id, sub_id) takes
+    the argmin — ties broken by code so the encode is total-ordered. At
+    10^12 vectors the shuffle is the (vec_id, sub_id) window exchange;
+    everything upstream is map-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    sv = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub_id"),
+                        F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                            "sv"
+                        ),
+                    )
+                    for s in range(_PQ_SUBS)
+                ]
+            )
+        ).alias("t"),
+    ).select("vec_id", "t.sub_id", "t.sv")
+    cb = sv.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "sub_id", F.col("sv").alias("cv")
+    )
+    d2 = (
+        VX.dot(F.col("sv"), F.col("sv"))
+        - F.lit(2.0) * VX.dot(F.col("sv"), F.col("cv"))
+        + VX.dot(F.col("cv"), F.col("cv"))
+    )
+    scored = sv.join(F.broadcast(cb), "sub_id").select(
+        "vec_id", "sub_id", "code", d2.alias("d2")
+    )
+    wk = Window.partitionBy("vec_id", "sub_id").orderBy("d2", "code")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub_id", "code", F.round("d2", 6).alias("d2"))
+    )

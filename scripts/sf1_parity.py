@@ -92,6 +92,49 @@ QUERIES = [
     "join_counts",
     "std_ellipse",
     "chunk_documents",
+    # sessions 5-8: ops whose input volume grows 10x (docs / events /
+    # trajectory legs / cell grid); clark_evans is EXCLUDED (censored
+    # pair cover goes ~100x at 10x density — the windowed treatment the
+    # other pair covers get would not exercise anything new) and
+    # skyline_2d / extreme_points / cost-fixed lineitem ops are excluded
+    # (inputs copied unchanged)
+    "contamination_check",
+    "geary_c",
+    "terrain_ruggedness",
+    "gopher_repetition",
+    "unigram_logprob",
+    "sequence_pack",
+    "bpe_merge_step",
+    "window_funnel",
+    "retention_cohorts",
+    "rasterize_segments",
+    "winnowing_fingerprint",
+    "domain_mix_weights",
+    "histogram_equalize",
+    "kmeans_assign",
+    # session 9: full-corpus ops over the 10x tables (edit_distance_pairs
+    # additionally exercises the hot-fingerprint cap: the 10-copy clusters
+    # push every shared fingerprint past _ED_FP_CAP, so the pair set
+    # SHRINKS by design — the cap doing its anti-quadratic job)
+    "quadrat_chi2",
+    "bilinear_resample",
+    "acf_lags",
+    "bm25_score",
+    "markov_transitions",
+    "lorenz_gini",
+    "entropy_score",
+    "benford_deviation",
+    "ab_test_ztest",
+    "edit_distance_pairs",
+    # session 10: moran/huff ride the 10x-denser cell frame (kRing cover
+    # pairs and the K-facility broadcast both grow with inhabited cells);
+    # runs_test/jsd ride the 10x event/doc tables. vector_quantize is
+    # EXCLUDED — embeddings.parquet is copied unchanged at sf1, so the
+    # encode would re-run the identical input
+    "moran_correlogram",
+    "huff_gravity",
+    "runs_test",
+    "jsd_divergence",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points
@@ -140,7 +183,7 @@ def build_sf1() -> None:
     con.sql(
         f"""
         COPY (
-          SELECT CAST(CAST(d.doc_id AS BIGINT) + k.k * {DOC_SHIFT} AS VARCHAR) AS doc_id,
+          SELECT CAST(d.doc_id AS BIGINT) + k.k * {DOC_SHIFT} AS doc_id,
                  CASE WHEN k.k >= {COPIES // 2}
                       THEN d.text || ' rev' || CAST(k.k AS VARCHAR)
                       ELSE d.text END AS text,

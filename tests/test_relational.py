@@ -2618,3 +2618,173 @@ def test_edit_distance_pairs_matches_brute_force(spark, sf_dir):
         d = lev(pa, pb)
         assert r.lev == d
         assert abs(r.sim - (1.0 - d / max(len(pa), len(pb)))) < 1e-6
+
+
+def test_moran_correlogram_matches_brute_force(spark, sf_dir):
+    """Per-ring Moran's I recomputed densely: z = x - mean carried as
+    float, every Chebyshev-ring ordered pair enumerated."""
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    n = len(cells)
+    mean = sum(cells.values()) / n
+    den = sum((x - mean) ** 2 for x in cells.values())
+    num = {}
+    w = {}
+    ks = list(cells)
+    for (ay, ax) in ks:
+        for dy in range(-relational._MC_R, relational._MC_R + 1):
+            for dx in range(-relational._MC_R, relational._MC_R + 1):
+                if dy == 0 and dx == 0:
+                    continue
+                b = (ay + dy, ax + dx)
+                if b not in cells:
+                    continue
+                ring = max(abs(dy), abs(dx))
+                num[ring] = num.get(ring, 0.0) + (cells[(ay, ax)] - mean) * (
+                    cells[b] - mean
+                )
+                w[ring] = w.get(ring, 0) + 1
+    got = relational.REGISTRY["moran_correlogram"].fn(spark, sf_dir).collect()
+    assert {r.ring for r in got} == set(w)
+    for r in got:
+        assert r.w_pairs == w[r.ring]
+        want_i = n * num[r.ring] / (w[r.ring] * den)
+        assert abs(r.moran_i - want_i) < 1e-5
+        assert r.e_i == round(-1.0 / (n - 1), 6)
+
+
+def test_huff_gravity_matches_brute_force(spark, sf_dir):
+    """Visit probabilities re-derived with the dense K-facility loop;
+    rows must cover cells x facilities exactly and sum to 1 per cell."""
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    fac = sorted(cells.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : relational._HF_K
+    ]
+    got = relational.REGISTRY["huff_gravity"].fn(spark, sf_dir).collect()
+    assert len(got) == len(cells) * len(fac)
+    bycell = {}
+    for r in got:
+        bycell.setdefault((r.cy, r.cx), {})[(r.fcy, r.fcx)] = r.p_visit
+    for (cy, cx), probs in bycell.items():
+        wts = {
+            (fy, fx): a
+            / ((cy - fy) ** 2 + (cx - fx) ** 2 + relational._HF_SMOOTH)
+            for (fy, fx), a in fac
+        }
+        tot = sum(wts.values())
+        assert abs(sum(probs.values()) - 1.0) < 5e-6
+        for k, p in probs.items():
+            assert abs(p - wts[k] / tot) < 1e-5
+
+
+def test_runs_test_matches_brute_force(spark, sf_dir):
+    """n1/n2/runs recomputed from the per-user sorted sequence; z from
+    the textbook Wald-Wolfowitz moments."""
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    series = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(r.value)
+    want = {}
+    for u, xs in series.items():
+        n = len(xs)
+        if n < relational._RT_MIN_N:
+            continue
+        mu = sum(xs) / n
+        s = [1 if x > mu else 0 for x in xs]
+        n1 = sum(s)
+        n2 = n - n1
+        if n1 == 0 or n2 == 0 or 2 * n1 * n2 <= n1 + n2:
+            continue
+        runs = 1 + sum(1 for i in range(1, n) if s[i] != s[i - 1])
+        e = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+        var = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1.0))
+        )
+        want[u] = (n1, n2, runs, e, var)
+    got = relational.REGISTRY["runs_test"].fn(spark, sf_dir).collect()
+    assert {r.user_id for r in got} == set(want)
+    for r in got:
+        n1, n2, runs, e, var = want[r.user_id]
+        assert (r.n1, r.n2, r.runs) == (n1, n2, runs)
+        assert abs(r.z - (runs - e) / var**0.5) < 1e-5
+
+
+def test_jsd_divergence_matches_brute_force(spark, sf_dir):
+    """JSD per language pair recomputed from dense per-lang term
+    distributions; bounded by [0, ln 2] and symmetric by construction."""
+    import math
+
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "lang", "text"
+    ).collect()
+    tf = {}
+    for r in docs:
+        d = tf.setdefault(r.lang, {})
+        for t in r.text.split(" "):
+            d[t] = d.get(t, 0) + 1
+    tot = {lang: sum(d.values()) for lang, d in tf.items()}
+    want = {}
+    for l1 in tf:
+        for l2 in tf:
+            if not l1 < l2:
+                continue
+            vocab = set(tf[l1]) | set(tf[l2])
+            jsd = 0.0
+            for t in vocab:
+                p = tf[l1].get(t, 0) / tot[l1]
+                q = tf[l2].get(t, 0) / tot[l2]
+                m = (p + q) / 2.0
+                if p > 0:
+                    jsd += p * math.log(p / m)
+                if q > 0:
+                    jsd += q * math.log(q / m)
+            want[(l1, l2)] = (len(vocab), jsd / 2.0)
+    got = relational.REGISTRY["jsd_divergence"].fn(spark, sf_dir).collect()
+    assert {(r.l1, r.l2) for r in got} == set(want)
+    for r in got:
+        n_terms, jsd = want[(r.l1, r.l2)]
+        assert r.n_terms == n_terms
+        assert abs(r.jsd - jsd) < 1e-5
+        assert -1e-9 <= r.jsd <= math.log(2) + 1e-9
+
+
+def test_vector_quantize_matches_brute_force(spark, sf_dir):
+    """PQ encode re-run densely in float64: every (vector, subspace)
+    scored against all K codes, argmin with the (d2, code) tie-break."""
+    from filda_spark import training as T
+
+    vecs = {
+        r.vec_id: [float(v) for v in r.embedding]
+        for r in relational._t(spark, sf_dir, "embeddings").collect()
+    }
+    sub = lambda v, s: v[s * T._PQ_SUBDIM : (s + 1) * T._PQ_SUBDIM]  # noqa: E731
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+    want = {}
+    for vid, v in vecs.items():
+        for s in range(T._PQ_SUBS):
+            sv = sub(v, s)
+            best = min(
+                (
+                    (
+                        dot(sv, sv) - 2.0 * dot(sv, sub(vecs[c], s))
+                        + dot(sub(vecs[c], s), sub(vecs[c], s)),
+                        c,
+                    )
+                    for c in range(T._PQ_K)
+                ),
+            )
+            want[(vid, s)] = best
+    got = relational.REGISTRY["vector_quantize"].fn(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        d2, code = want[(r.vec_id, r.sub_id)]
+        assert r.code == code
+        assert abs(r.d2 - d2) < 1e-4
