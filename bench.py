@@ -155,6 +155,11 @@ HEADLINE = [
     "runs_test",
     "jsd_divergence",
     "vector_quantize",
+    "area_weighted_regrid",
+    "morph_close",
+    "two_sfca",
+    "ols_trend",
+    "pmi_pairs",
 ]
 
 

@@ -9847,6 +9847,468 @@ def jsd_divergence(spark, sf_dir):
     )
 
 
+# Area-weighted regrid ---------------------------------------------------------------
+
+# target grid = 8/5 x the 0.5-deg analysis cell (0.8 deg). In FIFTH-units
+# the source cell i spans [5i, 5i+5) and target j spans [8j, 8j+8), so the
+# per-axis overlap length is an INTEGER in [1, 5] and each source cell
+# meets at most 2 targets per axis (5 < 8). Contribution = x * ovy * ovx
+# with one double division by 25 (the source area) at the end: mass is
+# conserved exactly (sum of weights per source cell = 25) and the
+# aggregation is integer until the final scalar op.
+_RG_SRC = 5
+_RG_DST = 8
+
+
+@register(
+    "area_weighted_regrid",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    d(dy, dx) AS (
+      SELECT a.dy, b.dx
+      FROM (VALUES (0), (1)) a(dy), (VALUES (0), (1)) b(dx)
+    ),
+    fan AS (
+      SELECT ({_RG_SRC} * cy) // {_RG_DST} + dy AS ty,
+             ({_RG_SRC} * cx) // {_RG_DST} + dx AS tx,
+             cy, cx, x
+      FROM cells CROSS JOIN d
+      WHERE ({_RG_SRC} * cy) // {_RG_DST} + dy
+              <= ({_RG_SRC} * cy + {_RG_SRC - 1}) // {_RG_DST}
+        AND ({_RG_SRC} * cx) // {_RG_DST} + dx
+              <= ({_RG_SRC} * cx + {_RG_SRC - 1}) // {_RG_DST}
+    ),
+    c AS (
+      SELECT ty, tx,
+             x * (least({_RG_SRC} * cy + {_RG_SRC}, {_RG_DST} * ty + {_RG_DST})
+                  - greatest({_RG_SRC} * cy, {_RG_DST} * ty))
+               * (least({_RG_SRC} * cx + {_RG_SRC}, {_RG_DST} * tx + {_RG_DST})
+                  - greatest({_RG_SRC} * cx, {_RG_DST} * tx)) AS w
+      FROM fan
+    )
+    SELECT ty, tx, CAST(sum(w) AS BIGINT) AS num,
+           CAST(sum(w) AS DOUBLE) / {_RG_SRC * _RG_SRC}.0 AS val
+    FROM c GROUP BY ty, tx
+    """,
+    doc=(
+        "area-weighted regrid of the density surface from the 0.5-deg "
+        "analysis grid to a NON-ALIGNED 0.8-deg grid: each source cell "
+        "splits across the <=4 target cells it overlaps with exact "
+        "rational area weights (integer overlap lengths in 0.1-deg "
+        "fifth-units, one double division by the source area at the end) "
+        "— the conservative regridding primitive between misaligned "
+        "rasters (model grid <-> tile pyramid), mass-conserving by "
+        "construction: sum(val) == total point count"
+    ),
+)
+def area_weighted_regrid(spark, sf_dir):
+    """Map-side 4-way fan-out (the rasterize_segments idiom) + ONE
+    partial-agg groupBy on the target cell; weights are integer overlap
+    products so any aggregation order gives identical rasters. Shuffle
+    volume <= 4x inhabited cells, never points."""
+    cells = _cell_counts(spark, sf_dir)
+    jy0 = F.expr(f"({_RG_SRC} * cy) div {_RG_DST}")
+    jx0 = F.expr(f"({_RG_SRC} * cx) div {_RG_DST}")
+    jy1 = F.expr(f"({_RG_SRC} * cy + {_RG_SRC - 1}) div {_RG_DST}")
+    jx1 = F.expr(f"({_RG_SRC} * cx + {_RG_SRC - 1}) div {_RG_DST}")
+    fan = (
+        cells.select(
+            "cy",
+            "cx",
+            "x",
+            jy0.alias("jy0"),
+            jx0.alias("jx0"),
+            jy1.alias("jy1"),
+            jx1.alias("jx1"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                        for dy in (0, 1)
+                        for dx in (0, 1)
+                    ]
+                )
+            ).alias("d"),
+        )
+        .select(
+            "cy",
+            "cx",
+            "x",
+            (F.col("jy0") + F.col("d.dy")).alias("ty"),
+            (F.col("jx0") + F.col("d.dx")).alias("tx"),
+            "jy1",
+            "jx1",
+        )
+        .filter((F.col("ty") <= F.col("jy1")) & (F.col("tx") <= F.col("jx1")))
+    )
+    ovy = F.least(
+        _RG_SRC * F.col("cy") + _RG_SRC, _RG_DST * F.col("ty") + _RG_DST
+    ) - F.greatest(_RG_SRC * F.col("cy"), _RG_DST * F.col("ty"))
+    ovx = F.least(
+        _RG_SRC * F.col("cx") + _RG_SRC, _RG_DST * F.col("tx") + _RG_DST
+    ) - F.greatest(_RG_SRC * F.col("cx"), _RG_DST * F.col("tx"))
+    return (
+        fan.select("ty", "tx", (F.col("x") * ovy * ovx).alias("w"))
+        .groupBy("ty", "tx")
+        .agg(F.sum("w").alias("num"))
+        .select(
+            "ty",
+            "tx",
+            "num",
+            (F.col("num").cast("double") / float(_RG_SRC * _RG_SRC)).alias("val"),
+        )
+    )
+
+
+# Morphological closing of the hot-cell mask ----------------------------------------
+
+
+@register(
+    "morph_close",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM cells
+    ),
+    occ AS (
+      SELECT cy, cx FROM cells CROSS JOIN g WHERE x * g.n > g.s
+    ),
+    d(dy, dx) AS (
+      SELECT a.dy, b.dx
+      FROM (VALUES (-1), (0), (1)) a(dy), (VALUES (-1), (0), (1)) b(dx)
+    ),
+    dil AS (
+      SELECT DISTINCT o.cy + d.dy AS cy, o.cx + d.dx AS cx
+      FROM occ o CROSS JOIN d
+    ),
+    nb AS (
+      SELECT a.cy + d.dy AS cy, a.cx + d.dx AS cx FROM dil a CROSS JOIN d
+    ),
+    clo AS (SELECT cy, cx FROM nb GROUP BY 1, 2 HAVING count(*) = 9)
+    SELECT clo.cy, clo.cx, (o.cy IS NOT NULL) AS was_in_mask
+    FROM clo LEFT JOIN occ o ON o.cy = clo.cy AND o.cx = clo.cx
+    """,
+    doc=(
+        "binary morphological CLOSING (3x3 dilation then 3x3 erosion) of "
+        "the above-mean-density mask (x * n_cells > total — integer-exact "
+        "and scale-free): one-cell gaps and pinholes between hot cells "
+        "fill, isolated specks survive unchanged — the raster-algebra "
+        "gap-filler between detection masks and vectorization "
+        "(grid_contour / fire_perimeters). Closing rather than opening "
+        "because this corpus's hot mask is speck-structured: a 3x3 "
+        "erosion-first pass is empty at every sf, while closing exercises "
+        "both passes non-trivially. was_in_mask separates filled cells "
+        "from original mask cells"
+    ),
+)
+def morph_close(spark, sf_dir):
+    """Two cover passes on the cell lattice: dilation = kRing-1 explode ->
+    distinct; erosion = kRing-1 explode of the dilated set -> ONE
+    partial-agg groupBy, keep count == 9 (all nine positions dilated,
+    self included). The mean gate is a one-row broadcast; everything
+    integer, bounded by inhabited cells x 9."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    occ = _persist_evict(
+        cells.crossJoin(F.broadcast(g))
+        .filter(F.col("x") * F.col("n") > F.col("s"))
+        .select("cy", "cx")
+    )
+    dil = _ring_explode(
+        occ, F.col("cy"), F.col("cx"), [], radius=1, names=("cy", "cx")
+    ).distinct()
+    nb = _ring_explode(
+        dil, F.col("cy"), F.col("cx"), [], radius=1, names=("cy", "cx")
+    )
+    clo = (
+        nb.groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == 9)
+        .select("cy", "cx")
+    )
+    return clo.join(
+        occ.withColumn("_o", F.lit(True)), ["cy", "cx"], "left"
+    ).select("cy", "cx", F.coalesce(F.col("_o"), F.lit(False)).alias("was_in_mask"))
+
+
+# Two-step floating catchment area (2SFCA) -------------------------------------------
+
+_SF_K = 12  # facilities = the K densest cells (the huff_gravity notion)
+_SF_R = 2  # catchment radius, Chebyshev cells
+
+
+@register(
+    "two_sfca",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    fac AS (
+      SELECT cy AS fcy, cx AS fcx, x AS supply
+      FROM cells ORDER BY x DESC, cy, cx LIMIT {_SF_K}
+    ),
+    r AS (
+      SELECT f.fcy, f.fcx,
+             CAST(round(1000000.0 * f.supply / sum(c.x), 0) AS BIGINT)
+               AS r_micro
+      FROM fac f JOIN cells c
+        ON abs(c.cy - f.fcy) <= {_SF_R} AND abs(c.cx - f.fcx) <= {_SF_R}
+      GROUP BY f.fcy, f.fcx, f.supply
+    ),
+    acc AS (
+      SELECT c.cy, c.cx,
+             CAST(count(*) AS BIGINT) AS n_fac,
+             CAST(sum(r.r_micro) AS BIGINT) AS a_micro
+      FROM cells c JOIN r
+        ON abs(c.cy - r.fcy) <= {_SF_R} AND abs(c.cx - r.fcx) <= {_SF_R}
+      GROUP BY c.cy, c.cx
+    )
+    SELECT cy, cx, n_fac, a_micro / 1000000.0 AS access
+    FROM acc
+    """,
+    doc=(
+        f"two-step floating catchment area (2SFCA) accessibility: step 1 "
+        f"computes each facility's supply/demand ratio over its Chebyshev-"
+        f"{_SF_R} catchment (facilities = the {_SF_K} densest cells, "
+        "supply = their count); step 2 sums the ratios of every facility "
+        "within reach of each inhabited cell — the healthcare/service-"
+        "accessibility primitive beside huff_gravity. Ratios are snapped "
+        "to integer MICRO-units before the step-2 sum, so the final "
+        "accessibility is an exact integer sum at any parallelism"
+    ),
+)
+def two_sfca(spark, sf_dir):
+    """Step 1 is a broadcast-facility cover join folded to K rows; step 2
+    ring-explodes the K-row ratio frame (constant 25x) and equi-joins the
+    cell frame — both shuffles bounded by inhabited cells; the only float
+    op is one division per facility, snapped to micro-units so step 2's
+    sum is order-free."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    fac = (
+        cells.orderBy(F.col("x").desc(), "cy", "cx")
+        .limit(_SF_K)
+        .select(
+            F.col("cy").alias("fcy"),
+            F.col("cx").alias("fcx"),
+            F.col("x").alias("supply"),
+        )
+    )
+    fcover = _ring_explode(
+        fac,
+        F.col("fcy"),
+        F.col("fcx"),
+        [F.col("fcy").alias("ofy"), F.col("fcx").alias("ofx"), "supply"],
+        radius=_SF_R,
+        names=("cy", "cx"),
+    )
+    r = (
+        cells.join(F.broadcast(fcover), ["cy", "cx"])
+        .groupBy("ofy", "ofx", "supply")
+        .agg(F.sum("x").alias("demand"))
+        .select(
+            F.col("ofy").alias("fcy"),
+            F.col("ofx").alias("fcx"),
+            F.round(1e6 * F.col("supply") / F.col("demand"), 0)
+            .cast("long")
+            .alias("r_micro"),
+        )
+    )
+    rcover = _ring_explode(
+        r,
+        F.col("fcy"),
+        F.col("fcx"),
+        ["r_micro"],
+        radius=_SF_R,
+        names=("cy", "cx"),
+    )
+    return (
+        cells.join(F.broadcast(rcover), ["cy", "cx"])
+        .groupBy("cy", "cx")
+        .agg(
+            F.count(F.lit(1)).alias("n_fac"),
+            F.sum("r_micro").alias("a_micro"),
+        )
+        .select(
+            "cy",
+            "cx",
+            "n_fac",
+            (F.col("a_micro") / F.lit(1e6)).alias("access"),
+        )
+    )
+
+
+# Exact-moment OLS trend per event type ----------------------------------------------
+
+# ms offset origin so the 128-bit moment sums keep headroom (see doc)
+_OLS_T0 = "TIMESTAMP '2024-01-01'"
+
+
+@register(
+    "ols_trend",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             epoch_ms(ts) - epoch_ms({_OLS_T0}) AS t,
+             CAST(round(value * 100, 0) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy,
+             CAST(sum(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 864000.0, 6)
+             AS slope_per_day,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM m
+    """,
+    doc=(
+        "per-event-type OLS trend of value vs time with EXACT integer "
+        "moments: t in ms from a fixed 2024-01-01 origin, y in cents, all "
+        "five moment sums 128-bit (Spark DECIMAL(38,0) / DuckDB HUGEINT) "
+        "so n*Sxy - Sx*Sy and n*Sxx - Sx^2 are exact before the single "
+        "double division — slope (value units/day), intercept (value "
+        "units at the origin), and r^2 are parallelism-independent; the "
+        "origin offset keeps n*Sxx inside 2^127 out to ~1e9 rows/type at "
+        "this corpus's 4-month span (beyond that, center per partition "
+        "and merge — the std_ellipse scaling note)"
+    ),
+)
+def ols_trend(spark, sf_dir):
+    """ONE partial-agg shuffle on event_type; per-type state is 6 numbers.
+    The regression algebra runs on the aggregated O(|types|) frame —
+    nothing after the first exchange grows with the corpus (the
+    std_ellipse discipline applied to the time axis)."""
+    ev = _t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    b = ev.select(
+        "event_type",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.lit("2024-01-01").cast("timestamp"))
+        ).alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    t, y = F.col("t").cast(d38), F.col("y").cast(d38)
+    m = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(t).cast(d38).alias("sx"),
+        F.sum(y).cast(d38).alias("sy"),
+        F.sum(t * t).cast(d38).alias("sxx"),
+        F.sum(y * y).cast(d38).alias("syy"),
+        F.sum(t * y).cast(d38).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope * 864000.0, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / 100.0,
+            6,
+        ).alias("intercept"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
+    )
+
+
+# Pointwise mutual information between co-occurring event types ----------------------
+
+
+@register(
+    "pmi_pairs",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY 1
+    ),
+    pr AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, c_ab,
+           round(CAST(n.n * c_ab AS DOUBLE) / (m1.c * m2.c), 6) AS lift,
+           round(ln(CAST(n.n * c_ab AS DOUBLE) / (m1.c * m2.c)), 6) AS pmi
+    FROM pr
+    JOIN m m1 ON m1.event_type = pr.t1
+    JOIN m m2 ON m2.event_type = pr.t2
+    CROSS JOIN n
+    """,
+    doc=(
+        "pointwise mutual information between event types co-occurring in "
+        "the same user's history: PMI = ln(N * c_ab / (c_a * c_b)) over "
+        "distinct (user, type) pairs — the association-mining read-off "
+        "(basket analysis, feature co-occurrence for tokenizer/vocab "
+        "design) beside colocation_patterns' spatial version; counts stay "
+        "integer until one ln per O(|types|^2) output row"
+    ),
+)
+def pmi_pairs(spark, sf_dir):
+    """distinct (user, type) -> per-user self-equi-join (fan-out bounded
+    by |types|^2 per user) -> partial-agg groupBy on the pair key;
+    marginals and N are broadcast. The token-stream shuffle happens once
+    (the distinct); everything pairwise rides frames bounded by
+    |types|^2."""
+    ev = _t(spark, sf_dir, "events")
+    ut = _persist_evict(ev.select("user_id", "event_type").distinct())
+    n = ut.select(F.countDistinct("user_id").alias("n"))
+    m = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    pr = (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    m1 = m.select(F.col("event_type").alias("t1"), F.col("c").alias("c1"))
+    m2 = m.select(F.col("event_type").alias("t2"), F.col("c").alias("c2"))
+    ratio = (F.col("n") * F.col("c_ab")).cast("double") / (
+        F.col("c1") * F.col("c2")
+    )
+    return (
+        pr.join(F.broadcast(m1), "t1")
+        .join(F.broadcast(m2), "t2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t1",
+            "t2",
+            "c_ab",
+            F.round(ratio, 6).alias("lift"),
+            F.round(F.log(ratio), 6).alias("pmi"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -135,6 +135,13 @@ QUERIES = [
     "huff_gravity",
     "runs_test",
     "jsd_divergence",
+    # session 10b: regrid/morphology/catchment ride the denser cell frame;
+    # ols/pmi ride the 10x event table (pmi additionally gets 10x users)
+    "area_weighted_regrid",
+    "morph_close",
+    "two_sfca",
+    "ols_trend",
+    "pmi_pairs",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

@@ -2788,3 +2788,144 @@ def test_vector_quantize_matches_brute_force(spark, sf_dir):
         d2, code = want[(r.vec_id, r.sub_id)]
         assert r.code == code
         assert abs(r.d2 - d2) < 1e-4
+
+
+def test_area_weighted_regrid_matches_brute_force(spark, sf_dir):
+    """Dense regrid: every source cell split over the targets it overlaps
+    with exact fifth-unit lengths; mass conservation asserted."""
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    S, D = relational._RG_SRC, relational._RG_DST
+    want = {}
+    for (cy, cx), x in cells.items():
+        for ty in range(S * cy // D, (S * cy + S - 1) // D + 1):
+            for tx in range(S * cx // D, (S * cx + S - 1) // D + 1):
+                ovy = min(S * cy + S, D * ty + D) - max(S * cy, D * ty)
+                ovx = min(S * cx + S, D * tx + D) - max(S * cx, D * tx)
+                k = (ty, tx)
+                want[k] = want.get(k, 0) + x * ovy * ovx
+    got = relational.REGISTRY["area_weighted_regrid"].fn(spark, sf_dir).collect()
+    assert {(r.ty, r.tx): r.num for r in got} == want
+    for r in got:
+        assert r.val == want[(r.ty, r.tx)] / (S * S)
+    # conservative: total output mass == total points
+    assert sum(r.num for r in got) == (S * S) * sum(cells.values())
+
+
+def test_morph_close_matches_brute_force(spark, sf_dir):
+    """Closing re-run densely over the above-mean mask with set algebra;
+    the mask itself must always survive (closing is extensive)."""
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    n, s = len(cells), sum(cells.values())
+    occ = {c for c, x in cells.items() if x * n > s}
+    off = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    dil = {(cy + dy, cx + dx) for (cy, cx) in occ for dy, dx in off}
+    clo = {
+        c for c in dil
+        if all((c[0] + dy, c[1] + dx) in dil for dy, dx in off)
+    }
+    got = relational.REGISTRY["morph_close"].fn(spark, sf_dir).collect()
+    assert {(r.cy, r.cx) for r in got} == clo
+    assert occ <= clo  # extensivity
+    for r in got:
+        assert r.was_in_mask == ((r.cy, r.cx) in occ)
+
+
+def test_two_sfca_matches_brute_force(spark, sf_dir):
+    """Both catchment steps re-run densely; ratios snapped to micro-units
+    exactly as the engine does."""
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    R = relational._SF_R
+    fac = sorted(cells.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : relational._SF_K
+    ]
+    r_micro = {}
+    for (fy, fx), supply in fac:
+        demand = sum(
+            x
+            for (cy, cx), x in cells.items()
+            if abs(cy - fy) <= R and abs(cx - fx) <= R
+        )
+        r_micro[(fy, fx)] = round(1e6 * supply / demand)
+    want = {}
+    for (cy, cx) in cells:
+        fs = [
+            r_micro[(fy, fx)]
+            for (fy, fx) in r_micro
+            if abs(cy - fy) <= R and abs(cx - fx) <= R
+        ]
+        if fs:
+            want[(cy, cx)] = (len(fs), sum(fs))
+    got = relational.REGISTRY["two_sfca"].fn(spark, sf_dir).collect()
+    assert {(r.cy, r.cx) for r in got} == set(want)
+    for r in got:
+        n_fac, a_micro = want[(r.cy, r.cx)]
+        assert r.n_fac == n_fac
+        assert abs(r.access - a_micro / 1e6) < 1e-9
+
+
+def test_ols_trend_matches_numpy(spark, sf_dir):
+    """Slope/intercept/r2 re-fit per type with numpy lstsq on the same
+    (ms-offset, cents) pairs."""
+    import numpy as np
+
+    ev = relational._t(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    t0 = np.datetime64("2024-01-01")
+    groups = {}
+    for r in ev:
+        ms = (np.datetime64(r.ts, "ms") - np.datetime64(t0, "ms")).astype(int)
+        groups.setdefault(r.event_type, []).append((ms, round(r.value * 100)))
+    got = {r.event_type: r for r in
+           relational.REGISTRY["ols_trend"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    for et, pts in groups.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        A = np.vstack([x, np.ones_like(x)]).T
+        (m, b), res, *_ = np.linalg.lstsq(A, y, rcond=None)
+        r = got[et]
+        assert r.n == len(pts)
+        assert abs(r.slope_per_day - m * 86400000 / 100.0) < 1e-4
+        assert abs(r.intercept - b / 100.0) < 1e-3
+        yhat = m * x + b
+        ssr = ((yhat - y.mean()) ** 2).sum()
+        sst = ((y - y.mean()) ** 2).sum()
+        assert abs(r.r2 - ssr / sst) < 1e-5
+
+
+def test_pmi_pairs_matches_brute_force(spark, sf_dir):
+    import math
+
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, set()).add(r.event_type)
+    n = len(by_user)
+    marg = {}
+    pair = {}
+    for types in by_user.values():
+        ts = sorted(types)
+        for t in ts:
+            marg[t] = marg.get(t, 0) + 1
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                p = (ts[i], ts[j])
+                pair[p] = pair.get(p, 0) + 1
+    got = relational.REGISTRY["pmi_pairs"].fn(spark, sf_dir).collect()
+    assert {(r.t1, r.t2): r.c_ab for r in got} == pair
+    for r in got:
+        lift = n * pair[(r.t1, r.t2)] / (marg[r.t1] * marg[r.t2])
+        assert abs(r.lift - lift) < 1e-5
+        assert abs(r.pmi - math.log(lift)) < 1e-5
