@@ -160,6 +160,11 @@ HEADLINE = [
     "two_sfca",
     "ols_trend",
     "pmi_pairs",
+    "nearest_facility_dist",
+    "directional_variogram",
+    "hits_scores",
+    "seasonal_residuals",
+    "vocab_prune",
 ]
 
 

@@ -10309,6 +10309,422 @@ def pmi_pairs(spark, sf_dir):
     )
 
 
+# Nearest-facility distance field ----------------------------------------------------
+
+
+@register(
+    "nearest_facility_dist",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    fac AS (
+      SELECT cy AS fcy, cx AS fcx
+      FROM cells ORDER BY x DESC, cy, cx LIMIT {_SF_K}
+    ),
+    d AS (
+      SELECT c.cy, c.cx, f.fcy, f.fcx,
+             (c.cy - f.fcy) * (c.cy - f.fcy)
+             + (c.cx - f.fcx) * (c.cx - f.fcx) AS d2
+      FROM cells c CROSS JOIN fac f
+    )
+    SELECT cy, cx, fcy, fcx, d2,
+           round(sqrt(CAST(d2 AS DOUBLE)) * {_GI_CELL!r}, 6) AS dist_deg
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY cy, cx ORDER BY d2, fcy, fcx) AS rk
+      FROM d
+    ) WHERE rk = 1
+    """,
+    doc=(
+        f"nearest-facility distance field: for every inhabited cell, the "
+        f"closest of the {_SF_K} densest cells (squared integer cell "
+        "distance, ties by facility coordinates) and the distance in "
+        "degrees — the allocation / service-gap read-off beside "
+        "two_sfca's accessibility and huff_gravity's probabilities; "
+        "the same K-facility broadcast all three share"
+    ),
+)
+def nearest_facility_dist(spark, sf_dir):
+    """TakeOrdered K-row facility frame broadcast against the cell frame
+    (O(cells x K), never points), ONE window on the (cy, cx) key for the
+    argmin — d2 is an exact integer so the tie-break is total and
+    parallelism-independent; sqrt is the only float op, per output row."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    fac = (
+        cells.orderBy(F.col("x").desc(), "cy", "cx")
+        .limit(_SF_K)
+        .select(F.col("cy").alias("fcy"), F.col("cx").alias("fcx"))
+    )
+    d2 = (F.col("cy") - F.col("fcy")) * (F.col("cy") - F.col("fcy")) + (
+        F.col("cx") - F.col("fcx")
+    ) * (F.col("cx") - F.col("fcx"))
+    d = cells.crossJoin(F.broadcast(fac)).select(
+        "cy", "cx", "fcy", "fcx", d2.alias("d2")
+    )
+    wk = Window.partitionBy("cy", "cx").orderBy("d2", "fcy", "fcx")
+    return (
+        d.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cy",
+            "cx",
+            "fcy",
+            "fcx",
+            "d2",
+            F.round(F.sqrt(F.col("d2").cast("double")) * _GI_CELL, 6).alias(
+                "dist_deg"
+            ),
+        )
+    )
+
+
+# Directional (anisotropic) semivariogram --------------------------------------------
+
+_DV_R = 3  # max lag along each principal direction
+
+
+@register(
+    "directional_variogram",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    pr AS (
+      SELECT CASE WHEN b.cy = a.cy THEN 'EW'
+                  WHEN b.cx = a.cx THEN 'NS'
+                  WHEN b.cy - a.cy = b.cx - a.cx THEN 'NE'
+                  ELSE 'NW' END AS dir,
+             greatest(abs(b.cy - a.cy), abs(b.cx - a.cx)) AS lag,
+             CAST(a.x - b.x AS HUGEINT) * CAST(a.x - b.x AS HUGEINT) AS sq
+      FROM cells a JOIN cells b
+        ON abs(a.cy - b.cy) <= {_DV_R} AND abs(a.cx - b.cx) <= {_DV_R}
+       AND (b.cy > a.cy OR (b.cy = a.cy AND b.cx > a.cx))
+       AND (b.cy = a.cy OR b.cx = a.cx
+            OR abs(b.cy - a.cy) = abs(b.cx - a.cx))
+    )
+    SELECT dir, lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(sq) AS DOUBLE) / (2.0 * CAST(count(*) AS DOUBLE)), 6)
+             AS gamma
+    FROM pr GROUP BY dir, lag
+    """,
+    doc=(
+        f"directional semivariogram along the four principal lattice "
+        f"directions (E-W, N-S, NE, NW) at lags 1..{_DV_R}: gamma(dir, h) "
+        "over axis-/diagonal-aligned cell pairs only — the anisotropy "
+        "read-off that empirical_variogram's omnidirectional gamma "
+        "cannot give (range differing by direction = drifted plume / "
+        "coastline structure); squared differences ride 128-bit integers "
+        "(the empirical_variogram treatment), one double division per "
+        "(dir, lag)"
+    ),
+)
+def directional_variogram(spark, sf_dir):
+    """The empirical_variogram cover (persisted cell frame, kRing-3
+    explode, forward-gate equi-join) with an alignment filter and a
+    (dir, lag) partial-agg — bounded by inhabited cells x 25 aligned
+    offsets; exact integer sums until one division per output row."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    right = _ring_explode(
+        cells,
+        F.col("cy"),
+        F.col("cx"),
+        [
+            F.col("cy").alias("bcy"),
+            F.col("cx").alias("bcx"),
+            F.col("x").alias("bx_"),
+        ],
+        radius=_DV_R,
+        names=("cy", "cx"),
+    )
+    dy = F.col("bcy") - F.col("cy")
+    dx = F.col("bcx") - F.col("cx")
+    diff = F.col("x") - F.col("bx_")
+    pr = (
+        cells.join(right, ["cy", "cx"])
+        .filter(
+            (
+                (F.col("bcy") > F.col("cy"))
+                | ((F.col("bcy") == F.col("cy")) & (F.col("bcx") > F.col("cx")))
+            )
+            & (
+                (F.col("bcy") == F.col("cy"))
+                | (F.col("bcx") == F.col("cx"))
+                | (F.abs(dy) == F.abs(dx))
+            )
+        )
+        .select(
+            F.when(F.col("bcy") == F.col("cy"), F.lit("EW"))
+            .when(F.col("bcx") == F.col("cx"), F.lit("NS"))
+            .when(dy == dx, F.lit("NE"))
+            .otherwise(F.lit("NW"))
+            .alias("dir"),
+            F.greatest(F.abs(dy), F.abs(dx)).alias("lag"),
+            (diff.cast("decimal(19,0)") * diff.cast("decimal(19,0)")).alias("sq"),
+        )
+    )
+    return (
+        pr.groupBy("dir", "lag")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("sq").alias("ssq"))
+        .select(
+            "dir",
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("ssq").cast("double") / (2.0 * F.col("n_pairs").cast("double")),
+                6,
+            ).alias("gamma"),
+        )
+    )
+
+
+# HITS hubs / authorities -------------------------------------------------------------
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle_sql() -> str:
+    """HITS unrolled into chained CTEs — the pagerank-oracle pattern: same
+    float ops, sum-order drift absorbed by the final 6-dp round; the only
+    normalization is a max (order-independent) at the end."""
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey % {_PR_N} AS src, l_partkey % {_PR_N} AS dst
+      FROM lineitem
+    ),
+    nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+    a0 AS (SELECT v, 1.0 AS a FROM nodes)"""
+    steps = []
+    for k in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+    h{k} AS (
+      SELECT n.v, coalesce(sum(p.a), 0.0) AS h
+      FROM nodes n
+      LEFT JOIN e ON e.src = n.v
+      LEFT JOIN a{k - 1} p ON p.v = e.dst
+      GROUP BY n.v
+    ),
+    a{k} AS (
+      SELECT n.v, coalesce(sum(q.h), 0.0) AS a
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.v
+      LEFT JOIN h{k} q ON q.v = e.src
+      GROUP BY n.v
+    )""")
+    k = _HITS_ITERS
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f""",
+    mx AS (
+      SELECT (SELECT max(a) FROM a{k}) AS ma, (SELECT max(h) FROM h{k}) AS mh
+    )
+    SELECT a{k}.v AS node,
+           round(a{k}.a / mx.ma, 6) AS auth,
+           round(h{k}.h / mx.mh, 6) AS hub
+    FROM a{k} JOIN h{k} ON h{k}.v = a{k}.v CROSS JOIN mx"""
+    )
+
+
+@register(
+    "hits_scores",
+    _hits_oracle_sql(),
+    doc=(
+        f"HITS hubs-and-authorities ({_HITS_ITERS} rounds, max-"
+        "normalized) over the order->part graph — the second eigenvector-"
+        "style iterative op beside pagerank: authorities = parts many "
+        "strong hub orders reference, hubs = orders referencing strong "
+        "authorities; normalization is by the MAX score (order-"
+        "independent, unlike an L1 sum) so the only nondeterminism is "
+        "per-node sum association, absorbed by the 6-dp round"
+    ),
+)
+def hits_scores(spark, sf_dir):
+    """The pagerank loop shape: per round two equi-join + partial-agg
+    groupBy passes (contributions shuffle, never the graph), edge and
+    node frames persisted across rounds; the final max-normalizer is a
+    one-row broadcast. 3 static rounds stay under the localCheckpoint
+    plan-size threshold (see dup_components for the long-loop form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = _persist_evict(
+        li.select(
+            (F.col("l_orderkey") % _PR_N).alias("src"),
+            (F.col("l_partkey") % _PR_N).alias("dst"),
+        ).distinct()
+    )
+    nodes = _persist_evict(
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    a = nodes.select("v", F.lit(1.0).alias("a"))
+    for _ in range(_HITS_ITERS):
+        # contributions shuffle only (the pagerank shape): join the edge
+        # frame against the score frame on the score's key, partial-agg to
+        # the other endpoint, then left-join back to the node set
+        hc = (
+            e.join(a.select(F.col("v").alias("dst"), "a"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("hs"))
+        )
+        h = nodes.join(hc, nodes.v == hc.src, "left").select(
+            "v", F.coalesce(F.col("hs"), F.lit(0.0)).alias("h")
+        )
+        ac = (
+            e.join(h.select(F.col("v").alias("src"), "h"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("as_"))
+        )
+        a = nodes.join(ac, nodes.v == ac.dst, "left").select(
+            "v", F.coalesce(F.col("as_"), F.lit(0.0)).alias("a")
+        )
+    mx = a.agg(F.max("a").alias("ma")).crossJoin(
+        h.agg(F.max("h").alias("mh"))
+    )
+    return (
+        a.join(h, "v")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("v").alias("node"),
+            F.round(F.col("a") / F.col("ma"), 6).alias("auth"),
+            F.round(F.col("h") / F.col("mh"), 6).alias("hub"),
+        )
+    )
+
+
+# Seasonal (hour-of-day) residual z-scores --------------------------------------------
+
+
+@register(
+    "seasonal_residuals",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, hour(ts) AS hr,
+             CAST(round(value * 100, 0) AS BIGINT) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, hr,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+               AS ss
+      FROM b GROUP BY event_type, hr
+    )
+    SELECT b.event_id, b.event_type, b.hr,
+           round((b.y - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 / sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)
+                        / (CAST(m.n AS DOUBLE) * CAST(m.n - 1 AS DOUBLE))), 6)
+             AS z
+    FROM b JOIN m ON m.event_type = b.event_type AND m.hr = b.hr
+    WHERE m.n >= 2 AND m.n * m.ss > m.s * m.s
+    """,
+    doc=(
+        "seasonal anomaly z-scores: per-event deviation from the "
+        "(event_type, hour-of-day) baseline in sample-sd units — the "
+        "seasonal-naive residual screen (what is unusual FOR 3am, not "
+        "globally) feeding alerting/changepoint; moments in cents are "
+        "128-bit exact so mean and variance are parallelism-independent "
+        "before the one division+sqrt per group; degenerate groups "
+        "(n < 2 or zero variance) filtered identically on both engines"
+    ),
+)
+def seasonal_residuals(spark, sf_dir):
+    """ONE partial-agg shuffle builds the O(|types| x 24) baseline, then
+    a broadcast join back to the event stream — per-event math is pure
+    column algebra (map-side); the z is exact-until-rounded because the
+    group moments are 128-bit integers."""
+    ev = _t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    b = ev.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    y = F.col("y").cast(d38)
+    m = b.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(y).cast(d38).alias("s"),
+        F.sum(y * y).cast(d38).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    )
+    return (
+        b.join(F.broadcast(m), ["event_type", "hr"])
+        .filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("ss") > F.col("s") * F.col("s"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            F.round((F.col("y") - mean) / F.sqrt(var), 6).alias("z"),
+        )
+    )
+
+
+# Vocabulary pruning table -------------------------------------------------------------
+
+
+@register(
+    "vocab_prune",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    tf AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term
+    )
+    SELECT term, df, tf,
+           round(ln(CAST(n.n AS DOUBLE) / df), 6) AS idf,
+           CASE WHEN 2 * df >= n.n THEN 'stop'
+                WHEN df <= 2 THEN 'rare'
+                ELSE 'keep' END AS class
+    FROM tf CROSS JOIN n
+    """,
+    doc=(
+        "vocabulary pruning table: per-term document frequency, total "
+        "frequency, idf, and the keep/stop/rare decision (stop if the "
+        "term hits >= half the corpus, rare if df <= 2 — both integer "
+        "compares) — the vocab-construction step before tokenizer "
+        "training / tfidf feature selection; one ln per VOCABULARY row, "
+        "never per token"
+    ),
+)
+def vocab_prune(spark, sf_dir):
+    """Tokenize map-side -> ONE groupBy on the term key carrying both the
+    plain count and the distinct-doc count (two-phase partial agg); the
+    corpus size is a one-row broadcast. Token stream shuffled once;
+    output bounded by vocabulary size."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    return tf.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df",
+        "tf",
+        F.round(F.log(F.col("n").cast("double") / F.col("df")), 6).alias("idf"),
+        F.when(2 * F.col("df") >= F.col("n"), F.lit("stop"))
+        .when(F.col("df") <= 2, F.lit("rare"))
+        .otherwise(F.lit("keep"))
+        .alias("class"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -142,6 +142,13 @@ QUERIES = [
     "two_sfca",
     "ols_trend",
     "pmi_pairs",
+    # session 10c: facility/variogram ride the denser cells; hits rides the
+    # copied-unchanged lineitem graph — EXCLUDED; seasonal/vocab ride the
+    # 10x event/doc tables
+    "nearest_facility_dist",
+    "directional_variogram",
+    "seasonal_residuals",
+    "vocab_prune",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

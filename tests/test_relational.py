@@ -2929,3 +2929,143 @@ def test_pmi_pairs_matches_brute_force(spark, sf_dir):
         lift = n * pair[(r.t1, r.t2)] / (marg[r.t1] * marg[r.t2])
         assert abs(r.lift - lift) < 1e-5
         assert abs(r.pmi - math.log(lift)) < 1e-5
+
+
+def test_nearest_facility_dist_matches_brute_force(spark, sf_dir):
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    fac = [
+        k
+        for k, _ in sorted(cells.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : relational._SF_K
+        ]
+    ]
+    got = relational.REGISTRY["nearest_facility_dist"].fn(
+        spark, sf_dir
+    ).collect()
+    assert len(got) == len(cells)
+    for r in got:
+        best = min(
+            ((r.cy - fy) ** 2 + (r.cx - fx) ** 2, fy, fx) for fy, fx in fac
+        )
+        assert (r.d2, r.fcy, r.fcx) == best
+        assert abs(r.dist_deg - round(best[0] ** 0.5 * relational._GI_CELL, 6)) < 1e-9
+
+
+def test_directional_variogram_matches_brute_force(spark, sf_dir):
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    acc = {}
+    R = relational._DV_R
+    for (ay, ax), xa in cells.items():
+        for dy in range(-R, R + 1):
+            for dx in range(-R, R + 1):
+                if (dy, dx) <= (0, 0) and not (dy > 0):
+                    # forward gate: (dy > 0) or (dy == 0 and dx > 0)
+                    if not (dy == 0 and dx > 0):
+                        continue
+                if not (dy == 0 or dx == 0 or abs(dy) == abs(dx)):
+                    continue
+                b = (ay + dy, ax + dx)
+                if b not in cells:
+                    continue
+                if dy == 0:
+                    d = "EW"
+                elif dx == 0:
+                    d = "NS"
+                elif dy == dx:
+                    d = "NE"
+                else:
+                    d = "NW"
+                k = (d, max(abs(dy), abs(dx)))
+                n, s = acc.get(k, (0, 0))
+                acc[k] = (n + 1, s + (xa - cells[b]) ** 2)
+    got = relational.REGISTRY["directional_variogram"].fn(
+        spark, sf_dir
+    ).collect()
+    assert {(r.dir, r.lag) for r in got} == set(acc)
+    for r in got:
+        n, s = acc[(r.dir, r.lag)]
+        assert r.n_pairs == n
+        assert abs(r.gamma - s / (2.0 * n)) < 1e-5
+
+
+def test_hits_scores_matches_brute_force(spark, sf_dir):
+    li = relational._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    N = relational._PR_N
+    edges = {(r.l_orderkey % N, r.l_partkey % N) for r in li}
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    a = {v: 1.0 for v in nodes}
+    for _ in range(relational._HITS_ITERS):
+        h = {
+            u: sum(a[v] for (uu, v) in edges if uu == u) for u in nodes
+        }
+        a = {
+            v: sum(h[u] for (u, vv) in edges if vv == v) for v in nodes
+        }
+    ma, mh = max(a.values()), max(h.values())
+    got = relational.REGISTRY["hits_scores"].fn(spark, sf_dir).collect()
+    assert {r.node for r in got} == set(nodes)
+    for r in got:
+        assert abs(r.auth - a[r.node] / ma) < 1e-5
+        assert abs(r.hub - h[r.node] / mh) < 1e-5
+
+
+def test_seasonal_residuals_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).collect()
+    groups = {}
+    for r in ev:
+        k = (r.event_type, r.ts.hour)
+        groups.setdefault(k, []).append((r.event_id, round(r.value * 100)))
+    want = {}
+    for (et, hr), rows in groups.items():
+        n = len(rows)
+        if n < 2:
+            continue
+        ys = [y for _, y in rows]
+        s, ss = sum(ys), sum(y * y for y in ys)
+        if n * ss <= s * s:
+            continue
+        mean = s / n
+        sd = ((n * ss - s * s) / (n * (n - 1))) ** 0.5
+        for eid, y in rows:
+            want[eid] = (et, hr, (y - mean) / sd)
+    got = relational.REGISTRY["seasonal_residuals"].fn(spark, sf_dir).collect()
+    assert {r.event_id for r in got} == set(want)
+    for r in got:
+        et, hr, z = want[r.event_id]
+        assert (r.event_type, r.hr) == (et, hr)
+        assert abs(r.z - z) < 1e-5
+
+
+def test_vocab_prune_matches_brute_force(spark, sf_dir):
+    import math
+
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    n = len(docs)
+    tf, df = {}, {}
+    for r in docs:
+        toks = r.text.split(" ")
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    got = relational.REGISTRY["vocab_prune"].fn(spark, sf_dir).collect()
+    assert {r.term for r in got} == set(tf)
+    for r in got:
+        assert (r.tf, r.df) == (tf[r.term], df[r.term])
+        assert abs(r.idf - math.log(n / df[r.term])) < 1e-5
+        want_cls = (
+            "stop" if 2 * df[r.term] >= n else "rare" if df[r.term] <= 2 else "keep"
+        )
+        assert r.__getattr__("class") == want_cls
