@@ -149,6 +149,7 @@ HEADLINE = [
     "edit_distance_pairs",
     "image_phash",
     "phash_neardup",
+    "audio_segments",
     # round-4 session-10 additions
     "moran_correlogram",
     "huff_gravity",

@@ -47,7 +47,7 @@ def _geom_for(sf_dir: str) -> dict:
 
 # bump when fixtures.py changes the corpus content (stale cached corpora
 # otherwise poison runs — media vars, emissivity/static tables, etc.)
-FIXTURE_VERSION = 7
+FIXTURE_VERSION = 8
 
 
 def corpus_dir(geom: dict) -> str:
@@ -183,6 +183,18 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     geom = _geom_for(sf_dir)
     media = pipeline.load_media(spark, corpus_dir(geom))
     return multimodal.frame_sample(media, every_n=2)
+
+
+def audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-split activity segments over the WAV media spans (32-sample
+    energy windows, integer threshold, maximal active runs) — the ASR-
+    corpus prep member of the multimodal family; map-only mapInPandas,
+    numpy twin stages the oracle (multimodal.audio_segments_np)."""
+    from filda_spark import multimodal, pipeline
+
+    geom = _geom_for(sf_dir)
+    media = pipeline.load_media(spark, corpus_dir(geom))
+    return multimodal.audio_segments(media)
 
 
 def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,7 +624,7 @@ def ensure_fire_oracles() -> str:
     import shutil
     import uuid
 
-    od = f"{corpus_dir(TEST_GEOM)}/_oracle_v6"  # v6: + image_phash perceptual hashes
+    od = f"{corpus_dir(TEST_GEOM)}/_oracle_v7"  # v7: gated WAV traces + audio_segments
     if os.path.exists(f"{od}/_DONE"):
         return od
     from filda_spark import fixtures, mcbef, oracle
@@ -657,6 +669,9 @@ def ensure_fire_oracles() -> str:
         rez.to_parquet(f"{tmp}/media_resize.parquet", index=False)
         multimodal.phash_pdf(media_pdf).to_parquet(
             f"{tmp}/image_phash.parquet", index=False
+        )
+        multimodal.audio_segments_np(media_pdf).to_parquet(
+            f"{tmp}/audio_segments.parquet", index=False
         )
         mrows = []
         for doc_id, r in res["per_doc"].items():
@@ -863,6 +878,7 @@ def oracles() -> dict[str, str]:
     """
     return {
         "image_phash": f"SELECT * FROM read_parquet('{od}/image_phash.parquet')",
+        "audio_segments": f"SELECT * FROM read_parquet('{od}/audio_segments.parquet')",
         "phash_neardup": phash_pairs_sql,
         "hotspot_track": hotspot_sql,
         "fire_rate_windowed": fire_rate_sql,
@@ -896,6 +912,7 @@ QUERIES = {
     "media_resize": media_resize,
     "frame_sample": frame_sample,
     "image_phash": image_phash,
+    "audio_segments": audio_segments,
     "phash_neardup": phash_neardup,
     "hotspot_track": hotspot_track,
     "fire_rate_windowed": fire_rate_windowed,

@@ -243,8 +243,13 @@ def make_granule(p: dict) -> tuple[dict, dict]:
     # telemetry trace, and a CDF-1-packed copy of the DN attrs. Encoded by
     # pack_document, decoded by multimodal.decode_media.
     g["M13_quicklook_png"] = (dn % 256).astype(np.uint8)
-    g["DNB_trace_wav"] = np.round(
-        12000.0 * np.sin(np.arange(4 * H_M) * (0.05 + 0.01 * p["pair"]))
+    # gated envelope: every third 32-sample block is exactly silent, so the
+    # trace has real active/silent structure for multimodal.audio_segments
+    # (an ungated sine has constant RMS — segmentation would be vacuous)
+    _tr_i = np.arange(4 * H_M)
+    g["DNB_trace_wav"] = (
+        np.round(12000.0 * np.sin(_tr_i * (0.05 + 0.01 * p["pair"])))
+        * ((_tr_i // 32) % 3 != 2)
     ).astype(np.int16)
     g["M13_dn_attrs_nc"] = g["M13_dn_attrs"]
 

@@ -367,3 +367,96 @@ def image_phash(media: DataFrame) -> DataFrame:
 def phash_pdf(media_pdf: pd.DataFrame) -> pd.DataFrame:
     """Oracle-staging twin: the same kernel over a single pandas batch."""
     return pd.concat(list(compute_phash([media_pdf])), ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Audio activity segmentation (silence splitting)
+# ---------------------------------------------------------------------------
+
+# 32-sample analysis windows; a window is ACTIVE when its energy exceeds
+# _AS_THR^2 per sample (integer compare: sum(x^2) > THR^2 * W — no float on
+# the decision path). Segments are maximal runs of active windows — the
+# ASR-corpus prep step (split telemetry/speech on silence) over the WAV
+# media spans; int64 energies cannot overflow (32 * 32767^2 < 2^35).
+AS_WIN = 32
+AS_THR = 3000
+
+AUDIO_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("seg_id", T.IntegerType()),
+        T.StructField("start_win", T.IntegerType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_segments_np(media_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure-numpy twin used by the Spark kernel AND the oracle staging:
+    decode WAV spans, window energies, maximal active runs. Per segment:
+    window extent, peak |amplitude| (exact int), RMS (one sqrt per
+    segment, 6-dp)."""
+    rows = []
+    for r in media_pdf.itertuples():
+        if media_kind(r.var) != "audio":
+            continue
+        arr = (
+            decode_media("audio", bytes(r.data), r.dtype, list(r.shape), var=r.var)
+            .astype(np.int64)
+            .ravel()
+        )
+        nw = arr.size // AS_WIN
+        if nw == 0:
+            continue
+        x = arr[: nw * AS_WIN].reshape(nw, AS_WIN)
+        sumsq = (x * x).sum(axis=1)
+        active = sumsq > AS_THR * AS_THR * AS_WIN
+        seg_id = 0
+        i = 0
+        while i < nw:
+            if not active[i]:
+                i += 1
+                continue
+            j = i
+            while j + 1 < nw and active[j + 1]:
+                j += 1
+            n_win = j - i + 1
+            n_samp = n_win * AS_WIN
+            ssq = int(sumsq[i : j + 1].sum())
+            rows.append(
+                dict(
+                    media_ref=r.media_ref,
+                    doc_id=r.doc_id,
+                    seg_id=seg_id,
+                    start_win=i,
+                    n_windows=n_win,
+                    n_samples=n_samp,
+                    peak=int(np.abs(x[i : j + 1]).max()),
+                    rms=round(float(np.sqrt(ssq / n_samp)), 6),
+                )
+            )
+            seg_id += 1
+            i = j + 1
+    return pd.DataFrame(rows, columns=[f.name for f in AUDIO_SEG_SCHEMA.fields])
+
+
+def compute_audio_segments(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: the numpy twin per Arrow batch."""
+    for pdf in pdfs:
+        yield audio_segments_np(pdf)
+
+
+def audio_segments(media: DataFrame) -> DataFrame:
+    """Map-only audio activity segmentation over the media table. The
+    audio predicate is pushed to the parquet scan (StringEndsWith reaches
+    PushedFilters) so non-audio payload BYTES never cross the Arrow
+    boundary — without it the kernel would transfer every raster blob to
+    Python just to skip it (measured 7.9 s -> sub-second at sf0.1)."""
+    audio = media.filter(
+        F.col("var").endswith(next(k for k, v in _KIND_SUFFIX.items() if v == "audio"))
+    )
+    return audio.mapInPandas(compute_audio_segments, schema=AUDIO_SEG_SCHEMA)

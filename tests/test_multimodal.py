@@ -188,3 +188,59 @@ def test_phash_neardup_matches_brute_force(spark, corpus, monkeypatch):
            for r in fq.phash_neardup(spark, "/root/testdata/sf0.001").collect()}
     assert got == want
     assert len(want) > 0  # non-vacuous on the fixture corpus
+
+
+def test_audio_segments_matches_brute_force(spark):
+    """Segments recomputed per media row with a scalar python loop over
+    the decoded samples; the gated fixture must yield >1 segment/trace."""
+    from filda_spark import fire_queries, multimodal, pipeline
+
+    corpus = fire_queries.corpus_dir(fire_queries.TEST_GEOM)
+    media = pipeline.load_media(spark, corpus)
+    got = multimodal.audio_segments(media).collect()
+    pdf = media.toPandas()
+    import numpy as np
+
+    want = []
+    n_audio = 0
+    for r in pdf.itertuples():
+        if multimodal.media_kind(r.var) != "audio":
+            continue
+        n_audio += 1
+        arr = multimodal.decode_media(
+            "audio", bytes(r.data), r.dtype, list(r.shape), var=r.var
+        ).astype(int).ravel()
+        W = multimodal.AS_WIN
+        nw = len(arr) // W
+        act = []
+        for w in range(nw):
+            win = arr[w * W : (w + 1) * W]
+            act.append(sum(int(v) * int(v) for v in win) > multimodal.AS_THR**2 * W)
+        seg_id, w = 0, 0
+        while w < nw:
+            if not act[w]:
+                w += 1
+                continue
+            j = w
+            while j + 1 < nw and act[j + 1]:
+                j += 1
+            seg = arr[w * W : (j + 1) * W]
+            ssq = sum(int(v) * int(v) for v in seg)
+            want.append(
+                (
+                    r.media_ref,
+                    seg_id,
+                    w,
+                    j - w + 1,
+                    max(abs(int(v)) for v in seg),
+                    round(float(np.sqrt(ssq / len(seg))), 6),
+                )
+            )
+            seg_id += 1
+            w = j + 1
+    assert n_audio > 0
+    assert len(want) > 2 * n_audio  # gating yields multiple segments/trace
+    assert {
+        (r.media_ref, r.seg_id, r.start_win, r.n_windows, r.peak, r.rms)
+        for r in got
+    } == set(want)
