@@ -166,6 +166,12 @@ HEADLINE = [
     "hits_scores",
     "seasonal_residuals",
     "vocab_prune",
+    # round-4 session-11 additions
+    "adamic_adar",
+    "radiation_model",
+    "ewma_smooth",
+    "trajectory_hausdorff",
+    "twi",
 ]
 
 
@@ -188,7 +194,14 @@ def run_suite(master: str, shuffle_partitions: int) -> tuple[dict[str, float], d
 
         qmap = entrymod.queries()
         times: dict[str, float] = {}
-        for name in HEADLINE:
+        # --only a,b,c: time just those queries and skip the fire pipeline
+        # (fast per-batch verification; the driver's plain run is unaffected)
+        only = None
+        for i, a in enumerate(sys.argv):
+            if a == "--only" and i + 1 < len(sys.argv):
+                only = set(sys.argv[i + 1].split(","))
+        suite = [n for n in HEADLINE if only is None or n in only]
+        for name in suite:
             if name not in qmap:
                 continue
             # construction is inside the timer: iterative queries
@@ -206,6 +219,9 @@ def run_suite(master: str, shuffle_partitions: int) -> tuple[dict[str, float], d
         from pyspark.sql import functions as F
 
         from filda_spark import runner
+
+        if only is not None:
+            return times, {}
 
         out = tempfile.mkdtemp(prefix="filda_bench_out_")
         try:

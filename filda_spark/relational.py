@@ -10725,6 +10725,501 @@ def vocab_prune(spark, sf_dir):
     )
 
 
+# Adamic-Adar / resource-allocation link prediction ---------------------------------
+
+
+@register(
+    "adamic_adar",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT
+             least(l_orderkey % {_CN_N}, l_partkey % {_CN_N}) AS u,
+             greatest(l_orderkey % {_CN_N}, l_partkey % {_CN_N}) AS v
+      FROM lineitem
+      WHERE l_linenumber = 1
+        AND l_orderkey % {_CN_N} <> l_partkey % {_CN_N}
+    ),
+    adj AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x),
+    wz AS (
+      SELECT a.x AS u, b.x AS v, a.y AS z
+      FROM adj a JOIN adj b ON a.y = b.y AND a.x < b.x
+    ),
+    sc AS (
+      SELECT wz.u, wz.v, CAST(count(*) AS BIGINT) AS cn,
+             sum(1.0 / ln(CAST(d.d AS DOUBLE))) AS aa_raw,
+             sum(1.0 / CAST(d.d AS DOUBLE)) AS ra_raw
+      FROM wz JOIN deg d ON d.x = wz.z
+      GROUP BY 1, 2
+    )
+    SELECT sc.u, sc.v, sc.cn,
+           round(sc.aa_raw, 6) AS adamic_adar,
+           round(sc.ra_raw, 6) AS resource_alloc
+    FROM sc
+    LEFT JOIN e0 ON e0.u = sc.u AND e0.v = sc.v
+    WHERE e0.u IS NULL AND sc.cn >= 2
+    """,
+    doc=(
+        "Adamic-Adar + resource-allocation link prediction over the "
+        "common_neighbors graph: for every NON-adjacent pair with >= 2 "
+        "shared neighbors, AA = sum_z 1/ln(deg z) and RA = sum_z 1/deg z "
+        "— the degree-weighted upgrades of the raw common-neighbor count "
+        "(a shared HUB is weak evidence; a shared leaf is strong). Every "
+        "wedge center z has deg >= 2 by construction, so ln(deg) > 0; "
+        "per-wedge terms are identical doubles on both engines and only "
+        "their per-pair sum is float"
+    ),
+)
+def adamic_adar(spark, sf_dir):
+    """The common_neighbors wedge join carrying the shared-neighbor id z
+    through to a broadcast degree lookup (O(nodes) frame), then ONE
+    partial-agg shuffle on the (u, v) pair key accumulating count + both
+    weighted sums in the same pass; anti join removes existing edges.
+    Hub mitigation at 100 TB is the same degree cap common_neighbors
+    documents — drop z above a deg threshold before the wedge join."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    e0 = (
+        li.select(
+            (F.col("l_orderkey") % _CN_N).alias("a"),
+            (F.col("l_partkey") % _CN_N).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    e0 = _persist_evict(e0)
+    adj = e0.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e0.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    adj = _persist_evict(adj)
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    degz = deg.select(F.col("x").alias("z"), F.col("d").alias("dz"))
+    wz = (
+        adj.alias("a")
+        .join(adj.alias("b"), F.col("a.y") == F.col("b.y"))
+        .filter(F.col("a.x") < F.col("b.x"))
+        .select(
+            F.col("a.x").alias("u"), F.col("b.x").alias("v"), F.col("a.y").alias("z")
+        )
+    )
+    sc = (
+        wz.join(F.broadcast(degz), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(1.0 / F.log(F.col("dz").cast("double"))).alias("aa_raw"),
+            F.sum(1.0 / F.col("dz").cast("double")).alias("ra_raw"),
+        )
+    )
+    return (
+        sc.join(e0, ["u", "v"], "left_anti")
+        .filter(F.col("cn") >= 2)
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round("aa_raw", 6).alias("adamic_adar"),
+            F.round("ra_raw", 6).alias("resource_alloc"),
+        )
+    )
+
+
+# Radiation model (parameter-free spatial interaction) -------------------------------
+
+
+@register(
+    "radiation_model",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    fac AS (
+      SELECT cy AS fcy, cx AS fcx, CAST(x AS BIGINT) AS m
+      FROM cells ORDER BY x DESC, cy, cx LIMIT {_SF_K}
+    ),
+    pr AS (
+      SELECT i.fcy AS icy, i.fcx AS icx, i.m AS mi,
+             j.fcy AS jcy, j.fcx AS jcx, j.m AS mj,
+             (j.fcy - i.fcy) * (j.fcy - i.fcy)
+             + (j.fcx - i.fcx) * (j.fcx - i.fcx) AS d2
+      FROM fac i JOIN fac j ON NOT (i.fcy = j.fcy AND i.fcx = j.fcx)
+    ),
+    s AS (
+      SELECT pr.icy, pr.icx, pr.jcy, pr.jcx, pr.mi, pr.mj, pr.d2,
+             CAST(coalesce(sum(CASE
+               WHEN (c.cy - pr.icy) * (c.cy - pr.icy)
+                    + (c.cx - pr.icx) * (c.cx - pr.icx) < pr.d2
+                AND NOT (c.cy = pr.icy AND c.cx = pr.icx)
+                AND NOT (c.cy = pr.jcy AND c.cx = pr.jcx)
+               THEN c.x ELSE 0 END), 0) AS BIGINT) AS s_ij
+      FROM pr LEFT JOIN cells c ON TRUE
+      GROUP BY 1, 2, 3, 4, 5, 6, 7
+    )
+    SELECT icy, icx, jcy, jcx, mi, mj, d2, s_ij,
+           round(CAST(mi * mi * mj AS DOUBLE)
+                 / CAST((mi + s_ij) * (mi + mj + s_ij) AS DOUBLE), 6) AS flow
+    FROM s
+    """,
+    doc=(
+        f"radiation model of spatial interaction (Simini et al. 2012): "
+        f"between every ordered pair of the {_SF_K} densest cells, "
+        "T_ij = m_i^2 m_j / ((m_i + s_ij)(m_i + m_j + s_ij)) where s_ij "
+        "is the population inside the circle of radius d_ij around i "
+        "(endpoints excluded) — the PARAMETER-FREE third member of the "
+        "interaction family beside huff_gravity (calibrated decay) and "
+        "two_sfca (catchment ratios); populations and the circle sum are "
+        "BIGINT-exact, one double division per pair"
+    ),
+)
+def radiation_model(spark, sf_dir):
+    """K-facility frame (TakeOrdered, one driver-safe row set) squared to
+    K(K-1) ordered pairs, broadcast against the cell frame: the circle
+    population is ONE conditional partial-agg pass over cells x pairs "
+    (cells scanned once, fan-out K^2 = constant), never a point shuffle.
+    Integer products fit BIGINT through sf1-scale counts; at genuinely
+    unbounded cell masses the numerator is the one term to lift to
+    DECIMAL(38,0) (the empirical_variogram treatment)."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    fac = (
+        cells.orderBy(F.col("x").desc(), "cy", "cx")
+        .limit(_SF_K)
+        .select(
+            F.col("cy").alias("fcy"), F.col("cx").alias("fcx"), F.col("x").alias("m")
+        )
+    )
+    i, j = fac.alias("i"), fac.alias("j")
+    pr = (
+        i.crossJoin(j)
+        .filter(
+            ~((F.col("i.fcy") == F.col("j.fcy")) & (F.col("i.fcx") == F.col("j.fcx")))
+        )
+        .select(
+            F.col("i.fcy").alias("icy"),
+            F.col("i.fcx").alias("icx"),
+            F.col("i.m").alias("mi"),
+            F.col("j.fcy").alias("jcy"),
+            F.col("j.fcx").alias("jcx"),
+            F.col("j.m").alias("mj"),
+            (
+                (F.col("j.fcy") - F.col("i.fcy")) * (F.col("j.fcy") - F.col("i.fcy"))
+                + (F.col("j.fcx") - F.col("i.fcx"))
+                * (F.col("j.fcx") - F.col("i.fcx"))
+            ).alias("d2"),
+        )
+    )
+    inside = (
+        (F.col("cy") - F.col("icy")) * (F.col("cy") - F.col("icy"))
+        + (F.col("cx") - F.col("icx")) * (F.col("cx") - F.col("icx"))
+        < F.col("d2")
+    ) & ~((F.col("cy") == F.col("icy")) & (F.col("cx") == F.col("icx"))) & ~(
+        (F.col("cy") == F.col("jcy")) & (F.col("cx") == F.col("jcx"))
+    )
+    s = (
+        cells.crossJoin(F.broadcast(pr))
+        .groupBy("icy", "icx", "jcy", "jcx", "mi", "mj", "d2")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(inside, F.col("x")).otherwise(F.lit(0))), F.lit(0)
+            )
+            .cast("long")
+            .alias("s_ij")
+        )
+    )
+    return s.select(
+        "icy",
+        "icx",
+        "jcy",
+        "jcx",
+        "mi",
+        "mj",
+        "d2",
+        "s_ij",
+        F.round(
+            (F.col("mi") * F.col("mi") * F.col("mj")).cast("double")
+            / (
+                (F.col("mi") + F.col("s_ij"))
+                * (F.col("mi") + F.col("mj") + F.col("s_ij"))
+            ).cast("double"),
+            6,
+        ).alias("flow"),
+    )
+
+
+# Exponentially weighted moving average (fold semantics) -----------------------------
+
+_EWMA_A = 0.25  # smoothing factor (exact binary double: 2^-2)
+
+
+@register(
+    "ewma_smooth",
+    f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(last(CAST(value AS DOUBLE) ORDER BY epoch_ms(ts), event_id), 6)
+             AS last_v,
+           round(list_reduce(
+                   list(CAST(value AS DOUBLE) ORDER BY epoch_ms(ts), event_id),
+                   (acc, x) -> {_EWMA_A!r} * x + {1.0 - _EWMA_A!r} * acc), 6)
+             AS ewma
+    FROM events GROUP BY user_id
+    """,
+    doc=(
+        f"per-entity exponential smoothing with FOLD semantics: "
+        f"ewma_k = {_EWMA_A} x_k + {1.0 - _EWMA_A} ewma_(k-1) seeded with "
+        "the first observation, over the (ts, event_id)-ordered value "
+        "stream — the streaming-state baseline (level tracking / anomaly "
+        "denominators) evaluated batch-side; alpha = 2^-2 is an exact "
+        "binary double and BOTH engines execute the identical "
+        "sequential left fold (Spark aggregate(), DuckDB list_reduce()), "
+        "so the result is bit-identical by construction, not by "
+        "summation-order luck"
+    ),
+)
+def ewma_smooth(spark, sf_dir):
+    """ONE per-entity shuffle (groupBy collect_list) and everything else
+    map-side: array_sort on the (t_ms, event_id) prefix gives the total
+    per-user order, aggregate() folds it sequentially. Per-user history
+    rides a single array — the sessionize partitioning contract (an
+    entity's stream fits one task at any corpus scale); no window, no
+    second exchange."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+    )
+    arr = p.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t_ms", "event_id", "v"))).alias("a")
+    )
+    return arr.select(
+        "user_id",
+        F.size("a").cast("long").alias("n"),
+        F.round(F.element_at(F.col("a"), -1)["v"], 6).alias("last_v"),
+        F.round(
+            F.expr(
+                f"aggregate(slice(transform(a, s -> s.v), 2, size(a) - 1), "
+                f"element_at(transform(a, s -> s.v), 1), "
+                f"(acc, x) -> {_EWMA_A!r}D * x + {1.0 - _EWMA_A!r}D * acc)"
+            ),
+            6,
+        ).alias("ewma"),
+    )
+
+
+# Discrete Hausdorff trajectory similarity -------------------------------------------
+
+_TH_K = 40  # scored pair budget (top-K candidate pairs by co-visitation)
+
+_TH_PTS_SQL = """
+      SELECT DISTINCT user_id,
+             (user_id % 120) * 1000
+               + (CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END)
+               + event_id % 7 AS iy,
+             (user_id % 300) * 1000
+               + (CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END)
+               + event_id % 5 AS ix
+      FROM events
+"""
+
+
+@register(
+    "trajectory_hausdorff",
+    f"""
+    WITH pts AS ({_TH_PTS_SQL}),
+    cellv AS (
+      SELECT DISTINCT user_id, iy // 1000 AS qy, ix // 1000 AS qx FROM pts
+    ),
+    pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, CAST(count(*) AS BIGINT) AS shared
+      FROM cellv a JOIN cellv b
+        ON a.qy = b.qy AND a.qx = b.qx AND a.user_id < b.user_id
+      GROUP BY 1, 2
+      ORDER BY shared DESC, u1, u2 LIMIT {_TH_K}
+    ),
+    dp AS (
+      SELECT u1, u2, u1 AS ou, u2 AS tu FROM pairs
+      UNION ALL
+      SELECT u1, u2, u2 AS ou, u1 AS tu FROM pairs
+    ),
+    md AS (
+      SELECT dp.u1, dp.u2, dp.ou, a.iy, a.ix,
+             min((a.iy - b.iy) * (a.iy - b.iy)
+                 + (a.ix - b.ix) * (a.ix - b.ix)) AS md2
+      FROM dp
+      JOIN pts a ON a.user_id = dp.ou
+      JOIN pts b ON b.user_id = dp.tu
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    h AS (
+      SELECT u1, u2,
+             CAST(max(CASE WHEN ou = u1 THEN md2 END) AS BIGINT) AS h_fwd,
+             CAST(max(CASE WHEN ou = u2 THEN md2 END) AS BIGINT) AS h_rev
+      FROM md GROUP BY 1, 2
+    ),
+    np AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1)
+    SELECT p.u1, p.u2, p.shared, n1.n AS n1, n2.n AS n2,
+           h.h_fwd, h.h_rev,
+           greatest(h.h_fwd, h.h_rev) AS h_d2,
+           round(sqrt(CAST(greatest(h.h_fwd, h.h_rev) AS DOUBLE)) / 1000.0, 6)
+             AS hausdorff_deg
+    FROM pairs p
+    JOIN h ON h.u1 = p.u1 AND h.u2 = p.u2
+    JOIN np n1 ON n1.user_id = p.u1
+    JOIN np n2 ON n2.user_id = p.u2
+    """,
+    doc=(
+        f"discrete symmetric Hausdorff distance between entity "
+        f"trajectories: candidate pairs by shared visited grid cells "
+        f"(top {_TH_K} by co-visitation count, integer-deterministic "
+        "rank), then H(A,B) = max(h(A->B), h(B->A)) with "
+        "h = max_a min_b d2 over the DISTINCT integer point sets — the "
+        "track-similarity scorer (convoy / companion detection) beside "
+        "knn_join's point kNN; every distance, min, and max is exact "
+        "integer arithmetic, one sqrt per output pair"
+    ),
+)
+def trajectory_hausdorff(spark, sf_dir):
+    """Candidate generation is a cell-key equi-join on the distinct "
+    (entity, cell) frame (never points x points across all entities) with
+    an integer TakeOrdered pair budget; the exact stage is pairs x A x B
+    with BOTH point frames persisted, one partial-agg min on the
+    (pair, a-point) key and one max to the pair — per-pair cost bounded
+    by the distinct-point-set product, with the pair budget as the
+    degenerate-hot-cell cap (the dedup salting analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    jump = F.when(F.col("event_id") % 13 < 4, F.lit(2000)).otherwise(F.lit(0))
+    pts = _persist_evict(
+        ev.select(
+            "user_id",
+            ((F.col("user_id") % 120) * 1000 + jump + F.col("event_id") % 7).alias(
+                "iy"
+            ),
+            ((F.col("user_id") % 300) * 1000 + jump + F.col("event_id") % 5).alias(
+                "ix"
+            ),
+        ).distinct()
+    )
+    cellv = pts.select(
+        "user_id",
+        F.floor(F.col("iy") / 1000).alias("qy"),
+        F.floor(F.col("ix") / 1000).alias("qx"),
+    ).distinct()
+    pairs = (
+        cellv.alias("a")
+        .join(
+            cellv.alias("b"),
+            (F.col("a.qy") == F.col("b.qy"))
+            & (F.col("a.qx") == F.col("b.qx"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .orderBy(F.col("shared").desc(), "u1", "u2")
+        .limit(_TH_K)
+    )
+    pairs = _persist_evict(pairs)
+    dp = pairs.select(
+        "u1", "u2", F.col("u1").alias("ou"), F.col("u2").alias("tu")
+    ).unionAll(pairs.select("u1", "u2", F.col("u2").alias("ou"), F.col("u1").alias("tu")))
+    a = pts.select(
+        F.col("user_id").alias("ou"), F.col("iy").alias("aiy"), F.col("ix").alias("aix")
+    )
+    b = pts.select(
+        F.col("user_id").alias("tu"), F.col("iy").alias("biy"), F.col("ix").alias("bix")
+    )
+    d2 = (F.col("aiy") - F.col("biy")) * (F.col("aiy") - F.col("biy")) + (
+        F.col("aix") - F.col("bix")
+    ) * (F.col("aix") - F.col("bix"))
+    md = (
+        F.broadcast(dp)
+        .join(a, "ou")
+        .join(b, "tu")
+        .groupBy("u1", "u2", "ou", "aiy", "aix")
+        .agg(F.min(d2).alias("md2"))
+    )
+    h = md.groupBy("u1", "u2").agg(
+        F.max(F.when(F.col("ou") == F.col("u1"), F.col("md2")))
+        .cast("long")
+        .alias("h_fwd"),
+        F.max(F.when(F.col("ou") == F.col("u2"), F.col("md2")))
+        .cast("long")
+        .alias("h_rev"),
+    )
+    np_ = pts.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    n1 = np_.select(F.col("user_id").alias("u1"), F.col("n").alias("n1"))
+    n2 = np_.select(F.col("user_id").alias("u2"), F.col("n").alias("n2"))
+    hd2 = F.greatest(F.col("h_fwd"), F.col("h_rev"))
+    return (
+        pairs.join(h, ["u1", "u2"])
+        .join(F.broadcast(n1), "u1")
+        .join(F.broadcast(n2), "u2")
+        .select(
+            "u1",
+            "u2",
+            "shared",
+            "n1",
+            "n2",
+            "h_fwd",
+            "h_rev",
+            hd2.alias("h_d2"),
+            F.round(F.sqrt(hd2.cast("double")) / 1000.0, 6).alias("hausdorff_deg"),
+        )
+    )
+
+
+# Topographic wetness index ----------------------------------------------------------
+
+_TWI_EPS = 0.000001  # slope floor for flat interior cells (exact decimal double)
+
+
+@register(
+    "twi",
+    None,  # composed oracle assigned below (flow_accumulation x slope_aspect)
+    doc=(
+        "topographic wetness index ln(a / tan beta) over the density "
+        "surface: contributing area a = 4-round D8 flow accumulation x "
+        "cell width, tan beta = the Horn slope — the saturation/"
+        "accumulation potential read-off composing the two verified "
+        "terrain primitives exactly like hillshade composes slope_aspect "
+        "(and emerging_hotspots composes Gi* + Mann-Kendall); the slope "
+        "input is the 6-dp-rounded column itself so both engines feed ln "
+        "identical doubles, flat cells floored at 1e-6"
+    ),
+)
+def twi(spark, sf_dir):
+    """Pure composition: flow_accumulation's contribution-shuffle rounds
+    joined to slope_aspect's stencil on the cell key (both bounded by
+    inhabited cells), one ln per interior cell. No new shuffle class."""
+    fa = flow_accumulation(spark, sf_dir)
+    sa = slope_aspect(spark, sf_dir).select("cy", "cx", "slope")
+    return fa.join(sa, ["cy", "cx"]).select(
+        "cy",
+        "cx",
+        "acc",
+        "slope",
+        F.round(
+            F.log(
+                F.col("acc").cast("double")
+                * _GI_CELL
+                / F.greatest(F.col("slope"), F.lit(_TWI_EPS))
+            ),
+            6,
+        ).alias("twi"),
+    )
+
+
+REGISTRY["twi"].oracle = f"""
+    WITH fa AS ({_fa_oracle_sql()}),
+    sa AS ({{SA}})
+    SELECT fa.cy, fa.cx, fa.acc, sa.slope,
+           round(ln(CAST(fa.acc AS DOUBLE) * {_GI_CELL!r}
+                    / greatest(sa.slope, {_TWI_EPS!r})), 6) AS twi
+    FROM fa JOIN sa ON sa.cy = fa.cy AND sa.cx = fa.cx
+    """.format(SA=REGISTRY["slope_aspect"].oracle)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

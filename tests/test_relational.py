@@ -3069,3 +3069,157 @@ def test_vocab_prune_matches_brute_force(spark, sf_dir):
             "stop" if 2 * df[r.term] >= n else "rare" if df[r.term] <= 2 else "keep"
         )
         assert r.__getattr__("class") == want_cls
+
+
+def test_adamic_adar_matches_brute_force(spark, sf_dir):
+    import math
+
+    li = relational._t(spark, sf_dir, "lineitem").filter(
+        "l_linenumber = 1"
+    ).select("l_orderkey", "l_partkey").collect()
+    N = relational._CN_N
+    edges = set()
+    for r in li:
+        a, b = r.l_orderkey % N, r.l_partkey % N
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    nbr = {}
+    for u, v in edges:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    want = {}
+    nodes = sorted(nbr)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in edges:
+                continue
+            cz = nbr[u] & nbr[v]
+            if len(cz) >= 2:
+                aa = sum(1.0 / math.log(len(nbr[z])) for z in sorted(cz))
+                ra = sum(1.0 / len(nbr[z]) for z in sorted(cz))
+                want[(u, v)] = (len(cz), aa, ra)
+    got = relational.REGISTRY["adamic_adar"].fn(spark, sf_dir).collect()
+    assert {(r.u, r.v): r.cn for r in got} == {k: v[0] for k, v in want.items()}
+    for r in got:
+        _, aa, ra = want[(r.u, r.v)]
+        assert abs(r.adamic_adar - aa) < 1e-5
+        assert abs(r.resource_alloc - ra) < 1e-5
+
+
+def test_radiation_model_matches_brute_force(spark, sf_dir):
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    fac = [
+        (k, x)
+        for (k, x) in sorted(
+            cells.items(), key=lambda kv: (-kv[1], kv[0])
+        )[: relational._SF_K]
+    ]
+    got = relational.REGISTRY["radiation_model"].fn(spark, sf_dir).collect()
+    assert len(got) == len(fac) * (len(fac) - 1)
+    by_pair = {((r.icy, r.icx), (r.jcy, r.jcx)): r for r in got}
+    for (i, mi) in fac:
+        for (j, mj) in fac:
+            if i == j:
+                continue
+            d2 = (j[0] - i[0]) ** 2 + (j[1] - i[1]) ** 2
+            s = sum(
+                x
+                for c, x in cells.items()
+                if c != i
+                and c != j
+                and (c[0] - i[0]) ** 2 + (c[1] - i[1]) ** 2 < d2
+            )
+            r = by_pair[(i, j)]
+            assert (r.mi, r.mj, r.d2, r.s_ij) == (mi, mj, d2, s)
+            flow = mi * mi * mj / ((mi + s) * (mi + mj + s))
+            assert abs(r.flow - flow) < 1e-6
+
+
+def test_ewma_smooth_matches_fold(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS t_ms", "event_id",
+        "CAST(value AS DOUBLE) AS v"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.t_ms, r.event_id, r.v))
+    a = relational._EWMA_A
+    got = relational.REGISTRY["ewma_smooth"].fn(spark, sf_dir).collect()
+    assert len(got) == len(by_user)
+    for r in got:
+        seq = [v for _, _, v in sorted(by_user[r.user_id])]
+        acc = seq[0]
+        for x in seq[1:]:
+            acc = a * x + (1.0 - a) * acc
+        assert r.n == len(seq)
+        assert r.last_v == round(seq[-1], 6)
+        assert r.ewma == round(acc, 6)  # fold is bit-identical, not approx
+
+
+def test_trajectory_hausdorff_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "event_id"
+    ).collect()
+    pts = {}
+    for r in ev:
+        jump = 2000 if r.event_id % 13 < 4 else 0
+        pts.setdefault(r.user_id, set()).add(
+            (
+                (r.user_id % 120) * 1000 + jump + r.event_id % 7,
+                (r.user_id % 300) * 1000 + jump + r.event_id % 5,
+            )
+        )
+    cellv = {
+        u: {(iy // 1000, ix // 1000) for iy, ix in ps}
+        for u, ps in pts.items()
+    }
+    cand = {}
+    users = sorted(cellv)
+    for i, u1 in enumerate(users):
+        for u2 in users[i + 1:]:
+            sh = len(cellv[u1] & cellv[u2])
+            if sh:
+                cand[(u1, u2)] = sh
+    top = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[: relational._TH_K]
+    got = relational.REGISTRY["trajectory_hausdorff"].fn(spark, sf_dir).collect()
+    assert {(r.u1, r.u2): r.shared for r in got} == dict(top)
+
+    def directed(A, B):
+        return max(
+            min((ay - by) ** 2 + (ax - bx) ** 2 for by, bx in B) for ay, ax in A
+        )
+
+    for r in got:
+        hf = directed(pts[r.u1], pts[r.u2])
+        hr = directed(pts[r.u2], pts[r.u1])
+        assert (r.h_fwd, r.h_rev, r.h_d2) == (hf, hr, max(hf, hr))
+        assert (r.n1, r.n2) == (len(pts[r.u1]), len(pts[r.u2]))
+        assert abs(r.hausdorff_deg - round(max(hf, hr) ** 0.5 / 1000.0, 6)) < 1e-9
+
+
+def test_twi_composes_terrain_primitives(spark, sf_dir):
+    import math
+
+    acc = {
+        (r.cy, r.cx): r.acc
+        for r in relational.REGISTRY["flow_accumulation"].fn(spark, sf_dir).collect()
+    }
+    sa = relational.REGISTRY["slope_aspect"].fn(spark, sf_dir).collect()
+    got = {
+        (r.cy, r.cx): (r.acc, r.slope, r.twi)
+        for r in relational.REGISTRY["twi"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(sa)  # interior-cell gate comes from slope_aspect
+    for r in sa:
+        a, s, t = got[(r.cy, r.cx)]
+        assert a == acc[(r.cy, r.cx)] and s == r.slope
+        want = round(
+            math.log(
+                a * relational._GI_CELL / max(r.slope, relational._TWI_EPS)
+            ),
+            6,
+        )
+        assert abs(t - want) < 1e-9
