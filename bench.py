@@ -172,6 +172,11 @@ HEADLINE = [
     "ewma_smooth",
     "trajectory_hausdorff",
     "twi",
+    "label_propagation",
+    "change_detection",
+    "space_time_scan",
+    "mobility_metrics",
+    "rrf_fusion",
 ]
 
 

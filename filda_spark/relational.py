@@ -11220,6 +11220,440 @@ REGISTRY["twi"].oracle = f"""
     """.format(SA=REGISTRY["slope_aspect"].oracle)
 
 
+# Label-propagation communities -------------------------------------------------------
+
+_LP_ROUNDS = 4  # fixed synchronous rounds (the pagerank/flow_accumulation shape)
+
+
+def _lp_oracle_sql() -> str:
+    steps = []
+    for k in range(1, _LP_ROUNDS + 1):
+        steps.append(f"""
+    c{k} AS (
+      SELECT a.x, p.lbl, count(*) AS c
+      FROM adj a JOIN l{k - 1} p ON p.x = a.y
+      GROUP BY 1, 2
+    ),
+    l{k} AS (
+      SELECT x, lbl FROM (
+        SELECT x, lbl,
+               row_number() OVER (PARTITION BY x ORDER BY c DESC, lbl) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    )""")
+    return (
+        f"""
+    WITH e0 AS (
+      SELECT DISTINCT
+             least(l_orderkey % {_CN_N}, l_partkey % {_CN_N}) AS u,
+             greatest(l_orderkey % {_CN_N}, l_partkey % {_CN_N}) AS v
+      FROM lineitem
+      WHERE l_linenumber = 1
+        AND l_orderkey % {_CN_N} <> l_partkey % {_CN_N}
+    ),
+    adj AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0),
+    l0 AS (SELECT DISTINCT x, x AS lbl FROM adj),"""
+        + ",".join(steps)
+        + f""",
+    sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize
+           FROM l{_LP_ROUNDS} GROUP BY lbl)
+    SELECT l.x, l.lbl, sz.csize
+    FROM l{_LP_ROUNDS} l JOIN sz ON sz.lbl = l.lbl
+    """
+    )
+
+
+@register(
+    "label_propagation",
+    _lp_oracle_sql(),
+    doc=(
+        f"synchronous label propagation ({_LP_ROUNDS} fixed rounds) over "
+        "the common_neighbors graph: every node starts as its own label "
+        "and each round adopts the MOST FREQUENT label among its "
+        "neighbors (ties to the smallest label — a total integer order, "
+        "so the result is parallelism- and engine-independent); emits the "
+        "final label and its community size — the community-detection "
+        "member of the graph family (dup_components is min-label "
+        "CONNECTIVITY; this is majority-vote STRUCTURE: a bridge node "
+        "joins the denser side, not just any reachable side)"
+    ),
+)
+def label_propagation(spark, sf_dir):
+    """Each round = ONE equi-join (adjacency x labels on the neighbor
+    key) + a partial-agg groupBy on (node, label) + a per-node window
+    argmax — the contributions-only loop shape of pagerank/"
+    flow_accumulation (the shuffle carries label votes, never the
+    graph); adjacency is persisted once, the label frame is O(nodes).
+    At real horizons the loop adds localCheckpoint every few rounds
+    (dup_components' plan-size control); 4 static rounds stay under it."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    e0 = (
+        li.select(
+            (F.col("l_orderkey") % _CN_N).alias("a"),
+            (F.col("l_partkey") % _CN_N).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    adj = _persist_evict(
+        e0.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+            e0.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+    )
+    labels = adj.select("x").distinct().select("x", F.col("x").alias("lbl"))
+    wk = Window.partitionBy("x").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            adj.join(
+                labels.select(F.col("x").alias("y"), "lbl"), "y"
+            )
+            .groupBy("x", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select("x", "lbl")
+        )
+    sz = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("csize"))
+    return labels.join(F.broadcast(sz), "lbl").select("x", "lbl", "csize")
+
+
+# Two-epoch raster change detection ----------------------------------------------------
+
+_CD_HALF = _MK_BUCKETS // 2  # early epoch = buckets [0, half)
+
+
+@register(
+    "change_detection",
+    f"""
+    WITH {_MK_SERIES_SQL},
+    cd AS (
+      SELECT cy, cx,
+             CAST(sum(CASE WHEN tb < {_CD_HALF} THEN x ELSE 0 END) AS BIGINT)
+               AS early,
+             CAST(sum(CASE WHEN tb >= {_CD_HALF} THEN x ELSE 0 END) AS BIGINT)
+               AS late
+      FROM series GROUP BY 1, 2
+    )
+    SELECT cy, cx, early, late, late - early AS delta,
+           round(ln(CAST(late + 1 AS DOUBLE) / CAST(early + 1 AS DOUBLE)), 6)
+             AS log_ratio,
+           round(CAST(late - early AS DOUBLE)
+                 / sqrt(CAST(late + early AS DOUBLE)), 6) AS z
+    FROM cd
+    """,
+    doc=(
+        "two-epoch raster change detection over the density surface: "
+        "per-cell early/late counts (first vs last half of the corpus "
+        "span), the add-one log ratio, and the Poisson difference z "
+        "(late - early) / sqrt(late + early) — the burned-area / "
+        "new-flare change screen beside mann_kendall's monotonic trend "
+        "(a STEP change is exactly what a rank trend underweights); "
+        "counts are BIGINT-exact, two float ops per cell on aggregated "
+        "rows only"
+    ),
+)
+def change_detection(spark, sf_dir):
+    """Rides the _mk_series frame: ONE partial-agg shuffle to (cell) with
+    both epoch sums as conditional aggregates in the same pass; the "
+    log/sqrt run on the O(cells) rollup. No new shuffle class."""
+    s = _mk_series(spark, sf_dir)
+    cd = s.groupBy("cy", "cx").agg(
+        F.sum(F.when(F.col("tb") < _CD_HALF, F.col("x")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("early"),
+        F.sum(F.when(F.col("tb") >= _CD_HALF, F.col("x")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("late"),
+    )
+    return cd.select(
+        "cy",
+        "cx",
+        "early",
+        "late",
+        (F.col("late") - F.col("early")).alias("delta"),
+        F.round(
+            F.log(
+                (F.col("late") + 1).cast("double") / (F.col("early") + 1).cast("double")
+            ),
+            6,
+        ).alias("log_ratio"),
+        F.round(
+            (F.col("late") - F.col("early")).cast("double")
+            / F.sqrt((F.col("late") + F.col("early")).cast("double")),
+            6,
+        ).alias("z"),
+    )
+
+
+# Space-time scan statistic (Kulldorff LLR cylinders) ----------------------------------
+
+_STS_MAXLEN = 4  # max cylinder length in time buckets
+_STS_K = 25  # reported cylinders
+
+
+@register(
+    "space_time_scan",
+    f"""
+    WITH {_MK_SERIES_SQL},
+    ctr AS (SELECT DISTINCT cy, cx FROM series),
+    w AS (
+      SELECT c.cy, c.cx, s.tb, CAST(sum(s.x) AS BIGINT) AS w
+      FROM series s JOIN ctr c
+        ON abs(c.cy - s.cy) <= 1 AND abs(c.cx - s.cx) <= 1
+      GROUP BY 1, 2, 3
+    ),
+    wd AS (
+      SELECT ts.s, tl.l
+      FROM generate_series(1, {_STS_MAXLEN}) tl(l),
+           generate_series(0, {_MK_BUCKETS - 1}) ts(s)
+      WHERE ts.s + tl.l <= {_MK_BUCKETS}
+    ),
+    cyl AS (
+      SELECT w.cy, w.cx, wd.s, wd.l, CAST(sum(w.w) AS BIGINT) AS c
+      FROM w JOIN wd ON w.tb >= wd.s AND w.tb < wd.s + wd.l
+      GROUP BY 1, 2, 3, 4
+    ),
+    st AS (SELECT cy, cx, CAST(sum(w) AS BIGINT) AS st FROM w GROUP BY 1, 2),
+    tt AS (
+      SELECT wd.s, wd.l, CAST(sum(se.x) AS BIGINT) AS tt
+      FROM wd JOIN series se ON se.tb >= wd.s AND se.tb < wd.s + wd.l
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(x) AS BIGINT) AS c0 FROM series),
+    sc AS (
+      SELECT cyl.cy, cyl.cx, cyl.s, cyl.l, cyl.c,
+             CAST(st.st AS DOUBLE) * tt.tt / c0 AS e, tot.c0
+      FROM cyl
+      JOIN st ON st.cy = cyl.cy AND st.cx = cyl.cx
+      JOIN tt ON tt.s = cyl.s AND tt.l = cyl.l
+      CROSS JOIN tot
+    )
+    SELECT cy, cx, s, l, c, round(e, 6) AS e, llr FROM (
+      SELECT cy, cx, s, l, c, e,
+             round(CASE WHEN CAST(c AS DOUBLE) > e THEN
+               CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE) / e)
+               + (CASE WHEN c < c0 THEN
+                   CAST(c0 - c AS DOUBLE)
+                   * ln(CAST(c0 - c AS DOUBLE) / (CAST(c0 AS DOUBLE) - e))
+                  ELSE 0.0 END)
+             ELSE 0.0 END, 6) AS llr
+      FROM sc
+    ) ORDER BY llr DESC, cy, cx, s, l LIMIT {_STS_K}
+    """,
+    doc=(
+        f"space-time scan statistic (Kulldorff Poisson LLR) over the "
+        f"density series: cylinders = ring-1 spatial window x 1.."
+        f"{_STS_MAXLEN} consecutive time buckets, expected count "
+        "e = (window's all-time total) x (epoch's all-space total) / N "
+        "under independence, LLR = c ln(c/e) + (N-c) ln((N-c)/(N-e)) for "
+        f"c > e — the outbreak/hotspot-emergence detector (top {_STS_K} "
+        "by rounded LLR then integer keys, a total deterministic rank); "
+        "every count is BIGINT-exact, e and the two ln terms are the "
+        "only float ops and run on the aggregated cylinder frame"
+    ),
+)
+def space_time_scan(spark, sf_dir):
+    """The ring-1 cover explode (constant 9x, map-side) semi-joined to
+    inhabited centers, ONE partial-agg to (center, bucket), a constant
+    <= {(maxlen)x(buckets)} broadcast window table fanning each bucket "
+    "to its covering cylinders, and ONE partial-agg to the cylinder key;
+    space totals reuse the windowed frame, time totals and N are
+    O(buckets^2)/O(1) broadcasts; top-K is TakeOrdered. No pair joins,
+    no global windows; everything is bounded by inhabited cells x a
+    constant."""
+    s = _persist_evict(_mk_series(spark, sf_dir))
+    ctr = s.select("cy", "cx").distinct()
+    contrib = _ring_explode(
+        s,
+        F.col("cy"),
+        F.col("cx"),
+        [F.col("tb").alias("stb"), F.col("x").alias("sx")],
+        radius=1,
+        names=("cy", "cx"),
+    )
+    w = _persist_evict(
+        contrib.join(ctr, ["cy", "cx"], "left_semi")
+        .groupBy("cy", "cx", F.col("stb").alias("tb"))
+        .agg(F.sum("sx").cast("long").alias("w"))
+    )
+    wd = spark.range(1, _STS_MAXLEN + 1).selectExpr("id AS l").crossJoin(
+        spark.range(0, _MK_BUCKETS).selectExpr("id AS s")
+    ).filter(F.col("s") + F.col("l") <= _MK_BUCKETS)
+    cyl = (
+        w.join(
+            F.broadcast(wd),
+            (F.col("tb") >= F.col("s")) & (F.col("tb") < F.col("s") + F.col("l")),
+        )
+        .groupBy("cy", "cx", "s", "l")
+        .agg(F.sum("w").cast("long").alias("c"))
+    )
+    st = w.groupBy("cy", "cx").agg(F.sum("w").cast("long").alias("st"))
+    tt = (
+        s.join(
+            F.broadcast(wd),
+            (F.col("tb") >= F.col("s")) & (F.col("tb") < F.col("s") + F.col("l")),
+        )
+        .groupBy("s", "l")
+        .agg(F.sum("x").cast("long").alias("tt"))
+    )
+    tot = s.agg(F.sum("x").cast("long").alias("c0"))
+    e = F.col("st").cast("double") * F.col("tt") / F.col("c0")
+    sc = (
+        cyl.join(st, ["cy", "cx"])
+        .join(F.broadcast(tt), ["s", "l"])
+        .crossJoin(F.broadcast(tot))
+        .select("cy", "cx", "s", "l", "c", e.alias("e"), "c0")
+    )
+    cd = F.col("c").cast("double")
+    llr = F.round(
+        F.when(
+            cd > F.col("e"),
+            cd * F.log(cd / F.col("e"))
+            + F.when(
+                F.col("c") < F.col("c0"),
+                (F.col("c0") - F.col("c")).cast("double")
+                * F.log(
+                    (F.col("c0") - F.col("c")).cast("double")
+                    / (F.col("c0").cast("double") - F.col("e"))
+                ),
+            ).otherwise(F.lit(0.0)),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        sc.select(
+            "cy", "cx", "s", "l", "c", F.round("e", 6).alias("e"), llr.alias("llr")
+        )
+        .orderBy(F.col("llr").desc(), "cy", "cx", "s", "l")
+        .limit(_STS_K)
+    )
+
+
+# Per-entity mobility metrics ----------------------------------------------------------
+
+
+@register(
+    "mobility_metrics",
+    f"""
+    WITH pts AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms, event_id,
+             (user_id % 120) * 1000
+               + (CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END)
+               + event_id % 7 AS iy,
+             (user_id % 300) * 1000
+               + (CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END)
+               + event_id % 5 AS ix
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id, iy, ix,
+             lag(iy) OVER w AS piy, lag(ix) OVER w AS pix,
+             first_value(iy) OVER w AS fiy, first_value(ix) OVER w AS fix,
+             last_value(iy) OVER (PARTITION BY user_id ORDER BY t_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS liy,
+             last_value(ix) OVER (PARTITION BY user_id ORDER BY t_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lix
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum((iy - piy) * (iy - piy)
+                               + (ix - pix) * (ix - pix)), 0) AS BIGINT)
+               AS sum_step_d2,
+             CAST(coalesce(max((iy - piy) * (iy - piy)
+                               + (ix - pix) * (ix - pix)), 0) AS BIGINT)
+               AS max_step_d2,
+             CAST(max((liy - fiy) * (liy - fiy)
+                      + (lix - fix) * (lix - fix)) AS BIGINT) AS net_d2,
+             CAST(sum(iy) AS HUGEINT) AS sy, CAST(sum(ix) AS HUGEINT) AS sx,
+             CAST(sum(CAST(iy AS HUGEINT) * iy + CAST(ix AS HUGEINT) * ix)
+               AS HUGEINT) AS sqq
+      FROM legs GROUP BY user_id
+    )
+    SELECT user_id, n, sum_step_d2, max_step_d2, net_d2,
+           CAST(n * sqq - sy * sy - sx * sx AS DECIMAL(38, 0)) AS rg2n,
+           round(sqrt(CAST(n * sqq - sy * sy - sx * sx AS DOUBLE)) / n / 1000.0,
+                 6) AS rg_deg
+    FROM agg
+    """,
+    doc=(
+        "per-entity mobility metrics over the integer trajectory: fix "
+        "count, total/max squared step length (consecutive fixes in "
+        "(ts, event_id) order), net squared displacement (first to "
+        "last), and the radius of gyration via the exact moment identity "
+        "n*sum|p|^2 - |sum p|^2 = n^2 rg^2 — the movement-ecology "
+        "rollup (commuter vs explorer screen) beside stay_points' "
+        "dwells and trajectory_hausdorff's pair similarity; every "
+        "aggregate is 128-bit-integer exact (the ols_trend treatment), "
+        "one sqrt per entity"
+    ),
+)
+def mobility_metrics(spark, sf_dir):
+    """ONE per-entity window exchange serves the lag legs and the "
+    first/last frame (Catalyst reuses the sort), then ONE partial-agg "
+    groupBy to the entity rollup. Moments ride DECIMAL(38,0) so rg is "
+    exact-until-rounded at any per-entity history length; per-user "
+    history fits a partition at any scale (the sessionize contract)."""
+    ev = _t(spark, sf_dir, "events")
+    jump = F.when(F.col("event_id") % 13 < 4, F.lit(2000)).otherwise(F.lit(0))
+    pts = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        ((F.col("user_id") % 120) * 1000 + jump + F.col("event_id") % 7).alias("iy"),
+        ((F.col("user_id") % 300) * 1000 + jump + F.col("event_id") % 5).alias("ix"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    legs = pts.select(
+        "user_id",
+        "iy",
+        "ix",
+        F.lag("iy").over(w).alias("piy"),
+        F.lag("ix").over(w).alias("pix"),
+        F.first("iy").over(w).alias("fiy"),
+        F.first("ix").over(w).alias("fix"),
+        F.last("iy").over(wfull).alias("liy"),
+        F.last("ix").over(wfull).alias("lix"),
+    )
+    step = (F.col("iy") - F.col("piy")) * (F.col("iy") - F.col("piy")) + (
+        F.col("ix") - F.col("pix")
+    ) * (F.col("ix") - F.col("pix"))
+    net = (F.col("liy") - F.col("fiy")) * (F.col("liy") - F.col("fiy")) + (
+        F.col("lix") - F.col("fix")
+    ) * (F.col("lix") - F.col("fix"))
+    dec = "decimal(38,0)"
+    agg = legs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(step), F.lit(0)).cast("long").alias("sum_step_d2"),
+        F.coalesce(F.max(step), F.lit(0)).cast("long").alias("max_step_d2"),
+        F.max(net).cast("long").alias("net_d2"),
+        F.sum(F.col("iy").cast(dec)).alias("sy"),
+        F.sum(F.col("ix").cast(dec)).alias("sx"),
+        F.sum(
+            F.col("iy").cast(dec) * F.col("iy") + F.col("ix").cast(dec) * F.col("ix")
+        ).alias("sqq"),
+    )
+    rg2n = (
+        F.col("n").cast(dec) * F.col("sqq")
+        - F.col("sy") * F.col("sy")
+        - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "user_id",
+        "n",
+        "sum_step_d2",
+        "max_step_d2",
+        "net_d2",
+        rg2n.cast(dec).alias("rg2n"),
+        F.round(F.sqrt(rg2n.cast("double")) / F.col("n") / 1000.0, 6).alias("rg_deg"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1291,3 +1291,66 @@ def vector_quantize(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("vec_id", "sub_id", "code", F.round("d2", 6).alias("d2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60  # the standard RRF damping constant
+_RRF_N = 50  # per-list depth
+
+
+@register(
+    "rrf_fusion",
+    f"""
+    WITH b AS ({_bm25_oracle_sql()}),
+    tl AS (
+      SELECT doc_id, r_len FROM (
+        SELECT doc_id, CAST(row_number() OVER (
+                 ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r_len
+        FROM documents
+      ) WHERE r_len <= {_RRF_N}
+    ),
+    r1 AS (SELECT doc_id, rk AS r_bm25 FROM b)
+    SELECT coalesce(r1.doc_id, tl.doc_id) AS doc_id, r1.r_bm25, tl.r_len,
+           round(coalesce(CAST(1 AS DOUBLE) / ({_RRF_C} + r1.r_bm25), 0.0)
+                 + coalesce(CAST(1 AS DOUBLE) / ({_RRF_C} + tl.r_len), 0.0), 6)
+             AS rrf
+    FROM r1 FULL OUTER JOIN tl ON tl.doc_id = r1.doc_id
+    """,
+    doc=(
+        f"reciprocal-rank fusion of two retrieval lists (RRF, k = "
+        f"{_RRF_C}): the bm25_score ranking for the fixed demo query "
+        f"fused with a length-prior ranking (n_chars DESC, depth "
+        f"{_RRF_N}); score = sum over lists of 1/(k + rank), docs "
+        "missing from a list contribute 0 — the standard hybrid-"
+        "retrieval combiner (sparse x prior here; sparse x dense in "
+        "production) on top of bm25_score; ranks come from ROUNDED "
+        "scores with integer tie-breaks, so both engines fuse identical "
+        "lists"
+    ),
+)
+def rrf_fusion(spark, sf_dir):
+    """Both rankings are TakeOrdered top-N (sort + limit, no global
+    window over the corpus) with row_number assigned over the N
+    survivors only; the fuse is a full outer join of two N-row frames.
+    At 100 TB each list is the (already bounded) output of its
+    retrieval stage; the fusion cost never sees the corpus."""
+    scored = _REGISTRY["bm25_score"].fn(spark, sf_dir)  # doc_id, bm25, rk
+    d = _t(spark, sf_dir, "documents")
+    top_len = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(_RRF_N)
+    )
+    wl = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    r2 = top_len.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("r_len")
+    )
+    r1 = scored.select("doc_id", F.col("rk").alias("r_bm25"))
+    f = r1.join(r2, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0).cast("double") / (_RRF_C + F.col("r_bm25")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0).cast("double") / (_RRF_C + F.col("r_len")), F.lit(0.0))
+    return f.select("doc_id", "r_bm25", "r_len", F.round(rrf, 6).alias("rrf"))

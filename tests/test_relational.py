@@ -3223,3 +3223,165 @@ def test_twi_composes_terrain_primitives(spark, sf_dir):
             6,
         )
         assert abs(t - want) < 1e-9
+
+
+def test_label_propagation_matches_brute_force(spark, sf_dir):
+    li = relational._t(spark, sf_dir, "lineitem").filter(
+        "l_linenumber = 1"
+    ).select("l_orderkey", "l_partkey").collect()
+    N = relational._CN_N
+    edges = set()
+    for r in li:
+        a, b = r.l_orderkey % N, r.l_partkey % N
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    nbr = {}
+    for u, v in edges:
+        nbr.setdefault(u, []).append(v)
+        nbr.setdefault(v, []).append(u)
+    lbl = {x: x for x in nbr}
+    for _ in range(relational._LP_ROUNDS):
+        new = {}
+        for x, ys in nbr.items():
+            cnt = {}
+            for y in ys:
+                cnt[lbl[y]] = cnt.get(lbl[y], 0) + 1
+            new[x] = min(cnt, key=lambda k: (-cnt[k], k))
+        lbl = new
+    sizes = {}
+    for v in lbl.values():
+        sizes[v] = sizes.get(v, 0) + 1
+    got = relational.REGISTRY["label_propagation"].fn(spark, sf_dir).collect()
+    assert {r.x: (r.lbl, r.csize) for r in got} == {
+        x: (v, sizes[v]) for x, v in lbl.items()
+    }
+    assert len(sizes) > 1  # non-vacuous: real community structure
+
+
+def test_change_detection_matches_brute_force(spark, sf_dir):
+    import math
+
+    series = relational._mk_series(spark, sf_dir).collect()
+    agg = {}
+    for r in series:
+        e, l = agg.get((r.cy, r.cx), (0, 0))
+        if r.tb < relational._CD_HALF:
+            e += r.x
+        else:
+            l += r.x
+        agg[(r.cy, r.cx)] = (e, l)
+    got = relational.REGISTRY["change_detection"].fn(spark, sf_dir).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        e, l = agg[(r.cy, r.cx)]
+        assert (r.early, r.late, r.delta) == (e, l, l - e)
+        assert abs(r.log_ratio - round(math.log((l + 1) / (e + 1)), 6)) < 1e-9
+        assert abs(r.z - round((l - e) / math.sqrt(l + e), 6)) < 1e-9
+
+
+def test_space_time_scan_matches_brute_force(spark, sf_dir):
+    import math
+
+    series = relational._mk_series(spark, sf_dir).collect()
+    xs = {(r.cy, r.cx, r.tb): r.x for r in series}
+    centers = {(cy, cx) for cy, cx, _ in xs}
+    B, L = relational._MK_BUCKETS, relational._STS_MAXLEN
+    w = {}
+    for (cy, cx, tb), x in xs.items():
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                c = (cy + dy, cx + dx)
+                if c in centers:
+                    w[(c[0], c[1], tb)] = w.get((c[0], c[1], tb), 0) + x
+    C = sum(xs.values())
+    st = {}
+    for (cy, cx, tb), v in w.items():
+        st[(cy, cx)] = st.get((cy, cx), 0) + v
+    rows = []
+    for (cy, cx), stv in st.items():
+        for length in range(1, L + 1):
+            for s in range(0, B - length + 1):
+                c = sum(w.get((cy, cx, tb), 0) for tb in range(s, s + length))
+                if c == 0:
+                    continue
+                tt = sum(
+                    v for (ky, kx, tb), v in xs.items() if s <= tb < s + length
+                )
+                e = stv * tt / C
+                if c > e:
+                    llr = c * math.log(c / e)
+                    if c < C:
+                        llr += (C - c) * math.log((C - c) / (C - e))
+                else:
+                    llr = 0.0
+                rows.append((round(llr, 6), cy, cx, s, length, c, round(e, 6)))
+    rows.sort(key=lambda t: (-t[0], t[1], t[2], t[3], t[4]))
+    want = rows[: relational._STS_K]
+    got = relational.REGISTRY["space_time_scan"].fn(spark, sf_dir).collect()
+    assert [(r.llr, r.cy, r.cx, r.s, r.l, r.c, r.e) for r in got] == [
+        (t[0], t[1], t[2], t[3], t[4], t[5], t[6]) for t in want
+    ]
+    assert got[0].llr > 0  # non-vacuous: a real cluster signal exists
+
+
+def test_mobility_metrics_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS t_ms", "event_id"
+    ).collect()
+    traj = {}
+    for r in ev:
+        jump = 2000 if r.event_id % 13 < 4 else 0
+        traj.setdefault(r.user_id, []).append(
+            (
+                r.t_ms,
+                r.event_id,
+                (r.user_id % 120) * 1000 + jump + r.event_id % 7,
+                (r.user_id % 300) * 1000 + jump + r.event_id % 5,
+            )
+        )
+    got = relational.REGISTRY["mobility_metrics"].fn(spark, sf_dir).collect()
+    assert len(got) == len(traj)
+    for r in got:
+        seq = [(y, x) for _, _, y, x in sorted(traj[r.user_id])]
+        steps = [
+            (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            for a, b in zip(seq[1:], seq)
+        ]
+        n = len(seq)
+        sy = sum(y for y, _ in seq)
+        sx = sum(x for _, x in seq)
+        sqq = sum(y * y + x * x for y, x in seq)
+        rg2n = n * sqq - sy * sy - sx * sx
+        assert r.n == n
+        assert r.sum_step_d2 == sum(steps)
+        assert r.max_step_d2 == (max(steps) if steps else 0)
+        assert r.net_d2 == (seq[-1][0] - seq[0][0]) ** 2 + (
+            seq[-1][1] - seq[0][1]
+        ) ** 2
+        assert int(r.rg2n) == rg2n
+        assert abs(float(r.rg_deg) - round(rg2n**0.5 / n / 1000.0, 6)) < 1e-9
+
+
+def test_rrf_fusion_matches_brute_force(spark, sf_dir):
+    from filda_spark import training
+
+    bm = relational.REGISTRY["bm25_score"].fn(spark, sf_dir).collect()
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    top_len = sorted(docs, key=lambda r: (-r.n_chars, r.doc_id))[
+        : training._RRF_N
+    ]
+    r1 = {r.doc_id: r.rk for r in bm}
+    r2 = {r.doc_id: i + 1 for i, r in enumerate(top_len)}
+    want = {}
+    for d in set(r1) | set(r2):
+        s = 0.0
+        if d in r1:
+            s += 1.0 / (training._RRF_C + r1[d])
+        if d in r2:
+            s += 1.0 / (training._RRF_C + r2[d])
+        want[d] = (r1.get(d), r2.get(d), round(s, 6))
+    got = relational.REGISTRY["rrf_fusion"].fn(spark, sf_dir).collect()
+    assert {r.doc_id: (r.r_bm25, r.r_len, r.rrf) for r in got} == want
+    assert any(d in r1 and d in r2 for d in want)  # overlap is exercised
