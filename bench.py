@@ -177,6 +177,11 @@ HEADLINE = [
     "space_time_scan",
     "mobility_metrics",
     "rrf_fusion",
+    "holt_linear",
+    "profile_correlation",
+    "turning_stats",
+    "harmonic_centrality",
+    "zonal_histogram",
 ]
 
 

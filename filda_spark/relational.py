@@ -878,15 +878,15 @@ def hex_smooth(spark, sf_dir):
     )
 
 
-def _zonal_oracle_sql() -> str:
-    """SQL twin of the broadcast-R-tree point-in-polygon path: an explicit
-    even-odd ray cast (edge join + crossing-parity HAVING) over the same
-    demo_zones polygon set, rendered as VALUES literals from the identical
-    Python list the Spark side broadcasts. The edge (i, j=i-1) roles and the
-    `(xj-xi)*(lat-yi)/(yj-yi)+xi` operand order mirror
-    `spatial.point_in_polygon_np` exactly so the float64 results are
-    bit-identical. Horizontal edges are dropped up front (their crossing
-    predicate is always false; keeping them would divide by zero)."""
+def _zonal_assigned_cte() -> str:
+    """Shared WITH-body for the zonal family: an explicit even-odd ray
+    cast (edge join + crossing-parity HAVING) over the same demo_zones
+    polygon set the Spark side broadcasts, rendered as VALUES literals.
+    The edge (i, j=i-1) roles and the `(xj-xi)*(lat-yi)/(yj-yi)+xi`
+    operand order mirror `spatial.point_in_polygon_np` exactly so the
+    float64 results are bit-identical. Horizontal edges are dropped up
+    front (their crossing predicate is always false; keeping them would
+    divide by zero). Ends with `assigned(event_id, value, zone_id)`."""
     from filda_spark.spatial import demo_zones
 
     rows = []
@@ -900,8 +900,7 @@ def _zonal_oracle_sql() -> str:
                 continue
             rows.append(f"({z['zone_id']}, {yi!r}, {xi!r}, {yj!r}, {xj!r})")
     edges = ",\n      ".join(rows)
-    return f"""
-    WITH pts AS (
+    return f"""pts AS (
       SELECT event_id, value,
              CAST(event_id * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
              CAST(event_id * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
@@ -922,7 +921,14 @@ def _zonal_oracle_sql() -> str:
       SELECT p.event_id, p.value, CAST(COALESCE(min(h.zone), -1) AS INT) AS zone_id
       FROM pts p LEFT JOIN hits h ON h.event_id = p.event_id
       GROUP BY p.event_id, p.value
-    )
+    )"""
+
+
+def _zonal_oracle_sql() -> str:
+    """SQL twin of the broadcast-R-tree point-in-polygon path; see
+    _zonal_assigned_cte for the parity contract."""
+    return f"""
+    WITH {_zonal_assigned_cte()}
     SELECT zone_id, CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 6) AS total_value,
            CAST(min(event_id) AS BIGINT) AS min_event
@@ -11651,6 +11657,459 @@ def mobility_metrics(spark, sf_dir):
         "net_d2",
         rg2n.cast(dec).alias("rg2n"),
         F.round(F.sqrt(rg2n.cast("double")) / F.col("n") / 1000.0, 6).alias("rg_deg"),
+    )
+
+
+# Holt linear (level + trend) exponential smoothing ------------------------------------
+
+_HOLT_A = 0.5  # level gain (exact binary double: 2^-1)
+_HOLT_G = 0.25  # trend gain (exact binary double: 2^-2)
+
+
+@register(
+    "holt_linear",
+    f"""
+    WITH f AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             list_reduce(
+               list_transform(
+                 list(CAST(value AS DOUBLE) ORDER BY epoch_ms(ts), event_id),
+                 x -> [x, CAST(0 AS DOUBLE)]),
+               (acc, e) -> [
+                 {_HOLT_A!r}::DOUBLE * e[1]
+                   + {1.0 - _HOLT_A!r}::DOUBLE * (acc[1] + acc[2]),
+                 {_HOLT_G!r}::DOUBLE
+                   * ({_HOLT_A!r}::DOUBLE * e[1]
+                      + {1.0 - _HOLT_A!r}::DOUBLE * (acc[1] + acc[2])
+                      - acc[1])
+                   + {1.0 - _HOLT_G!r}::DOUBLE * acc[2]]) AS st
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+           round(st[1] + st[2], 6) AS forecast1
+    FROM f
+    """,
+    doc=(
+        f"Holt's linear (double-exponential) smoothing with FOLD "
+        f"semantics: level l' = {_HOLT_A} x + {1 - _HOLT_A} (l + b), "
+        f"trend b' = {_HOLT_G} (l' - l) + {1 - _HOLT_G} b, seeded "
+        "(l0, b0) = (x0, 0), over the (ts, event_id)-ordered per-entity "
+        "stream; emits level, trend and the one-step forecast l + b — "
+        "the trend-aware upgrade of ewma_smooth's level tracking; both "
+        "gains are exact binary doubles and BOTH engines run the "
+        "identical sequential struct fold (Spark aggregate / DuckDB "
+        "list_reduce), so the state is bit-identical by construction"
+    ),
+)
+def holt_linear(spark, sf_dir):
+    """ONE per-entity shuffle (groupBy collect_list), then the sort and
+    the struct fold run map-side via aggregate() — the ewma_smooth plan
+    with a two-field state; per-entity history rides one array (the
+    sessionize contract), no window exchange."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+    )
+    arr = p.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t_ms", "event_id", "v"))).alias("a")
+    )
+    a, g = _HOLT_A, _HOLT_G
+    # state = [level, trend]: the DuckDB twin folds the identical list
+    # literal (struct-typed lambda states are rebound field-by-field in
+    # DuckDB 1.0 — a later field's formula sees the EARLIER field's new
+    # value — so both engines use positional list state instead)
+    lp = f"{a!r}D * x + {1.0 - a!r}D * (element_at(acc, 1) + element_at(acc, 2))"
+    fold = (
+        "aggregate(slice(transform(a, s -> s.v), 2, size(a) - 1), "
+        "array(element_at(a, 1).v, CAST(0 AS DOUBLE)), "
+        f"(acc, x) -> array({lp}, "
+        f"{g!r}D * (({lp}) - element_at(acc, 1)) "
+        f"+ {1.0 - g!r}D * element_at(acc, 2)))"
+    )
+    st = F.expr(fold)
+    return arr.select(
+        "user_id",
+        F.size("a").cast("long").alias("n"),
+        F.round(F.element_at(st, 1), 6).alias("level"),
+        F.round(F.element_at(st, 2), 6).alias("trend"),
+        F.round(F.element_at(st, 1) + F.element_at(st, 2), 6).alias("forecast1"),
+    )
+
+
+# Hourly-profile correlation between event types -----------------------------------------
+
+_PC_H = 24  # profile length (hours of day)
+
+
+@register(
+    "profile_correlation",
+    f"""
+    WITH m AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT event_type, CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS ss
+      FROM m GROUP BY 1
+    ),
+    cross_ AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+      FROM m a JOIN m b ON a.h = b.h AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT c.t1, c.t2, c.sxy,
+           round(CAST({_PC_H} * c.sxy - m1.s * m2.s AS DOUBLE)
+                 / sqrt(CAST({_PC_H} * m1.ss - m1.s * m1.s AS DOUBLE)
+                        * CAST({_PC_H} * m2.ss - m2.s * m2.s AS DOUBLE)), 6)
+             AS corr
+    FROM cross_ c
+    JOIN marg m1 ON m1.event_type = c.t1
+    JOIN marg m2 ON m2.event_type = c.t2
+    """,
+    doc=(
+        "Pearson correlation between the 24-hour activity profiles of "
+        "every event-type pair (zeros for silent hours enter exactly via "
+        "the moment identity: missing hours contribute 0 to every sum, "
+        "so the sparse per-(type, hour) rollup IS the dense computation) "
+        "— the co-movement screen behind domain mixing / seasonality "
+        "grouping, beside pmi_pairs' co-occurrence lift; all moments are "
+        "BIGINT-exact, one sqrt + division per type pair"
+    ),
+)
+def profile_correlation(spark, sf_dir):
+    """ONE partial-agg shuffle to the O(|types| x 24) profile frame, "
+    then every pairwise term rides broadcast joins of frames bounded by
+    |types| — the event stream is scanned and shuffled exactly once."""
+    ev = _t(spark, sf_dir, "events")
+    m = _persist_evict(
+        ev.select(
+            "event_type", F.hour(F.col("ts").cast("timestamp")).cast("long").alias("h")
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    marg = m.groupBy("event_type").agg(
+        F.sum("x").alias("s"), F.sum(F.col("x") * F.col("x")).alias("ss")
+    )
+    cr = (
+        m.alias("a")
+        .join(m.alias("b"), "h")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"))
+    )
+    m1 = marg.select(
+        F.col("event_type").alias("t1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    m2 = marg.select(
+        F.col("event_type").alias("t2"), F.col("s").alias("s2"), F.col("ss").alias("ss2")
+    )
+    num = (_PC_H * F.col("sxy") - F.col("s1") * F.col("s2")).cast("double")
+    den = F.sqrt(
+        (_PC_H * F.col("ss1") - F.col("s1") * F.col("s1")).cast("double")
+        * (_PC_H * F.col("ss2") - F.col("s2") * F.col("s2")).cast("double")
+    )
+    return (
+        cr.join(F.broadcast(m1), "t1")
+        .join(F.broadcast(m2), "t2")
+        .select("t1", "t2", "sxy", F.round(num / den, 6).alias("corr"))
+    )
+
+
+# Per-entity turning statistics -----------------------------------------------------------
+
+
+@register(
+    "turning_stats",
+    """
+    WITH pts AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms, event_id,
+             (user_id % 120) * 1000
+               + (CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END)
+               + event_id % 7 AS iy,
+             (user_id % 300) * 1000
+               + (CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END)
+               + event_id % 5 AS ix
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id,
+             iy - lag(iy) OVER w AS dy, ix - lag(ix) OVER w AS dx,
+             lag(iy) OVER w - lag(iy, 2) OVER w AS pdy,
+             lag(ix) OVER w - lag(ix, 2) OVER w AS pdx
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    ),
+    turns AS (
+      SELECT user_id, pdy * dx - pdx * dy AS cross_, pdy * dy + pdx * dx AS dot_
+      FROM legs
+      WHERE pdy IS NOT NULL
+        AND NOT (dy = 0 AND dx = 0) AND NOT (pdy = 0 AND pdx = 0)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN cross_ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+           CAST(sum(CASE WHEN cross_ < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+           CAST(sum(CASE WHEN cross_ = 0 AND dot_ > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_straight,
+           CAST(sum(CASE WHEN cross_ = 0 AND dot_ < 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_reverse,
+           CAST(sum(CASE WHEN cross_ > 0 THEN 1 ELSE 0 END)
+                - sum(CASE WHEN cross_ < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS net_turn
+    FROM turns GROUP BY user_id
+    """,
+    doc=(
+        "per-entity turning statistics: consecutive step pairs classified "
+        "left / right / straight / reverse by the INTEGER cross product "
+        "sign (no atan2, no angles — the slope_aspect compass trick "
+        "applied to trajectories), zero-length steps excluded; net_turn "
+        "= lefts - rights is the circling indicator — the movement-"
+        "ecology read-off (foraging loops vs commute lines) completing "
+        "mobility_metrics' magnitudes with direction structure; "
+        "everything is exact integer arithmetic"
+    ),
+)
+def turning_stats(spark, sf_dir):
+    """ONE per-entity window exchange (two lags at offsets 1 and 2 share
+    the same sort), then a codegen'd sign classification and ONE
+    partial-agg rollup. Per-entity history fits a partition at any
+    scale; no float appears anywhere in the operator."""
+    ev = _t(spark, sf_dir, "events")
+    jump = F.when(F.col("event_id") % 13 < 4, F.lit(2000)).otherwise(F.lit(0))
+    pts = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        ((F.col("user_id") % 120) * 1000 + jump + F.col("event_id") % 7).alias("iy"),
+        ((F.col("user_id") % 300) * 1000 + jump + F.col("event_id") % 5).alias("ix"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    legs = pts.select(
+        "user_id",
+        (F.col("iy") - F.lag("iy").over(w)).alias("dy"),
+        (F.col("ix") - F.lag("ix").over(w)).alias("dx"),
+        (F.lag("iy").over(w) - F.lag("iy", 2).over(w)).alias("pdy"),
+        (F.lag("ix").over(w) - F.lag("ix", 2).over(w)).alias("pdx"),
+    )
+    turns = legs.filter(
+        F.col("pdy").isNotNull()
+        & ~((F.col("dy") == 0) & (F.col("dx") == 0))
+        & ~((F.col("pdy") == 0) & (F.col("pdx") == 0))
+    ).select(
+        "user_id",
+        (F.col("pdy") * F.col("dx") - F.col("pdx") * F.col("dy")).alias("cross_"),
+        (F.col("pdy") * F.col("dy") + F.col("pdx") * F.col("dx")).alias("dot_"),
+    )
+    left = F.sum(F.when(F.col("cross_") > 0, 1).otherwise(0))
+    right = F.sum(F.when(F.col("cross_") < 0, 1).otherwise(0))
+    return turns.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        left.cast("long").alias("n_left"),
+        right.cast("long").alias("n_right"),
+        F.sum(F.when((F.col("cross_") == 0) & (F.col("dot_") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_straight"),
+        F.sum(F.when((F.col("cross_") == 0) & (F.col("dot_") < 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reverse"),
+        (left - right).cast("long").alias("net_turn"),
+    )
+
+
+# Landmark harmonic centrality --------------------------------------------------------
+
+_HC_K = 8  # landmark count (smallest node ids)
+_HC_ROUNDS = 4  # BFS horizon; 12/d is integer-exact for every d <= 4
+
+
+def _hc_oracle_sql() -> str:
+    steps = []
+    for k in range(1, _HC_ROUNDS + 1):
+        steps.append(f"""
+    d{k} AS (
+      SELECT lm, v, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT lm, v, dist FROM d{k - 1}
+        UNION ALL
+        SELECT p.lm, e.dst AS v, p.dist + 1 AS dist
+        FROM d{k - 1} p JOIN e ON e.src = p.v
+      ) GROUP BY 1, 2
+    )""")
+    return (
+        f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_orderkey % {_PR_N} AS a, l_partkey % {_PR_N} AS b
+      FROM lineitem WHERE l_orderkey % {_PR_N} <> l_partkey % {_PR_N}
+    ),
+    e AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT src AS v FROM e),
+    lm AS (SELECT v AS lm FROM nodes ORDER BY v LIMIT {_HC_K}),
+    d0 AS (SELECT lm, lm AS v, CAST(0 AS BIGINT) AS dist FROM lm),"""
+        + ",".join(steps)
+        + f"""
+    SELECT v, CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(12 // dist) AS BIGINT) AS harmonic_x12,
+           round(CAST(sum(12 // dist) AS DOUBLE) / 12.0, 6) AS harmonic
+    FROM d{_HC_ROUNDS} WHERE dist > 0 GROUP BY v
+    """
+    )
+
+
+@register(
+    "harmonic_centrality",
+    _hc_oracle_sql(),
+    doc=(
+        f"landmark harmonic centrality: multi-source BFS from the {_HC_K} "
+        f"smallest node ids over the undirected pagerank graph, "
+        f"{_HC_ROUNDS} fixed rounds; per node, sum over reached landmarks "
+        "of 1/d — accumulated as the INTEGER sum of 12/d (every d <= 4 "
+        "divides 12), so the centrality is exact at any aggregation "
+        "order and the float division happens once per output row — the "
+        "landmark approximation that replaces all-pairs BFS at scale "
+        "(cost = nodes x K, not nodes^2), completing the centrality "
+        "family (pagerank / hits / triangle / k_core)"
+    ),
+)
+def harmonic_centrality(spark, sf_dir):
+    """Each BFS round is one equi-join (frontier x edges on src) + a
+    partial-agg min on the (landmark, node) key + a min-merge — the sssp
+    loop with a composite key (state size = nodes x K, the documented
+    landmark trade); per-round localCheckpoint truncates lineage exactly
+    as sssp/dup_components do. Integer min/sum are merge-order
+    independent, so no rounding discipline is needed."""
+    from pyspark import StorageLevel
+
+    li = _t(spark, sf_dir, "lineitem")
+    a, b = F.col("l_orderkey") % _PR_N, F.col("l_partkey") % _PR_N
+    e0 = li.filter(a != b).select(a.alias("a"), b.alias("b")).distinct()
+    e = (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    while len(_PAGERANK_CACHED) > 4:
+        _PAGERANK_CACHED.pop(0).unpersist()
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    _PAGERANK_CACHED.append(e)
+    lm = (
+        e.select(F.col("src").alias("v"))
+        .distinct()
+        .orderBy("v")
+        .limit(_HC_K)
+        .select(F.col("v").alias("lm"))
+    )
+    dist = lm.select(
+        "lm", F.col("lm").alias("v"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=False)
+    for _ in range(_HC_ROUNDS):
+        relax = (
+            dist.select(F.col("lm"), F.col("v").alias("src"), "dist")
+            .join(e, "src")
+            .select("lm", F.col("dst").alias("v"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relax)
+            .groupBy("lm", "v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    hx12 = F.sum(F.expr("12 div dist"))
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            hx12.cast("long").alias("harmonic_x12"),
+            F.round(hx12.cast("double") / 12.0, 6).alias("harmonic"),
+        )
+    )
+
+
+# Zonal histogram -----------------------------------------------------------------------
+
+_ZH_BIN = 64.0  # value-bin width (exact binary double)
+_ZH_NBINS = 8
+
+
+@register(
+    "zonal_histogram",
+    f"""
+    WITH {_zonal_assigned_cte()},
+    b AS (
+      SELECT zone_id,
+             least(CAST(floor(value / {_ZH_BIN!r}) AS BIGINT), {_ZH_NBINS - 1})
+               AS bin
+      FROM assigned
+    ),
+    h AS (
+      SELECT zone_id, bin, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2
+    ),
+    zt AS (SELECT zone_id, CAST(sum(n) AS BIGINT) AS zn FROM h GROUP BY 1)
+    SELECT h.zone_id, h.bin, h.n,
+           round(CAST(h.n AS DOUBLE) / zt.zn, 6) AS share
+    FROM h JOIN zt ON zt.zone_id = h.zone_id
+    """,
+    doc=(
+        f"zonal histogram: per polygon zone (broadcast R-tree point-in-"
+        f"polygon, the zonal_stats path; -1 = complement), the value "
+        f"distribution in {_ZH_NBINS} fixed bins of width {_ZH_BIN} "
+        "(clamped top bin) with per-zone shares — the distribution-"
+        "aware upgrade of zonal_stats' sum/count (a zone whose MIX "
+        "shifts can hold its mean), the raster-analytics 'zonal "
+        "histogram' primitive; bin edges are exact binary doubles so "
+        "binning never straddles an ulp cross-engine"
+    ),
+)
+def zonal_histogram(spark, sf_dir):
+    """The zonal_stats plan (broadcast PIP per Arrow batch, map-side) "
+    with the bin id added to the group key: ONE partial-agg shuffle to "
+    (zone, bin), then the per-zone total is a second rollup of the "
+    O(zones x bins) frame broadcast-joined back. The point stream is "
+    scanned once and shuffled never (partial aggs on <= 109 x 8 keys)."""
+    from filda_spark.pipeline import make_pip_udf
+    from filda_spark.spatial import demo_zones
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    pts = ev.select(
+        "event_id",
+        "value",
+        ((F.col("event_id") * 7919 % 18000).cast("double") / 100.0 - 90.0).alias(
+            "lat"
+        ),
+        ((F.col("event_id") * 104729 % 36000).cast("double") / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    bc = spark.sparkContext.broadcast(demo_zones())
+    zid = make_pip_udf(bc, "zone_id", flag=False)
+    h = (
+        pts.withColumn("zone_id", zid("lat", "lon"))
+        .select(
+            "zone_id",
+            F.least(
+                F.floor(F.col("value") / _ZH_BIN).cast("long"),
+                F.lit(_ZH_NBINS - 1).cast("long"),
+            ).alias("bin"),
+        )
+        .groupBy("zone_id", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h = _persist_evict(h)
+    zt = h.groupBy("zone_id").agg(F.sum("n").alias("zn"))
+    return h.join(F.broadcast(zt), "zone_id").select(
+        "zone_id",
+        "bin",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("zn"), 6).alias("share"),
     )
 
 

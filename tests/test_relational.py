@@ -3385,3 +3385,150 @@ def test_rrf_fusion_matches_brute_force(spark, sf_dir):
     got = relational.REGISTRY["rrf_fusion"].fn(spark, sf_dir).collect()
     assert {r.doc_id: (r.r_bm25, r.r_len, r.rrf) for r in got} == want
     assert any(d in r1 and d in r2 for d in want)  # overlap is exercised
+
+
+def test_holt_linear_matches_fold(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS t_ms", "event_id",
+        "CAST(value AS DOUBLE) AS v"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.t_ms, r.event_id, r.v))
+    a, g = relational._HOLT_A, relational._HOLT_G
+    got = relational.REGISTRY["holt_linear"].fn(spark, sf_dir).collect()
+    assert len(got) == len(by_user)
+    for r in got:
+        seq = [v for _, _, v in sorted(by_user[r.user_id])]
+        l, b = seq[0], 0.0
+        for x in seq[1:]:
+            lp = a * x + (1.0 - a) * (l + b)
+            b = g * (lp - l) + (1.0 - g) * b
+            l = lp
+        assert r.n == len(seq)
+        assert r.level == round(l, 6)  # fold is bit-identical, not approx
+        assert r.trend == round(b, 6)
+        assert r.forecast1 == round(l + b, 6)
+
+
+def test_profile_correlation_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "event_type", "hour(CAST(ts AS TIMESTAMP)) AS h"
+    ).collect()
+    m = {}
+    for r in ev:
+        m[(r.event_type, r.h)] = m.get((r.event_type, r.h), 0) + 1
+    types = sorted({t for t, _ in m})
+    H = relational._PC_H
+    got = relational.REGISTRY["profile_correlation"].fn(spark, sf_dir).collect()
+    assert len(got) == len(types) * (len(types) - 1) // 2
+    for r in got:
+        p1 = [m.get((r.t1, h), 0) for h in range(H)]
+        p2 = [m.get((r.t2, h), 0) for h in range(H)]
+        sxy = sum(x * y for x, y in zip(p1, p2))
+        s1, s2 = sum(p1), sum(p2)
+        ss1 = sum(x * x for x in p1)
+        ss2 = sum(x * x for x in p2)
+        corr = (H * sxy - s1 * s2) / (
+            ((H * ss1 - s1 * s1) * (H * ss2 - s2 * s2)) ** 0.5
+        )
+        assert r.sxy == sxy
+        assert abs(r.corr - round(corr, 6)) < 1e-9
+
+
+def test_turning_stats_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS t_ms", "event_id"
+    ).collect()
+    traj = {}
+    for r in ev:
+        jump = 2000 if r.event_id % 13 < 4 else 0
+        traj.setdefault(r.user_id, []).append(
+            (
+                r.t_ms,
+                r.event_id,
+                (r.user_id % 120) * 1000 + jump + r.event_id % 7,
+                (r.user_id % 300) * 1000 + jump + r.event_id % 5,
+            )
+        )
+    got = {r.user_id: r for r in
+           relational.REGISTRY["turning_stats"].fn(spark, sf_dir).collect()}
+    for u, rows in traj.items():
+        seq = [(y, x) for _, _, y, x in sorted(rows)]
+        nl = nr = ns = nv = nt = 0
+        for i in range(2, len(seq)):
+            pdy, pdx = seq[i - 1][0] - seq[i - 2][0], seq[i - 1][1] - seq[i - 2][1]
+            dy, dx = seq[i][0] - seq[i - 1][0], seq[i][1] - seq[i - 1][1]
+            if (dy, dx) == (0, 0) or (pdy, pdx) == (0, 0):
+                continue
+            cross = pdy * dx - pdx * dy
+            dot = pdy * dy + pdx * dx
+            nt += 1
+            if cross > 0:
+                nl += 1
+            elif cross < 0:
+                nr += 1
+            elif dot > 0:
+                ns += 1
+            elif dot < 0:
+                nv += 1
+        r = got.get(u)
+        if nt == 0:
+            assert r is None
+            continue
+        assert (r.n_turns, r.n_left, r.n_right, r.n_straight, r.n_reverse,
+                r.net_turn) == (nt, nl, nr, ns, nv, nl - nr)
+        assert nl + nr > 0  # direction structure is non-vacuous per user
+
+
+def test_harmonic_centrality_matches_brute_force(spark, sf_dir):
+    li = relational._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    N = relational._PR_N
+    edges = set()
+    for r in li:
+        a, b = r.l_orderkey % N, r.l_partkey % N
+        if a != b:
+            edges.add((a, b))
+            edges.add((b, a))
+    nbr = {}
+    for u, v in edges:
+        nbr.setdefault(u, set()).add(v)
+    lms = sorted(nbr)[: relational._HC_K]
+    dist = {}
+    for lm in lms:
+        frontier, d = {lm}, {lm: 0}
+        for step in range(1, relational._HC_ROUNDS + 1):
+            frontier = {
+                v for u in frontier for v in nbr[u] if v not in d
+            }
+            for v in frontier:
+                d[v] = step
+        for v, dd in d.items():
+            dist[(lm, v)] = dd
+    want = {}
+    for (lm, v), d in dist.items():
+        if d > 0:
+            n, h = want.get(v, (0, 0))
+            want[v] = (n + 1, h + 12 // d)
+    got = relational.REGISTRY["harmonic_centrality"].fn(spark, sf_dir).collect()
+    assert {r.v: (r.n_reached, r.harmonic_x12) for r in got} == want
+    for r in got:
+        assert r.harmonic == round(r.harmonic_x12 / 12.0, 6)
+
+
+def test_zonal_histogram_matches_zonal_assignment(spark, sf_dir):
+    from filda_spark.pipeline import make_pip_udf  # noqa: F401  (path exists)
+
+    zs = relational.REGISTRY["zonal_stats"].fn(spark, sf_dir).collect()
+    zh = relational.REGISTRY["zonal_histogram"].fn(spark, sf_dir).collect()
+    per_zone = {}
+    for r in zh:
+        assert 0 <= r.bin < relational._ZH_NBINS
+        per_zone[r.zone_id] = per_zone.get(r.zone_id, 0) + r.n
+    # histogram marginals must reproduce the verified zonal_stats counts
+    assert per_zone == {r.zone_id: r.n_events for r in zs}
+    for r in zh:
+        assert abs(r.share - round(r.n / per_zone[r.zone_id], 6)) < 1e-9
+    assert len({r.zone_id for r in zh}) > 3  # several real zones hit
