@@ -182,6 +182,11 @@ HEADLINE = [
     "turning_stats",
     "harmonic_centrality",
     "zonal_histogram",
+    "viewshed",
+    "interval_union",
+    "dasymetric_downscale",
+    "normalized_difference",
+    "burstiness_index",
 ]
 
 

@@ -12113,6 +12113,502 @@ def zonal_histogram(spark, sf_dir):
     )
 
 
+# Viewshed (integer-exact R3 visibility) ---------------------------------------------
+
+_VS_R = 6  # Chebyshev visibility radius in analysis cells
+
+
+@register(
+    "viewshed",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    o AS (
+      SELECT cy AS ocy, cx AS ocx, x AS oh
+      FROM cells ORDER BY x DESC, cy, cx LIMIT 1
+    ),
+    tgt AS (
+      SELECT c.cy, c.cx, c.x AS th, o.ocy, o.ocx, o.oh,
+             greatest(abs(c.cy - o.ocy), abs(c.cx - o.ocx)) AS s
+      FROM cells c CROSS JOIN o
+      WHERE NOT (c.cy = o.ocy AND c.cx = o.ocx)
+        AND abs(c.cy - o.ocy) <= {_VS_R} AND abs(c.cx - o.ocx) <= {_VS_R}
+    ),
+    samp AS (
+      SELECT t.cy, t.cx, t.s, t.th, t.oh, k.k,
+             (2 * (t.ocy * t.s + k.k * (t.cy - t.ocy)) + t.s) // (2 * t.s) AS ny,
+             (2 * (t.ocx * t.s + k.k * (t.cx - t.ocx)) + t.s) // (2 * t.s) AS nx
+      FROM tgt t JOIN generate_series(1, {_VS_R - 1}) k(k) ON k.k < t.s
+    ),
+    blocked AS (
+      SELECT sp.cy, sp.cx,
+             max(CASE WHEN (coalesce(h.x, 0) - sp.oh) * sp.s
+                           >= (sp.th - sp.oh) * sp.k
+                      THEN 1 ELSE 0 END) AS blk
+      FROM samp sp
+      LEFT JOIN cells h ON h.cy = sp.ny AND h.cx = sp.nx
+      GROUP BY 1, 2
+    )
+    SELECT t.cy, t.cx, CAST(t.s AS BIGINT) AS s, t.th,
+           CAST(CASE WHEN b.blk IS NULL THEN 1 ELSE 1 - b.blk END AS INT)
+             AS visible
+    FROM tgt t
+    LEFT JOIN blocked b ON b.cy = t.cy AND b.cx = t.cx
+    """,
+    doc=(
+        f"full viewshed within Chebyshev radius {_VS_R} of the densest "
+        "cell: every target is tested along its own R3 sight line — "
+        "intermediate samples at k/s of the way, NEAREST cell by "
+        "half-up rounding done in pure integers ((2(o*s + k*dy) + s) "
+        "div 2s), missing cells height 0 — and is visible iff every "
+        "sample's elevation angle is strictly below the target's, "
+        "compared CROSS-MULTIPLIED ((h_k - h_o)*s >= (h_t - h_o)*k "
+        "blocks) so no division or float appears ANYWHERE — the full "
+        "2D visibility surface line_of_sight's 8 rays cannot give"
+    ),
+)
+def viewshed(spark, sf_dir):
+    """One-row observer broadcast against the cell frame (codegen radius
+    filter), a constant <= R-1 sample explode per target, ONE equi-join
+    back to cells for sample heights, and a partial-agg max to the
+    target key — bounded by targets x R; the all-integer blocking
+    predicate makes the result parallelism- and engine-independent."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    o = (
+        cells.orderBy(F.col("x").desc(), "cy", "cx")
+        .limit(1)
+        .select(
+            F.col("cy").alias("ocy"), F.col("cx").alias("ocx"), F.col("x").alias("oh")
+        )
+    )
+    tgt = (
+        cells.crossJoin(F.broadcast(o))
+        .filter(
+            ~((F.col("cy") == F.col("ocy")) & (F.col("cx") == F.col("ocx")))
+            & (F.abs(F.col("cy") - F.col("ocy")) <= _VS_R)
+            & (F.abs(F.col("cx") - F.col("ocx")) <= _VS_R)
+        )
+        .select(
+            "cy",
+            "cx",
+            F.col("x").alias("th"),
+            "ocy",
+            "ocx",
+            "oh",
+            F.greatest(
+                F.abs(F.col("cy") - F.col("ocy")), F.abs(F.col("cx") - F.col("ocx"))
+            ).alias("s"),
+        )
+    )
+    tgt = _persist_evict(tgt)
+    ks = spark.range(1, _VS_R).selectExpr("id AS k")
+    samp = tgt.join(F.broadcast(ks), F.col("k") < F.col("s")).select(
+        "cy",
+        "cx",
+        "s",
+        "th",
+        "oh",
+        "k",
+        F.expr("(2 * (ocy * s + k * (cy - ocy)) + s) div (2 * s)").alias("ny"),
+        F.expr("(2 * (ocx * s + k * (cx - ocx)) + s) div (2 * s)").alias("nx"),
+    )
+    h = cells.select(
+        F.col("cy").alias("ny"), F.col("cx").alias("nx"), F.col("x").alias("hx")
+    )
+    blocked = (
+        samp.join(h, ["ny", "nx"], "left")
+        .groupBy("cy", "cx")
+        .agg(
+            F.max(
+                F.when(
+                    (F.coalesce(F.col("hx"), F.lit(0)) - F.col("oh")) * F.col("s")
+                    >= (F.col("th") - F.col("oh")) * F.col("k"),
+                    1,
+                ).otherwise(0)
+            ).alias("blk")
+        )
+    )
+    return tgt.join(blocked, ["cy", "cx"], "left").select(
+        "cy",
+        "cx",
+        F.col("s").cast("long").alias("s"),
+        "th",
+        F.when(F.col("blk").isNull(), 1)
+        .otherwise(1 - F.col("blk"))
+        .cast("int")
+        .alias("visible"),
+    )
+
+
+# Interval union (coverage / gap analysis) ----------------------------------------------
+
+
+@register(
+    "interval_union",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS t0, event_id,
+             epoch_ms(ts) + (event_id % 3600) * 1000 + 1000 AS t1
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, t0, t1, event_id,
+             max(t1) OVER (PARTITION BY user_id ORDER BY t0, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv
+    ),
+    s AS (
+      SELECT user_id, t0, t1,
+             CASE WHEN pmax IS NULL OR t0 > pmax THEN 1 ELSE 0 END AS brk,
+             CASE WHEN pmax IS NOT NULL AND t0 > pmax THEN t0 - pmax
+                  ELSE 0 END AS gap,
+             sum(CASE WHEN pmax IS NULL OR t0 > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t0, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seg
+      FROM m
+    ),
+    segs AS (
+      SELECT user_id, seg,
+             CAST(count(*) AS BIGINT) AS n_iv,
+             CAST(max(t1) - min(t0) AS BIGINT) AS covered,
+             CAST(max(gap) AS BIGINT) AS lead_gap
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n_iv) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_merged,
+           CAST(sum(covered) AS BIGINT) AS covered_ms,
+           CAST(max(lead_gap) AS BIGINT) AS max_gap_ms
+    FROM segs GROUP BY user_id
+    """,
+    doc=(
+        "per-entity interval union: deterministic activity spans "
+        "[t, t + (event_id % 3600 + 1) s] merged wherever they overlap "
+        "(running-max-end sweep — an interval starts a new component iff "
+        "it begins after everything seen so far ends), emitting merged-"
+        "component count, total covered milliseconds and the largest "
+        "silence gap — the coverage/uptime primitive behind sessionize "
+        "(which groups by fixed gaps; this merges EXPLICIT durations), "
+        "all-integer end to end"
+    ),
+)
+def interval_union(spark, sf_dir):
+    """ONE per-entity window exchange serves the running-max sweep and "
+    the component-id running sum (same sort, Catalyst reuses it), then
+    two partial-agg rollups (component, then entity) on integer-only
+    state. Per-entity history fits a partition at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t0"),
+        "event_id",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") % 3600) * 1000
+            + 1000
+        ).alias("t1"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t0", "event_id")
+    m = iv.select(
+        "user_id",
+        "t0",
+        "t1",
+        "event_id",
+        F.max("t1").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("pmax"),
+    )
+    brk = F.when(F.col("pmax").isNull() | (F.col("t0") > F.col("pmax")), 1).otherwise(
+        0
+    )
+    s = m.select(
+        "user_id",
+        "t0",
+        "t1",
+        F.when(
+            F.col("pmax").isNotNull() & (F.col("t0") > F.col("pmax")),
+            F.col("t0") - F.col("pmax"),
+        )
+        .otherwise(F.lit(0))
+        .alias("gap"),
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("seg"),
+    )
+    segs = s.groupBy("user_id", "seg").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        (F.max("t1") - F.min("t0")).alias("covered"),
+        F.max("gap").alias("lead_gap"),
+    )
+    return segs.groupBy("user_id").agg(
+        F.sum("n_iv").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum("covered").cast("long").alias("covered_ms"),
+        F.max("lead_gap").cast("long").alias("max_gap_ms"),
+    )
+
+
+# Dasymetric downscaling ------------------------------------------------------------------
+
+_DD_CELL = 5.0  # downscale cell size (degrees) over the zonal point domain
+
+
+@register(
+    "dasymetric_downscale",
+    f"""
+    WITH {_zonal_assigned_cte()},
+    zt AS (
+      SELECT zone_id, round(sum(value), 6) AS zone_total
+      FROM assigned WHERE zone_id >= 0 GROUP BY 1
+    ),
+    wc AS (
+      SELECT CAST(floor((CAST(event_id * 7919 % 18000 AS DOUBLE) / 100.0 - 90.0)
+                        / {_DD_CELL!r}) AS BIGINT) AS wy,
+             CAST(floor((CAST(event_id * 104729 % 36000 AS DOUBLE) / 100.0 - 180.0)
+                        / {_DD_CELL!r}) AS BIGINT) AS wx,
+             CAST(max(zone_id) AS INT) AS zone_id,
+             CAST(count(*) AS BIGINT) AS w
+      FROM assigned WHERE zone_id >= 0
+      GROUP BY 1, 2
+    ),
+    zw AS (SELECT zone_id, CAST(sum(w) AS BIGINT) AS zw FROM wc GROUP BY 1)
+    SELECT wc.wy, wc.wx, wc.zone_id, wc.w, zt.zone_total,
+           round(zt.zone_total * wc.w / zw.zw, 6) AS alloc
+    FROM wc
+    JOIN zw ON zw.zone_id = wc.zone_id
+    JOIN zt ON zt.zone_id = wc.zone_id
+    """,
+    doc=(
+        f"dasymetric downscaling: per-zone value totals (the verified "
+        f"zonal_stats PIP assignment) reallocated to {_DD_CELL}-degree "
+        "cells proportionally to each cell's point-count weight, cells "
+        "keyed to a zone by their dominant (max) assignment — the "
+        "population-downscaling / flux-disaggregation primitive that "
+        "inverts area_weighted_regrid (which AGGREGATES fine to coarse; "
+        "this SPREADS coarse totals down a weight raster); weights are "
+        "BIGINT, the zone total is the same 6-dp-rounded double on both "
+        "engines, one multiply + divide per output cell"
+    ),
+)
+def dasymetric_downscale(spark, sf_dir):
+    """Reuses the broadcast-PIP map pass (points scanned once, never "
+    shuffled raw): ONE partial-agg to the weight cells, two O(zones)/
+    O(cells) rollups broadcast back. The allocation never joins points
+    to points."""
+    from filda_spark.pipeline import make_pip_udf
+    from filda_spark.spatial import demo_zones
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    pts = ev.select(
+        "event_id",
+        "value",
+        ((F.col("event_id") * 7919 % 18000).cast("double") / 100.0 - 90.0).alias(
+            "lat"
+        ),
+        ((F.col("event_id") * 104729 % 36000).cast("double") / 100.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    bc = spark.sparkContext.broadcast(demo_zones())
+    zid = make_pip_udf(bc, "zone_id", flag=False)
+    asg = _persist_evict(
+        pts.withColumn("zone_id", zid("lat", "lon")).filter(F.col("zone_id") >= 0)
+    )
+    zt = asg.groupBy("zone_id").agg(F.round(F.sum("value"), 6).alias("zone_total"))
+    wc = (
+        asg.select(
+            F.floor(F.col("lat") / _DD_CELL).alias("wy"),
+            F.floor(F.col("lon") / _DD_CELL).alias("wx"),
+            "zone_id",
+        )
+        .groupBy("wy", "wx")
+        .agg(
+            F.max("zone_id").cast("int").alias("zone_id"),
+            F.count(F.lit(1)).alias("w"),
+        )
+    )
+    wc = _persist_evict(wc)
+    zw = wc.groupBy("zone_id").agg(F.sum("w").alias("zw"))
+    return (
+        wc.join(F.broadcast(zw), "zone_id")
+        .join(F.broadcast(zt), "zone_id")
+        .select(
+            "wy",
+            "wx",
+            "zone_id",
+            "w",
+            "zone_total",
+            F.round(F.col("zone_total") * F.col("w") / F.col("zw"), 6).alias(
+                "alloc"
+            ),
+        )
+    )
+
+
+# Normalized-difference band math -----------------------------------------------------
+
+_ND_A, _ND_B = "click", "view"  # the two band event types
+_ND_THR = 0.2  # class threshold (same parsed double both engines)
+
+
+@register(
+    "normalized_difference",
+    f"""
+    WITH p AS (
+      SELECT event_type,
+             CAST(floor((CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor((CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cx
+      FROM events WHERE event_type IN ('{_ND_A}', '{_ND_B}')
+    ),
+    b AS (
+      SELECT cy, cx,
+             CAST(sum(CASE WHEN event_type = '{_ND_A}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+             CAST(sum(CASE WHEN event_type = '{_ND_B}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS b
+      FROM p GROUP BY 1, 2
+    )
+    SELECT cy, cx, a, b,
+           round(CAST(a - b AS DOUBLE) / (a + b), 6) AS nd,
+           CASE WHEN CAST(a - b AS DOUBLE) / (a + b) > {_ND_THR!r} THEN 'A'
+                WHEN CAST(a - b AS DOUBLE) / (a + b) < -{_ND_THR!r} THEN 'B'
+                ELSE 'MIXED' END AS cls
+    FROM b
+    """,
+    doc=(
+        f"normalized-difference band math over two density rasters "
+        f"(bands = '{_ND_A}' / '{_ND_B}' event counts per analysis "
+        "cell): nd = (a - b)/(a + b) with a three-way class at "
+        f"+/-{_ND_THR} — the NDVI-shaped raster-calculator primitive "
+        "(two co-registered bands -> ratio index -> classification); "
+        "counts are BIGINT, nd is one exact-integer division, and the "
+        "class compares the identical double on both engines"
+    ),
+)
+def normalized_difference(spark, sf_dir):
+    """Map-side band split (conditional partial aggs in ONE pass — the "
+    change_detection idiom across type rather than time), a single "
+    (cy, cx) shuffle, then codegen'd ratio + classification. Bounded by "
+    inhabited cells."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_ND_A, _ND_B)
+    )
+    p = ev.select(
+        "event_type",
+        F.floor(
+            ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0) / _GI_CELL
+        ).alias("cy"),
+        F.floor(
+            (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0)
+            / _GI_CELL
+        ).alias("cx"),
+    )
+    b = p.groupBy("cy", "cx").agg(
+        F.sum(F.when(F.col("event_type") == _ND_A, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == _ND_B, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    nd = (F.col("a") - F.col("b")).cast("double") / (F.col("a") + F.col("b"))
+    return b.select(
+        "cy",
+        "cx",
+        "a",
+        "b",
+        F.round(nd, 6).alias("nd"),
+        F.when(nd > _ND_THR, F.lit("A"))
+        .when(nd < -_ND_THR, F.lit("B"))
+        .otherwise(F.lit("MIXED"))
+        .alias("cls"),
+    )
+
+
+# Burstiness / Fano factor per event type ----------------------------------------------
+
+
+@register(
+    "burstiness_index",
+    """
+    WITH p AS (
+      SELECT event_type, epoch_ms(ts) AS t_ms FROM events
+    ),
+    bounds AS (
+      SELECT min(t_ms) AS t0,
+             1 + (max(t_ms) - min(t_ms)) // 3600000 AS nh
+      FROM p
+    ),
+    hc AS (
+      SELECT event_type, (t_ms - t0) // 3600000 AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM p CROSS JOIN bounds GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(max(nh) AS BIGINT) AS nh,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS ss
+      FROM hc CROSS JOIN bounds GROUP BY 1
+    )
+    SELECT event_type, nh, s, ss,
+           round(CAST(nh * ss - s * s AS DOUBLE) / (nh * s), 6) AS fano,
+           round((sqrt(CAST(nh * ss - s * s AS DOUBLE)) / nh
+                    - CAST(s AS DOUBLE) / nh)
+                 / (sqrt(CAST(nh * ss - s * s AS DOUBLE)) / nh
+                    + CAST(s AS DOUBLE) / nh), 6) AS burstiness
+    FROM m
+    """,
+    doc=(
+        "burstiness per event type over the hourly count series "
+        "(empty hours included EXACTLY via the moment identity — the "
+        "hour-slot count comes from the corpus bounds, never from the "
+        "sparse rollup): Fano factor var/mean = (n ss - s^2)/(n s) and "
+        "the Goh-Barabasi index (sigma - mu)/(sigma + mu) — the "
+        "temporal-clumping screen (machine-like uniform vs bursty "
+        "organic traffic) beside seasonal_residuals' per-event scores; "
+        "moments are BIGINT-exact, sqrt/divisions run once per type"
+    ),
+)
+def burstiness_index(spark, sf_dir):
+    """One scalar bounds broadcast, ONE partial-agg shuffle to the "
+    (type, hour) frame, ONE rollup to O(|types|) rows. The event stream "
+    is scanned once; empty hours never materialize (the identity "
+    carries them)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type", F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms")
+    )
+    bounds = p.agg(
+        F.min("t_ms").alias("t0"),
+        (1 + ((F.max("t_ms") - F.min("t_ms")) / 3600000).cast("long")).alias("nh"),
+    )
+    hc = (
+        p.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            ((F.col("t_ms") - F.col("t0")) / 3600000).cast("long").alias("h"),
+            "nh",
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"), F.max("nh").alias("nh"))
+    )
+    m = hc.groupBy("event_type").agg(
+        F.max("nh").cast("long").alias("nh"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    varn = (F.col("nh") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    sig = F.sqrt(varn) / F.col("nh")
+    mu = F.col("s").cast("double") / F.col("nh")
+    return m.select(
+        "event_type",
+        "nh",
+        "s",
+        "ss",
+        F.round(varn / (F.col("nh") * F.col("s")), 6).alias("fano"),
+        F.round((sig - mu) / (sig + mu), 6).alias("burstiness"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -3532,3 +3532,137 @@ def test_zonal_histogram_matches_zonal_assignment(spark, sf_dir):
     for r in zh:
         assert abs(r.share - round(r.n / per_zone[r.zone_id], 6)) < 1e-9
     assert len({r.zone_id for r in zh}) > 3  # several real zones hit
+
+
+def test_viewshed_matches_brute_force(spark, sf_dir):
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    # observer: highest x, ties to smallest (cy, cx) — replicate exactly
+    (ocy, ocx), oh = sorted(cells.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    R = relational._VS_R
+    want = {}
+    for (cy, cx), th in cells.items():
+        if (cy, cx) == (ocy, ocx):
+            continue
+        if abs(cy - ocy) > R or abs(cx - ocx) > R:
+            continue
+        s = max(abs(cy - ocy), abs(cx - ocx))
+        vis = 1
+        for k in range(1, s):
+            ny = (2 * (ocy * s + k * (cy - ocy)) + s) // (2 * s)
+            nx = (2 * (ocx * s + k * (cx - ocx)) + s) // (2 * s)
+            h = cells.get((ny, nx), 0)
+            if (h - oh) * s >= (th - oh) * k:
+                vis = 0
+                break
+        want[(cy, cx)] = (s, th, vis)
+    got = relational.REGISTRY["viewshed"].fn(spark, sf_dir).collect()
+    assert {(r.cy, r.cx): (r.s, r.th, r.visible) for r in got} == want
+    vis_vals = {v for _, _, v in want.values()}
+    assert vis_vals == {0, 1}  # both outcomes occur (non-vacuous)
+
+
+def test_interval_union_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS t0", "event_id"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        t1 = r.t0 + (r.event_id % 3600) * 1000 + 1000
+        by_user.setdefault(r.user_id, []).append((r.t0, r.event_id, t1))
+    got = {r.user_id: r for r in
+           relational.REGISTRY["interval_union"].fn(spark, sf_dir).collect()}
+    assert len(got) == len(by_user)
+    for u, ivs in by_user.items():
+        ivs.sort()
+        segs = []
+        cur_s, cur_e = ivs[0][0], ivs[0][2]
+        max_gap = 0
+        for t0, _, t1 in ivs[1:]:
+            if t0 > cur_e:
+                segs.append((cur_s, cur_e))
+                max_gap = max(max_gap, t0 - cur_e)
+                cur_s, cur_e = t0, t1
+            else:
+                cur_e = max(cur_e, t1)
+        segs.append((cur_s, cur_e))
+        r = got[u]
+        assert r.n_events == len(ivs)
+        assert r.n_merged == len(segs)
+        assert r.covered_ms == sum(e - s for s, e in segs)
+        assert r.max_gap_ms == max_gap
+        assert len(segs) > 1  # merging is non-vacuous per user
+
+
+def test_dasymetric_downscale_conserves_zone_totals(spark, sf_dir):
+    zs = {r.zone_id: r for r in
+          relational.REGISTRY["zonal_stats"].fn(spark, sf_dir).collect()
+          if r.zone_id >= 0}
+    got = relational.REGISTRY["dasymetric_downscale"].fn(spark, sf_dir).collect()
+    per_zone_w = {}
+    for r in got:
+        per_zone_w.setdefault(r.zone_id, []).append(r)
+    assert len(per_zone_w) > 3
+    for z, rows in per_zone_w.items():
+        zw = sum(r.w for r in rows)
+        # allocations re-derive from the zone total exactly
+        for r in rows:
+            assert r.zone_total == zs[z].total_value or z in zs
+            assert abs(r.alloc - round(r.zone_total * r.w / zw, 6)) < 1e-9
+        # mass conservation up to per-cell rounding
+        assert abs(sum(r.alloc for r in rows) - rows[0].zone_total) < 1e-4 * len(rows)
+
+
+def test_normalized_difference_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    ).collect()
+    cells = {}
+    for r in ev:
+        if r.event_type not in (relational._ND_A, relational._ND_B):
+            continue
+        lat = (r.event_id * 7919 % 2000) / 100.0
+        lon = (r.event_id * 104729 % 2400) / 100.0 + 10.0
+        k = (int(lat // relational._GI_CELL), int(lon // relational._GI_CELL))
+        a, b = cells.get(k, (0, 0))
+        if r.event_type == relational._ND_A:
+            a += 1
+        else:
+            b += 1
+        cells[k] = (a, b)
+    got = relational.REGISTRY["normalized_difference"].fn(spark, sf_dir).collect()
+    assert {(r.cy, r.cx): (r.a, r.b) for r in got} == cells
+    classes = set()
+    for r in got:
+        nd = (r.a - r.b) / (r.a + r.b)
+        assert abs(r.nd - round(nd, 6)) < 1e-9
+        want_cls = "A" if nd > relational._ND_THR else (
+            "B" if nd < -relational._ND_THR else "MIXED")
+        assert r.cls == want_cls
+        classes.add(r.cls)
+    assert classes == {"A", "B", "MIXED"}
+
+
+def test_burstiness_index_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "event_type", "unix_millis(CAST(ts AS TIMESTAMP)) AS t_ms"
+    ).collect()
+    t0 = min(r.t_ms for r in ev)
+    nh = 1 + (max(r.t_ms for r in ev) - t0) // 3600000
+    hc = {}
+    for r in ev:
+        k = (r.event_type, (r.t_ms - t0) // 3600000)
+        hc[k] = hc.get(k, 0) + 1
+    got = relational.REGISTRY["burstiness_index"].fn(spark, sf_dir).collect()
+    types = {t for t, _ in hc}
+    assert {r.event_type for r in got} == types
+    for r in got:
+        xs = [v for (t, _), v in hc.items() if t == r.event_type]
+        s, ss = sum(xs), sum(x * x for x in xs)
+        assert (r.nh, r.s, r.ss) == (nh, s, ss)
+        varn = nh * ss - s * s
+        assert abs(r.fano - round(varn / (nh * s), 6)) < 1e-9
+        sig, mu = (varn**0.5) / nh, s / nh
+        assert abs(r.burstiness - round((sig - mu) / (sig + mu), 6)) < 1e-9
