@@ -11581,7 +11581,7 @@ def space_time_scan(spark, sf_dir):
       FROM legs GROUP BY user_id
     )
     SELECT user_id, n, sum_step_d2, max_step_d2, net_d2,
-           CAST(n * sqq - sy * sy - sx * sx AS DECIMAL(38, 0)) AS rg2n,
+           CAST(n * sqq - sy * sy - sx * sx AS BIGINT) AS rg2n,
            round(sqrt(CAST(n * sqq - sy * sy - sx * sx AS DOUBLE)) / n / 1000.0,
                  6) AS rg_deg
     FROM agg
@@ -11655,7 +11655,13 @@ def mobility_metrics(spark, sf_dir):
         "sum_step_d2",
         "max_step_d2",
         "net_d2",
-        rg2n.cast(dec).alias("rg2n"),
+        # moments stay DECIMAL(38,0) internally; the OUTPUT is BIGINT —
+        # a Decimal column reaches pandas as object and string-sorts in
+        # the driver's canonical row order while DuckDB's decimal lands
+        # as float64 and sorts numerically, misaligning rows (caught at
+        # sf1: "10..." < "9..." as strings). BIGINT holds to ~1e9 fixes
+        # per entity at this coordinate span.
+        rg2n.cast("long").alias("rg2n"),
         F.round(F.sqrt(rg2n.cast("double")) / F.col("n") / 1000.0, 6).alias("rg_deg"),
     )
 

@@ -149,6 +149,30 @@ QUERIES = [
     "directional_variogram",
     "seasonal_residuals",
     "vocab_prune",
+    # sessions 11-12: radiation/twi/viewshed/space_time_scan/change ride the
+    # 10x-denser cell frame; ewma/holt/mobility/turning/interval ride 10x
+    # users (copy-shifted user ids land on fresh trajectory sites since
+    # 10^7 % 120 != 0); profile/burstiness/normalized_difference ride the
+    # 10x event stream; rrf/zonal/dasymetric ride 10x docs/points.
+    # adamic_adar / label_propagation / harmonic_centrality are EXCLUDED —
+    # lineitem is copied unchanged, so the graph is identical to sf0.1
+    "radiation_model",
+    "twi",
+    "viewshed",
+    "space_time_scan",
+    "change_detection",
+    "ewma_smooth",
+    "holt_linear",
+    "mobility_metrics",
+    "turning_stats",
+    "trajectory_hausdorff",
+    "interval_union",
+    "profile_correlation",
+    "burstiness_index",
+    "normalized_difference",
+    "rrf_fusion",
+    "zonal_histogram",
+    "dasymetric_downscale",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points
