@@ -187,6 +187,11 @@ HEADLINE = [
     "dasymetric_downscale",
     "normalized_difference",
     "burstiness_index",
+    "strahler_order",
+    "sequence_mining",
+    "soundex_blocking",
+    "laplacian_curvature",
+    "kfold_assign",
 ]
 
 

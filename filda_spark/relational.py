@@ -12615,6 +12615,411 @@ def burstiness_index(spark, sf_dir):
     )
 
 
+# Strahler stream order -------------------------------------------------------------
+
+_SO_ROUNDS = 4  # fixed rounds; exact wherever flow-tree depth <= 4 (the
+# flow_accumulation horizon contract)
+
+
+def _strahler_oracle_sql() -> str:
+    steps = []
+    for k in range(1, _SO_ROUNDS + 1):
+        steps.append(f"""
+    g{k} AS (
+      SELECT e.tcy AS cy, e.tcx AS cx, p.o AS po, CAST(count(*) AS BIGINT) AS cnt
+      FROM e JOIN o{k - 1} p ON p.cy = e.scy AND p.cx = e.scx
+      GROUP BY 1, 2, 3
+    ),
+    m{k} AS (SELECT cy, cx, max(po) AS mo FROM g{k} GROUP BY 1, 2),
+    o{k} AS (
+      SELECT c.cy, c.cx,
+             CAST(CASE WHEN m.mo IS NULL THEN 1
+                  ELSE m.mo + (CASE WHEN g.cnt >= 2 THEN 1 ELSE 0 END)
+             END AS BIGINT) AS o
+      FROM a0 c
+      LEFT JOIN m{k} m ON m.cy = c.cy AND m.cx = c.cx
+      LEFT JOIN g{k} g ON g.cy = m.cy AND g.cx = m.cx AND g.po = m.mo
+    )""")
+    return (
+        f"WITH {_D8_SQL},\n    e AS ({_fa_edges_sql()}),\n"
+        "    a0 AS (SELECT cy, cx FROM cells),\n"
+        "    o0 AS (SELECT cy, cx, CAST(1 AS BIGINT) AS o FROM cells),"
+        + ",".join(steps)
+        + f"\n    SELECT cy, cx, o AS strahler FROM o{_SO_ROUNDS}"
+    )
+
+
+@register(
+    "strahler_order",
+    _strahler_oracle_sql(),
+    doc=(
+        f"Strahler stream order over the D8 flow tree ({_SO_ROUNDS} fixed "
+        "rounds): a cell with no upstream neighbors is order 1; otherwise "
+        "it takes the max upstream order, +1 iff that max is attained by "
+        ">= 2 tributaries — the hydrology channel-hierarchy read-off "
+        "completing the D8 family (flow dir / accumulation / length / "
+        "watershed); exact wherever tree depth <= 4 (the documented "
+        "flow_accumulation horizon), all-integer state so the fixpoint "
+        "is parallelism-independent"
+    ),
+)
+def strahler_order(spark, sf_dir):
+    """Each round = ONE equi-join (edges x orders on the source key) + a
+    partial-agg to (target, upstream-order) + an O(cells) max/argmax
+    merge — the flow_accumulation loop with a (max, count-at-max)
+    payload instead of a sum; edges and the cell base are persisted
+    once, per-round state is O(cells)."""
+    d8 = _d8_frame(spark, sf_dir).filter(F.col("d8_dir") > 0)
+    dy = F.when(F.lit(False), 0)
+    dx = F.when(F.lit(False), 0)
+    for ddy, ddx, code in _D8_DIRS:
+        dy = dy.when(F.col("d8_dir") == code, ddy)
+        dx = dx.when(F.col("d8_dir") == code, ddx)
+    edges = _persist_evict(
+        d8.select(
+            F.col("cy").alias("scy"),
+            F.col("cx").alias("scx"),
+            (F.col("cy") + dy).alias("tcy"),
+            (F.col("cx") + dx).alias("tcx"),
+        )
+    )
+    base = _persist_evict(_cell_counts(spark, sf_dir).select("cy", "cx"))
+    o = base.select("cy", "cx", F.lit(1).cast("long").alias("o"))
+    for _ in range(_SO_ROUNDS):
+        g = (
+            edges.join(
+                o.select(
+                    F.col("cy").alias("scy"),
+                    F.col("cx").alias("scx"),
+                    F.col("o").alias("po"),
+                ),
+                ["scy", "scx"],
+            )
+            .groupBy(F.col("tcy").alias("cy"), F.col("tcx").alias("cx"), "po")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        m = g.groupBy("cy", "cx").agg(F.max("po").alias("mo"))
+        gm = m.join(
+            g.select("cy", "cx", F.col("po").alias("mo"), "cnt"), ["cy", "cx", "mo"]
+        )
+        # g feeds BOTH m and the argmax join — without the per-round
+        # localCheckpoint the o-lineage doubles each round (the sssp
+        # finding; measured 13 s -> ~2 s warm for 4 rounds at sf0.1)
+        o = (
+            base.join(gm, ["cy", "cx"], "left")
+            .select(
+                "cy",
+                "cx",
+                F.when(F.col("mo").isNull(), F.lit(1))
+                .otherwise(F.col("mo") + F.when(F.col("cnt") >= 2, 1).otherwise(0))
+                .cast("long")
+                .alias("o"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return o.select("cy", "cx", F.col("o").alias("strahler"))
+
+
+# Sequential pattern mining (type trigrams) --------------------------------------------
+
+
+@register(
+    "sequence_mining",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER w AS t2p,
+             lag(event_type, 2) OVER w AS t1p
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    ),
+    tri AS (
+      SELECT t1p AS t1, t2p AS t2, event_type AS t3,
+             CAST(count(*) AS BIGINT) AS c3
+      FROM s WHERE t1p IS NOT NULL
+      GROUP BY 1, 2, 3
+    ),
+    bi AS (SELECT t1, t2, CAST(sum(c3) AS BIGINT) AS c_ab FROM tri GROUP BY 1, 2)
+    SELECT tri.t1, tri.t2, tri.t3, tri.c3, bi.c_ab,
+           round(CAST(tri.c3 AS DOUBLE) / bi.c_ab, 6) AS p_next
+    FROM tri JOIN bi ON bi.t1 = tri.t1 AND bi.t2 = tri.t2
+    """,
+    doc=(
+        "sequential pattern mining over per-entity event streams: counts "
+        "of consecutive type TRIGRAMS and the transition probability "
+        "P(t3 | t1, t2) = c3 / sum_c3 — the second-order upgrade of "
+        "markov_transitions' first-order chain (a funnel where 'view -> "
+        "click' behaves differently after 'error' is invisible at order "
+        "1); counts are BIGINT, one exact-integer division per trigram"
+    ),
+)
+def sequence_mining(spark, sf_dir):
+    """ONE per-entity window exchange (both lags share the sort), ONE
+    partial-agg to the O(|types|^3) trigram frame, and the bigram "
+    denominator is a rollup of THAT frame (never a second scan) "
+    broadcast back. The event stream is scanned and shuffled once."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis(F.col("ts").cast("timestamp")), "event_id"
+    )
+    s = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("t2p"),
+        F.lag("event_type", 2).over(w).alias("t1p"),
+    )
+    tri = (
+        s.filter(F.col("t1p").isNotNull())
+        .groupBy(
+            F.col("t1p").alias("t1"),
+            F.col("t2p").alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    tri = _persist_evict(tri)
+    bi = tri.groupBy("t1", "t2").agg(F.sum("c3").alias("c_ab"))
+    return tri.join(F.broadcast(bi), ["t1", "t2"]).select(
+        "t1",
+        "t2",
+        "t3",
+        "c3",
+        "c_ab",
+        F.round(F.col("c3").cast("double") / F.col("c_ab"), 6).alias("p_next"),
+    )
+
+
+# Soundex blocking keys (record linkage) -----------------------------------------------
+
+_SDX_MAP = "01230120022455012623010202"  # a->0 b->1 c->2 d->3 e->0 f->1 g->2
+# h->0 i->0 j->2 k->2 l->4 m->5 n->5 o->0 p->1 q->2 r->6 s->2 t->3 u->0
+# v->1 w->0 x->2 y->0 z->2  (simplified soundex: h/w/y fold to 0 like
+# vowels — the classic see-through-h/w rule needs backreferences, which
+# DuckDB's RE2 regex lacks; this variant is deterministic in pure
+# translate/filter primitives on both engines)
+
+
+@register(
+    "soundex_blocking",
+    f"""
+    WITH w0 AS (
+      SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word FROM part
+    ),
+    d AS (
+      SELECT word,
+             string_split(translate(lower(word),
+               'abcdefghijklmnopqrstuvwxyz', '{_SDX_MAP}'), '') AS cs
+      FROM w0
+    ),
+    c AS (
+      SELECT word,
+             array_to_string(
+               list_filter(cs, (x, i) -> i = 1 OR x != cs[i - 1]), '') AS cc
+      FROM d
+    ),
+    k AS (
+      SELECT word,
+             upper(substr(word, 1, 1))
+               || rpad(substr(replace(substr(cc, 2), '0', ''), 1, 3), 3, '0')
+               AS skey
+      FROM c
+    )
+    SELECT skey,
+           CAST(count(*) AS BIGINT) AS n_words,
+           array_to_string(list_sort(list(word)), ',') AS words
+    FROM k GROUP BY skey
+    """,
+    doc=(
+        "soundex blocking keys over the part-name vocabulary: simplified "
+        "soundex (keep first letter; consonant classes B/C/D/L/M/R; "
+        "vowels+h/w/y drop; adjacent duplicates collapse BEFORE vowel "
+        "removal — the classic phonetic key, minus the see-through-h/w "
+        "rule that needs regex backreferences RE2 lacks) and the "
+        "per-key blocking groups — the record-linkage candidate-"
+        "generation primitive (phonetic blocking bounds the pair search "
+        "exactly like LSH bands bound near-dup search); pure translate/"
+        "filter string algebra, no float anywhere"
+    ),
+)
+def soundex_blocking(spark, sf_dir):
+    """Map-side key derivation (translate + index-lambda adjacent-dedup "
+    + string surgery, all codegen/JVM), ONE distinct + ONE groupBy on "
+    the bounded vocabulary. The only index-base difference between "
+    engines (Spark filter lambda is 0-based, DuckDB 1-based) is pinned "
+    by the brute-force test."""
+    p = _t(spark, sf_dir, "part")
+    w0 = p.select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    ).distinct()
+    d = w0.select(
+        "word",
+        F.split(
+            F.translate(
+                F.lower(F.col("word")), "abcdefghijklmnopqrstuvwxyz", _SDX_MAP
+            ),
+            "",
+        ).alias("cs"),
+    )
+    c = d.select(
+        "word",
+        F.expr(
+            "array_join(filter(cs, (x, i) -> i = 0 OR x != cs[i - 1]), '')"
+        ).alias("cc"),
+    )
+    k = c.select(
+        "word",
+        F.concat(
+            F.upper(F.substring(F.col("word"), 1, 1)),
+            F.rpad(
+                F.substring(
+                    F.regexp_replace(F.expr("substr(cc, 2)"), "0", ""), 1, 3
+                ),
+                3,
+                "0",
+            ),
+        ).alias("skey"),
+    )
+    return k.groupBy("skey").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.array_join(F.array_sort(F.collect_list("word")), ",").alias("words"),
+    )
+
+
+# Laplacian curvature ----------------------------------------------------------------
+
+
+@register(
+    "laplacian_curvature",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    nbr AS (
+      SELECT a.cy, a.cx, CAST(max(a.x) AS BIGINT) AS x0,
+             CAST(sum(CASE WHEN abs(b.cy - a.cy) + abs(b.cx - a.cx) = 1
+                      THEN b.x ELSE 0 END) AS BIGINT) AS s4,
+             CAST(sum(b.x) AS BIGINT) AS s8,
+             CAST(count(*) AS BIGINT) AS nn
+      FROM cells a JOIN cells b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+       AND NOT (a.cy = b.cy AND a.cx = b.cx)
+      GROUP BY a.cy, a.cx
+    )
+    SELECT cy, cx,
+           CAST(s4 - 4 * x0 AS BIGINT) AS lap4,
+           CAST(s8 - 8 * x0 AS BIGINT) AS lap8,
+           CASE WHEN s4 - 4 * x0 < 0 THEN 'PEAK'
+                WHEN s4 - 4 * x0 > 0 THEN 'SINK'
+                ELSE 'FLAT' END AS cls
+    FROM nbr WHERE nn = 8
+    """,
+    doc=(
+        "discrete Laplacian curvature of the density surface: the 4- and "
+        "8-neighbor Laplacians (sum of neighbors minus 4x / 8x the "
+        "center) with a PEAK / SINK / FLAT class by integer sign — the "
+        "second-derivative member of the terrain family (slope_aspect is "
+        "the first derivative; this finds local convexity: plume cores "
+        "vs clearings), interior cells only (the nn = 8 gate); "
+        "all-integer end to end"
+    ),
+)
+def laplacian_curvature(spark, sf_dir):
+    """The slope_aspect stencil plan verbatim (persisted cells, ring-1
+    explode, ONE equi-join + partial-agg) with Laplacian sums instead of
+    Horn differences; no float appears anywhere."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    right = _ring_explode(
+        cells,
+        F.col("cy"),
+        F.col("cx"),
+        [F.col("cy").alias("bcy"), F.col("cx").alias("bcx"), F.col("x").alias("bx_")],
+        radius=1,
+        names=("cy", "cx"),
+    )
+    nbr = (
+        cells.join(right, ["cy", "cx"])
+        .filter(~((F.col("bcy") == F.col("cy")) & (F.col("bcx") == F.col("cx"))))
+        .groupBy("cy", "cx")
+        .agg(
+            F.max("x").cast("long").alias("x0"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("bcy") - F.col("cy"))
+                    + F.abs(F.col("bcx") - F.col("cx"))
+                    == 1,
+                    F.col("bx_"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s4"),
+            F.sum("bx_").cast("long").alias("s8"),
+            F.count(F.lit(1)).alias("nn"),
+        )
+    )
+    lap4 = F.col("s4") - 4 * F.col("x0")
+    return nbr.filter(F.col("nn") == 8).select(
+        "cy",
+        "cx",
+        lap4.cast("long").alias("lap4"),
+        (F.col("s8") - 8 * F.col("x0")).cast("long").alias("lap8"),
+        F.when(lap4 < 0, F.lit("PEAK"))
+        .when(lap4 > 0, F.lit("SINK"))
+        .otherwise(F.lit("FLAT"))
+        .alias("cls"),
+    )
+
+
+# Deterministic k-fold assignment ------------------------------------------------------
+
+_KF_K = 5
+
+
+@register(
+    "kfold_assign",
+    f"""
+    WITH f AS (
+      SELECT lang, {_MD5_60.format(key="doc_id")} % {_KF_K} AS fold
+      FROM documents
+    ),
+    n AS (
+      SELECT lang, fold, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2
+    ),
+    t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM n GROUP BY 1)
+    SELECT n.lang, n.fold, n.n,
+           round(CAST(t.tot AS DOUBLE) / {_KF_K}, 6) AS expected,
+           round((n.n - CAST(t.tot AS DOUBLE) / {_KF_K})
+                 * (n.n - CAST(t.tot AS DOUBLE) / {_KF_K})
+                 / (CAST(t.tot AS DOUBLE) / {_KF_K}), 6) AS chi2_part
+    FROM n JOIN t ON t.lang = n.lang
+    """,
+    doc=(
+        f"deterministic {_KF_K}-fold cross-validation assignment: fold = "
+        "md5(doc_id) % K (the sample_stratified hash idiom — "
+        "reproducible splits with NO RNG state to shard or seed), with "
+        "per-(language, fold) counts and the chi-square balance "
+        "contribution against the uniform expectation — the train/eval "
+        "split hygiene check (a skewed fold silently biases "
+        "cross-validation); counts BIGINT, three float ops per output "
+        "row on the O(langs x K) rollup"
+    ),
+)
+def kfold_assign(spark, sf_dir):
+    """Map-side hash fold (the md5 conv idiom, JVM-side), ONE partial-agg
+    to (lang, fold), language totals a rollup of THAT frame broadcast
+    back — the corpus is scanned once and never reshuffled."""
+    d = _t(spark, sf_dir, "documents")
+    f = d.select("lang", (_h60("doc_id") % _KF_K).alias("fold"))
+    n = f.groupBy("lang", "fold").agg(F.count(F.lit(1)).alias("n"))
+    n = _persist_evict(n)
+    t = n.groupBy("lang").agg(F.sum("n").alias("tot"))
+    e = F.col("tot").cast("double") / _KF_K
+    return n.join(F.broadcast(t), "lang").select(
+        "lang",
+        "fold",
+        "n",
+        F.round(e, 6).alias("expected"),
+        F.round((F.col("n") - e) * (F.col("n") - e) / e, 6).alias("chi2_part"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

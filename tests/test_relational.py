@@ -3666,3 +3666,144 @@ def test_burstiness_index_matches_brute_force(spark, sf_dir):
         assert abs(r.fano - round(varn / (nh * s), 6)) < 1e-9
         sig, mu = (varn**0.5) / nh, s / nh
         assert abs(r.burstiness - round((sig - mu) / (sig + mu), 6)) < 1e-9
+
+
+def test_strahler_order_matches_brute_force(spark, sf_dir):
+    d8 = {
+        (r.cy, r.cx): r.d8_dir
+        for r in relational._d8_frame(spark, sf_dir).collect()
+        if r.d8_dir > 0
+    }
+    cells = {
+        (r.cy, r.cx) for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    step = {code: (dy, dx) for dy, dx, code in relational._D8_DIRS}
+    target = {
+        c: (c[0] + step[d][0], c[1] + step[d][1]) for c, d in d8.items()
+    }
+    order = {c: 1 for c in cells}
+    for _ in range(relational._SO_ROUNDS):
+        ups = {}
+        for c, t in target.items():
+            ups.setdefault(t, []).append(order[c])
+        new = {}
+        for c in cells:
+            u = ups.get(c)
+            if not u:
+                new[c] = 1
+            else:
+                m = max(u)
+                new[c] = m + (1 if u.count(m) >= 2 else 0)
+        order = new
+    got = relational.REGISTRY["strahler_order"].fn(spark, sf_dir).collect()
+    assert {(r.cy, r.cx): r.strahler for r in got} == order
+    assert max(order.values()) >= 3  # a real channel hierarchy forms
+
+
+def test_sequence_mining_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS t_ms", "event_id",
+        "event_type"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.t_ms, r.event_id, r.event_type))
+    tri = {}
+    for seq in by_user.values():
+        ts = [t for _, _, t in sorted(seq)]
+        for i in range(2, len(ts)):
+            k = (ts[i - 2], ts[i - 1], ts[i])
+            tri[k] = tri.get(k, 0) + 1
+    bi = {}
+    for (a, b, _), c in tri.items():
+        bi[(a, b)] = bi.get((a, b), 0) + c
+    got = relational.REGISTRY["sequence_mining"].fn(spark, sf_dir).collect()
+    assert {(r.t1, r.t2, r.t3): (r.c3, r.c_ab) for r in got} == {
+        k: (c, bi[(k[0], k[1])]) for k, c in tri.items()
+    }
+    for r in got:
+        assert abs(r.p_next - round(r.c3 / r.c_ab, 6)) < 1e-9
+
+
+def test_soundex_blocking_matches_reference(spark, sf_dir):
+    parts = relational._t(spark, sf_dir, "part").select("p_name").collect()
+    words = {w for r in parts for w in r.p_name.split(" ")}
+    m = dict(zip("abcdefghijklmnopqrstuvwxyz", relational._SDX_MAP))
+
+    def soundex(w):
+        d = "".join(m[ch] for ch in w.lower())
+        cc = d[0] + "".join(
+            d[i] for i in range(1, len(d)) if d[i] != d[i - 1]
+        )
+        tail = cc[1:].replace("0", "")
+        return w[0].upper() + (tail[:3] + "000")[:3]
+
+    want = {}
+    for w in sorted(words):
+        want.setdefault(soundex(w), []).append(w)
+    got = relational.REGISTRY["soundex_blocking"].fn(spark, sf_dir).collect()
+    assert {r.skey: (r.n_words, r.words) for r in got} == {
+        k: (len(v), ",".join(v)) for k, v in want.items()
+    }
+    assert any(len(v) > 1 for v in want.values())  # real blocking groups
+
+
+def test_laplacian_curvature_matches_brute_force(spark, sf_dir):
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    got = relational.REGISTRY["laplacian_curvature"].fn(spark, sf_dir).collect()
+    classes = set()
+    n_interior = 0
+    for (cy, cx), x in cells.items():
+        nb = [
+            cells.get((cy + dy, cx + dx))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)
+        ]
+        if any(v is None for v in nb):
+            continue
+        n_interior += 1
+    assert len(got) == n_interior
+    for r in got:
+        s4 = sum(
+            cells[(r.cy + dy, r.cx + dx)]
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        )
+        s8 = sum(
+            cells[(r.cy + dy, r.cx + dx)]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (dy, dx) != (0, 0)
+        )
+        x0 = cells[(r.cy, r.cx)]
+        assert (r.lap4, r.lap8) == (s4 - 4 * x0, s8 - 8 * x0)
+        want = "PEAK" if r.lap4 < 0 else ("SINK" if r.lap4 > 0 else "FLAT")
+        assert r.cls == want
+        classes.add(r.cls)
+    assert {"PEAK", "SINK"} <= classes
+
+
+def test_kfold_assign_matches_brute_force(spark, sf_dir):
+    import hashlib
+
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    K = relational._KF_K
+    n = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        k = (r.lang, h % K)
+        n[k] = n.get(k, 0) + 1
+    tot = {}
+    for (lang, _), c in n.items():
+        tot[lang] = tot.get(lang, 0) + c
+    got = relational.REGISTRY["kfold_assign"].fn(spark, sf_dir).collect()
+    assert {(r.lang, r.fold): r.n for r in got} == n
+    for r in got:
+        e = tot[r.lang] / K
+        assert abs(r.expected - round(e, 6)) < 1e-9
+        assert abs(r.chi2_part - round((r.n - e) ** 2 / e, 6)) < 1e-9
