@@ -192,6 +192,11 @@ HEADLINE = [
     "soundex_blocking",
     "laplacian_curvature",
     "kfold_assign",
+    "bivariate_moran",
+    "ks_test",
+    "graph_assortativity",
+    "lexical_diversity",
+    "ann_pq_search",
 ]
 
 

@@ -13020,6 +13020,396 @@ def kfold_assign(spark, sf_dir):
     )
 
 
+# Bivariate (and univariate) global Moran's I -------------------------------------------
+
+
+@register(
+    "bivariate_moran",
+    f"""
+    WITH p AS (
+      SELECT event_type,
+             CAST(floor((CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor((CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cx
+      FROM events WHERE event_type IN ('{_ND_A}', '{_ND_B}')
+    ),
+    b AS (
+      SELECT cy, cx,
+             CAST(sum(CASE WHEN event_type = '{_ND_A}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = '{_ND_B}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS y
+      FROM p GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT CAST(count(*) AS HUGEINT) AS w,
+             CAST(sum(CAST(a.x AS HUGEINT)) AS HUGEINT) AS wx,
+             CAST(sum(CAST(a.y AS HUGEINT)) AS HUGEINT) AS wy,
+             CAST(sum(CAST(a.x AS HUGEINT) * b2.y) AS HUGEINT) AS wxy,
+             CAST(sum(CAST(a.x AS HUGEINT) * b2.x) AS HUGEINT) AS wxx,
+             CAST(sum(CAST(a.y AS HUGEINT) * b2.y) AS HUGEINT) AS wyy
+      FROM b a JOIN b b2
+        ON abs(a.cy - b2.cy) <= 1 AND abs(a.cx - b2.cx) <= 1
+       AND NOT (a.cy = b2.cy AND a.cx = b2.cx)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(w AS BIGINT) AS w,
+           round(CAST(n * n * wxy - n * sy * wx - n * sx * wy + sx * sy * w
+                      AS DOUBLE)
+                 / (CAST(w AS DOUBLE)
+                    * sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE))), 6) AS i_xy,
+           round(CAST(n * n * wxx - 2 * n * sx * wx + sx * sx * w AS DOUBLE)
+                 / (CAST(w AS DOUBLE) * CAST(n * sxx - sx * sx AS DOUBLE)), 6)
+             AS i_xx,
+           round(CAST(n * n * wyy - 2 * n * sy * wy + sy * sy * w AS DOUBLE)
+                 / (CAST(w AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS i_yy
+    FROM pr CROSS JOIN m
+    """,
+    doc=(
+        f"global bivariate Moran's I between the '{_ND_A}' and '{_ND_B}' "
+        "density bands (ring-1 binary weights over inhabited cells), plus "
+        "both univariate I's from the same pair scan: does high x HERE "
+        "sit beside high y NEXT DOOR — the cross-band clustering screen "
+        "behind co-location analysis, completing the LISA family "
+        "(local_moran / geary_c / join_counts are single-band); every "
+        "moment is 128-bit-integer exact via the mean-free identity "
+        "n^2 WXY - n Sy WX - n Sx WY + Sx Sy W (the ols_trend "
+        "treatment), one sqrt + three divisions on the one-row rollup"
+    ),
+)
+def bivariate_moran(spark, sf_dir):
+    """ONE band rollup shuffle (the normalized_difference pass carrying
+    both bands), a ring-1 cover equi-join (constant 9x explode, each
+    ordered pair met exactly once), and two one-row 128-bit moment
+    frames cross-joined — no z-scores materialize, so nothing float
+    touches the pair stream."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin(_ND_A, _ND_B))
+    p = ev.select(
+        "event_type",
+        F.floor(
+            ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0) / _GI_CELL
+        ).alias("cy"),
+        F.floor(
+            (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0)
+            / _GI_CELL
+        ).alias("cx"),
+    )
+    b = _persist_evict(
+        p.groupBy("cy", "cx").agg(
+            F.sum(F.when(F.col("event_type") == _ND_A, 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == _ND_B, 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    right = _ring_explode(
+        b,
+        F.col("cy"),
+        F.col("cx"),
+        [F.col("cy").alias("bcy"), F.col("cx").alias("bcx"),
+         F.col("x").alias("bx_"), F.col("y").alias("by_")],
+        radius=1,
+        names=("cy", "cx"),
+    )
+    pairs = b.join(right, ["cy", "cx"]).filter(
+        ~((F.col("bcy") == F.col("cy")) & (F.col("bcx") == F.col("cx")))
+    )
+    pr = pairs.agg(
+        F.count(F.lit(1)).cast(dec).alias("w"),
+        F.sum(F.col("x").cast(dec)).alias("wx"),
+        F.sum(F.col("y").cast(dec)).alias("wy"),
+        F.sum(F.col("x").cast(dec) * F.col("by_")).alias("wxy"),
+        F.sum(F.col("x").cast(dec) * F.col("bx_")).alias("wxx"),
+        F.sum(F.col("y").cast(dec) * F.col("by_")).alias("wyy"),
+    )
+    m = b.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    n, w = F.col("n"), F.col("w")
+    sx, sy = F.col("sx"), F.col("sy")
+    a_ = (n * F.col("sxx") - sx * sx).cast("double")
+    b_ = (n * F.col("syy") - sy * sy).cast("double")
+    num_xy = (
+        n * n * F.col("wxy") - n * sy * F.col("wx") - n * sx * F.col("wy")
+        + sx * sy * w
+    ).cast("double")
+    num_xx = (n * n * F.col("wxx") - 2 * n * sx * F.col("wx") + sx * sx * w).cast(
+        "double"
+    )
+    num_yy = (n * n * F.col("wyy") - 2 * n * sy * F.col("wy") + sy * sy * w).cast(
+        "double"
+    )
+    return pr.crossJoin(m).select(
+        n.cast("long").alias("n"),
+        w.cast("long").alias("w"),
+        F.round(num_xy / (w.cast("double") * F.sqrt(a_ * b_)), 6).alias("i_xy"),
+        F.round(num_xx / (w.cast("double") * a_), 6).alias("i_xx"),
+        F.round(num_yy / (w.cast("double") * b_), 6).alias("i_yy"),
+    )
+
+
+# Two-sample Kolmogorov-Smirnov test ---------------------------------------------------
+
+_KS_A, _KS_B = "click", "view"  # the two compared samples
+
+
+@register(
+    "ks_test",
+    f"""
+    WITH vc AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c2
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             sum(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS f1,
+             sum(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS f2
+      FROM vc
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM vc
+    )
+    SELECT n1, n2,
+           CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+           round(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE) / (n1 * n2), 6)
+             AS d,
+           round(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE) / (n1 * n2)
+                 * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 6) AS lambda,
+           round(2.0 * exp(-2.0
+                 * (CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE) / (n1 * n2)
+                    * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))
+                 * (CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE) / (n1 * n2)
+                    * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))), 6)
+             AS p_approx
+    FROM cum CROSS JOIN tot GROUP BY n1, n2
+    """,
+    doc=(
+        f"two-sample Kolmogorov-Smirnov test between the '{_KS_A}' and "
+        f"'{_KS_B}' value distributions: D = max |F1 - F2| computed as "
+        "the INTEGER maximum of |f1 n2 - f2 n1| over the pooled value "
+        "grid (cumulative counts on the grouped values — the supremum "
+        "over the ECDF step points IS the supremum), then one division; "
+        "the effective-n lambda and the first-term asymptotic p-value "
+        "2 exp(-2 lambda^2) evaluate from the identical doubles — the "
+        "distribution-shift screen (did the metric's WHOLE distribution "
+        "move, not just its mean) beside ab_test_ztest / jsd_divergence"
+    ),
+)
+def ks_test(spark, sf_dir):
+    """ONE partial-agg to the pooled value grid (both sample counts as
+    conditional aggregates in one pass), ONE global ordered window for
+    the cumulative ECDFs — the running-sum exchange is on the O(distinct
+    values) grid, never raw events — and a one-row max rollup. At truly
+    unbounded value cardinality the grid would pre-bucket (the
+    log_quantiles treatment), noted here."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isin(_KS_A, _KS_B))
+    vc = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        F.sum("c1").over(wv).alias("f1"), F.sum("c2").over(wv).alias("f2")
+    )
+    tot = vc.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    g = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    d = F.col("d_num").cast("double") / (F.col("n1") * F.col("n2"))
+    lam = d * F.sqrt(F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2")))
+    return g.select(
+        "n1",
+        "n2",
+        "d_num",
+        F.round(d, 6).alias("d"),
+        F.round(lam, 6).alias("lambda"),
+        F.round(2.0 * F.exp(-2.0 * lam * lam), 6).alias("p_approx"),
+    )
+
+
+# Degree assortativity --------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT
+             least(l_orderkey % {_CN_N}, l_partkey % {_CN_N}) AS u,
+             greatest(l_orderkey % {_CN_N}, l_partkey % {_CN_N}) AS v
+      FROM lineitem
+      WHERE l_linenumber = 1
+        AND l_orderkey % {_CN_N} <> l_partkey % {_CN_N}
+    ),
+    adj AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x),
+    de AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM adj a JOIN deg du ON du.x = a.x JOIN deg dv ON dv.x = a.y
+    ),
+    mm AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dx) AS BIGINT) AS s,
+             CAST(sum(dx * dx) AS BIGINT) AS ss,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM de
+    )
+    SELECT m, s, ss, sxy,
+           round(CAST(m * sxy - s * s AS DOUBLE)
+                 / CAST(m * ss - s * s AS DOUBLE), 6) AS assortativity
+    FROM mm
+    """,
+    doc=(
+        "degree assortativity of the common_neighbors graph: the Pearson "
+        "correlation of endpoint degrees over the DIRECTED edge list "
+        "(both orientations, so the x/y marginals coincide and the "
+        "textbook r = (m Sxy - S^2)/(m Sxx - S^2) needs one moment "
+        "set) — the hub-wiring summary (social graphs assort, "
+        "technological graphs disassort) completing the graph-statistics "
+        "family; moments BIGINT-exact, one division on the one-row "
+        "rollup"
+    ),
+)
+def graph_assortativity(spark, sf_dir):
+    """Edge dedup shuffle once, degree frame O(nodes) broadcast TWICE
+    onto the edge stream (per-endpoint lookup, no pair explosion), ONE
+    one-row moment rollup. Integer moments make the statistic "
+    parallelism-independent."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    e0 = (
+        li.select(
+            (F.col("l_orderkey") % _CN_N).alias("a"),
+            (F.col("l_partkey") % _CN_N).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    adj = _persist_evict(
+        e0.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+            e0.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("x"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("x").alias("y"), F.col("d").alias("dy"))
+    de = adj.join(F.broadcast(du), "x").join(F.broadcast(dv), "y")
+    mm = de.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").cast("long").alias("s"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("ss"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    return mm.select(
+        "m",
+        "s",
+        "ss",
+        "sxy",
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("m") * F.col("ss") - F.col("s") * F.col("s")).cast("double"),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+# Lexical diversity -----------------------------------------------------------------
+
+
+@register(
+    "lexical_diversity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(len(term)) AS BIGINT) AS chars
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_ratio,
+           round(CAST(sum(chars) AS DOUBLE) / sum(c), 6) AS avg_token_len
+    FROM tf GROUP BY doc_id
+    """,
+    doc=(
+        "per-document lexical diversity: type-token ratio, hapax-"
+        "legomenon share, and mean token length from one (doc, term) "
+        "rollup — the vocabulary-richness screen that separates "
+        "template/boilerplate text (low TTR) from natural prose at equal "
+        "gopher_repetition scores (repetition measures RUNS; TTR "
+        "measures the vocabulary budget) — a standard training-data "
+        "quality gate beside text_analysis; counts BIGINT, three "
+        "divisions per doc"
+    ),
+)
+def lexical_diversity(spark, sf_dir):
+    """Tokenize map-side, ONE partial-agg shuffle to (doc, term) "
+    carrying count + character sum in the same pass, ONE rollup to the "
+    doc. The token stream is shuffled once (the vocab_prune plan keyed "
+    by doc instead of term)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.length("term")).cast("long").alias("chars"),
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+        F.round(F.sum("chars").cast("double") / F.sum("c"), 6).alias(
+            "avg_token_len"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1354,3 +1354,132 @@ def rrf_fusion(spark, sf_dir):
         F.lit(1.0).cast("double") / (_RRF_C + F.col("r_bm25")), F.lit(0.0)
     ) + F.coalesce(F.lit(1.0).cast("double") / (_RRF_C + F.col("r_len")), F.lit(0.0))
     return f.select("doc_id", "r_bm25", "r_len", F.round(rrf, 6).alias("rrf"))
+
+
+# ---------------------------------------------------------------------------
+# PQ ADC search (asymmetric distance computation over vector_quantize codes)
+# ---------------------------------------------------------------------------
+
+_ADC_TOPK = 10
+_ADC_QID = 0  # query = vec_id 0 (also codebook entry 0 — a known-zero row)
+
+
+def _adc_oracle_sql() -> str:
+    pq = _REGISTRY["vector_quantize"].oracle
+    qd2 = (
+        f"{_pq_dot_sql('q.sv', 'q.sv')} - 2.0 * {_pq_dot_sql('q.sv', 'c.sv')}"
+        f" + {_pq_dot_sql('c.sv', 'c.sv')}"
+    )
+    subs = []
+    for s in range(_PQ_SUBS):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        subs.append(
+            f"SELECT vec_id, CAST({s} AS INT) AS sub_id,"
+            f" (embedding)[{lo}:{hi}] AS sv FROM embeddings"
+        )
+    union = " UNION ALL ".join(subs)
+    return f"""
+    WITH codes AS ({pq}),
+    sv AS ({union}),
+    q AS (SELECT sub_id, sv FROM sv WHERE vec_id = {_ADC_QID}),
+    cb AS (SELECT vec_id AS code, sub_id, sv FROM sv WHERE vec_id < {_PQ_K}),
+    lut AS (
+      SELECT c.sub_id, c.code, {qd2} AS lv
+      FROM cb c JOIN q ON q.sub_id = c.sub_id
+    ),
+    ad AS (
+      SELECT codes.vec_id,
+             round(list_reduce(list(lut.lv ORDER BY codes.sub_id),
+                               (acc, x) -> acc + x), 6) AS adc_d2
+      FROM codes JOIN lut
+        ON lut.sub_id = codes.sub_id AND lut.code = codes.code
+      GROUP BY codes.vec_id
+    )
+    SELECT vec_id, adc_d2,
+           CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS BIGINT) AS rk
+    FROM ad WHERE vec_id <> {_ADC_QID}
+    ORDER BY adc_d2, vec_id LIMIT {_ADC_TOPK}
+    """
+
+
+@register(
+    "ann_pq_search",
+    _adc_oracle_sql(),
+    doc=(
+        f"PQ ADC search: the query (vec_id {_ADC_QID}) scored against "
+        f"every vector_quantize code via a {_PQ_SUBS} x {_PQ_K} lookup "
+        "table of subspace distances — the scan half of product "
+        "quantization (vector_quantize is the encode half): 64-dim exact "
+        f"L2 becomes {_PQ_SUBS} table lookups + adds per candidate; the "
+        "per-vector sum is a SORTED sequential fold (Spark aggregate / "
+        "DuckDB list_reduce over sub_id order), so the approximate "
+        "distance is bit-identical by construction, and the top-"
+        f"{_ADC_TOPK} rank breaks ties by vec_id (total order)"
+    ),
+)
+def ann_pq_search(spark, sf_dir):
+    """The LUT is a broadcast K x SUBS frame (built from the same
+    persisted code frame the encode produces); candidates join it on
+    (sub_id, code) — a broadcast hash join with NO pair explosion — and
+    fold their 4 subspace terms in sub_id order (collect_list +
+    array_sort + aggregate, exactly the ewma discipline). Top-k is
+    TakeOrdered. At 10^12 vectors this is the textbook IVF-PQ scan
+    cost: one LUT lookup stream, no full-dim math per candidate."""
+    codes = _REGISTRY["vector_quantize"].fn(spark, sf_dir).select(
+        "vec_id", "sub_id", "code"
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    sv = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub_id"),
+                        F.slice("embedding", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                            "sv"
+                        ),
+                    )
+                    for s in range(_PQ_SUBS)
+                ]
+            )
+        ).alias("t"),
+    ).select("vec_id", "t.sub_id", "t.sv")
+    q = sv.filter(F.col("vec_id") == _ADC_QID).select(
+        "sub_id", F.col("sv").alias("qv")
+    )
+    cb = sv.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "sub_id", F.col("sv").alias("cv")
+    )
+    lv = (
+        VX.dot(F.col("qv"), F.col("qv"))
+        - F.lit(2.0) * VX.dot(F.col("qv"), F.col("cv"))
+        + VX.dot(F.col("cv"), F.col("cv"))
+    )
+    lut = cb.join(F.broadcast(q), "sub_id").select("sub_id", "code", lv.alias("lv"))
+    ad = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub_id", "lv"))).alias("a")
+        )
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(
+                    "aggregate(slice(transform(a, s -> s.lv), 2, size(a) - 1), "
+                    "element_at(transform(a, s -> s.lv), 1), (acc, x) -> acc + x)"
+                ),
+                6,
+            ).alias("adc_d2"),
+        )
+    )
+    top = (
+        ad.filter(F.col("vec_id") != _ADC_QID)
+        .orderBy("adc_d2", "vec_id")
+        .limit(_ADC_TOPK)
+    )
+    wk = Window.orderBy("adc_d2", "vec_id")
+    return top.select(
+        "vec_id", "adc_d2", F.row_number().over(wk).cast("long").alias("rk")
+    )

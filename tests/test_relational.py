@@ -3807,3 +3807,166 @@ def test_kfold_assign_matches_brute_force(spark, sf_dir):
         e = tot[r.lang] / K
         assert abs(r.expected - round(e, 6)) < 1e-9
         assert abs(r.chi2_part - round((r.n - e) ** 2 / e, 6)) < 1e-9
+
+
+def test_bivariate_moran_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    ).collect()
+    cells = {}
+    for r in ev:
+        if r.event_type not in (relational._ND_A, relational._ND_B):
+            continue
+        lat = (r.event_id * 7919 % 2000) / 100.0
+        lon = (r.event_id * 104729 % 2400) / 100.0 + 10.0
+        k = (int(lat // relational._GI_CELL), int(lon // relational._GI_CELL))
+        a, b = cells.get(k, (0, 0))
+        if r.event_type == relational._ND_A:
+            a += 1
+        else:
+            b += 1
+        cells[k] = (a, b)
+    keys = sorted(cells)
+    n = len(keys)
+    xbar = sum(cells[k][0] for k in keys) / n
+    ybar = sum(cells[k][1] for k in keys) / n
+    num_xy = num_xx = num_yy = 0.0
+    W = 0
+    for cy, cx in keys:
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy, dx) == (0, 0):
+                    continue
+                j = (cy + dy, cx + dx)
+                if j not in cells:
+                    continue
+                W += 1
+                xi, yi = cells[(cy, cx)]
+                xj, yj = cells[j]
+                num_xy += (xi - xbar) * (yj - ybar)
+                num_xx += (xi - xbar) * (xj - xbar)
+                num_yy += (yi - ybar) * (yj - ybar)
+    sxx = sum((cells[k][0] - xbar) ** 2 for k in keys)
+    syy = sum((cells[k][1] - ybar) ** 2 for k in keys)
+    got = relational.REGISTRY["bivariate_moran"].fn(spark, sf_dir).collect()[0]
+    assert (got.n, got.w) == (n, W)
+    assert abs(got.i_xy - n * num_xy / (W * (sxx * syy) ** 0.5)) < 1e-4
+    assert abs(got.i_xx - n * num_xx / (W * sxx)) < 1e-4
+    assert abs(got.i_yy - n * num_yy / (W * syy)) < 1e-4
+
+
+def test_ks_test_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    s1 = sorted(r.value for r in ev if r.event_type == relational._KS_A)
+    s2 = sorted(r.value for r in ev if r.event_type == relational._KS_B)
+    n1, n2 = len(s1), len(s2)
+    grid = sorted(set(s1) | set(s2))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(s1, v) * n2 - bisect.bisect_right(s2, v) * n1)
+        for v in grid
+    )
+    got = relational.REGISTRY["ks_test"].fn(spark, sf_dir).collect()[0]
+    assert (got.n1, got.n2, got.d_num) == (n1, n2, d_num)
+    d = d_num / (n1 * n2)
+    lam = d * (n1 * n2 / (n1 + n2)) ** 0.5
+    import math
+
+    assert abs(got.d - round(d, 6)) < 1e-9
+    assert abs(got["lambda"] - round(lam, 6)) < 1e-9
+    assert abs(got.p_approx - round(2.0 * math.exp(-2.0 * lam * lam), 6)) < 1e-9
+
+
+def test_graph_assortativity_matches_brute_force(spark, sf_dir):
+    li = relational._t(spark, sf_dir, "lineitem").filter(
+        "l_linenumber = 1"
+    ).select("l_orderkey", "l_partkey").collect()
+    N = relational._CN_N
+    edges = set()
+    for r in li:
+        a, b = r.l_orderkey % N, r.l_partkey % N
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    pairs = [(deg[u], deg[v]) for u, v in edges] + [
+        (deg[v], deg[u]) for u, v in edges
+    ]
+    m = len(pairs)
+    s = sum(x for x, _ in pairs)
+    ss = sum(x * x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    got = relational.REGISTRY["graph_assortativity"].fn(spark, sf_dir).collect()[0]
+    assert (got.m, got.s, got.ss, got.sxy) == (m, s, ss, sxy)
+    assert got.assortativity == round((m * sxy - s * s) / (m * ss - s * s), 6)
+
+
+def test_lexical_diversity_matches_brute_force(spark, sf_dir):
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    got = {r.doc_id: r for r in
+           relational.REGISTRY["lexical_diversity"].fn(spark, sf_dir).collect()}
+    assert len(got) == len(docs)
+    for d in docs:
+        toks = d.text.split(" ")
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        r = got[d.doc_id]
+        hapax = sum(1 for c in tf.values() if c == 1)
+        assert (r.n_tokens, r.n_types, r.n_hapax) == (len(toks), len(tf), hapax)
+        assert abs(r.ttr - round(len(tf) / len(toks), 6)) < 1e-9
+        assert abs(r.hapax_ratio - round(hapax / len(tf), 6)) < 1e-9
+        assert abs(
+            r.avg_token_len - round(sum(map(len, toks)) / len(toks), 6)
+        ) < 1e-9
+
+
+def test_ann_pq_search_matches_brute_force(spark, sf_dir):
+    from filda_spark import training
+
+    codes = {}
+    for r in relational.REGISTRY["vector_quantize"].fn(spark, sf_dir).collect():
+        codes.setdefault(r.vec_id, {})[r.sub_id] = r.code
+    embs = {
+        r.vec_id: list(r.embedding)
+        for r in relational._t(spark, sf_dir, "embeddings").collect()
+    }
+    D = training._PQ_SUBDIM
+
+    def sub(v, s):
+        return v[s * D : (s + 1) * D]
+
+    q = embs[training._ADC_QID]
+    lut = {}
+    for code in range(training._PQ_K):
+        for s in range(training._PQ_SUBS):
+            qs, cs = sub(q, s), sub(embs[code], s)
+            d2 = (
+                sum(a * a for a in qs)
+                - 2.0 * sum(a * b for a, b in zip(qs, cs))
+                + sum(b * b for b in cs)
+            )
+            lut[(s, code)] = d2
+    scored = []
+    for vid, cm in codes.items():
+        if vid == training._ADC_QID:
+            continue
+        terms = [lut[(s, cm[s])] for s in sorted(cm)]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        scored.append((round(acc, 6), vid))
+    scored.sort()
+    want = scored[: training._ADC_TOPK]
+    got = relational.REGISTRY["ann_pq_search"].fn(spark, sf_dir).collect()
+    assert [(r.adc_d2, r.vec_id) for r in got] == [
+        (pytest.approx(d, abs=1e-6), v) for d, v in want
+    ]
+    assert [r.rk for r in got] == list(range(1, len(want) + 1))
