@@ -197,6 +197,11 @@ HEADLINE = [
     "graph_assortativity",
     "lexical_diversity",
     "ann_pq_search",
+    "segment_intersections",
+    "quantile_normalize",
+    "item_cooccurrence",
+    "top_paths",
+    "home_work_inference",
 ]
 
 

@@ -13410,6 +13410,414 @@ def lexical_diversity(spark, sf_dir):
     )
 
 
+# Segment-segment intersection join ----------------------------------------------------
+
+_SI_MAXLEN = 256  # Chebyshev length cap (bounds each segment's cell cover)
+_SI_CELL = 256  # candidate-cover cell size (integer units)
+
+
+@register(
+    "segment_intersections",
+    f"""
+    WITH p AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms, event_id,
+             CAST(event_id * 7919 % 2000 AS BIGINT) AS iy,
+             CAST(event_id * 104729 % 2400 AS BIGINT) AS ix
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, event_id AS sid, iy AS y2, ix AS x2,
+             lag(iy) OVER w AS y1, lag(ix) OVER w AS x1
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    ),
+    s AS (
+      SELECT user_id, sid, y1, x1, y2, x2
+      FROM seg
+      WHERE y1 IS NOT NULL
+        AND greatest(abs(y2 - y1), abs(x2 - x1))
+              BETWEEN 1 AND {_SI_MAXLEN}
+    ),
+    cov AS (
+      SELECT DISTINCT s.user_id, s.sid, s.y1, s.x1, s.y2, s.x2, gy.g AS gy, gx.g AS gx
+      FROM s
+      JOIN generate_series(0, 9) gy(g)
+        ON gy.g BETWEEN least(s.y1, s.y2) // {_SI_CELL}
+               AND greatest(s.y1, s.y2) // {_SI_CELL}
+      JOIN generate_series(0, 10) gx(g)
+        ON gx.g BETWEEN least(s.x1, s.x2) // {_SI_CELL}
+               AND greatest(s.x1, s.x2) // {_SI_CELL}
+    ),
+    cand AS (
+      SELECT DISTINCT
+             a.user_id AS ua, a.sid AS sa, a.y1 AS ay1, a.x1 AS ax1,
+             a.y2 AS ay2, a.x2 AS ax2,
+             b.user_id AS ub, b.sid AS sb, b.y1 AS by1, b.x1 AS bx1,
+             b.y2 AS by2, b.x2 AS bx2
+      FROM cov a JOIN cov b
+        ON a.gy = b.gy AND a.gx = b.gx AND a.sid < b.sid
+    )
+    SELECT ua, sa, ub, sb
+    FROM cand
+    WHERE ((ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1))
+          * ((ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)) < 0
+      AND ((bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1))
+          * ((bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)) < 0
+    """,
+    doc=(
+        f"segment-segment intersection join (vector overlay): movement "
+        f"legs up to {_SI_MAXLEN} units long, candidate pairs from a "
+        f"{_SI_CELL}-unit bounding-box cell cover, PROPER crossings "
+        "decided by the classic orientation test — both endpoints of "
+        "each segment strictly on opposite sides of the other "
+        "(d1 d2 < 0 AND d3 d4 < 0, all INTEGER cross products) — the "
+        "computational-geometry primitive under every overlay/conflation "
+        "workload (road-network conflation, route conflict detection); "
+        "no float anywhere, so the result is parallelism- and "
+        "engine-independent"
+    ),
+)
+def segment_intersections(spark, sf_dir):
+    """Legs from ONE per-entity window exchange; the length cap bounds
+    each segment's cover to a constant cell count (the explode is
+    map-side); candidates meet in a cell-key equi-join with a distinct "
+    pair dedup (a pair sharing k cover cells meets once); the exact "
+    test is codegen integer algebra. The cap is the documented "
+    trade: long legs go to the rasterize_segments DDA cover instead of "
+    a quadratic bbox explosion."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        (F.col("event_id") * 7919 % 2000).alias("iy"),
+        (F.col("event_id") * 104729 % 2400).alias("ix"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    seg = p.select(
+        "user_id",
+        F.col("event_id").alias("sid"),
+        F.col("iy").alias("y2"),
+        F.col("ix").alias("x2"),
+        F.lag("iy").over(w).alias("y1"),
+        F.lag("ix").over(w).alias("x1"),
+    )
+    s = seg.filter(
+        F.col("y1").isNotNull()
+        & F.greatest(
+            F.abs(F.col("y2") - F.col("y1")), F.abs(F.col("x2") - F.col("x1"))
+        ).between(1, _SI_MAXLEN)
+    )
+    gy = F.explode(
+        F.sequence(
+            F.expr(f"least(y1, y2) div {_SI_CELL}"),
+            F.expr(f"greatest(y1, y2) div {_SI_CELL}"),
+        )
+    ).alias("gy")
+    cov = s.select("user_id", "sid", "y1", "x1", "y2", "x2", gy)
+    gx = F.explode(
+        F.sequence(
+            F.expr(f"least(x1, x2) div {_SI_CELL}"),
+            F.expr(f"greatest(x1, x2) div {_SI_CELL}"),
+        )
+    ).alias("gx")
+    cov = cov.select("user_id", "sid", "y1", "x1", "y2", "x2", "gy", gx).distinct()
+    a = cov.select(
+        *[F.col(c).alias(f"a_{c}") for c in ["user_id", "sid", "y1", "x1", "y2", "x2"]],
+        "gy",
+        "gx",
+    )
+    b = cov.select(
+        *[F.col(c).alias(f"b_{c}") for c in ["user_id", "sid", "y1", "x1", "y2", "x2"]],
+        "gy",
+        "gx",
+    )
+    cand = (
+        a.join(b, ["gy", "gx"])
+        .filter(F.col("a_sid") < F.col("b_sid"))
+        .drop("gy", "gx")
+        .distinct()
+    )
+    d1 = (F.col("a_x2") - F.col("a_x1")) * (F.col("b_y1") - F.col("a_y1")) - (
+        F.col("a_y2") - F.col("a_y1")
+    ) * (F.col("b_x1") - F.col("a_x1"))
+    d2 = (F.col("a_x2") - F.col("a_x1")) * (F.col("b_y2") - F.col("a_y1")) - (
+        F.col("a_y2") - F.col("a_y1")
+    ) * (F.col("b_x2") - F.col("a_x1"))
+    d3 = (F.col("b_x2") - F.col("b_x1")) * (F.col("a_y1") - F.col("b_y1")) - (
+        F.col("b_y2") - F.col("b_y1")
+    ) * (F.col("a_x1") - F.col("b_x1"))
+    d4 = (F.col("b_x2") - F.col("b_x1")) * (F.col("a_y2") - F.col("b_y1")) - (
+        F.col("b_y2") - F.col("b_y1")
+    ) * (F.col("a_x2") - F.col("b_x1"))
+    return cand.filter((d1 * d2 < 0) & (d3 * d4 < 0)).select(
+        F.col("a_user_id").alias("ua"),
+        F.col("a_sid").alias("sa"),
+        F.col("b_user_id").alias("ub"),
+        F.col("b_sid").alias("sb"),
+    )
+
+
+# Empirical quantile normalization ----------------------------------------------------
+
+
+@register(
+    "quantile_normalize",
+    """
+    SELECT event_id, event_type, value,
+           round(cume_dist() OVER (
+             PARTITION BY event_type ORDER BY value), 6) AS pct
+    FROM events
+    """,
+    doc=(
+        "empirical quantile (rank) normalization: every value replaced "
+        "by its within-type ECDF position via cume_dist — tie-INCLUSIVE "
+        "(equal values share a percentile, so the transform is "
+        "deterministic where row_number would not be) — the feature-"
+        "engineering normalizer that makes heavy-tailed metrics "
+        "comparable across types before clustering/regression; "
+        "cume_dist is an exact count/count rational, identical on both "
+        "engines"
+    ),
+)
+def quantile_normalize(spark, sf_dir):
+    """ONE window exchange partitioned by type. At 5 types this window "
+    is deliberately coarse-partitioned — the documented scale path is "
+    range partitioning within type (sort-based cume_dist distributes "
+    over value ranges; Spark's window already sorts, so the skew lever "
+    is repartitionByRange on (type, value) ahead of it), noted here."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.cume_dist().over(w), 6).alias("pct"),
+    )
+
+
+# Item-item co-occurrence (market basket) ----------------------------------------------
+
+
+@register(
+    "item_cooccurrence",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey % 200 AS item FROM lineitem
+    ),
+    m AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY item),
+    pr AS (
+      SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS c_ab
+      FROM op a JOIN op b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT pr.i1, pr.i2, pr.c_ab, m1.c AS c1, m2.c AS c2,
+           round(CAST(pr.c_ab AS DOUBLE)
+                 / sqrt(CAST(m1.c AS DOUBLE) * m2.c), 6) AS cosine,
+           round(CAST(pr.c_ab AS DOUBLE) / (m1.c + m2.c - pr.c_ab), 6)
+             AS jaccard
+    FROM pr
+    JOIN m m1 ON m1.item = pr.i1
+    JOIN m m2 ON m2.item = pr.i2
+    """,
+    doc=(
+        "item-item co-occurrence over order baskets (items = part keys "
+        "folded to 200): support, cosine c_ab / sqrt(c_a c_b) and "
+        "Jaccard for every pair co-purchased >= 2 times — the market-"
+        "basket similarity matrix behind 'bought-together' retrieval, "
+        "the BASKET-level complement of pmi_pairs' user-level "
+        "association; per-basket fan-out is bounded by basket size "
+        "squared, counts BIGINT, one sqrt per surviving pair"
+    ),
+)
+def item_cooccurrence(spark, sf_dir):
+    """Distinct (order, item) shuffle once; the pair join is per-order "
+    (fan-out = basket size squared, the pmi_pairs shape) into ONE "
+    partial-agg on the pair key; marginals broadcast. The >= 2 support "
+    floor is the output bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = _persist_evict(
+        li.select(
+            F.col("l_orderkey").alias("o"), (F.col("l_partkey") % 200).alias("item")
+        ).distinct()
+    )
+    m = op.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    pr = (
+        op.alias("a")
+        .join(op.alias("b"), "o")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("i1"), F.col("b.item").alias("i2"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    m1 = m.select(F.col("item").alias("i1"), F.col("c").alias("c1"))
+    m2 = m.select(F.col("item").alias("i2"), F.col("c").alias("c2"))
+    return (
+        pr.join(F.broadcast(m1), "i1")
+        .join(F.broadcast(m2), "i2")
+        .select(
+            "i1",
+            "i2",
+            "c_ab",
+            "c1",
+            "c2",
+            F.round(
+                F.col("c_ab").cast("double")
+                / F.sqrt(F.col("c1").cast("double") * F.col("c2")),
+                6,
+            ).alias("cosine"),
+            F.round(
+                F.col("c_ab").cast("double")
+                / (F.col("c1") + F.col("c2") - F.col("c_ab")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# Top entry paths -------------------------------------------------------------------
+
+_TP_LEN = 5  # path prefix length
+
+
+@register(
+    "top_paths",
+    f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_TP_LEN}
+      GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    """,
+    doc=(
+        f"top entry paths: each entity's first {_TP_LEN} event types "
+        "joined into a '>' path string, counted across entities — the "
+        "Sankey/onboarding-funnel source table (which openings dominate, "
+        "where do journeys diverge) beside window_funnel's fixed-pattern "
+        "matching; the path is an ORDERED string_agg over an integer "
+        "rank, so construction is deterministic"
+    ),
+)
+def top_paths(spark, sf_dir):
+    """ONE per-entity window exchange (rank), the path assembled from a
+    sorted in-partition array (array_join of the sort_array'd prefix —
+    no second exchange), ONE partial-agg on the bounded path key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis(F.col("ts").cast("timestamp")), "event_id"
+    )
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _TP_LEN)
+    paths = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# Home/work anchor inference -----------------------------------------------------------
+
+
+@register(
+    "home_work_inference",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             (user_id % 120) + (CASE WHEN event_id % 13 < 4 THEN 2 ELSE 0 END)
+               AS qy,
+             (user_id % 300) + (CASE WHEN event_id % 13 < 4 THEN 2 ELSE 0 END)
+               AS qx
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, qy, qx, CAST(count(*) AS BIGINT) AS visits
+      FROM pts GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT user_id, qy, qx, visits,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY visits DESC, qy, qx) AS rk
+      FROM v
+    )
+    SELECT user_id,
+           CAST(max(CASE WHEN rk = 1 THEN qy END) AS BIGINT) AS home_qy,
+           CAST(max(CASE WHEN rk = 1 THEN qx END) AS BIGINT) AS home_qx,
+           CAST(max(CASE WHEN rk = 1 THEN visits END) AS BIGINT) AS home_visits,
+           CAST(max(CASE WHEN rk = 2 THEN qy END) AS BIGINT) AS work_qy,
+           CAST(max(CASE WHEN rk = 2 THEN qx END) AS BIGINT) AS work_qx,
+           CAST(max(CASE WHEN rk = 2 THEN visits END) AS BIGINT) AS work_visits,
+           round(sqrt(CAST(
+             (max(CASE WHEN rk = 1 THEN qy END) - max(CASE WHEN rk = 2 THEN qy END))
+             * (max(CASE WHEN rk = 1 THEN qy END) - max(CASE WHEN rk = 2 THEN qy END))
+             + (max(CASE WHEN rk = 1 THEN qx END) - max(CASE WHEN rk = 2 THEN qx END))
+             * (max(CASE WHEN rk = 1 THEN qx END) - max(CASE WHEN rk = 2 THEN qx END))
+             AS DOUBLE)), 6) AS commute_deg
+    FROM r WHERE rk <= 2 GROUP BY user_id HAVING count(*) = 2
+    """,
+    doc=(
+        "home/work anchor inference: each entity's two most-visited grid "
+        "cells ranked by visit count (integer tie-break by cell id — a "
+        "total order), pivoted to anchor columns with the commute "
+        "distance — the canonical mobility-profiling step above "
+        "stay_points (dwells find WHERE someone stops; this names the "
+        "two anchors and measures the span between them); entities with "
+        "a single lifetime cell are excluded by the HAVING gate"
+    ),
+)
+def home_work_inference(spark, sf_dir):
+    """ONE partial-agg to (entity, cell) visits, ONE per-entity window "
+    for the rank, and the pivot is a conditional aggregate in the final "
+    per-entity rollup — no joins at all. Integer ranks and distances; "
+    one sqrt per entity."""
+    ev = _t(spark, sf_dir, "events")
+    jump = F.when(F.col("event_id") % 13 < 4, F.lit(2)).otherwise(F.lit(0))
+    pts = ev.select(
+        "user_id",
+        ((F.col("user_id") % 120) + jump).alias("qy"),
+        ((F.col("user_id") % 300) + jump).alias("qx"),
+    )
+    v = pts.groupBy("user_id", "qy", "qx").agg(F.count(F.lit(1)).alias("visits"))
+    wk = Window.partitionBy("user_id").orderBy(F.col("visits").desc(), "qy", "qx")
+    r = v.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") <= 2)
+
+    def at(rk, col):
+        return F.max(F.when(F.col("rk") == rk, F.col(col)))
+
+    dqy = at(1, "qy") - at(2, "qy")
+    dqx = at(1, "qx") - at(2, "qx")
+    return (
+        r.groupBy("user_id")
+        .agg(
+            at(1, "qy").cast("long").alias("home_qy"),
+            at(1, "qx").cast("long").alias("home_qx"),
+            at(1, "visits").cast("long").alias("home_visits"),
+            at(2, "qy").cast("long").alias("work_qy"),
+            at(2, "qx").cast("long").alias("work_qx"),
+            at(2, "visits").cast("long").alias("work_visits"),
+            F.round(
+                F.sqrt((dqy * dqy + dqx * dqx).cast("double")), 6
+            ).alias("commute_deg"),
+            F.count(F.lit(1)).alias("_nr"),
+        )
+        .filter(F.col("_nr") == 2)
+        .drop("_nr")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

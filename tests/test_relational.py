@@ -3970,3 +3970,155 @@ def test_ann_pq_search_matches_brute_force(spark, sf_dir):
         (pytest.approx(d, abs=1e-6), v) for d, v in want
     ]
     assert [r.rk for r in got] == list(range(1, len(want) + 1))
+
+
+def test_segment_intersections_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS t_ms", "event_id"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(
+            (r.t_ms, r.event_id, r.event_id * 7919 % 2000, r.event_id * 104729 % 2400)
+        )
+    segs = []
+    for u, rows in by_user.items():
+        rows.sort()
+        for i in range(1, len(rows)):
+            y1, x1 = rows[i - 1][2], rows[i - 1][3]
+            _, sid, y2, x2 = rows[i]
+            L = max(abs(y2 - y1), abs(x2 - x1))
+            if 1 <= L <= relational._SI_MAXLEN:
+                segs.append((u, sid, y1, x1, y2, x2))
+
+    def cross(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    want = set()
+    C = relational._SI_CELL
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            a, b = segs[i], segs[j]
+            if a[1] > b[1]:
+                a, b = b, a
+            # candidate gate: bbox cell covers must overlap
+            acells = {
+                (gy, gx)
+                for gy in range(min(a[2], a[4]) // C, max(a[2], a[4]) // C + 1)
+                for gx in range(min(a[3], a[5]) // C, max(a[3], a[5]) // C + 1)
+            }
+            bcells = {
+                (gy, gx)
+                for gy in range(min(b[2], b[4]) // C, max(b[2], b[4]) // C + 1)
+                for gx in range(min(b[3], b[5]) // C, max(b[3], b[5]) // C + 1)
+            }
+            if not (acells & bcells):
+                continue
+            d1 = cross(a[3], a[2], a[5], a[4], b[3], b[2])
+            d2 = cross(a[3], a[2], a[5], a[4], b[5], b[4])
+            d3 = cross(b[3], b[2], b[5], b[4], a[3], a[2])
+            d4 = cross(b[3], b[2], b[5], b[4], a[5], a[4])
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                want.add((a[0], a[1], b[0], b[1]))
+    got = {
+        (r.ua, r.sa, r.ub, r.sb)
+        for r in relational.REGISTRY["segment_intersections"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 100  # non-vacuous crossing population
+
+
+def test_quantile_normalize_matches_brute_force(spark, sf_dir):
+    import bisect
+
+    ev = relational._t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for v in by_type.values():
+        v.sort()
+    got = relational.REGISTRY["quantile_normalize"].fn(spark, sf_dir).collect()
+    assert len(got) == len(ev)
+    for r in got[:2000]:
+        vs = by_type[r.event_type]
+        pct = bisect.bisect_right(vs, r.value) / len(vs)
+        assert r.pct == round(pct, 6)
+
+
+def test_item_cooccurrence_matches_brute_force(spark, sf_dir):
+    li = relational._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey % 200)
+    marg, pair = {}, {}
+    for items in baskets.values():
+        s = sorted(items)
+        for it in s:
+            marg[it] = marg.get(it, 0) + 1
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                k = (s[i], s[j])
+                pair[k] = pair.get(k, 0) + 1
+    want = {k: c for k, c in pair.items() if c >= 2}
+    got = relational.REGISTRY["item_cooccurrence"].fn(spark, sf_dir).collect()
+    assert {(r.i1, r.i2): r.c_ab for r in got} == want
+    for r in got:
+        assert (r.c1, r.c2) == (marg[r.i1], marg[r.i2])
+        # compare against the UNROUNDED ratios: Python round() is
+        # banker's, the engines round half-away — a ratio landing on a
+        # .xxxxxx5 boundary (e.g. 2/13) legitimately differs by 1e-6
+        assert abs(r.cosine - r.c_ab / (r.c1 * r.c2) ** 0.5) < 1e-6
+        assert abs(r.jaccard - r.c_ab / (r.c1 + r.c2 - r.c_ab)) < 1e-6
+
+
+def test_top_paths_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS t_ms", "event_id",
+        "event_type"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.t_ms, r.event_id, r.event_type))
+    paths = {}
+    for rows in by_user.values():
+        rows.sort()
+        p = ">".join(t for _, _, t in rows[: relational._TP_LEN])
+        paths[p] = paths.get(p, 0) + 1
+    got = relational.REGISTRY["top_paths"].fn(spark, sf_dir).collect()
+    assert {r.path: r.n_users for r in got} == paths
+
+
+def test_home_work_inference_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "event_id"
+    ).collect()
+    visits = {}
+    for r in ev:
+        j = 2 if r.event_id % 13 < 4 else 0
+        k = (r.user_id, r.user_id % 120 + j, r.user_id % 300 + j)
+        visits[k] = visits.get(k, 0) + 1
+    per_user = {}
+    for (u, qy, qx), c in visits.items():
+        per_user.setdefault(u, []).append((-c, qy, qx))
+    got = {r.user_id: r for r in
+           relational.REGISTRY["home_work_inference"].fn(spark, sf_dir).collect()}
+    n_checked = 0
+    for u, cells in per_user.items():
+        cells.sort()
+        if len(cells) < 2:
+            assert u not in got
+            continue
+        n_checked += 1
+        r = got[u]
+        (nc1, hy, hx), (nc2, wy, wx) = cells[0], cells[1]
+        assert (r.home_qy, r.home_qx, r.home_visits) == (hy, hx, -nc1)
+        assert (r.work_qy, r.work_qx, r.work_visits) == (wy, wx, -nc2)
+        d = ((hy - wy) ** 2 + (hx - wx) ** 2) ** 0.5
+        assert abs(r.commute_deg - round(d, 6)) < 1e-9
+    assert n_checked == len(got)
