@@ -202,6 +202,11 @@ HEADLINE = [
     "item_cooccurrence",
     "top_paths",
     "home_work_inference",
+    "gravity_calibration",
+    "triad_census",
+    "theil_decomposition",
+    "ohlc_bars",
+    "langid_confusion",
 ]
 
 

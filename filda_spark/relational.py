@@ -13818,6 +13818,377 @@ def home_work_inference(spark, sf_dir):
     )
 
 
+# Gravity-model calibration ----------------------------------------------------------
+
+
+@register(
+    "gravity_calibration",
+    f"""
+    WITH p AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms, event_id,
+             CAST(floor((CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor((CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cx
+      FROM events
+    ),
+    legs AS (
+      SELECT cy AS dcy, cx AS dcx,
+             lag(cy) OVER w AS ocy, lag(cx) OVER w AS ocx
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    ),
+    od AS (
+      SELECT ocy, ocx, dcy, dcx,
+             (dcy - ocy) * (dcy - ocy) + (dcx - ocx) * (dcx - ocx) AS d2,
+             CAST(count(*) AS BIGINT) AS n_trips
+      FROM legs WHERE ocy IS NOT NULL
+        AND NOT (ocy = dcy AND ocx = dcx)
+      GROUP BY 1, 2, 3, 4
+    ),
+    xy AS (
+      SELECT ln(CAST(d2 AS DOUBLE)) AS x, ln(CAST(n_trips AS DOUBLE)) AS y
+      FROM od
+    ),
+    mm AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy
+    )
+    SELECT m,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS beta,
+           round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
+             AS alpha,
+           round((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+    FROM mm
+    """,
+    doc=(
+        "gravity-model calibration: log-log OLS of OD trip counts against "
+        "squared origin-destination distance (ln T = alpha + beta ln d2; "
+        "the distance-decay exponent is -2 beta) over the od_flows leg "
+        "derivation — the parameter-ESTIMATION step huff_gravity "
+        "consumes a fixed exponent for and radiation_model avoids; "
+        "the regression inputs are ln's of exact integers (identical "
+        "doubles cross-engine), moments one partial-agg rollup"
+    ),
+)
+def gravity_calibration(spark, sf_dir):
+    """The od_flows plan (per-entity lag window -> OD pair partial-agg)
+    feeding a one-row moment rollup; ln runs on the aggregated OD frame
+    (bounded by connected cell pairs), never per event."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        F.floor(
+            ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0) / _GI_CELL
+        ).alias("cy"),
+        F.floor(
+            (((F.col("event_id") * 104729 % 2400).cast("double") / 100.0) + 10.0)
+            / _GI_CELL
+        ).alias("cx"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    legs = p.select(
+        F.col("cy").alias("dcy"),
+        F.col("cx").alias("dcx"),
+        F.lag("cy").over(w).alias("ocy"),
+        F.lag("cx").over(w).alias("ocx"),
+    ).filter(
+        F.col("ocy").isNotNull()
+        & ~((F.col("ocy") == F.col("dcy")) & (F.col("ocx") == F.col("dcx")))
+    )
+    od = legs.groupBy("ocy", "ocx", "dcy", "dcx").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )
+    d2 = (F.col("dcy") - F.col("ocy")) * (F.col("dcy") - F.col("ocy")) + (
+        F.col("dcx") - F.col("ocx")
+    ) * (F.col("dcx") - F.col("ocx"))
+    xy = od.select(
+        F.log(d2.cast("double")).alias("x"),
+        F.log(F.col("n_trips").cast("double")).alias("y"),
+    )
+    mm = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m = F.col("m")
+    beta = (m * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        m * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mm.select(
+        "m",
+        F.round(beta, 6).alias("beta"),
+        F.round((F.col("sy") - beta * F.col("sx")) / m, 6).alias("alpha"),
+        F.round(
+            (m * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (m * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (m * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (m * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+# Directed triad census --------------------------------------------------------------
+
+
+@register(
+    "triad_census",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey % {_PR_N} AS src, l_partkey % {_PR_N} AS dst
+      FROM lineitem
+      WHERE l_orderkey % {_PR_N} <> l_partkey % {_PR_N}
+    ),
+    recip AS (
+      SELECT CAST(count(*) / 2 AS BIGINT) AS n_recip
+      FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+    ),
+    wedge AS (
+      SELECT a.src AS x, a.dst AS y, b.dst AS z
+      FROM e a JOIN e b ON a.dst = b.src AND a.src <> b.dst
+    ),
+    ff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_ff
+      FROM wedge w JOIN e c ON c.src = w.x AND c.dst = w.z
+    ),
+    cyc AS (
+      SELECT CAST(count(*) / 3 AS BIGINT) AS n_cycle
+      FROM wedge w JOIN e c ON c.src = w.z AND c.dst = w.x
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           recip.n_recip, ff.n_ff, cyc.n_cycle
+    FROM recip CROSS JOIN ff CROSS JOIN cyc
+    """,
+    doc=(
+        "directed triad census over the order->part graph: reciprocal "
+        "dyads, feed-forward triangles (x->y->z plus the x->z shortcut) "
+        "and directed 3-cycles (each counted once — the wedge closure "
+        "count divides by the 3 rotations) — the motif spectrum that "
+        "separates hierarchy (feed-forward-heavy: food webs, DAG-like "
+        "pipelines) from feedback structure (cycle-heavy), extending "
+        "triangle_count's undirected closure; all-integer joins and "
+        "counts"
+    ),
+)
+def triad_census(spark, sf_dir):
+    """Edge dedup once (persisted — four references), ONE wedge "
+    equi-join reused by both closure probes, each closure an equi-join "
+    + one-row count. The wedge fan-out is the documented hub cost with "
+    the same degree-cap mitigation as common_neighbors."""
+    li = _t(spark, sf_dir, "lineitem")
+    s, d = F.col("l_orderkey") % _PR_N, F.col("l_partkey") % _PR_N
+    e = _persist_evict(
+        li.filter(s != d).select(s.alias("src"), d.alias("dst")).distinct()
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    recip = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        )
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_recip"))
+    )
+    wedge = _persist_evict(
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .filter(F.col("a.src") != F.col("b.dst"))
+        .select(
+            F.col("a.src").alias("x"), F.col("a.dst").alias("y"),
+            F.col("b.dst").alias("z"),
+        )
+    )
+    ec = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    ff = wedge.join(ec, ["x", "z"]).agg(F.count(F.lit(1)).alias("n_ff"))
+    er = e.select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    cyc = wedge.join(er, ["x", "z"]).agg(
+        (F.count(F.lit(1)) / 3).cast("long").alias("n_cycle")
+    )
+    # four one-row frames composed declaratively — no driver-side counts
+    return ne.crossJoin(recip).crossJoin(ff).crossJoin(cyc)
+
+
+# Theil inequality decomposition --------------------------------------------------------
+
+_TH_REG = 16  # region width in analysis cells (cx div 16 -> 3 regions)
+
+
+@register(
+    "theil_decomposition",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    g AS (SELECT cy, cx, x, cx // {_TH_REG} AS region FROM cells),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS big_n
+      FROM g
+    ),
+    reg AS (
+      SELECT region, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS BIGINT) AS x_g
+      FROM g GROUP BY region
+    ),
+    tw AS (
+      SELECT g.region,
+             sum(CAST(g.x AS DOUBLE) / r.x_g
+                 * ln(CAST(r.n_g AS DOUBLE) * g.x / r.x_g)) AS t_within
+      FROM g JOIN reg r ON r.region = g.region
+      GROUP BY g.region
+    ),
+    tb AS (
+      SELECT sum(CAST(r.x_g AS DOUBLE) / t.big_n
+                 * ln((CAST(r.x_g AS DOUBLE) / t.big_n)
+                      / (CAST(r.n_g AS DOUBLE) / t.n))) AS t_between
+      FROM reg r CROSS JOIN tot t
+    )
+    SELECT r.region, r.n_g, r.x_g,
+           round(CAST(r.x_g AS DOUBLE) / t.big_n, 6) AS share,
+           round(tw.t_within, 6) AS t_within,
+           round(CAST(r.x_g AS DOUBLE) / t.big_n * tw.t_within, 6) AS contrib,
+           round(tb.t_between, 6) AS t_between
+    FROM reg r
+    JOIN tw ON tw.region = r.region
+    CROSS JOIN tot t CROSS JOIN tb
+    """,
+    doc=(
+        f"Theil inequality decomposition of the detection-density "
+        f"surface by longitude bands ({_TH_REG}-cell regions): per-region "
+        "within-region Theil index, population share, contribution, and "
+        "the between-region term — T_total = T_between + sum(share x "
+        "T_within), the standard where-is-the-concentration split "
+        "(is burning clustered INSIDE regions or BETWEEN them) beside "
+        "lorenz_gini's single-number concentration; every ln argument is "
+        "a ratio of exact integers, so both engines feed identical "
+        "doubles"
+    ),
+)
+def theil_decomposition(spark, sf_dir):
+    """ONE cell rollup shuffle, O(regions) and O(1) frames broadcast "
+    back onto the cell stream for the within terms (one partial-agg per "
+    region), the between term a cross join of two one-row frames."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    g = cells.select(
+        "cy", "cx", "x", F.floor(F.col("cx") / _TH_REG).alias("region")
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").cast("long").alias("big_n")
+    )
+    reg = g.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("x").cast("long").alias("x_g")
+    )
+    tw = (
+        g.join(F.broadcast(reg), "region")
+        .groupBy("region")
+        .agg(
+            F.sum(
+                F.col("x").cast("double")
+                / F.col("x_g")
+                * F.log(F.col("n_g").cast("double") * F.col("x") / F.col("x_g"))
+            ).alias("t_within")
+        )
+    )
+    tb = (
+        reg.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("x_g").cast("double")
+                / F.col("big_n")
+                * F.log(
+                    (F.col("x_g").cast("double") / F.col("big_n"))
+                    / (F.col("n_g").cast("double") / F.col("n"))
+                )
+            ).alias("t_between")
+        )
+    )
+    return (
+        reg.join(F.broadcast(tw), "region")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "region",
+            "n_g",
+            "x_g",
+            F.round(F.col("x_g").cast("double") / F.col("big_n"), 6).alias("share"),
+            F.round("t_within", 6).alias("t_within"),
+            F.round(
+                F.col("x_g").cast("double") / F.col("big_n") * F.col("t_within"), 6
+            ).alias("contrib"),
+            F.round("t_between", 6).alias("t_between"),
+        )
+    )
+
+
+# OHLC bars ----------------------------------------------------------------------------
+
+
+@register(
+    "ohlc_bars",
+    """
+    WITH p AS (
+      SELECT event_type, value, epoch_ms(ts) AS t_ms, event_id
+      FROM events
+    ),
+    bounds AS (SELECT min(t_ms) AS t0 FROM p)
+    SELECT event_type,
+           CAST((t_ms - t0) // 86400000 AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(first(value ORDER BY t_ms, event_id), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(last(value ORDER BY t_ms, event_id), 6) AS close,
+           round(sum(value), 6) AS volume
+    FROM p CROSS JOIN bounds
+    GROUP BY event_type, (t_ms - t0) // 86400000
+    """,
+    doc=(
+        "OHLC candlestick bars per (type, corpus day): open/close by the "
+        "total (t_ms, event_id) order, high/low/volume — the canonical "
+        "time-series downsampling rollup (tick -> bar) that turns an "
+        "event stream into chartable state, beside moving_avg's rolling "
+        "view; open/close are order-statistics on a UNIQUE key so the "
+        "bar is deterministic, min/max order-free, volume the one "
+        "order-sensitive float sum (6-dp rounded)"
+    ),
+)
+def ohlc_bars(spark, sf_dir):
+    """One scalar bounds broadcast, ONE partial-agg shuffle to (type, "
+    day) — open/close ride min/max over a (t_ms, event_id, value) "
+    struct (exact, merge-order independent), so no window exchange "
+    exists at all."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+    )
+    bounds = p.agg(F.min("t_ms").alias("t0"))
+    pb = p.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        ((F.col("t_ms") - F.col("t0")) / 86400000).cast("long").alias("day"),
+        F.struct("t_ms", "event_id", "value").alias("kv"),
+    )
+    return pb.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("kv")["value"], 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max("kv")["value"], 6).alias("close"),
+        F.round(F.sum("value"), 6).alias("volume"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from filda_spark.functions import graph
 from filda_spark.functions import text as TX
 from filda_spark.functions import vectors as VX
-from filda_spark.relational import _t, register
+from filda_spark.relational import _persist_evict, _t, register
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -1482,4 +1482,60 @@ def ann_pq_search(spark, sf_dir):
     wk = Window.orderBy("adc_d2", "vec_id")
     return top.select(
         "vec_id", "adc_d2", F.row_number().over(wk).cast("long").alias("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation (confusion matrix vs labels)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH pred AS (
+      SELECT lang AS lang_true,
+             {TX.lang_id_sql("' ' || text || ' '")} AS lang_pred
+      FROM documents
+    ),
+    cm AS (
+      SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS row_n FROM cm GROUP BY 1)
+    SELECT cm.lang_true, cm.lang_pred, cm.n,
+           round(CAST(cm.n AS DOUBLE) / rt.row_n, 6) AS recall_share,
+           CAST(cm.lang_true = cm.lang_pred AS INT) AS is_correct
+    FROM cm JOIN rt ON rt.lang_true = cm.lang_true
+    """,
+    doc=(
+        "language-ID evaluation: the text_analysis n-gram classifier's "
+        "predictions cross-tabulated against the labeled lang column — "
+        "per (true, predicted) cell counts, the within-language recall "
+        "share, and the diagonal flag — the quality-measurement step "
+        "every classifier-driven corpus filter needs BEFORE its output "
+        "gates training data (an unmeasured lang filter silently drops "
+        "a language); counts BIGINT, one division per matrix cell"
+    ),
+)
+def langid_confusion(spark, sf_dir):
+    """Map-side prediction (the same JVM column algebra text_analysis
+    runs), ONE partial-agg to the O(langs^2) matrix, row totals a rollup
+    of that frame broadcast back — the corpus is scanned once."""
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = d.select(
+        F.col("lang").alias("lang_true"), TX.lang_id(padded).alias("lang_pred")
+    )
+    cm = pred.groupBy("lang_true", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    cm = _persist_evict(cm)
+    rt = cm.groupBy("lang_true").agg(F.sum("n").alias("row_n"))
+    return cm.join(F.broadcast(rt), "lang_true").select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias(
+            "recall_share"
+        ),
+        (F.col("lang_true") == F.col("lang_pred")).cast("int").alias("is_correct"),
     )

@@ -4122,3 +4122,161 @@ def test_home_work_inference_matches_brute_force(spark, sf_dir):
         d = ((hy - wy) ** 2 + (hx - wx) ** 2) ** 0.5
         assert abs(r.commute_deg - round(d, 6)) < 1e-9
     assert n_checked == len(got)
+
+
+def test_gravity_calibration_matches_brute_force(spark, sf_dir):
+    import math
+
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_millis(CAST(ts AS TIMESTAMP)) AS t_ms", "event_id"
+    ).collect()
+    C = relational._GI_CELL
+    by_user = {}
+    for r in ev:
+        cy = int(((r.event_id * 7919 % 2000) / 100.0) // C)
+        cx = int(((r.event_id * 104729 % 2400) / 100.0 + 10.0) // C)
+        by_user.setdefault(r.user_id, []).append((r.t_ms, r.event_id, cy, cx))
+    od = {}
+    for rows in by_user.values():
+        rows.sort()
+        for i in range(1, len(rows)):
+            o = rows[i - 1][2:]
+            d = rows[i][2:]
+            if o != d:
+                od[(o, d)] = od.get((o, d), 0) + 1
+    xs, ys = [], []
+    for (o, d), n in od.items():
+        d2 = (d[0] - o[0]) ** 2 + (d[1] - o[1]) ** 2
+        xs.append(math.log(d2))
+        ys.append(math.log(n))
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    got = relational.REGISTRY["gravity_calibration"].fn(spark, sf_dir).collect()[0]
+    assert got.m == m
+    assert abs(got.beta - beta) < 1e-5
+    assert abs(got.alpha - (sy - beta * sx) / m) < 1e-5
+    r2 = (m * sxy - sx * sy) ** 2 / ((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert abs(got.r2 - r2) < 1e-5
+    # the hashed-point corpus has near-uniform jump lengths, so the
+    # ESTIMATE itself is the test subject: beta ~ 0 and r2 ~ 0 here —
+    # the estimator correctly reports "no decay" on decay-free data
+    assert m > 1000 and 0.0 <= got.r2 < 0.05
+
+
+def test_triad_census_matches_brute_force(spark, sf_dir):
+    li = relational._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    N = relational._PR_N
+    e = set()
+    for r in li:
+        a, b = r.l_orderkey % N, r.l_partkey % N
+        if a != b:
+            e.add((a, b))
+    out = {}
+    for a, b in e:
+        out.setdefault(a, set()).add(b)
+    recip = sum(1 for a, b in e if (b, a) in e) // 2
+    ff = cyc = 0
+    for x, ys in out.items():
+        for y in ys:
+            for z in out.get(y, ()):
+                if z == x:
+                    continue
+                if (x, z) in e:
+                    ff += 1
+                if (z, x) in e:
+                    cyc += 1
+    cyc //= 3
+    got = relational.REGISTRY["triad_census"].fn(spark, sf_dir).collect()[0]
+    assert (got.n_edges, got.n_recip, got.n_ff, got.n_cycle) == (
+        len(e), recip, ff, cyc,
+    )
+    assert ff > 0 and cyc > 0
+
+
+def test_theil_decomposition_matches_brute_force(spark, sf_dir):
+    import math
+
+    cells = {
+        (r.cy, r.cx): r.x
+        for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    R = relational._TH_REG
+    reg = {}
+    for (cy, cx), x in cells.items():
+        reg.setdefault(cx // R, []).append(x)
+    n = len(cells)
+    big = sum(cells.values())
+    got = {r.region: r for r in
+           relational.REGISTRY["theil_decomposition"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(reg)
+    t_between = sum(
+        (sum(xs) / big) * math.log((sum(xs) / big) / (len(xs) / n))
+        for xs in reg.values()
+    )
+    total_check = t_between
+    for region, xs in reg.items():
+        xg, ng = sum(xs), len(xs)
+        tw = sum((x / xg) * math.log(ng * x / xg) for x in xs)
+        r = got[region]
+        assert (r.n_g, r.x_g) == (ng, xg)
+        assert abs(r.share - xg / big) < 1e-5
+        assert abs(r.t_within - tw) < 1e-5
+        assert abs(r.contrib - (xg / big) * tw) < 1e-5
+        assert abs(r.t_between - t_between) < 1e-5
+        total_check += (xg / big) * tw
+    assert total_check > 0  # inequality exists in the clustered corpus
+
+
+def test_ohlc_bars_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").selectExpr(
+        "event_type", "value", "unix_millis(CAST(ts AS TIMESTAMP)) AS t_ms",
+        "event_id"
+    ).collect()
+    t0 = min(r.t_ms for r in ev)
+    bars = {}
+    for r in ev:
+        bars.setdefault(
+            (r.event_type, (r.t_ms - t0) // 86400000), []
+        ).append((r.t_ms, r.event_id, r.value))
+    got = relational.REGISTRY["ohlc_bars"].fn(spark, sf_dir).collect()
+    assert len(got) == len(bars)
+    for r in got:
+        rows = sorted(bars[(r.event_type, r.day)])
+        vals = [v for _, _, v in rows]
+        assert r.n == len(rows)
+        assert r.open == round(rows[0][2], 6)
+        assert r.close == round(rows[-1][2], 6)
+        assert r.high == round(max(vals), 6)
+        assert r.low == round(min(vals), 6)
+        assert abs(r.volume - round(sum(vals), 6)) < 1e-6
+
+
+def test_langid_confusion_matches_brute_force(spark, sf_dir):
+    preds = {
+        r.doc_id: r.lang_pred
+        for r in relational.REGISTRY["text_analysis"].fn(spark, sf_dir).collect()
+    }
+    labels = {
+        r.doc_id: r.lang
+        for r in relational._t(spark, sf_dir, "documents").select(
+            "doc_id", "lang"
+        ).collect()
+    }
+    cm = {}
+    for d, p in preds.items():
+        k = (labels[d], p)
+        cm[k] = cm.get(k, 0) + 1
+    rt = {}
+    for (t, _), n in cm.items():
+        rt[t] = rt.get(t, 0) + n
+    got = relational.REGISTRY["langid_confusion"].fn(spark, sf_dir).collect()
+    assert {(r.lang_true, r.lang_pred): r.n for r in got} == cm
+    for r in got:
+        assert abs(r.recall_share - r.n / rt[r.lang_true]) < 1e-6
+        assert r.is_correct == int(r.lang_true == r.lang_pred)
