@@ -173,6 +173,28 @@ QUERIES = [
     "rrf_fusion",
     "zonal_histogram",
     "dasymetric_downscale",
+    # sessions 13-14: strahler/laplacian/theil/bivariate_moran ride the
+    # denser cell frame (bivariate_moran additionally stresses the 128-bit
+    # pair moments at 100x products); segment_intersections' candidate
+    # pairs grow ~100x (the cover-join scaling case); the rest ride 10x
+    # events/users/docs. soundex_blocking / item_cooccurrence /
+    # triad_census / graph_assortativity / ann_pq_search are EXCLUDED —
+    # part/lineitem/embeddings are copied unchanged
+    "strahler_order",
+    "sequence_mining",
+    "laplacian_curvature",
+    "kfold_assign",
+    "bivariate_moran",
+    "ks_test",
+    "lexical_diversity",
+    "segment_intersections",
+    "quantile_normalize",
+    "top_paths",
+    "home_work_inference",
+    "gravity_calibration",
+    "theil_decomposition",
+    "ohlc_bars",
+    "langid_confusion",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points
