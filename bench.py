@@ -207,6 +207,11 @@ HEADLINE = [
     "theil_decomposition",
     "ohlc_bars",
     "langid_confusion",
+    "ridge_regression",
+    "pca_project",
+    "mutual_information",
+    "chi2_features",
+    "hurst_exponent",
 ]
 
 

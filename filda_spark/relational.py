@@ -14189,6 +14189,646 @@ def ohlc_bars(spark, sf_dir):
     )
 
 
+# Ridge regression via exact normal equations --------------------------------------
+
+_RIDGE_LAM = 10000  # per-sample ridge penalty, scaled-integer units (lam = n * this)
+
+
+def _det3_sql(m: list[list[str]]) -> str:
+    """3x3 determinant with a FIXED association order — the same helper
+    renders both dialects (SQL fragments here, Columns in ``_det3_col``),
+    so the IEEE rounding path of the double arithmetic is identical on
+    Spark and DuckDB by construction."""
+    return (
+        f"({m[0][0]}) * (({m[1][1]}) * ({m[2][2]}) - ({m[1][2]}) * ({m[2][1]}))"
+        f" - ({m[0][1]}) * (({m[1][0]}) * ({m[2][2]}) - ({m[1][2]}) * ({m[2][0]}))"
+        f" + ({m[0][2]}) * (({m[1][0]}) * ({m[2][1]}) - ({m[1][1]}) * ({m[2][0]}))"
+    )
+
+
+def _det3_col(m: list[list[Column]]) -> Column:
+    """Spark twin of ``_det3_sql`` — identical term order."""
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+def _ridge_oracle_sql() -> str:
+    ent = {
+        "a11": "nn", "a12": "s1", "a13": "s2",
+        "a21": "s1", "a22": "s11 + lam", "a23": "s12",
+        "a31": "s2", "a32": "s12", "a33": "s22 + lam",
+        "b1": "sy", "b2": "s1y", "b3": "s2y",
+    }
+    d = {k: f"CAST({v} AS DOUBLE)" for k, v in ent.items()}
+    A = [[d["a11"], d["a12"], d["a13"]],
+         [d["a21"], d["a22"], d["a23"]],
+         [d["a31"], d["a32"], d["a33"]]]
+    b = [d["b1"], d["b2"], d["b3"]]
+    det = _det3_sql(A)
+    det0 = _det3_sql([[b[0], A[0][1], A[0][2]],
+                      [b[1], A[1][1], A[1][2]],
+                      [b[2], A[2][1], A[2][2]]])
+    det1 = _det3_sql([[A[0][0], b[0], A[0][2]],
+                      [A[1][0], b[1], A[1][2]],
+                      [A[2][0], b[2], A[2][2]]])
+    det2 = _det3_sql([[A[0][0], A[0][1], b[0]],
+                      [A[1][0], A[1][1], b[1]],
+                      [A[2][0], A[2][1], b[2]]])
+    return f"""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS HUGEINT) AS nn,
+             CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS HUGEINT) AS s11,
+             CAST(sum(CAST(x1 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS HUGEINT) AS s12,
+             CAST(sum(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS HUGEINT) AS s22,
+             CAST(sum(CAST(x1 AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS s2y
+      FROM r GROUP BY l_returnflag
+    ),
+    lamed AS (SELECT *, nn * {_RIDGE_LAM} AS lam FROM m)
+    SELECT l_returnflag, CAST(nn AS BIGINT) AS n,
+           round(({det0}) / ({det}) / 100.0, 6) AS intercept,
+           round(({det1}) / ({det}), 6) AS coef_qty,
+           round(({det2}) / ({det}), 6) AS coef_disc
+    FROM lamed
+    """
+
+
+@register(
+    "ridge_regression",
+    _ridge_oracle_sql(),
+    doc=(
+        "per-returnflag ridge regression of extendedprice on (quantity, "
+        "discount) by EXACT normal equations: all nine Gram/moment sums "
+        "128-bit integers over cent/centiunit-scaled inputs, ridge "
+        f"penalty lam = n x {_RIDGE_LAM} (per-sample, so the shrinkage is "
+        "scale-invariant in the row count), then ONE double Cramer solve "
+        "of the 3x3 system with a shared fixed-association determinant "
+        "helper rendered into both dialects — the distributed closed-form "
+        "GLM fit (the 100 TB path: XtX is a bounded-size partial agg, the "
+        "solve is O(1) on the aggregated frame, no gradient iterations)"
+    ),
+)
+def ridge_regression(spark, sf_dir):
+    """ONE partial-agg shuffle to |returnflag| rows carrying the 9-number
+    Gram state; the Cramer solve runs on the aggregated O(groups) frame.
+    This is the normal-equations pattern every closed-form linear model
+    reduces to — nothing after the exchange scales with the input."""
+    li = _t(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    r = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    x1, x2, y = (F.col(c).cast(d38) for c in ("x1", "x2", "y"))
+    m = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(d38).alias("nn"),
+        F.sum(x1).cast(d38).alias("s1"),
+        F.sum(x2).cast(d38).alias("s2"),
+        F.sum(y).cast(d38).alias("sy"),
+        F.sum(x1 * x1).cast(d38).alias("s11"),
+        F.sum(x1 * x2).cast(d38).alias("s12"),
+        F.sum(x2 * x2).cast(d38).alias("s22"),
+        F.sum(x1 * y).cast(d38).alias("s1y"),
+        F.sum(x2 * y).cast(d38).alias("s2y"),
+    )
+    lam = (F.col("nn") * _RIDGE_LAM).cast(d38)
+    dc = lambda c: c.cast("double")  # noqa: E731
+    A = [
+        [dc(F.col("nn")), dc(F.col("s1")), dc(F.col("s2"))],
+        [dc(F.col("s1")), dc(F.col("s11") + lam), dc(F.col("s12"))],
+        [dc(F.col("s2")), dc(F.col("s12")), dc(F.col("s22") + lam)],
+    ]
+    b = [dc(F.col("sy")), dc(F.col("s1y")), dc(F.col("s2y"))]
+    det = _det3_col(A)
+    det0 = _det3_col([[b[0], A[0][1], A[0][2]],
+                      [b[1], A[1][1], A[1][2]],
+                      [b[2], A[2][1], A[2][2]]])
+    det1 = _det3_col([[A[0][0], b[0], A[0][2]],
+                      [A[1][0], b[1], A[1][2]],
+                      [A[2][0], b[2], A[2][2]]])
+    det2 = _det3_col([[A[0][0], A[0][1], b[0]],
+                      [A[1][0], A[1][1], b[1]],
+                      [A[2][0], A[2][1], b[2]]])
+    return m.select(
+        "l_returnflag",
+        F.col("nn").cast("long").alias("n"),
+        F.round(det0 / det / 100.0, 6).alias("intercept"),
+        F.round(det1 / det, 6).alias("coef_qty"),
+        F.round(det2 / det, 6).alias("coef_disc"),
+    )
+
+
+# PCA projection (closed-form 2x2 eigen) --------------------------------------------
+
+
+@register(
+    "pca_project",
+    """
+    WITH p AS (
+      SELECT event_id,
+             CAST(event_id * 7919 % 2000 AS BIGINT) AS ix,
+             CAST(event_id * 104729 % 2400 AS BIGINT) AS iy
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(ix AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(iy AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(ix AS HUGEINT) * CAST(ix AS HUGEINT)) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(ix AS HUGEINT) * CAST(iy AS HUGEINT)) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(iy AS HUGEINT) * CAST(iy AS HUGEINT)) AS HUGEINT) AS syy
+      FROM p
+    ),
+    eig AS (
+      SELECT n,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS ad,
+             CAST(n * syy - sy * sy AS DOUBLE) AS bd,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cd,
+             (n * sxy - sx * sy) = 0 AS c_zero,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(n AS DOUBLE) AS nd
+      FROM m
+    ),
+    ax AS (
+      SELECT *,
+             ((ad + bd) + sqrt((ad - bd) * (ad - bd) + 4.0 * cd * cd)) / 2.0 AS l1,
+             ((ad + bd) - sqrt((ad - bd) * (ad - bd) + 4.0 * cd * cd)) / 2.0 AS l2
+      FROM eig
+    ),
+    v AS (
+      SELECT *,
+             CASE WHEN c_zero THEN CASE WHEN ad >= bd THEN 1.0 ELSE 0.0 END
+                  ELSE cd END AS v1x,
+             CASE WHEN c_zero THEN CASE WHEN ad >= bd THEN 0.0 ELSE 1.0 END
+                  ELSE l1 - ad END AS v1y
+      FROM ax
+    ),
+    u AS (SELECT *, sqrt(v1x * v1x + v1y * v1y) AS nrm FROM v)
+    SELECT p.event_id,
+           round(((nd * p.ix - sxd) * v1x + (nd * p.iy - syd) * v1y)
+                 / (nd * nrm) / 100.0, 6) AS pc1,
+           round((-(nd * p.ix - sxd) * v1y + (nd * p.iy - syd) * v1x)
+                 / (nd * nrm) / 100.0, 6) AS pc2,
+           round(l1 / (l1 + l2), 6) AS evr1
+    FROM p CROSS JOIN u
+    """,
+    doc=(
+        "PCA of the detection point cloud by closed-form 2x2 eigen "
+        "decomposition: covariance moments are EXACT 128-bit integers "
+        "over the centidegree lattice (n*Sxx - Sx^2 etc.), the principal "
+        "axis comes from the symmetric-eigen identity v1 = (c, l1 - a) "
+        "(no atan2/cos/sin — the one irrational is IEEE-correctly-rounded "
+        "sqrt, so both engines emit bit-identical doubles), and every "
+        "point is projected to (pc1, pc2) scores in degree units plus the "
+        "explained-variance ratio — the distributed dimensionality-"
+        "reduction pattern: one bounded agg, one scalar broadcast back "
+        "over the stream; the c = 0 degenerate (axis-aligned cloud) takes "
+        "the exact-integer CASE branch identically on both engines"
+    ),
+)
+def pca_project(spark, sf_dir):
+    """ONE 6-number moment agg (partial-agg shuffle to a single row),
+    eigen algebra on the one-row frame, then a scalar-broadcast crossJoin
+    projecting the full stream map-side — no second shuffle, O(1) driver
+    state. The d-dimensional generalization keeps the same shape (the
+    Gram agg is d^2 numbers; the solve stays on the aggregated frame)."""
+    ev = _t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    p = ev.select(
+        "event_id",
+        (F.col("event_id") * 7919 % 2000).alias("ix"),
+        (F.col("event_id") * 104729 % 2400).alias("iy"),
+    )
+    ix, iy = F.col("ix").cast(d38), F.col("iy").cast(d38)
+    m = p.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(ix).cast(d38).alias("sx"),
+        F.sum(iy).cast(d38).alias("sy"),
+        F.sum(ix * ix).cast(d38).alias("sxx"),
+        F.sum(ix * iy).cast(d38).alias("sxy"),
+        F.sum(iy * iy).cast(d38).alias("syy"),
+    )
+    eig = m.select(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("ad"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("bd"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("cd"),
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) == 0).alias("c_zero"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("n").cast("double").alias("nd"),
+    )
+    disc = F.sqrt(
+        (F.col("ad") - F.col("bd")) * (F.col("ad") - F.col("bd"))
+        + 4.0 * F.col("cd") * F.col("cd")
+    )
+    ax = eig.select(
+        "*",
+        (((F.col("ad") + F.col("bd")) + disc) / 2.0).alias("l1"),
+        (((F.col("ad") + F.col("bd")) - disc) / 2.0).alias("l2"),
+    )
+    v = ax.select(
+        "*",
+        F.when(F.col("c_zero"), F.when(F.col("ad") >= F.col("bd"), 1.0).otherwise(0.0))
+        .otherwise(F.col("cd"))
+        .alias("v1x"),
+        F.when(F.col("c_zero"), F.when(F.col("ad") >= F.col("bd"), 0.0).otherwise(1.0))
+        .otherwise(F.col("l1") - F.col("ad"))
+        .alias("v1y"),
+    )
+    u = v.select(
+        "*", F.sqrt(F.col("v1x") * F.col("v1x") + F.col("v1y") * F.col("v1y")).alias("nrm")
+    )
+    ux = F.col("nd") * F.col("ix") - F.col("sxd")
+    uy = F.col("nd") * F.col("iy") - F.col("syd")
+    return p.crossJoin(F.broadcast(u)).select(
+        "event_id",
+        F.round((ux * F.col("v1x") + uy * F.col("v1y")) / (F.col("nd") * F.col("nrm")) / 100.0, 6).alias("pc1"),
+        F.round((-ux * F.col("v1y") + uy * F.col("v1x")) / (F.col("nd") * F.col("nrm")) / 100.0, 6).alias("pc2"),
+        F.round(F.col("l1") / (F.col("l1") + F.col("l2")), 6).alias("evr1"),
+    )
+
+
+# Mutual information of the (source, lang) contingency ------------------------------
+
+
+@register(
+    "mutual_information",
+    """
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c_xy
+      FROM documents GROUP BY source, lang
+    ),
+    mx AS (SELECT source, CAST(sum(c_xy) AS BIGINT) AS c_x FROM c GROUP BY source),
+    my AS (SELECT lang, CAST(sum(c_xy) AS BIGINT) AS c_y FROM c GROUP BY lang),
+    t AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM c),
+    terms AS (
+      SELECT c.source, c.lang, c.c_xy, mx.c_x, my.c_y, t.n,
+             ln(CAST(t.n * c.c_xy AS DOUBLE) / (CAST(mx.c_x AS DOUBLE) * CAST(my.c_y AS DOUBLE))) AS pmi,
+             CAST(c.c_xy AS DOUBLE) / t.n
+               * ln(CAST(t.n * c.c_xy AS DOUBLE) / (CAST(mx.c_x AS DOUBLE) * CAST(my.c_y AS DOUBLE))) AS contrib
+      FROM c JOIN mx ON mx.source = c.source
+             JOIN my ON my.lang = c.lang
+             CROSS JOIN t
+    ),
+    tot AS (SELECT sum(contrib) AS mi FROM terms)
+    SELECT source, lang, c_xy,
+           round(CAST(c_xy AS DOUBLE) / n, 6) AS p_xy,
+           round(pmi, 6) AS pmi,
+           round(contrib, 6) AS contrib,
+           round(tot.mi, 6) AS mi_total
+    FROM terms CROSS JOIN tot
+    """,
+    doc=(
+        "mutual information I(source; lang) over the document corpus with "
+        "its full per-cell decomposition: joint/marginal counts are exact "
+        "BIGINTs (every ln argument is a ratio of exact integers, so both "
+        "engines feed identical doubles), each contingency cell reports "
+        "its probability, pointwise MI and contribution, and the total MI "
+        "rides along as the one order-sensitive double sum (6-dp rounded) "
+        "— the dependence-strength diagnostic between two categorical "
+        "columns (is the crawl source informative about language?), the "
+        "per-cell terms showing WHERE the association lives, beside "
+        "jsd_divergence's distribution distance and pmi_pairs' "
+        "co-occurrence lift"
+    ),
+)
+def mutual_information(spark, sf_dir):
+    """ONE partial-agg shuffle to the O(|sources| x |langs|) cell frame;
+    marginals and the total are re-aggregations of that tiny frame
+    (persisted — four downstream references), broadcast back onto it.
+    Nothing after the first exchange scales with the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    c = _persist_evict(
+        docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    mx = c.groupBy("source").agg(F.sum("c_xy").alias("c_x"))
+    my = c.groupBy("lang").agg(F.sum("c_xy").alias("c_y"))
+    t = c.agg(F.sum("c_xy").alias("n"))
+    pmi = F.log(
+        (F.col("n") * F.col("c_xy")).cast("double")
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    terms = _persist_evict(
+        c.join(F.broadcast(mx), "source")
+        .join(F.broadcast(my), "lang")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source", "lang", "c_xy", "n",
+            pmi.alias("pmi"),
+            (F.col("c_xy").cast("double") / F.col("n") * pmi).alias("contrib"),
+        )
+    )
+    tot = terms.agg(F.sum("contrib").alias("mi"))
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "source", "lang", "c_xy",
+        F.round(F.col("c_xy").cast("double") / F.col("n"), 6).alias("p_xy"),
+        F.round("pmi", 6).alias("pmi"),
+        F.round("contrib", 6).alias("contrib"),
+        F.round("mi", 6).alias("mi_total"),
+    )
+
+
+# Chi-square feature selection (token vs language) -----------------------------------
+
+_CHI2_MIN_DF = 20  # document-frequency floor for a token to be scored
+_CHI2_TOP_K = 15  # features kept per language
+
+
+@register(
+    "chi2_features",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, lang, tok FROM (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+    nl AS (
+      SELECT lang, CAST(count(*) AS HUGEINT) AS n_l FROM documents GROUP BY lang
+    ),
+    df AS (
+      SELECT tok, CAST(count(*) AS HUGEINT) AS df_t
+      FROM (SELECT DISTINCT doc_id, tok FROM dt) GROUP BY tok
+      HAVING count(*) >= {_CHI2_MIN_DF}
+    ),
+    a AS (
+      SELECT tok, lang, CAST(count(*) AS HUGEINT) AS a FROM dt GROUP BY tok, lang
+    ),
+    x2 AS (
+      SELECT a.lang, a.tok, a.a, df.df_t, nl.n_l, nn.n,
+             CAST(nn.n * (a.a * (nn.n - nl.n_l - (df.df_t - a.a))
+                          - (df.df_t - a.a) * (nl.n_l - a.a))
+                       * (a.a * (nn.n - nl.n_l - (df.df_t - a.a))
+                          - (df.df_t - a.a) * (nl.n_l - a.a)) AS DOUBLE)
+             / CAST(df.df_t * (nn.n - df.df_t) * nl.n_l * (nn.n - nl.n_l) AS DOUBLE)
+               AS chi2_raw
+      FROM a JOIN df ON df.tok = a.tok
+             JOIN nl ON nl.lang = a.lang
+             CROSS JOIN nn
+    )
+    SELECT lang, tok, CAST(a AS BIGINT) AS df_in_lang,
+           CAST(df_t AS BIGINT) AS df_total,
+           round(chi2_raw, 6) AS chi2, rnk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY chi2_raw DESC, tok) AS BIGINT) AS rnk
+      FROM x2
+    ) WHERE rnk <= {_CHI2_TOP_K}
+    """,
+    doc=(
+        "chi-square feature selection: for every (token, language) pair "
+        f"with document frequency >= {_CHI2_MIN_DF}, the 2x2 presence "
+        "contingency chi2 statistic n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) "
+        "with ALL products 128-bit-integer exact before the single double "
+        f"division, ranked to the top {_CHI2_TOP_K} features per language "
+        "(deterministic (chi2 desc, token) order) — the classic "
+        "supervised vocabulary-selection op a training pipeline runs to "
+        "find language-discriminative tokens, beside tfidf_topterms' "
+        "unsupervised salience"
+    ),
+)
+def chi2_features(spark, sf_dir):
+    """Explode -> per-doc-distinct tokens (ONE dedup shuffle), then three
+    bounded partial aggs (corpus total, per-lang, per-token DF with the "
+    floor pushed into the agg) joined back broadcast; the ranking is a
+    WindowGroupLimit on the O(scored features) frame, never on rows."""
+    docs = _t(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    dt = _persist_evict(
+        docs.select(
+            "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast(d38).alias("n"))
+    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).cast(d38).alias("n_l"))
+    df = (
+        dt.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast(d38).alias("df_t"))
+        .filter(F.col("df_t") >= _CHI2_MIN_DF)
+    )
+    a = dt.groupBy("tok", "lang").agg(F.count(F.lit(1)).cast(d38).alias("a"))
+    dd = F.col("n") - F.col("n_l") - (F.col("df_t") - F.col("a"))
+    adbc = F.col("a") * dd - (F.col("df_t") - F.col("a")) * (F.col("n_l") - F.col("a"))
+    x2 = (
+        a.join(df, "tok")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "lang", "tok", "a", "df_t",
+            (
+                (F.col("n") * adbc * adbc).cast("double")
+                / (
+                    F.col("df_t") * (F.col("n") - F.col("df_t"))
+                    * F.col("n_l") * (F.col("n") - F.col("n_l"))
+                ).cast("double")
+            ).alias("chi2_raw"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2_raw"), F.asc("tok"))
+    return (
+        x2.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _CHI2_TOP_K)
+        .select(
+            "lang", "tok",
+            F.col("a").cast("long").alias("df_in_lang"),
+            F.col("df_t").cast("long").alias("df_total"),
+            F.round("chi2_raw", 6).alias("chi2"),
+            "rnk",
+        )
+    )
+
+
+# Hurst exponent via rescaled-range (R/S) analysis ----------------------------------
+
+_HURST_WS = (4, 8, 16)  # R/S window sizes, days (corpus spans ~30)
+_HURST_LNW = tuple(__import__("math").log(w) for w in _HURST_WS)
+
+
+def _hurst_slope_sql(ys: list[str]) -> str:
+    """3-point OLS slope of y vs the fixed ln(w) abscissae, fully inlined
+    (no aggregate, so no merge-order float drift): the same literal
+    ln-width constants are rendered into both dialects."""
+    xs = [repr(x) for x in _HURST_LNW]
+    n = len(xs)
+    sx = f"({' + '.join(xs)})"
+    sxx = f"({' + '.join(f'{x} * {x}' for x in xs)})"
+    sxy = f"({' + '.join(f'{x} * ({y})' for x, y in zip(xs, ys))})"
+    sy = f"({' + '.join(f'({y})' for y in ys)})"
+    return f"({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx})"
+
+
+@register(
+    "hurst_exponent",
+    f"""
+    WITH b AS (SELECT event_type, epoch_ms(ts) AS t_ms FROM events),
+    bounds AS (
+      SELECT min(t_ms) AS t0,
+             CAST((max(t_ms) - min(t_ms)) // 86400000 + 1 AS BIGINT) AS days
+      FROM b
+    ),
+    z AS (
+      SELECT event_type, CAST((t_ms - t0) // 86400000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS z
+      FROM b CROSS JOIN bounds GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM b),
+    grid AS (
+      SELECT event_type, unnest(range(0, days)) AS day
+      FROM types CROSS JOIN bounds
+    ),
+    series AS (
+      SELECT g.event_type, g.day, coalesce(z.z, 0) AS z
+      FROM grid g LEFT JOIN z ON z.event_type = g.event_type AND z.day = g.day
+    ),
+    blk AS (
+      SELECT s.event_type, w.w, s.day // w.w AS block, s.day % w.w AS k, s.z
+      FROM series s
+      CROSS JOIN (SELECT unnest([{', '.join(str(w) for w in _HURST_WS)}]) AS w) w
+      CROSS JOIN bounds
+      WHERE (s.day // w.w + 1) * w.w <= bounds.days
+    ),
+    cum AS (
+      SELECT event_type, w, block, k, z,
+             sum(z) OVER (PARTITION BY event_type, w, block
+                          ORDER BY k ROWS UNBOUNDED PRECEDING) AS cz,
+             sum(z) OVER (PARTITION BY event_type, w, block) AS bsum,
+             sum(z * z) OVER (PARTITION BY event_type, w, block) AS szz
+      FROM blk
+    ),
+    bstat AS (
+      SELECT event_type, w, block,
+             CAST(max(bsum) AS BIGINT) AS bsum, CAST(max(szz) AS BIGINT) AS szz,
+             CAST(max(w * cz - (k + 1) * bsum)
+                  - min(w * cz - (k + 1) * bsum) AS BIGINT) AS rw
+      FROM cum GROUP BY 1, 2, 3
+    ),
+    rs AS (
+      SELECT event_type, w,
+             avg(CAST(rw AS DOUBLE) / sqrt(CAST(w * szz - bsum * bsum AS DOUBLE))) AS rsw
+      FROM bstat WHERE w * szz - bsum * bsum > 0 GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT event_type,
+             round(max(CASE WHEN w = {_HURST_WS[0]} THEN rsw END), 6) AS rs4,
+             round(max(CASE WHEN w = {_HURST_WS[1]} THEN rsw END), 6) AS rs8,
+             round(max(CASE WHEN w = {_HURST_WS[2]} THEN rsw END), 6) AS rs16
+      FROM rs GROUP BY 1
+    )
+    SELECT event_type, rs4, rs8, rs16,
+           round({_hurst_slope_sql(['ln(rs4)', 'ln(rs8)', 'ln(rs16)'])}, 6) AS hurst
+    FROM piv
+    """,
+    doc=(
+        "Hurst exponent of each event type's daily-count series by "
+        "rescaled-range analysis: zero-filled day grid, complete blocks "
+        f"of w in {_HURST_WS} days, per-block range of cumulative "
+        "deviations computed as the EXACT integer w*cumsum_k - (k+1)*"
+        "blocksum (so R and the variance radicand are BIGINT-exact and "
+        "parallelism-independent), R/S averaged per width (the one "
+        "order-sensitive double mean, 6-dp rounded), and H fitted as the "
+        "3-point ln-ln slope over the ROUNDED R/S values so both engines "
+        "feed identical inputs — the long-range-dependence diagnostic "
+        "(H > 0.5 persistent, < 0.5 mean-reverting) beside "
+        "burstiness_index's inter-event view"
+    ),
+)
+def hurst_exponent(spark, sf_dir):
+    """Day counts: ONE partial-agg shuffle. The zero-filled grid is
+    types x days x |widths| (bounded by the calendar span, not the row
+    count) built map-side from a sequence explode; block stats ride one
+    window exchange on (type, w, block); everything after is O(types).
+    At a 100 TB span the day-count agg still reduces the stream to
+    O(types x days) before any window work."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select("event_type", F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"))
+    b = _persist_evict(b)
+    bounds = b.agg(
+        F.min("t_ms").alias("t0"),
+        (((F.max("t_ms") - F.min("t_ms")) / 86400000).cast("long") + 1).alias("days"),
+    )
+    z = (
+        b.crossJoin(F.broadcast(bounds))
+        .select("event_type", ((F.col("t_ms") - F.col("t0")) / 86400000).cast("long").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("z"))
+    )
+    types = b.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.col("days") - 1)).alias("day"))
+    )
+    series = grid.join(z, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("z", F.lit(0)).alias("z")
+    )
+    ws = spark.createDataFrame([(w,) for w in _HURST_WS], "w int")
+    blk = (
+        series.crossJoin(F.broadcast(ws))
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.floor(F.col("day") / F.col("w")) + 1) * F.col("w") <= F.col("days"))
+        .select(
+            "event_type", "w",
+            F.floor(F.col("day") / F.col("w")).alias("block"),
+            (F.col("day") % F.col("w")).alias("k"),
+            "z",
+        )
+    )
+    wp = Window.partitionBy("event_type", "w", "block")
+    cum = blk.select(
+        "event_type", "w", "block", "k", "z",
+        F.sum("z").over(wp.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)).alias("cz"),
+        F.sum("z").over(wp).alias("bsum"),
+        F.sum(F.col("z") * F.col("z")).over(wp).alias("szz"),
+    )
+    y = F.col("w") * F.col("cz") - (F.col("k") + 1) * F.col("bsum")
+    bstat = cum.groupBy("event_type", "w", "block").agg(
+        F.max("bsum").alias("bsum"),
+        F.max("szz").alias("szz"),
+        (F.max(y) - F.min(y)).cast("long").alias("rw"),
+    )
+    rad = F.col("w") * F.col("szz") - F.col("bsum") * F.col("bsum")
+    rs = (
+        bstat.filter(rad > 0)
+        .groupBy("event_type", "w")
+        .agg(F.avg(F.col("rw").cast("double") / F.sqrt(rad.cast("double"))).alias("rsw"))
+    )
+    piv = rs.groupBy("event_type").agg(
+        F.round(F.max(F.when(F.col("w") == _HURST_WS[0], F.col("rsw"))), 6).alias("rs4"),
+        F.round(F.max(F.when(F.col("w") == _HURST_WS[1], F.col("rsw"))), 6).alias("rs8"),
+        F.round(F.max(F.when(F.col("w") == _HURST_WS[2], F.col("rsw"))), 6).alias("rs16"),
+    )
+    xs, n = _HURST_LNW, len(_HURST_WS)
+    ys = [F.log(F.col(c)) for c in ("rs4", "rs8", "rs16")]
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+    sxy = xs[0] * ys[0] + xs[1] * ys[1] + xs[2] * ys[2]
+    sy = ys[0] + ys[1] + ys[2]
+    return piv.select(
+        "event_type", "rs4", "rs8", "rs16",
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("hurst"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -195,6 +195,13 @@ QUERIES = [
     "theil_decomposition",
     "ohlc_bars",
     "langid_confusion",
+    # session-15 batch: pca/MI/chi2/hurst ride the 10x events/docs corpus
+    # (exact-integer moment paths stressed at 10x magnitudes);
+    # ridge_regression is EXCLUDED — lineitem is copied unchanged
+    "pca_project",
+    "mutual_information",
+    "chi2_features",
+    "hurst_exponent",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

@@ -4280,3 +4280,161 @@ def test_langid_confusion_matches_brute_force(spark, sf_dir):
     for r in got:
         assert abs(r.recall_share - r.n / rt[r.lang_true]) < 1e-6
         assert r.is_correct == int(r.lang_true == r.lang_pred)
+
+
+def test_ridge_regression_matches_brute_force(spark, sf_dir):
+    import numpy as np
+
+    rows = relational._t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.l_returnflag, []).append(
+            (round(r.l_quantity * 100), round(r.l_discount * 100),
+             round(r.l_extendedprice * 100))
+        )
+    got = {r.l_returnflag: r for r in
+           relational.REGISTRY["ridge_regression"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(by)
+    for flag, pts in by.items():
+        X = np.array([(1.0, x1, x2) for x1, x2, _ in pts])
+        y = np.array([yy for _, _, yy in pts], dtype=float)
+        A = X.T @ X
+        lam = len(pts) * relational._RIDGE_LAM
+        A[1, 1] += lam
+        A[2, 2] += lam
+        beta = np.linalg.solve(A, X.T @ y)
+        g = got[flag]
+        assert g.n == len(pts)
+        assert abs(g.intercept - beta[0] / 100.0) < 1e-4
+        assert abs(g.coef_qty - beta[1]) < 1e-4
+        assert abs(g.coef_disc - beta[2]) < 1e-4
+
+
+def test_pca_project_matches_brute_force(spark, sf_dir):
+    import numpy as np
+
+    ids = np.array([
+        r.event_id for r in
+        relational._t(spark, sf_dir, "events").select("event_id").collect()
+    ])
+    ix = ids * 7919 % 2000
+    iy = ids * 104729 % 2400
+    pts = np.stack([ix, iy], axis=1).astype(float)
+    c = pts - pts.mean(axis=0)
+    cov = c.T @ c / len(pts)
+    evals, evecs = np.linalg.eigh(cov)
+    v1 = evecs[:, -1]
+    got = relational.REGISTRY["pca_project"].fn(spark, sf_dir).collect()
+    assert len(got) == len(ids)
+    lookup = {r.event_id: r for r in got}
+    scores = c @ v1 / 100.0
+    for i, eid in enumerate(ids[:200]):
+        # eigenvector sign is a convention; compare magnitudes
+        assert abs(abs(lookup[eid].pc1) - abs(scores[i])) < 1e-4
+        assert abs(lookup[eid].evr1 - evals[-1] / evals.sum()) < 1e-5
+        assert abs(lookup[eid].pc1 ** 2 + lookup[eid].pc2 ** 2
+                   - (c[i] @ c[i]) / 1e4) < 1e-3
+
+
+def test_mutual_information_matches_brute_force(spark, sf_dir):
+    import math
+
+    rows = relational._t(spark, sf_dir, "documents").select("source", "lang").collect()
+    cxy, cx, cy = {}, {}, {}
+    for r in rows:
+        cxy[(r.source, r.lang)] = cxy.get((r.source, r.lang), 0) + 1
+        cx[r.source] = cx.get(r.source, 0) + 1
+        cy[r.lang] = cy.get(r.lang, 0) + 1
+    n = len(rows)
+    mi = sum(
+        v / n * math.log(n * v / (cx[s] * cy[lg])) for (s, lg), v in cxy.items()
+    )
+    got = relational.REGISTRY["mutual_information"].fn(spark, sf_dir).collect()
+    assert len(got) == len(cxy)
+    for r in got:
+        v = cxy[(r.source, r.lang)]
+        assert r.c_xy == v
+        assert abs(r.pmi - math.log(n * v / (cx[r.source] * cy[r.lang]))) < 1e-5
+        assert abs(r.contrib - v / n * math.log(n * v / (cx[r.source] * cy[r.lang]))) < 1e-5
+        assert abs(r.mi_total - mi) < 1e-5
+
+
+def test_chi2_features_matches_brute_force(spark, sf_dir):
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    n = len(docs)
+    nl, df, a = {}, {}, {}
+    for r in docs:
+        nl[r.lang] = nl.get(r.lang, 0) + 1
+        for tok in set(t for t in r.text.split(" ") if t):
+            df[tok] = df.get(tok, 0) + 1
+            a[(tok, r.lang)] = a.get((tok, r.lang), 0) + 1
+    scored = {}
+    for (tok, lang), av in a.items():
+        if df[tok] < relational._CHI2_MIN_DF:
+            continue
+        b = df[tok] - av
+        c = nl[lang] - av
+        d = n - nl[lang] - b
+        num = n * (av * d - b * c) ** 2
+        den = df[tok] * (n - df[tok]) * nl[lang] * (n - nl[lang])
+        scored.setdefault(lang, []).append((num / den, tok, av, df[tok]))
+    got = relational.REGISTRY["chi2_features"].fn(spark, sf_dir).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, feats in scored.items():
+        top = sorted(feats, key=lambda t: (-t[0], t[1]))[: relational._CHI2_TOP_K]
+        gl = sorted(by_lang[lang], key=lambda r: r.rnk)
+        assert len(gl) == len(top)
+        for g, (chi2, tok, av, dft) in zip(gl, top):
+            assert g.tok == tok
+            assert g.df_in_lang == av
+            assert g.df_total == dft
+            assert abs(g.chi2 - chi2) < 1e-4
+
+
+def test_hurst_exponent_matches_brute_force(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    rows = relational._t(spark, sf_dir, "events").selectExpr(
+        "event_type", "unix_millis(CAST(ts AS TIMESTAMP)) AS t_ms"
+    ).collect()
+    t0 = min(r.t_ms for r in rows)
+    days = (max(r.t_ms for r in rows) - t0) // 86400000 + 1
+    series = {}
+    for r in rows:
+        d = (r.t_ms - t0) // 86400000
+        series.setdefault(r.event_type, np.zeros(days, dtype=np.int64))[d] += 1
+    got = {r.event_type: r for r in
+           relational.REGISTRY["hurst_exponent"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for et, z in series.items():
+        rsws = {}
+        for w in relational._HURST_WS:
+            vals = []
+            for blk in range(len(z) // w):
+                seg = z[blk * w:(blk + 1) * w].astype(float)
+                yk = np.cumsum(seg - seg.mean())
+                rng = yk.max() - yk.min()
+                s = seg.std()
+                if s > 0:
+                    vals.append(rng / s)
+            if vals:
+                rsws[w] = round(float(np.mean(vals)), 6)
+        g = got[et]
+        assert abs(g.rs4 - rsws[4]) < 1e-5
+        assert abs(g.rs8 - rsws[8]) < 1e-5
+        assert abs(g.rs16 - rsws[16]) < 1e-5
+        xs = [math.log(w) for w in relational._HURST_WS]
+        ys = [math.log(rsws[w]) for w in relational._HURST_WS]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        slope = (3 * sxy - sx * sy) / (3 * sxx - sx * sx)
+        assert abs(g.hurst - slope) < 1e-5
