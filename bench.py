@@ -212,6 +212,11 @@ HEADLINE = [
     "mutual_information",
     "chi2_features",
     "hurst_exponent",
+    "local_clustering",
+    "modularity_score",
+    "powerlaw_alpha",
+    "reciprocity",
+    "k_truss",
 ]
 
 

@@ -14829,6 +14829,416 @@ def hurst_exponent(spark, sf_dir):
     )
 
 
+# Local clustering coefficient -------------------------------------------------------
+
+_LC_E_SQL = f"""
+      SELECT DISTINCT least(l_orderkey % {_KC_N}, l_partkey % {_KC_N}) AS u,
+             greatest(l_orderkey % {_KC_N}, l_partkey % {_KC_N}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {_KC_N} <> l_partkey % {_KC_N}
+"""
+
+
+def _lc_edges(spark, sf_dir) -> DataFrame:
+    """Spark twin of ``_LC_E_SQL``: canonical u<v edges on the sparse
+    {_KC_N}-node graph (~6 avg degree, so clustering/truss statistics are
+    non-degenerate, unlike the near-complete {_PR_N}-node pagerank graph)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sa = F.col("l_orderkey") % _KC_N
+    sb = F.col("l_partkey") % _KC_N
+    return (
+        li.filter(sa != sb)
+        .select(F.least(sa, sb).alias("u"), F.greatest(sa, sb).alias("v"))
+        .distinct()
+    )
+
+
+@register(
+    "local_clustering",
+    f"""
+    WITH e AS ({_LC_E_SQL}),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tcnt AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree, CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+           round(CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE)
+                 / nullif(CAST(d.degree * (d.degree - 1) AS DOUBLE), 0.0), 6) AS cc
+    FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    """,
+    doc=(
+        "local clustering coefficient per node: cc(v) = 2*tri(v) / "
+        "(deg(v)*(deg(v)-1)) over the sparse co-purchase graph — the "
+        "how-cliquish-is-my-neighborhood statistic (triangle_count gives "
+        "the raw counts; this normalizes them into the comparable [0,1] "
+        "transitivity measure a fraud/community pipeline thresholds on); "
+        "degree-1 nodes report NULL via the nullif guard identically on "
+        "both engines, every count BIGINT-exact"
+    ),
+)
+def local_clustering(spark, sf_dir):
+    """Persisted canonical edge set (five references: degree explode + two
+    wedge sides + closer), ONE triangle enumeration (two equi-joins), "
+    constant 3x corner fan-out, two partial-agg groupBys, and a final
+    broadcast-size join of the two O(nodes) frames. At real scale the
+    wedge join follows degree orientation (the triangle_count note)."""
+    e = _persist_evict(_lc_edges(spark, sf_dir))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return deg.join(tcnt, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        F.round(
+            (2 * F.coalesce("n_tri", F.lit(0))).cast("double")
+            / F.nullif((F.col("degree") * (F.col("degree") - 1)).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("cc"),
+    )
+
+
+# Modularity of a fixed partition ----------------------------------------------------
+
+_MOD_K = 8  # community count of the evaluated hash partition
+
+
+@register(
+    "modularity_score",
+    f"""
+    WITH e AS ({_LC_E_SQL}),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    deg AS (
+      SELECT node, node % {_MOD_K} AS comm, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node
+    ),
+    dc AS (
+      SELECT comm, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(degree) AS BIGINT) AS d_sum
+      FROM deg GROUP BY comm
+    ),
+    ec AS (
+      SELECT u % {_MOD_K} AS comm, CAST(count(*) AS BIGINT) AS e_in
+      FROM e WHERE u % {_MOD_K} = v % {_MOD_K} GROUP BY 1
+    ),
+    terms AS (
+      SELECT dc.comm, dc.n_nodes, CAST(coalesce(ec.e_in, 0) AS BIGINT) AS e_in,
+             dc.d_sum, m.m,
+             CAST(coalesce(ec.e_in, 0) AS DOUBLE) / m.m
+               - (CAST(dc.d_sum AS DOUBLE) / (2 * m.m))
+                 * (CAST(dc.d_sum AS DOUBLE) / (2 * m.m)) AS contrib
+      FROM dc LEFT JOIN ec ON ec.comm = dc.comm CROSS JOIN m
+    ),
+    q AS (SELECT sum(contrib) AS q FROM terms)
+    SELECT comm, n_nodes, e_in, d_sum,
+           round(contrib, 6) AS contrib, round(q.q, 6) AS q_total
+    FROM terms CROSS JOIN q
+    """,
+    doc=(
+        f"Newman modularity of a {_MOD_K}-way node partition over the "
+        "sparse co-purchase graph: per community the intra-edge count, "
+        "degree volume, and contribution e_c/m - (d_c/2m)^2, plus the "
+        "total Q — the evaluate-a-community-detection op (in production "
+        "the partition column comes from label_propagation / "
+        "dup_components; the hash partition here pins a deterministic "
+        "oracle and exercises the identical plan); counts BIGINT-exact, "
+        "Q the one order-sensitive 8-term double sum (6-dp rounded)"
+    ),
+)
+def modularity_score(spark, sf_dir):
+    """Edge set persisted (degree explode + intra-edge filter), two
+    partial-agg shuffles to O(communities) frames, one scalar broadcast —
+    the modularity evaluation never shuffles anything wider than the
+    community rollup regardless of graph size."""
+    e = _persist_evict(_lc_edges(spark, sf_dir))
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select("node", (F.col("node") % _MOD_K).alias("comm"), "degree")
+    )
+    dc = deg.groupBy("comm").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("degree").alias("d_sum")
+    )
+    ec = (
+        e.filter(F.col("u") % _MOD_K == F.col("v") % _MOD_K)
+        .groupBy((F.col("u") % _MOD_K).alias("comm"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    half = F.col("d_sum").cast("double") / (2 * F.col("m"))
+    terms = _persist_evict(
+        dc.join(F.broadcast(ec), "comm", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "comm", "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "d_sum",
+            (F.coalesce("e_in", F.lit(0)).cast("double") / F.col("m") - half * half).alias("contrib"),
+        )
+    )
+    q = terms.agg(F.sum("contrib").alias("q"))
+    return terms.crossJoin(F.broadcast(q)).select(
+        "comm", "n_nodes", "e_in", "d_sum",
+        F.round("contrib", 6).alias("contrib"),
+        F.round("q", 6).alias("q_total"),
+    )
+
+
+# Power-law degree exponent (Clauset continuous MLE) ---------------------------------
+
+_PL_DMIN = 5  # tail threshold
+
+
+@register(
+    "powerlaw_alpha",
+    f"""
+    WITH e AS ({_LC_E_SQL}),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    tail AS (SELECT degree FROM deg WHERE degree >= {_PL_DMIN}),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tail,
+             sum(ln(CAST(degree AS DOUBLE) / {_PL_DMIN - 0.5!r})) AS lnsum
+      FROM tail
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT t.n_nodes, s.n_tail, CAST({_PL_DMIN} AS BIGINT) AS dmin,
+           round(CAST(s.n_tail AS DOUBLE) / t.n_nodes, 6) AS tail_share,
+           round(1.0 + CAST(s.n_tail AS DOUBLE) / s.lnsum, 6) AS alpha
+    FROM s CROSS JOIN t
+    """,
+    doc=(
+        "power-law degree-distribution exponent by the continuous Clauset "
+        f"MLE alpha = 1 + n / sum ln(d / (dmin - 1/2)) over the degree >= "
+        f"{_PL_DMIN} tail — the scale-free-ness diagnostic that decides "
+        "whether skew mitigation (salting, degree-orientation) is needed "
+        "before the heavy graph joins; every ln argument is an exact "
+        "integer over an exact literal, the lnsum the one order-sensitive "
+        "double sum feeding a 6-dp-rounded scalar"
+    ),
+)
+def powerlaw_alpha(spark, sf_dir):
+    """Degree histogram: ONE partial-agg shuffle; the MLE runs on two
+    one-row aggregates cross-joined broadcast. O(1) output."""
+    e = _persist_evict(_lc_edges(spark, sf_dir))
+    deg = _persist_evict(
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    s = deg.filter(F.col("degree") >= _PL_DMIN).agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(F.log(F.col("degree").cast("double") / (_PL_DMIN - 0.5))).alias("lnsum"),
+    )
+    t = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "n_nodes", "n_tail", F.lit(_PL_DMIN).cast("long").alias("dmin"),
+        F.round(F.col("n_tail").cast("double") / F.col("n_nodes"), 6).alias("tail_share"),
+        F.round(1.0 + F.col("n_tail").cast("double") / F.col("lnsum"), 6).alias("alpha"),
+    )
+
+
+# Directed reciprocity ----------------------------------------------------------------
+
+
+@register(
+    "reciprocity",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT l_orderkey % {_KC_N} AS s, l_partkey % {_KC_N} AS t
+      FROM lineitem
+      WHERE l_orderkey % {_KC_N} <> l_partkey % {_KC_N}
+    ),
+    r AS (
+      SELECT d.s, d.t,
+             CASE WHEN b.s IS NULL THEN 0 ELSE 1 END AS recip
+      FROM d LEFT JOIN d b ON b.s = d.t AND b.t = d.s
+    ),
+    outdeg AS (
+      SELECT s AS node, CAST(count(*) AS BIGINT) AS out_deg,
+             CAST(sum(recip) AS BIGINT) AS n_recip
+      FROM r GROUP BY s
+    ),
+    indeg AS (SELECT t AS node, CAST(count(*) AS BIGINT) AS in_deg FROM d GROUP BY t)
+    SELECT o.node, o.out_deg, CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+           o.n_recip,
+           round(CAST(o.n_recip AS DOUBLE) / o.out_deg, 6) AS recip_share
+    FROM outdeg o LEFT JOIN indeg i ON i.node = o.node
+    """,
+    doc=(
+        "per-node reciprocity of the DIRECTED order->part graph: for "
+        "every node its out/in degree, the count of out-edges whose "
+        "reverse edge exists (one self-join on the swapped key), and the "
+        "reciprocated share — the directed-graph symmetry diagnostic "
+        "(the undirected ops above assume symmetry; this measures it); "
+        "pure integer counting"
+    ),
+)
+def reciprocity(spark, sf_dir):
+    """Distinct directed edges (one dedup shuffle, persisted — probe +
+    build + in-degree), reverse-edge existence via a self equi-join on the
+    swapped composite key, then two partial-agg rollups to O(nodes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s, t = F.col("l_orderkey") % _KC_N, F.col("l_partkey") % _KC_N
+    d = _persist_evict(
+        li.filter(s != t).select(s.alias("s"), t.alias("t")).distinct()
+    )
+    b = d.select(F.col("s").alias("t"), F.col("t").alias("s"), F.lit(1).alias("has_rev"))
+    r = d.join(b, ["s", "t"], "left").select(
+        "s", "t", F.coalesce("has_rev", F.lit(0)).alias("recip")
+    )
+    outdeg = r.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"), F.sum("recip").alias("n_recip")
+    )
+    indeg = d.groupBy(F.col("t").alias("node")).agg(F.count(F.lit(1)).alias("in_deg"))
+    return outdeg.join(indeg, "node", "left").select(
+        "node", "out_deg",
+        F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        F.col("n_recip").cast("long").alias("n_recip"),
+        F.round(F.col("n_recip").cast("double") / F.col("out_deg"), 6).alias("recip_share"),
+    )
+
+
+# k-truss (fixed-round edge peeling on triangle support) ------------------------------
+
+_TRUSS_N = 1000  # node space: ~113 avg degree -> ~13 mean support, peeling bites
+_TRUSS_K = 10  # truss order: edges need >= k-2 = 8 supporting triangles
+_TRUSS_ROUNDS = 2  # fixed peeling rounds (k_core's unrolled-oracle idiom)
+
+
+def _truss_oracle_sql() -> str:
+    """Unrolled support-peeling: e{r} = edges of e{r-1} with >= K-2
+    triangles in the e{r-1}-induced graph; output = surviving edges with
+    their final induced support (recomputed on the survivor set)."""
+    head = f"""
+    WITH e0 AS (
+      SELECT DISTINCT least(l_orderkey % {_TRUSS_N}, l_partkey % {_TRUSS_N}) AS u,
+             greatest(l_orderkey % {_TRUSS_N}, l_partkey % {_TRUSS_N}) AS v
+      FROM lineitem
+      WHERE l_orderkey % {_TRUSS_N} <> l_partkey % {_TRUSS_N}
+    )"""
+    steps = []
+    for r in range(_TRUSS_ROUNDS + 1):
+        steps.append(f"""
+    tri{r} AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e{r} e1
+      JOIN e{r} e2 ON e2.u = e1.v
+      JOIN e{r} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    supp{r} AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS supp FROM (
+        SELECT a AS u, b AS v FROM tri{r}
+        UNION ALL SELECT b, c FROM tri{r}
+        UNION ALL SELECT a, c FROM tri{r}
+      ) GROUP BY u, v
+    )""")
+        if r < _TRUSS_ROUNDS:
+            steps.append(f"""
+    e{r + 1} AS (
+      SELECT u, v FROM supp{r} WHERE supp >= {_TRUSS_K - 2}
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT e.u, e.v, CAST(coalesce(s.supp, 0) AS BIGINT) AS support
+    FROM e{_TRUSS_ROUNDS} e
+    LEFT JOIN supp{_TRUSS_ROUNDS} s ON s.u = e.u AND s.v = e.v"""
+    )
+
+
+@register(
+    "k_truss",
+    _truss_oracle_sql(),
+    doc=(
+        f"k-truss decomposition (k={_TRUSS_K}, fixed {_TRUSS_ROUNDS} "
+        "peeling rounds): iteratively remove edges supported by fewer "
+        f"than k-2 = {_TRUSS_K - 2} triangles, then report survivors with "
+        "their induced support — the EDGE-centric cohesive-subgraph "
+        "sibling of k_core's vertex peeling (trusses are the standard "
+        "stronger-than-core community seed); each round is one triangle "
+        "enumeration (two equi-joins) + a constant 3x edge fan-out + one "
+        "integer groupBy, exact end to end"
+    ),
+)
+def k_truss(spark, sf_dir):
+    """Per round: persisted survivor edges -> wedge join -> closing join
+    -> 3x explode -> per-edge support (partial agg) -> filter — the
+    shuffle carries per-edge counts, never wedges. localCheckpoint
+    truncates the per-round lineage (the k_core discipline). At real
+    scale the wedge join runs degree-oriented (triangle_count note) and
+    the support filter is a semi-join pushdown on the next round's
+    enumeration."""
+
+    def support(edges: DataFrame) -> DataFrame:
+        e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        pairs = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                    F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        return pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("supp"))
+
+    li = _t(spark, sf_dir, "lineitem")
+    sa = F.col("l_orderkey") % _TRUSS_N
+    sb = F.col("l_partkey") % _TRUSS_N
+    e = _persist_evict(
+        li.filter(sa != sb)
+        .select(F.least(sa, sb).alias("u"), F.greatest(sa, sb).alias("v"))
+        .distinct()
+    )
+    for _ in range(_TRUSS_ROUNDS):
+        e = _persist_evict(
+            support(e).filter(F.col("supp") >= _TRUSS_K - 2).select("u", "v").localCheckpoint()
+        )
+    sf = support(e)
+    return e.join(sf, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("supp", F.lit(0)).cast("long").alias("support")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

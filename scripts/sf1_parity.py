@@ -202,6 +202,9 @@ QUERIES = [
     "mutual_information",
     "chi2_features",
     "hurst_exponent",
+    # session-15 graph batch (local_clustering/modularity_score/
+    # powerlaw_alpha/reciprocity/k_truss) is EXCLUDED wholesale —
+    # all five ride lineitem, which is copied unchanged at sf1
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

@@ -4438,3 +4438,135 @@ def test_hurst_exponent_matches_brute_force(spark, sf_dir):
         sxy = sum(x * y for x, y in zip(xs, ys))
         slope = (3 * sxy - sx * sy) / (3 * sxx - sx * sx)
         assert abs(g.hurst - slope) < 1e-5
+
+
+def _edges_kcn(spark, sf_dir, n):
+    rows = relational._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    e = set()
+    for r in rows:
+        a, b = r.l_orderkey % n, r.l_partkey % n
+        if a != b:
+            e.add((min(a, b), max(a, b)))
+    return e
+
+
+def test_local_clustering_matches_brute_force(spark, sf_dir):
+    e = _edges_kcn(spark, sf_dir, relational._KC_N)
+    nbr = {}
+    for u, v in e:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    got = relational.REGISTRY["local_clustering"].fn(spark, sf_dir).collect()
+    assert len(got) == len(nbr)
+    for r in got:
+        ns = nbr[r.node]
+        d = len(ns)
+        tri = sum(len(nbr[w] & ns) for w in ns) // 2
+        assert r.degree == d
+        assert r.n_tri == tri
+        if d < 2:
+            assert r.cc is None
+        else:
+            assert abs(r.cc - 2 * tri / (d * (d - 1))) < 1e-5
+
+
+def test_modularity_score_matches_brute_force(spark, sf_dir):
+    e = _edges_kcn(spark, sf_dir, relational._KC_N)
+    m = len(e)
+    K = relational._MOD_K
+    deg, e_in = {}, {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+        if u % K == v % K:
+            e_in[u % K] = e_in.get(u % K, 0) + 1
+    d_sum, n_nodes = {}, {}
+    for node, d in deg.items():
+        d_sum[node % K] = d_sum.get(node % K, 0) + d
+        n_nodes[node % K] = n_nodes.get(node % K, 0) + 1
+    contribs = {
+        c: e_in.get(c, 0) / m - (d_sum[c] / (2 * m)) ** 2 for c in d_sum
+    }
+    q = sum(contribs.values())
+    got = relational.REGISTRY["modularity_score"].fn(spark, sf_dir).collect()
+    assert len(got) == len(d_sum)
+    for r in got:
+        assert r.n_nodes == n_nodes[r.comm]
+        assert r.e_in == e_in.get(r.comm, 0)
+        assert r.d_sum == d_sum[r.comm]
+        assert abs(r.contrib - contribs[r.comm]) < 1e-5
+        assert abs(r.q_total - q) < 1e-5
+
+
+def test_powerlaw_alpha_matches_brute_force(spark, sf_dir):
+    import math
+
+    e = _edges_kcn(spark, sf_dir, relational._KC_N)
+    deg = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    dmin = relational._PL_DMIN
+    tail = [d for d in deg.values() if d >= dmin]
+    alpha = 1 + len(tail) / sum(math.log(d / (dmin - 0.5)) for d in tail)
+    r = relational.REGISTRY["powerlaw_alpha"].fn(spark, sf_dir).collect()[0]
+    assert r.n_nodes == len(deg)
+    assert r.n_tail == len(tail)
+    assert abs(r.tail_share - len(tail) / len(deg)) < 1e-6
+    assert abs(r.alpha - alpha) < 1e-5
+
+
+def test_reciprocity_matches_brute_force(spark, sf_dir):
+    rows = relational._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    n = relational._KC_N
+    d = set()
+    for r in rows:
+        s, t = r.l_orderkey % n, r.l_partkey % n
+        if s != t:
+            d.add((s, t))
+    out_deg, in_deg, n_recip = {}, {}, {}
+    for s, t in d:
+        out_deg[s] = out_deg.get(s, 0) + 1
+        in_deg[t] = in_deg.get(t, 0) + 1
+        if (t, s) in d:
+            n_recip[s] = n_recip.get(s, 0) + 1
+    got = relational.REGISTRY["reciprocity"].fn(spark, sf_dir).collect()
+    assert len(got) == len(out_deg)
+    for r in got:
+        assert r.out_deg == out_deg[r.node]
+        assert r.in_deg == in_deg.get(r.node, 0)
+        assert r.n_recip == n_recip.get(r.node, 0)
+        assert abs(r.recip_share - r.n_recip / r.out_deg) < 1e-6
+
+
+def test_k_truss_matches_brute_force(spark, sf_dir):
+    e = _edges_kcn(spark, sf_dir, relational._TRUSS_N)
+    nbr = {}
+    for u, v in e:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+
+    def peel(edges):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        supp = {
+            (u, v): len(adj[u] & adj[v]) for u, v in edges
+        }
+        return supp
+
+    cur = set(e)
+    for _ in range(relational._TRUSS_ROUNDS):
+        supp = peel(cur)
+        cur = {k for k, s in supp.items() if s >= relational._TRUSS_K - 2}
+    supp = peel(cur)
+    got = relational.REGISTRY["k_truss"].fn(spark, sf_dir).collect()
+    assert len(got) == len(cur)
+    for r in got:
+        assert (r.u, r.v) in cur
+        assert r.support == supp[(r.u, r.v)]
