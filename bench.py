@@ -217,6 +217,11 @@ HEADLINE = [
     "powerlaw_alpha",
     "reciprocity",
     "k_truss",
+    "dsir_weights",
+    "flesch_reading",
+    "zipf_alpha",
+    "bigram_surprisal",
+    "ngram_novelty",
 ]
 
 

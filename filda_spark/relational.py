@@ -15239,6 +15239,389 @@ def k_truss(spark, sf_dir):
     )
 
 
+# DSIR importance weights (hashed-feature log-ratio) ---------------------------------
+
+_DSIR_B = 1024  # hashed feature buckets
+_DSIR_TGT = "src0"  # target domain (the importance-resampling target)
+
+
+@register(
+    "dsir_weights",
+    f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             {_MD5_60.format(key="tok")} % {_DSIR_B} AS bkt
+      FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    allb AS (SELECT bkt, CAST(count(*) AS BIGINT) AS a_b FROM b GROUP BY bkt),
+    tgtb AS (
+      SELECT bkt, CAST(count(*) AS BIGINT) AS t_b FROM b
+      WHERE source = '{_DSIR_TGT}' GROUP BY bkt
+    ),
+    tots AS (
+      SELECT CAST(count(*) AS BIGINT) AS a_tot,
+             CAST(sum(CASE WHEN source = '{_DSIR_TGT}' THEN 1 ELSE 0 END) AS BIGINT) AS t_tot
+      FROM b
+    )
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           round(sum(
+             ln(CAST(coalesce(t.t_b, 0) + 1 AS DOUBLE) / (tots.t_tot + {_DSIR_B}))
+             - ln(CAST(a.a_b + 1 AS DOUBLE) / (tots.a_tot + {_DSIR_B}))
+           ), 6) AS logweight
+    FROM b
+    JOIN allb a ON a.bkt = b.bkt
+    LEFT JOIN tgtb t ON t.bkt = b.bkt
+    CROSS JOIN tots
+    GROUP BY b.doc_id
+    """,
+    doc=(
+        "DSIR (Data Selection via Importance Resampling) document "
+        f"weights: tokens hashed to {_DSIR_B} buckets, a unigram bucket "
+        f"LM fit on the target domain (source = '{_DSIR_TGT}') and on the "
+        "raw corpus with add-one smoothing, and each document scored by "
+        "its summed log importance ratio ln p_tgt/p_raw — the "
+        "train-distribution-matching selection weight a pretraining "
+        "pipeline samples by (Xie et al.; public method); every ln "
+        "argument is a ratio of exact integers, the per-doc sum the one "
+        "order-sensitive reduction (6-dp rounded)"
+    ),
+)
+def dsir_weights(spark, sf_dir):
+    """Token stream hashed map-side; TWO bounded partial aggs (per-bucket
+    raw/target counts, at most {_DSIR_B} rows each) broadcast back onto
+    the stream; per-doc rollup is ONE partial-agg shuffle on doc_id.
+    The hashed-bucket LM is the point of DSIR at scale: model state is
+    O(buckets), never O(vocab)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = _persist_evict(
+        docs.select(
+            "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", "source", (_h60("tok") % _DSIR_B).alias("bkt"))
+    )
+    allb = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("a_b"))
+    tgtb = (
+        b.filter(F.col("source") == _DSIR_TGT)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("t_b"))
+    )
+    tots = b.agg(
+        F.count(F.lit(1)).alias("a_tot"),
+        F.sum(F.when(F.col("source") == _DSIR_TGT, 1).otherwise(0)).alias("t_tot"),
+    )
+    term = F.log(
+        (F.coalesce("t_b", F.lit(0)) + 1).cast("double") / (F.col("t_tot") + _DSIR_B)
+    ) - F.log((F.col("a_b") + 1).cast("double") / (F.col("a_tot") + _DSIR_B))
+    return (
+        b.join(F.broadcast(allb), "bkt")
+        .join(F.broadcast(tgtb), "bkt", "left")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.sum(term), 6).alias("logweight"),
+        )
+    )
+
+
+# Flesch-style readability ------------------------------------------------------------
+
+_FLESCH_SENT = 15  # synthetic sentence length (corpus has no punctuation)
+
+
+@register(
+    "flesch_reading",
+    f"""
+    WITH w AS (
+      SELECT doc_id, tok,
+             greatest(len(regexp_extract_all(tok, '[aeiou]+')), 1) AS syl
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    d AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(syl) AS BIGINT) AS n_syll,
+             CAST(ceil(CAST(count(*) AS DOUBLE) / {_FLESCH_SENT}) AS BIGINT) AS n_sent
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_syll, n_sent,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch
+    FROM d
+    """,
+    doc=(
+        "Flesch reading-ease per document: syllables counted as vowel "
+        "groups (min 1/word, the standard heuristic), sentences as "
+        f"ceil(words/{_FLESCH_SENT}) since the synthetic corpus carries "
+        "no punctuation (documented convention — with real text the "
+        "sentence count comes from the same regexp machinery), score = "
+        "206.835 - 1.015 w/s - 84.6 syll/w — the classic readability "
+        "quality gate beside gopher_repetition / text_analysis; counts "
+        "BIGINT-exact, one double formula per doc"
+    ),
+)
+def flesch_reading(spark, sf_dir):
+    """Map-side explode + regexp (JVM codegen, no Python), ONE partial-agg
+    shuffle on doc_id, scalar formula on the aggregated frame."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.greatest(
+                F.size(F.regexp_extract_all("tok", F.lit("[aeiou]+"), F.lit(0))),
+                F.lit(1),
+            ).alias("syl"),
+        )
+    )
+    d = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("syl").cast("long").alias("n_syll"),
+        F.ceil(F.count(F.lit(1)).cast("double") / _FLESCH_SENT).cast("long").alias("n_sent"),
+    )
+    return d.select(
+        "doc_id", "n_words", "n_syll", "n_sent",
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sent"))
+            - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words")),
+            6,
+        ).alias("flesch"),
+    )
+
+
+# Zipf exponent of the token frequency spectrum ---------------------------------------
+
+_ZIPF_TOP = 100  # ranks fitted
+
+
+@register(
+    "zipf_alpha",
+    f"""
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    v AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t WHERE tok <> '' GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM v
+    ),
+    r AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk
+      FROM v
+    ),
+    top AS (SELECT * FROM r WHERE rnk <= {_ZIPF_TOP}),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(ln(CAST(rnk AS DOUBLE))) AS sx,
+             sum(ln(CAST(c AS DOUBLE))) AS sy,
+             sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))) AS sxx,
+             sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy
+      FROM top
+    )
+    SELECT tot.n_types, tot.n_tokens, CAST({_ZIPF_TOP} AS BIGINT) AS top_r,
+           round(-( (m.n * m.sxy - m.sx * m.sy)
+                    / (m.n * m.sxx - m.sx * m.sx) ), 6) AS alpha,
+           round((m.sy - (m.n * m.sxy - m.sx * m.sy)
+                         / (m.n * m.sxx - m.sx * m.sx) * m.sx) / m.n, 6) AS ln_c0
+    FROM m CROSS JOIN tot
+    """,
+    doc=(
+        "Zipf exponent of the corpus token-frequency spectrum: vocabulary "
+        f"counts, deterministic (count desc, token) ranking, and an OLS "
+        f"fit of ln(freq) on ln(rank) over the top {_ZIPF_TOP} ranks — "
+        "alpha ~= 1 is the natural-language signature; a corpus whose "
+        "spectrum departs hard from Zipf (alpha >> 1: template spam; "
+        "alpha << 1: shuffled/garbled) fails the distributional quality "
+        "gate; all ln arguments exact integers, the 100-term moment sums "
+        "the order-sensitive reduction (6-dp rounded)"
+    ),
+)
+def zipf_alpha(spark, sf_dir):
+    """Vocab count: ONE partial-agg shuffle; the ranking window runs on
+    the aggregated O(vocab) frame (WindowGroupLimit prunes to the top "
+    ranks before the moment agg); the fit is O(1)."""
+    docs = _t(spark, sf_dir, "documents")
+    v = _persist_evict(
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = v.agg(
+        F.count(F.lit(1)).alias("n_types"), F.sum("c").cast("long").alias("n_tokens")
+    )
+    r = v.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok"))).cast("long").alias("rnk"),
+    ).filter(F.col("rnk") <= _ZIPF_TOP)
+    lx, ly = F.log(F.col("rnk").cast("double")), F.log(F.col("c").cast("double"))
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        "n_types", "n_tokens", F.lit(_ZIPF_TOP).cast("long").alias("top_r"),
+        F.round(-slope, 6).alias("alpha"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("ln_c0"),
+    )
+
+
+# Bigram-LM surprisal -----------------------------------------------------------------
+
+
+@register(
+    "bigram_surprisal",
+    """
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents),
+    bi AS (
+      SELECT doc_id, lang, a[i] AS w1, a[i + 1] AS w2
+      FROM d CROSS JOIN unnest(range(1, len(a))) AS t(i)
+    ),
+    cb AS (
+      SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c2
+      FROM bi GROUP BY lang, w1, w2
+    ),
+    cw AS (
+      SELECT lang, w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY lang, w1
+    )
+    SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+           round(avg(-ln(CAST(cb.c2 AS DOUBLE) / cw.c1)), 6) AS surprisal
+    FROM bi
+    JOIN cb ON cb.lang = bi.lang AND cb.w1 = bi.w1 AND cb.w2 = bi.w2
+    JOIN cw ON cw.lang = bi.lang AND cw.w1 = bi.w1
+    GROUP BY bi.doc_id
+    """,
+    doc=(
+        "bigram-LM surprisal per document: a per-language bigram model "
+        "fit on the corpus itself (MLE c(w1,w2)/c(w1*), no smoothing "
+        "needed for self-scoring), each document scored by its mean "
+        "negative log transition probability — the sequence-aware "
+        "perplexity quality filter one order above unigram_logprob "
+        "(catches shuffled/boilerplate text a unigram model scores as "
+        "normal); ln arguments exact integer ratios, the per-doc mean "
+        "the order-sensitive reduction (6-dp rounded)"
+    ),
+)
+def bigram_surprisal(spark, sf_dir):
+    """Bigrams built MAP-SIDE with zip-of-slices (no position self-join),
+    persisted once (three references: model fit x2 + scoring); the model "
+    frames are per-(lang, w1[, w2]) partial aggs joined back on their
+    natural keys. At 100 TB the bigram vocab join is the one real
+    shuffle; the model frames are ~|bigram types| and shuffle-join on
+    the same key layout."""
+    docs = _t(spark, sf_dir, "documents")
+    a = F.split(F.col("text"), " ")
+    n = F.size(a)
+    bi = _persist_evict(
+        docs.select(
+            "doc_id", "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(a, 1, n - 1).alias("w1"),
+                    F.slice(a, 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cb = bi.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cw = bi.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        bi.join(cb, ["lang", "w1", "w2"])
+        .join(cw, ["lang", "w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.round(F.avg(-F.log(F.col("c2").cast("double") / F.col("c1"))), 6).alias("surprisal"),
+        )
+    )
+
+
+# n-gram novelty (first-occurrence share) ---------------------------------------------
+
+
+@register(
+    "ngram_novelty",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS gram
+      FROM d CROSS JOIN unnest(range(1, len(a) - 1)) AS t(i)
+    ),
+    first_ AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM g JOIN first_ f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+    doc=(
+        "n-gram novelty per document: the share of a document's distinct "
+        "word trigrams whose FIRST corpus occurrence (min doc_id — the "
+        "ingestion-order proxy) is this document — the marginal-"
+        "contribution signal a dedup/curriculum pipeline uses to rank "
+        "near-redundant documents (novelty ~0 = everything seen before, "
+        "the soft generalization of exact_dedup), computed as one "
+        "min-aggregation over the gram key; pure integer counting"
+    ),
+)
+def ngram_novelty(spark, sf_dir):
+    """Trigrams zip-of-slices map-side, per-doc DISTINCT (one dedup
+    shuffle on (doc, gram)), first-occurrence via ONE min-agg on the gram
+    key, joined back on the same key (co-partitioned exchange reuse),
+    per-doc rollup partial-agg. Never materializes pairwise comparisons
+    — novelty is the linear-cost complement of the quadratic dup scans."""
+    docs = _t(spark, sf_dir, "documents")
+    a = F.split(F.col("text"), " ")
+    n = F.size(a)
+    g = _persist_evict(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(a, 1, n - 2).alias("w1"),
+                    F.slice(a, 2, n - 2).alias("w2"),
+                    F.slice(a, 3, n - 2).alias("w3"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"), F.col("p.w3")).alias("gram"),
+        )
+        .distinct()
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

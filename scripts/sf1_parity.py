@@ -205,6 +205,14 @@ QUERIES = [
     # session-15 graph batch (local_clustering/modularity_score/
     # powerlaw_alpha/reciprocity/k_truss) is EXCLUDED wholesale —
     # all five ride lineitem, which is copied unchanged at sf1
+    # session-15 training batch: all five ride the 10x document corpus
+    # (bigram/trigram model counts and hashed-bucket LMs at 10x mass;
+    # ngram_novelty's first-occurrence min spans the suffixed copies)
+    "dsir_weights",
+    "flesch_reading",
+    "zipf_alpha",
+    "bigram_surprisal",
+    "ngram_novelty",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

@@ -4570,3 +4570,130 @@ def test_k_truss_matches_brute_force(spark, sf_dir):
     for r in got:
         assert (r.u, r.v) in cur
         assert r.support == supp[(r.u, r.v)]
+
+
+def test_dsir_weights_matches_brute_force(spark, sf_dir):
+    import hashlib
+    import math
+
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    B = relational._DSIR_B
+
+    def bkt(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    allb, tgtb, a_tot, t_tot = {}, {}, 0, 0
+    toks = {}
+    for r in docs:
+        ts = [t for t in r.text.split(" ") if t]
+        toks[r.doc_id] = ts
+        for t in ts:
+            b = bkt(t)
+            allb[b] = allb.get(b, 0) + 1
+            a_tot += 1
+            if r.source == relational._DSIR_TGT:
+                tgtb[b] = tgtb.get(b, 0) + 1
+                t_tot += 1
+    got = relational.REGISTRY["dsir_weights"].fn(spark, sf_dir).collect()
+    assert len(got) == len(docs)
+    for r in got:
+        lw = sum(
+            math.log((tgtb.get(bkt(t), 0) + 1) / (t_tot + B))
+            - math.log((allb[bkt(t)] + 1) / (a_tot + B))
+            for t in toks[r.doc_id]
+        )
+        assert r.n_tok == len(toks[r.doc_id])
+        assert abs(r.logweight - lw) < 1e-4
+
+
+def test_flesch_reading_matches_brute_force(spark, sf_dir):
+    import math
+    import re
+
+    docs = relational._t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    got = {r.doc_id: r for r in
+           relational.REGISTRY["flesch_reading"].fn(spark, sf_dir).collect()}
+    assert len(got) == len(docs)
+    for d in docs:
+        ws = [t for t in d.text.split(" ") if t]
+        syl = sum(max(len(re.findall(r"[aeiou]+", w)), 1) for w in ws)
+        sent = math.ceil(len(ws) / relational._FLESCH_SENT)
+        g = got[d.doc_id]
+        assert g.n_words == len(ws)
+        assert g.n_syll == syl
+        assert g.n_sent == sent
+        assert abs(g.flesch - (206.835 - 1.015 * len(ws) / sent
+                               - 84.6 * syl / len(ws))) < 1e-5
+
+
+def test_zipf_alpha_matches_brute_force(spark, sf_dir):
+    import math
+
+    docs = relational._t(spark, sf_dir, "documents").select("text").collect()
+    cnt = {}
+    for d in docs:
+        for t in d.text.split(" "):
+            if t:
+                cnt[t] = cnt.get(t, 0) + 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: relational._ZIPF_TOP]
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r = relational.REGISTRY["zipf_alpha"].fn(spark, sf_dir).collect()[0]
+    assert r.n_types == len(cnt)
+    assert r.n_tokens == sum(cnt.values())
+    assert abs(r.alpha - (-slope)) < 1e-5
+    assert abs(r.ln_c0 - (sy - slope * sx) / n) < 1e-5
+
+
+def test_bigram_surprisal_matches_brute_force(spark, sf_dir):
+    import math
+
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    c2, c1 = {}, {}
+    bis = {}
+    for d in docs:
+        a = d.text.split(" ")
+        pairs = list(zip(a, a[1:]))
+        bis[d.doc_id] = (d.lang, pairs)
+        for w1, w2 in pairs:
+            c2[(d.lang, w1, w2)] = c2.get((d.lang, w1, w2), 0) + 1
+            c1[(d.lang, w1)] = c1.get((d.lang, w1), 0) + 1
+    got = relational.REGISTRY["bigram_surprisal"].fn(spark, sf_dir).collect()
+    assert len(got) == len(docs)
+    for r in got:
+        lang, pairs = bis[r.doc_id]
+        s = [-math.log(c2[(lang, w1, w2)] / c1[(lang, w1)]) for w1, w2 in pairs]
+        assert r.n_big == len(pairs)
+        assert abs(r.surprisal - sum(s) / len(s)) < 1e-5
+
+
+def test_ngram_novelty_matches_brute_force(spark, sf_dir):
+    docs = relational._t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    grams = {}
+    for d in docs:
+        a = d.text.split(" ")
+        grams[d.doc_id] = set(
+            " ".join(a[i:i + 3]) for i in range(len(a) - 2)
+        )
+    first = {}
+    for did in sorted(grams):
+        for g in grams[did]:
+            if g not in first:
+                first[g] = did
+    got = relational.REGISTRY["ngram_novelty"].fn(spark, sf_dir).collect()
+    assert len(got) == len(docs)
+    for r in got:
+        gs = grams[r.doc_id]
+        novel = sum(1 for g in gs if first[g] == r.doc_id)
+        assert r.n_grams == len(gs)
+        assert r.n_novel == novel
+        assert abs(r.novelty - novel / len(gs)) < 1e-6
