@@ -222,6 +222,11 @@ HEADLINE = [
     "zipf_alpha",
     "bigram_surprisal",
     "ngram_novelty",
+    "gfunction_nn",
+    "cross_k",
+    "bearing_rose",
+    "pit_fill",
+    "motion_vectors",
 ]
 
 

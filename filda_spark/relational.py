@@ -15622,6 +15622,615 @@ def ngram_novelty(spark, sf_dir):
     )
 
 
+# G-function (nearest-neighbour distance CDF) ----------------------------------------
+
+_GF_CELL = 50  # ring cell size, centidegrees (bounds exact NN search to r <= 50)
+_GF_RADII = (5, 10, 20, 50)  # evaluation radii, centidegrees
+
+
+@register(
+    "gfunction_nn",
+    f"""
+    WITH pts AS (
+      SELECT event_id,
+             CAST(event_id * 7919 % 2000 AS BIGINT) AS iy,
+             CAST(event_id * 104729 % 2400 AS BIGINT) + 1000 AS ix
+      FROM events
+    ),
+    cpts AS (SELECT event_id, iy, ix, iy // {_GF_CELL} AS cy, ix // {_GF_CELL} AS cx FROM pts),
+    nn AS (
+      SELECT a.event_id,
+             min((a.iy - b.iy) * (a.iy - b.iy)
+                 + (a.ix - b.ix) * (a.ix - b.ix)) AS mind2
+      FROM cpts a JOIN cpts b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+       AND a.event_id <> b.event_id
+      WHERE (a.iy - b.iy) * (a.iy - b.iy)
+            + (a.ix - b.ix) * (a.ix - b.ix) <= {_GF_CELL * _GF_CELL}
+      GROUP BY a.event_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pts FROM pts),
+    radii AS (SELECT unnest([{', '.join(str(r) for r in _GF_RADII)}]) AS r)
+    SELECT CAST(radii.r AS BIGINT) AS r_centideg,
+           CAST(sum(CASE WHEN nn.mind2 <= radii.r * radii.r THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_le,
+           round(CAST(sum(CASE WHEN nn.mind2 <= radii.r * radii.r THEN 1 ELSE 0 END)
+                   AS DOUBLE) / tot.n_pts, 6) AS g
+    FROM radii CROSS JOIN tot LEFT JOIN nn ON true
+    GROUP BY radii.r, tot.n_pts
+    """,
+    doc=(
+        "empirical G function (nearest-neighbour distance CDF) of the "
+        f"detection cloud at radii {_GF_RADII} centidegrees: NN search is "
+        f"an exact {_GF_CELL}-centidegree cell-cover ring join with "
+        "INTEGER squared distances (the lattice coordinates are exact "
+        "ints, so every comparison and the min are drift-free; the ring "
+        "bounds the search exactly for r <= cell size), G(r) = share of "
+        "all points with a neighbour within r — the distance-CDF "
+        "companion to clark_evans' single mean-NN index and ripley_k's "
+        "pair counts (the G/K pair is the standard CSR test battery)"
+    ),
+)
+def gfunction_nn(spark, sf_dir):
+    """Cell-cover kRing explode -> equi-join (the dedup/cell_knn shape),
+    integer min per point (partial agg), then a 4-radius threshold rollup
+    on the O(points) NN frame cross-joined with the scalar total. The
+    same (cell, salt) skew lever as pipeline.dedup applies if one cell
+    degenerates."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.col("event_id") * 7919 % 2000).alias("iy"),
+        ((F.col("event_id") * 104729 % 2400) + 1000).alias("ix"),
+    )
+    cpts = _persist_evict(
+        pts.select(
+            "event_id", "iy", "ix",
+            F.floor(F.col("iy") / _GF_CELL).alias("cy"),
+            F.floor(F.col("ix") / _GF_CELL).alias("cx"),
+        )
+    )
+    off = spark.range(-1, 2).select(F.col("id").alias("dy")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dx"))
+    )
+    probe = cpts.crossJoin(F.broadcast(off)).select(
+        "event_id", "iy", "ix",
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+    )
+    d2 = (F.col("iy") - F.col("biy")) * (F.col("iy") - F.col("biy")) + (
+        F.col("ix") - F.col("bix")
+    ) * (F.col("ix") - F.col("bix"))
+    b = cpts.select(
+        F.col("event_id").alias("bid"), F.col("iy").alias("biy"),
+        F.col("ix").alias("bix"), "cy", "cx",
+    )
+    nn = (
+        probe.join(b, ["cy", "cx"])
+        .filter((F.col("event_id") != F.col("bid")) & (d2 <= _GF_CELL * _GF_CELL))
+        .groupBy("event_id")
+        .agg(F.min(d2).alias("mind2"))
+    )
+    tot = pts.agg(F.count(F.lit(1)).alias("n_pts"))
+    radii = spark.createDataFrame([(r,) for r in _GF_RADII], "r long")
+    le = F.when(F.col("mind2") <= F.col("r") * F.col("r"), 1).otherwise(0)
+    return (
+        radii.crossJoin(F.broadcast(tot))
+        .join(nn, F.lit(True), "left")
+        .groupBy("r", "n_pts")
+        .agg(
+            F.sum(le).cast("long").alias("n_le"),
+            F.round(F.sum(le).cast("double") / F.first("n_pts"), 6).alias("g"),
+        )
+        .select(F.col("r").alias("r_centideg"), "n_le", "g")
+    )
+
+
+# Cross-K function (bivariate Ripley) --------------------------------------------------
+
+_CK_A = "click"  # source mark
+_CK_B = "purchase"  # target mark
+
+
+@register(
+    "cross_k",
+    f"""
+    WITH pts AS (
+      SELECT event_id, event_type,
+             CAST(event_id * 7919 % 2000 AS BIGINT) AS iy,
+             CAST(event_id * 104729 % 2400 AS BIGINT) + 1000 AS ix
+      FROM events WHERE event_type IN ('{_CK_A}', '{_CK_B}')
+    ),
+    cpts AS (SELECT *, iy // {_GF_CELL} AS cy, ix // {_GF_CELL} AS cx FROM pts),
+    bb AS (
+      SELECT CAST(sum(CASE WHEN event_type = '{_CK_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN event_type = '{_CK_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST((max(iy) - min(iy)) * (max(ix) - min(ix)) AS BIGINT) AS area
+      FROM pts
+    ),
+    pairs AS (
+      SELECT (a.iy - b.iy) * (a.iy - b.iy) + (a.ix - b.ix) * (a.ix - b.ix) AS d2
+      FROM cpts a JOIN cpts b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+      WHERE a.event_type = '{_CK_A}' AND b.event_type = '{_CK_B}'
+        AND (a.iy - b.iy) * (a.iy - b.iy) + (a.ix - b.ix) * (a.ix - b.ix)
+              <= {_GF_CELL * _GF_CELL}
+    ),
+    radii AS (SELECT unnest([{', '.join(str(r) for r in _GF_RADII)}]) AS r)
+    SELECT CAST(radii.r AS BIGINT) AS r_centideg, bb.n_a, bb.n_b,
+           CAST(sum(CASE WHEN pairs.d2 <= radii.r * radii.r THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pairs,
+           round(CAST(bb.area AS DOUBLE) / (CAST(bb.n_a AS DOUBLE) * bb.n_b)
+                 * sum(CASE WHEN pairs.d2 <= radii.r * radii.r THEN 1 ELSE 0 END), 6)
+             AS k_ab
+    FROM radii CROSS JOIN bb LEFT JOIN pairs ON true
+    GROUP BY radii.r, bb.n_a, bb.n_b, bb.area
+    """,
+    doc=(
+        f"bivariate (cross) Ripley K between '{_CK_A}' and '{_CK_B}' "
+        f"marks at radii {_GF_RADII} centidegrees: K_ab(r) = A/(n_a n_b) "
+        "x #(a,b pairs within r), pair search the same exact integer "
+        "cell-cover ring join as gfunction_nn — the do-purchases-cluster-"
+        "around-clicks attraction/repulsion test (ripley_k is the "
+        "univariate sibling); every count and the bbox area BIGINT-exact, "
+        "one double normalization per radius"
+    ),
+)
+def cross_k(spark, sf_dir):
+    """Marked subset scan -> cell-cover ring join between the two marks
+    (pairs bounded by the ring), ONE pair-distance frame reused by all
+    radii thresholds, scalar (n_a, n_b, area) broadcast. The LEFT JOIN on
+    true mirrors the oracle's empty-pairs guard."""
+    ev = _t(spark, sf_dir, "events")
+    pts = _persist_evict(
+        ev.filter(F.col("event_type").isin(_CK_A, _CK_B)).select(
+            "event_id", "event_type",
+            (F.col("event_id") * 7919 % 2000).alias("iy"),
+            ((F.col("event_id") * 104729 % 2400) + 1000).alias("ix"),
+        )
+    )
+    cpts = pts.select(
+        "*",
+        F.floor(F.col("iy") / _GF_CELL).alias("cy"),
+        F.floor(F.col("ix") / _GF_CELL).alias("cx"),
+    )
+    bb = pts.agg(
+        F.sum(F.when(F.col("event_type") == _CK_A, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("event_type") == _CK_B, 1).otherwise(0)).cast("long").alias("n_b"),
+        ((F.max("iy") - F.min("iy")) * (F.max("ix") - F.min("ix"))).cast("long").alias("area"),
+    )
+    off = spark.range(-1, 2).select(F.col("id").alias("dy")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dx"))
+    )
+    a = (
+        cpts.filter(F.col("event_type") == _CK_A)
+        .crossJoin(F.broadcast(off))
+        .select(
+            F.col("iy").alias("aiy"), F.col("ix").alias("aix"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+        )
+    )
+    b = cpts.filter(F.col("event_type") == _CK_B).select(
+        F.col("iy").alias("biy"), F.col("ix").alias("bix"), "cy", "cx"
+    )
+    d2 = (F.col("aiy") - F.col("biy")) * (F.col("aiy") - F.col("biy")) + (
+        F.col("aix") - F.col("bix")
+    ) * (F.col("aix") - F.col("bix"))
+    pairs = a.join(b, ["cy", "cx"]).select(d2.alias("d2")).filter(
+        F.col("d2") <= _GF_CELL * _GF_CELL
+    )
+    radii = spark.createDataFrame([(r,) for r in _GF_RADII], "r long")
+    le = F.when(F.col("d2") <= F.col("r") * F.col("r"), 1).otherwise(0)
+    return (
+        radii.crossJoin(F.broadcast(bb))
+        .join(pairs, F.lit(True), "left")
+        .groupBy("r", "n_a", "n_b", "area")
+        .agg(
+            F.sum(le).cast("long").alias("n_pairs"),
+            F.round(
+                F.col("area").cast("double")
+                / (F.first("n_a").cast("double") * F.first("n_b"))
+                * F.sum(le),
+                6,
+            ).alias("k_ab"),
+        )
+        .select(F.col("r").alias("r_centideg"), "n_a", "n_b", "n_pairs", "k_ab")
+    )
+
+
+# Bearing rose (circular statistics of movement directions) ----------------------------
+
+_ROSE_CASE = """CASE
+      WHEN dx > 0 AND dy >= 0 AND dy < dx THEN 0
+      WHEN dx > 0 AND dy >= dx THEN 1
+      WHEN dy > 0 AND dx <= 0 AND dy > -dx THEN 2
+      WHEN dy > 0 AND dx < 0 AND dy <= -dx THEN 3
+      WHEN dx < 0 AND dy <= 0 AND -dy < -dx THEN 4
+      WHEN dy < 0 AND dx < 0 AND -dy >= -dx THEN 5
+      WHEN dy < 0 AND dx >= 0 AND dx < -dy THEN 6
+      ELSE 7 END"""
+
+
+@register(
+    "bearing_rose",
+    f"""
+    WITH pts AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms, event_id,
+             (user_id % 120) * 1000
+               + (CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END)
+               + event_id % 7 AS iy,
+             (user_id % 300) * 1000
+               + (CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END)
+               + event_id % 5 AS ix
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id,
+             iy - lag(iy) OVER w AS dy, ix - lag(ix) OVER w AS dx
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    ),
+    moving AS (
+      SELECT user_id, dy, dx,
+             {_ROSE_CASE} AS octant,
+             CAST(dx AS DOUBLE) / sqrt(CAST(dx * dx + dy * dy AS DOUBLE)) AS ux,
+             CAST(dy AS DOUBLE) / sqrt(CAST(dx * dx + dy * dy AS DOUBLE)) AS uy
+      FROM legs WHERE dy IS NOT NULL AND NOT (dy = 0 AND dx = 0)
+    ),
+    per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_legs,
+             sum(ux) AS sux, sum(uy) AS suy
+      FROM moving GROUP BY user_id
+    )
+    SELECT m.user_id, CAST(m.octant AS BIGINT) AS octant,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE) / u.n_legs, 6) AS share,
+           round(sqrt(u.sux * u.sux + u.suy * u.suy) / u.n_legs, 6) AS rbar
+    FROM moving m JOIN per_user u ON u.user_id = m.user_id
+    GROUP BY m.user_id, m.octant, u.n_legs, u.sux, u.suy
+    """,
+    doc=(
+        "per-entity bearing rose + circular statistics over movement "
+        "legs: each leg classified into one of 8 compass sectors by "
+        "EXACT integer sign/magnitude comparisons (boundaries on the "
+        "axes and diagonals — no atan2, so the binning is drift-free), "
+        "plus the mean resultant length Rbar = |sum of unit vectors|/n "
+        "(Rbar -> 1: strongly directional movement, -> 0: isotropic "
+        "wandering) — the directional-distribution op beside "
+        "turning_stats' turn-handedness; unit vectors are the one "
+        "order-sensitive double sum (6-dp rounded)"
+    ),
+)
+def bearing_rose(spark, sf_dir):
+    """ONE window exchange on user (legs), integer octant CASE map-side,
+    two partial-agg rollups (per-user resultant, per-(user, octant)
+    counts) joined on the user key — per-user state is 3 numbers."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        (
+            (F.col("user_id") % 120) * 1000
+            + F.when(F.col("event_id") % 13 < 4, 2000).otherwise(0)
+            + F.col("event_id") % 7
+        ).alias("iy"),
+        (
+            (F.col("user_id") % 300) * 1000
+            + F.when(F.col("event_id") % 13 < 4, 2000).otherwise(0)
+            + F.col("event_id") % 5
+        ).alias("ix"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    legs = pts.select(
+        "user_id",
+        (F.col("iy") - F.lag("iy").over(w)).alias("dy"),
+        (F.col("ix") - F.lag("ix").over(w)).alias("dx"),
+    )
+    dy, dx = F.col("dy"), F.col("dx")
+    octant = (
+        F.when((dx > 0) & (dy >= 0) & (dy < dx), 0)
+        .when((dx > 0) & (dy >= dx), 1)
+        .when((dy > 0) & (dx <= 0) & (dy > -dx), 2)
+        .when((dy > 0) & (dx < 0) & (dy <= -dx), 3)
+        .when((dx < 0) & (dy <= 0) & (-dy < -dx), 4)
+        .when((dy < 0) & (dx < 0) & (-dy >= -dx), 5)
+        .when((dy < 0) & (dx >= 0) & (dx < -dy), 6)
+        .otherwise(7)
+    )
+    leglen = F.sqrt((dx * dx + dy * dy).cast("double"))
+    moving = _persist_evict(
+        legs.filter(dy.isNotNull() & ~((dy == 0) & (dx == 0))).select(
+            "user_id",
+            octant.alias("octant"),
+            (dx.cast("double") / leglen).alias("ux"),
+            (dy.cast("double") / leglen).alias("uy"),
+        )
+    )
+    per_user = moving.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.sum("ux").alias("sux"),
+        F.sum("uy").alias("suy"),
+    )
+    return (
+        moving.groupBy("user_id", "octant")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(per_user, "user_id")
+        .select(
+            "user_id",
+            F.col("octant").cast("long").alias("octant"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_legs"), 6).alias("share"),
+            F.round(
+                F.sqrt(F.col("sux") * F.col("sux") + F.col("suy") * F.col("suy"))
+                / F.col("n_legs"),
+                6,
+            ).alias("rbar"),
+        )
+    )
+
+
+# DEM pit filling (fixed-round spill-level relaxation) ---------------------------------
+
+_PF_ROUNDS = 24  # >= grid Chebyshev radius (~20), so every interior cell resolves
+_PF_INF = 1 << 40  # interior initialization sentinel (far above any cell count)
+
+
+def _pitfill_oracle_sql() -> str:
+    """Unrolled monotone-from-above relaxation: boundary cells (any cell
+    with < 8 inhabited neighbours — grid edge or sparse hole) are pinned
+    at their own elevation; interior cells start at +INF and relax to
+    f_k(c) = max(z(c), min over neighbours f_{k-1}(n)) — the standard
+    iterative fill-to-spill-level (eps = 0: flats allowed)."""
+    head = f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    bc AS (
+      SELECT a.cy, a.cx, a.x AS z, CAST(count(*) AS BIGINT) AS nn
+      FROM cells a JOIN cells b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+       AND NOT (a.cy = b.cy AND a.cx = b.cx)
+      GROUP BY a.cy, a.cx, a.x
+    ),
+    f0 AS MATERIALIZED (
+      SELECT cy, cx, z, nn,
+             CASE WHEN nn < 8 THEN z ELSE {_PF_INF} END AS f
+      FROM bc
+    )"""
+    steps = []
+    for k in range(1, _PF_ROUNDS + 1):
+        steps.append(f"""
+    f{k} AS MATERIALIZED (
+      SELECT p.cy, p.cx, p.z, p.nn,
+             CASE WHEN p.nn < 8 THEN p.z
+                  ELSE greatest(p.z, min(q.f)) END AS f
+      FROM f{k - 1} p JOIN f{k - 1} q
+        ON abs(p.cy - q.cy) <= 1 AND abs(p.cx - q.cx) <= 1
+       AND NOT (p.cy = q.cy AND p.cx = q.cx)
+      GROUP BY p.cy, p.cx, p.z, p.nn
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT cy, cx, CAST(z AS BIGINT) AS z,
+           CASE WHEN f >= {_PF_INF} THEN NULL ELSE CAST(f AS BIGINT) END AS z_filled,
+           CAST(CASE WHEN f < {_PF_INF} AND f > z THEN 1 ELSE 0 END AS INT) AS filled
+    FROM f{_PF_ROUNDS}"""
+    )
+
+
+@register(
+    "pit_fill",
+    _pitfill_oracle_sql(),
+    doc=(
+        f"DEM depression filling over the detection-density surface "
+        f"(fixed {_PF_ROUNDS} relaxation rounds): boundary cells pinned, "
+        "interior relaxed from +INF by f = max(z, min(neighbour f)) — "
+        "the hydrological-conditioning prerequisite of the d8_flow_dir / "
+        "flow_accumulation / watershed_basins family (unfilled pits "
+        "truncate every flow path at the first depression); pure integer "
+        "min/max lattice algebra, cells deeper than the round horizon "
+        "stay NULL (documented fixed-round cut, the k_core idiom)"
+    ),
+)
+def pit_fill(spark, sf_dir):
+    """3x3 stencil SCATTER -> groupBy per round (each inhabited cell
+    broadcasts its fill level to its 8 neighbour positions; the per-
+    position integer min is a partial agg — no self-join anywhere, which
+    matters twice: one shuffle per round instead of two, and Catalyst's
+    sizeInBytes estimate grows linearly instead of squaring per round.
+    The original f-join-nm formulation doubled the stats BigInt's DIGIT
+    COUNT every round — localCheckpoint in Spark 4 preserves origin
+    stats — so by round ~20 the optimizer was multiplying 10^8-digit
+    BigInts inside InjectRuntimeFilter and the query never finished
+    planning). State is O(inhabited cells) per round; rounds are a fixed
+    constant; per-round state rides a join with the ONCE-checkpointed
+    base frame, whose stats are flat."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    off = spark.range(-1, 2).select(F.col("id").alias("oy")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("ox"))
+    ).filter(~((F.col("oy") == 0) & (F.col("ox") == 0)))
+
+    def scatter_min(f: DataFrame, col: str) -> DataFrame:
+        """Per inhabited position: (# inhabited 8-neighbours, min of their
+        ``col``) — contributions scattered outward, never a self-join."""
+        return (
+            f.crossJoin(F.broadcast(off))
+            .select(
+                (F.col("cy") + F.col("oy")).alias("cy"),
+                (F.col("cx") + F.col("ox")).alias("cx"),
+                F.col(col).alias("qv"),
+            )
+            .groupBy("cy", "cx")
+            .agg(F.count(F.lit(1)).alias("nn"), F.min("qv").alias("minf"))
+        )
+
+    base = _persist_evict(
+        scatter_min(cells.select("cy", "cx", F.col("x").alias("v")), "v")
+        .join(cells, ["cy", "cx"])  # drops uninhabited scatter targets
+        .select("cy", "cx", F.col("x").alias("z"), "nn")
+        .localCheckpoint()
+    )
+    f = base.select(
+        "cy", "cx", "z", "nn",
+        F.when(F.col("nn") < 8, F.col("z")).otherwise(F.lit(_PF_INF)).alias("f"),
+    )
+    for _ in range(_PF_ROUNDS):
+        nm = scatter_min(f.select("cy", "cx", "f"), "f").select("cy", "cx", "minf")
+        f = _persist_evict(
+            base.join(nm, ["cy", "cx"])
+            .select(
+                "cy", "cx", "z", "nn",
+                F.when(F.col("nn") < 8, F.col("z"))
+                .otherwise(F.greatest(F.col("z"), F.col("minf")))
+                .alias("f"),
+            )
+            .localCheckpoint()
+        )
+    return f.select(
+        "cy", "cx",
+        F.col("z").cast("long").alias("z"),
+        F.when(F.col("f") >= _PF_INF, F.lit(None).cast("long"))
+        .otherwise(F.col("f").cast("long"))
+        .alias("z_filled"),
+        F.when((F.col("f") < _PF_INF) & (F.col("f") > F.col("z")), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("filled"),
+    )
+
+
+# Block motion vectors (two-epoch density cross-correlation) ---------------------------
+
+_MV_BLK = 4  # block size, cells
+_MV_SHIFT = 2  # max tested displacement, cells
+_MV_SPLIT_DAY = 15  # epoch boundary (corpus spans ~30 days)
+
+
+@register(
+    "motion_vectors",
+    f"""
+    WITH b AS (
+      SELECT event_id, epoch_ms(ts) AS t_ms FROM events
+    ),
+    bounds AS (SELECT min(t_ms) AS t0 FROM b),
+    p AS (
+      SELECT b.event_id,
+             CAST(floor((CAST(event_id * 7919 % 2000 AS DOUBLE) / 100.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cy,
+             CAST(floor((CAST(event_id * 104729 % 2400 AS DOUBLE) / 100.0 + 10.0)
+                        / {_GI_CELL!r}) AS BIGINT) AS cx,
+             CASE WHEN (t_ms - t0) // 86400000 < {_MV_SPLIT_DAY} THEN 0 ELSE 1 END AS half
+      FROM b CROSS JOIN bounds
+    ),
+    z0 AS (SELECT cy, cx, CAST(count(*) AS BIGINT) AS x FROM p WHERE half = 0 GROUP BY 1, 2),
+    z1 AS (SELECT cy, cx, CAST(count(*) AS BIGINT) AS x FROM p WHERE half = 1 GROUP BY 1, 2),
+    shifts AS (
+      SELECT sy, sx
+      FROM unnest(range(-{_MV_SHIFT}, {_MV_SHIFT + 1})) AS t(sy),
+           unnest(range(-{_MV_SHIFT}, {_MV_SHIFT + 1})) AS u(sx)
+    ),
+    corr AS (
+      SELECT z0.cy // {_MV_BLK} AS by, z0.cx // {_MV_BLK} AS bx, s.sy, s.sx,
+             CAST(sum(z0.x * z1.x) AS BIGINT) AS corr
+      FROM z0 CROSS JOIN shifts s
+      JOIN z1 ON z1.cy = z0.cy + s.sy AND z1.cx = z0.cx + s.sx
+      GROUP BY 1, 2, 3, 4
+    ),
+    mass AS (
+      SELECT cy // {_MV_BLK} AS by, cx // {_MV_BLK} AS bx,
+             CAST(sum(x) AS BIGINT) AS mass0
+      FROM z0 GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY by, bx
+               ORDER BY corr DESC, abs(sy) + abs(sx), sy, sx) AS rn
+      FROM corr
+    )
+    SELECT r.by, r.bx, m.mass0,
+           CAST(r.sy AS BIGINT) AS best_sy, CAST(r.sx AS BIGINT) AS best_sx, r.corr
+    FROM ranked r JOIN mass m ON m.by = r.by AND m.bx = r.bx
+    WHERE r.rn = 1
+    """,
+    doc=(
+        "block motion vectors between the two corpus epochs (days < "
+        f"{_MV_SPLIT_DAY} vs rest): per {_MV_BLK}x{_MV_BLK}-cell block, "
+        f"the displacement in [-{_MV_SHIFT}, {_MV_SHIFT}]^2 maximizing "
+        "the integer cross-correlation of the two density rasters "
+        "(deterministic tie-break: smaller |shift|, then sy, sx) — the "
+        "feature-tracking / fire-front-motion estimator (the raster twin "
+        "of od_flows' entity-level movement); all correlations exact "
+        "integer products, argmax a WindowGroupLimit on the O(blocks x "
+        "25) frame"
+    ),
+)
+def motion_vectors(spark, sf_dir):
+    """Two epoch rasters from ONE base scan (persisted point frame), the
+    25-shift probe a constant map-side fan-out into a pure equi-join on
+    the shifted cell key (the spatiotemporal_join shape), partial-agg to
+    (block, shift), WindowGroupLimit argmax on the bounded frame."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select("event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"))
+    bounds = b.agg(F.min("t_ms").alias("t0"))
+    p = _persist_evict(
+        b.crossJoin(F.broadcast(bounds)).select(
+            F.floor(
+                ((F.col("event_id") * 7919 % 2000).cast("double") / 100.0) / _GI_CELL
+            ).alias("cy"),
+            F.floor(
+                ((F.col("event_id") * 104729 % 2400).cast("double") / 100.0 + 10.0)
+                / _GI_CELL
+            ).alias("cx"),
+            F.when(
+                ((F.col("t_ms") - F.col("t0")) / 86400000).cast("long") < _MV_SPLIT_DAY, 0
+            ).otherwise(1).alias("half"),
+        )
+    )
+    z0 = _persist_evict(
+        p.filter(F.col("half") == 0).groupBy("cy", "cx").agg(F.count(F.lit(1)).alias("x"))
+    )
+    z1 = p.filter(F.col("half") == 1).groupBy("cy", "cx").agg(F.count(F.lit(1)).alias("x"))
+    shifts = (
+        spark.range(-_MV_SHIFT, _MV_SHIFT + 1)
+        .select(F.col("id").alias("sy"))
+        .crossJoin(spark.range(-_MV_SHIFT, _MV_SHIFT + 1).select(F.col("id").alias("sx")))
+    )
+    probe = z0.crossJoin(F.broadcast(shifts)).select(
+        F.floor(F.col("cy") / _MV_BLK).alias("by"),
+        F.floor(F.col("cx") / _MV_BLK).alias("bx"),
+        "sy", "sx",
+        (F.col("cy") + F.col("sy")).alias("cy"),
+        (F.col("cx") + F.col("sx")).alias("cx"),
+        F.col("x").alias("x0"),
+    )
+    corr = (
+        probe.join(z1.select("cy", "cx", F.col("x").alias("x1")), ["cy", "cx"])
+        .groupBy("by", "bx", "sy", "sx")
+        .agg(F.sum(F.col("x0") * F.col("x1")).cast("long").alias("corr"))
+    )
+    mass = z0.groupBy(
+        F.floor(F.col("cy") / _MV_BLK).alias("by"),
+        F.floor(F.col("cx") / _MV_BLK).alias("bx"),
+    ).agg(F.sum("x").cast("long").alias("mass0"))
+    w = Window.partitionBy("by", "bx").orderBy(
+        F.desc("corr"), F.abs(F.col("sy")) + F.abs(F.col("sx")), F.col("sy"), F.col("sx")
+    )
+    return (
+        corr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(mass, ["by", "bx"])
+        .select(
+            "by", "bx", "mass0",
+            F.col("sy").cast("long").alias("best_sy"),
+            F.col("sx").cast("long").alias("best_sx"),
+            "corr",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

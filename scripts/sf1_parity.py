@@ -213,6 +213,15 @@ QUERIES = [
     "zipf_alpha",
     "bigram_surprisal",
     "ngram_novelty",
+    # session-16 point-pattern batch: gfunction_nn/cross_k pair counts ride
+    # the 10x event lattice (denser NN field); bearing_rose/motion_vectors
+    # ride the 10x trajectory/epoch rasters; pit_fill rides the 10x density
+    # surface (same grid, 10x counts — boundary set unchanged)
+    "gfunction_nn",
+    "cross_k",
+    "bearing_rose",
+    "pit_fill",
+    "motion_vectors",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

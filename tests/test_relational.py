@@ -4697,3 +4697,208 @@ def test_ngram_novelty_matches_brute_force(spark, sf_dir):
         assert r.n_grams == len(gs)
         assert r.n_novel == novel
         assert abs(r.novelty - novel / len(gs)) < 1e-6
+
+
+def test_gfunction_nn_matches_brute_force(spark, sf_dir):
+    """Per-event exact NN distance (censored at the ring cell size) and
+    the G(r) CDF recomputed with a blocked O(n^2) numpy reference."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    eid = ev.event_id.to_numpy().astype(np.int64)
+    iy = eid * 7919 % 2000
+    ix = eid * 104729 % 2400 + 1000
+    n = len(eid)
+    cap = relational._GF_CELL ** 2
+    mind2 = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for i0 in range(0, n, 2000):
+        sl = slice(i0, min(i0 + 2000, n))
+        d2 = (iy[sl, None] - iy[None, :]) ** 2 + (ix[sl, None] - ix[None, :]) ** 2
+        same = eid[sl, None] == eid[None, :]
+        d2 = np.where(same | (d2 > cap), np.iinfo(np.int64).max, d2)
+        mind2[sl] = d2.min(axis=1)
+    got = {
+        r.r_centideg: r
+        for r in relational.REGISTRY["gfunction_nn"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(relational._GF_RADII)
+    for r in relational._GF_RADII:
+        n_le = int((mind2 <= r * r).sum())
+        assert got[r].n_le == n_le
+        assert abs(got[r].g - round(n_le / n, 6)) < 1e-12
+
+
+def test_cross_k_matches_brute_force(spark, sf_dir):
+    """Bivariate pair counts within each radius and the K_ab normalization
+    recomputed with a numpy A x B distance matrix."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"])
+    ev = ev[ev.event_type.isin([relational._CK_A, relational._CK_B])]
+    eid = ev.event_id.to_numpy().astype(np.int64)
+    iy = eid * 7919 % 2000
+    ix = eid * 104729 % 2400 + 1000
+    is_a = (ev.event_type == relational._CK_A).to_numpy()
+    ay, ax = iy[is_a], ix[is_a]
+    by, bx = iy[~is_a], ix[~is_a]
+    d2 = (ay[:, None] - by[None, :]) ** 2 + (ax[:, None] - bx[None, :]) ** 2
+    area = int((iy.max() - iy.min()) * (ix.max() - ix.min()))
+    n_a, n_b = int(is_a.sum()), int((~is_a).sum())
+    got = {
+        r.r_centideg: r
+        for r in relational.REGISTRY["cross_k"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(relational._GF_RADII)
+    for r in relational._GF_RADII:
+        n_pairs = int((d2 <= r * r).sum())
+        row = got[r]
+        assert (row.n_a, row.n_b, row.n_pairs) == (n_a, n_b, n_pairs)
+        assert abs(row.k_ab - round(area / (n_a * n_b) * n_pairs, 6)) < 1e-12
+
+
+def test_bearing_rose_matches_brute_force(spark, sf_dir):
+    """Octant counts, shares and the mean resultant length recomputed by
+    walking each user's ordered fixes in Python."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms")
+    ).collect()
+
+    def coords(r):
+        bump = 2000 if r.event_id % 13 < 4 else 0
+        return (
+            (r.user_id % 120) * 1000 + bump + r.event_id % 7,
+            (r.user_id % 300) * 1000 + bump + r.event_id % 5,
+        )
+
+    def octant(dy, dx):
+        if dx > 0 and dy >= 0 and dy < dx:
+            return 0
+        if dx > 0 and dy >= dx:
+            return 1
+        if dy > 0 and dx <= 0 and dy > -dx:
+            return 2
+        if dy > 0 and dx < 0 and dy <= -dx:
+            return 3
+        if dx < 0 and dy <= 0 and -dy < -dx:
+            return 4
+        if dy < 0 and dx < 0 and -dy >= -dx:
+            return 5
+        if dy < 0 and dx >= 0 and dx < -dy:
+            return 6
+        return 7
+
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    want = {}
+    stats = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.t_ms, r.event_id))
+        sux = suy = 0.0
+        n_legs = 0
+        for prev, cur in zip(rows, rows[1:]):
+            py, px = coords(prev)
+            cy, cx = coords(cur)
+            dy, dx = cy - py, cx - px
+            if dy == 0 and dx == 0:
+                continue
+            n_legs += 1
+            ln = math.sqrt(dx * dx + dy * dy)
+            sux += dx / ln
+            suy += dy / ln
+            k = (uid, octant(dy, dx))
+            want[k] = want.get(k, 0) + 1
+        if n_legs:
+            stats[uid] = (n_legs, math.sqrt(sux * sux + suy * suy) / n_legs)
+    got = relational.REGISTRY["bearing_rose"].fn(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n_legs, rbar = stats[r.user_id]
+        assert r.n == want[(r.user_id, r.octant)]
+        assert abs(r.share - round(r.n / n_legs, 6)) < 1e-12
+        assert abs(r.rbar - round(rbar, 6)) < 2e-6
+
+
+def test_pit_fill_matches_relaxation(spark, sf_dir):
+    """Fill levels recomputed with a dict-based fixed-round relaxation;
+    also pins the invariants z_filled >= z and boundary cells unfilled."""
+    cells = {
+        (r.cy, r.cx): r.x for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    INF = relational._PF_INF
+
+    def nbrs(c):
+        return [
+            (c[0] + oy, c[1] + ox)
+            for oy in (-1, 0, 1)
+            for ox in (-1, 0, 1)
+            if (oy, ox) != (0, 0)
+        ]
+
+    nn = {c: sum(1 for q in nbrs(c) if q in cells) for c in cells}
+    f = {c: (cells[c] if nn[c] < 8 else INF) for c in cells}
+    for _ in range(relational._PF_ROUNDS):
+        f = {
+            c: (
+                cells[c]
+                if nn[c] < 8
+                else max(cells[c], min(f[q] for q in nbrs(c) if q in f))
+            )
+            for c in cells
+        }
+    got = relational.REGISTRY["pit_fill"].fn(spark, sf_dir).collect()
+    assert len(got) == len(cells)
+    for r in got:
+        fv = f[(r.cy, r.cx)]
+        assert r.z == cells[(r.cy, r.cx)]
+        if fv >= INF:
+            assert r.z_filled is None and r.filled == 0
+        else:
+            assert r.z_filled == fv
+            assert r.filled == (1 if fv > r.z else 0)
+            assert r.z_filled >= r.z
+
+
+def test_motion_vectors_matches_brute_force(spark, sf_dir):
+    """Best displacement per block recomputed by enumerating all 25 shifts
+    over dict rasters of the two epoch halves."""
+    from pyspark.sql import functions as F
+
+    ev = relational._t(spark, sf_dir, "events").select(
+        "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms")
+    ).collect()
+    t0 = min(r.t_ms for r in ev)
+    z0, z1 = {}, {}
+    for r in ev:
+        cy = int(((r.event_id * 7919 % 2000) / 100.0) // relational._GI_CELL)
+        cx = int((((r.event_id * 104729 % 2400) / 100.0 + 10.0) // relational._GI_CELL))
+        half = 0 if (r.t_ms - t0) // 86400000 < relational._MV_SPLIT_DAY else 1
+        (z0 if half == 0 else z1)[(cy, cx)] = (z0 if half == 0 else z1).get((cy, cx), 0) + 1
+    B, S = relational._MV_BLK, relational._MV_SHIFT
+    corr, mass = {}, {}
+    for (cy, cx), x0 in z0.items():
+        blk = (cy // B, cx // B)
+        mass[blk] = mass.get(blk, 0) + x0
+        for sy in range(-S, S + 1):
+            for sx in range(-S, S + 1):
+                x1 = z1.get((cy + sy, cx + sx))
+                if x1:
+                    k = (blk, sy, sx)
+                    corr[k] = corr.get(k, 0) + x0 * x1
+    best = {}
+    for (blk, sy, sx), c in corr.items():
+        key = (-c, abs(sy) + abs(sx), sy, sx)
+        if blk not in best or key < best[blk][0]:
+            best[blk] = (key, sy, sx, c)
+    got = relational.REGISTRY["motion_vectors"].fn(spark, sf_dir).collect()
+    assert len(got) == len(best)
+    for r in got:
+        _, sy, sx, c = best[(r.by, r.bx)]
+        assert (r.best_sy, r.best_sx, r.corr) == (sy, sx, c)
+        assert r.mass0 == mass[(r.by, r.bx)]
