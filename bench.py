@@ -227,6 +227,11 @@ HEADLINE = [
     "bearing_rose",
     "pit_fill",
     "motion_vectors",
+    "auc_mannwhitney",
+    "naive_bayes_lang",
+    "boxcount_dimension",
+    "trend_surface",
+    "rect_union_area",
 ]
 
 

@@ -16231,6 +16231,526 @@ def motion_vectors(spark, sf_dir):
     )
 
 
+# Exact rank-based AUC (Mann-Whitney) --------------------------------------------------
+
+_AUC_POS = "purchase"  # positive class mark
+_AUC_NEG = "click"  # negative class mark
+
+
+@register(
+    "auc_mannwhitney",
+    f"""
+    WITH s AS (
+      SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = '{_AUC_POS}' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN event_type = '{_AUC_NEG}' THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      FROM events
+      WHERE event_type IN ('{_AUC_POS}', '{_AUC_NEG}') AND value IS NOT NULL
+      GROUP BY value
+    ),
+    w AS (
+      SELECT np, nn,
+             sum(nn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - nn AS below
+      FROM s
+    ),
+    tot AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+             CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2
+      FROM w
+    )
+    SELECT n_pos, n_neg, u2,
+           round(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM tot
+    """,
+    doc=(
+        f"exact Mann-Whitney AUC of the `value` score separating "
+        f"'{_AUC_POS}' from '{_AUC_NEG}' events: group by DISTINCT score "
+        "value (np, nn per value), one cumulative window for the "
+        "negatives strictly below, then u2 = sum np*(2*below + nn) — "
+        "twice the concordant-pair count with ties at half weight, an "
+        "exact BIGINT; AUC = u2/(2 n_pos n_neg) is the one double op — "
+        "the rank-sum formulation never materializes pos x neg pairs "
+        "(ab_test_ztest compares means; this is the threshold-free "
+        "separability metric)"
+    ),
+)
+def auc_mannwhitney(spark, sf_dir):
+    """ONE partial-agg shuffle to the O(distinct scores) frame, one
+    ordered cumulative window on it, scalar rollup. No pair join at any
+    scale."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(
+            F.col("event_type").isin(_AUC_POS, _AUC_NEG) & F.col("value").isNotNull()
+        )
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == _AUC_POS, 1).otherwise(0))
+            .cast("long")
+            .alias("np"),
+            F.sum(F.when(F.col("event_type") == _AUC_NEG, 1).otherwise(0))
+            .cast("long")
+            .alias("nn"),
+        )
+    )
+    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = s.select(
+        "np", "nn", (F.sum("nn").over(win) - F.col("nn")).alias("below")
+    )
+    return w.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("below") + F.col("nn"))).cast("long").alias("u2"),
+    ).select(
+        "n_pos", "n_neg", "u2",
+        F.round(
+            F.col("u2").cast("double") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )
+
+
+# Naive-Bayes language classifier (add-1 smoothing, resubstitution) --------------------
+
+
+@register(
+    "naive_bayes_lang",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM t WHERE tok <> '' GROUP BY doc_id, lang, tok
+    ),
+    cls AS (
+      SELECT lang AS c_lang, CAST(sum(c) AS BIGINT) AS tot_c
+      FROM tc GROUP BY lang
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tc),
+    prior AS (
+      SELECT lang AS c_lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY lang
+    ),
+    ndocs AS (SELECT CAST(count(*) AS BIGINT) AS nd_tot FROM documents),
+    cw AS (
+      SELECT lang AS c_lang, tok, CAST(sum(c) AS BIGINT) AS cnt
+      FROM tc GROUP BY lang, tok
+    ),
+    score AS (
+      SELECT d.doc_id, d.lang, cls.c_lang,
+             ln(CAST(p.nd AS DOUBLE) / n.nd_tot)
+             + sum(d.c * (ln(CAST(coalesce(cw.cnt, 0) + 1 AS DOUBLE))
+                          - ln(CAST(cls.tot_c + vocab.v AS DOUBLE)))) AS ll
+      FROM tc d
+      CROSS JOIN cls
+      CROSS JOIN vocab
+      CROSS JOIN ndocs n
+      JOIN prior p ON p.c_lang = cls.c_lang
+      LEFT JOIN cw ON cw.c_lang = cls.c_lang AND cw.tok = d.tok
+      GROUP BY d.doc_id, d.lang, cls.c_lang, p.nd, n.nd_tot, cls.tot_c, vocab.v
+    ),
+    ranked AS (
+      SELECT doc_id, lang, c_lang, round(ll, 6) AS ll6,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(ll, 6) DESC, c_lang) AS rn
+      FROM score
+    )
+    SELECT doc_id, lang, c_lang AS pred_lang, ll6 AS loglik,
+           CAST(CASE WHEN c_lang = lang THEN 1 ELSE 0 END AS INT) AS correct
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "multinomial naive-Bayes language classifier with add-1 "
+        "smoothing, scored by resubstitution: per-doc token counts x the "
+        "constant class set, class-conditional counts LEFT-joined (unseen "
+        "token -> ln 1 = 0 numerator), ll = ln prior + sum c*(ln(cnt+1) - "
+        "ln(tot_c + V)); argmax per doc with the deterministic "
+        "(round(ll,6) desc, lang) tie-break in BOTH engines — the "
+        "supervised companion to langid_confusion's n-gram heuristic; "
+        "all ln arguments exact integers, the per-(doc,class) sum is the "
+        "order-sensitive reduction (6-dp rounded before ranking)"
+    ),
+)
+def naive_bayes_lang(spark, sf_dir):
+    """Fan-out is per-doc tokens x |classes| (a constant), never pairs;
+    class-conditional table is O(vocab x classes) and partial-aggs before
+    the join; argmax is a WindowGroupLimit on the |classes|-row groups."""
+    docs = _t(spark, sf_dir, "documents")
+    tc = _persist_evict(
+        docs.select(
+            "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cls = tc.groupBy(F.col("lang").alias("c_lang")).agg(
+        F.sum("c").cast("long").alias("tot_c")
+    )
+    vocab = tc.agg(F.countDistinct("tok").cast("long").alias("v"))
+    prior = docs.groupBy(F.col("lang").alias("c_lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd_tot"))
+    cw = tc.groupBy(F.col("lang").alias("c_lang"), "tok").agg(
+        F.sum("c").cast("long").alias("cnt")
+    )
+    score = (
+        tc.crossJoin(F.broadcast(cls.join(prior, "c_lang")))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndocs))
+        .join(
+            cw.select("c_lang", "tok", "cnt"),
+            ["c_lang", "tok"],
+            "left",
+        )
+        .groupBy("doc_id", "lang", "c_lang", "nd", "nd_tot", "tot_c", "v")
+        .agg(
+            F.sum(
+                F.col("c")
+                * (
+                    F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double"))
+                    - F.log((F.col("tot_c") + F.col("v")).cast("double"))
+                )
+            ).alias("ll_tok")
+        )
+        .select(
+            "doc_id", "lang", "c_lang",
+            (
+                F.log(F.col("nd").cast("double") / F.col("nd_tot")) + F.col("ll_tok")
+            ).alias("ll"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc(F.round(F.col("ll"), 6)), "c_lang")
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", "lang",
+            F.col("c_lang").alias("pred_lang"),
+            F.round(F.col("ll"), 6).alias("loglik"),
+            F.when(F.col("c_lang") == F.col("lang"), 1).otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+
+
+# Box-counting fractal dimension -------------------------------------------------------
+
+_BC_SCALES = (25, 50, 100, 200, 400)  # box sizes, centidegrees
+
+
+@register(
+    "boxcount_dimension",
+    f"""
+    WITH pts AS (
+      SELECT CAST(event_id * 7919 % 2000 AS BIGINT) AS iy,
+             CAST(event_id * 104729 % 2400 AS BIGINT) + 1000 AS ix
+      FROM events
+    ),
+    scales AS (SELECT unnest([{', '.join(str(s) for s in _BC_SCALES)}]) AS s),
+    boxes AS (
+      SELECT scales.s, CAST(count(*) AS BIGINT) AS n_boxes
+      FROM scales CROSS JOIN (SELECT DISTINCT iy, ix FROM pts) u
+      GROUP BY scales.s, u.iy // scales.s, u.ix // scales.s
+    ),
+    counts AS (
+      SELECT CAST(s AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n_boxes
+      FROM boxes GROUP BY s
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(ln(CAST(s AS DOUBLE))) AS sx,
+             sum(ln(CAST(n_boxes AS DOUBLE))) AS sy,
+             sum(ln(CAST(s AS DOUBLE)) * ln(CAST(s AS DOUBLE))) AS sxx,
+             sum(ln(CAST(s AS DOUBLE)) * ln(CAST(n_boxes AS DOUBLE))) AS sxy
+      FROM counts
+    )
+    SELECT counts.s, counts.n_boxes,
+           round(-((m.n * m.sxy - m.sx * m.sy)
+                   / (m.n * m.sxx - m.sx * m.sx)), 6) AS dim
+    FROM counts CROSS JOIN m
+    """,
+    doc=(
+        f"box-counting fractal dimension of the detection point cloud: "
+        f"occupied-box counts at box sizes {_BC_SCALES} centidegrees "
+        "over the DISTINCT lattice positions, then the OLS slope of "
+        "ln N(s) on ln s (negated) — dim ~= 2 for space-filling scatter, "
+        "~= 1 for curve-like (road/river-following) detections, the "
+        "multi-scale companion to clark_evans/quadrat_chi2's single-"
+        "scale clustering tests; counts exact BIGINTs, the 5-term OLS "
+        "moment sums the order-sensitive reduction (6-dp rounded)"
+    ),
+)
+def boxcount_dimension(spark, sf_dir):
+    """Distinct positions once (one shuffle on the lattice key), a
+    |scales|-row broadcast fan-out, two partial aggs; the fit is O(1) and
+    rides every output row via a scalar crossJoin."""
+    ev = _t(spark, sf_dir, "events")
+    u = _persist_evict(
+        ev.select(
+            (F.col("event_id") * 7919 % 2000).alias("iy"),
+            ((F.col("event_id") * 104729 % 2400) + 1000).alias("ix"),
+        ).distinct()
+    )
+    scales = spark.createDataFrame([(s,) for s in _BC_SCALES], "s long")
+    counts = _persist_evict(
+        u.crossJoin(F.broadcast(scales))
+        .groupBy(
+            "s",
+            F.floor(F.col("iy") / F.col("s")).alias("by"),
+            F.floor(F.col("ix") / F.col("s")).alias("bx"),
+        )
+        .agg(F.count(F.lit(1)).alias("_"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_boxes"))
+    )
+    lx = F.log(F.col("s").cast("double"))
+    ly = F.log(F.col("n_boxes").cast("double"))
+    m = counts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    return counts.crossJoin(F.broadcast(m)).select(
+        "s", "n_boxes",
+        F.round(
+            -(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ),
+            6,
+        ).alias("dim"),
+    )
+
+
+# Plane trend surface (closed-form OLS via Cramer's rule) ------------------------------
+
+
+@register(
+    "trend_surface",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(cy) AS DOUBLE) AS sy, CAST(sum(cx) AS DOUBLE) AS sx,
+             CAST(sum(cy * cy) AS DOUBLE) AS syy,
+             CAST(sum(cy * cx) AS DOUBLE) AS syx,
+             CAST(sum(cx * cx) AS DOUBLE) AS sxx,
+             CAST(sum(x) AS DOUBLE) AS sz,
+             CAST(sum(x * cy) AS DOUBLE) AS szy,
+             CAST(sum(x * cx) AS DOUBLE) AS szx,
+             CAST(sum(x * x) AS DOUBLE) AS szz
+      FROM cells
+    ),
+    fit AS (
+      SELECT n, sz, szy, szx, szz,
+             (n * (syy * sxx - syx * syx) - sy * (sy * sxx - syx * sx)
+              + sx * (sy * syx - syy * sx)) AS det,
+             (sz * (syy * sxx - syx * syx) - sy * (szy * sxx - syx * szx)
+              + sx * (szy * syx - syy * szx)) AS det0,
+             (n * (szy * sxx - syx * szx) - sz * (sy * sxx - syx * sx)
+              + sx * (sy * szx - szy * sx)) AS det1,
+             (n * (syy * szx - szy * syx) - sy * (sy * szx - szy * sx)
+              + sz * (sy * syx - syy * sx)) AS det2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_cells,
+           round(det0 / det, 6) AS b0,
+           round(det1 / det, 6) AS b1,
+           round(det2 / det, 6) AS b2,
+           round(1.0 - (szz - (det0 / det) * sz - (det1 / det) * szy
+                        - (det2 / det) * szx)
+                       / (szz - sz * sz / n), 6) AS r2
+    FROM fit
+    """,
+    doc=(
+        "first-order trend surface of the detection-density raster: "
+        "plane z = b0 + b1*cy + b2*cx fit by OLS, solved closed-form by "
+        "Cramer's rule on the 3x3 normal equations — the detrending step "
+        "that precedes variogram/kriging analysis (empirical_variogram "
+        "assumes a detrended field) and the 2D sibling of ols_trend's "
+        "1D line fit; every moment an exact integer sum CAST once to "
+        "DOUBLE, the determinant expressions written with identical "
+        "association in both dialects so the IEEE ops match bit-for-bit"
+    ),
+)
+def trend_surface(spark, sf_dir):
+    """One partial-agg shuffle to the cell raster, one scalar moment agg,
+    O(1) algebra. Nothing downstream of the 10-number moment row."""
+    cells = _cell_counts(spark, sf_dir)
+    m = cells.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cy").cast("double").alias("sy"),
+        F.sum("cx").cast("double").alias("sx"),
+        F.sum(F.col("cy") * F.col("cy")).cast("double").alias("syy"),
+        F.sum(F.col("cy") * F.col("cx")).cast("double").alias("syx"),
+        F.sum(F.col("cx") * F.col("cx")).cast("double").alias("sxx"),
+        F.sum("x").cast("double").alias("sz"),
+        F.sum(F.col("x") * F.col("cy")).cast("double").alias("szy"),
+        F.sum(F.col("x") * F.col("cx")).cast("double").alias("szx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("szz"),
+    )
+    n, sy, sx = F.col("n"), F.col("sy"), F.col("sx")
+    syy, syx, sxx = F.col("syy"), F.col("syx"), F.col("sxx")
+    sz, szy, szx, szz = F.col("sz"), F.col("szy"), F.col("szx"), F.col("szz")
+    det = (
+        n * (syy * sxx - syx * syx) - sy * (sy * sxx - syx * sx)
+        + sx * (sy * syx - syy * sx)
+    )
+    det0 = (
+        sz * (syy * sxx - syx * syx) - sy * (szy * sxx - syx * szx)
+        + sx * (szy * syx - syy * szx)
+    )
+    det1 = (
+        n * (szy * sxx - syx * szx) - sz * (sy * sxx - syx * sx)
+        + sx * (sy * szx - szy * sx)
+    )
+    det2 = (
+        n * (syy * szx - szy * syx) - sy * (sy * szx - szy * sx)
+        + sz * (sy * syx - syy * sx)
+    )
+    return m.select(
+        n.cast("long").alias("n_cells"),
+        F.round(det0 / det, 6).alias("b0"),
+        F.round(det1 / det, 6).alias("b1"),
+        F.round(det2 / det, 6).alias("b2"),
+        F.round(
+            F.lit(1.0)
+            - (szz - (det0 / det) * sz - (det1 / det) * szy - (det2 / det) * szx)
+            / (szz - sz * sz / n),
+            6,
+        ).alias("r2"),
+    )
+
+
+# Rectangle-union area (coordinate-compressed sweep) -----------------------------------
+
+_RU_MOD = 101  # order-key stride selecting the rectangle subset
+
+
+@register(
+    "rect_union_area",
+    f"""
+    WITH r AS (
+      SELECT o_orderkey AS rid,
+             CAST(o_orderkey * 13 % 1000 AS BIGINT) AS x0,
+             CAST(o_orderkey * 13 % 1000 + 1 + o_orderkey % 50 AS BIGINT) AS x1,
+             CAST(o_orderkey * 29 % 1000 AS BIGINT) AS y0,
+             CAST(o_orderkey * 29 % 1000 + 1 + o_orderkey % 40 AS BIGINT) AS y1
+      FROM orders WHERE o_orderkey % {_RU_MOD} = 0
+    ),
+    xs AS (
+      SELECT DISTINCT x FROM (
+        SELECT x0 AS x FROM r UNION ALL SELECT x1 AS x FROM r
+      )
+    ),
+    slabs AS (
+      SELECT x AS x_lo, lead(x) OVER (ORDER BY x) AS x_hi FROM xs
+    ),
+    sl AS (SELECT *, row_number() OVER (ORDER BY x_lo) AS slab_id
+           FROM slabs WHERE x_hi IS NOT NULL),
+    act AS (
+      SELECT sl.slab_id, sl.x_lo, sl.x_hi, r.y0, r.y1
+      FROM sl JOIN r ON r.x0 <= sl.x_lo AND r.x1 >= sl.x_hi
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN max(y1) OVER (PARTITION BY slab_id ORDER BY y0, y1
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                    OR y0 > max(y1) OVER (PARTITION BY slab_id ORDER BY y0, y1
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS gap
+      FROM act
+    ),
+    grp AS (
+      SELECT *, sum(gap) OVER (PARTITION BY slab_id ORDER BY y0, y1
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS g
+      FROM marked
+    ),
+    seg AS (
+      SELECT slab_id, x_lo, x_hi, g,
+             max(y1) - min(y0) AS ylen
+      FROM grp GROUP BY slab_id, x_lo, x_hi, g
+    )
+    SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rects,
+           CAST(count(DISTINCT slab_id) AS BIGINT) AS n_slabs,
+           CAST(sum(ylen * (x_hi - x_lo)) AS BIGINT) AS area
+    FROM seg
+    """,
+    doc=(
+        "exact area of the union of a deterministic rectangle set "
+        "(overlaps counted once) by coordinate-compressed sweep: distinct "
+        "x coordinates cut the plane into slabs, rectangles active in a "
+        "slab found by a bounded slab x rect join, and the per-slab "
+        "y-interval union computed with interval_union's running-max "
+        "window (gap -> new segment group) — the measure-of-union "
+        "primitive behind footprint/coverage accounting that a naive "
+        "sum-of-areas double-counts; every coordinate, segment length "
+        "and the final area is an exact BIGINT"
+    ),
+)
+def rect_union_area(spark, sf_dir):
+    """The rect set is bounded geometry (like the polygon ops): slabs x
+    rects is a broadcast join of two O(n_rects) frames, then one window
+    + two partial aggs per slab. Points never enter; scale-out applies
+    to the upstream table scan only."""
+    o = _t(spark, sf_dir, "orders")
+    r = _persist_evict(
+        o.filter(F.col("o_orderkey") % _RU_MOD == 0).select(
+            F.col("o_orderkey").alias("rid"),
+            (F.col("o_orderkey") * 13 % 1000).alias("x0"),
+            (F.col("o_orderkey") * 13 % 1000 + 1 + F.col("o_orderkey") % 50).alias("x1"),
+            (F.col("o_orderkey") * 29 % 1000).alias("y0"),
+            (F.col("o_orderkey") * 29 % 1000 + 1 + F.col("o_orderkey") % 40).alias("y1"),
+        )
+    )
+    xs = (
+        r.select(F.col("x0").alias("x"))
+        .unionAll(r.select(F.col("x1").alias("x")))
+        .distinct()
+    )
+    wx = Window.orderBy("x")
+    sl = (
+        xs.select(F.col("x").alias("x_lo"), F.lead("x").over(wx).alias("x_hi"))
+        .filter(F.col("x_hi").isNotNull())
+        .withColumn("slab_id", F.row_number().over(Window.orderBy("x_lo")))
+    )
+    act = sl.join(
+        F.broadcast(r),
+        (F.col("x0") <= F.col("x_lo")) & (F.col("x1") >= F.col("x_hi")),
+    ).select("slab_id", "x_lo", "x_hi", "y0", "y1")
+    wprev = Window.partitionBy("slab_id").orderBy("y0", "y1").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcur = Window.partitionBy("slab_id").orderBy("y0", "y1").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prevmax = F.max("y1").over(wprev)
+    marked = act.withColumn(
+        "gap",
+        F.when(prevmax.isNull() | (F.col("y0") > prevmax), 1).otherwise(0),
+    )
+    grp = marked.withColumn("g", F.sum("gap").over(wcur))
+    seg = grp.groupBy("slab_id", "x_lo", "x_hi", "g").agg(
+        (F.max("y1") - F.min("y0")).alias("ylen")
+    )
+    n_rects = r.agg(F.count(F.lit(1)).cast("long").alias("n_rects"))
+    return seg.crossJoin(F.broadcast(n_rects)).groupBy("n_rects").agg(
+        F.countDistinct("slab_id").cast("long").alias("n_slabs"),
+        F.sum(F.col("ylen") * (F.col("x_hi") - F.col("x_lo")))
+        .cast("long")
+        .alias("area"),
+    ).select("n_rects", "n_slabs", "area")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

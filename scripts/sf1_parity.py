@@ -222,6 +222,14 @@ QUERIES = [
     "bearing_rose",
     "pit_fill",
     "motion_vectors",
+    # session-16 analytics batch: auc/boxcount/trend_surface ride the 10x
+    # event corpus (denser score sample / lattice / raster); naive_bayes
+    # rides the 10x suffixed document corpus (vocab + class mass grow);
+    # rect_union_area is EXCLUDED — orders are copied unchanged at sf1
+    "auc_mannwhitney",
+    "naive_bayes_lang",
+    "boxcount_dimension",
+    "trend_surface",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

@@ -4902,3 +4902,132 @@ def test_motion_vectors_matches_brute_force(spark, sf_dir):
         _, sy, sx, c = best[(r.by, r.bx)]
         assert (r.best_sy, r.best_sx, r.corr) == (sy, sx, c)
         assert r.mass0 == mass[(r.by, r.bx)]
+
+
+def test_auc_mannwhitney_matches_brute_force(spark, sf_dir):
+    """u2 (twice the concordant count, ties half) recomputed by sorting
+    both score samples and accumulating exact pair counts."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.event_type.isin([relational._AUC_POS, relational._AUC_NEG])]
+    ev = ev[ev.value.notna()]
+    pos = sorted(ev[ev.event_type == relational._AUC_POS].value)
+    neg = sorted(ev[ev.event_type == relational._AUC_NEG].value)
+    u2 = 0
+    for p in pos:
+        import bisect
+
+        below = bisect.bisect_left(neg, p)
+        ties = bisect.bisect_right(neg, p) - below
+        u2 += 2 * below + ties
+    r = relational.REGISTRY["auc_mannwhitney"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert r.u2 == u2
+    assert abs(r.auc - round(u2 / (2 * len(pos) * len(neg)), 6)) < 1e-12
+
+
+def test_naive_bayes_lang_matches_brute_force(spark, sf_dir):
+    """Add-1 NB scores and the argmax replicated with Python dicts."""
+    import math
+
+    docs = relational._t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    tc, cls_tot, cw, prior, vocab = {}, {}, {}, {}, set()
+    for d in docs:
+        cnt = {}
+        for t in d.text.split(" "):
+            if t:
+                cnt[t] = cnt.get(t, 0) + 1
+                vocab.add(t)
+        tc[d.doc_id] = (d.lang, cnt)
+        prior[d.lang] = prior.get(d.lang, 0) + 1
+        for t, c in cnt.items():
+            cls_tot[d.lang] = cls_tot.get(d.lang, 0) + c
+            cw[(d.lang, t)] = cw.get((d.lang, t), 0) + c
+    nd_tot, V = len(docs), len(vocab)
+    got = {r.doc_id: r for r in
+           relational.REGISTRY["naive_bayes_lang"].fn(spark, sf_dir).collect()}
+    assert len(got) == len(docs)
+    langs = sorted(prior)
+    for did, (true_lang, cnt) in tc.items():
+        best = None
+        for c in langs:
+            ll = math.log(prior[c] / nd_tot) + sum(
+                k * (math.log(cw.get((c, t), 0) + 1) - math.log(cls_tot[c] + V))
+                for t, k in cnt.items()
+            )
+            key = (-round(ll, 6), c)
+            if best is None or key < best[0]:
+                best = (key, c, ll)
+        r = got[did]
+        assert r.lang == true_lang
+        assert r.pred_lang == best[1]
+        assert abs(r.loglik - round(best[2], 6)) < 2e-6
+        assert r.correct == (1 if best[1] == true_lang else 0)
+
+
+def test_boxcount_dimension_matches_brute_force(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    pts = {
+        (int(e * 7919 % 2000), int(e * 104729 % 2400 + 1000))
+        for e in ev.event_id
+    }
+    want = {
+        s: len({(iy // s, ix // s) for iy, ix in pts})
+        for s in relational._BC_SCALES
+    }
+    xs = [math.log(s) for s in want]
+    ys = [math.log(n) for n in want.values()]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    dim = -((n * sxy - sx * sy) / (n * sxx - sx * sx))
+    rows = relational.REGISTRY["boxcount_dimension"].fn(spark, sf_dir).collect()
+    assert {r.s: r.n_boxes for r in rows} == want
+    for r in rows:
+        assert abs(r.dim - round(dim, 6)) < 1e-5
+
+
+def test_trend_surface_matches_lstsq(spark, sf_dir):
+    import numpy as np
+
+    cells = relational._cell_counts(spark, sf_dir).collect()
+    A = np.array([[1.0, r.cy, r.cx] for r in cells])
+    z = np.array([float(r.x) for r in cells])
+    b, *_ = np.linalg.lstsq(A, z, rcond=None)
+    pred = A @ b
+    ss_res = float(((z - pred) ** 2).sum())
+    ss_tot = float(((z - z.mean()) ** 2).sum())
+    r = relational.REGISTRY["trend_surface"].fn(spark, sf_dir).collect()[0]
+    assert r.n_cells == len(cells)
+    assert abs(r.b0 - b[0]) < 1e-4
+    assert abs(r.b1 - b[1]) < 1e-4
+    assert abs(r.b2 - b[2]) < 1e-4
+    assert abs(r.r2 - (1 - ss_res / ss_tot)) < 1e-4
+
+
+def test_rect_union_area_matches_paint(spark, sf_dir):
+    """Exact union area recomputed by painting the rectangles onto a
+    numpy grid (coordinates are bounded integers)."""
+    import numpy as np
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    ks = o.o_orderkey[o.o_orderkey % relational._RU_MOD == 0]
+    grid = np.zeros((1100, 1100), dtype=bool)
+    for k in ks:
+        x0 = int(k * 13 % 1000)
+        x1 = x0 + 1 + int(k % 50)
+        y0 = int(k * 29 % 1000)
+        y1 = y0 + 1 + int(k % 40)
+        grid[x0:x1, y0:y1] = True
+    r = relational.REGISTRY["rect_union_area"].fn(spark, sf_dir).collect()[0]
+    assert r.n_rects == len(ks)
+    assert r.area == int(grid.sum())
