@@ -15671,13 +15671,13 @@ _GF_RADII = (5, 10, 20, 50)  # evaluation radii, centidegrees
         "pair counts (the G/K pair is the standard CSR test battery)"
     ),
 )
-def gfunction_nn(spark, sf_dir):
+def gfunction_nn(spark, sf_dir, events: DataFrame | None = None):
     """Cell-cover kRing explode -> equi-join (the dedup/cell_knn shape),
     integer min per point (partial agg), then a 4-radius threshold rollup
     on the O(points) NN frame cross-joined with the scalar total. The
     same (cell, salt) skew lever as pipeline.dedup applies if one cell
     degenerates."""
-    ev = _t(spark, sf_dir, "events")
+    ev = events if events is not None else _t(spark, sf_dir, "events")
     pts = ev.select(
         "event_id",
         (F.col("event_id") * 7919 % 2000).alias("iy"),
@@ -15776,12 +15776,12 @@ _CK_B = "purchase"  # target mark
         "one double normalization per radius"
     ),
 )
-def cross_k(spark, sf_dir):
+def cross_k(spark, sf_dir, events: DataFrame | None = None):
     """Marked subset scan -> cell-cover ring join between the two marks
     (pairs bounded by the ring), ONE pair-distance frame reused by all
     radii thresholds, scalar (n_a, n_b, area) broadcast. The LEFT JOIN on
     true mirrors the oracle's empty-pairs guard."""
-    ev = _t(spark, sf_dir, "events")
+    ev = events if events is not None else _t(spark, sf_dir, "events")
     pts = _persist_evict(
         ev.filter(F.col("event_type").isin(_CK_A, _CK_B)).select(
             "event_id", "event_type",

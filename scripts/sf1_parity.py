@@ -213,12 +213,13 @@ QUERIES = [
     "zipf_alpha",
     "bigram_surprisal",
     "ngram_novelty",
-    # session-16 point-pattern batch: gfunction_nn/cross_k pair counts ride
-    # the 10x event lattice (denser NN field); bearing_rose/motion_vectors
+    # session-16 point-pattern batch: gfunction_nn/cross_k get the windowed
+    # treatment (their DuckDB ring-join oracles are blockwise-NL quadratic
+    # at 10x points — the ripley precedent); bearing_rose/motion_vectors
     # ride the 10x trajectory/epoch rasters; pit_fill rides the 10x density
     # surface (same grid, 10x counts — boundary set unchanged)
-    "gfunction_nn",
-    "cross_k",
+    "gfunction_nn_window",
+    "cross_k_window",
     "bearing_rose",
     "pit_fill",
     "motion_vectors",
@@ -442,6 +443,8 @@ def main() -> int:
                 "ripley_k_window",
                 "knox_pairs_window",
                 "colocation_patterns_window",
+                "gfunction_nn_window",
+                "cross_k_window",
             ):
                 w = _RPK_WIN
                 lat = (F.col("event_id") * 7919 % 2000).cast("double") / 100.0
@@ -469,6 +472,20 @@ def main() -> int:
                     osql = osql.replace("WITH p AS (", "WITH p0_ AS (", 1).replace(
                         "),\n    pairs AS",
                         f"),\n    p AS (SELECT * FROM p0_ WHERE {win_sql}),\n    pairs AS",
+                        1,
+                    )
+                elif base in ("gfunction_nn", "cross_k"):
+                    # lattice coords are centidegrees: iy = lat*100,
+                    # ix = lon*100, so the lat/lon window maps exactly
+                    iy_lo, iy_hi = int(w["lat0"] * 100), int(w["lat1"] * 100)
+                    ix_lo, ix_hi = int(w["lon0"] * 100), int(w["lon1"] * 100)
+                    lat_win = (
+                        f"iy >= {iy_lo} AND iy < {iy_hi}"
+                        f" AND ix >= {ix_lo} AND ix < {ix_hi}"
+                    )
+                    osql = osql.replace("WITH pts AS (", "WITH p0_ AS (", 1).replace(
+                        "),\n    cpts AS",
+                        f"),\n    pts AS (SELECT * FROM p0_ WHERE {lat_win}),\n    cpts AS",
                         1,
                     )
                 else:
