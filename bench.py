@@ -232,6 +232,11 @@ HEADLINE = [
     "boxcount_dimension",
     "trend_surface",
     "rect_union_area",
+    "decision_stump",
+    "fdr_bh",
+    "silhouette_simplified",
+    "ar2_yule_walker",
+    "markov_stationary",
 ]
 
 

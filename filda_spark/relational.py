@@ -16751,6 +16751,577 @@ def rect_union_area(spark, sf_dir):
     ).select("n_rects", "n_slabs", "area")
 
 
+# Decision stump (exact Gini split search) ---------------------------------------------
+
+def _fold_sum(cols):
+    """Left-fold addition — the association order matches the SQL
+    oracle's " + ".join exactly, so the doubles are bit-identical."""
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+
+
+@register(
+    "decision_stump",
+    """
+    WITH b AS (
+      SELECT l_quantity AS q,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(count(*) AS BIGINT) AS t
+      FROM lineitem GROUP BY l_quantity
+    ),
+    tot AS (SELECT CAST(sum(p) AS BIGINT) AS bp, CAST(sum(t) AS BIGINT) AS bt FROM b),
+    c AS (
+      SELECT q,
+             sum(p) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS pl,
+             sum(t) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS tl
+      FROM b
+    ),
+    s AS (
+      SELECT q, pl, tl, bp - pl AS pr, bt - tl AS tr, bp, bt
+      FROM c CROSS JOIN tot WHERE tl < bt
+    ),
+    scored AS (
+      SELECT *,
+             (CAST(pl * pl + (tl - pl) * (tl - pl) AS DOUBLE) / tl
+              + CAST(pr * pr + (tr - pr) * (tr - pr) AS DOUBLE) / tr) AS purity
+      FROM s
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY purity DESC, q) AS rn FROM scored
+    )
+    SELECT q AS threshold, tl AS n_left, tr AS n_right, pl AS pos_left,
+           pr AS pos_right,
+           round(((CAST(tl AS DOUBLE)
+                   - CAST(pl * pl + (tl - pl) * (tl - pl) AS DOUBLE) / tl)
+                  + (CAST(tr AS DOUBLE)
+                     - CAST(pr * pr + (tr - pr) * (tr - pr) AS DOUBLE) / tr)) / bt,
+                 6) AS gini
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "exact best-Gini decision stump: split l_quantity predicting "
+        "l_returnflag = 'R' — per-distinct-value class counts, ONE "
+        "cumulative window for every candidate threshold's left counts, "
+        "argmax of the integer-moment purity (pl^2+nl^2)/tl + "
+        "(pr^2+nr^2)/tr (equivalent to min weighted Gini; the ranking "
+        "double is the same IEEE expression on both engines, tie-break "
+        "on the threshold) — the single-feature CART step / feature-"
+        "quality probe beside chi2_features' independence test; never "
+        "materializes row x threshold pairs"
+    ),
+)
+def decision_stump(spark, sf_dir):
+    """One partial-agg shuffle to O(distinct values), one ordered window,
+    a scalar-broadcast crossJoin, WindowGroupLimit argmax. Split search
+    cost is independent of row count beyond the first agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy(F.col("l_quantity").alias("q")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    tot = b.agg(
+        F.sum("p").cast("long").alias("bp"), F.sum("t").cast("long").alias("bt")
+    )
+    win = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = b.select(
+        "q", F.sum("p").over(win).alias("pl"), F.sum("t").over(win).alias("tl")
+    )
+    s = c.crossJoin(F.broadcast(tot)).filter(F.col("tl") < F.col("bt")).select(
+        "q", "pl", "tl",
+        (F.col("bp") - F.col("pl")).alias("pr"),
+        (F.col("bt") - F.col("tl")).alias("tr"),
+        "bp", "bt",
+    )
+    pl, tl, pr, tr = F.col("pl"), F.col("tl"), F.col("pr"), F.col("tr")
+    purity = (
+        (pl * pl + (tl - pl) * (tl - pl)).cast("double") / tl
+        + (pr * pr + (tr - pr) * (tr - pr)).cast("double") / tr
+    )
+    ranked = s.withColumn("purity", purity).withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("purity"), "q"))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("q").alias("threshold"),
+        tl.alias("n_left"),
+        tr.alias("n_right"),
+        pl.alias("pos_left"),
+        pr.alias("pos_right"),
+        F.round(
+            (
+                (tl.cast("double") - (pl * pl + (tl - pl) * (tl - pl)).cast("double") / tl)
+                + (tr.cast("double") - (pr * pr + (tr - pr) * (tr - pr)).cast("double") / tr)
+            )
+            / F.col("bt"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# Benjamini-Hochberg FDR over Gi* hotspot p-values -------------------------------------
+
+_BH_Q = 0.05  # target false-discovery rate
+
+
+@register(
+    "fdr_bh",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM cells
+    ),
+    nbr AS (
+      SELECT a.cy, a.cx,
+             CAST(count(*) AS BIGINT) AS wn,
+             CAST(sum(b.x) AS BIGINT) AS wx
+      FROM cells a JOIN cells b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+      GROUP BY a.cy, a.cx
+    ),
+    z AS (
+      SELECT nbr.cy, nbr.cx,
+             (CAST(wx AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(wn AS DOUBLE))
+             / (
+               sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+               * sqrt((CAST(n AS DOUBLE) * CAST(wn AS DOUBLE) - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0))
+             ) AS zv,
+             g.n AS m
+      FROM nbr CROSS JOIN g
+    ),
+    pv AS (
+      SELECT cy, cx, m, 1.0 - {physics.normal_cdf_sql('zv')} AS p_hot FROM z
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY p_hot, cy, cx) AS BIGINT) AS rnk
+      FROM pv
+    ),
+    thr AS (
+      SELECT max(CASE WHEN p_hot <= rnk * {_BH_Q!r} / m THEN rnk ELSE 0 END) AS k
+      FROM ranked
+    )
+    SELECT r.cy, r.cx, round(r.p_hot, 8) AS p_hot, r.rnk,
+           CAST(CASE WHEN r.rnk <= thr.k THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM ranked r CROSS JOIN thr
+    """,
+    doc=(
+        f"Benjamini-Hochberg FDR correction (q = {_BH_Q}) over the "
+        "per-cell one-sided Gi* hotspot p-values: the getis_ord_gi "
+        "z-score verbatim, p = 1 - Phi(z) via the shared Zelen-Severo "
+        "polynomial (same IEEE expression both engines), deterministic "
+        "(p, cy, cx) ranking, and the step-up threshold k = max rank "
+        "with p <= rank q/m — the multiple-testing gate that turns 1,900 "
+        "raw hotspot z-scores into a defensible discovery set (raw "
+        "z > 1.96 thresholding at 1,900 cells expects ~47 false "
+        "hotspots; BH caps the false-discovery RATE instead)"
+    ),
+)
+def fdr_bh(spark, sf_dir):
+    """Reuses the getis_ord_gi stencil plan (cell counts -> kRing
+    equi-join -> scalar-broadcast globals), then one ordered window for
+    the ranking and a one-row threshold broadcast. O(cells) state."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nbr_side = cells.select(
+        F.col("x").alias("bx_"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cy") + dy).alias("cy"), (F.col("cx") + dx).alias("cx")
+                    )
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            )
+        ).alias("tgt"),
+    ).select(F.col("tgt.cy").alias("cy"), F.col("tgt.cx").alias("cx"), "bx_")
+    nbr = (
+        cells.select("cy", "cx")
+        .join(nbr_side, ["cy", "cx"])
+        .groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).alias("wn"), F.sum("bx_").alias("wx"))
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    wn, wx = F.col("wn"), F.col("wx")
+    mean = sx.cast("double") / n.cast("double")
+    zv = (wx.cast("double") - mean * wn.cast("double")) / (
+        F.sqrt(sxx.cast("double") / n.cast("double") - mean * mean)
+        * F.sqrt(
+            (n.cast("double") * wn.cast("double") - wn.cast("double") * wn.cast("double"))
+            / (n.cast("double") - 1.0)
+        )
+    )
+    pv = nbr.crossJoin(F.broadcast(g)).select(
+        "cy", "cx",
+        n.alias("m"),
+        (F.lit(1.0) - physics.normal_cdf(zv)).alias("p_hot"),
+    )
+    ranked = _persist_evict(
+        pv.withColumn(
+            "rnk", F.row_number().over(Window.orderBy("p_hot", "cy", "cx")).cast("long")
+        )
+    )
+    thr = ranked.agg(
+        F.max(
+            F.when(
+                F.col("p_hot") <= F.col("rnk") * _BH_Q / F.col("m"), F.col("rnk")
+            ).otherwise(0)
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(thr)).select(
+        "cy", "cx",
+        F.round(F.col("p_hot"), 8).alias("p_hot"),
+        "rnk",
+        F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0).cast("int").alias("rejected"),
+    )
+
+
+# Simplified silhouette over fixed centroids -------------------------------------------
+
+_SIL_CENTROIDS = ((1, 250, 300), (2, 250, 1500), (3, 1000, 600),
+                  (4, 1000, 1800), (5, 1700, 300), (6, 1700, 2100))
+
+
+def _sil_centroid_sql() -> str:
+    rows = ", ".join(f"({cid}, {cy}, {cx})" for cid, cy, cx in _SIL_CENTROIDS)
+    return f"(VALUES {rows}) AS c(cid, ky, kx)"
+
+
+@register(
+    "silhouette_simplified",
+    f"""
+    WITH pts AS (
+      SELECT event_id,
+             CAST(event_id * 7919 % 2000 AS BIGINT) AS py,
+             CAST(event_id * 104729 % 2400 AS BIGINT) AS px
+      FROM events
+    ),
+    d AS (
+      SELECT p.event_id, c.cid,
+             sqrt(CAST((p.py - c.ky) * (p.py - c.ky)
+                       + (p.px - c.kx) * (p.px - c.kx) AS DOUBLE)) AS dist
+      FROM pts p CROSS JOIN {_sil_centroid_sql()}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY dist, cid) AS rn
+      FROM d
+    ),
+    ab AS (
+      SELECT a.event_id, a.cid, a.dist AS a_dist, b.dist AS b_dist
+      FROM ranked a JOIN ranked b
+        ON b.event_id = a.event_id AND b.rn = 2
+      WHERE a.rn = 1
+    )
+    SELECT cid, CAST(count(*) AS BIGINT) AS n,
+           round(avg((b_dist - a_dist) / greatest(a_dist, b_dist)), 6) AS mean_sil,
+           round(avg(a_dist), 6) AS mean_a,
+           round(avg(b_dist), 6) AS mean_b
+    FROM ab GROUP BY cid
+    """,
+    doc=(
+        "simplified silhouette of the fixed 6-centroid clustering of the "
+        "event lattice: per point a = distance to its nearest centroid, "
+        "b = distance to the runner-up, s = (b - a)/max(a, b), averaged "
+        "per cluster — the cluster-quality diagnostic that scores "
+        "kmeans_assign-style partitions WITHOUT the O(n^2) pairwise "
+        "silhouette (the centroid surrogate is the standard large-n "
+        "substitute); distances are sqrt of exact integers (correctly "
+        "rounded, never libm-divergent), the per-cluster means the "
+        "order-sensitive reduction (6-dp rounded)"
+    ),
+)
+def silhouette_simplified(spark, sf_dir):
+    """Constant 6-row broadcast fan-out -> per-point argmin/runner-up via
+    ONE partial min over a (dist, cid) struct pair — no window, no
+    shuffle of the fan-out — then one groupBy(cid). At 10^12 points the
+    per-point state is two structs."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.col("event_id") * 7919 % 2000).alias("py"),
+        (F.col("event_id") * 104729 % 2400).alias("px"),
+    )
+    cents = spark.createDataFrame(
+        list(_SIL_CENTROIDS), "cid long, ky long, kx long"
+    )
+    dist = F.sqrt(
+        (
+            (F.col("py") - F.col("ky")) * (F.col("py") - F.col("ky"))
+            + (F.col("px") - F.col("kx")) * (F.col("px") - F.col("kx"))
+        ).cast("double")
+    )
+    d = pts.crossJoin(F.broadcast(cents)).select(
+        "event_id", "cid", dist.alias("dist")
+    )
+    ab = (
+        d.groupBy("event_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dist").alias("dist"), F.col("cid").alias("cid")))
+                ),
+                1, 2,
+            ).alias("top2")
+        )
+        .select(
+            F.col("top2")[0]["cid"].alias("cid"),
+            F.col("top2")[0]["dist"].alias("a_dist"),
+            F.col("top2")[1]["dist"].alias("b_dist"),
+        )
+    )
+    return ab.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.avg(
+                (F.col("b_dist") - F.col("a_dist"))
+                / F.greatest(F.col("a_dist"), F.col("b_dist"))
+            ),
+            6,
+        ).alias("mean_sil"),
+        F.round(F.avg("a_dist"), 6).alias("mean_a"),
+        F.round(F.avg("b_dist"), 6).alias("mean_b"),
+    )
+
+
+# AR(2) Yule-Walker fit per entity -----------------------------------------------------
+
+_AR_MIN_N = 8  # minimum fixes per entity
+
+
+@register(
+    "ar2_yule_walker",
+    f"""
+    WITH s AS (
+      SELECT user_id, value AS v,
+             lag(value, 1) OVER w AS v1,
+             lag(value, 2) OVER w AS v2,
+             avg(value) OVER (PARTITION BY user_id) AS m,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    ),
+    mom AS (
+      SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+             sum((v - m) * (v - m)) AS c0,
+             sum(CASE WHEN v1 IS NOT NULL THEN (v - m) * (v1 - m) END) AS c1,
+             sum(CASE WHEN v2 IS NOT NULL THEN (v - m) * (v2 - m) END) AS c2
+      FROM s GROUP BY user_id HAVING max(n) >= {_AR_MIN_N}
+    )
+    SELECT user_id, n,
+           round((c1 / c0) * (1.0 - c2 / c0)
+                 / (1.0 - (c1 / c0) * (c1 / c0)), 6) AS phi1,
+           round((c2 / c0 - (c1 / c0) * (c1 / c0))
+                 / (1.0 - (c1 / c0) * (c1 / c0)), 6) AS phi2
+    FROM mom
+    """,
+    doc=(
+        "per-entity AR(2) fit by Yule-Walker: centered lag-0/1/2 "
+        "autocovariance sums over the (ts, event_id)-ordered value "
+        "series, phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2) "
+        "with rk = ck/c0 — the order-2 extension of acf_lags (which "
+        "stops at the correlations) and the AR sibling of holt_linear's "
+        "exponential state model; one window exchange per entity, the "
+        "covariance sums the order-sensitive reduction (6-dp rounded)"
+    ),
+)
+def ar2_yule_walker(spark, sf_dir):
+    """ONE window exchange on the entity key serves the ordered lags, the
+    partition mean and the count; the moment rollup is a partial agg on
+    the same partitioning (no second shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis(F.col("ts").cast("timestamp")), "event_id"
+    )
+    wp = Window.partitionBy("user_id")
+    s = ev.select(
+        "user_id",
+        F.col("value").alias("v"),
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 2).over(w).alias("v2"),
+        F.avg("value").over(wp).alias("m"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    v, v1, v2, m = F.col("v"), F.col("v1"), F.col("v2"), F.col("m")
+    mom = (
+        s.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum((v - m) * (v - m)).alias("c0"),
+            F.sum(F.when(v1.isNotNull(), (v - m) * (v1 - m))).alias("c1"),
+            F.sum(F.when(v2.isNotNull(), (v - m) * (v2 - m))).alias("c2"),
+        )
+        .filter(F.col("n") >= _AR_MIN_N)
+    )
+    r1 = F.col("c1") / F.col("c0")
+    r2 = F.col("c2") / F.col("c0")
+    return mom.select(
+        "user_id", "n",
+        F.round(r1 * (F.lit(1.0) - r2) / (F.lit(1.0) - r1 * r1), 6).alias("phi1"),
+        F.round((r2 - r1 * r1) / (F.lit(1.0) - r1 * r1), 6).alias("phi2"),
+    )
+
+
+# Stationary distribution of the event-type Markov chain -------------------------------
+
+_MS_STATES = ("click", "error", "purchase", "signup", "view")
+_MS_ROUNDS = 16
+
+
+def _ms_oracle_sql() -> str:
+    st = _MS_STATES
+    trans_cases = ",\n             ".join(
+        f"CAST(sum(CASE WHEN a = '{a}' AND b = '{b}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{i}_{j}"
+        for i, a in enumerate(st)
+        for j, b in enumerate(st)
+    )
+    row_tot = ",\n             ".join(
+        "(" + " + ".join(f"n_{i}_{j}" for j in range(len(st))) + f") AS t_{i}"
+        for i in range(len(st))
+    )
+    probs = ",\n             ".join(
+        f"CAST(n_{i}_{j} AS DOUBLE) / t_{i} AS p_{i}_{j}"
+        for i in range(len(st))
+        for j in range(len(st))
+    )
+    head = f"""
+    WITH legs AS (
+      SELECT event_type AS b,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts), event_id) AS a
+      FROM events
+    ),
+    cnt AS (
+      SELECT {trans_cases}
+      FROM legs WHERE a IS NOT NULL
+    ),
+    tot AS (SELECT *, {row_tot} FROM cnt),
+    pm AS (SELECT *, {probs} FROM tot),
+    v0 AS (SELECT pm.*, {", ".join(f"0.2 AS v_{j}" for j in range(len(st)))} FROM pm)"""
+    steps = []
+    for k in range(1, _MS_ROUNDS + 1):
+        comps = ",\n             ".join(
+            " + ".join(f"v_{i} * p_{i}_{j}" for i in range(len(st))) + f" AS v_{j}"
+            for j in range(len(st))
+        )
+        cols = ", ".join(
+            [f"n_{i}_{j}" for i in range(len(st)) for j in range(len(st))]
+            + [f"t_{i}" for i in range(len(st))]
+            + [f"p_{i}_{j}" for i in range(len(st)) for j in range(len(st))]
+        )
+        steps.append(f"""
+    v{k} AS (
+      SELECT {cols},
+             {comps}
+      FROM v{k - 1}
+    )""")
+    out = ", ".join(
+        f"round(v_{j}, 6) AS pi_{s}" for j, s in enumerate(st)
+    )
+    n_trans = " + ".join(f"t_{i}" for i in range(len(st)))
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+    SELECT CAST({n_trans} AS BIGINT) AS n_trans, {out}
+    FROM v{_MS_ROUNDS}"""
+    )
+
+
+@register(
+    "markov_stationary",
+    _ms_oracle_sql(),
+    doc=(
+        f"stationary distribution of the {len(_MS_STATES)}-state "
+        "event-type Markov chain by fixed-round power iteration "
+        f"({_MS_ROUNDS} rounds from uniform): transition counts from the "
+        "per-user ordered event stream (markov_transitions' legs), row-"
+        "normalized to probabilities, then v <- vP unrolled with the "
+        "5-term dot products written in identical state order on both "
+        "engines (every add/mul association matches, so the doubles are "
+        "bit-identical) — the long-run state-occupancy companion to "
+        "markov_transitions' one-step matrix; the chain state is ONE row "
+        "of 5 doubles, iteration is pure column algebra with no joins"
+    ),
+)
+def markov_stationary(spark, sf_dir):
+    """One window exchange for the legs, one conditional-agg rollup to a
+    single 25-count row, then 16 rounds of column-expression algebra on
+    the one-row frame (no shuffles, no loop joins — the whole iteration
+    compiles into one codegen stage)."""
+    st = _MS_STATES
+    k = len(st)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis(F.col("ts").cast("timestamp")), "event_id"
+    )
+    legs = ev.select(
+        F.col("event_type").alias("b"), F.lag("event_type").over(w).alias("a")
+    ).filter(F.col("a").isNotNull())
+    cnt = legs.agg(
+        *[
+            F.sum(F.when((F.col("a") == a) & (F.col("b") == b), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{i}_{j}")
+            for i, a in enumerate(st)
+            for j, b in enumerate(st)
+        ]
+    )
+    tot = cnt.select(
+        "*",
+        *[
+            _fold_sum([F.col(f"n_{i}_{j}") for j in range(k)]).alias(f"t_{i}")
+            for i in range(k)
+        ],
+    )
+    pm = tot.select(
+        "*",
+        *[
+            (F.col(f"n_{i}_{j}").cast("double") / F.col(f"t_{i}")).alias(f"p_{i}_{j}")
+            for i in range(k)
+            for j in range(k)
+        ],
+    )
+    v = pm.select("*", *[F.lit(0.2).alias(f"v_{j}") for j in range(k)])
+    keep = (
+        [f"n_{i}_{j}" for i in range(k) for j in range(k)]
+        + [f"t_{i}" for i in range(k)]
+        + [f"p_{i}_{j}" for i in range(k) for j in range(k)]
+    )
+    for _ in range(_MS_ROUNDS):
+        v = v.select(
+            *keep,
+            *[
+                _fold_sum(
+                    [F.col(f"v_{i}") * F.col(f"p_{i}_{j}") for i in range(k)]
+                ).alias(f"v_{j}")
+                for j in range(k)
+            ],
+        )
+    n_trans = _fold_sum([F.col(f"t_{i}") for i in range(k)])
+    return v.select(
+        n_trans.cast("long").alias("n_trans"),
+        *[F.round(F.col(f"v_{j}"), 6).alias(f"pi_{s}") for j, s in enumerate(st)],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

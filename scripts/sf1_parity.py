@@ -231,6 +231,15 @@ QUERIES = [
     "naive_bayes_lang",
     "boxcount_dimension",
     "trend_surface",
+    # session-16 batch 3: stump/silhouette ride 10x rows (1M lineitem /
+    # 1M events), fdr_bh rides the 10x-denser cell field, ar2/markov ride
+    # the 10x per-user series (interleaved hour-shifted copies change the
+    # leg structure, not just the mass)
+    "decision_stump",
+    "fdr_bh",
+    "silhouette_simplified",
+    "ar2_yule_walker",
+    "markov_stationary",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

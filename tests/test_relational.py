@@ -5031,3 +5031,169 @@ def test_rect_union_area_matches_paint(spark, sf_dir):
     r = relational.REGISTRY["rect_union_area"].fn(spark, sf_dir).collect()[0]
     assert r.n_rects == len(ks)
     assert r.area == int(grid.sum())
+
+
+def test_decision_stump_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_returnflag"])
+    by = {}
+    for q, fl in zip(li.l_quantity, li.l_returnflag):
+        p, t = by.get(q, (0, 0))
+        by[q] = (p + (1 if fl == "R" else 0), t + 1)
+    P = sum(p for p, _ in by.values())
+    T = sum(t for _, t in by.values())
+    best = None
+    pl = tl = 0
+    for q in sorted(by):
+        p, t = by[q]
+        pl, tl = pl + p, tl + t
+        if tl >= T:
+            continue
+        pr, tr = P - pl, T - tl
+        purity = (pl * pl + (tl - pl) ** 2) / tl + (pr * pr + (tr - pr) ** 2) / tr
+        key = (-purity, q)
+        if best is None or key < best[0]:
+            best = (key, q, pl, tl, pr, tr)
+    _, q, pl, tl, pr, tr = best
+    r = relational.REGISTRY["decision_stump"].fn(spark, sf_dir).collect()[0]
+    assert (r.threshold, r.n_left, r.n_right, r.pos_left, r.pos_right) == (
+        q, tl, tr, pl, pr
+    )
+    gini = ((tl - (pl * pl + (tl - pl) ** 2) / tl)
+            + (tr - (pr * pr + (tr - pr) ** 2) / tr)) / T
+    assert abs(r.gini - round(gini, 6)) < 1e-12
+
+
+def test_fdr_bh_matches_brute_force(spark, sf_dir):
+    import math
+
+    from filda_spark.functions import physics
+
+    cells = {
+        (r.cy, r.cx): r.x for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    n = len(cells)
+    sx = sum(cells.values())
+    sxx = sum(v * v for v in cells.values())
+    mean = sx / n
+    denom_var = math.sqrt(sxx / n - mean * mean)
+    pv = {}
+    for (cy, cx), _ in cells.items():
+        wn = wx = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                q = (cy + dy, cx + dx)
+                if q in cells:
+                    wn += 1
+                    wx += cells[q]
+        z = (wx - mean * wn) / (denom_var * math.sqrt((n * wn - wn * wn) / (n - 1.0)))
+        pv[(cy, cx)] = 1.0 - float(physics.normal_cdf_np(z))
+    ranked = sorted(pv, key=lambda c: (pv[c], c))
+    k = 0
+    for i, c in enumerate(ranked, 1):
+        if pv[c] <= i * relational._BH_Q / n:
+            k = i
+    got = {(r.cy, r.cx): r for r in
+           relational.REGISTRY["fdr_bh"].fn(spark, sf_dir).collect()}
+    assert len(got) == n
+    for i, c in enumerate(ranked, 1):
+        r = got[c]
+        assert r.rnk == i
+        assert abs(r.p_hot - round(pv[c], 8)) < 1e-10
+        assert r.rejected == (1 if i <= k else 0)
+
+
+def test_silhouette_simplified_matches_brute_force(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    agg = {}
+    for e in ev.event_id:
+        py, px = int(e * 7919 % 2000), int(e * 104729 % 2400)
+        ds = sorted(
+            (math.sqrt((py - ky) ** 2 + (px - kx) ** 2), cid)
+            for cid, ky, kx in relational._SIL_CENTROIDS
+        )
+        (a, cid), (b, _) = ds[0], ds[1]
+        cur = agg.setdefault(cid, [0, 0.0, 0.0, 0.0])
+        cur[0] += 1
+        cur[1] += (b - a) / max(a, b)
+        cur[2] += a
+        cur[3] += b
+    got = relational.REGISTRY["silhouette_simplified"].fn(spark, sf_dir).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        n, s, a, b = agg[r.cid]
+        assert r.n == n
+        assert abs(r.mean_sil - round(s / n, 6)) < 2e-6
+        assert abs(r.mean_a - round(a / n, 6)) < 2e-6
+        assert abs(r.mean_b - round(b / n, 6)) < 2e-6
+
+
+def test_ar2_yule_walker_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        relational.F.unix_millis(
+            relational.F.col("ts").cast("timestamp")
+        ).alias("t_ms"),
+    ).collect()
+    series = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append((r.t_ms, r.event_id, r.value))
+    got = {r.user_id: r for r in
+           relational.REGISTRY["ar2_yule_walker"].fn(spark, sf_dir).collect()}
+    n_checked = 0
+    for uid, rows in series.items():
+        rows.sort()
+        v = [x[2] for x in rows]
+        n = len(v)
+        if n < relational._AR_MIN_N:
+            assert uid not in got
+            continue
+        m = sum(v) / n
+        c0 = sum((x - m) ** 2 for x in v)
+        c1 = sum((v[t] - m) * (v[t - 1] - m) for t in range(1, n))
+        c2 = sum((v[t] - m) * (v[t - 2] - m) for t in range(2, n))
+        r1, r2 = c1 / c0, c2 / c0
+        r = got[uid]
+        assert r.n == n
+        assert abs(r.phi1 - round(r1 * (1 - r2) / (1 - r1 * r1), 6)) < 2e-6
+        assert abs(r.phi2 - round((r2 - r1 * r1) / (1 - r1 * r1), 6)) < 2e-6
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_markov_stationary_matches_brute_force(spark, sf_dir):
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        relational.F.unix_millis(
+            relational.F.col("ts").cast("timestamp")
+        ).alias("t_ms"),
+    ).collect()
+    st = relational._MS_STATES
+    idx = {s: i for i, s in enumerate(st)}
+    seq = {}
+    for r in ev:
+        seq.setdefault(r.user_id, []).append((r.t_ms, r.event_id, r.event_type))
+    n = [[0] * len(st) for _ in st]
+    for rows in seq.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            n[idx[a]][idx[b]] += 1
+    t = [sum(row) for row in n]
+    p = [[n[i][j] / t[i] for j in range(len(st))] for i in range(len(st))]
+    v = [0.2] * len(st)
+    for _ in range(relational._MS_ROUNDS):
+        v = [
+            sum(v[i] * p[i][j] for i in range(len(st)))
+            for j in range(len(st))
+        ]
+    r = relational.REGISTRY["markov_stationary"].fn(spark, sf_dir).collect()[0]
+    assert r.n_trans == sum(t)
+    for j, s in enumerate(st):
+        assert abs(getattr(r, f"pi_{s}") - round(v[j], 6)) < 1e-9
+    assert abs(sum(v) - 1.0) < 1e-9
