@@ -237,6 +237,11 @@ HEADLINE = [
     "silhouette_simplified",
     "ar2_yule_walker",
     "markov_stationary",
+    "ridge_cv_mse",
+    "calibration_bins",
+    "psi_drift",
+    "small_cell_suppress",
+    "block_bootstrap_var",
 ]
 
 

@@ -17322,6 +17322,494 @@ def markov_stationary(spark, sf_dir):
     )
 
 
+# K-fold ridge cross-validation (exact fold moments, closed-form fits) -----------------
+
+_RCV_K = 5  # folds
+
+
+def _rcv_oracle_sql() -> str:
+    ent = {
+        "a11": "nn_t", "a12": "s1_t", "a13": "s2_t",
+        "a21": "s1_t", "a22": "s11_t + lam", "a23": "s12_t",
+        "a31": "s2_t", "a32": "s12_t", "a33": "s22_t + lam",
+        "b1": "sy_t", "b2": "s1y_t", "b3": "s2y_t",
+    }
+    d = {k: f"CAST({v} AS DOUBLE)" for k, v in ent.items()}
+    A = [[d["a11"], d["a12"], d["a13"]],
+         [d["a21"], d["a22"], d["a23"]],
+         [d["a31"], d["a32"], d["a33"]]]
+    b = [d["b1"], d["b2"], d["b3"]]
+    det = _det3_sql(A)
+    det0 = _det3_sql([[b[0], A[0][1], A[0][2]],
+                      [b[1], A[1][1], A[1][2]],
+                      [b[2], A[2][1], A[2][2]]])
+    det1 = _det3_sql([[A[0][0], b[0], A[0][2]],
+                      [A[1][0], b[1], A[1][2]],
+                      [A[2][0], b[2], A[2][2]]])
+    det2 = _det3_sql([[A[0][0], A[0][1], b[0]],
+                      [A[1][0], A[1][1], b[1]],
+                      [A[2][0], A[2][1], b[2]]])
+    h = lambda c: f"CAST(sum(CAST({c} AS HUGEINT)) AS HUGEINT)"  # noqa: E731
+    return f"""
+    WITH r AS (
+      SELECT {_MD5_60.format(key="l_orderkey * 8 + l_linenumber")} % {_RCV_K} AS fold,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS x1,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    mf AS (
+      SELECT fold,
+             CAST(count(*) AS HUGEINT) AS nn,
+             {h("x1")} AS s1, {h("x2")} AS s2, {h("y")} AS sy,
+             {h("x1 * x1")} AS s11, {h("x1 * x2")} AS s12,
+             {h("x2 * x2")} AS s22, {h("x1 * y")} AS s1y,
+             {h("x2 * y")} AS s2y, {h("y * y")} AS syy
+      FROM r GROUP BY fold
+    ),
+    tot AS (
+      SELECT CAST(sum(nn) AS HUGEINT) AS nn, CAST(sum(s1) AS HUGEINT) AS s1,
+             CAST(sum(s2) AS HUGEINT) AS s2, CAST(sum(sy) AS HUGEINT) AS sy,
+             CAST(sum(s11) AS HUGEINT) AS s11, CAST(sum(s12) AS HUGEINT) AS s12,
+             CAST(sum(s22) AS HUGEINT) AS s22, CAST(sum(s1y) AS HUGEINT) AS s1y,
+             CAST(sum(s2y) AS HUGEINT) AS s2y, CAST(sum(syy) AS HUGEINT) AS syy
+      FROM mf
+    ),
+    tr AS (
+      SELECT mf.fold, mf.nn AS nn_f, mf.s1 AS s1_f, mf.s2 AS s2_f,
+             mf.sy AS sy_f, mf.s11 AS s11_f, mf.s12 AS s12_f,
+             mf.s22 AS s22_f, mf.s1y AS s1y_f, mf.s2y AS s2y_f,
+             mf.syy AS syy_f,
+             tot.nn - mf.nn AS nn_t, tot.s1 - mf.s1 AS s1_t,
+             tot.s2 - mf.s2 AS s2_t, tot.sy - mf.sy AS sy_t,
+             tot.s11 - mf.s11 AS s11_t, tot.s12 - mf.s12 AS s12_t,
+             tot.s22 - mf.s22 AS s22_t, tot.s1y - mf.s1y AS s1y_t,
+             tot.s2y - mf.s2y AS s2y_t,
+             (tot.nn - mf.nn) * {_RIDGE_LAM} AS lam
+      FROM mf CROSS JOIN tot
+    ),
+    fit AS (
+      SELECT fold, nn_f, s1_f, s2_f, sy_f, s11_f, s12_f, s22_f, s1y_f,
+             s2y_f, syy_f, nn_t,
+             ({det0}) / ({det}) AS b0,
+             ({det1}) / ({det}) AS b1,
+             ({det2}) / ({det}) AS b2
+      FROM tr
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(nn_t AS BIGINT) AS n_train, CAST(nn_f AS BIGINT) AS n_test,
+           round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+           round((CAST(syy_f AS DOUBLE)
+                  - 2.0 * (b0 * CAST(sy_f AS DOUBLE) + b1 * CAST(s1y_f AS DOUBLE)
+                           + b2 * CAST(s2y_f AS DOUBLE))
+                  + (b0 * b0 * CAST(nn_f AS DOUBLE) + b1 * b1 * CAST(s11_f AS DOUBLE)
+                     + b2 * b2 * CAST(s22_f AS DOUBLE)
+                     + 2.0 * b0 * b1 * CAST(s1_f AS DOUBLE)
+                     + 2.0 * b0 * b2 * CAST(s2_f AS DOUBLE)
+                     + 2.0 * b1 * b2 * CAST(s12_f AS DOUBLE)))
+                 / CAST(nn_f AS DOUBLE), 2) AS test_mse
+    FROM fit"""
+
+
+@register(
+    "ridge_cv_mse",
+    _rcv_oracle_sql(),
+    doc=(
+        f"{_RCV_K}-fold cross-validated ridge regression of extendedprice "
+        "on (quantity, discount): deterministic md5 folds (the "
+        "kfold_assign idiom), EXACT 128-bit Gram moments per fold, train "
+        "moments by exact subtraction total - fold (the corpus is scanned "
+        "ONCE for all folds — the leave-fold-out trick that makes k-fold "
+        "CV a single-pass distributed op), per-fold Cramer solve via the "
+        "shared fixed-association determinant helper, and the held-out "
+        "MSE expanded in the same fold moments (no second data pass); "
+        "the ML-pipeline model-selection op on ridge_regression's "
+        "normal-equations machinery"
+    ),
+)
+def ridge_cv_mse(spark, sf_dir):
+    """ONE partial-agg shuffle to K 11-number moment rows; everything
+    after (train subtraction, solve, MSE expansion) is O(K) algebra on
+    the aggregated frame. No per-fold data passes, no gradient steps."""
+    li = _t(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5((F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string")),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % _RCV_K
+    )
+    r = li.select(
+        fold.alias("fold"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    x1, x2, y = (F.col(c).cast(d38) for c in ("x1", "x2", "y"))
+    mf = r.groupBy("fold").agg(
+        F.count(F.lit(1)).cast(d38).alias("nn"),
+        F.sum(x1).cast(d38).alias("s1"),
+        F.sum(x2).cast(d38).alias("s2"),
+        F.sum(y).cast(d38).alias("sy"),
+        F.sum(x1 * x1).cast(d38).alias("s11"),
+        F.sum(x1 * x2).cast(d38).alias("s12"),
+        F.sum(x2 * x2).cast(d38).alias("s22"),
+        F.sum(x1 * y).cast(d38).alias("s1y"),
+        F.sum(x2 * y).cast(d38).alias("s2y"),
+        F.sum(y * y).cast(d38).alias("syy"),
+    )
+    mf = _persist_evict(mf)
+    mcols = ["nn", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy"]
+    tot = mf.agg(*[F.sum(c).cast(d38).alias(c) for c in mcols])
+    tr = mf.crossJoin(F.broadcast(tot.select(*[F.col(c).alias(f"{c}_tot") for c in mcols])))
+    for c in mcols:
+        tr = tr.withColumn(f"{c}_f", F.col(c)).withColumn(
+            f"{c}_t", (F.col(f"{c}_tot") - F.col(c)).cast(d38)
+        )
+    lam = (F.col("nn_t") * _RIDGE_LAM).cast(d38)
+    dc = lambda c: c.cast("double")  # noqa: E731
+    A = [
+        [dc(F.col("nn_t")), dc(F.col("s1_t")), dc(F.col("s2_t"))],
+        [dc(F.col("s1_t")), dc(F.col("s11_t") + lam), dc(F.col("s12_t"))],
+        [dc(F.col("s2_t")), dc(F.col("s12_t")), dc(F.col("s22_t") + lam)],
+    ]
+    bv = [dc(F.col("sy_t")), dc(F.col("s1y_t")), dc(F.col("s2y_t"))]
+    det = _det3_col(A)
+    det0 = _det3_col([[bv[0], A[0][1], A[0][2]],
+                      [bv[1], A[1][1], A[1][2]],
+                      [bv[2], A[2][1], A[2][2]]])
+    det1 = _det3_col([[A[0][0], bv[0], A[0][2]],
+                      [A[1][0], bv[1], A[1][2]],
+                      [A[2][0], bv[2], A[2][2]]])
+    det2 = _det3_col([[A[0][0], A[0][1], bv[0]],
+                      [A[1][0], A[1][1], bv[1]],
+                      [A[2][0], A[2][1], bv[2]]])
+    fit = tr.withColumn("b0", det0 / det).withColumn("b1", det1 / det).withColumn(
+        "b2", det2 / det
+    )
+    b0, b1, b2 = F.col("b0"), F.col("b1"), F.col("b2")
+    mse = (
+        dc(F.col("syy_f"))
+        - 2.0 * (b0 * dc(F.col("sy_f")) + b1 * dc(F.col("s1y_f")) + b2 * dc(F.col("s2y_f")))
+        + (
+            b0 * b0 * dc(F.col("nn_f"))
+            + b1 * b1 * dc(F.col("s11_f"))
+            + b2 * b2 * dc(F.col("s22_f"))
+            + 2.0 * b0 * b1 * dc(F.col("s1_f"))
+            + 2.0 * b0 * b2 * dc(F.col("s2_f"))
+            + 2.0 * b1 * b2 * dc(F.col("s12_f"))
+        )
+    ) / dc(F.col("nn_f"))
+    return fit.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("nn_t").cast("long").alias("n_train"),
+        F.col("nn_f").cast("long").alias("n_test"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(mse, 2).alias("test_mse"),
+    )
+
+
+# Calibration bins (reliability curve) -------------------------------------------------
+
+_CAL_BIN = 25.0  # score-bin width in value units
+_CAL_NBIN = 20
+
+
+@register(
+    "calibration_bins",
+    f"""
+    WITH s AS (
+      SELECT least(CAST(floor(value / {_CAL_BIN!r}) AS BIGINT), {_CAL_NBIN - 1}) AS bin,
+             value / {_CAL_BIN * _CAL_NBIN!r} AS score,
+             CASE WHEN event_type = '{_AUC_POS}' THEN 1 ELSE 0 END AS pos
+      FROM events
+      WHERE event_type IN ('{_AUC_POS}', '{_AUC_NEG}') AND value IS NOT NULL
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           round(avg(score), 6) AS mean_score,
+           round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
+    FROM s GROUP BY bin
+    """,
+    doc=(
+        f"reliability (calibration) curve of the normalized value score "
+        f"against the '{_AUC_POS}'-vs-'{_AUC_NEG}' outcome: fixed-width "
+        f"score bins (width {_CAL_BIN}, capped at {_CAL_NBIN}), per-bin "
+        "count, positive count, mean score and empirical positive rate — "
+        "the diagnostic that pairs with auc_mannwhitney (AUC measures "
+        "ranking, calibration measures probability faithfulness); counts "
+        "exact BIGINTs, the bin means the order-sensitive reduction "
+        "(6-dp rounded); fixed bins, never ntile (rank ties would make "
+        "bin membership nondeterministic)"
+    ),
+)
+def calibration_bins(spark, sf_dir):
+    """Map-side bin + one partial-agg shuffle to O(bins) rows."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(
+        F.col("event_type").isin(_AUC_POS, _AUC_NEG) & F.col("value").isNotNull()
+    ).select(
+        F.least(
+            F.floor(F.col("value") / _CAL_BIN).cast("long"), F.lit(_CAL_NBIN - 1)
+        ).alias("bin"),
+        (F.col("value") / (_CAL_BIN * _CAL_NBIN)).alias("score"),
+        F.when(F.col("event_type") == _AUC_POS, 1).otherwise(0).alias("pos"),
+    )
+    return s.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.sum("pos").cast("double") / F.count(F.lit(1)), 6).alias("pos_rate"),
+    )
+
+
+# Population stability index between the two corpus epochs -----------------------------
+
+
+@register(
+    "psi_drift",
+    f"""
+    WITH b AS (
+      SELECT value, epoch_ms(ts) AS t_ms FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (SELECT min(t_ms) AS t0 FROM b),
+    s AS (
+      SELECT least(CAST(floor(value / {_CAL_BIN!r}) AS BIGINT), {_CAL_NBIN - 1}) AS bin,
+             CASE WHEN (t_ms - t0) // 86400000 < {_MV_SPLIT_DAY} THEN 0 ELSE 1 END AS half
+      FROM b CROSS JOIN bounds
+    ),
+    c AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n1
+      FROM s GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1 FROM c)
+    SELECT c.bin, c.n0, c.n1,
+           round(CAST(c.n0 AS DOUBLE) / tot.t0, 6) AS p0,
+           round(CAST(c.n1 AS DOUBLE) / tot.t1, 6) AS p1,
+           round((CAST(c.n1 AS DOUBLE) / tot.t1 - CAST(c.n0 AS DOUBLE) / tot.t0)
+                 * ln((CAST(c.n1 AS DOUBLE) / tot.t1)
+                      / (CAST(c.n0 AS DOUBLE) / tot.t0)), 6) AS psi_part
+    FROM c CROSS JOIN tot
+    """,
+    doc=(
+        "population stability index of the value distribution between "
+        f"the two corpus epochs (days < {_MV_SPLIT_DAY} vs rest, the "
+        "motion_vectors split): fixed-width bins with add-1 smoothing "
+        "(so an empty bin in one epoch contributes a finite part, "
+        "mirrored exactly), psi_part = (p1 - p0) ln(p1/p0) per bin — "
+        "the standard feature-drift monitor for a deployed model "
+        "(sum psi_part > 0.25 = major shift); counts exact BIGINTs "
+        "including the smoothing, three float ops per O(bins) row"
+    ),
+)
+def psi_drift(spark, sf_dir):
+    """One scalar broadcast (epoch origin), map-side bin/half, one
+    partial-agg to O(bins), one one-row totals broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.filter(F.col("value").isNotNull()).select(
+        "value", F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms")
+    )
+    bounds = b.agg(F.min("t_ms").alias("t0m"))
+    s = b.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(F.col("value") / _CAL_BIN).cast("long"), F.lit(_CAL_NBIN - 1)
+        ).alias("bin"),
+        F.when(
+            ((F.col("t_ms") - F.col("t0m")) / 86400000).cast("long") < _MV_SPLIT_DAY, 0
+        ).otherwise(1).alias("half"),
+    )
+    c = s.groupBy("bin").agg(
+        (F.sum(F.when(F.col("half") == 0, 1).otherwise(0)) + 1).cast("long").alias("n0"),
+        (F.sum(F.when(F.col("half") == 1, 1).otherwise(0)) + 1).cast("long").alias("n1"),
+    )
+    c = _persist_evict(c)
+    tot = c.agg(
+        F.sum("n0").cast("long").alias("t0"), F.sum("n1").cast("long").alias("t1")
+    )
+    p0 = F.col("n0").cast("double") / F.col("t0")
+    p1 = F.col("n1").cast("double") / F.col("t1")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "bin", "n0", "n1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round((p1 - p0) * F.log(p1 / p0), 6).alias("psi_part"),
+    )
+
+
+# Small-cell suppression (k-anonymity publication gate) --------------------------------
+
+_SUP_K = 5  # publication threshold
+
+
+@register(
+    "small_cell_suppress",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    prim AS (
+      SELECT cy, cx, CAST(x AS BIGINT) AS x,
+             CASE WHEN x < {_SUP_K} THEN 1 ELSE 0 END AS supp1
+      FROM cells
+    ),
+    rowstat AS (
+      SELECT cy, CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(supp1) AS BIGINT) AS n_supp
+      FROM prim GROUP BY cy
+    ),
+    comp AS (
+      SELECT cy, cx
+      FROM (
+        SELECT p.cy, p.cx,
+               row_number() OVER (PARTITION BY p.cy ORDER BY p.x, p.cx) AS rn
+        FROM prim p JOIN rowstat r ON r.cy = p.cy
+        WHERE p.supp1 = 0 AND r.n_supp = 1 AND r.n_cells >= 2
+      ) WHERE rn = 1
+    )
+    SELECT p.cy, p.cx, p.x,
+           CAST(CASE WHEN p.supp1 = 1 THEN 1
+                     WHEN c.cx IS NOT NULL THEN 2 ELSE 0 END AS INT) AS suppressed
+    FROM prim p LEFT JOIN comp c ON c.cy = p.cy AND c.cx = p.cx
+    """,
+    doc=(
+        f"k-anonymity small-cell suppression for publishing the density "
+        f"raster: cells with count < {_SUP_K} are primary-suppressed, and "
+        "any grid row left with EXACTLY one suppressed cell gets its "
+        "smallest unsuppressed cell complementary-suppressed (tie-break "
+        "on cx) so the hidden value cannot be recovered from the row "
+        "margin — the disclosure-control step between the tiling engine "
+        "and a public fire-density product; pure integer logic, one "
+        "deterministic window"
+    ),
+)
+def small_cell_suppress(spark, sf_dir):
+    """Cell raster once, a per-row (cy) rollup broadcast back, one
+    window on the O(candidates) frame. All frames O(cells)."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    prim = cells.select(
+        "cy", "cx", F.col("x").cast("long").alias("x"),
+        F.when(F.col("x") < _SUP_K, 1).otherwise(0).alias("supp1"),
+    )
+    prim = _persist_evict(prim)
+    rowstat = prim.groupBy("cy").agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("supp1").alias("n_supp")
+    )
+    cand = (
+        prim.join(F.broadcast(rowstat), "cy")
+        .filter((F.col("supp1") == 0) & (F.col("n_supp") == 1) & (F.col("n_cells") >= 2))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("cy").orderBy("x", "cx"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("cy", "cx", F.lit(1).alias("is_comp"))
+    )
+    return prim.join(cand, ["cy", "cx"], "left").select(
+        "cy", "cx", "x",
+        F.when(F.col("supp1") == 1, 1)
+        .when(F.col("is_comp").isNotNull(), 2)
+        .otherwise(0)
+        .cast("int")
+        .alias("suppressed"),
+    )
+
+
+# Half-sample bootstrap variance of the cell-mean (deterministic replicates) -----------
+
+_BB_REPS = 32  # bootstrap replicates
+
+_CONCAT_BCYX = (
+    "concat(CAST(r.b AS VARCHAR), ':', CAST(c.cy AS VARCHAR), "
+    "':', CAST(c.cx AS VARCHAR))"
+)
+
+
+@register(
+    "block_bootstrap_var",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    reps AS (SELECT unnest(range({_BB_REPS})) AS b),
+    inc AS (
+      SELECT r.b, c.x
+      FROM cells c CROSS JOIN reps r
+      WHERE {_MD5_60.format(key=_CONCAT_BCYX)} % 2 = 0
+    ),
+    rep AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n_inc,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(x) AS DOUBLE) / count(*) AS m
+      FROM inc GROUP BY b
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS b_reps, sum(m) AS sm, sum(m * m) AS smm
+      FROM rep
+    )
+    SELECT b_reps,
+           round(sm / b_reps, 6) AS mean_of_means,
+           round((smm - sm * sm / b_reps) / (b_reps - 1), 6) AS var_est,
+           round(sqrt((smm - sm * sm / b_reps) / (b_reps - 1)), 6) AS se
+    FROM agg
+    """,
+    doc=(
+        f"deterministic half-sample bootstrap of the mean cell count: "
+        f"{_BB_REPS} replicates, replicate b containing cell (cy, cx) "
+        "iff md5(b:cy:cx) is even (the kfold/sample_stratified hash "
+        "idiom — reproducible resampling with NO RNG state to shard), "
+        "per-replicate exact integer mass, then the across-replicate "
+        "variance/se of the mean — the spatial-uncertainty quantifier "
+        "that respects cell (block) structure where an iid bootstrap "
+        "over points would understate autocorrelated variance; the "
+        "32-term moment sums are the order-sensitive reduction "
+        "(6-dp rounded)"
+    ),
+)
+def block_bootstrap_var(spark, sf_dir):
+    """Cell raster once, a constant {reps}-row broadcast fan-out, one
+    partial agg to O(reps) rows, one scalar rollup. Replicate membership
+    is a map-side hash — no sampling state, no shuffle of points."""
+    cells = _cell_counts(spark, sf_dir)
+    reps = spark.range(_BB_REPS).select(F.col("id").alias("b"))
+    inc = (
+        cells.crossJoin(F.broadcast(reps))
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("b"), F.col("cy"), F.col("cx"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+        .select("b", "x")
+    )
+    rep = inc.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inc"),
+        F.sum("x").cast("long").alias("sum_x"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    agg = rep.agg(
+        F.count(F.lit(1)).cast("long").alias("b_reps"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+    )
+    br, sm, smm = F.col("b_reps"), F.col("sm"), F.col("smm")
+    return agg.select(
+        "b_reps",
+        F.round(sm / br, 6).alias("mean_of_means"),
+        F.round((smm - sm * sm / br) / (br - 1), 6).alias("var_est"),
+        F.round(F.sqrt((smm - sm * sm / br) / (br - 1)), 6).alias("se"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -240,6 +240,15 @@ QUERIES = [
     "silhouette_simplified",
     "ar2_yule_walker",
     "markov_stationary",
+    # session-16 batch 4: calibration/psi ride 1M events, suppress/
+    # bootstrap ride the 10x-denser cell field (suppression pattern and
+    # replicate membership both change with the counts); ridge_cv_mse is
+    # EXCLUDED — lineitem is copied unchanged at sf1 (the
+    # ridge_regression convention)
+    "calibration_bins",
+    "psi_drift",
+    "small_cell_suppress",
+    "block_bootstrap_var",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

@@ -5197,3 +5197,151 @@ def test_markov_stationary_matches_brute_force(spark, sf_dir):
     for j, s in enumerate(st):
         assert abs(getattr(r, f"pi_{s}") - round(v[j], 6)) < 1e-9
     assert abs(sum(v) - 1.0) < 1e-9
+
+
+def test_ridge_cv_mse_matches_numpy(spark, sf_dir):
+    """Per-fold coefficients and held-out MSE recomputed with numpy
+    normal equations over explicitly materialized folds."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                 "l_extendedprice"],
+    )
+    key = (li.l_orderkey * 8 + li.l_linenumber).astype("int64")
+    fold = np.array([
+        int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % relational._RCV_K
+        for k in key
+    ])
+    x1 = np.round(li.l_quantity * 100).astype("int64").to_numpy()
+    x2 = np.round(li.l_discount * 100).astype("int64").to_numpy()
+    y = np.round(li.l_extendedprice * 100).astype("int64").to_numpy()
+    got = {r.fold: r for r in
+           relational.REGISTRY["ridge_cv_mse"].fn(spark, sf_dir).collect()}
+    assert len(got) == relational._RCV_K
+    for f in range(relational._RCV_K):
+        tr, te = fold != f, fold == f
+        X = np.stack([np.ones(tr.sum()), x1[tr], x2[tr]], axis=1)
+        lam = tr.sum() * relational._RIDGE_LAM
+        P = np.diag([0.0, lam, lam])
+        b = np.linalg.solve(X.T @ X + P, X.T @ y[tr])
+        pred = b[0] + b[1] * x1[te] + b[2] * x2[te]
+        mse = float(((y[te] - pred) ** 2).mean())
+        r = got[f]
+        assert (r.n_train, r.n_test) == (int(tr.sum()), int(te.sum()))
+        assert abs(r.b0 - b[0]) < 1e-3
+        assert abs(r.b1 - b[1]) < 1e-4
+        assert abs(r.b2 - b[2]) < 1e-4
+        assert abs(r.test_mse - mse) / mse < 1e-6
+
+
+def test_calibration_bins_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.event_type.isin([relational._AUC_POS, relational._AUC_NEG])]
+    ev = ev[ev.value.notna()]
+    agg = {}
+    for t, v in zip(ev.event_type, ev.value):
+        b = min(int(v // relational._CAL_BIN), relational._CAL_NBIN - 1)
+        cur = agg.setdefault(b, [0, 0, 0.0])
+        cur[0] += 1
+        cur[1] += 1 if t == relational._AUC_POS else 0
+        cur[2] += v / (relational._CAL_BIN * relational._CAL_NBIN)
+    got = relational.REGISTRY["calibration_bins"].fn(spark, sf_dir).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        n, np_, ssc = agg[r.bin]
+        assert (r.n, r.n_pos) == (n, np_)
+        assert abs(r.mean_score - round(ssc / n, 6)) < 2e-6
+        assert abs(r.pos_rate - round(np_ / n, 6)) < 1e-12
+
+
+def test_psi_drift_matches_brute_force(spark, sf_dir):
+    import math
+
+    ev = relational._t(spark, sf_dir, "events").select(
+        "value", relational.F.unix_millis(
+            relational.F.col("ts").cast("timestamp")).alias("t_ms")
+    ).collect()
+    t0 = min(r.t_ms for r in ev)
+    c = {}
+    for r in ev:
+        if r.value is None:
+            continue
+        b = min(int(r.value // relational._CAL_BIN), relational._CAL_NBIN - 1)
+        half = 0 if (r.t_ms - t0) // 86400000 < relational._MV_SPLIT_DAY else 1
+        cur = c.setdefault(b, [1, 1])  # add-1 smoothing baked in
+        cur[half] += 1
+    t0s = sum(v[0] for v in c.values())
+    t1s = sum(v[1] for v in c.values())
+    got = relational.REGISTRY["psi_drift"].fn(spark, sf_dir).collect()
+    assert len(got) == len(c)
+    psi_total = 0.0
+    for r in got:
+        n0, n1 = c[r.bin]
+        p0, p1 = n0 / t0s, n1 / t1s
+        assert (r.n0, r.n1) == (n0, n1)
+        assert abs(r.psi_part - round((p1 - p0) * math.log(p1 / p0), 6)) < 1e-10
+        psi_total += r.psi_part
+    assert abs(psi_total) < 0.25  # same-ish distribution between halves
+
+
+def test_small_cell_suppress_matches_brute_force(spark, sf_dir):
+    cells = {
+        (r.cy, r.cx): r.x for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    K = relational._SUP_K
+    supp = {c: (1 if x < K else 0) for c, x in cells.items()}
+    rows = {}
+    for (cy, cx), s in supp.items():
+        cur = rows.setdefault(cy, [0, 0])
+        cur[0] += 1
+        cur[1] += s
+    for cy, (n_cells, n_supp) in rows.items():
+        if n_supp == 1 and n_cells >= 2:
+            cands = sorted(
+                (cells[(cy, cx)], cx)
+                for (ry, cx) in [c for c in cells if c[0] == cy]
+                if supp[(cy, (ry, cx)[1])] == 0
+                for ry in [cy]
+            )
+            # pick the smallest unsuppressed (x, cx)
+            _, cx = cands[0]
+            supp[(cy, cx)] = 2
+    got = relational.REGISTRY["small_cell_suppress"].fn(spark, sf_dir).collect()
+    assert len(got) == len(cells)
+    for r in got:
+        assert r.x == cells[(r.cy, r.cx)]
+        assert r.suppressed == supp[(r.cy, r.cx)]
+
+
+def test_block_bootstrap_var_matches_brute_force(spark, sf_dir):
+    import hashlib
+    import math
+
+    cells = {
+        (r.cy, r.cx): r.x for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    ms = []
+    for b in range(relational._BB_REPS):
+        tot = cnt = 0
+        for (cy, cx), x in cells.items():
+            h = int(hashlib.md5(f"{b}:{cy}:{cx}".encode()).hexdigest()[:15], 16)
+            if h % 2 == 0:
+                tot += x
+                cnt += 1
+        ms.append(tot / cnt)
+    B = len(ms)
+    sm = sum(ms)
+    smm = sum(m * m for m in ms)
+    var = (smm - sm * sm / B) / (B - 1)
+    r = relational.REGISTRY["block_bootstrap_var"].fn(spark, sf_dir).collect()[0]
+    assert r.b_reps == B
+    assert abs(r.mean_of_means - round(sm / B, 6)) < 2e-6
+    assert abs(r.var_est - round(var, 6)) < 2e-6
+    assert abs(r.se - round(math.sqrt(var), 6)) < 2e-6
