@@ -17526,14 +17526,15 @@ _CAL_NBIN = 20
     f"""
     WITH s AS (
       SELECT least(CAST(floor(value / {_CAL_BIN!r}) AS BIGINT), {_CAL_NBIN - 1}) AS bin,
-             value / {_CAL_BIN * _CAL_NBIN!r} AS score,
+             CAST(round(value * 100, 0) AS BIGINT) AS c,
              CASE WHEN event_type = '{_AUC_POS}' THEN 1 ELSE 0 END AS pos
       FROM events
       WHERE event_type IN ('{_AUC_POS}', '{_AUC_NEG}') AND value IS NOT NULL
     )
     SELECT bin, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(pos) AS BIGINT) AS n_pos,
-           round(avg(score), 6) AS mean_score,
+           round(CAST(sum(c) AS DOUBLE)
+                 / (count(*) * {100.0 * _CAL_BIN * _CAL_NBIN!r}), 6) AS mean_score,
            round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
     FROM s GROUP BY bin
     """,
@@ -17543,10 +17544,12 @@ _CAL_NBIN = 20
         f"score bins (width {_CAL_BIN}, capped at {_CAL_NBIN}), per-bin "
         "count, positive count, mean score and empirical positive rate — "
         "the diagnostic that pairs with auc_mannwhitney (AUC measures "
-        "ranking, calibration measures probability faithfulness); counts "
-        "exact BIGINTs, the bin means the order-sensitive reduction "
-        "(6-dp rounded); fixed bins, never ntile (rank ties would make "
-        "bin membership nondeterministic)"
+        "ranking, calibration measures probability faithfulness); value "
+        "is cent-quantized, so the bin mean is an exact BIGINT cent sum "
+        "over one double division — order-insensitive at any scale (the "
+        "avg(double) formulation straddled a 6-dp boundary at sf1); "
+        "fixed bins, never ntile (rank ties would make bin membership "
+        "nondeterministic)"
     ),
 )
 def calibration_bins(spark, sf_dir):
@@ -17558,13 +17561,17 @@ def calibration_bins(spark, sf_dir):
         F.least(
             F.floor(F.col("value") / _CAL_BIN).cast("long"), F.lit(_CAL_NBIN - 1)
         ).alias("bin"),
-        (F.col("value") / (_CAL_BIN * _CAL_NBIN)).alias("score"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
         F.when(F.col("event_type") == _AUC_POS, 1).otherwise(0).alias("pos"),
     )
     return s.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("pos").cast("long").alias("n_pos"),
-        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(
+            F.sum("c").cast("double")
+            / (F.count(F.lit(1)) * (100.0 * _CAL_BIN * _CAL_NBIN)),
+            6,
+        ).alias("mean_score"),
         F.round(F.sum("pos").cast("double") / F.count(F.lit(1)), 6).alias("pos_rate"),
     )
 
