@@ -242,6 +242,11 @@ HEADLINE = [
     "psi_drift",
     "small_cell_suppress",
     "block_bootstrap_var",
+    "percolation_clusters",
+    "local_maxima_nms",
+    "kaplan_meier",
+    "entropy_rate",
+    "heaps_law",
 ]
 
 

@@ -17185,7 +17185,10 @@ _MS_STATES = ("click", "error", "purchase", "signup", "view")
 _MS_ROUNDS = 16
 
 
-def _ms_oracle_sql() -> str:
+def _ms_chain_cte() -> str:
+    """The shared WITH-body (legs -> counts -> probabilities -> unrolled
+    power iteration through v{rounds}) used by BOTH markov_stationary and
+    entropy_rate — single-sourced so the two oracles cannot drift."""
     st = _MS_STATES
     trans_cases = ",\n             ".join(
         f"CAST(sum(CASE WHEN a = '{a}' AND b = '{b}' THEN 1 ELSE 0 END) AS BIGINT)"
@@ -17233,39 +17236,27 @@ def _ms_oracle_sql() -> str:
              {comps}
       FROM v{k - 1}
     )""")
+    return head + "," + ",".join(steps)
+
+
+def _ms_oracle_sql() -> str:
+    st = _MS_STATES
     out = ", ".join(
         f"round(v_{j}, 6) AS pi_{s}" for j, s in enumerate(st)
     )
     n_trans = " + ".join(f"t_{i}" for i in range(len(st)))
     return (
-        head + "," + ",".join(steps)
+        _ms_chain_cte()
         + f"""
     SELECT CAST({n_trans} AS BIGINT) AS n_trans, {out}
     FROM v{_MS_ROUNDS}"""
     )
 
 
-@register(
-    "markov_stationary",
-    _ms_oracle_sql(),
-    doc=(
-        f"stationary distribution of the {len(_MS_STATES)}-state "
-        "event-type Markov chain by fixed-round power iteration "
-        f"({_MS_ROUNDS} rounds from uniform): transition counts from the "
-        "per-user ordered event stream (markov_transitions' legs), row-"
-        "normalized to probabilities, then v <- vP unrolled with the "
-        "5-term dot products written in identical state order on both "
-        "engines (every add/mul association matches, so the doubles are "
-        "bit-identical) — the long-run state-occupancy companion to "
-        "markov_transitions' one-step matrix; the chain state is ONE row "
-        "of 5 doubles, iteration is pure column algebra with no joins"
-    ),
-)
-def markov_stationary(spark, sf_dir):
-    """One window exchange for the legs, one conditional-agg rollup to a
-    single 25-count row, then 16 rounds of column-expression algebra on
-    the one-row frame (no shuffles, no loop joins — the whole iteration
-    compiles into one codegen stage)."""
+def _ms_chain_frame(spark, sf_dir) -> DataFrame:
+    """Spark twin of ``_ms_chain_cte``: the one-row frame carrying counts,
+    row totals, probabilities and the iterated v_j columns — shared by
+    markov_stationary and entropy_rate so the iteration cannot drift."""
     st = _MS_STATES
     k = len(st)
     ev = _t(spark, sf_dir, "events")
@@ -17315,6 +17306,34 @@ def markov_stationary(spark, sf_dir):
                 for j in range(k)
             ],
         )
+    return v
+
+
+
+@register(
+    "markov_stationary",
+    _ms_oracle_sql(),
+    doc=(
+        f"stationary distribution of the {len(_MS_STATES)}-state "
+        "event-type Markov chain by fixed-round power iteration "
+        f"({_MS_ROUNDS} rounds from uniform): transition counts from the "
+        "per-user ordered event stream (markov_transitions' legs), row-"
+        "normalized to probabilities, then v <- vP unrolled with the "
+        "5-term dot products written in identical state order on both "
+        "engines (every add/mul association matches, so the doubles are "
+        "bit-identical) — the long-run state-occupancy companion to "
+        "markov_transitions' one-step matrix; the chain state is ONE row "
+        "of 5 doubles, iteration is pure column algebra with no joins"
+    ),
+)
+def markov_stationary(spark, sf_dir):
+    """One window exchange for the legs, one conditional-agg rollup to a
+    single 25-count row, then 16 rounds of column-expression algebra on
+    the one-row frame (no shuffles, no loop joins — the whole iteration
+    compiles into one codegen stage)."""
+    st = _MS_STATES
+    k = len(st)
+    v = _ms_chain_frame(spark, sf_dir)
     n_trans = _fold_sum([F.col(f"t_{i}") for i in range(k)])
     return v.select(
         n_trans.cast("long").alias("n_trans"),
@@ -17814,6 +17833,560 @@ def block_bootstrap_var(spark, sf_dir):
         F.round(sm / br, 6).alias("mean_of_means"),
         F.round((smm - sm * sm / br) / (br - 1), 6).alias("var_est"),
         F.round(F.sqrt((smm - sm * sm / br) / (br - 1)), 6).alias("se"),
+    )
+
+
+# Percolation clusters over the top-decile density cells -------------------------------
+
+_PC_PCT = 0.9  # occupancy threshold quantile (scale-invariant)
+_PC_ROUNDS = 32  # min-label rounds; convergence is CHECKED, never assumed
+
+
+@register(
+    "percolation_clusters",
+    f"""
+    WITH RECURSIVE p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    rk AS (
+      SELECT cy, cx, x,
+             row_number() OVER (ORDER BY x, cy, cx) AS rn,
+             count(*) OVER () AS nc
+      FROM cells
+    ),
+    thr AS (
+      SELECT min(x) AS tau FROM rk
+      WHERE rn > CAST(floor(nc * {_PC_PCT!r}) AS BIGINT)
+    ),
+    occ AS (
+      SELECT cy, cx, CAST(x AS BIGINT) AS x, cy * 10000 + cx AS lab0
+      FROM rk CROSS JOIN thr WHERE x >= tau
+    ),
+    adj AS (
+      SELECT a.cy AS acy, a.cx AS acx, b.cy AS bcy, b.cx AS bcx
+      FROM occ a JOIN occ b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+    ),
+    reach AS (
+      SELECT acy AS cy, acx AS cx, bcy, bcx FROM adj
+      UNION
+      SELECT r.cy, r.cx, a.bcy, a.bcx
+      FROM reach r JOIN adj a ON a.acy = r.bcy AND a.acx = r.bcx
+    ),
+    comp AS (
+      SELECT cy, cx, min(bcy * 10000 + bcx) AS comp
+      FROM reach GROUP BY cy, cx
+    ),
+    sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS comp_size FROM comp GROUP BY comp)
+    SELECT o.cy, o.cx, o.x, c.comp, s.comp_size
+    FROM occ o
+    JOIN comp c ON c.cy = o.cy AND c.cx = o.cx
+    JOIN sz s ON s.comp = c.comp
+    """,
+    doc=(
+        "site-percolation clusters of the top-decile density cells: the "
+        f"occupancy threshold is the exact {_PC_PCT:.0%} quantile of cell "
+        "counts (scale-INVARIANT — at 10x density the occupied set stays "
+        "~10% of cells, so cluster geometry, not cluster count, is what "
+        "scale changes), 8-connected components by min-label propagation "
+        "with a convergence CHECK that raises rather than returning "
+        "wrong labels, plus per-cluster sizes — the cluster-size-"
+        "distribution op behind contiguity analyses (burned-area "
+        "patches, urban-light agglomerations); integer-exact end to end"
+    ),
+)
+def percolation_clusters(spark, sf_dir):
+    """Threshold via one ordered window on the O(cells) frame; each
+    label round is a 3x3 SCATTER -> min partial-agg -> join with the
+    once-checkpointed occupied frame (the pit_fill shape: no self-join,
+    linear plan-stats growth, one shuffle per round); the final
+    convergence probe runs ONE extra round and raises on any change."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    wrk = Window.orderBy("x", "cy", "cx")
+    rk = cells.select(
+        "cy", "cx", "x",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("nc"),
+    )
+    thr = rk.filter(
+        F.col("rn") > F.floor(F.col("nc") * _PC_PCT).cast("long")
+    ).agg(F.min("x").alias("tau"))
+    occ = _persist_evict(
+        rk.crossJoin(F.broadcast(thr))
+        .filter(F.col("x") >= F.col("tau"))
+        .select(
+            "cy", "cx", F.col("x").cast("long").alias("x"),
+            (F.col("cy") * 10000 + F.col("cx")).alias("lab0"),
+        )
+        .localCheckpoint()
+    )
+    off = spark.range(-1, 2).select(F.col("id").alias("oy")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("ox"))
+    )
+
+    def propagate(f: DataFrame) -> DataFrame:
+        nm = (
+            f.crossJoin(F.broadcast(off))
+            .select(
+                (F.col("cy") + F.col("oy")).alias("cy"),
+                (F.col("cx") + F.col("ox")).alias("cx"),
+                F.col("lab").alias("contrib"),
+            )
+            .groupBy("cy", "cx")
+            .agg(F.min("contrib").alias("lab"))
+        )
+        return occ.select("cy", "cx").join(nm, ["cy", "cx"])
+
+    f = occ.select("cy", "cx", F.col("lab0").alias("lab"))
+    for _ in range(_PC_ROUNDS):
+        f = _persist_evict(propagate(f).localCheckpoint())
+    probe = propagate(f)
+    changed = (
+        f.join(probe.select("cy", "cx", F.col("lab").alias("lab2")), ["cy", "cx"])
+        .filter(F.col("lab") != F.col("lab2"))
+        .count()
+    )
+    if changed:
+        raise RuntimeError(
+            f"percolation_clusters: {changed} labels still moving after "
+            f"{_PC_ROUNDS} rounds — raise _PC_ROUNDS"
+        )
+    comp = f.select("cy", "cx", F.col("lab").alias("comp"))
+    sz = comp.groupBy("comp").agg(F.count(F.lit(1)).cast("long").alias("comp_size"))
+    return (
+        occ.select("cy", "cx", "x")
+        .join(comp, ["cy", "cx"])
+        .join(F.broadcast(sz), "comp")
+        .select("cy", "cx", "x", "comp", "comp_size")
+    )
+
+
+# Local-maxima non-maximum suppression -------------------------------------------------
+
+_NMS_R = 30  # suppression radius, centidegrees (= ring cell size)
+
+
+@register(
+    "local_maxima_nms",
+    f"""
+    WITH pts AS (
+      SELECT event_id,
+             CAST(event_id * 7919 % 2000 AS BIGINT) AS iy,
+             CAST(event_id * 104729 % 2400 AS BIGINT) + 1000 AS ix,
+             CAST(round(value * 100, 0) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+    ),
+    cpts AS (SELECT *, iy // {_NMS_R} AS cy, ix // {_NMS_R} AS cx FROM pts),
+    sup AS (
+      SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_sup
+      FROM cpts a JOIN cpts b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+       AND a.event_id <> b.event_id
+      WHERE (a.iy - b.iy) * (a.iy - b.iy) + (a.ix - b.ix) * (a.ix - b.ix)
+              <= {_NMS_R * _NMS_R}
+        AND (b.s > a.s OR (b.s = a.s AND b.event_id < a.event_id))
+      GROUP BY a.event_id
+    )
+    SELECT p.event_id, p.iy, p.ix, p.s,
+           coalesce(s.n_sup, 0) AS n_sup,
+           CAST(CASE WHEN s.event_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM pts p LEFT JOIN sup s ON s.event_id = p.event_id
+    """,
+    doc=(
+        f"non-maximum suppression of detections: a point survives iff no "
+        f"strictly-dominating point lies within {_NMS_R} centidegrees — "
+        "dominance is (strength, then smaller id) so the tie-break is "
+        "total and the kept set is exactly the greedy-NMS fixed points; "
+        "strengths are exact value cents, the pair search the same "
+        "integer cell-cover ring join as gfunction_nn — the peak-"
+        "extraction step between detection and reporting (one hotspot "
+        "per flare, not one per pixel); the dedup (cell, salt) skew "
+        "lever applies to a degenerate hot cell"
+    ),
+)
+def local_maxima_nms(spark, sf_dir):
+    """kRing explode -> equi-join (never points x points), dominance
+    filter, per-point suppressor counts as a partial agg, LEFT join back
+    to flag survivors."""
+    ev = _t(spark, sf_dir, "events")
+    pts = _persist_evict(
+        ev.filter(F.col("value").isNotNull()).select(
+            "event_id",
+            (F.col("event_id") * 7919 % 2000).alias("iy"),
+            ((F.col("event_id") * 104729 % 2400) + 1000).alias("ix"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("s"),
+        )
+    )
+    cpts = pts.select(
+        "*",
+        F.floor(F.col("iy") / _NMS_R).alias("cy"),
+        F.floor(F.col("ix") / _NMS_R).alias("cx"),
+    )
+    off = spark.range(-1, 2).select(F.col("id").alias("dy")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dx"))
+    )
+    a = cpts.crossJoin(F.broadcast(off)).select(
+        "event_id", "iy", "ix", "s",
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+    )
+    b = cpts.select(
+        F.col("event_id").alias("bid"), F.col("iy").alias("biy"),
+        F.col("ix").alias("bix"), F.col("s").alias("bs"), "cy", "cx",
+    )
+    d2 = (F.col("iy") - F.col("biy")) * (F.col("iy") - F.col("biy")) + (
+        F.col("ix") - F.col("bix")
+    ) * (F.col("ix") - F.col("bix"))
+    dom = (F.col("bs") > F.col("s")) | (
+        (F.col("bs") == F.col("s")) & (F.col("bid") < F.col("event_id"))
+    )
+    sup = (
+        a.join(b, ["cy", "cx"])
+        .filter(
+            (F.col("event_id") != F.col("bid")) & (d2 <= _NMS_R * _NMS_R) & dom
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sup"))
+    )
+    return pts.join(sup, "event_id", "left").select(
+        "event_id", "iy", "ix", "s",
+        F.coalesce(F.col("n_sup"), F.lit(0)).cast("long").alias("n_sup"),
+        F.when(F.col("n_sup").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+    )
+
+
+# Kaplan-Meier survival (signup -> first purchase) -------------------------------------
+
+
+@register(
+    "kaplan_meier",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS t_ms FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             min(t_ms) AS t_first,
+             min(CASE WHEN event_type = 'purchase' THEN t_ms END) AS t_purch,
+             max(t_ms) AS t_last
+      FROM e GROUP BY user_id
+    ),
+    dur AS (
+      SELECT user_id,
+             CASE WHEN t_purch IS NOT NULL
+                  THEN (t_purch - t_first) // 86400000
+                  ELSE (t_last - t_first) // 86400000 END AS t_days,
+             CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM u
+    ),
+    byt AS (
+      SELECT t_days,
+             CAST(sum(observed) AS BIGINT) AS d,
+             CAST(sum(1 - observed) AS BIGINT) AS c
+      FROM dur GROUP BY t_days
+    ),
+    tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_users FROM byt),
+    risk AS (
+      SELECT t_days, d, c,
+             n_users - coalesce(sum(d + c) OVER (ORDER BY t_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM byt CROSS JOIN tot
+    )
+    SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+           round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                        OVER (ORDER BY t_days
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                 THEN 0.0
+                 ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+                              THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                              ELSE 0.0 END)
+                          OVER (ORDER BY t_days
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 END, 6) AS surv
+    FROM risk
+    """,
+    doc=(
+        "Kaplan-Meier survival of time-to-first-purchase per user "
+        "(censored at the last observed event): per-user durations from "
+        "one rollup, event/censor counts per distinct day, the at-risk "
+        "count from ONE cumulative window (total minus strictly-earlier "
+        "mass — exact integers), and S(t) as exp of the ordered "
+        "cumulative sum of ln(1 - d/n) — the window's frame order makes "
+        "the float reduction order IDENTICAL on both engines (unlike "
+        "groupBy sums), with the d = n_risk exhaustion case pinned to "
+        "exactly 0 (Spark ln(0) is NULL, DuckDB -inf — the CASE keeps "
+        "both out of the sum) — the churn/conversion-lag curve over the "
+        "event stream"
+    ),
+)
+def kaplan_meier(spark, sf_dir):
+    """One partial-agg rollup per user, one to distinct days (O(days)
+    frame), then ordered cumulative windows — deterministic reduction
+    order by construction."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.min("t_ms").alias("t_first"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t_ms"))).alias("t_purch"),
+        F.max("t_ms").alias("t_last"),
+    )
+    dur = u.select(
+        F.when(
+            F.col("t_purch").isNotNull(),
+            ((F.col("t_purch") - F.col("t_first")) / 86400000).cast("long"),
+        )
+        .otherwise(((F.col("t_last") - F.col("t_first")) / 86400000).cast("long"))
+        .alias("t_days"),
+        F.when(F.col("t_purch").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    byt = dur.groupBy("t_days").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.sum(1 - F.col("observed")).cast("long").alias("c"),
+    )
+    byt = _persist_evict(byt)
+    tot = byt.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("n_users"))
+    wprev = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    wcur = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byt.crossJoin(F.broadcast(tot)).select(
+        "t_days", "d", "c",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    exhausted = (
+        F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)).over(wcur) == 1
+    )
+    logsum = F.sum(
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(wcur)
+    return risk.select(
+        "t_days",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "d", "c",
+        F.round(F.when(exhausted, F.lit(0.0)).otherwise(F.exp(logsum)), 6).alias("surv"),
+    )
+
+
+# Entropy rate of the event-type Markov chain ------------------------------------------
+
+
+def _er_oracle_sql() -> str:
+    st = _MS_STATES
+    k = len(st)
+    rate = " + ".join(f"v_{i} * h_{i}" for i in range(k))
+    pi_h = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN v_{i} * ln(v_{i}) ELSE 0.0 END)" for i in range(k)
+    )
+    n_trans = " + ".join(f"t_{i}" for i in range(k))
+    hdefs = []
+    for i in range(k):
+        terms = " + ".join(
+            f"(CASE WHEN p_{i}_{j} > 0 THEN p_{i}_{j} * ln(p_{i}_{j}) ELSE 0.0 END)"
+            for j in range(k)
+        )
+        hdefs.append(f"-({terms}) AS h_{i}")
+    return (
+        _ms_chain_cte()
+        + f""",
+    hrow AS (
+      SELECT *, {", ".join(hdefs)}
+      FROM v{_MS_ROUNDS}
+    )
+    SELECT CAST({n_trans} AS BIGINT) AS n_trans,
+           round({rate}, 6) AS entropy_rate,
+           round(-({pi_h}), 6) AS entropy_stationary
+    FROM hrow"""
+    )
+
+
+@register(
+    "entropy_rate",
+    _er_oracle_sql(),
+    doc=(
+        "entropy rate of the event-type Markov chain: H = sum_i pi_i "
+        "H(P_i.) with pi from the SAME 16-round power iteration as "
+        "markov_stationary (the chain CTE/frame is single-sourced, so "
+        "the two ops cannot drift), plus the stationary entropy H(pi) "
+        "for comparison — H(pi) - H_rate measures how much the chain's "
+        "memory compresses the stream (the sequence-predictability "
+        "number behind session-modeling and compression-ratio quality "
+        "signals); every ln argument and 5-term dot product written in "
+        "identical fixed order on both engines"
+    ),
+)
+def entropy_rate(spark, sf_dir):
+    """The shared one-row chain frame (one window exchange + one rollup),
+    then pure fixed-order column algebra — no additional shuffles."""
+    st = _MS_STATES
+    k = len(st)
+    v = _ms_chain_frame(spark, sf_dir)
+    hrow = v.select(
+        "*",
+        *[
+            (
+                -_fold_sum(
+                    [
+                        F.when(
+                            F.col(f"p_{i}_{j}") > 0,
+                            F.col(f"p_{i}_{j}") * F.log(F.col(f"p_{i}_{j}")),
+                        ).otherwise(F.lit(0.0))
+                        for j in range(k)
+                    ]
+                )
+            ).alias(f"h_{i}")
+            for i in range(k)
+        ],
+    )
+    rate = _fold_sum([F.col(f"v_{i}") * F.col(f"h_{i}") for i in range(k)])
+    pi_h = _fold_sum(
+        [
+            F.when(F.col(f"v_{i}") > 0, F.col(f"v_{i}") * F.log(F.col(f"v_{i}"))).otherwise(
+                F.lit(0.0)
+            )
+            for i in range(k)
+        ]
+    )
+    n_trans = _fold_sum([F.col(f"t_{i}") for i in range(k)])
+    return hrow.select(
+        n_trans.cast("long").alias("n_trans"),
+        F.round(rate, 6).alias("entropy_rate"),
+        F.round(-pi_h, 6).alias("entropy_stationary"),
+    )
+
+
+# Heaps' law (vocabulary growth exponent) ----------------------------------------------
+
+_HL_CHECK = 50  # curve checkpoint stride, docs
+
+
+@register(
+    "heaps_law",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM t WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    first AS (
+      SELECT tok, min(doc_id) AS fdoc FROM tc GROUP BY tok
+    ),
+    perdoc AS (
+      SELECT tc.doc_id,
+             CAST(sum(tc.c) AS BIGINT) AS n_tok,
+             CAST(sum(CASE WHEN f.fdoc = tc.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel
+      FROM tc JOIN first f ON f.tok = tc.tok
+      GROUP BY tc.doc_id
+    ),
+    curve AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r,
+             sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_cum,
+             sum(novel) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS v_cum
+      FROM perdoc
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(ln(CAST(n_cum AS DOUBLE))) AS sx,
+             sum(ln(CAST(v_cum AS DOUBLE))) AS sy,
+             sum(ln(CAST(n_cum AS DOUBLE)) * ln(CAST(n_cum AS DOUBLE))) AS sxx,
+             sum(ln(CAST(n_cum AS DOUBLE)) * ln(CAST(v_cum AS DOUBLE))) AS sxy
+      FROM curve
+    )
+    SELECT curve.r, CAST(curve.n_cum AS BIGINT) AS n_cum,
+           CAST(curve.v_cum AS BIGINT) AS v_cum,
+           round((m.n * m.sxy - m.sx * m.sy)
+                 / (m.n * m.sxx - m.sx * m.sx), 6) AS beta,
+           round((m.sy - (m.n * m.sxy - m.sx * m.sy)
+                        / (m.n * m.sxx - m.sx * m.sx) * m.sx) / m.n, 6) AS ln_k
+    FROM curve CROSS JOIN m
+    WHERE curve.r % {_HL_CHECK} = 0
+    """,
+    doc=(
+        "Heaps' law fit of vocabulary growth V(n) ~ K n^beta over the "
+        "doc_id-ordered corpus prefix: per-token first-occurrence doc "
+        "(ngram_novelty's idiom), per-doc novel-type and token counts, "
+        "TWO ordered cumulative windows for the exact (n_cum, v_cum) "
+        "curve, and the OLS fit of ln V on ln n over all prefix points — "
+        "beta ~ 0.5 is the natural-corpus signature (beta -> 1: unique-"
+        "token spam; beta -> 0: template repetition), the growth-curve "
+        f"companion to zipf_alpha's static spectrum; curve emitted every "
+        f"{_HL_CHECK} docs, counts exact BIGINTs, the OLS moment sums "
+        "the order-sensitive reduction (6-dp rounded)"
+    ),
+)
+def heaps_law(spark, sf_dir):
+    """Token counts (one shuffle), first-occurrence mins (partial agg on
+    the same key), per-doc rollup, then ordered windows on the O(docs)
+    frame; the fit is O(1) and rides the checkpoint rows via a scalar
+    crossJoin."""
+    docs = _t(spark, sf_dir, "documents")
+    tc = _persist_evict(
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    first = tc.groupBy("tok").agg(F.min("doc_id").alias("fdoc"))
+    perdoc = (
+        tc.join(first, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tok"),
+            F.sum(F.when(F.col("fdoc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("novel"),
+        )
+    )
+    wcur = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = _persist_evict(
+        perdoc.select(
+            F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("r"),
+            F.sum("n_tok").over(wcur).alias("n_cum"),
+            F.sum("novel").over(wcur).alias("v_cum"),
+        )
+    )
+    lx = F.log(F.col("n_cum").cast("double"))
+    ly = F.log(F.col("v_cum").cast("double"))
+    m = curve.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        curve.filter(F.col("r") % _HL_CHECK == 0)
+        .crossJoin(F.broadcast(m))
+        .select(
+            "r",
+            F.col("n_cum").cast("long").alias("n_cum"),
+            F.col("v_cum").cast("long").alias("v_cum"),
+            F.round(slope, 6).alias("beta"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("ln_k"),
+        )
     )
 
 

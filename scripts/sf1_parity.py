@@ -249,6 +249,15 @@ QUERIES = [
     "psi_drift",
     "small_cell_suppress",
     "block_bootstrap_var",
+    # session-16 batch 5: percolation's quantile threshold is scale-
+    # invariant (occupied set stays ~10% of cells at 10x density — the
+    # cluster GEOMETRY changes); nms/kaplan/entropy/heaps ride 1M events
+    # / 10x user series / 50k suffixed docs
+    "percolation_clusters",
+    "local_maxima_nms",
+    "kaplan_meier",
+    "entropy_rate",
+    "heaps_law",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

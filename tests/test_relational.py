@@ -5345,3 +5345,183 @@ def test_block_bootstrap_var_matches_brute_force(spark, sf_dir):
     assert abs(r.mean_of_means - round(sm / B, 6)) < 2e-6
     assert abs(r.var_est - round(var, 6)) < 2e-6
     assert abs(r.se - round(math.sqrt(var), 6)) < 2e-6
+
+
+def test_percolation_clusters_matches_brute_force(spark, sf_dir):
+    """Threshold, components (8-connected BFS) and sizes recomputed in
+    Python over the cell dict."""
+    cells = {
+        (r.cy, r.cx): r.x for r in relational._cell_counts(spark, sf_dir).collect()
+    }
+    ranked = sorted(cells.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+    nc = len(ranked)
+    cut = int(nc * relational._PC_PCT)
+    tau = min(x for _, x in ranked[cut:])
+    occ = {c for c, x in cells.items() if x >= tau}
+    comp = {}
+    for start in occ:
+        if start in comp:
+            continue
+        stack, seen = [start], {start}
+        while stack:
+            cy, cx = stack.pop()
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    q = (cy + dy, cx + dx)
+                    if q in occ and q not in seen:
+                        seen.add(q)
+                        stack.append(q)
+        lab = min(cy * 10000 + cx for cy, cx in seen)
+        for c in seen:
+            comp[c] = lab
+    sizes = {}
+    for c, l in comp.items():
+        sizes[l] = sizes.get(l, 0) + 1
+    got = relational.REGISTRY["percolation_clusters"].fn(spark, sf_dir).collect()
+    assert len(got) == len(occ)
+    for r in got:
+        assert r.comp == comp[(r.cy, r.cx)]
+        assert r.comp_size == sizes[r.comp]
+        assert r.x == cells[(r.cy, r.cx)]
+
+
+def test_local_maxima_nms_matches_brute_force(spark, sf_dir):
+    """Suppressor counts recomputed with a blocked numpy pair sweep."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    ev = ev[ev.value.notna()]
+    eid = ev.event_id.to_numpy().astype(np.int64)
+    iy = eid * 7919 % 2000
+    ix = eid * 104729 % 2400 + 1000
+    s = np.round(ev.value.to_numpy() * 100).astype(np.int64)
+    n = len(eid)
+    r2 = relational._NMS_R ** 2
+    n_sup = np.zeros(n, dtype=np.int64)
+    for i0 in range(0, n, 2000):
+        sl = slice(i0, min(i0 + 2000, n))
+        d2 = (iy[sl, None] - iy[None, :]) ** 2 + (ix[sl, None] - ix[None, :]) ** 2
+        dom = (s[None, :] > s[sl, None]) | (
+            (s[None, :] == s[sl, None]) & (eid[None, :] < eid[sl, None])
+        )
+        near = (d2 <= r2) & dom & (eid[sl, None] != eid[None, :])
+        n_sup[sl] = near.sum(axis=1)
+    got = relational.REGISTRY["local_maxima_nms"].fn(spark, sf_dir).collect()
+    assert len(got) == n
+    want = dict(zip(eid.tolist(), n_sup.tolist()))
+    for r in got:
+        assert r.n_sup == want[r.event_id]
+        assert r.kept == (1 if want[r.event_id] == 0 else 0)
+
+
+def test_kaplan_meier_matches_brute_force(spark, sf_dir):
+    import math
+
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        relational.F.unix_millis(
+            relational.F.col("ts").cast("timestamp")).alias("t_ms"),
+    ).collect()
+    users = {}
+    for r in ev:
+        u = users.setdefault(r.user_id, [None, None, None])
+        u[0] = r.t_ms if u[0] is None else min(u[0], r.t_ms)
+        u[2] = r.t_ms if u[2] is None else max(u[2], r.t_ms)
+        if r.event_type == "purchase":
+            u[1] = r.t_ms if u[1] is None else min(u[1], r.t_ms)
+    byt = {}
+    for t0, tp, tl in users.values():
+        if tp is not None:
+            t, obs = (tp - t0) // 86400000, 1
+        else:
+            t, obs = (tl - t0) // 86400000, 0
+        cur = byt.setdefault(t, [0, 0])
+        cur[obs ^ 1] += 0  # no-op to keep indices clear
+        if obs:
+            cur[0] += 1
+        else:
+            cur[1] += 1
+    total = sum(d + c for d, c in byt.values())
+    got = {r.t_days: r for r in
+           relational.REGISTRY["kaplan_meier"].fn(spark, sf_dir).collect()}
+    assert len(got) == len(byt)
+    seen = 0
+    surv = 1.0
+    dead = False
+    for t in sorted(byt):
+        d, c = byt[t]
+        n_risk = total - seen
+        seen += d + c
+        if d == n_risk:
+            dead = True
+        if not dead and 0 < d < n_risk:
+            surv *= math.exp(math.log(1.0 - d / n_risk))
+        r = got[t]
+        assert (r.n_risk, r.d, r.c) == (n_risk, d, c)
+        want = 0.0 if dead else surv
+        assert abs(r.surv - round(want, 6)) < 2e-6
+
+
+def test_entropy_rate_matches_brute_force(spark, sf_dir):
+    import math
+
+    ev = relational._t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        relational.F.unix_millis(
+            relational.F.col("ts").cast("timestamp")).alias("t_ms"),
+    ).collect()
+    st = relational._MS_STATES
+    idx = {s: i for i, s in enumerate(st)}
+    seq = {}
+    for r in ev:
+        seq.setdefault(r.user_id, []).append((r.t_ms, r.event_id, r.event_type))
+    n = [[0] * len(st) for _ in st]
+    for rows in seq.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            n[idx[a]][idx[b]] += 1
+    t = [sum(row) for row in n]
+    p = [[n[i][j] / t[i] for j in range(len(st))] for i in range(len(st))]
+    v = [0.2] * len(st)
+    for _ in range(relational._MS_ROUNDS):
+        v = [sum(v[i] * p[i][j] for i in range(len(st))) for j in range(len(st))]
+    h = [-sum(p[i][j] * math.log(p[i][j]) for j in range(len(st)) if p[i][j] > 0)
+         for i in range(len(st))]
+    rate = sum(v[i] * h[i] for i in range(len(st)))
+    pi_h = -sum(x * math.log(x) for x in v if x > 0)
+    r = relational.REGISTRY["entropy_rate"].fn(spark, sf_dir).collect()[0]
+    assert r.n_trans == sum(t)
+    assert abs(r.entropy_rate - round(rate, 6)) < 1e-9
+    assert abs(r.entropy_stationary - round(pi_h, 6)) < 1e-9
+
+
+def test_heaps_law_matches_brute_force(spark, sf_dir):
+    import math
+
+    docs = relational._t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    docs.sort(key=lambda d: d.doc_id)
+    seen = set()
+    n_cum = v_cum = 0
+    curve = []
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        novel = len({t for t in toks} - seen)
+        seen |= set(toks)
+        n_cum += len(toks)
+        v_cum += novel
+        curve.append((n_cum, v_cum))
+    xs = [math.log(a) for a, _ in curve]
+    ys = [math.log(b) for _, b in curve]
+    nn = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    beta = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    got = relational.REGISTRY["heaps_law"].fn(spark, sf_dir).collect()
+    assert len(got) == len(docs) // relational._HL_CHECK
+    for r in got:
+        a, b = curve[r.r - 1]
+        assert (r.n_cum, r.v_cum) == (a, b)
+        assert abs(r.beta - round(beta, 6)) < 1e-5
+        assert abs(r.ln_k - round((sy - beta * sx) / nn, 6)) < 1e-5
