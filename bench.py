@@ -247,6 +247,11 @@ HEADLINE = [
     "kaplan_meier",
     "entropy_rate",
     "heaps_law",
+    "kruskal_wallis",
+    "anova_f",
+    "chao1_richness",
+    "jackknife_variance",
+    "burrows_delta",
 ]
 
 

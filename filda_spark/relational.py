@@ -18005,11 +18005,11 @@ _NMS_R = 30  # suppression radius, centidegrees (= ring cell size)
         "lever applies to a degenerate hot cell"
     ),
 )
-def local_maxima_nms(spark, sf_dir):
+def local_maxima_nms(spark, sf_dir, events: DataFrame | None = None):
     """kRing explode -> equi-join (never points x points), dominance
     filter, per-point suppressor counts as a partial agg, LEFT join back
     to flag survivors."""
-    ev = _t(spark, sf_dir, "events")
+    ev = events if events is not None else _t(spark, sf_dir, "events")
     pts = _persist_evict(
         ev.filter(F.col("value").isNotNull()).select(
             "event_id",
@@ -18386,6 +18386,509 @@ def heaps_law(spark, sf_dir):
             F.col("v_cum").cast("long").alias("v_cum"),
             F.round(slope, 6).alias("beta"),
             F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("ln_k"),
+        )
+    )
+
+
+# Kruskal-Wallis rank test across event types ------------------------------------------
+
+
+@register(
+    "kruskal_wallis",
+    f"""
+    WITH s AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    cnt AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY v
+    ),
+    rk AS (
+      SELECT v, c,
+             coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS below
+      FROM cnt
+    ),
+    gv AS (
+      SELECT s.event_type, s.v, CAST(count(*) AS BIGINT) AS n_gv
+      FROM s GROUP BY s.event_type, s.v
+    ),
+    r2 AS (
+      SELECT gv.event_type,
+             CAST(sum(gv.n_gv) AS BIGINT) AS n_g,
+             CAST(sum(CAST(gv.n_gv AS HUGEINT)
+                      * (2 * rk.below + rk.c + 1)) AS HUGEINT) AS r2_g
+      FROM gv JOIN rk ON rk.v = gv.v
+      GROUP BY gv.event_type
+    ),
+    ties AS (
+      SELECT CAST(sum(c) AS HUGEINT) AS n,
+             CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS tie_sum
+      FROM cnt
+    ),
+    piv AS (
+      SELECT {", ".join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN r2_g ELSE 0 END) AS DOUBLE) AS r2_{i}, CAST(sum(CASE WHEN event_type = '{t}' THEN n_g ELSE 0 END) AS DOUBLE) AS n_{i}" for i, t in enumerate(_MS_STATES))}
+      FROM r2
+    ),
+    h AS (
+      SELECT CAST(ties.n AS DOUBLE) AS nd, CAST(ties.tie_sum AS DOUBLE) AS td,
+             ({" + ".join(f"r2_{i} * r2_{i} / n_{i}" for i in range(len(_MS_STATES)))})
+               AS sr
+      FROM piv CROSS JOIN ties
+    )
+    SELECT r2.event_type, r2.n_g, CAST(r2.r2_g AS BIGINT) AS r2_g,
+           round(3.0 / (h.nd * (h.nd + 1.0)) * h.sr - 3.0 * (h.nd + 1.0), 6) AS h_stat,
+           round((3.0 / (h.nd * (h.nd + 1.0)) * h.sr - 3.0 * (h.nd + 1.0))
+                 / (1.0 - h.td / (h.nd * h.nd * h.nd - h.nd)), 6) AS h_corr
+    FROM r2 CROSS JOIN h
+    """,
+    doc=(
+        "Kruskal-Wallis rank test of the value distribution across the "
+        "5 event types: tied ranks handled EXACTLY by grouping on the "
+        "distinct cent value (2 x average-rank = 2*below + cnt + 1 is an "
+        "integer, so every group rank sum r2_g = 2 R_g is an exact "
+        "128-bit integer), H = 3/(N(N+1)) sum r2_g^2/n_g - 3(N+1) plus "
+        "the tie correction 1 - sum(t^3 - t)/(N^3 - N) — the "
+        "nonparametric ANOVA companion to ks_test's two-sample check; "
+        "the 5-group reduction is a fixed-order pivot (the markov "
+        "idiom), never an unordered float sum"
+    ),
+)
+def kruskal_wallis(spark, sf_dir):
+    """Distinct-value rank frame via ONE ordered window on the O(distinct
+    cents) frame, per-(group, value) partial agg joined back, a 5-column
+    fixed-order pivot for H. No pair joins, no per-row ranks."""
+    st = _MS_STATES
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events")
+    s = _persist_evict(
+        ev.filter(F.col("value").isNotNull()).select(
+            "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v")
+        )
+    )
+    cnt = _persist_evict(s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    rk = cnt.select(
+        "v", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below")
+    )
+    gv = s.groupBy("event_type", "v").agg(F.count(F.lit(1)).cast("long").alias("n_gv"))
+    r2 = (
+        gv.join(rk, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_gv").cast("long").alias("n_g"),
+            F.sum(
+                F.col("n_gv").cast(d38)
+                * (2 * F.col("below") + F.col("c") + 1).cast(d38)
+            )
+            .cast(d38)
+            .alias("r2_g"),
+        )
+    )
+    r2 = _persist_evict(r2)
+    ties = cnt.agg(
+        F.sum("c").cast(d38).alias("n"),
+        F.sum(F.col("c").cast(d38) * F.col("c") * F.col("c") - F.col("c"))
+        .cast(d38)
+        .alias("tie_sum"),
+    )
+    piv = r2.agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("r2_g")).otherwise(0))
+            .cast("double")
+            .alias(f"r2_{i}")
+            for i, t in enumerate(st)
+        ],
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("n_g")).otherwise(0))
+            .cast("double")
+            .alias(f"n_{i}")
+            for i, t in enumerate(st)
+        ],
+    )
+    h = piv.crossJoin(F.broadcast(ties)).select(
+        F.col("n").cast("double").alias("nd"),
+        F.col("tie_sum").cast("double").alias("td"),
+        _fold_sum(
+            [F.col(f"r2_{i}") * F.col(f"r2_{i}") / F.col(f"n_{i}") for i in range(len(st))]
+        ).alias("sr"),
+    )
+    nd, td, sr = F.col("nd"), F.col("td"), F.col("sr")
+    h_raw = 3.0 / (nd * (nd + 1.0)) * sr - 3.0 * (nd + 1.0)
+    return r2.crossJoin(F.broadcast(h)).select(
+        "event_type", "n_g",
+        F.col("r2_g").cast("long").alias("r2_g"),
+        F.round(h_raw, 6).alias("h_stat"),
+        F.round(h_raw / (1.0 - td / (nd * nd * nd - nd)), 6).alias("h_corr"),
+    )
+
+
+# One-way ANOVA F across event types ---------------------------------------------------
+
+
+@register(
+    "anova_f",
+    f"""
+    WITH s AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    piv AS (
+      SELECT {", ".join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS DOUBLE) AS n_{i}, CAST(sum(CASE WHEN event_type = '{t}' THEN v ELSE 0 END) AS DOUBLE) AS s_{i}, CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS DOUBLE) AS q_{i}" for i, t in enumerate(_MS_STATES))}
+      FROM s
+    )
+    SELECT CAST({" + ".join(f"n_{i}" for i in range(len(_MS_STATES)))} AS BIGINT) AS n,
+           CAST({len(_MS_STATES)} AS BIGINT) AS k,
+           round(({" + ".join(f"s_{i} * s_{i} / n_{i}" for i in range(len(_MS_STATES)))})
+                 - ({" + ".join(f"s_{i}" for i in range(len(_MS_STATES)))})
+                   * ({" + ".join(f"s_{i}" for i in range(len(_MS_STATES)))})
+                   / ({" + ".join(f"n_{i}" for i in range(len(_MS_STATES)))}), 2) AS ssb,
+           round(({" + ".join(f"q_{i}" for i in range(len(_MS_STATES)))})
+                 - ({" + ".join(f"s_{i} * s_{i} / n_{i}" for i in range(len(_MS_STATES)))}), 2) AS ssw,
+           round(((({" + ".join(f"s_{i} * s_{i} / n_{i}" for i in range(len(_MS_STATES)))})
+                   - ({" + ".join(f"s_{i}" for i in range(len(_MS_STATES)))})
+                     * ({" + ".join(f"s_{i}" for i in range(len(_MS_STATES)))})
+                     / ({" + ".join(f"n_{i}" for i in range(len(_MS_STATES)))}))
+                  / {len(_MS_STATES) - 1}.0)
+                 / ((({" + ".join(f"q_{i}" for i in range(len(_MS_STATES)))})
+                     - ({" + ".join(f"s_{i} * s_{i} / n_{i}" for i in range(len(_MS_STATES)))}))
+                    / (({" + ".join(f"n_{i}" for i in range(len(_MS_STATES)))})
+                       - {len(_MS_STATES)}.0)), 6) AS f_stat
+    FROM piv
+    """,
+    doc=(
+        "one-way ANOVA F of value (exact cents) across the 5 event "
+        "types: per-group count/sum/sum-of-squares via a single "
+        "conditional-aggregation pass (the 128-bit q_i sums survive "
+        "10^12 rows), then SSB/SSW/F as fixed-order double algebra on "
+        "the one-row pivot — the parametric counterpart of "
+        "kruskal_wallis on the identical grouping, and the same "
+        "moments-then-O(1)-algebra shape as ridge_regression; no "
+        "unordered float reduction anywhere"
+    ),
+)
+def anova_f(spark, sf_dir):
+    """ONE conditional-agg pass to a one-row frame; all statistics are
+    fixed-order column algebra on it."""
+    st = _MS_STATES
+    k = len(st)
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v")
+    )
+    piv = s.agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("double")
+            .alias(f"n_{i}")
+            for i, t in enumerate(st)
+        ],
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("v")).otherwise(0))
+            .cast("double")
+            .alias(f"s_{i}")
+            for i, t in enumerate(st)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col("event_type") == t, F.col("v").cast(d38) * F.col("v")
+                ).otherwise(0)
+            )
+            .cast("double")
+            .alias(f"q_{i}")
+            for i, t in enumerate(st)
+        ],
+    )
+    n_all = _fold_sum([F.col(f"n_{i}") for i in range(k)])
+    s_all = _fold_sum([F.col(f"s_{i}") for i in range(k)])
+    within = _fold_sum([F.col(f"s_{i}") * F.col(f"s_{i}") / F.col(f"n_{i}") for i in range(k)])
+    q_all = _fold_sum([F.col(f"q_{i}") for i in range(k)])
+    ssb = within - s_all * s_all / n_all
+    ssw = q_all - within
+    return piv.select(
+        n_all.cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(ssb, 2).alias("ssb"),
+        F.round(ssw, 2).alias("ssw"),
+        F.round((ssb / float(k - 1)) / (ssw / (n_all - float(k))), 6).alias("f_stat"),
+    )
+
+
+# Chao1 species-richness estimator -----------------------------------------------------
+
+
+@register(
+    "chao1_richness",
+    """
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    v AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t WHERE tok <> '' GROUP BY tok
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS s_obs,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(sum(c) AS BIGINT) AS n_tok
+      FROM v
+    )
+    SELECT s_obs, f1, f2, n_tok,
+           round(s_obs + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+             AS chao1,
+           round(1.0 - CAST(f1 AS DOUBLE) / n_tok, 6) AS coverage
+    FROM m
+    """,
+    doc=(
+        "Chao1 vocabulary-richness estimator (bias-corrected form "
+        "S + f1(f1-1)/(2(f2+1)), divide-by-zero-free) with Good-Turing "
+        "sample coverage 1 - f1/N over the corpus token counts: the "
+        "how-much-vocabulary-have-we-NOT-seen estimate that sizes "
+        "open-vocabulary risk for tokenizer training (heaps_law fits the "
+        "growth curve; chao1 extrapolates its asymptote); singleton/"
+        "doubleton counts exact BIGINTs, two double ops total"
+    ),
+)
+def chao1_richness(spark, sf_dir):
+    """One vocab-count shuffle, one scalar rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+        F.sum("c").cast("long").alias("n_tok"),
+    )
+    return m.select(
+        "s_obs", "f1", "f2", "n_tok",
+        F.round(
+            F.col("s_obs")
+            + F.col("f1").cast("double") * (F.col("f1") - 1) / (2.0 * (F.col("f2") + 1)),
+            6,
+        ).alias("chao1"),
+        F.round(1.0 - F.col("f1").cast("double") / F.col("n_tok"), 6).alias("coverage"),
+    )
+
+
+# Delete-one-group jackknife variance of the mean value ---------------------------------
+
+_JK_G = 20  # user buckets (deterministic groups)
+
+
+
+@register(
+    "jackknife_variance",
+    f"""
+    WITH grp AS (
+      SELECT user_id % {_JK_G} AS gid,
+             CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s_i
+      FROM events WHERE value IS NOT NULL GROUP BY user_id % {_JK_G}
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS g, CAST(sum(n_i) AS BIGINT) AS n,
+             CAST(sum(s_i) AS BIGINT) AS s
+      FROM grp
+    ),
+    loo AS (
+      SELECT grp.gid,
+             CAST(tot.s - grp.s_i AS DOUBLE) / (tot.n - grp.n_i) AS m_i, tot.g,
+             tot.n, tot.s
+      FROM grp CROSS JOIN tot
+    ),
+    run AS (
+      SELECT g, n, s,
+             sum(m_i) OVER (ORDER BY gid ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sm,
+             sum(m_i * m_i) OVER (ORDER BY gid ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS smm,
+             row_number() OVER (ORDER BY gid DESC) AS rn
+      FROM loo
+    ),
+    agg AS (SELECT g, n, s, sm, smm FROM run WHERE rn = 1)
+    SELECT g AS n_groups, n AS n_obs,
+           round(CAST(s AS DOUBLE) / n, 6) AS theta_hat,
+           round(greatest((g - 1.0) / g * (smm - sm * sm / g), 0.0), 6) AS var_jack,
+           round(sqrt(greatest((g - 1.0) / g * (smm - sm * sm / g), 0.0)), 6) AS se_jack
+    FROM agg
+    """,
+    doc=(
+        f"delete-one-group jackknife of the mean value (exact cents), "
+        f"grouped into {_JK_G} user buckets: every leave-one-out mean is "
+        "an exact-integer ratio (total minus group totals — one pass, no "
+        "G re-scans), variance (g-1)/g sum (m_i - mbar)^2 via the moment "
+        "identity, clamped at 0 against cancellation — the leave-"
+        "structure-out uncertainty companion to block_bootstrap_var's "
+        "resampling (jackknife is deterministic by nature, no hash "
+        "replicates needed); user buckets, not grid rows, because the "
+        "synthetic lattice is row-uniform and a vacuous zero variance "
+        "verifies nothing; the g-term moment sums are the "
+        "order-sensitive reduction (6-dp rounded)"
+    ),
+)
+def jackknife_variance(spark, sf_dir):
+    """One partial-agg rollup to G group rows -> one-row totals
+    broadcast -> O(groups) algebra."""
+    ev = _t(spark, sf_dir, "events")
+    grp = _persist_evict(
+        ev.filter(F.col("value").isNotNull())
+        .groupBy((F.col("user_id") % _JK_G).alias("gid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("s_i"),
+        )
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("s_i").cast("long").alias("s"),
+    )
+    loo = grp.crossJoin(F.broadcast(tot)).select(
+        "gid",
+        ((F.col("s") - F.col("s_i")).cast("double") / (F.col("n") - F.col("n_i"))).alias("m_i"),
+        "g", "n", "s",
+    )
+    # ordered cumulative sums (the kaplan_meier idiom): the float
+    # reduction order is the gid order on BOTH engines, so the moment
+    # sums are bit-identical — an unordered groupBy sum straddled the
+    # 6-dp rounding boundary here
+    wcum = Window.orderBy("gid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    agg = (
+        loo.select(
+            "g", "n", "s",
+            F.sum("m_i").over(wcum).alias("sm"),
+            F.sum(F.col("m_i") * F.col("m_i")).over(wcum).alias("smm"),
+            F.row_number().over(Window.orderBy(F.desc("gid"))).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    g, n, s, sm, smm = (F.col(c) for c in ("g", "n", "s", "sm", "smm"))
+    # the moment identity can cancel to a tiny negative when the group
+    # means are near-identical — clamp so DuckDB's sqrt doesn't raise
+    # (Spark would return NaN, an equally wrong answer)
+    var_jack = F.greatest((g - 1.0) / g * (smm - sm * sm / g), F.lit(0.0))
+    return agg.select(
+        g.alias("n_groups"),
+        n.alias("n_obs"),
+        F.round(s.cast("double") / n, 6).alias("theta_hat"),
+        F.round(var_jack, 6).alias("var_jack"),
+        F.round(F.sqrt(var_jack), 6).alias("se_jack"),
+    )
+
+
+# Burrows' Delta stylometry between sources --------------------------------------------
+
+_BD_TOP = 20  # marker-word count
+
+
+@register(
+    "burrows_delta",
+    f"""
+    WITH t AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tt AS (SELECT source, tok FROM t WHERE tok <> ''),
+    top AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        FROM tt GROUP BY tok
+      ) WHERE rn <= {_BD_TOP}
+    ),
+    st AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS tot FROM tt GROUP BY source
+    ),
+    f AS (
+      SELECT st.source, top.tok,
+             CAST(coalesce(cnt.c, 0) AS BIGINT) AS c, st.tot
+      FROM st CROSS JOIN top
+      LEFT JOIN (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM tt GROUP BY source, tok
+      ) cnt ON cnt.source = st.source AND cnt.tok = top.tok
+    ),
+    r AS (
+      SELECT source, tok, CAST(c AS DOUBLE) * 1000.0 / tot AS rate FROM f
+    ),
+    zs AS (
+      SELECT source, tok,
+             (rate - avg(rate) OVER (PARTITION BY tok))
+             / CASE WHEN stddev_pop(rate) OVER (PARTITION BY tok) = 0 THEN 1.0
+                    ELSE stddev_pop(rate) OVER (PARTITION BY tok) END AS z
+      FROM r
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(sum(abs(a.z - b.z)) / {_BD_TOP}.0, 6) AS delta
+    FROM zs a JOIN zs b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    doc=(
+        f"Burrows' Delta stylometric distance between document sources: "
+        f"the {_BD_TOP} highest-frequency marker words (deterministic "
+        "(count, token) ranking), per-source rates per 1000 tokens on "
+        "the full source x marker grid (absent marker = rate 0, not a "
+        "missing row), per-marker z-scores across sources, delta(a,b) = "
+        "mean |z_a - z_b| — the authorship / source-attribution "
+        "fingerprint that flags style-inconsistent (machine-injected) "
+        "subcorpora; the z and delta reductions are the order-sensitive "
+        "sums (6-dp rounded), source pairs O(|sources|^2) on an "
+        "O(sources x markers) frame, never on documents"
+    ),
+)
+def burrows_delta(spark, sf_dir):
+    """Vocab count once; the marker set is a WindowGroupLimit top-k; the
+    z/delta algebra runs on the sources x markers frame (tiny, broadcast
+    both sides of the pair join)."""
+    docs = _t(spark, sf_dir, "documents")
+    tt = _persist_evict(
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    top = (
+        tt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("c"), "tok")))
+        .filter(F.col("rn") <= _BD_TOP)
+        .select("tok")
+    )
+    st = tt.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("tot"))
+    cnt = tt.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    f = (
+        st.crossJoin(F.broadcast(top))
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "source", "tok",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") * 1000.0 / F.col("tot")).alias("rate"),
+        )
+    )
+    wt = Window.partitionBy("tok")
+    sd = F.stddev_pop("rate").over(wt)
+    zs = _persist_evict(
+        f.select(
+            "source", "tok",
+            (
+                (F.col("rate") - F.avg("rate").over(wt))
+                / F.when(sd == 0, F.lit(1.0)).otherwise(sd)
+            ).alias("z"),
+        )
+    )
+    a = zs.select(F.col("source").alias("source_a"), "tok", F.col("z").alias("za"))
+    b = zs.select(F.col("source").alias("source_b"), "tok", F.col("z").alias("zb"))
+    return (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(F.sum(F.abs(F.col("za") - F.col("zb"))) / float(_BD_TOP), 6).alias("delta")
         )
     )
 

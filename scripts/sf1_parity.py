@@ -254,10 +254,19 @@ QUERIES = [
     # cluster GEOMETRY changes); nms/kaplan/entropy/heaps ride 1M events
     # / 10x user series / 50k suffixed docs
     "percolation_clusters",
-    "local_maxima_nms",
+    "local_maxima_nms_window",
     "kaplan_meier",
     "entropy_rate",
     "heaps_law",
+    # session-16 batch 6: rank/ANOVA/jackknife ride 1M events (128-bit
+    # rank sums at 10x N); chao1/burrows ride the 10x suffixed doc corpus
+    # (the ' rev' suffix tokens shift the singleton spectrum and marker
+    # rates between copies)
+    "kruskal_wallis",
+    "anova_f",
+    "chao1_richness",
+    "jackknife_variance",
+    "burrows_delta",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points
@@ -472,6 +481,7 @@ def main() -> int:
                 "colocation_patterns_window",
                 "gfunction_nn_window",
                 "cross_k_window",
+                "local_maxima_nms_window",
             ):
                 w = _RPK_WIN
                 lat = (F.col("event_id") * 7919 % 2000).cast("double") / 100.0
@@ -501,7 +511,7 @@ def main() -> int:
                         f"),\n    p AS (SELECT * FROM p0_ WHERE {win_sql}),\n    pairs AS",
                         1,
                     )
-                elif base in ("gfunction_nn", "cross_k"):
+                elif base in ("gfunction_nn", "cross_k", "local_maxima_nms"):
                     # lattice coords are centidegrees: iy = lat*100,
                     # ix = lon*100, so the lat/lon window maps exactly
                     iy_lo, iy_hi = int(w["lat0"] * 100), int(w["lat1"] * 100)

@@ -5525,3 +5525,138 @@ def test_heaps_law_matches_brute_force(spark, sf_dir):
         assert (r.n_cum, r.v_cum) == (a, b)
         assert abs(r.beta - round(beta, 6)) < 1e-5
         assert abs(r.ln_k - round((sy - beta * sx) / nn, 6)) < 1e-5
+
+
+def test_kruskal_wallis_matches_brute_force(spark, sf_dir):
+    """Rank sums with exact tied average ranks and the H statistic
+    recomputed in Python."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.value.notna()]
+    cents = (ev.value * 100).round().astype("int64")
+    cnt = {}
+    for v in cents:
+        cnt[v] = cnt.get(v, 0) + 1
+    below, run = {}, 0
+    for v in sorted(cnt):
+        below[v] = run
+        run += cnt[v]
+    r2 = {}
+    ng = {}
+    for t, v in zip(ev.event_type, cents):
+        r2[t] = r2.get(t, 0) + 2 * below[v] + cnt[v] + 1
+        ng[t] = ng.get(t, 0) + 1
+    N = len(cents)
+    sr = sum(float(r2[t]) * r2[t] / ng[t] for t in relational._MS_STATES)
+    h = 3.0 / (N * (N + 1.0)) * sr - 3.0 * (N + 1.0)
+    ties = sum(c ** 3 - c for c in cnt.values())
+    h_corr = h / (1.0 - ties / (float(N) ** 3 - N))
+    got = {r.event_type: r for r in
+           relational.REGISTRY["kruskal_wallis"].fn(spark, sf_dir).collect()}
+    assert len(got) == len(ng)
+    for t, r in got.items():
+        assert (r.n_g, r.r2_g) == (ng[t], r2[t])
+        assert abs(r.h_stat - round(h, 6)) < 1e-9
+        assert abs(r.h_corr - round(h_corr, 6)) < 1e-9
+
+
+def test_anova_f_matches_scipy_style(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.value.notna()]
+    cents = (ev.value * 100).round().astype("int64")
+    groups = {t: cents[ev.event_type == t] for t in relational._MS_STATES}
+    N = len(cents)
+    k = len(groups)
+    S = float(cents.sum())
+    within = sum(float(g.sum()) ** 2 / len(g) for g in groups.values())
+    ssb = within - S * S / N
+    ssw = sum(float((g.astype("float64") ** 2).sum()) for g in groups.values()) - within
+    f_stat = (ssb / (k - 1)) / (ssw / (N - k))
+    r = relational.REGISTRY["anova_f"].fn(spark, sf_dir).collect()[0]
+    assert (r.n, r.k) == (N, k)
+    assert abs(r.ssb - ssb) / abs(ssb) < 1e-9
+    assert abs(r.ssw - ssw) / ssw < 1e-12
+    assert abs(r.f_stat - round(f_stat, 6)) < 1e-6
+
+
+def test_chao1_richness_matches_brute_force(spark, sf_dir):
+    docs = relational._t(spark, sf_dir, "documents").select("text").collect()
+    cnt = {}
+    for d in docs:
+        for t in d.text.split(" "):
+            if t:
+                cnt[t] = cnt.get(t, 0) + 1
+    f1 = sum(1 for c in cnt.values() if c == 1)
+    f2 = sum(1 for c in cnt.values() if c == 2)
+    n_tok = sum(cnt.values())
+    r = relational.REGISTRY["chao1_richness"].fn(spark, sf_dir).collect()[0]
+    assert (r.s_obs, r.f1, r.f2, r.n_tok) == (len(cnt), f1, f2, n_tok)
+    assert abs(r.chao1 - round(len(cnt) + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6)) < 1e-9
+    assert abs(r.coverage - round(1.0 - f1 / n_tok, 6)) < 1e-9
+
+
+def test_jackknife_variance_matches_brute_force(spark, sf_dir):
+    import math
+
+    ev = relational._t(spark, sf_dir, "events").select("user_id", "value").collect()
+    grp = {}
+    for r in ev:
+        if r.value is None:
+            continue
+        g = r.user_id % relational._JK_G
+        c = int(round(r.value * 100))
+        cur = grp.setdefault(g, [0, 0])
+        cur[0] += 1
+        cur[1] += c
+    n = sum(v[0] for v in grp.values())
+    s = sum(v[1] for v in grp.values())
+    ms = [(s - si) / (n - ni) for g, (ni, si) in sorted(grp.items())]
+    G = len(ms)
+    sm = smm = 0.0
+    for m in ms:
+        sm += m
+        smm += m * m
+    var = max((G - 1.0) / G * (smm - sm * sm / G), 0.0)
+    r = relational.REGISTRY["jackknife_variance"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_groups, r.n_obs) == (G, n)
+    assert abs(r.theta_hat - round(s / n, 6)) < 1e-9
+    assert abs(r.var_jack - round(var, 6)) < 2e-6
+    assert abs(r.se_jack - round(math.sqrt(var), 6)) < 2e-6
+    assert r.var_jack > 0  # non-vacuous grouping
+
+
+def test_burrows_delta_matches_brute_force(spark, sf_dir):
+    import math
+
+    docs = relational._t(spark, sf_dir, "documents").select("source", "text").collect()
+    cnt_all, per_src, tot_src = {}, {}, {}
+    for d in docs:
+        for t in d.text.split(" "):
+            if t:
+                cnt_all[t] = cnt_all.get(t, 0) + 1
+                per_src[(d.source, t)] = per_src.get((d.source, t), 0) + 1
+                tot_src[d.source] = tot_src.get(d.source, 0) + 1
+    top = [t for t, _ in sorted(cnt_all.items(), key=lambda kv: (-kv[1], kv[0]))
+           [: relational._BD_TOP]]
+    sources = sorted(tot_src)
+    rate = {
+        (s, t): per_src.get((s, t), 0) * 1000.0 / tot_src[s]
+        for s in sources for t in top
+    }
+    z = {}
+    for t in top:
+        vals = [rate[(s, t)] for s in sources]
+        mu = sum(vals) / len(vals)
+        sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / len(vals))
+        for s in sources:
+            z[(s, t)] = (rate[(s, t)] - mu) / (sd if sd else 1.0)
+    got = {(r.source_a, r.source_b): r.delta for r in
+           relational.REGISTRY["burrows_delta"].fn(spark, sf_dir).collect()}
+    assert len(got) == len(sources) * (len(sources) - 1) // 2
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            want = sum(abs(z[(a, t)] - z[(b, t)]) for t in top) / relational._BD_TOP
+            assert abs(got[(a, b)] - round(want, 6)) < 2e-6
