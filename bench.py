@@ -252,6 +252,16 @@ HEADLINE = [
     "chao1_richness",
     "jackknife_variance",
     "burrows_delta",
+    "spearman_rho",
+    "kendall_tau",
+    "levene_test",
+    "cramers_v",
+    "cohen_kappa",
+    "diurnal_harmonics",
+    "pacf_durbin",
+    "cross_correlation",
+    "max_drawdown",
+    "nelson_aalen",
 ]
 
 

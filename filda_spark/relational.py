@@ -18893,6 +18893,1057 @@ def burrows_delta(spark, sf_dir):
     )
 
 
+# Spearman rank correlation -------------------------------------------------
+
+
+@register(
+    "spearman_rho",
+    """
+    WITH s AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    cx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY g, x),
+    rx AS (
+      SELECT g, x,
+             2 * COALESCE(sum(c) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2x
+      FROM cx
+    ),
+    cy AS (SELECT g, y, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY g, y),
+    ry AS (
+      SELECT g, y,
+             2 * COALESCE(sum(c) OVER (PARTITION BY g ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2y
+      FROM cy
+    ),
+    j AS (
+      SELECT s.g AS g, r2x, r2y
+      FROM s JOIN rx ON s.g = rx.g AND s.x = rx.x
+             JOIN ry ON s.g = ry.g AND s.y = ry.y
+    ),
+    m AS (
+      SELECT g, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(r2x AS HUGEINT)) AS sx,
+             sum(CAST(r2y AS HUGEINT)) AS sy,
+             sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+             sum(CAST(r2y AS HUGEINT) * r2y) AS syy,
+             sum(CAST(r2x AS HUGEINT) * r2y) AS sxy
+      FROM j GROUP BY g
+    )
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+    FROM m
+    """,
+    doc=(
+        "per-returnflag Spearman rank correlation of quantity vs "
+        "extendedprice with exact tied average ranks (distinct-cents rank "
+        "frame, doubled to stay integral) — the monotone-association "
+        "companion to ols_trend's Pearson moments"
+    ),
+)
+def spearman_rho(spark, sf_dir):
+    """Ranks are window algebra, not a rank-frame join: doubled average
+    tied rank r2 = 2*rank_min + c_ties - 1 stays integral, so the five
+    moment sums accumulate exactly in decimal(38,0) and the only float
+    ops are the final casts and one division. One exchange on the group
+    key serves all four window specs (the tie-count partitions are
+    subset-compatible with it). At 100 TB the per-group sort is the
+    scale seam — it would move to a two-pass range-partitioned ranking
+    (rank = per-range offset + local rank), leaving the moment algebra
+    unchanged."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    # doubled average tied rank as pure window algebra: r2 = 2*rank_min +
+    # c_ties - 1 (== 2*below + c + 1). All four window specs cluster on g
+    # (the (g,x)/(g,y) count partitions are subset-compatible), so Catalyst
+    # plans ONE exchange on g with in-partition re-sorts — no rank-frame
+    # join, no per-cell hash agg. The round-robin repartition hands the
+    # decimal moment folds to the full core count instead of |groups| tasks.
+    wx = Window.partitionBy("g").orderBy("x")
+    wcx = Window.partitionBy("g", "x")
+    wy = Window.partitionBy("g").orderBy("y")
+    wcy = Window.partitionBy("g", "y")
+    r = s.select(
+        "g",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wcx) - 1).alias("r2x"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wcy) - 1).alias("r2y"),
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    m = r.repartition(n_parts).groupBy("g").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("r2x").cast(d38)).alias("sx"),
+        F.sum(F.col("r2y").cast(d38)).alias("sy"),
+        F.sum(F.col("r2x").cast(d38) * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y").cast(d38) * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x").cast(d38) * F.col("r2y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            )
+            / F.sqrt(
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
+            6,
+        ).alias("rho"),
+    )
+
+
+# Kendall tau-b -------------------------------------------------------------
+
+
+@register(
+    "kendall_tau",
+    """
+    WITH s AS (
+      SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    cells AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS n FROM s GROUP BY x, y),
+    pairs AS (
+      SELECT sum(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END) AS conc,
+             sum(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END) AS disc
+      FROM cells a JOIN cells b ON b.x > a.x
+    ),
+    tx AS (SELECT sum(m * (m - 1)) AS t FROM
+           (SELECT CAST(sum(n) AS HUGEINT) AS m FROM cells GROUP BY x)),
+    ty AS (SELECT sum(m * (m - 1)) AS t FROM
+           (SELECT CAST(sum(n) AS HUGEINT) AS m FROM cells GROUP BY y)),
+    tot AS (SELECT CAST(sum(n) AS HUGEINT) AS n FROM cells)
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST(conc AS BIGINT) AS conc,
+           CAST(disc AS BIGINT) AS disc,
+           round(2.0 * CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(tot.n * (tot.n - 1) - tx.t AS DOUBLE))
+                 / sqrt(CAST(tot.n * (tot.n - 1) - ty.t AS DOUBLE)), 6) AS tau_b
+    FROM pairs, tx, ty, tot
+    """,
+    doc=(
+        "Kendall tau-b (tie-corrected) of quantity vs discount via exact "
+        "concordant/discordant pair counting on the joint distinct-cell "
+        "frame — no row-pair join ever touches the data"
+    ),
+)
+def kendall_tau(spark, sf_dir):
+    """The O(n^2) pair space collapses to the joint value-cell frame
+    (<= |x-domain| * |y-domain| = 550 cells here, data-independent of row
+    count), so concordant/discordant counting is a broadcast
+    nested-loop join over cells only: rows are touched exactly once by
+    the cell groupBy, which partial-aggs map-side. Tie terms come from
+    the cell marginals. Every count is exact decimal(38,0); the doubled
+    tau identity 2(C-D)/sqrt(n(n-1)-Tx)/sqrt(n(n-1)-Ty) avoids the /2
+    halving so the integers never leave exact range. At 100 TB the cell
+    frame is unchanged (value domains, not rows) — the plan is one
+    shuffle on (x,y) plus constant-size joins."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    cells = _persist_evict(
+        li.select(
+            F.round(F.col("l_quantity") * 100, 0).cast("long").alias("x"),
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast(d38).alias("n"))
+    )
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("n").alias("bn")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("bx") > F.col("ax"))
+        .agg(
+            F.sum(
+                F.when(F.col("by") > F.col("ay"), F.col("an") * F.col("bn")).otherwise(
+                    F.lit(0).cast(d38)
+                )
+            ).alias("conc"),
+            F.sum(
+                F.when(F.col("by") < F.col("ay"), F.col("an") * F.col("bn")).otherwise(
+                    F.lit(0).cast(d38)
+                )
+            ).alias("disc"),
+        )
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("n").alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1)).alias("t"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("n").alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1)).alias("t"))
+    )
+    tot = cells.agg(F.sum("n").alias("n"))
+    nn = F.col("n") * (F.col("n") - 1)
+    return (
+        pairs.crossJoin(F.broadcast(tx.select(F.col("t").alias("tx"))))
+        .crossJoin(F.broadcast(ty.select(F.col("t").alias("ty"))))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("conc").cast("long").alias("conc"),
+            F.col("disc").cast("long").alias("disc"),
+            F.round(
+                2.0 * (F.col("conc") - F.col("disc")).cast("double")
+                / F.sqrt((nn - F.col("tx")).cast("double"))
+                / F.sqrt((nn - F.col("ty")).cast("double")),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+# Brown-Forsythe (median-based Levene) test ---------------------------------
+
+
+def _levene_oracle_sql() -> str:
+    st = _MS_STATES
+    k = len(st)
+    sz = " + ".join(f"sz_{i}" for i in range(k))
+    szz = " + ".join(f"szz_{i}" for i in range(k))
+    nn = " + ".join(f"n_{i}" for i in range(k))
+    ssb_hat = " + ".join(f"sz_{i} * sz_{i} / n_{i}" for i in range(k))
+    return f"""
+    WITH s AS (
+      SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY g, v),
+    w AS (
+      SELECT g, v, c,
+             COALESCE(sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             sum(c) OVER (PARTITION BY g) AS n_g
+      FROM c
+    ),
+    m AS (
+      SELECT g, n_g,
+             min(CASE WHEN below + c >= (n_g + 1) // 2 THEN v END)
+             + min(CASE WHEN below + c >= n_g // 2 + 1 THEN v END) AS m2
+      FROM w GROUP BY g, n_g
+    ),
+    z AS (
+      SELECT w.g AS g, w.n_g AS n_g,
+             sum(CAST(w.c AS HUGEINT) * abs(2 * w.v - m.m2)) AS sz,
+             sum(CAST(w.c AS HUGEINT) * (2 * w.v - m.m2) * (2 * w.v - m.m2)) AS szz
+      FROM w JOIN m ON w.g = m.g GROUP BY w.g, w.n_g
+    ),
+    piv AS (
+      SELECT {", ".join(f"CAST(sum(CASE WHEN g = '{t}' THEN sz ELSE 0 END) AS DOUBLE) AS sz_{i}, CAST(sum(CASE WHEN g = '{t}' THEN szz ELSE 0 END) AS DOUBLE) AS szz_{i}, CAST(sum(CASE WHEN g = '{t}' THEN n_g ELSE 0 END) AS DOUBLE) AS n_{i}" for i, t in enumerate(st))}
+      FROM z
+    )
+    SELECT CAST({nn} AS BIGINT) AS n,
+           CAST({k} AS BIGINT) AS k,
+           round(({ssb_hat}) - ({sz}) * ({sz}) / ({nn}), 2) AS ssb_z,
+           round(({szz}) - ({ssb_hat}), 2) AS ssw_z,
+           round(((({ssb_hat}) - ({sz}) * ({sz}) / ({nn})) / {k - 1}.0)
+                 / ((({szz}) - ({ssb_hat})) / (({nn}) - {k}.0)), 6) AS w_stat
+    FROM piv
+    """
+
+
+@register(
+    "levene_test",
+    _levene_oracle_sql(),
+    doc=(
+        "Brown-Forsythe homogeneity-of-variance test across the 5 event "
+        "types: one-way ANOVA F over |value - group median| with exact "
+        "group medians from the distinct-cents frame (doubled: z = "
+        "|2v - (lo_mid + hi_mid)| stays integral for even counts) — the "
+        "variance-equality gate that decides whether anova_f's pooled "
+        "error term is trustworthy"
+    ),
+)
+def levene_test(spark, sf_dir):
+    """Exact per-group medians never sort rows: the distinct-cents frame
+    carries (below, c) prefix counts, and the two middle order statistics
+    are min(v | cum >= k) aggregates on that frame. The z-moments are then
+    weighted sums over the SAME frame (no re-join against the row table),
+    so the whole test is two shuffles on (group, cent) + a 5-row pivot.
+    Doubling (2v - m2) keeps every moment integral -> decimal(38,0) exact;
+    the fixed-order _fold_sum pivot makes the float folds bit-identical
+    to the SQL oracle's " + ".join."""
+    st = _MS_STATES
+    k = len(st)
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    c = _persist_evict(
+        s.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wb = (
+        Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy("g")
+    w = c.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below"),
+        F.sum("c").over(wg).alias("n_g"),
+    )
+    cum = F.col("below") + F.col("c")
+    m = w.groupBy("g", "n_g").agg(
+        (
+            F.min(F.when(cum >= F.expr("(n_g + 1) div 2"), F.col("v")))
+            + F.min(F.when(cum >= F.expr("n_g div 2 + 1"), F.col("v")))
+        ).alias("m2")
+    )
+    dz = 2 * F.col("v") - F.col("m2")
+    # the broadcast join is map-side, so without the round-robin repartition
+    # the z-moment partials would run in the window's |groups| partitions;
+    # the repartition spreads the decimal products across all cores
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    z = (
+        w.join(F.broadcast(m.select("g", "m2")), "g")
+        .repartition(n_parts)
+        .groupBy("g", "n_g")
+        .agg(
+            F.sum(F.col("c").cast(d38) * F.abs(dz)).alias("sz"),
+            F.sum(F.col("c").cast(d38) * dz * dz).alias("szz"),
+        )
+    )
+    piv = z.agg(
+        *[
+            F.sum(F.when(F.col("g") == t, F.col("sz")).otherwise(0))
+            .cast("double")
+            .alias(f"sz_{i}")
+            for i, t in enumerate(st)
+        ],
+        *[
+            F.sum(F.when(F.col("g") == t, F.col("szz")).otherwise(0))
+            .cast("double")
+            .alias(f"szz_{i}")
+            for i, t in enumerate(st)
+        ],
+        *[
+            F.sum(F.when(F.col("g") == t, F.col("n_g")).otherwise(0))
+            .cast("double")
+            .alias(f"n_{i}")
+            for i, t in enumerate(st)
+        ],
+    )
+    szs = _fold_sum([F.col(f"sz_{i}") for i in range(k)])
+    szzs = _fold_sum([F.col(f"szz_{i}") for i in range(k)])
+    nns = _fold_sum([F.col(f"n_{i}") for i in range(k)])
+    ssb_hat = _fold_sum(
+        [F.col(f"sz_{i}") * F.col(f"sz_{i}") / F.col(f"n_{i}") for i in range(k)]
+    )
+    ssb = ssb_hat - szs * szs / nns
+    ssw = szzs - ssb_hat
+    return piv.select(
+        nns.cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(ssb, 2).alias("ssb_z"),
+        F.round(ssw, 2).alias("ssw_z"),
+        F.round((ssb / float(k - 1)) / (ssw / (nns - float(k))), 6).alias("w_stat"),
+    )
+
+
+# Cramer's V ----------------------------------------------------------------
+
+
+@register(
+    "cramers_v",
+    """
+    WITH cells AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT s, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY s),
+    ct AS (SELECT p, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY p),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT s) AS BIGINT) AS r,
+                   CAST(count(DISTINCT p) AS BIGINT) AS c
+            FROM cells),
+    terms AS (
+      SELECT CAST(sum(CAST(round(o * o * 1000000000000.0 / (rt * ct)) AS BIGINT))
+                  AS BIGINT) AS ts
+      FROM cells JOIN rt USING (s) JOIN ct USING (p)
+    )
+    SELECT n, r, c,
+           round((CAST(ts AS DOUBLE) / 1000000000000.0 - 1.0) * n, 6) AS chi2,
+           round(sqrt((CAST(ts AS DOUBLE) / 1000000000000.0 - 1.0) * n
+                      / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM terms, tot
+    """,
+    doc=(
+        "Cramer's V association of orderstatus x orderpriority via the "
+        "chi2 = N*(sum O^2/(rt*ct) - 1) identity; per-cell terms are "
+        "fixed-scale integers (1e-12 units, each <= 1 by O <= min(rt,ct)) "
+        "so the cross-cell sum is order-independent and bit-identical "
+        "across engines"
+    ),
+)
+def cramers_v(spark, sf_dir):
+    """The contingency table is r*c rows (15 here; bounded by category
+    domains, not data), built by one partial-aggregating groupBy over
+    orders; marginals and the chi2 fold all run on that tiny frame with
+    broadcast joins. Float determinism: each cell's O^2/(rt*ct) term is
+    in [0,1], scaled to 1e12 and rounded to an integer, so the only
+    cross-row float reduction is an exact BIGINT sum — aggregation order
+    cannot flip a bit. chi2's absolute scaling error is <= 7.5e-12 * N,
+    far below the 6-dp rounding."""
+    od = _t(spark, sf_dir, "orders")
+    cells = _persist_evict(
+        od.groupBy(
+            F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+        ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rt = cells.groupBy("s").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("p").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("s").alias("r"),
+        F.countDistinct("p").alias("c"),
+    )
+    terms = (
+        cells.join(F.broadcast(rt), "s")
+        .join(F.broadcast(ct), "p")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("o") * F.col("o") * F.lit(1000000000000.0)
+                    / (F.col("rt") * F.col("ct"))
+                ).cast("long")
+            ).alias("ts")
+        )
+    )
+    chi2 = (F.col("ts").cast("double") / 1000000000000.0 - 1.0) * F.col("n")
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "r",
+        "c",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+# Cohen's kappa -------------------------------------------------------------
+
+
+@register(
+    "cohen_kappa",
+    """
+    WITH b AS (
+      SELECT event_type AS cur,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    t AS (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+      FROM b WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (SELECT prev AS k, CAST(sum(n) AS BIGINT) AS rn FROM t GROUP BY 1),
+    c AS (SELECT cur AS k, CAST(sum(n) AS BIGINT) AS cn FROM t GROUP BY 1),
+    pe AS (SELECT CAST(sum(rn * cn) AS BIGINT) AS pe_num FROM r JOIN c USING (k)),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN prev = cur THEN n ELSE 0 END) AS BIGINT) AS diag
+      FROM t
+    )
+    SELECT tot.n AS n_pairs,
+           round(CAST(diag AS DOUBLE) / tot.n, 6) AS po,
+           round(CAST(pe_num AS DOUBLE) / tot.n / tot.n, 6) AS pe,
+           round(CAST(diag * tot.n - pe_num AS DOUBLE)
+                 / CAST(tot.n * tot.n - pe_num AS DOUBLE), 6) AS kappa
+    FROM pe, tot
+    """,
+    doc=(
+        "Cohen's kappa agreement between consecutive event types per user "
+        "(prev as rater A, cur as rater B): chance-corrected behavioral "
+        "stickiness, kappa = (po - pe)/(1 - pe) computed as the exact "
+        "integer rational (diag*n - pe_num)/(n^2 - pe_num)"
+    ),
+)
+def cohen_kappa(spark, sf_dir):
+    """Reuses markov_transitions' single per-user sort window to emit
+    (prev, cur) pairs map-side; everything after the <= |states|^2
+    transition groupBy runs on a 25-row frame. kappa never leaves integer
+    arithmetic until one final division: (diag*n - pe_num) and
+    (n^2 - pe_num) are exact BIGINTs on both engines, so the 6-dp round
+    is on identical doubles."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    t = _persist_evict(
+        b.groupBy("prev", "cur").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    r = t.groupBy(F.col("prev").alias("k")).agg(F.sum("n").alias("rn"))
+    c = t.groupBy(F.col("cur").alias("k")).agg(F.sum("n").alias("cn"))
+    pe = r.join(c, "k").agg(F.sum(F.col("rn") * F.col("cn")).alias("pe_num"))
+    tot = t.agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(F.col("prev") == F.col("cur"), F.col("n")).otherwise(0)).alias(
+            "diag"
+        ),
+    )
+    return pe.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.col("diag").cast("double") / F.col("n"), 6).alias("po"),
+        F.round(
+            F.col("pe_num").cast("double") / F.col("n") / F.col("n"), 6
+        ).alias("pe"),
+        F.round(
+            (F.col("diag") * F.col("n") - F.col("pe_num")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+# Diurnal harmonic analysis (periodogram on the hour-of-day cycle) ----------
+
+# Trig literals are generated ONCE here and injected into BOTH engines as
+# decimal literals (repr round-trips exactly to the same double), so no
+# engine-side cos/sin — libm vs Math.cos last-ulp divergence — can enter
+# the fold. Harmonics k=1..4 of the 24-hour cycle.
+_DH_K = (1, 2, 3, 4)
+_DH_COS = {
+    k: [__import__("math").cos(2 * __import__("math").pi * k * h / 24) for h in range(24)]
+    for k in _DH_K
+}
+_DH_SIN = {
+    k: [__import__("math").sin(2 * __import__("math").pi * k * h / 24) for h in range(24)]
+    for k in _DH_K
+}
+
+
+def _diurnal_oracle_sql() -> str:
+    piv = ", ".join(
+        f"CAST(sum(CASE WHEN h = {h} THEN n ELSE 0 END) AS DOUBLE) AS n_{h}"
+        for h in range(24)
+    )
+    rows = []
+    for k in _DH_K:
+        c = " + ".join(f"n_{h} * ({_DH_COS[k][h]!r})" for h in range(24))
+        s = " + ".join(f"n_{h} * ({_DH_SIN[k][h]!r})" for h in range(24))
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, round(({c}), 6) AS c_k,"
+            f" round(({s}), 6) AS s_k,"
+            f" round((({c}) * ({c}) + ({s}) * ({s})) / ({ ' + '.join(f'n_{h}' for h in range(24)) }), 6) AS power_n"
+            " FROM piv"
+        )
+    body = " UNION ALL ".join(rows)
+    return f"""
+    WITH hh AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h FROM events
+    ),
+    cnt AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM hh GROUP BY h),
+    piv AS (SELECT {piv} FROM cnt)
+    {body}
+    """
+
+
+@register(
+    "diurnal_harmonics",
+    _diurnal_oracle_sql(),
+    doc=(
+        "periodogram of the event stream on the 24-hour cycle: DFT power "
+        "at harmonics k=1..4 of hour-of-day from the 24-bin phase "
+        "histogram — the spectral twin of FILDA's day/night gating "
+        "(detects diurnal structure without materializing a dense series)"
+    ),
+)
+def diurnal_harmonics(spark, sf_dir):
+    """The DFT collapses onto the 24-bin phase histogram: one partial-agg
+    groupBy on hour-of-day, then a single-row fixed-order pivot folded
+    against literal cos/sin tables shared verbatim with the SQL oracle
+    (no engine trig => no libm-vs-Math ulp drift; the only cross-row
+    reduction is the exact integer histogram). Scale shape: map-side
+    combine onto 24 keys, constant memory at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.select(F.hour("ts").cast("long").alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    piv = cnt.agg(
+        *[
+            F.sum(F.when(F.col("h") == h, F.col("n")).otherwise(0))
+            .cast("double")
+            .alias(f"n_{h}")
+            for h in range(24)
+        ]
+    )
+    ntot = _fold_sum([F.col(f"n_{h}") for h in range(24)])
+    rows = []
+    for k in _DH_K:
+        c = _fold_sum([F.col(f"n_{h}") * F.lit(_DH_COS[k][h]) for h in range(24)])
+        s = _fold_sum([F.col(f"n_{h}") * F.lit(_DH_SIN[k][h]) for h in range(24)])
+        rows.append(
+            piv.select(
+                F.lit(k).cast("long").alias("k"),
+                F.round(c, 6).alias("c_k"),
+                F.round(s, 6).alias("s_k"),
+                F.round((c * c + s * s) / ntot, 6).alias("power_n"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# Partial autocorrelation (Durbin-Levinson, lags 1-3) -----------------------
+
+
+@register(
+    "pacf_durbin",
+    f"""
+    WITH b AS (
+      SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS v,
+             lag(CAST(round(value * 100, 0) AS BIGINT), 1) OVER w AS l1,
+             lag(CAST(round(value * 100, 0) AS BIGINT), 2) OVER w AS l2,
+             lag(CAST(round(value * 100, 0) AS BIGINT), 3) OVER w AS l3
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, CAST(count(*) AS HUGEINT) AS n, CAST(sum(v) AS HUGEINT) AS s
+      FROM b GROUP BY user_id
+    ),
+    g AS (
+      SELECT b.user_id,
+             CAST(max(n) AS BIGINT) AS n,
+             sum((n * v - s) * (n * v - s)) AS ss,
+             sum(CASE WHEN l1 IS NOT NULL THEN (n * v - s) * (n * l1 - s) END) AS c1,
+             sum(CASE WHEN l2 IS NOT NULL THEN (n * v - s) * (n * l2 - s) END) AS c2,
+             sum(CASE WHEN l3 IS NOT NULL THEN (n * v - s) * (n * l3 - s) END) AS c3
+      FROM b JOIN m ON b.user_id = m.user_id GROUP BY b.user_id
+    ),
+    r AS (
+      SELECT user_id, n,
+             CAST(c1 AS DOUBLE) / CAST(ss AS DOUBLE) AS r1,
+             CAST(c2 AS DOUBLE) / CAST(ss AS DOUBLE) AS r2,
+             CAST(c3 AS DOUBLE) / CAST(ss AS DOUBLE) AS r3
+      FROM g WHERE n >= {_ACF_MIN_N} AND ss > 0
+    ),
+    dl AS (
+      SELECT user_id, n, r1, r2, r3,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+      FROM r WHERE 1.0 - r1 * r1 <> 0.0
+    )
+    SELECT user_id, n,
+           round(r1, 6) AS phi1,
+           round(phi2, 6) AS phi2,
+           round((r3 - (r1 - phi2 * r1) * r2 - phi2 * r1)
+                 / ((1.0 - r1 * r1) * (1.0 - phi2 * phi2)), 6) AS phi3
+    FROM dl WHERE (1.0 - r1 * r1) * (1.0 - phi2 * phi2) <> 0.0
+    """,
+    doc=(
+        "per-user partial autocorrelation at lags 1-3 via the "
+        "Durbin-Levinson recursion over exact-integer autocovariances "
+        "(n-scaled residuals n*v - S stay integral, so r_k is one exact "
+        "division) — the AR-order diagnostic completing acf_lags / "
+        "ar2_yule_walker"
+    ),
+)
+def pacf_durbin(spark, sf_dir):
+    """Same single per-user sort window as acf_lags emits all three lag
+    columns in one pass; the mean join is on the per-user frame. The
+    n-scaling trick ((n*v - S) is integer because S = sum of v) keeps
+    every autocovariance an exact decimal(38,0) sum — the Durbin-Levinson
+    algebra then runs on identical doubles in both engines. One shuffle
+    (user sort) + one O(users) join; scales as the trajectory exchange."""
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.round(F.col("value") * 100, 0).cast("long")
+    b = ev.select(
+        "user_id",
+        v.alias("v"),
+        *[F.lag(v, k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("s"),
+    )
+    dv = F.col("n").cast(d38) * F.col("v") - F.col("s")
+    g = (
+        b.join(m, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum(dv * dv).alias("ss"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col(f"l{k}").isNotNull(),
+                        dv * (F.col("n").cast(d38) * F.col(f"l{k}") - F.col("s")),
+                    )
+                ).alias(f"c{k}")
+                for k in (1, 2, 3)
+            ],
+        )
+        .filter((F.col("n") >= _ACF_MIN_N) & (F.col("ss") > 0))
+    )
+    ssd = F.col("ss").cast("double")
+    r = g.select(
+        "user_id",
+        "n",
+        (F.col("c1").cast("double") / ssd).alias("r1"),
+        (F.col("c2").cast("double") / ssd).alias("r2"),
+        (F.col("c3").cast("double") / ssd).alias("r3"),
+    )
+    one = F.lit(1.0)
+    phi2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        one - F.col("r1") * F.col("r1")
+    )
+    dl = r.filter(one - F.col("r1") * F.col("r1") != 0.0).select(
+        "user_id", "n", "r1", "r2", "r3", phi2.alias("phi2")
+    )
+    v2 = (one - F.col("r1") * F.col("r1")) * (one - F.col("phi2") * F.col("phi2"))
+    return dl.filter(v2 != 0.0).select(
+        "user_id",
+        "n",
+        F.round(F.col("r1"), 6).alias("phi1"),
+        F.round(F.col("phi2"), 6).alias("phi2"),
+        F.round(
+            (
+                F.col("r3")
+                - (F.col("r1") - F.col("phi2") * F.col("r1")) * F.col("r2")
+                - F.col("phi2") * F.col("r1")
+            )
+            / v2,
+            6,
+        ).alias("phi3"),
+    )
+
+
+# Cross-correlation of two daily event-type series --------------------------
+
+_CCF_A, _CCF_B = "click", "purchase"
+_CCF_MAXLAG = 3
+
+
+def _ccf_oracle_sql() -> str:
+    lags = ", ".join(str(k) for k in range(-_CCF_MAXLAG, _CCF_MAXLAG + 1))
+    return f"""
+    WITH e AS (
+      SELECT CAST(date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                            CAST(ts AS DATE)) AS BIGINT) AS d,
+             event_type
+      FROM events WHERE event_type IN ('{_CCF_A}', '{_CCF_B}')
+    ),
+    span AS (SELECT CAST(max(d) AS BIGINT) AS dmax FROM e),
+    days AS (SELECT CAST(unnest(generate_series(0, (SELECT dmax FROM span))) AS BIGINT) AS d),
+    cnt AS (
+      SELECT days.d AS d,
+             CAST(COALESCE(sum(CASE WHEN event_type = '{_CCF_A}' THEN 1 END), 0) AS HUGEINT) AS a,
+             CAST(COALESCE(sum(CASE WHEN event_type = '{_CCF_B}' THEN 1 END), 0) AS HUGEINT) AS b
+      FROM days LEFT JOIN e ON days.d = e.d GROUP BY days.d
+    ),
+    tot AS (SELECT CAST(count(*) AS HUGEINT) AS nd, sum(a) AS sa, sum(b) AS sb FROM cnt),
+    sc AS (
+      SELECT d, nd * a - sa AS av, nd * b - sb AS bv
+      FROM cnt, tot
+    ),
+    den AS (SELECT sum(av * av) AS da, sum(bv * bv) AS db FROM sc),
+    lagk AS (SELECT CAST(unnest(ARRAY[{lags}]) AS BIGINT) AS lag),
+    num AS (
+      SELECT lagk.lag AS lag, sum(x.av * y.bv) AS nm,
+             CAST(count(*) AS BIGINT) AS n_overlap
+      FROM lagk JOIN sc x ON TRUE JOIN sc y ON y.d = x.d + lagk.lag
+      GROUP BY lagk.lag
+    )
+    SELECT lag, n_overlap,
+           round(CAST(nm AS DOUBLE) / sqrt(CAST(da AS DOUBLE))
+                 / sqrt(CAST(db AS DOUBLE)), 6) AS ccf
+    FROM num, den
+    ORDER BY lag
+    """
+
+
+@register(
+    "cross_correlation",
+    _ccf_oracle_sql(),
+    doc=(
+        f"lead-lag cross-correlation (lags -{_CCF_MAXLAG}..+{_CCF_MAXLAG}) "
+        "between the daily click and purchase count series: does click "
+        "volume lead purchases? nd-scaled residuals (nd*x - S) keep every "
+        "numerator/denominator an exact integer sum"
+    ),
+)
+def cross_correlation(spark, sf_dir):
+    """The series frame is O(days) — built by one partial-agg groupBy
+    over the event scan, densified against a sequence() range so zero
+    days weigh in. Every moment is integer (nd-scaled residuals), the
+    lag alignment is an equi-join on day index over the tiny frame, and
+    the only floats are three final casts. Nothing here grows with the
+    corpus except the first groupBy."""
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_CCF_A, _CCF_B)
+    )
+    dmin = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    e = ev.crossJoin(F.broadcast(dmin)).select(
+        F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("d"),
+        "event_type",
+    )
+    cnt = e.groupBy("d").agg(
+        F.sum(F.when(F.col("event_type") == _CCF_A, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == _CCF_B, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    span = cnt.agg(F.max("d").alias("dmax"))
+    days = span.select(F.explode(F.sequence(F.lit(0), F.col("dmax"))).alias("d"))
+    dense = (
+        days.join(cnt, "d", "left")
+        .select(
+            "d",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+        )
+    )
+    dense = _persist_evict(dense)
+    tot = dense.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+    )
+    sc = _persist_evict(
+        dense.crossJoin(F.broadcast(tot)).select(
+            "d",
+            (F.col("nd").cast(d38) * F.col("a") - F.col("sa")).alias("av"),
+            (F.col("nd").cast(d38) * F.col("b") - F.col("sb")).alias("bv"),
+        )
+    )
+    den = sc.agg(
+        F.sum(F.col("av") * F.col("av")).alias("da"),
+        F.sum(F.col("bv") * F.col("bv")).alias("db"),
+    )
+    lagk = spark.range(-_CCF_MAXLAG, _CCF_MAXLAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    x = sc.select(F.col("d").alias("xd"), "av")
+    y = sc.select(F.col("d").alias("yd"), "bv")
+    num = (
+        lagk.crossJoin(x)
+        .join(y, F.col("yd") == F.col("xd") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("av") * F.col("bv")).alias("nm"),
+            F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_overlap",
+            F.round(
+                F.col("nm").cast("double")
+                / F.sqrt(F.col("da").cast("double"))
+                / F.sqrt(F.col("db").cast("double")),
+                6,
+            ).alias("ccf"),
+        )
+    )
+
+
+# Maximum drawdown ----------------------------------------------------------
+
+
+@register(
+    "max_drawdown",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT user_id, ts, event_id, cents,
+             sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, cents, cum,
+             max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM c
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_ev,
+           CAST(sum(cents) AS BIGINT) AS net_cents,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents
+    FROM p GROUP BY user_id
+    """,
+    doc=(
+        "per-user maximum drawdown of the cumulative value series "
+        "(peak-to-trough in exact cents): running cumsum, running peak, "
+        "max gap — the risk metric over the event-stream 'equity curve'"
+    ),
+)
+def max_drawdown(spark, sf_dir):
+    """Two stacked windows over the SAME (user, ts, event_id) sort —
+    cumsum, then running peak — plan as one exchange with a single
+    in-partition sort (the second window reuses the first's ordering);
+    the closing per-user aggregate partial-aggs on the same key. All
+    arithmetic is exact integer cents."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    c = s.select("user_id", "ts", "event_id", "cents", F.sum("cents").over(w).alias("cum"))
+    p = c.select(
+        "user_id", "cents", "cum", F.max("cum").over(w).alias("peak")
+    )
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.sum("cents").cast("long").alias("net_cents"),
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("cum")).cast("long").alias("max_drawdown_cents"),
+    )
+
+
+# Nelson-Aalen cumulative hazard -------------------------------------------
+
+
+@register(
+    "nelson_aalen",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS t_ms
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, min(t_ms) AS t_first,
+             min(CASE WHEN event_type = 'purchase' THEN t_ms END) AS t_purch,
+             max(t_ms) AS t_last
+      FROM e GROUP BY user_id
+    ),
+    dur AS (
+      SELECT CASE WHEN t_purch IS NOT NULL
+                  THEN CAST((t_purch - t_first) // 86400000 AS BIGINT)
+                  ELSE CAST((t_last - t_first) // 86400000 AS BIGINT) END AS t_days,
+             CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM u
+    ),
+    byt AS (
+      SELECT t_days, CAST(sum(observed) AS BIGINT) AS d,
+             CAST(sum(1 - observed) AS BIGINT) AS c
+      FROM dur GROUP BY t_days
+    ),
+    tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_users FROM byt),
+    risk AS (
+      SELECT t_days, d, c,
+             n_users - COALESCE(sum(d + c) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM byt, tot
+    )
+    SELECT t_days, d, CAST(n_risk AS BIGINT) AS n_risk,
+           round(sum(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS na_hat
+    FROM risk WHERE d > 0
+    ORDER BY t_days
+    """,
+    doc=(
+        "Nelson-Aalen cumulative-hazard estimator over the same "
+        "signup->purchase durations as kaplan_meier (right-censored at "
+        "last activity): H(t) = sum d_i/n_i — the hazard-scale "
+        "counterpart whose increments are the discrete hazard rates"
+    ),
+)
+def nelson_aalen(spark, sf_dir):
+    """Identical reduction shape to kaplan_meier (per-user rollup ->
+    O(distinct days) frame -> ordered cumulative window); the hazard
+    prefix sum is sequential in day order on both engines, so the float
+    accumulation order is pinned by construction. The d > 0 filter is
+    applied AFTER n_risk/na_hat so censoring-only days still consume
+    risk-set mass, exactly as in the KM twin."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.min("t_ms").alias("t_first"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t_ms"))).alias(
+            "t_purch"
+        ),
+        F.max("t_ms").alias("t_last"),
+    )
+    dur = u.select(
+        F.when(
+            F.col("t_purch").isNotNull(),
+            ((F.col("t_purch") - F.col("t_first")) / 86400000).cast("long"),
+        )
+        .otherwise(((F.col("t_last") - F.col("t_first")) / 86400000).cast("long"))
+        .alias("t_days"),
+        F.when(F.col("t_purch").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    byt = dur.groupBy("t_days").agg(
+        F.sum("observed").cast("long").alias("d"),
+        F.sum(1 - F.col("observed")).cast("long").alias("c"),
+    )
+    byt = _persist_evict(byt)
+    tot = byt.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("n_users"))
+    wprev = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    wcur = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byt.crossJoin(F.broadcast(tot)).select(
+        "t_days",
+        "d",
+        "c",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    return (
+        risk.select(
+            "t_days",
+            "d",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.round(
+                F.sum(F.col("d").cast("double") / F.col("n_risk")).over(wcur), 6
+            ).alias("na_hat"),
+        )
+        .filter(F.col("d") > 0)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

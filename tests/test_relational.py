@@ -5660,3 +5660,260 @@ def test_burrows_delta_matches_brute_force(spark, sf_dir):
         for b in sources[i + 1:]:
             want = sum(abs(z[(a, t)] - z[(b, t)]) for t in top) / relational._BD_TOP
             assert abs(got[(a, b)] - round(want, 6)) < 2e-6
+
+
+def test_spearman_rho_matches_pandas(spark, sf_dir):
+    """pandas average-method ranks + Pearson on ranks, independently of the
+    distinct-cents rank-frame construction."""
+    import pandas as pd
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    li["x"] = (li.l_quantity * 100).round().astype("int64")
+    li["y"] = (li.l_extendedprice * 100).round().astype("int64")
+    got = {r.l_returnflag: r for r in
+           relational.REGISTRY["spearman_rho"].fn(spark, sf_dir).collect()}
+    assert len(got) == li.l_returnflag.nunique()
+    for g, sub in li.groupby("l_returnflag"):
+        rx = sub.x.rank(method="average")
+        ry = sub.y.rank(method="average")
+        want = rx.corr(ry)  # Pearson of ranks == Spearman
+        assert got[g].n == len(sub)
+        assert abs(got[g].rho - want) < 1e-6
+
+
+def test_kendall_tau_matches_dominance_count(spark, sf_dir):
+    """Independent algorithm: 2-D histogram + 2-D prefix sums give the
+    concordant/discordant dominance counts without any cell self-join."""
+    import numpy as np
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_discount"])
+    x = (li.l_quantity * 100).round().astype("int64")
+    y = (li.l_discount * 100).round().astype("int64")
+    xs, xi = np.unique(x, return_inverse=True)
+    ys, yi = np.unique(y, return_inverse=True)
+    h = np.zeros((len(xs), len(ys)), dtype=np.int64)
+    np.add.at(h, (xi, yi), 1)
+    # strictly-dominating prefix sums (exclusive in both axes)
+    cum = h.cumsum(0).cumsum(1)
+    below = np.zeros_like(h)
+    below[1:, 1:] = cum[:-1, :-1]
+    # strictly x-less, y-greater counts
+    cum_rev = h[:, ::-1].cumsum(0).cumsum(1)[:, ::-1]
+    above = np.zeros_like(h)
+    above[1:, :-1] = cum_rev[:-1, 1:]
+    conc = int((h * below).sum())
+    disc = int((h * above).sum())
+    n = len(x)
+    tx = int(sum(c * (c - 1) for c in np.bincount(xi)))
+    ty = int(sum(c * (c - 1) for c in np.bincount(yi)))
+    want = 2.0 * (conc - disc) / np.sqrt(n * (n - 1) - tx) / np.sqrt(n * (n - 1) - ty)
+    row = relational.REGISTRY["kendall_tau"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.conc, row.disc) == (n, conc, disc)
+    assert abs(row.tau_b - round(want, 6)) < 1e-9
+
+
+def test_levene_test_matches_brute_force(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.value.notna()]
+    cents = (ev.value * 100).round().astype("int64")
+    z = {}
+    for t in relational._MS_STATES:
+        v = np.sort(cents[ev.event_type == t].to_numpy())
+        m2 = int(v[(len(v) - 1) // 2]) + int(v[len(v) // 2])  # lo_mid + hi_mid
+        z[t] = np.abs(2 * v - m2).astype("float64")
+    k = len(z)
+    N = sum(len(v) for v in z.values())
+    gm = sum(v.sum() for v in z.values()) / N
+    ssb = sum(len(v) * (v.mean() - gm) ** 2 for v in z.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in z.values())
+    want = (ssb / (k - 1)) / (ssw / (N - k))
+    row = relational.REGISTRY["levene_test"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.k) == (N, k)
+    assert abs(row.ssb_z - ssb) < max(1e-6 * ssb, 0.02)
+    assert abs(row.ssw_z - ssw) < max(1e-9 * ssw, 0.02)
+    assert abs(row.w_stat - want) < 1e-6
+
+
+def test_cramers_v_matches_crosstab(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority"])
+    ct = pd.crosstab(od.o_orderstatus, od.o_orderpriority).to_numpy(dtype="float64")
+    n = ct.sum()
+    exp = ct.sum(1, keepdims=True) * ct.sum(0, keepdims=True) / n
+    chi2 = ((ct - exp) ** 2 / exp).sum()
+    r, c = ct.shape
+    want_v = np.sqrt(chi2 / (n * min(r - 1, c - 1)))
+    row = relational.REGISTRY["cramers_v"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.r, row.c) == (int(n), r, c)
+    # engine chi2 uses fixed-point 1e-12 per-cell terms: abs err <= 7.5e-12*n
+    assert abs(row.chi2 - chi2) < max(1e-7 * n, 1e-4)
+    assert abs(row.cramers_v - want_v) < 1e-6
+
+
+def test_cohen_kappa_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = ev.groupby("user_id").event_type.shift(1)
+    ok = prev.notna()
+    a, b = prev[ok].to_numpy(), ev.event_type[ok].to_numpy()
+    n = len(a)
+    diag = int((a == b).sum())
+    states = sorted(set(a) | set(b))
+    rn = {s: int((a == s).sum()) for s in states}
+    cn = {s: int((b == s).sum()) for s in states}
+    pe_num = sum(rn[s] * cn[s] for s in states)
+    kappa = (diag * n - pe_num) / (n * n - pe_num)
+    row = relational.REGISTRY["cohen_kappa"].fn(spark, sf_dir).collect()[0]
+    assert row.n_pairs == n
+    assert abs(row.po - round(diag / n, 6)) < 1e-12
+    assert abs(row.pe - round(pe_num / n / n, 6)) < 1e-12
+    assert abs(row.kappa - round(kappa, 6)) < 1e-12
+
+
+def test_diurnal_harmonics_matches_numpy_dft(spark, sf_dir):
+    """Dense 24-bin histogram -> numpy cos/sin dot products."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    h = pd.to_datetime(ev.ts).dt.hour.to_numpy()
+    n = np.bincount(h, minlength=24).astype("float64")
+    got = {r.k: r for r in
+           relational.REGISTRY["diurnal_harmonics"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == list(relational._DH_K)
+    for k in relational._DH_K:
+        ang = 2 * np.pi * k * np.arange(24) / 24
+        c, s = float(n @ np.cos(ang)), float(n @ np.sin(ang))
+        assert abs(got[k].c_k - c) < 1e-4
+        assert abs(got[k].s_k - s) < 1e-4
+        assert abs(got[k].power_n - (c * c + s * s) / n.sum()) < 5e-3
+
+
+def test_pacf_durbin_matches_statsmodels_style(spark, sf_dir):
+    """Durbin-Levinson re-derived in numpy from raw per-user ACF."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    ev = ev[ev.value.notna()].sort_values(["user_id", "ts", "event_id"],
+                                          kind="mergesort")
+    got = {r.user_id: r for r in
+           relational.REGISTRY["pacf_durbin"].fn(spark, sf_dir).collect()}
+    checked = 0
+    for uid, sub in ev.groupby("user_id"):
+        v = (sub.value * 100).round().astype("int64").to_numpy().astype("float64")
+        nn = len(v)
+        if nn < relational._ACF_MIN_N:
+            assert uid not in got
+            continue
+        mu = v.mean()
+        d = v - mu
+        ss = float(d @ d)
+        if ss == 0:
+            assert uid not in got
+            continue
+        r = [float(d[k:] @ d[:-k] if k else d @ d) / ss for k in range(4)]
+        phi1 = r[1]
+        v1 = 1 - r[1] ** 2
+        phi2 = (r[2] - r[1] * phi1) / v1
+        a21 = phi1 - phi2 * phi1
+        v2 = v1 * (1 - phi2 ** 2)
+        phi3 = (r[3] - a21 * r[2] - phi2 * r[1]) / v2
+        row = got[uid]
+        assert row.n == nn
+        assert abs(row.phi1 - phi1) < 1e-6
+        assert abs(row.phi2 - phi2) < 1e-6
+        assert abs(row.phi3 - phi3) < 1e-5
+        checked += 1
+    assert checked == len(got) > 0
+
+
+def test_cross_correlation_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    ev = ev[ev.event_type.isin([relational._CCF_A, relational._CCF_B])]
+    d = (pd.to_datetime(ev.ts).dt.normalize()
+         - pd.to_datetime(ev.ts).dt.normalize().min()).dt.days.to_numpy()
+    nd = int(d.max()) + 1
+    a = np.bincount(d[ev.event_type == relational._CCF_A], minlength=nd).astype("float64")
+    b = np.bincount(d[ev.event_type == relational._CCF_B], minlength=nd).astype("float64")
+    av, bv = a - a.mean(), b - b.mean()
+    da, db = float(av @ av), float(bv @ bv)
+    got = {r.lag: r for r in
+           relational.REGISTRY["cross_correlation"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == list(range(-relational._CCF_MAXLAG,
+                                     relational._CCF_MAXLAG + 1))
+    for k in got:
+        if k >= 0:
+            nm = float(av[: nd - k] @ bv[k:]) if k else float(av @ bv)
+        else:
+            nm = float(av[-k:] @ bv[: nd + k])
+        want = nm / np.sqrt(da) / np.sqrt(db)
+        assert got[k].n_overlap == nd - abs(k)
+        assert abs(got[k].ccf - want) < 1e-6
+
+
+def test_max_drawdown_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    ev = ev[ev.value.notna()].sort_values(["user_id", "ts", "event_id"],
+                                          kind="mergesort")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    got = {r.user_id: r for r in
+           relational.REGISTRY["max_drawdown"].fn(spark, sf_dir).collect()}
+    assert len(got) == ev.user_id.nunique()
+    for uid, sub in ev.groupby("user_id"):
+        cum = sub.cents.cumsum()
+        peak = cum.cummax()
+        row = got[uid]
+        assert row.n_ev == len(sub)
+        assert row.net_cents == int(sub.cents.sum())
+        assert row.peak_cents == int(peak.max())
+        assert row.max_drawdown_cents == int((peak - cum).max())
+
+
+def test_nelson_aalen_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    ev["t_ms"] = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    rows = []
+    for uid, sub in ev.groupby("user_id"):
+        t0 = sub.t_ms.min()
+        purch = sub.t_ms[sub.event_type == "purchase"]
+        if len(purch):
+            rows.append(((purch.min() - t0) // 86400000, 1))
+        else:
+            rows.append(((sub.t_ms.max() - t0) // 86400000, 0))
+    df = pd.DataFrame(rows, columns=["t", "obs"])
+    byt = df.groupby("t").agg(d=("obs", "sum"), tot=("obs", "count")).sort_index()
+    n_risk = len(df) - byt.tot.cumsum().shift(1, fill_value=0)
+    hazard = (byt.d / n_risk).cumsum()
+    got = {r.t_days: r for r in
+           relational.REGISTRY["nelson_aalen"].fn(spark, sf_dir).collect()}
+    want = byt[byt.d > 0]
+    assert sorted(got) == sorted(want.index)
+    for t in want.index:
+        assert got[t].d == int(byt.d[t])
+        assert got[t].n_risk == int(n_risk[t])
+        assert abs(got[t].na_hat - hazard[t]) < 1e-6
