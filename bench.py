@@ -262,6 +262,31 @@ HEADLINE = [
     "cross_correlation",
     "max_drawdown",
     "nelson_aalen",
+    "yule_k",
+    "good_turing",
+    "simpson_diversity",
+    "kneser_ney_bigram",
+    "dice_collocations",
+    "graph_diameter",
+    "closeness_landmarks",
+    "ppr_seeds",
+    "rayleigh_test",
+    "mcnemar_test",
+    "solar_position",
+    "geodesic_destination",
+    "line_densify",
+    "tissot_sinusoidal",
+    "catmull_rom_smooth",
+    "roc_points",
+    "lift_deciles",
+    "ndcg_at_k",
+    "langid_f1",
+    "cohens_d",
+    "kmeans_lloyd",
+    "attribution_linear",
+    "rfm_scores",
+    "page_hinkley",
+    "apriori_rules",
 ]
 
 

@@ -19944,6 +19944,2406 @@ def nelson_aalen(spark, sf_dir):
     )
 
 
+# Yule's K (vocabulary concentration) ---------------------------------------
+
+
+@register(
+    "yule_k",
+    """
+    WITH b AS (
+      SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents
+    ),
+    v AS (SELECT source, tok, CAST(count(*) AS HUGEINT) AS c
+          FROM b GROUP BY source, tok),
+    m AS (
+      SELECT source, CAST(sum(c) AS HUGEINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(c * c) AS s2
+      FROM v GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_tok, n_types,
+           round(10000.0 * CAST(s2 - n AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+             AS yule_k
+    FROM m
+    """,
+    doc=(
+        "Yule's characteristic K per source: vocabulary concentration "
+        "10^4 * (sum c_i^2 - N)/N^2 over the token frequency spectrum — "
+        "the repetitiveness fingerprint complementing lexical_diversity "
+        "(high K = formulaic/boilerplate-heavy source)"
+    ),
+)
+def yule_k(spark, sf_dir):
+    """Two partial-agg groupBys (token explode -> per-(source, type)
+    counts -> per-source spectrum moments); every moment is an exact
+    decimal(38,0) integer and the single float op is the final division.
+    Shuffle keys are (source, token) then source — the standard
+    vocabulary-build shape that scales to any corpus."""
+    d38 = "decimal(38,0)"
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("tok"),
+    )
+    v = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = v.groupBy("source").agg(
+        F.sum("c").cast(d38).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).alias("s2"),
+    )
+    return m.select(
+        "source",
+        F.col("n").cast("long").alias("n_tok"),
+        "n_types",
+        F.round(
+            10000.0 * (F.col("s2") - F.col("n")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("yule_k"),
+    )
+
+
+# Simple Good-Turing frequency re-estimation --------------------------------
+
+_GT_MAX_R = 10
+
+
+@register(
+    "good_turing",
+    f"""
+    WITH b AS (
+      SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+    ),
+    v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY tok),
+    spec AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM v GROUP BY c),
+    rr AS (SELECT CAST(unnest(generate_series(1, {_GT_MAX_R})) AS BIGINT) AS r)
+    SELECT rr.r AS r,
+           CAST(COALESCE(s1.n_r, 0) AS BIGINT) AS n_r,
+           CAST(COALESCE(s2.n_r, 0) AS BIGINT) AS n_r1,
+           round(CASE WHEN COALESCE(s1.n_r, 0) > 0
+                      THEN (rr.r + 1) * CAST(COALESCE(s2.n_r, 0) AS DOUBLE)
+                           / COALESCE(s1.n_r, 0)
+                      ELSE 0.0 END, 6) AS r_star
+    FROM rr LEFT JOIN spec s1 ON s1.r = rr.r
+            LEFT JOIN spec s2 ON s2.r = rr.r + 1
+    ORDER BY rr.r
+    """,
+    doc=(
+        "simple Good-Turing discounted count r* = (r+1) N_(r+1)/N_r for "
+        "r = 1..10 from the corpus token frequency-of-frequencies — the "
+        "unseen-mass smoothing curve LM estimators (Katz, SGT) start from"
+    ),
+)
+def good_turing(spark, sf_dir):
+    """The frequency spectrum is two nested partial-agg groupBys (token
+    counts, then count-of-counts); the r = 1..10 probe frame is a
+    broadcast range joined twice against the O(distinct r) spectrum.
+    Integer counts all the way; one final division."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("tok")
+    )
+    v = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    spec = _persist_evict(
+        v.groupBy(F.col("c").alias("r")).agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    )
+    rr = spark.range(1, _GT_MAX_R + 1).select(F.col("id").cast("long").alias("r"))
+    s1 = spec.select(F.col("r").alias("r1"), F.col("n_r").alias("nr"))
+    s2 = spec.select(F.col("r").alias("r2"), F.col("n_r").alias("nr1"))
+    j = (
+        rr.join(F.broadcast(s1), F.col("r") == F.col("r1"), "left")
+        .join(F.broadcast(s2), F.col("r2") == F.col("r") + 1, "left")
+        .select(
+            "r",
+            F.coalesce(F.col("nr"), F.lit(0)).cast("long").alias("n_r"),
+            F.coalesce(F.col("nr1"), F.lit(0)).cast("long").alias("n_r1"),
+        )
+    )
+    return j.select(
+        "r",
+        "n_r",
+        "n_r1",
+        F.round(
+            F.when(
+                F.col("n_r") > 0,
+                (F.col("r") + 1) * F.col("n_r1").cast("double") / F.col("n_r"),
+            ).otherwise(0.0),
+            6,
+        ).alias("r_star"),
+    )
+
+
+# Simpson diversity index ---------------------------------------------------
+
+
+@register(
+    "simpson_diversity",
+    """
+    WITH b AS (
+      SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS tok
+      FROM documents
+    ),
+    v AS (SELECT source, tok, CAST(count(*) AS HUGEINT) AS c
+          FROM b GROUP BY source, tok),
+    m AS (
+      SELECT source, CAST(sum(c) AS HUGEINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(c * (c - 1)) AS s2
+      FROM v GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_tok, n_types,
+           round(1.0 - CAST(s2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6)
+             AS simpson_d
+    FROM m
+    """,
+    doc=(
+        "Simpson diversity 1 - sum c_i(c_i - 1)/(N(N-1)) of the token "
+        "type distribution per source: the probability two random tokens "
+        "differ — the unbiased (small-sample exact) companion to "
+        "entropy_score and chao1_richness"
+    ),
+)
+def simpson_diversity(spark, sf_dir):
+    """Same two-groupBy vocabulary shape as yule_k (the two share their
+    scan but are registered independently so each stays a one-line
+    user call); exact decimal moments, one float division."""
+    d38 = "decimal(38,0)"
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("tok"),
+    )
+    v = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = v.groupBy("source").agg(
+        F.sum("c").cast(d38).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c").cast(d38) * (F.col("c") - 1)).alias("s2"),
+    )
+    return m.select(
+        "source",
+        F.col("n").cast("long").alias("n_tok"),
+        "n_types",
+        F.round(
+            1.0
+            - F.col("s2").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double"),
+            6,
+        ).alias("simpson_d"),
+    )
+
+
+# Kneser-Ney smoothed bigram probabilities ----------------------------------
+
+_KN_D = 0.75
+_KN_TOP = 50
+
+
+@register(
+    "kneser_ney_bigram",
+    f"""
+    WITH d AS (SELECT string_split(text, ' ') AS a FROM documents),
+    bi AS (
+      SELECT a[i] AS w1, a[i + 1] AS w2
+      FROM d CROSS JOIN unnest(range(1, len(a))) AS t(i)
+    ),
+    cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY w1, w2),
+    cw AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS t_w1
+           FROM cb GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont_w2 FROM cb GROUP BY w2),
+    btypes AS (SELECT CAST(count(*) AS BIGINT) AS n_btypes FROM cb),
+    top AS (
+      SELECT w1, w2, c2 FROM cb ORDER BY c2 DESC, w1, w2 LIMIT {_KN_TOP}
+    )
+    SELECT top.w1 AS w1, top.w2 AS w2, top.c2 AS c2,
+           round((top.c2 - {_KN_D}) / cw.c1
+                 + {_KN_D} * cw.t_w1 / cw.c1
+                   * (CAST(cont.cont_w2 AS DOUBLE) / n_btypes), 6) AS p_kn
+    FROM top JOIN cw ON cw.w1 = top.w1
+             JOIN cont ON cont.w2 = top.w2
+             CROSS JOIN btypes
+    """,
+    doc=(
+        "interpolated Kneser-Ney bigram probability (fixed discount "
+        "D = 0.75) for the 50 most frequent bigrams: discounted ML term "
+        "plus continuation-probability backoff P_cont(w2) = "
+        "|preceding types|/|bigram types| — the LM-smoothing benchmark "
+        "beside bigram_surprisal's raw ML model"
+    ),
+)
+def kneser_ney_bigram(spark, sf_dir):
+    """All model frames are aggregates of the bigram-type frame (built
+    map-side by zip-of-slices, no position self-join): context totals and
+    fan-out T(w1) from one groupBy, continuation counts from another, the
+    type total as a scalar broadcast. The top-50 selection orders by the
+    exact integer count with lexicographic tie-break, so the cut is
+    deterministic across engines. Joins after the cut touch 50 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    a = F.split(F.col("text"), " ")
+    n = F.size(a)
+    bi = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(a, 1, n - 1).alias("w1"),
+                F.slice(a, 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cb = _persist_evict(
+        bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    cw = cb.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("t_w1"),
+    )
+    cont = cb.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("cont_w2"))
+    btypes = cb.agg(F.count(F.lit(1)).cast("long").alias("n_btypes"))
+    wtop = Window.orderBy(F.col("c2").desc(), "w1", "w2")
+    top = (
+        cb.select("w1", "w2", "c2", F.row_number().over(wtop).alias("rk"))
+        .filter(F.col("rk") <= _KN_TOP)
+        .drop("rk")
+    )
+    return (
+        top.join(F.broadcast(cw), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.round(
+                (F.col("c2") - _KN_D) / F.col("c1")
+                + _KN_D * F.col("t_w1") / F.col("c1")
+                * (F.col("cont_w2").cast("double") / F.col("n_btypes")),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+
+
+# Dice-coefficient collocations ---------------------------------------------
+
+
+@register(
+    "dice_collocations",
+    f"""
+    WITH d AS (SELECT string_split(text, ' ') AS a FROM documents),
+    bi AS (
+      SELECT a[i] AS w1, a[i + 1] AS w2
+      FROM d CROSS JOIN unnest(range(1, len(a))) AS t(i)
+    ),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM (
+        SELECT unnest(a) AS tok FROM d
+      ) GROUP BY tok
+    ),
+    cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY w1, w2),
+    top AS (
+      SELECT w1, w2, c2 FROM cb ORDER BY c2 DESC, w1, w2 LIMIT {_KN_TOP}
+    )
+    SELECT top.w1 AS w1, top.w2 AS w2, top.c2 AS c2,
+           round(2.0 * top.c2 / (u1.cu + u2.cu), 6) AS dice
+    FROM top JOIN uni u1 ON u1.tok = top.w1
+             JOIN uni u2 ON u2.tok = top.w2
+    """,
+    doc=(
+        "Dice-coefficient collocation strength 2 c(w1,w2)/(c(w1)+c(w2)) "
+        "for the 50 most frequent adjacent pairs — the symmetric "
+        "association measure beside pmi_pairs (PMI rewards rarity, Dice "
+        "rewards exclusivity)"
+    ),
+)
+def dice_collocations(spark, sf_dir):
+    """Bigram and unigram counts are independent partial-agg groupBys
+    over the same split array (bigrams by zip-of-slices); the
+    deterministic integer top-50 cut happens BEFORE any join, so the
+    unigram frames are probed by 50 rows in broadcast. Exact integers
+    into one final division."""
+    docs = _t(spark, sf_dir, "documents")
+    a = F.split(F.col("text"), " ")
+    n = F.size(a)
+    arr = _persist_evict(docs.select(a.alias("a")))
+    bi = arr.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("a"), 1, F.size(F.col("a")) - 1).alias("w1"),
+                F.slice(F.col("a"), 2, F.size(F.col("a")) - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = arr.select(F.explode(F.col("a")).alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cu")
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    wtop = Window.orderBy(F.col("c2").desc(), "w1", "w2")
+    top = (
+        cb.select("w1", "w2", "c2", F.row_number().over(wtop).alias("rk"))
+        .filter(F.col("rk") <= _KN_TOP)
+        .drop("rk")
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
+    return (
+        top.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.round(2.0 * F.col("c2") / (F.col("cu1") + F.col("cu2")), 6).alias(
+                "dice"
+            ),
+        )
+    )
+
+
+# Graph diameter lower bound (double-sweep BFS) ------------------------------
+
+_DIAM_ROUNDS = 8
+
+
+def _bfs_rounds_sql(prefix: str, seed_cte: str, rounds: int) -> str:
+    """Unrolled BFS CTEs {prefix}0..{prefix}{rounds} over the ``adj``/
+    ``nodes`` CTEs, seeded from scalar CTE ``{seed_cte}`` (column sv).
+    Same NULL-safe integer min-relax as the sssp oracle, w = 1."""
+    out = [
+        f"""
+    {prefix}0 AS MATERIALIZED (
+      SELECT v, CASE WHEN v = (SELECT sv FROM {seed_cte})
+                     THEN CAST(0 AS BIGINT) END AS dist
+      FROM nodes
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        out.append(f"""
+    {prefix}{k} AS MATERIALIZED (
+      SELECT n.v,
+             CAST(least(coalesce(min(p.dist), min(q.dist + 1)),
+                        coalesce(min(q.dist + 1), min(p.dist))) AS BIGINT) AS dist
+      FROM nodes n
+      LEFT JOIN {prefix}{k - 1} p ON p.v = n.v
+      LEFT JOIN adj ON adj.y = n.v
+      LEFT JOIN {prefix}{k - 1} q ON q.v = adj.x
+      GROUP BY n.v
+    )""")
+    return ",".join(out)
+
+
+def _graph_diameter_oracle_sql() -> str:
+    r = _DIAM_ROUNDS
+    # MATERIALIZED: DuckDB otherwise inlines adj/nodes into every unrolled
+    # round (2 refs x 2 sweeps x rounds), re-opening the parquet scan per
+    # copy and exhausting the fd limit
+    return f"""
+    WITH e0 AS MATERIALIZED ({_LC_E_SQL}),
+    adj AS MATERIALIZED (
+      SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v AS x, u AS y FROM e0),
+    nodes AS MATERIALIZED (SELECT DISTINCT x AS v FROM adj),
+    deg AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x),
+    s1 AS (SELECT v AS sv FROM deg ORDER BY d DESC, v LIMIT 1),
+    {_bfs_rounds_sql("a", "s1", r)},
+    e1 AS (SELECT max(dist) AS ecc FROM a{r}),
+    s2 AS (SELECT min(v) AS sv FROM a{r} WHERE dist = (SELECT ecc FROM e1)),
+    {_bfs_rounds_sql("b", "s2", r)},
+    e2 AS (SELECT max(dist) AS ecc FROM b{r}),
+    f2 AS (SELECT min(v) AS fv FROM b{r} WHERE dist = (SELECT ecc FROM e2)),
+    rc AS (SELECT CAST(count(dist) AS BIGINT) AS n_reached FROM b{r})
+    SELECT (SELECT sv FROM s1) AS src1,
+           CAST((SELECT ecc FROM e1) AS BIGINT) AS ecc1,
+           (SELECT sv FROM s2) AS src2,
+           CAST((SELECT ecc FROM e2) AS BIGINT) AS ecc2,
+           (SELECT fv FROM f2) AS far2,
+           (SELECT n_reached FROM rc) AS n_reached
+    """
+
+
+@register(
+    "graph_diameter",
+    _graph_diameter_oracle_sql(),
+    doc=(
+        f"graph diameter lower bound by double-sweep BFS ({_DIAM_ROUNDS} "
+        "bounded rounds per sweep) on the sparse co-purchase graph: BFS "
+        "from the max-degree hub, re-sweep from the farthest node — ecc2 "
+        "is the classic tight diameter lower bound; all-integer, exact"
+    ),
+)
+def graph_diameter(spark, sf_dir):
+    """Two bounded BFS sweeps, each the sssp loop with w = 1 (frontier
+    equi-join + partial-agg min + NULL-skipping least merge, integer so
+    aggregation order is irrelevant; localCheckpoint truncates lineage
+    per round). Seed picks are deterministic integer aggregates
+    (max-degree tie-broken by min id; farthest tie-broken by min id).
+    The bound is {_DIAM_ROUNDS} rounds in BOTH engines, so parity holds
+    even if the true eccentricity exceeds it."""
+    from pyspark import StorageLevel
+
+    while len(_PAGERANK_CACHED) > 4:
+        _PAGERANK_CACHED.pop(0).unpersist()
+    e0 = _lc_edges(spark, sf_dir)
+    adj = (
+        e0.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionAll(e0.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PAGERANK_CACHED.append(adj)
+    nodes = adj.select(F.col("x").alias("v")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PAGERANK_CACHED.append(nodes)
+
+    def sweep(seed_df: DataFrame) -> DataFrame:
+        # frontier BFS: each round touches only the newly-reached layer
+        # (not the full node set), so per-round work shrinks as the wave
+        # saturates — same reached/dist semantics as the oracle's bounded
+        # min-relax, at a fraction of the shuffled rows
+        dist = seed_df.select(
+            F.col("sv").alias("v"), F.lit(0).cast("long").alias("dist")
+        ).localCheckpoint(eager=False)
+        frontier = dist
+        for k in range(1, _DIAM_ROUNDS + 1):
+            cand = (
+                frontier.select(F.col("v").alias("x"))
+                .join(adj, "x")
+                .select(F.col("y").alias("v"))
+                .distinct()
+            )
+            new = (
+                cand.join(dist, "v", "left_anti")
+                .select("v", F.lit(k).cast("long").alias("dist"))
+                .localCheckpoint()
+            )
+            # exact early exit: an empty wave makes every later round a
+            # no-op, so stopping cannot change the bounded-BFS result
+            if new.limit(1).count() == 0:
+                break
+            dist = dist.unionAll(new)
+            frontier = new
+        return dist
+
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    s1 = (
+        deg.orderBy(F.col("d").desc(), "x")
+        .limit(1)
+        .select(F.col("x").alias("sv"))
+    )
+    d1 = sweep(s1)
+    e1 = d1.agg(F.max("dist").alias("ecc"))
+    s2 = (
+        d1.crossJoin(F.broadcast(e1))
+        .filter(F.col("dist") == F.col("ecc"))
+        .agg(F.min("v").alias("sv"))
+    )
+    d2 = sweep(s2)
+    e2 = d2.agg(
+        F.max("dist").alias("ecc2x"),
+        F.count("dist").cast("long").alias("n_reached"),
+    )
+    f2 = (
+        d2.crossJoin(F.broadcast(e2))
+        .filter(F.col("dist") == F.col("ecc2x"))
+        .agg(F.min("v").alias("far2"))
+    )
+    return (
+        s1.select(F.col("sv").alias("src1"))
+        .crossJoin(F.broadcast(e1.select(F.col("ecc").cast("long").alias("ecc1"))))
+        .crossJoin(F.broadcast(s2.select(F.col("sv").alias("src2"))))
+        .crossJoin(
+            F.broadcast(
+                e2.select(
+                    F.col("ecc2x").cast("long").alias("ecc2"), "n_reached"
+                )
+            )
+        )
+        .crossJoin(F.broadcast(f2))
+        .select("src1", "ecc1", "src2", "ecc2", "far2", "n_reached")
+    )
+
+
+# Landmark closeness centrality ----------------------------------------------
+
+_CLOSE_L = 8  # landmarks: the L smallest node ids
+_CLOSE_ROUNDS = 6
+
+
+def _closeness_oracle_sql() -> str:
+    r = _CLOSE_ROUNDS
+    out = [
+        f"""
+    WITH e0 AS ({_LC_E_SQL}),
+    adj AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v AS x, u AS y FROM e0),
+    nodes AS (SELECT DISTINCT x AS v FROM adj),
+    lm AS (SELECT v AS l FROM nodes ORDER BY v LIMIT {_CLOSE_L}),
+    c0 AS MATERIALIZED (
+      SELECT lm.l, n.v,
+             CASE WHEN n.v = lm.l THEN CAST(0 AS BIGINT) END AS dist
+      FROM lm CROSS JOIN nodes n
+    )"""
+    ]
+    for k in range(1, r + 1):
+        out.append(f"""
+    c{k} AS MATERIALIZED (
+      SELECT s.l, s.v,
+             CAST(least(coalesce(min(s.dist), min(q.dist + 1)),
+                        coalesce(min(q.dist + 1), min(s.dist))) AS BIGINT) AS dist
+      FROM c{k - 1} s
+      LEFT JOIN adj ON adj.y = s.v
+      LEFT JOIN c{k - 1} q ON q.l = s.l AND q.v = adj.x
+      GROUP BY s.l, s.v
+    )""")
+    return (
+        ",".join(out)
+        + f"""
+    SELECT l AS landmark,
+           CAST(count(dist) AS BIGINT) AS n_reached,
+           CAST(sum(dist) AS BIGINT) AS sum_dist,
+           round(CAST(count(dist) - 1 AS DOUBLE) / sum(dist), 6) AS closeness
+    FROM c{r} GROUP BY l
+    """
+    )
+
+
+@register(
+    "closeness_landmarks",
+    _closeness_oracle_sql(),
+    doc=(
+        f"closeness centrality of {_CLOSE_L} landmark nodes (the smallest "
+        f"ids) by multi-source BFS bounded at {_CLOSE_ROUNDS} rounds: "
+        "(reached-1)/sum(dist) over the co-purchase graph — the "
+        "landmark-sketch APSP approximation used for network-distance "
+        "features at scale"
+    ),
+)
+def closeness_landmarks(spark, sf_dir):
+    """The BFS state is (landmark, node, dist) — L x N rows, integer
+    min-relaxed per round with one equi-join against the adjacency list
+    keyed on the frontier node; the landmark id rides along so all L
+    sweeps share every shuffle. Bounded rounds (same constant in the SQL
+    oracle) keep the unrolled plan finite; localCheckpoint truncates
+    lineage. Output is three exact integers + one division per
+    landmark."""
+    from pyspark import StorageLevel
+
+    while len(_PAGERANK_CACHED) > 4:
+        _PAGERANK_CACHED.pop(0).unpersist()
+    e0 = _lc_edges(spark, sf_dir)
+    adj = (
+        e0.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionAll(e0.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PAGERANK_CACHED.append(adj)
+    nodes = adj.select(F.col("x").alias("v")).distinct()
+    lm = nodes.orderBy("v").limit(_CLOSE_L).select(F.col("v").alias("l"))
+    # frontier BFS over (landmark, node) state — only reached rows are
+    # carried, so the L sweeps share shuffles AND each round's join is
+    # proportional to the new wave, not L x N (the graph_diameter note)
+    st = lm.select("l", F.col("l").alias("v"), F.lit(0).cast("long").alias("dist"))
+    st = st.localCheckpoint(eager=False)
+    frontier = st
+    for k in range(1, _CLOSE_ROUNDS + 1):
+        cand = (
+            frontier.select("l", F.col("v").alias("x"))
+            .join(adj, "x")
+            .select("l", F.col("y").alias("v"))
+            .distinct()
+        )
+        new = (
+            cand.join(st, ["l", "v"], "left_anti")
+            .select("l", "v", F.lit(k).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if new.limit(1).count() == 0:
+            break
+        st = st.unionAll(new)
+        frontier = new
+    return st.groupBy(F.col("l").alias("landmark")).agg(
+        F.count("dist").cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.round(
+            (F.count("dist") - 1).cast("double") / F.sum("dist"), 6
+        ).alias("closeness"),
+    )
+
+
+# Personalized PageRank ------------------------------------------------------
+
+_PPR_ALPHA = 0.15
+_PPR_SEEDS = 5
+_PPR_ITERS = 5
+
+
+def _ppr_oracle_sql() -> str:
+    base = _PPR_ALPHA / _PPR_SEEDS
+    head = f"""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey % {_PR_N} AS src, l_partkey % {_PR_N} AS dst
+      FROM lineitem
+    ),
+    nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+    seeds AS (SELECT v FROM nodes ORDER BY v LIMIT {_PPR_SEEDS}),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+    r0 AS (
+      SELECT v, CASE WHEN v IN (SELECT v FROM seeds)
+                     THEN {base!r} ELSE 0.0 END AS r
+      FROM nodes
+    )"""
+    steps = []
+    for k in range(1, _PPR_ITERS + 1):
+        steps.append(f"""
+    r{k} AS (
+      SELECT n.v,
+             CASE WHEN n.v IN (SELECT v FROM seeds)
+                  THEN {base!r} ELSE 0.0 END
+             + {1.0 - _PPR_ALPHA!r} * coalesce(sum(p.r / deg.d), 0.0) AS r
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.v
+      LEFT JOIN deg ON deg.src = e.src
+      LEFT JOIN r{k - 1} p ON p.v = e.src
+      GROUP BY n.v
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\n    SELECT v AS node, round(r, 6) AS ppr FROM r{_PPR_ITERS}"
+        " WHERE r > 0.0"
+    )
+
+
+@register(
+    "ppr_seeds",
+    _ppr_oracle_sql(),
+    doc=(
+        f"personalized PageRank from the {_PPR_SEEDS} lowest node ids "
+        f"(restart prob {_PPR_ALPHA}, {_PPR_ITERS} rounds) over the "
+        "order->part graph: proximity-to-seed-set scores — the "
+        "random-walk-with-restart retrieval primitive beside the global "
+        "pagerank"
+    ),
+)
+def ppr_seeds(spark, sf_dir):
+    """The pagerank loop with the teleport mass concentrated on the seed
+    set (broadcast indicator join instead of a uniform base): one
+    contributions-only shuffle per round, persisted edge/degree frames,
+    6-dp round absorbing sum-order ULP drift exactly as pagerank
+    documents. Zero-mass nodes are filtered so the output is the reached
+    neighborhood, not the node universe."""
+    from pyspark import StorageLevel
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_orderkey") % _PR_N).alias("src"),
+            (F.col("l_partkey") % _PR_N).alias("dst"),
+        )
+        .distinct()
+    )
+    while len(_PAGERANK_CACHED) > 2:
+        _PAGERANK_CACHED.pop(0).unpersist()
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PAGERANK_CACHED.append(nodes)
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    _PAGERANK_CACHED.append(ed)
+    base = _PPR_ALPHA / _PPR_SEEDS
+    seeds = nodes.orderBy("v").limit(_PPR_SEEDS).select(
+        "v", F.lit(True).alias("is_seed")
+    )
+    nb = nodes.join(F.broadcast(seeds), "v", "left").select(
+        "v",
+        F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0.0)).alias("b"),
+    )
+    nb = _persist_evict(nb)
+    ranks = nb.select("v", F.col("b").alias("r"))
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.v)
+            .select(F.col("dst").alias("v"), (F.col("r") / F.col("d")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nb.join(contrib, "v", "left").select(
+            "v",
+            (
+                F.col("b")
+                + F.lit(1.0 - _PPR_ALPHA) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.filter(F.col("r") > 0.0).select(
+        F.col("v").alias("node"), F.round("r", 6).alias("ppr")
+    )
+
+
+# Rayleigh test of circular uniformity ---------------------------------------
+
+
+@register(
+    "rayleigh_test",
+    """
+    WITH pts AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms, event_id,
+             (user_id % 120) * 1000
+               + CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END
+               + event_id % 7 AS iy,
+             (user_id % 300) * 1000
+               + CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END
+               + event_id % 5 AS ix
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id,
+             iy - lag(iy) OVER w AS dy,
+             ix - lag(ix) OVER w AS dx
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    ),
+    uv AS (
+      SELECT user_id,
+             CAST(round(dx * 1000000000000.0 / sqrt(CAST(dx * dx + dy * dy AS DOUBLE)))
+                  AS BIGINT) AS ux,
+             CAST(round(dy * 1000000000000.0 / sqrt(CAST(dx * dx + dy * dy AS DOUBLE)))
+                  AS BIGINT) AS uy
+      FROM legs WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
+    ),
+    agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_legs,
+             CAST(sum(ux) AS BIGINT) AS sx, CAST(sum(uy) AS BIGINT) AS sy
+      FROM uv GROUP BY user_id
+    )
+    SELECT user_id, n_legs,
+           round(sqrt(CAST(sx AS DOUBLE) * sx + CAST(sy AS DOUBLE) * sy)
+                 / (n_legs * 1000000000000.0), 6) AS r_bar,
+           round(n_legs * (sqrt(CAST(sx AS DOUBLE) * sx + CAST(sy AS DOUBLE) * sy)
+                 / (n_legs * 1000000000000.0))
+                 * (sqrt(CAST(sx AS DOUBLE) * sx + CAST(sy AS DOUBLE) * sy)
+                 / (n_legs * 1000000000000.0)), 6) AS rayleigh_z
+    FROM agg
+    """,
+    doc=(
+        "Rayleigh test of movement-bearing uniformity per user: mean "
+        "resultant length of unit leg vectors and z = n*R^2 (large z = "
+        "directed drift, small = isotropic wander) over bearing_rose's "
+        "trajectory legs; unit vectors are fixed-point 1e-12 integers so "
+        "the resultant sum is order-independent and bit-identical"
+    ),
+)
+def rayleigh_test(spark, sf_dir):
+    """Same single trajectory window as bearing_rose; each leg's unit
+    vector is computed with correctly-rounded IEEE ops (sqrt/div) and
+    snapped to 1e-12 fixed point, making the cross-leg reduction an exact
+    BIGINT sum — no float accumulation anywhere. Zero-length legs
+    (consecutive fixes at the same point) are excluded on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        (
+            (F.col("user_id") % 120) * 1000
+            + F.when(F.col("event_id") % 13 < 4, 2000).otherwise(0)
+            + F.col("event_id") % 7
+        ).alias("iy"),
+        (
+            (F.col("user_id") % 300) * 1000
+            + F.when(F.col("event_id") % 13 < 4, 2000).otherwise(0)
+            + F.col("event_id") % 5
+        ).alias("ix"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    legs = pts.select(
+        "user_id",
+        (F.col("iy") - F.lag("iy").over(w)).alias("dy"),
+        (F.col("ix") - F.lag("ix").over(w)).alias("dx"),
+    ).filter(
+        F.col("dx").isNotNull() & ((F.col("dx") != 0) | (F.col("dy") != 0))
+    )
+    hyp = F.sqrt((F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).cast("double"))
+    uv = legs.select(
+        "user_id",
+        F.round(F.col("dx") * F.lit(1000000000000.0) / hyp).cast("long").alias("ux"),
+        F.round(F.col("dy") * F.lit(1000000000000.0) / hyp).cast("long").alias("uy"),
+    )
+    agg = uv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_legs"),
+        F.sum("ux").cast("long").alias("sx"),
+        F.sum("uy").cast("long").alias("sy"),
+    )
+    rbar = F.sqrt(
+        F.col("sx").cast("double") * F.col("sx")
+        + F.col("sy").cast("double") * F.col("sy")
+    ) / (F.col("n_legs") * F.lit(1000000000000.0))
+    return agg.select(
+        "user_id",
+        "n_legs",
+        F.round(rbar, 6).alias("r_bar"),
+        F.round(F.col("n_legs") * rbar * rbar, 6).alias("rayleigh_z"),
+    )
+
+
+# McNemar paired test ---------------------------------------------------------
+
+
+@register(
+    "mcnemar_test",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             max(CASE WHEN event_type = 'purchase'
+                       AND EXTRACT(hour FROM ts) < 12
+                      THEN 1 ELSE 0 END) AS h1,
+             max(CASE WHEN event_type = 'purchase'
+                       AND EXTRACT(hour FROM ts) >= 12
+                      THEN 1 ELSE 0 END) AS h2
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM u
+    )
+    SELECT n_pairs, b, c,
+           round(CASE WHEN b + c > 0
+                      THEN CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                           / (b + c)
+                      ELSE 0.0 END, 6) AS chi2_mcnemar
+    FROM m
+    """,
+    doc=(
+        "McNemar paired test of morning-vs-afternoon purchase behavior "
+        "over (user, day) pairs (continuity corrected): b/c discordant "
+        "counts are exact integers, the density per pair is "
+        "scale-invariant (events per user-day is constant across SF), "
+        "and the zero-discordant case is guarded identically on both "
+        "engines"
+    ),
+)
+def mcnemar_test(spark, sf_dir):
+    """One partial-agg rollup on (user, day) with two conditional max
+    bits, one global count — integers until the final division. Scales
+    as a single groupBy; no scalar pre-pass needed since the AM/PM split
+    is per-row algebra."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    u = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (hour < 12), 1).otherwise(0)
+        ).alias("h1"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (hour >= 12), 1).otherwise(0)
+        ).alias("h2"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    bc = F.abs(F.col("b") - F.col("c"))
+    return m.select(
+        "n_pairs",
+        "b",
+        "c",
+        F.round(
+            F.when(
+                F.col("b") + F.col("c") > 0,
+                ((bc - 1) * (bc - 1)).cast("double") / (F.col("b") + F.col("c")),
+            ).otherwise(0.0),
+            6,
+        ).alias("chi2_mcnemar"),
+    )
+
+
+# Solar position (NOAA/Spencer closed form) ----------------------------------
+
+# Spencer (1971) Fourier coefficients — public-domain NOAA formulas; literal
+# constants shared verbatim by both engines.
+_SP_DECL = "0.006918 - 0.399912 * cos({g}) + 0.070257 * sin({g}) - 0.006758 * cos(2 * {g}) + 0.000907 * sin(2 * {g}) - 0.002697 * cos(3 * {g}) + 0.00148 * sin(3 * {g})"
+_SP_EQT = "229.18 * (0.000075 + 0.001868 * cos({g}) - 0.032077 * sin({g}) - 0.014615 * cos(2 * {g}) - 0.040849 * sin(2 * {g}))"
+_SOLAR_PI = 3.141592653589793
+
+
+def _solar_oracle_sql() -> str:
+    g = "g"
+    return f"""
+    WITH p AS (
+      SELECT event_id,
+             (CAST(event_id * 7919 % 1200 AS DOUBLE) / 10.0) - 60.0 AS lat,
+             (CAST(event_id * 104729 % 3600 AS DOUBLE) / 10.0) - 180.0 AS lon,
+             CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS BIGINT) AS doy,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) % 86400000 AS DOUBLE)
+               / 3600000.0 AS h
+      FROM events
+    ),
+    a AS (
+      SELECT event_id, lat, lon, doy, h,
+             2.0 * {_SOLAR_PI!r} / 365.0 * (doy - 1 + (h - 12.0) / 24.0) AS g
+      FROM p
+    ),
+    b AS (
+      SELECT event_id, lat, lon, h,
+             {_SP_DECL.format(g=g)} AS decl,
+             {_SP_EQT.format(g=g)} AS eqt
+      FROM a
+    ),
+    c AS (
+      SELECT event_id, lat, decl,
+             (h * 60.0 + eqt + 4.0 * lon) / 4.0 - 180.0 AS ha_deg
+      FROM b
+    )
+    SELECT event_id,
+           round(decl, 6) AS decl,
+           round(sin(lat * {_SOLAR_PI!r} / 180.0) * sin(decl)
+                 + cos(lat * {_SOLAR_PI!r} / 180.0) * cos(decl)
+                   * cos(ha_deg * {_SOLAR_PI!r} / 180.0), 6) AS cos_zen,
+           CASE WHEN sin(lat * {_SOLAR_PI!r} / 180.0) * sin(decl)
+                     + cos(lat * {_SOLAR_PI!r} / 180.0) * cos(decl)
+                       * cos(ha_deg * {_SOLAR_PI!r} / 180.0) > 0.0
+                THEN 1 ELSE 0 END AS is_day
+    FROM c
+    """
+
+
+@register(
+    "solar_position",
+    _solar_oracle_sql(),
+    doc=(
+        "solar declination, cosine zenith and day/night flag per event "
+        "point via the Spencer/NOAA closed form (fractional-year Fourier "
+        "declination + equation of time + hour angle) — the astronomy "
+        "behind FILDA's day/night granule gating "
+        "(reference: FILDA2 solar-zenith day/night shortcut, "
+        "src/FILDA2/FILDA.py day-granule pruning), as pure column algebra"
+    ),
+)
+def solar_position(spark, sf_dir):
+    """Entirely map-side column algebra — no shuffle at all: day-of-year
+    and UTC hour come from integer epoch math, the Spencer series and
+    zenith cosine are fixed-structure float expressions with literal
+    coefficients shared with the SQL oracle, so both engines execute the
+    same IEEE op sequence (residual libm-vs-Math ulp drift absorbed by
+    the 6-dp round). At 100 TB this is a free rider on any scan."""
+    ev = _t(spark, sf_dir, "events")
+    pi = _SOLAR_PI
+    lat = (F.col("event_id") * 7919 % 1200).cast("double") / 10.0 - 60.0
+    lon = (F.col("event_id") * 104729 % 3600).cast("double") / 10.0 - 180.0
+    doy = F.dayofyear(F.col("ts").cast("timestamp")).cast("long")
+    h = (
+        F.unix_millis(F.col("ts").cast("timestamp")) % 86400000
+    ).cast("double") / 3600000.0
+    g = 2.0 * F.lit(pi) / 365.0 * (doy - 1 + (h - 12.0) / 24.0)
+    decl = (
+        F.lit(0.006918)
+        - 0.399912 * F.cos(g)
+        + 0.070257 * F.sin(g)
+        - 0.006758 * F.cos(2 * g)
+        + 0.000907 * F.sin(2 * g)
+        - 0.002697 * F.cos(3 * g)
+        + 0.00148 * F.sin(3 * g)
+    )
+    eqt = F.lit(229.18) * (
+        F.lit(0.000075)
+        + 0.001868 * F.cos(g)
+        - 0.032077 * F.sin(g)
+        - 0.014615 * F.cos(2 * g)
+        - 0.040849 * F.sin(2 * g)
+    )
+    a = ev.select(
+        "event_id",
+        lat.alias("lat"),
+        decl.alias("decl"),
+        ((h * 60.0 + eqt + 4.0 * lon) / 4.0 - 180.0).alias("ha_deg"),
+    )
+    cz = F.sin(F.col("lat") * pi / 180.0) * F.sin(F.col("decl")) + F.cos(
+        F.col("lat") * pi / 180.0
+    ) * F.cos(F.col("decl")) * F.cos(F.col("ha_deg") * pi / 180.0)
+    return a.select(
+        "event_id",
+        F.round("decl", 6).alias("decl"),
+        F.round(cz, 6).alias("cos_zen"),
+        F.when(cz > 0.0, 1).otherwise(0).alias("is_day"),
+    )
+
+
+# Great-circle destination point ---------------------------------------------
+
+_GD_R_KM = 6371.0
+
+
+@register(
+    "geodesic_destination",
+    f"""
+    WITH p AS (
+      SELECT event_id,
+             ((CAST(event_id * 7919 % 1200 AS DOUBLE) / 10.0) - 60.0)
+               * {_SOLAR_PI!r} / 180.0 AS ph1,
+             ((CAST(event_id * 104729 % 3600 AS DOUBLE) / 10.0) - 180.0)
+               * {_SOLAR_PI!r} / 180.0 AS la1,
+             CAST(event_id * 37 % 360 AS DOUBLE) * {_SOLAR_PI!r} / 180.0 AS th,
+             CAST(event_id % 500 AS DOUBLE) / {_GD_R_KM!r} AS dr
+      FROM events
+    ),
+    d AS (
+      SELECT event_id, ph1, la1, th, dr,
+             asin(sin(ph1) * cos(dr) + cos(ph1) * sin(dr) * cos(th)) AS ph2
+      FROM p
+    )
+    SELECT event_id,
+           round(ph2 * 180.0 / {_SOLAR_PI!r}, 6) AS lat2,
+           round((la1 + atan2(sin(th) * sin(dr) * cos(ph1),
+                              cos(dr) - sin(ph1) * sin(ph2)))
+                 * 180.0 / {_SOLAR_PI!r}, 6) AS lon2
+    FROM d
+    """,
+    doc=(
+        "great-circle destination point: from each event's synthetic "
+        "(lat, lon), travel (event_id %% 500) km on bearing "
+        "(event_id*37 %% 360) over the sphere — the forward geodesic "
+        "primitive complementing the haversine distance family"
+    ),
+)
+def geodesic_destination(spark, sf_dir):
+    """Pure map-side spherical trigonometry with the identical expression
+    tree in both engines (literal pi / radius), no shuffle; the standard
+    forward-azimuth formulas (asin/atan2 are 1-ulp-stable and the 6-dp
+    round absorbs drift)."""
+    ev = _t(spark, sf_dir, "events")
+    pi = _SOLAR_PI
+    ph1 = ((F.col("event_id") * 7919 % 1200).cast("double") / 10.0 - 60.0) * pi / 180.0
+    la1 = (
+        (F.col("event_id") * 104729 % 3600).cast("double") / 10.0 - 180.0
+    ) * pi / 180.0
+    th = (F.col("event_id") * 37 % 360).cast("double") * pi / 180.0
+    dr = (F.col("event_id") % 500).cast("double") / _GD_R_KM
+    d = ev.select(
+        "event_id",
+        ph1.alias("ph1"),
+        la1.alias("la1"),
+        th.alias("th"),
+        dr.alias("dr"),
+    ).select(
+        "event_id",
+        "ph1",
+        "la1",
+        "th",
+        "dr",
+        F.asin(
+            F.sin(F.col("ph1")) * F.cos(F.col("dr"))
+            + F.cos(F.col("ph1")) * F.sin(F.col("dr")) * F.cos(F.col("th"))
+        ).alias("ph2"),
+    )
+    return d.select(
+        "event_id",
+        F.round(F.col("ph2") * 180.0 / pi, 6).alias("lat2"),
+        F.round(
+            (
+                F.col("la1")
+                + F.atan2(
+                    F.sin(F.col("th")) * F.sin(F.col("dr")) * F.cos(F.col("ph1")),
+                    F.cos(F.col("dr")) - F.sin(F.col("ph1")) * F.sin(F.col("ph2")),
+                )
+            )
+            * 180.0
+            / pi,
+            6,
+        ).alias("lon2"),
+    )
+
+
+# Line densification ----------------------------------------------------------
+
+_LD_STEP = 500.0  # grid units between inserted vertices
+
+
+@register(
+    "line_densify",
+    f"""
+    WITH pts AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms, event_id,
+             (user_id % 120) * 1000
+               + CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END
+               + event_id % 7 AS iy,
+             (user_id % 300) * 1000
+               + CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END
+               + event_id % 5 AS ix
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id,
+             row_number() OVER w AS seq,
+             lag(ix) OVER w AS x0, lag(iy) OVER w AS y0,
+             ix - lag(ix) OVER w AS dx, iy - lag(iy) OVER w AS dy
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    ),
+    seg AS (
+      SELECT user_id, seq, x0, y0, dx, dy,
+             CAST(floor(sqrt(CAST(dx * dx + dy * dy AS DOUBLE)) / {_LD_STEP!r})
+                  AS BIGINT) AS n_ins
+      FROM legs WHERE dx IS NOT NULL
+    )
+    SELECT user_id, seq, CAST(i AS BIGINT) AS i,
+           round(x0 + CAST(i AS DOUBLE) / (n_ins + 1) * dx, 6) AS xi,
+           round(y0 + CAST(i AS DOUBLE) / (n_ins + 1) * dy, 6) AS yi
+    FROM seg CROSS JOIN unnest(generate_series(1, n_ins)) AS t(i)
+    WHERE n_ins > 0
+    """,
+    doc=(
+        f"trajectory densification: insert evenly-spaced vertices every "
+        f"~{_LD_STEP:.0f} grid units along each leg (floor(len/step) "
+        "points, linear interpolation) — the vector-upsampling primitive "
+        "feeding rasterize_segments, exact integer endpoints"
+    ),
+)
+def line_densify(spark, sf_dir):
+    """One trajectory window emits legs map-side; the vertex fan-out is a
+    sequence() explode proportional to leg length over the step (the
+    data's own sparsity — no cross join). Endpoints and deltas are exact
+    integers; the interpolation fraction i/(n+1) is one double divide per
+    emitted vertex, identical IEEE ops on both engines (sqrt is exact, so
+    the floor() vertex count cannot disagree)."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        (
+            (F.col("user_id") % 120) * 1000
+            + F.when(F.col("event_id") % 13 < 4, 2000).otherwise(0)
+            + F.col("event_id") % 7
+        ).alias("iy"),
+        (
+            (F.col("user_id") % 300) * 1000
+            + F.when(F.col("event_id") % 13 < 4, 2000).otherwise(0)
+            + F.col("event_id") % 5
+        ).alias("ix"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    legs = pts.select(
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.lag("ix").over(w).alias("x0"),
+        F.lag("iy").over(w).alias("y0"),
+        (F.col("ix") - F.lag("ix").over(w)).alias("dx"),
+        (F.col("iy") - F.lag("iy").over(w)).alias("dy"),
+    ).filter(F.col("dx").isNotNull())
+    seg = legs.select(
+        "user_id",
+        "seq",
+        "x0",
+        "y0",
+        "dx",
+        "dy",
+        F.floor(
+            F.sqrt((F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).cast("double"))
+            / _LD_STEP
+        )
+        .cast("long")
+        .alias("n_ins"),
+    ).filter(F.col("n_ins") > 0)
+    t = F.col("i").cast("double") / (F.col("n_ins") + 1)
+    return seg.select(
+        "user_id",
+        "seq",
+        F.explode(F.sequence(F.lit(1), F.col("n_ins"))).alias("i"),
+        "x0",
+        "y0",
+        "dx",
+        "dy",
+        "n_ins",
+    ).select(
+        "user_id",
+        "seq",
+        F.col("i").cast("long").alias("i"),
+        F.round(F.col("x0") + t * F.col("dx"), 6).alias("xi"),
+        F.round(F.col("y0") + t * F.col("dy"), 6).alias("yi"),
+    )
+
+
+# Tissot distortion of the sinusoidal projection ------------------------------
+
+
+@register(
+    "tissot_sinusoidal",
+    f"""
+    WITH la AS (SELECT CAST(unnest(generate_series(-60, 60, 10)) AS DOUBLE) AS latd),
+    lo AS (SELECT CAST(unnest(generate_series(-170, 170, 20)) AS DOUBLE) AS lond),
+    g AS (
+      SELECT latd, lond,
+             latd * {_SOLAR_PI!r} / 180.0 AS ph,
+             lond * {_SOLAR_PI!r} / 180.0 AS lm
+      FROM la CROSS JOIN lo
+    ),
+    m AS (
+      SELECT latd, lond,
+             lm * lm * sin(ph) * sin(ph) + 2.0 AS tr,
+             1.0 AS det
+      FROM g
+    ),
+    e AS (
+      SELECT latd, lond,
+             sqrt((tr + sqrt(tr * tr - 4.0 * det)) / 2.0) AS a,
+             sqrt((tr - sqrt(tr * tr - 4.0 * det)) / 2.0) AS b
+      FROM m
+    )
+    SELECT CAST(latd AS BIGINT) AS lat, CAST(lond AS BIGINT) AS lon,
+           round(a, 6) AS a, round(b, 6) AS b,
+           round(a * b, 6) AS area_scale,
+           round(2.0 * asin((a - b) / (a + b)) * 180.0 / {_SOLAR_PI!r}, 6)
+             AS omega_deg
+    FROM e
+    """,
+    doc=(
+        "Tissot indicatrix of the sinusoidal projection used by the "
+        "MCD12Q1 land-cover tile join (reference: sinusoidal "
+        "forward/inverse in src/FILDA2/FILDA_Time_Cord.py tile math): "
+        "semi-axes from the eigenvalues of the Jacobian in the "
+        "orthonormal spherical frame (parallel column scaled by 1/cos "
+        "lat) on a 13x18 graticule, area_scale == 1 confirms the "
+        "equal-area property, "
+        "omega is the max angular deformation"
+    ),
+)
+def tissot_sinusoidal(spark, sf_dir):
+    """A generated 234-point graticule (two sequence() ranges
+    cross-joined — constant size, no table scan) with the closed-form
+    eigenvalue algebra of the projection Jacobian; structure-identical
+    float expressions on both engines. The sf_dir argument is unused —
+    the indicatrix is a property of the projection, not the data."""
+    la = spark.range(-6, 7).select((F.col("id") * 10).cast("double").alias("latd"))
+    lo = spark.range(-17, 18, 2).select((F.col("id") * 10).cast("double").alias("lond"))
+    pi = _SOLAR_PI
+    g = la.crossJoin(lo).select(
+        "latd",
+        "lond",
+        (F.col("latd") * pi / 180.0).alias("ph"),
+        (F.col("lond") * pi / 180.0).alias("lm"),
+    )
+    m = g.select(
+        "latd",
+        "lond",
+        (
+            F.col("lm") * F.col("lm") * F.sin(F.col("ph")) * F.sin(F.col("ph"))
+            + 2.0
+        ).alias("tr"),
+        F.lit(1.0).alias("det"),
+    )
+    e = m.select(
+        "latd",
+        "lond",
+        F.sqrt((F.col("tr") + F.sqrt(F.col("tr") * F.col("tr") - 4.0 * F.col("det"))) / 2.0).alias("a"),
+        F.sqrt((F.col("tr") - F.sqrt(F.col("tr") * F.col("tr") - 4.0 * F.col("det"))) / 2.0).alias("b"),
+    )
+    return e.select(
+        F.col("latd").cast("long").alias("lat"),
+        F.col("lond").cast("long").alias("lon"),
+        F.round("a", 6).alias("a"),
+        F.round("b", 6).alias("b"),
+        F.round(F.col("a") * F.col("b"), 6).alias("area_scale"),
+        F.round(
+            2.0 * F.asin((F.col("a") - F.col("b")) / (F.col("a") + F.col("b")))
+            * 180.0
+            / pi,
+            6,
+        ).alias("omega_deg"),
+    )
+
+
+# Catmull-Rom trajectory smoothing --------------------------------------------
+
+
+@register(
+    "catmull_rom_smooth",
+    """
+    WITH pts AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms, event_id,
+             (user_id % 120) * 1000
+               + CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END
+               + event_id % 7 AS iy,
+             (user_id % 300) * 1000
+               + CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END
+               + event_id % 5 AS ix
+      FROM events
+    ),
+    q AS (
+      SELECT user_id,
+             row_number() OVER w AS seq,
+             lag(ix, 1) OVER w AS x0, lag(iy, 1) OVER w AS y0,
+             ix AS x1, iy AS y1,
+             lead(ix, 1) OVER w AS x2, lead(iy, 1) OVER w AS y2,
+             lead(ix, 2) OVER w AS x3, lead(iy, 2) OVER w AS y3
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)
+    )
+    SELECT user_id, seq,
+           round(0.0625 * (-CAST(x0 AS DOUBLE) + 9.0 * x1 + 9.0 * x2 - x3), 6)
+             AS xs,
+           round(0.0625 * (-CAST(y0 AS DOUBLE) + 9.0 * y1 + 9.0 * y2 - y3), 6)
+             AS ys
+    FROM q WHERE x0 IS NOT NULL AND x3 IS NOT NULL
+    """,
+    doc=(
+        "Catmull-Rom spline midpoints over each interior trajectory "
+        "segment (t = 0.5: (-p0 + 9 p1 + 9 p2 - p3)/16) — C1-continuous "
+        "track smoothing/upsampling beside track_simplify (which removes "
+        "vertices) and line_densify (which inserts linear ones)"
+    ),
+)
+def catmull_rom_smooth(spark, sf_dir):
+    """One per-user sort window supplies the 4-point stencil via
+    lag/lead in a single pass; the spline midpoint is a fixed-order
+    polynomial on exact integer coordinates (0.0625 and 9 are exact in
+    binary, so the only rounding is the final 6-dp display round —
+    bit-identical everywhere)."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        (
+            (F.col("user_id") % 120) * 1000
+            + F.when(F.col("event_id") % 13 < 4, 2000).otherwise(0)
+            + F.col("event_id") % 7
+        ).alias("iy"),
+        (
+            (F.col("user_id") % 300) * 1000
+            + F.when(F.col("event_id") % 13 < 4, 2000).otherwise(0)
+            + F.col("event_id") % 5
+        ).alias("ix"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    q = pts.select(
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.lag("ix", 1).over(w).alias("x0"),
+        F.lag("iy", 1).over(w).alias("y0"),
+        F.col("ix").alias("x1"),
+        F.col("iy").alias("y1"),
+        F.lead("ix", 1).over(w).alias("x2"),
+        F.lead("iy", 1).over(w).alias("y2"),
+        F.lead("ix", 2).over(w).alias("x3"),
+        F.lead("iy", 2).over(w).alias("y3"),
+    ).filter(F.col("x0").isNotNull() & F.col("x3").isNotNull())
+    return q.select(
+        "user_id",
+        "seq",
+        F.round(
+            0.0625
+            * (
+                -F.col("x0").cast("double")
+                + 9.0 * F.col("x1")
+                + 9.0 * F.col("x2")
+                - F.col("x3")
+            ),
+            6,
+        ).alias("xs"),
+        F.round(
+            0.0625
+            * (
+                -F.col("y0").cast("double")
+                + 9.0 * F.col("y1")
+                + 9.0 * F.col("y2")
+                - F.col("y3")
+            ),
+            6,
+        ).alias("ys"),
+    )
+
+
+# ROC curve points ------------------------------------------------------------
+
+_ROC_STEP = 5000  # threshold spacing in cents
+_ROC_K = 20
+
+
+@register(
+    "roc_points",
+    f"""
+    WITH s AS (
+      SELECT greatest(CAST(round(value * 100, 0) AS BIGINT), 0) AS sc,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT sc // {_ROC_STEP} AS bkt,
+             CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(1 - pos) AS BIGINT) AS nn
+      FROM s GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n FROM b),
+    th AS (SELECT CAST(unnest(generate_series(0, {_ROC_K - 1})) AS BIGINT) AS j),
+    cm AS (
+      SELECT th.j AS j,
+             CAST(COALESCE(sum(CASE WHEN b.bkt >= th.j THEN b.np END), 0) AS BIGINT) AS tp,
+             CAST(COALESCE(sum(CASE WHEN b.bkt >= th.j THEN b.nn END), 0) AS BIGINT) AS fp
+      FROM th CROSS JOIN b GROUP BY th.j
+    )
+    SELECT j * {_ROC_STEP} AS threshold, tp, fp,
+           round(CAST(tp AS DOUBLE) / p, 6) AS tpr,
+           round(CAST(fp AS DOUBLE) / n, 6) AS fpr
+    FROM cm, tot ORDER BY threshold
+    """,
+    doc=(
+        f"ROC operating points at {_ROC_K} fixed thresholds (every "
+        f"{_ROC_STEP} cents) scoring value against the purchase label: "
+        "the curve behind auc_mannwhitney's scalar — exact integer "
+        "tp/fp from a bucketed cumulative histogram, never a per-"
+        "threshold scan"
+    ),
+)
+def roc_points(spark, sf_dir):
+    """One partial-agg groupBy onto the score-bucket histogram (O(score "
+    "domain / step) rows), then a constant {K} x buckets broadcast join
+    builds every operating point from the same tiny frame. At any corpus
+    size the only data-proportional work is the first groupBy."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        F.greatest(F.round(F.col("value") * 100, 0).cast("long"), F.lit(0)).alias(
+            "sc"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    b = s.groupBy((F.col("sc") / _ROC_STEP).cast("long").alias("bkt")).agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum(1 - F.col("pos")).cast("long").alias("nn"),
+    )
+    b = _persist_evict(b)
+    tot = b.agg(
+        F.sum("np").cast("long").alias("p"), F.sum("nn").cast("long").alias("n")
+    )
+    th = spark.range(0, _ROC_K).select(F.col("id").cast("long").alias("j"))
+    cm = (
+        th.crossJoin(F.broadcast(b))
+        .groupBy("j")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("bkt") >= F.col("j"), F.col("np"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(F.when(F.col("bkt") >= F.col("j"), F.col("nn"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    return cm.crossJoin(F.broadcast(tot)).select(
+        (F.col("j") * _ROC_STEP).alias("threshold"),
+        "tp",
+        "fp",
+        F.round(F.col("tp").cast("double") / F.col("p"), 6).alias("tpr"),
+        F.round(F.col("fp").cast("double") / F.col("n"), 6).alias("fpr"),
+    )
+
+
+# Gains / lift table -----------------------------------------------------------
+
+
+@register(
+    "lift_deciles",
+    """
+    WITH s AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS sc, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT pos, ntile(10) OVER (ORDER BY sc DESC, event_id) AS decile
+      FROM s
+    ),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM d GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n, n_pos,
+             sum(n) OVER w AS cum_n, sum(n_pos) OVER w AS cum_pos,
+             sum(n) OVER () AS tot_n, sum(n_pos) OVER () AS tot_pos
+      FROM g
+      WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT decile, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS rate,
+           round((CAST(cum_pos AS DOUBLE) / cum_n)
+                 / (CAST(tot_pos AS DOUBLE) / tot_n), 6) AS cum_lift
+    FROM c ORDER BY decile
+    """,
+    doc=(
+        "gains/lift table: score-ranked deciles (value cents, event_id "
+        "tie-break so the ntile cut is total-order deterministic) vs the "
+        "purchase response — per-decile response rate and cumulative "
+        "lift, the campaign-targeting evaluation classic"
+    ),
+)
+def lift_deciles(spark, sf_dir):
+    """The only full-data pass is the ntile sort (one global window —
+    the documented single-task seam shared with kruskal's rank frame; a
+    two-pass range-partitioned ntile is the 100 TB path); everything
+    after runs on the 10-row decile frame with ordered-prefix windows,
+    exact integers into two final divisions."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("sc"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    d = s.select(
+        "pos",
+        F.ntile(10).over(Window.orderBy(F.col("sc").desc(), "event_id")).alias(
+            "decile"
+        ),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wt).alias("tot_n"),
+        F.sum("n_pos").over(wt).alias("tot_pos"),
+    )
+    return c.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias("rate"),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("tot_pos").cast("double") / F.col("tot_n")),
+            6,
+        ).alias("cum_lift"),
+    )
+
+
+# NDCG@k of a hash ranking -----------------------------------------------------
+
+_NDCG_K = 20
+_NDCG_LN2 = 0.6931471805599453  # literal ln(2) shared by both engines
+
+
+@register(
+    "ndcg_at_k",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {_MD5_60.format(key="doc_id")} AS h,
+             least(3, n_chars // 150) AS rel
+      FROM documents
+    ),
+    rk AS (
+      SELECT rel, row_number() OVER (ORDER BY h DESC, doc_id) AS i FROM d
+    ),
+    ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS i FROM d
+    ),
+    dcg AS (
+      SELECT CAST(sum(CAST(round((pow(2.0, rel) - 1.0)
+                   / (ln(CAST(i AS DOUBLE) + 1.0) / {_NDCG_LN2!r})
+                   * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s
+      FROM rk WHERE i <= {_NDCG_K}
+    ),
+    idcg AS (
+      SELECT CAST(sum(CAST(round((pow(2.0, rel) - 1.0)
+                   / (ln(CAST(i AS DOUBLE) + 1.0) / {_NDCG_LN2!r})
+                   * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s
+      FROM ideal WHERE i <= {_NDCG_K}
+    )
+    SELECT CAST({_NDCG_K} AS BIGINT) AS k,
+           round(CAST(dcg.s AS DOUBLE) / 1000000000000.0, 6) AS dcg,
+           round(CAST(idcg.s AS DOUBLE) / 1000000000000.0, 6) AS idcg,
+           round(CAST(dcg.s AS DOUBLE) / idcg.s, 6) AS ndcg
+    FROM dcg, idcg
+    """,
+    doc=(
+        f"NDCG@{_NDCG_K} of the md5-hash document ranking against "
+        "n_chars-graded relevance (0-3, 150-char steps): the ranking-quality metric with "
+        "exact fixed-point (1e-12) per-position gains so the DCG sums "
+        "are order-independent integers; the hash ranking is the "
+        "deterministic null model (expected NDCG of an uninformed "
+        "ranker)"
+    ),
+)
+def ndcg_at_k(spark, sf_dir):
+    """Two global top-k windows (WindowGroupLimit prunes the sort to the
+    k heads), each folding its fixed-point position gains into an exact
+    integer sum; the discount uses a literal ln(2) so the only engine
+    transcendental is ln(i+1) on {K} small integers — identical IEEE
+    inputs on both sides."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _h60("doc_id").alias("h"),
+        F.least(F.lit(3), (F.col("n_chars") / 150).cast("long")).alias("rel"),
+    )
+    d = _persist_evict(d)
+    term = F.round(
+        (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+        / (F.log(F.col("i").cast("double") + 1.0) / _NDCG_LN2)
+        * 1000000000000.0
+    ).cast("long")
+    rk = d.select(
+        "rel", F.row_number().over(Window.orderBy(F.col("h").desc(), "doc_id")).alias("i")
+    ).filter(F.col("i") <= _NDCG_K)
+    ideal = d.select(
+        "rel",
+        F.row_number().over(Window.orderBy(F.col("rel").desc(), "doc_id")).alias("i"),
+    ).filter(F.col("i") <= _NDCG_K)
+    dcg = rk.agg(F.sum(term).cast("long").alias("s"))
+    idcg = ideal.agg(F.sum(term).cast("long").alias("s2"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.lit(_NDCG_K).cast("long").alias("k"),
+        F.round(F.col("s").cast("double") / 1000000000000.0, 6).alias("dcg"),
+        F.round(F.col("s2").cast("double") / 1000000000000.0, 6).alias("idcg"),
+        F.round(F.col("s").cast("double") / F.col("s2"), 6).alias("ndcg"),
+    )
+
+
+# Per-class F1 of the language-ID heuristic ------------------------------------
+
+
+def _langid_f1_oracle_sql() -> str:
+    from filda_spark.functions import text as _TX
+
+    return f"""
+    WITH pred AS (
+      SELECT lang AS lang_true,
+             {_TX.lang_id_sql("' ' || text || ' '")} AS lang_pred
+      FROM documents
+    ),
+    cm AS (
+      SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    cls AS (
+      SELECT lang_true AS lang FROM cm
+      UNION SELECT lang_pred FROM cm
+    ),
+    m AS (
+      SELECT cls.lang AS lang,
+             CAST(COALESCE((SELECT sum(n) FROM cm
+               WHERE lang_true = cls.lang AND lang_pred = cls.lang), 0) AS BIGINT) AS tp,
+             CAST(COALESCE((SELECT sum(n) FROM cm
+               WHERE lang_pred = cls.lang AND lang_true <> cls.lang), 0) AS BIGINT) AS fp,
+             CAST(COALESCE((SELECT sum(n) FROM cm
+               WHERE lang_true = cls.lang AND lang_pred <> cls.lang), 0) AS BIGINT) AS fn
+      FROM cls
+    )
+    SELECT lang, tp, fp, fn,
+           round(CASE WHEN tp + fp > 0
+                      THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6)
+             AS precision_c,
+           round(CASE WHEN tp + fn > 0
+                      THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6)
+             AS recall_c,
+           round(CASE WHEN 2 * tp + fp + fn > 0
+                      THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
+    FROM m
+    """
+
+
+@register(
+    "langid_f1",
+    _langid_f1_oracle_sql(),
+    doc=(
+        "per-class precision/recall/F1 of the n-gram language-ID "
+        "heuristic against the labeled lang column — the scalar "
+        "class-quality summary over langid_confusion's matrix (F1 via "
+        "the division-robust 2tp/(2tp+fp+fn) identity, exact integers "
+        "until three final divisions)"
+    ),
+)
+def langid_f1(spark, sf_dir):
+    """Map-side prediction (same JVM column algebra as text_analysis /
+    langid_confusion), one partial-agg to the O(langs^2) matrix, then
+    tp/fp/fn as three conditional rollups of that tiny frame — the class
+    universe is the union of true and predicted labels so a class the
+    model never predicts still reports recall 0."""
+    from filda_spark.functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = d.select(
+        F.col("lang").alias("lang_true"), TX.lang_id(padded).alias("lang_pred")
+    )
+    cm = _persist_evict(
+        pred.groupBy("lang_true", "lang_pred").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    cls = (
+        cm.select(F.col("lang_true").alias("lang"))
+        .union(cm.select(F.col("lang_pred").alias("lang")))
+        .distinct()
+    )
+    tp = cm.filter(F.col("lang_true") == F.col("lang_pred")).select(
+        F.col("lang_true").alias("lang"), F.col("n").alias("tp0")
+    )
+    fp = (
+        cm.filter(F.col("lang_true") != F.col("lang_pred"))
+        .groupBy(F.col("lang_pred").alias("lang"))
+        .agg(F.sum("n").alias("fp0"))
+    )
+    fn = (
+        cm.filter(F.col("lang_true") != F.col("lang_pred"))
+        .groupBy(F.col("lang_true").alias("lang"))
+        .agg(F.sum("n").alias("fn0"))
+    )
+    m = (
+        cls.join(F.broadcast(tp), "lang", "left")
+        .join(F.broadcast(fp), "lang", "left")
+        .join(F.broadcast(fn), "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp0", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("fp0", F.lit(0)).cast("long").alias("fp"),
+            F.coalesce("fn0", F.lit(0)).cast("long").alias("fn"),
+        )
+    )
+    tpc, fpc, fnc = F.col("tp"), F.col("fp"), F.col("fn")
+    return m.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(tpc + fpc > 0, tpc.cast("double") / (tpc + fpc)).otherwise(0.0), 6
+        ).alias("precision_c"),
+        F.round(
+            F.when(tpc + fnc > 0, tpc.cast("double") / (tpc + fnc)).otherwise(0.0), 6
+        ).alias("recall_c"),
+        F.round(
+            F.when(2 * tpc + fpc + fnc > 0, 2.0 * tpc / (2 * tpc + fpc + fnc)).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
+# Cohen's d / Hedges' g effect size -------------------------------------------
+
+
+@register(
+    "cohens_d",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    m AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        CAST(sum(CASE WHEN event_type = 'click' THEN v ELSE 0 END) AS HUGEINT) AS s1,
+        sum(CASE WHEN event_type = 'click' THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q1,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END) AS HUGEINT) AS s2,
+        sum(CASE WHEN event_type = 'purchase' THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q2
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / CAST(n1 AS DOUBLE))
+                         + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / CAST(n2 AS DOUBLE)))
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 6) AS d,
+           round(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / CAST(n1 AS DOUBLE))
+                         + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / CAST(n2 AS DOUBLE)))
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)))
+                 * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 9.0)),
+                 6) AS hedges_g
+    FROM m
+    """,
+    doc=(
+        "Cohen's d standardized mean difference (click vs purchase "
+        "values, pooled SD) with the Hedges' g small-sample correction — "
+        "the effect-size companion to ab_test_ztest's significance: "
+        "exact integer moments in one pass, closed-form floats at the "
+        "end"
+    ),
+)
+def cohens_d(spark, sf_dir):
+    """Single partial-agg pass with six conditional exact moments
+    (decimal(38,0)), then a fixed-structure float expression — the
+    ab_test_ztest shape with a pooled-variance denominator."""
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "purchase")
+    )
+    v = F.round(F.col("value") * 100, 0).cast("long")
+    s = ev.select("event_type", v.alias("v"))
+    is1 = F.col("event_type") == "click"
+    is2 = F.col("event_type") == "purchase"
+    m = s.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast(d38).alias("n1"),
+        F.sum(F.when(is1, F.col("v")).otherwise(0)).cast(d38).alias("s1"),
+        F.sum(F.when(is1, F.col("v").cast(d38) * F.col("v")).otherwise(0)).alias("q1"),
+        F.sum(F.when(is2, 1).otherwise(0)).cast(d38).alias("n2"),
+        F.sum(F.when(is2, F.col("v")).otherwise(0)).cast(d38).alias("s2"),
+        F.sum(F.when(is2, F.col("v").cast(d38) * F.col("v")).otherwise(0)).alias("q2"),
+    )
+    n1d, s1d, q1d = (F.col(c).cast("double") for c in ("n1", "s1", "q1"))
+    n2d, s2d, q2d = (F.col(c).cast("double") for c in ("n2", "s2", "q2"))
+    dd = (s1d / n1d - s2d / n2d) / F.sqrt(
+        ((q1d - s1d * F.col("s1") / n1d) + (q2d - s2d * F.col("s2") / n2d))
+        / (n1d + n2d - 2.0)
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(dd, 6).alias("d"),
+        F.round(dd * (1.0 - 3.0 / (4.0 * (n1d + n2d) - 9.0)), 6).alias("hedges_g"),
+    )
+
+
+# Lloyd k-means (fixed rounds, exact-rational centroids) ----------------------
+
+_KM_K = 4
+_KM_ROUNDS = 3
+
+
+def _km_argmin_sql(pfx: str) -> str:
+    """Chained-CASE argmin over d0..d3 — ties break to the lowest index,
+    deterministically, because the comparisons are <= in fixed order."""
+    return (
+        f"CASE WHEN {pfx}0 <= {pfx}1 AND {pfx}0 <= {pfx}2 AND {pfx}0 <= {pfx}3 THEN 0 "
+        f"WHEN {pfx}1 <= {pfx}2 AND {pfx}1 <= {pfx}3 THEN 1 "
+        f"WHEN {pfx}2 <= {pfx}3 THEN 2 ELSE 3 END"
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    k, rounds = _KM_K, _KM_ROUNDS
+    dists = ", ".join(
+        f"(px - cx{j}) * (px - cx{j}) + (py - cy{j}) * (py - cy{j}) AS d{j}"
+        for j in range(k)
+    )
+    head = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT event_id,
+             CAST(event_id * 7919 % 2000 AS DOUBLE) AS px,
+             CAST(event_id * 104729 % 2400 AS DOUBLE) AS py
+      FROM events
+    ),
+    c0 AS (
+      SELECT {", ".join(f"max(CASE WHEN rk = {j + 1} THEN px END) AS cx{j}, max(CASE WHEN rk = {j + 1} THEN py END) AS cy{j}" for j in range(k))}
+      FROM (SELECT px, py, row_number() OVER (ORDER BY event_id) AS rk
+            FROM pts) WHERE rk <= {k}
+    )"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    a{r} AS MATERIALIZED (
+      SELECT event_id, px, py, {_km_argmin_sql("d")} AS a
+      FROM (SELECT event_id, px, py, {dists} FROM pts, c{r - 1})
+    ),
+    c{r} AS (
+      SELECT {", ".join(f"CASE WHEN sum(CASE WHEN a = {j} THEN 1 ELSE 0 END) > 0 THEN CAST(sum(CASE WHEN a = {j} THEN CAST(px AS BIGINT) ELSE 0 END) AS DOUBLE) / sum(CASE WHEN a = {j} THEN 1 ELSE 0 END) ELSE max(cx{j}) END AS cx{j}, CASE WHEN sum(CASE WHEN a = {j} THEN 1 ELSE 0 END) > 0 THEN CAST(sum(CASE WHEN a = {j} THEN CAST(py AS BIGINT) ELSE 0 END) AS DOUBLE) / sum(CASE WHEN a = {j} THEN 1 ELSE 0 END) ELSE max(cy{j}) END AS cy{j}" for j in range(k))}
+      FROM a{r}, c{r - 1}
+    )""")
+    last = rounds
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    , fin AS (
+      SELECT a, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(d * 1000000.0) AS BIGINT)) AS BIGINT) AS inert
+      FROM (
+        SELECT a{last}.a AS a,
+               CASE a{last}.a {" ".join(f"WHEN {j} THEN (px - cx{j}) * (px - cx{j}) + (py - cy{j}) * (py - cy{j})" for j in range(k))} END AS d
+        FROM a{last}, c{last}
+      ) GROUP BY a
+    )
+    SELECT fin.a AS cluster, n,
+           round(CASE fin.a {" ".join(f"WHEN {j} THEN cx{j}" for j in range(k))} END, 6) AS cx,
+           round(CASE fin.a {" ".join(f"WHEN {j} THEN cy{j}" for j in range(k))} END, 6) AS cy,
+           round(CAST(inert AS DOUBLE) / 1000000.0, 6) AS inertia
+    FROM fin, c{last}
+    """
+    )
+
+
+@register(
+    "kmeans_lloyd",
+    _kmeans_oracle_sql(),
+    doc=(
+        f"Lloyd k-means, k = {_KM_K}, {_KM_ROUNDS} fixed rounds over the "
+        "synthetic 2-D point cloud: seeds are the first k points by id, "
+        "assignment is a fixed-order chained-<= argmin (deterministic "
+        "ties), centroids are exact integer sums / counts, and the "
+        "inertia folds 1e-6 fixed-point distances — the full iterative "
+        "clusterer beside kmeans_assign's static-centroid scorer"
+    ),
+)
+def kmeans_lloyd(spark, sf_dir):
+    """Each round is one broadcast of the 1-row centroid frame into a
+    map-side assignment + one partial-agg groupBy pivot back to the
+    centroid row — the canonical distributed Lloyd step (the shuffle
+    carries k partial sums per partition, never points). Centroid
+    updates stay exact (integer coordinate sums, one division), so both
+    engines iterate on identical doubles; empty clusters keep their
+    previous centroid. Bounded rounds, plan depth {ROUNDS}."""
+    k = _KM_K
+    ev = _t(spark, sf_dir, "events")
+    pts = _persist_evict(
+        ev.select(
+            "event_id",
+            (F.col("event_id") * 7919 % 2000).cast("double").alias("px"),
+            (F.col("event_id") * 104729 % 2400).cast("double").alias("py"),
+        )
+    )
+    wseed = Window.orderBy("event_id")
+    seed = pts.select(
+        "px", "py", F.row_number().over(wseed).alias("rk")
+    ).filter(F.col("rk") <= k)
+    cent = seed.agg(
+        *[
+            c
+            for j in range(k)
+            for c in (
+                F.max(F.when(F.col("rk") == j + 1, F.col("px"))).alias(f"cx{j}"),
+                F.max(F.when(F.col("rk") == j + 1, F.col("py"))).alias(f"cy{j}"),
+            )
+        ]
+    )
+
+    def dcol(j):
+        return (F.col("px") - F.col(f"cx{j}")) * (F.col("px") - F.col(f"cx{j}")) + (
+            F.col("py") - F.col(f"cy{j}")
+        ) * (F.col("py") - F.col(f"cy{j}"))
+
+    def argmin():
+        d = [F.col(f"d{j}") for j in range(k)]
+        return (
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+            .when(d[2] <= d[3], 2)
+            .otherwise(3)
+        )
+
+    asn = None
+    for _ in range(_KM_ROUNDS):
+        asn = pts.crossJoin(F.broadcast(cent)).select(
+            "event_id",
+            "px",
+            "py",
+            *[dcol(j).alias(f"d{j}") for j in range(k)],
+            *[F.col(f"cx{j}") for j in range(k)],
+            *[F.col(f"cy{j}") for j in range(k)],
+        ).select("event_id", "px", "py", argmin().alias("a"))
+        piv = asn.agg(
+            *[
+                c
+                for j in range(k)
+                for c in (
+                    F.sum(F.when(F.col("a") == j, 1).otherwise(0)).alias(f"n{j}"),
+                    F.sum(
+                        F.when(F.col("a") == j, F.col("px").cast("long")).otherwise(0)
+                    ).alias(f"sx{j}"),
+                    F.sum(
+                        F.when(F.col("a") == j, F.col("py").cast("long")).otherwise(0)
+                    ).alias(f"sy{j}"),
+                )
+            ]
+        )
+        cent = piv.crossJoin(F.broadcast(cent)).select(
+            *[
+                c
+                for j in range(k)
+                for c in (
+                    F.when(
+                        F.col(f"n{j}") > 0,
+                        F.col(f"sx{j}").cast("double") / F.col(f"n{j}"),
+                    )
+                    .otherwise(F.col(f"cx{j}"))
+                    .alias(f"_ncx{j}"),
+                    F.when(
+                        F.col(f"n{j}") > 0,
+                        F.col(f"sy{j}").cast("double") / F.col(f"n{j}"),
+                    )
+                    .otherwise(F.col(f"cy{j}"))
+                    .alias(f"_ncy{j}"),
+                )
+            ]
+        ).select(
+            *[
+                c
+                for j in range(k)
+                for c in (
+                    F.col(f"_ncx{j}").alias(f"cx{j}"),
+                    F.col(f"_ncy{j}").alias(f"cy{j}"),
+                )
+            ]
+            # 1-row frame, but checkpointing truncates the round chain:
+            # without it the final action re-executes every earlier
+            # round's full-corpus assignment once per downstream reference
+        ).localCheckpoint()
+    dsel = F.lit(None).cast("double")
+    for j in range(k - 1, -1, -1):
+        dsel = F.when(F.col("a") == j, dcol(j)).otherwise(dsel)
+    fin = (
+        asn.crossJoin(F.broadcast(cent))
+        .select("a", dsel.alias("d"), *[F.col(f"cx{j}") for j in range(k)],
+                *[F.col(f"cy{j}") for j in range(k)])
+        .groupBy("a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("d") * 1000000.0).cast("long"))
+            .cast("long")
+            .alias("inert"),
+        )
+    )
+    csel_x = F.lit(None).cast("double")
+    csel_y = F.lit(None).cast("double")
+    for j in range(k - 1, -1, -1):
+        csel_x = F.when(F.col("a") == j, F.col(f"cx{j}")).otherwise(csel_x)
+        csel_y = F.when(F.col("a") == j, F.col(f"cy{j}")).otherwise(csel_y)
+    return (
+        fin.crossJoin(F.broadcast(cent))
+        .select(
+            F.col("a").alias("cluster"),
+            "n",
+            F.round(csel_x, 6).alias("cx"),
+            F.round(csel_y, 6).alias("cy"),
+            F.round(F.col("inert").cast("double") / 1000000.0, 6).alias("inertia"),
+        )
+    )
+
+
+# Linear multi-touch attribution ----------------------------------------------
+
+_ATT_WINDOW_MS = 7 * 86400000
+
+
+@register(
+    "attribution_linear",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id, event_id AS pid, t_ms AS tp FROM e
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_type, t_ms AS tt FROM e
+      WHERE event_type IN ('click', 'view')
+    ),
+    pair AS (
+      SELECT conv.pid, touch.event_type
+      FROM conv JOIN touch ON touch.user_id = conv.user_id
+       AND touch.tt < conv.tp AND touch.tt >= conv.tp - {_ATT_WINDOW_MS}
+    ),
+    sized AS (
+      SELECT pid, event_type,
+             CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS n_t
+      FROM pair
+    )
+    SELECT event_type AS channel,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions,
+           round(CAST(sum(CAST(round(1000000000000.0 / n_t) AS BIGINT)) AS DOUBLE)
+                 / 1000000000000.0, 6) AS credit
+    FROM sized GROUP BY event_type
+    """,
+    doc=(
+        "linear multi-touch attribution: every purchase splits one unit "
+        "of credit equally across the user's click/view touches in the "
+        "prior 7 days; per-channel credited conversions — fixed-point "
+        "1e-12 credit shares so the cross-touch sum is an exact integer"
+    ),
+)
+def attribution_linear(spark, sf_dir):
+    """Conversion-touch pairing is an equi-join on user with a time-range
+    refine (both sides pre-filtered projections of one scan); the
+    touch-count is a window on the pair key and the credit fold is an
+    exact integer sum. At 100 TB the user equi-join is the only shuffle
+    and the 7-day predicate bounds the fan-out per conversion."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+    )
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("t_ms").alias("tp")
+    )
+    touch = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_type", F.col("t_ms").alias("tt")
+    )
+    pair = conv.join(touch, "user_id").filter(
+        (F.col("tt") < F.col("tp"))
+        & (F.col("tt") >= F.col("tp") - _ATT_WINDOW_MS)
+    )
+    sized = pair.select(
+        "pid",
+        "event_type",
+        F.count(F.lit(1)).over(Window.partitionBy("pid")).cast("long").alias("n_t"),
+    )
+    return sized.groupBy(F.col("event_type").alias("channel")).agg(
+        F.countDistinct("pid").cast("long").alias("n_conversions"),
+        F.round(
+            F.sum(F.round(F.lit(1000000000000.0) / F.col("n_t")).cast("long"))
+            .cast("double")
+            / 1000000000000.0,
+            6,
+        ).alias("credit"),
+    )
+
+
+# RFM segmentation -------------------------------------------------------------
+
+
+@register(
+    "rfm_scores",
+    """
+    WITH p AS (
+      SELECT user_id,
+             max(epoch_ms(CAST(ts AS TIMESTAMP))) AS last_ms,
+             CAST(count(*) AS BIGINT) AS n_purch,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, last_ms, n_purch, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY last_ms, user_id) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY n_purch, user_id) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT)
+             AS m_score,
+           CAST(100 * ntile(5) OVER (ORDER BY last_ms, user_id)
+                + 10 * ntile(5) OVER (ORDER BY n_purch, user_id)
+                + ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT)
+             AS rfm
+    FROM p
+    """,
+    doc=(
+        "RFM customer segmentation: recency/frequency/monetary quintiles "
+        "(ntile over total orders with user_id tie-breaks, so every cut "
+        "is deterministic) composed into the classic 3-digit RFM code — "
+        "exact integers throughout"
+    ),
+)
+def rfm_scores(spark, sf_dir):
+    """One partial-agg rollup to the per-user purchase summary (O(users)
+    rows), then three ntile windows over that small frame — the full
+    event stream is scanned once and never sorted."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    p = ev.groupBy("user_id").agg(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("last_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_purch"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    r = F.ntile(5).over(Window.orderBy("last_ms", "user_id"))
+    f = F.ntile(5).over(Window.orderBy("n_purch", "user_id"))
+    m = F.ntile(5).over(Window.orderBy("monetary_cents", "user_id"))
+    return p.select(
+        "user_id",
+        "last_ms",
+        "n_purch",
+        "monetary_cents",
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+        (100 * r + 10 * f + m).cast("long").alias("rfm"),
+    )
+
+
+# Page-Hinkley drift detector --------------------------------------------------
+
+_PH_DELTA = 50.0  # drift slack, cents
+_PH_LAMBDA = 2000.0  # alarm threshold, cents
+
+
+@register(
+    "page_hinkley",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    x AS (
+      SELECT day, CAST(s AS DOUBLE) / c AS xt,
+             CAST(sum(s) OVER w AS DOUBLE) / sum(c) OVER w AS runmean
+      FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+    ),
+    m AS (
+      SELECT day, xt,
+             sum(xt - runmean - {_PH_DELTA!r}) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      FROM x
+    )
+    SELECT day, round(xt, 6) AS xt, round(mt, 6) AS mt,
+           round(mt - min(mt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW), 6) AS ph,
+           CAST(mt - min(mt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) > {_PH_LAMBDA!r} AS INT) AS alarm
+    FROM m ORDER BY day
+    """,
+    doc=(
+        "Page-Hinkley upward-drift detector over the daily mean value "
+        "series: PH_t = m_t - min m_i with m_t the cumulative "
+        "(x - runmean - delta) deviation — the sequential changepoint "
+        "monitor beside cusum_changepoint's fixed-reference two-sided "
+        "charts; day means are exact rationals, prefix sums are "
+        "order-pinned by the day ordering"
+    ),
+)
+def page_hinkley(spark, sf_dir):
+    """One partial-agg rollup to the O(days) frame, then three stacked
+    ordered windows (running mean, cumulative deviation, running min) —
+    sequential by construction, so the float accumulation order is
+    identical on both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = d.select(
+        "day",
+        (F.col("s").cast("double") / F.col("c")).alias("xt"),
+        (F.sum("s").over(w).cast("double") / F.sum("c").over(w)).alias("runmean"),
+    )
+    m = x.select(
+        "day",
+        "xt",
+        F.sum(F.col("xt") - F.col("runmean") - _PH_DELTA).over(w).alias("mt"),
+    )
+    ph = F.col("mt") - F.min("mt").over(w)
+    return m.select(
+        "day",
+        F.round("xt", 6).alias("xt"),
+        F.round("mt", 6).alias("mt"),
+        F.round(ph, 6).alias("ph"),
+        (ph > _PH_LAMBDA).cast("int").alias("alarm"),
+    )
+
+
+# Association rules (confidence / lift) ----------------------------------------
+
+_AR_TOP = 25
+
+
+@register(
+    "apriori_rules",
+    f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey % 200 AS item FROM lineitem
+    ),
+    nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM op),
+    m AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY item),
+    pr AS (
+      SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS c_ab
+      FROM op a JOIN op b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT i1, i2, c_ab FROM pr ORDER BY c_ab DESC, i1, i2 LIMIT {_AR_TOP}
+    )
+    SELECT top.i1 AS i1, top.i2 AS i2, top.c_ab AS c_ab,
+           m1.c AS c1, m2.c AS c2,
+           round(CAST(top.c_ab AS DOUBLE) / m1.c, 6) AS conf_12,
+           round(CAST(top.c_ab AS DOUBLE) / m2.c, 6) AS conf_21,
+           round(CAST(top.c_ab AS DOUBLE) * n / (m1.c * m2.c), 6) AS lift,
+           round(CAST(top.c_ab AS DOUBLE) / n
+                 - CAST(m1.c AS DOUBLE) * m2.c / n / n, 6) AS leverage
+    FROM top JOIN m m1 ON m1.item = top.i1
+             JOIN m m2 ON m2.item = top.i2
+             CROSS JOIN nb
+    """,
+    doc=(
+        f"association rules for the top-{_AR_TOP} basket pairs (support-"
+        "ordered, deterministic tie-break): bidirectional confidence, "
+        "lift and leverage — the rule-quality layer over "
+        "item_cooccurrence's cosine/jaccard similarity view"
+    ),
+)
+def apriori_rules(spark, sf_dir):
+    """Same basket/pair frames as item_cooccurrence (distinct ->
+    self-equi-join on the order key -> pair groupBy); the deterministic
+    integer top-k cut happens before the metric joins, so the marginal
+    and total frames are probed by {TOP} rows in broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = _persist_evict(
+        li.select(
+            F.col("l_orderkey").alias("o"), (F.col("l_partkey") % 200).alias("item")
+        ).distinct()
+    )
+    nb = op.agg(F.countDistinct("o").cast("long").alias("n"))
+    m = op.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = op.select(F.col("o"), F.col("item").alias("i1"))
+    b = op.select(F.col("o"), F.col("item").alias("i2"))
+    pr = (
+        a.join(b, "o")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    wtop = Window.orderBy(F.col("c_ab").desc(), "i1", "i2")
+    top = (
+        pr.select("i1", "i2", "c_ab", F.row_number().over(wtop).alias("rk"))
+        .filter(F.col("rk") <= _AR_TOP)
+        .drop("rk")
+    )
+    m1 = m.select(F.col("item").alias("i1"), F.col("c").alias("c1"))
+    m2 = m.select(F.col("item").alias("i2"), F.col("c").alias("c2"))
+    return (
+        top.join(F.broadcast(m1), "i1")
+        .join(F.broadcast(m2), "i2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "i1",
+            "i2",
+            "c_ab",
+            "c1",
+            "c2",
+            F.round(F.col("c_ab").cast("double") / F.col("c1"), 6).alias("conf_12"),
+            F.round(F.col("c_ab").cast("double") / F.col("c2"), 6).alias("conf_21"),
+            F.round(
+                F.col("c_ab").cast("double") * F.col("n")
+                / (F.col("c1") * F.col("c2")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("c_ab").cast("double") / F.col("n")
+                - F.col("c1").cast("double") * F.col("c2") / F.col("n") / F.col("n"),
+                6,
+            ).alias("leverage"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

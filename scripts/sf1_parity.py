@@ -267,6 +267,46 @@ QUERIES = [
     "chao1_richness",
     "jackknife_variance",
     "burrows_delta",
+    # session-17 batch 1 (association tests): levene/kappa ride 1M events
+    # (128-bit z-moments, 10x transition pairs); spearman_rho/kendall_tau/
+    # cramers_v are EXCLUDED — lineitem/orders are copied unchanged
+    "levene_test",
+    "cohen_kappa",
+    # session-17 batch 2 (time series): all five ride 1M events (10x
+    # phase-histogram mass, 10x per-user series for pacf/drawdown, 10x
+    # daily counts for the CCF, 10x users for the hazard curve)
+    "diurnal_harmonics",
+    "pacf_durbin",
+    "cross_correlation",
+    "max_drawdown",
+    "nelson_aalen",
+    # session-17 batch 3 (lexical): all five ride the 10x suffixed doc
+    # corpus (spectra, bigram models and top-50 cuts all shift)
+    "yule_k",
+    "good_turing",
+    "simpson_diversity",
+    "kneser_ney_bigram",
+    "dice_collocations",
+    # session-17 batch 4: rayleigh/mcnemar ride 10x users / user-days;
+    # graph_diameter/closeness_landmarks/ppr_seeds are EXCLUDED —
+    # lineitem is copied unchanged (the adamic_adar convention)
+    "rayleigh_test",
+    "mcnemar_test",
+    # session-17 batch 5 (geo): solar/geodesic/densify/catmull ride 1M
+    # events (10x points / trajectory legs); tissot_sinusoidal is
+    # EXCLUDED — its graticule is data-free
+    "solar_position",
+    "geodesic_destination",
+    "line_densify",
+    "catmull_rom_smooth",
+    # session-17 batch 6 (ML eval): roc/lift/cohens_d ride 1M scored
+    # events, ndcg/langid_f1 ride the 10x doc corpus (hash ranking and
+    # class matrix both change)
+    "roc_points",
+    "lift_deciles",
+    "ndcg_at_k",
+    "langid_f1",
+    "cohens_d",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

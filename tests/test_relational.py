@@ -5917,3 +5917,658 @@ def test_nelson_aalen_matches_brute_force(spark, sf_dir):
         assert got[t].d == int(byt.d[t])
         assert got[t].n_risk == int(n_risk[t])
         assert abs(got[t].na_hat - hazard[t]) < 1e-6
+
+
+def _toks_by(sf_dir, key):
+    import pandas as pd
+    import re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=[key, "text"])
+    out = {}
+    for k, t in zip(docs[key], docs.text):
+        out.setdefault(k, []).extend(re.findall(r"\S+", t))
+    return out
+
+
+def test_yule_k_matches_brute_force(spark, sf_dir):
+    got = {r.source: r for r in
+           relational.REGISTRY["yule_k"].fn(spark, sf_dir).collect()}
+    by = _toks_by(sf_dir, "source")
+    assert sorted(got) == sorted(by)
+    for src, toks in by.items():
+        cnt = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        n = len(toks)
+        s2 = sum(c * c for c in cnt.values())
+        row = got[src]
+        assert (row.n_tok, row.n_types) == (n, len(cnt))
+        assert abs(row.yule_k - 1e4 * (s2 - n) / (n * n)) < 1e-6
+
+
+def test_simpson_diversity_matches_brute_force(spark, sf_dir):
+    got = {r.source: r for r in
+           relational.REGISTRY["simpson_diversity"].fn(spark, sf_dir).collect()}
+    by = _toks_by(sf_dir, "source")
+    for src, toks in by.items():
+        cnt = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        n = len(toks)
+        s2 = sum(c * (c - 1) for c in cnt.values())
+        want = 1.0 - s2 / (n * (n - 1))
+        assert abs(got[src].simpson_d - round(want, 6)) < 1e-9
+
+
+def test_good_turing_matches_brute_force(spark, sf_dir):
+    import re
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    cnt = {}
+    for t in docs.text:
+        for w in re.findall(r"\S+", t):
+            cnt[w] = cnt.get(w, 0) + 1
+    spec = {}
+    for c in cnt.values():
+        spec[c] = spec.get(c, 0) + 1
+    got = {r.r: r for r in
+           relational.REGISTRY["good_turing"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == list(range(1, relational._GT_MAX_R + 1))
+    for r in got:
+        nr, nr1 = spec.get(r, 0), spec.get(r + 1, 0)
+        assert (got[r].n_r, got[r].n_r1) == (nr, nr1)
+        want = (r + 1) * nr1 / nr if nr else 0.0
+        assert abs(got[r].r_star - round(want, 6)) < 1e-9
+
+
+def _bigrams(sf_dir):
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    cb, cu = {}, {}
+    for t in docs.text:
+        a = t.split(" ")
+        for w in a:
+            cu[w] = cu.get(w, 0) + 1
+        for w1, w2 in zip(a, a[1:]):
+            cb[(w1, w2)] = cb.get((w1, w2), 0) + 1
+    return cb, cu
+
+
+def test_kneser_ney_bigram_matches_brute_force(spark, sf_dir):
+    cb, _ = _bigrams(sf_dir)
+    c1, tw, cont = {}, {}, {}
+    for (w1, w2), c in cb.items():
+        c1[w1] = c1.get(w1, 0) + c
+        tw[w1] = tw.get(w1, 0) + 1
+        cont[w2] = cont.get(w2, 0) + 1
+    B = len(cb)
+    D = relational._KN_D
+    top = sorted(cb.items(), key=lambda kv: (-kv[1], kv[0]))[: relational._KN_TOP]
+    got = {(r.w1, r.w2): r for r in
+           relational.REGISTRY["kneser_ney_bigram"].fn(spark, sf_dir).collect()}
+    assert set(got) == {k for k, _ in top}
+    for (w1, w2), c in top:
+        want = (c - D) / c1[w1] + D * tw[w1] / c1[w1] * (cont[w2] / B)
+        assert got[(w1, w2)].c2 == c
+        assert abs(got[(w1, w2)].p_kn - round(want, 6)) < 1e-9
+
+
+def test_dice_collocations_matches_brute_force(spark, sf_dir):
+    cb, cu = _bigrams(sf_dir)
+    top = sorted(cb.items(), key=lambda kv: (-kv[1], kv[0]))[: relational._KN_TOP]
+    got = {(r.w1, r.w2): r for r in
+           relational.REGISTRY["dice_collocations"].fn(spark, sf_dir).collect()}
+    assert set(got) == {k for k, _ in top}
+    for (w1, w2), c in top:
+        want = 2.0 * c / (cu[w1] + cu[w2])
+        assert got[(w1, w2)].c2 == c
+        assert abs(got[(w1, w2)].dice - round(want, 6)) < 1e-9
+
+
+def _lc_graph(sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    a = (li.l_orderkey % relational._KC_N).to_numpy()
+    b = (li.l_partkey % relational._KC_N).to_numpy()
+    edges = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+def _bfs(adj, src, rounds):
+    dist = {src: 0}
+    frontier = [src]
+    for r in range(1, rounds + 1):
+        nxt = []
+        for u in frontier:
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = r
+                    nxt.append(w)
+        frontier = nxt
+    return dist
+
+
+def test_graph_diameter_matches_bfs(spark, sf_dir):
+    adj = _lc_graph(sf_dir)
+    deg_sorted = sorted(adj, key=lambda v: (-len(adj[v]), v))
+    s1 = deg_sorted[0]
+    d1 = _bfs(adj, s1, relational._DIAM_ROUNDS)
+    ecc1 = max(d1.values())
+    s2 = min(v for v, d in d1.items() if d == ecc1)
+    d2 = _bfs(adj, s2, relational._DIAM_ROUNDS)
+    ecc2 = max(d2.values())
+    far2 = min(v for v, d in d2.items() if d == ecc2)
+    row = relational.REGISTRY["graph_diameter"].fn(spark, sf_dir).collect()[0]
+    assert (row.src1, row.ecc1, row.src2, row.ecc2, row.far2, row.n_reached) == (
+        s1, ecc1, s2, ecc2, far2, len(d2))
+
+
+def test_closeness_landmarks_matches_bfs(spark, sf_dir):
+    adj = _lc_graph(sf_dir)
+    lms = sorted(adj)[: relational._CLOSE_L]
+    got = {r.landmark: r for r in
+           relational.REGISTRY["closeness_landmarks"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == lms
+    for lm in lms:
+        d = _bfs(adj, lm, relational._CLOSE_ROUNDS)
+        sum_d = sum(d.values())
+        row = got[lm]
+        assert (row.n_reached, row.sum_dist) == (len(d), sum_d)
+        assert abs(row.closeness - round((len(d) - 1) / sum_d, 6)) < 1e-9
+
+
+def test_ppr_seeds_matches_numpy(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    E = {(int(o % relational._PR_N), int(p % relational._PR_N))
+         for o, p in zip(li.l_orderkey, li.l_partkey)}
+    nodes = sorted({s for s, _ in E} | {d for _, d in E})
+    seeds = set(nodes[: relational._PPR_SEEDS])
+    outdeg = {}
+    for s, _ in E:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = relational._PPR_ALPHA / relational._PPR_SEEDS
+    r = {v: (base if v in seeds else 0.0) for v in nodes}
+    for _ in range(relational._PPR_ITERS):
+        contrib = {}
+        for s, d in E:
+            contrib[d] = contrib.get(d, 0.0) + r[s] / outdeg[s]
+        r = {v: (base if v in seeds else 0.0)
+             + (1.0 - relational._PPR_ALPHA) * contrib.get(v, 0.0)
+             for v in nodes}
+    got = {row.node: row.ppr for row in
+           relational.REGISTRY["ppr_seeds"].fn(spark, sf_dir).collect()}
+    want = {v: p for v, p in r.items() if p > 0.0}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-5
+
+
+def test_rayleigh_test_matches_brute_force(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    ev["t_ms"] = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    ev["iy"] = (ev.user_id % 120) * 1000 + (ev.event_id % 13 < 4) * 2000 + ev.event_id % 7
+    ev["ix"] = (ev.user_id % 300) * 1000 + (ev.event_id % 13 < 4) * 2000 + ev.event_id % 5
+    ev = ev.sort_values(["user_id", "t_ms", "event_id"], kind="mergesort")
+    got = {r.user_id: r for r in
+           relational.REGISTRY["rayleigh_test"].fn(spark, sf_dir).collect()}
+    for uid, sub in ev.groupby("user_id"):
+        dys = sub.iy.diff().to_numpy()[1:]
+        dxs = sub.ix.diff().to_numpy()[1:]
+        sx = sy = n = 0
+        for dx, dy in zip(dxs, dys):
+            if dx == 0 and dy == 0:
+                continue
+            h = math.sqrt(float(dx * dx + dy * dy))
+            sx += round(dx * 1e12 / h)
+            sy += round(dy * 1e12 / h)
+            n += 1
+        rbar = math.sqrt(float(sx) * sx + float(sy) * sy) / (n * 1e12)
+        row = got[uid]
+        assert row.n_legs == n
+        # python round() is half-even vs engine half-away: recompute from
+        # the engine's integers is overkill — tolerance covers the <=1-unit
+        # fixed-point difference
+        assert abs(row.r_bar - rbar) < 1e-6
+        assert abs(row.rayleigh_z - n * rbar * rbar) < 1e-4
+
+
+def test_mcnemar_test_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    ev["d"] = pd.to_datetime(ev.ts).dt.date
+    ev["am"] = pd.to_datetime(ev.ts).dt.hour < 12
+    g = ev.groupby(["user_id", "d"])
+    h1 = g.apply(lambda s: int(((s.event_type == "purchase") & s.am).any()),
+                 include_groups=False)
+    h2 = g.apply(lambda s: int(((s.event_type == "purchase") & ~s.am).any()),
+                 include_groups=False)
+    b = int(((h1 == 1) & (h2 == 0)).sum())
+    c = int(((h1 == 0) & (h2 == 1)).sum())
+    row = relational.REGISTRY["mcnemar_test"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_pairs, row.b, row.c) == (len(h1), b, c)
+    want = (abs(b - c) - 1) ** 2 / (b + c) if b + c else 0.0
+    assert abs(row.chi2_mcnemar - round(want, 6)) < 1e-9
+
+
+def test_solar_position_matches_numpy(spark, sf_dir):
+    """Spencer/NOAA formulas re-derived with numpy trig."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    eid = ev.event_id.to_numpy()
+    lat = (eid * 7919 % 1200) / 10.0 - 60.0
+    lon = (eid * 104729 % 3600) / 10.0 - 180.0
+    ts = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    doy = (pd.to_datetime(ev.ts).dt.dayofyear).to_numpy()
+    h = (ts % 86400000) / 3600000.0
+    g = 2 * np.pi / 365.0 * (doy - 1 + (h - 12.0) / 24.0)
+    decl = (0.006918 - 0.399912 * np.cos(g) + 0.070257 * np.sin(g)
+            - 0.006758 * np.cos(2 * g) + 0.000907 * np.sin(2 * g)
+            - 0.002697 * np.cos(3 * g) + 0.00148 * np.sin(3 * g))
+    eqt = 229.18 * (0.000075 + 0.001868 * np.cos(g) - 0.032077 * np.sin(g)
+                    - 0.014615 * np.cos(2 * g) - 0.040849 * np.sin(2 * g))
+    ha = (h * 60.0 + eqt + 4.0 * lon) / 4.0 - 180.0
+    cz = (np.sin(np.radians(lat)) * np.sin(decl)
+          + np.cos(np.radians(lat)) * np.cos(decl) * np.cos(np.radians(ha)))
+    want = dict(zip(eid, zip(decl, cz)))
+    rows = relational.REGISTRY["solar_position"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(ev)
+    for r in rows[:2000]:
+        wd, wc = want[r.event_id]
+        assert abs(r.decl - wd) < 1e-6
+        assert abs(r.cos_zen - wc) < 1e-6
+        assert r.is_day == int(wc > 0)
+
+
+def test_geodesic_destination_roundtrip(spark, sf_dir):
+    """Destination then haversine back-distance == forward distance."""
+    import numpy as np
+    import pandas as pd
+
+    rows = relational.REGISTRY["geodesic_destination"].fn(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    assert len(rows) == len(ev)
+    R = relational._GD_R_KM
+    for r in rows[:2000]:
+        eid = r.event_id
+        lat1 = (eid * 7919 % 1200) / 10.0 - 60.0
+        lon1 = (eid * 104729 % 3600) / 10.0 - 180.0
+        d_km = eid % 500
+        p1, l1 = np.radians([lat1, lon1])
+        p2, l2 = np.radians([r.lat2, r.lon2])
+        hav = 2 * R * np.arcsin(np.sqrt(
+            np.sin((p2 - p1) / 2) ** 2
+            + np.cos(p1) * np.cos(p2) * np.sin((l2 - l1) / 2) ** 2))
+        assert abs(hav - d_km) < 0.01  # km
+
+
+def test_line_densify_matches_brute_force(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    ev["t_ms"] = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    ev["iy"] = (ev.user_id % 120) * 1000 + (ev.event_id % 13 < 4) * 2000 + ev.event_id % 7
+    ev["ix"] = (ev.user_id % 300) * 1000 + (ev.event_id % 13 < 4) * 2000 + ev.event_id % 5
+    ev = ev.sort_values(["user_id", "t_ms", "event_id"], kind="mergesort")
+    want = {}
+    for uid, sub in ev.groupby("user_id"):
+        xs, ys = sub.ix.to_numpy(), sub.iy.to_numpy()
+        for s in range(1, len(xs)):
+            dx, dy = int(xs[s] - xs[s - 1]), int(ys[s] - ys[s - 1])
+            n = int(math.sqrt(dx * dx + dy * dy) // relational._LD_STEP)
+            for i in range(1, n + 1):
+                want[(uid, s + 1, i)] = (xs[s - 1] + i / (n + 1) * dx,
+                                         ys[s - 1] + i / (n + 1) * dy)
+    got = {(r.user_id, r.seq, r.i): (r.xi, r.yi) for r in
+           relational.REGISTRY["line_densify"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for k, (x, y) in want.items():
+        assert abs(got[k][0] - x) < 1e-5 and abs(got[k][1] - y) < 1e-5
+
+
+def test_tissot_sinusoidal_properties(spark, sf_dir):
+    import numpy as np
+
+    rows = relational.REGISTRY["tissot_sinusoidal"].fn(spark, sf_dir).collect()
+    assert len(rows) == 13 * 18
+    for r in rows:
+        # equal-area projection: a*b == 1 everywhere
+        assert abs(r.area_scale - 1.0) < 1e-5
+        assert r.a >= 1.0 - 1e-9 >= 0 and r.b <= 1.0 + 1e-9
+        if r.lat == 0:
+            # equator: no distortion regardless of lon
+            assert abs(r.a - 1.0) < 1e-6 and abs(r.omega_deg) < 1e-4
+        # independent check: Jacobian singular values via numpy SVD
+        ph, lm = np.radians(float(r.lat)), np.radians(float(r.lon))
+        # Jacobian in the orthonormal frame: parallel column / cos(ph)
+        J = np.array([[1.0, -lm * np.sin(ph)], [0.0, 1.0]])
+        sv = np.linalg.svd(J, compute_uv=False)
+        assert abs(r.a - sv[0]) < 1e-5 and abs(r.b - sv[1]) < 1e-5
+
+
+def test_catmull_rom_smooth_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    ev["t_ms"] = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    ev["iy"] = (ev.user_id % 120) * 1000 + (ev.event_id % 13 < 4) * 2000 + ev.event_id % 7
+    ev["ix"] = (ev.user_id % 300) * 1000 + (ev.event_id % 13 < 4) * 2000 + ev.event_id % 5
+    ev = ev.sort_values(["user_id", "t_ms", "event_id"], kind="mergesort")
+    want = {}
+    for uid, sub in ev.groupby("user_id"):
+        xs, ys = sub.ix.to_numpy(), sub.iy.to_numpy()
+        for s in range(1, len(xs) - 2):
+            xs_mid = 0.0625 * (-float(xs[s - 1]) + 9 * xs[s] + 9 * xs[s + 1] - xs[s + 2])
+            ys_mid = 0.0625 * (-float(ys[s - 1]) + 9 * ys[s] + 9 * ys[s + 1] - ys[s + 2])
+            want[(uid, s + 1)] = (xs_mid, ys_mid)
+    got = {(r.user_id, r.seq): (r.xs, r.ys) for r in
+           relational.REGISTRY["catmull_rom_smooth"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-9
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_roc_points_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.value.notna()]
+    sc = (ev.value * 100).round().astype("int64").clip(lower=0)
+    pos = (ev.event_type == "purchase").to_numpy()
+    P, N = int(pos.sum()), int((~pos).sum())
+    got = {r.threshold: r for r in
+           relational.REGISTRY["roc_points"].fn(spark, sf_dir).collect()}
+    assert len(got) == relational._ROC_K
+    for j in range(relational._ROC_K):
+        t = j * relational._ROC_STEP
+        tp = int((pos & (sc >= t)).sum())
+        fp = int(((~pos) & (sc >= t)).sum())
+        row = got[t]
+        assert (row.tp, row.fp) == (tp, fp)
+        assert abs(row.tpr - round(tp / P, 6)) < 1e-9
+        assert abs(row.fpr - round(fp / N, 6)) < 1e-9
+
+
+def test_lift_deciles_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    ev = ev[ev.value.notna()].copy()
+    ev["sc"] = (ev.value * 100).round().astype("int64")
+    ev["pos"] = (ev.event_type == "purchase").astype(int)
+    ev = ev.sort_values(["sc", "event_id"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    n = len(ev)
+    base, rem = divmod(n, 10)
+    sizes = [base + (1 if i < rem else 0) for i in range(10)]
+    got = {r.decile: r for r in
+           relational.REGISTRY["lift_deciles"].fn(spark, sf_dir).collect()}
+    start, cum_n, cum_pos = 0, 0, 0
+    tot_rate = ev.pos.sum() / n
+    for d, sz in enumerate(sizes, start=1):
+        chunk = ev.iloc[start:start + sz]
+        start += sz
+        np_ = int(chunk.pos.sum())
+        cum_n += sz
+        cum_pos += np_
+        row = got[d]
+        assert (row.n, row.n_pos) == (sz, np_)
+        assert abs(row.rate - round(np_ / sz, 6)) < 1e-9
+        assert abs(row.cum_lift - round((cum_pos / cum_n) / tot_rate, 6)) < 1e-9
+
+
+def test_ndcg_at_k_matches_brute_force(spark, sf_dir):
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    h = [int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+         for i in docs.doc_id]
+    rel = [min(3, c // 150) for c in docs.n_chars]
+    k = relational._NDCG_K
+    by_hash = [r for _, _, r in
+               sorted(zip(h, docs.doc_id, rel), key=lambda t: (-t[0], t[1]))][:k]
+    by_rel = sorted(rel, reverse=True)[:k]
+
+    def dcg(rels):
+        return sum(round((2 ** r - 1)
+                         / (math.log(i + 2) / relational._NDCG_LN2) * 1e12)
+                   for i, r in enumerate(rels)) / 1e12
+
+    want_dcg, want_idcg = dcg(by_hash), dcg(by_rel)
+    row = relational.REGISTRY["ndcg_at_k"].fn(spark, sf_dir).collect()[0]
+    assert row.k == k
+    assert abs(row.dcg - round(want_dcg, 6)) < 2e-6
+    assert abs(row.idcg - round(want_idcg, 6)) < 2e-6
+    assert abs(row.ndcg - want_dcg / want_idcg) < 1e-5
+
+
+def test_langid_f1_matches_confusion(spark, sf_dir):
+    """Cross-check against langid_confusion's own matrix."""
+    import filda_spark.training  # noqa: F401  (registers langid_confusion)
+
+    cm_rows = relational.REGISTRY["langid_confusion"].fn(spark, sf_dir).collect()
+    tp, fp, fn = {}, {}, {}
+    langs = set()
+    for r in cm_rows:
+        langs |= {r.lang_true, r.lang_pred}
+        if r.lang_true == r.lang_pred:
+            tp[r.lang_true] = tp.get(r.lang_true, 0) + r.n
+        else:
+            fp[r.lang_pred] = fp.get(r.lang_pred, 0) + r.n
+            fn[r.lang_true] = fn.get(r.lang_true, 0) + r.n
+    got = {r.lang: r for r in
+           relational.REGISTRY["langid_f1"].fn(spark, sf_dir).collect()}
+    assert set(got) == langs
+    for lg in langs:
+        t, p, n = tp.get(lg, 0), fp.get(lg, 0), fn.get(lg, 0)
+        row = got[lg]
+        assert (row.tp, row.fp, row.fn) == (t, p, n)
+        prec = t / (t + p) if t + p else 0.0
+        rec = t / (t + n) if t + n else 0.0
+        f1 = 2 * t / (2 * t + p + n) if 2 * t + p + n else 0.0
+        assert abs(row.precision_c - round(prec, 6)) < 1e-9
+        assert abs(row.recall_c - round(rec, 6)) < 1e-9
+        assert abs(row.f1 - round(f1, 6)) < 1e-9
+
+
+def test_cohens_d_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.value.notna()]
+    a = (ev.value[ev.event_type == "click"] * 100).round().to_numpy()
+    b = (ev.value[ev.event_type == "purchase"] * 100).round().to_numpy()
+    n1, n2 = len(a), len(b)
+    sp = np.sqrt(((n1 - 1) * a.var(ddof=1) + (n2 - 1) * b.var(ddof=1))
+                 / (n1 + n2 - 2))
+    d = (a.mean() - b.mean()) / sp
+    g = d * (1 - 3 / (4 * (n1 + n2) - 9))
+    row = relational.REGISTRY["cohens_d"].fn(spark, sf_dir).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.d - d) < 1e-6
+    assert abs(row.hedges_g - g) < 1e-6
+
+
+def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    eid = ev.event_id.to_numpy()
+    px = (eid * 7919 % 2000).astype("float64")
+    py = (eid * 104729 % 2400).astype("float64")
+    order = np.argsort(eid, kind="stable")
+    k = relational._KM_K
+    cx = px[order[:k]].copy()
+    cy = py[order[:k]].copy()
+    for _ in range(relational._KM_ROUNDS):
+        d = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
+        a = np.argmin(d, axis=1)  # np.argmin ties -> first index, matches <=
+        for j in range(k):
+            sel = a == j
+            if sel.any():
+                cx[j] = px[sel].astype("int64").sum() / sel.sum()
+                cy[j] = py[sel].astype("int64").sum() / sel.sum()
+    # engine reports the LAST round's assignment with the post-update
+    # centroids (standard Lloyd bookkeeping: assign, update, report)
+    d = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
+    got = {r.cluster: r for r in
+           relational.REGISTRY["kmeans_lloyd"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == list(range(k))
+    for j in range(k):
+        sel = a == j
+        inert = sum(round(v * 1e6) for v in d[sel, j]) / 1e6
+        row = got[j]
+        assert row.n == int(sel.sum())
+        assert abs(row.cx - cx[j]) < 1e-6 and abs(row.cy - cy[j]) < 1e-6
+        assert abs(row.inertia - round(inert, 6)) < 1e-4
+
+
+def test_attribution_linear_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "event_type", "ts"])
+    ev["t_ms"] = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    credit, convs = {}, {}
+    for uid, sub in ev.groupby("user_id"):
+        purch = sub[sub.event_type == "purchase"]
+        touch = sub[sub.event_type.isin(["click", "view"])]
+        for _, p in purch.iterrows():
+            sel = touch[(touch.t_ms < p.t_ms)
+                        & (touch.t_ms >= p.t_ms - relational._ATT_WINDOW_MS)]
+            if len(sel) == 0:
+                continue
+            n_t = len(sel)
+            for ch in sel.event_type:
+                credit[ch] = credit.get(ch, 0) + round(1e12 / n_t)
+                convs.setdefault(ch, set()).add(p.event_id)
+    got = {r.channel: r for r in
+           relational.REGISTRY["attribution_linear"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(credit)
+    for ch in credit:
+        assert got[ch].n_conversions == len(convs[ch])
+        assert abs(got[ch].credit - round(credit[ch] / 1e12, 6)) < 1e-9
+
+
+def test_rfm_scores_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts", "value"])
+    ev = ev[(ev.event_type == "purchase") & ev.value.notna()].copy()
+    ev["t_ms"] = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    p = ev.groupby("user_id").agg(last_ms=("t_ms", "max"),
+                                  n_purch=("t_ms", "count"),
+                                  monetary=("cents", "sum"))
+
+    def quintile(series):
+        order = series.reset_index().sort_values(
+            [series.name, "user_id"], kind="mergesort").user_id.tolist()
+        n = len(order)
+        base, rem = divmod(n, 5)
+        out, start = {}, 0
+        for q in range(1, 6):
+            sz = base + (1 if q <= rem else 0)
+            for u in order[start:start + sz]:
+                out[u] = q
+            start += sz
+        return out
+
+    rq = quintile(p.last_ms)
+    fq = quintile(p.n_purch)
+    mq = quintile(p.monetary)
+    got = {r.user_id: r for r in
+           relational.REGISTRY["rfm_scores"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(p.index)
+    for u in p.index:
+        row = got[u]
+        assert (row.r_score, row.f_score, row.m_score) == (rq[u], fq[u], mq[u])
+        assert row.rfm == 100 * rq[u] + 10 * fq[u] + mq[u]
+        assert (row.last_ms, row.n_purch, row.monetary_cents) == (
+            int(p.last_ms[u]), int(p.n_purch[u]), int(p.monetary[u]))
+
+
+def test_page_hinkley_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ev = ev[ev.value.notna()].copy()
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    d = ev.groupby("day").cents.agg(["sum", "count"]).sort_index()
+    xt = d["sum"] / d["count"]
+    runmean = d["sum"].cumsum() / d["count"].cumsum()
+    mt = (xt - runmean - relational._PH_DELTA).cumsum()
+    ph = mt - mt.cummin()
+    got = {r.day: r for r in
+           relational.REGISTRY["page_hinkley"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(d.index)
+    for day in d.index:
+        row = got[day]
+        assert abs(row.xt - xt[day]) < 1e-6
+        assert abs(row.mt - mt[day]) < 1e-5
+        assert abs(row.ph - ph[day]) < 1e-5
+        assert row.alarm == int(ph[day] > relational._PH_LAMBDA)
+
+
+def test_apriori_rules_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    op = {(o, p % 200) for o, p in zip(li.l_orderkey, li.l_partkey)}
+    baskets = {}
+    for o, it in op:
+        baskets.setdefault(o, set()).add(it)
+    n = len(baskets)
+    m, pairs = {}, {}
+    for o, items in baskets.items():
+        s = sorted(items)
+        for it in s:
+            m[it] = m.get(it, 0) + 1
+        for i, i1 in enumerate(s):
+            for i2 in s[i + 1:]:
+                pairs[(i1, i2)] = pairs.get((i1, i2), 0) + 1
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[: relational._AR_TOP]
+    got = {(r.i1, r.i2): r for r in
+           relational.REGISTRY["apriori_rules"].fn(spark, sf_dir).collect()}
+    assert set(got) == {k for k, _ in top}
+    for (i1, i2), c_ab in top:
+        row = got[(i1, i2)]
+        assert (row.c_ab, row.c1, row.c2) == (c_ab, m[i1], m[i2])
+        assert abs(row.conf_12 - round(c_ab / m[i1], 6)) < 1e-9
+        assert abs(row.conf_21 - round(c_ab / m[i2], 6)) < 1e-9
+        assert abs(row.lift - round(c_ab * n / (m[i1] * m[i2]), 6)) < 1e-9
+        assert abs(row.leverage - round(c_ab / n - m[i1] * m[i2] / n / n, 6)) < 1e-9
