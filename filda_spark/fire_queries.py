@@ -561,6 +561,58 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+SESSION_GAP_SEC = 2400  # 40-minute session gap: merges an overpass, splits orbits
+
+
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION windows per tile over the detection stream
+    (`F.session_window` — Spark's merging-session state, a different
+    stateful operator class from the tumbling fire_rate_windowed): bursts
+    of detections closer than the gap merge into one session
+    [first_event, last_event + gap); append mode emits a session once the
+    watermark passes its end. The DuckDB oracle is the gap-islands
+    sessionization (break at diff >= gap, matching Spark's
+    overlap-merge semantics) with the identical watermark cutoff."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    d = _windowed_stream_dir(spark, sf_dir)
+    qname = f"firesess_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("doc_id string, tile_id string, FP_Power double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ev = _event_time_col().cast("timestamp")
+    agg = (
+        stream.withColumn("event_time", ev)
+        .withWatermark("event_time", WATERMARK)
+        .groupBy(
+            F.session_window("event_time", f"{SESSION_GAP_SEC} seconds"),
+            "tile_id",
+        )
+        .agg(F.count("*").alias("n_detections"), F.sum("FP_Power").alias("_frp"))
+        .select(
+            F.unix_timestamp("session_window.start").alias("sess_start"),
+            F.unix_timestamp("session_window.end").alias("sess_end"),
+            "tile_id",
+            F.col("n_detections").cast("long"),
+            F.round("_frp", 6).alias("total_frp"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(_session_tmpdir("filda_ss_ck_"), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 NTL_ARGS = dict(n_tiles=2, cells=16, year=2019, month=8)
 
 
@@ -852,6 +904,51 @@ def oracles() -> dict[str, str]:
     SELECT DISTINCT doc_id, FP_Line, FP_Sample, tile_id, FP_Power
     FROM read_parquet('{od}/detections.parquet')
     """
+    # stream_sessions: gap-islands sessionization (break at diff >= gap —
+    # Spark's session_window merges only OVERLAPPING event windows) with
+    # the same append-mode watermark cutoff as fire_rate_windowed
+    stream_sessions_sql = f"""
+    WITH ev AS (
+      SELECT tile_id, FP_Power,
+             (date_diff('day', DATE '1970-01-01',
+                        make_date(CAST(substr({_p2},2,4) AS INT), 1, 1))
+              + CAST(substr({_p2},6,3) AS INT) - 1) * CAST(86400 AS BIGINT)
+             + CAST(substr({_p3},1,2) AS INT) * 3600
+             + CAST(substr({_p3},3,2) AS INT) * 60 AS ev
+      FROM read_parquet('{od}/detections.parquet')
+    ), mx AS (SELECT max(ev) AS m FROM ev),
+    c AS (
+      SELECT tile_id, ev, CAST(count(*) AS BIGINT) AS cnt,
+             sum(FP_Power) AS sfr
+      FROM ev GROUP BY tile_id, ev
+    ),
+    b AS (
+      -- islands over the DISTINCT (tile, ev) frame: tied event times are
+      -- pre-collapsed, so the lag and the cumulative sid see one row per
+      -- instant and cannot disagree on tie order
+      SELECT tile_id, ev, cnt, sfr,
+             CASE WHEN lag(ev) OVER w IS NULL
+                       OR ev - lag(ev) OVER w >= {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS brk
+      FROM c WINDOW w AS (PARTITION BY tile_id ORDER BY ev)
+    ),
+    g AS (
+      SELECT tile_id, ev, cnt, sfr,
+             sum(brk) OVER (PARTITION BY tile_id ORDER BY ev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM b
+    ),
+    sess AS (
+      SELECT min(ev) AS sess_start,
+             max(ev) + {SESSION_GAP_SEC} AS sess_end,
+             tile_id,
+             CAST(sum(cnt) AS BIGINT) AS n_detections,
+             round(sum(sfr), 6) AS total_frp
+      FROM g GROUP BY tile_id, sid
+    )
+    SELECT sess_start, sess_end, tile_id, n_detections, total_frp
+    FROM sess, mx WHERE sess_end <= m - {WATERMARK_SEC}
+    """
     phash_pairs_sql = f"""
     WITH h AS (SELECT * FROM read_parquet('{od}/image_phash.parquet')),
     b AS (
@@ -883,6 +980,7 @@ def oracles() -> dict[str, str]:
         "hotspot_track": hotspot_sql,
         "fire_rate_windowed": fire_rate_sql,
         "stream_dedup": stream_dedup_sql,
+        "stream_sessions": stream_sessions_sql,
         "ntl_climatology": ntl_sql,
         "fire_detections": f"SELECT * FROM read_parquet('{od}/detections.parquet')",
         "fire_detections_mod": f"SELECT * FROM read_parquet('{od}/detections_mod.parquet')",
@@ -917,4 +1015,5 @@ QUERIES = {
     "hotspot_track": hotspot_track,
     "fire_rate_windowed": fire_rate_windowed,
     "stream_dedup": stream_dedup,
+    "stream_sessions": stream_sessions,
 }

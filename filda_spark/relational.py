@@ -21815,222 +21815,6 @@ def cohens_d(spark, sf_dir):
     )
 
 
-# Lloyd k-means (fixed rounds, exact-rational centroids) ----------------------
-
-_KM_K = 4
-_KM_ROUNDS = 3
-
-
-def _km_argmin_sql(pfx: str) -> str:
-    """Chained-CASE argmin over d0..d3 — ties break to the lowest index,
-    deterministically, because the comparisons are <= in fixed order."""
-    return (
-        f"CASE WHEN {pfx}0 <= {pfx}1 AND {pfx}0 <= {pfx}2 AND {pfx}0 <= {pfx}3 THEN 0 "
-        f"WHEN {pfx}1 <= {pfx}2 AND {pfx}1 <= {pfx}3 THEN 1 "
-        f"WHEN {pfx}2 <= {pfx}3 THEN 2 ELSE 3 END"
-    )
-
-
-def _kmeans_oracle_sql() -> str:
-    k, rounds = _KM_K, _KM_ROUNDS
-    dists = ", ".join(
-        f"(px - cx{j}) * (px - cx{j}) + (py - cy{j}) * (py - cy{j}) AS d{j}"
-        for j in range(k)
-    )
-    head = f"""
-    WITH pts AS MATERIALIZED (
-      SELECT event_id,
-             CAST(event_id * 7919 % 2000 AS DOUBLE) AS px,
-             CAST(event_id * 104729 % 2400 AS DOUBLE) AS py
-      FROM events
-    ),
-    c0 AS (
-      SELECT {", ".join(f"max(CASE WHEN rk = {j + 1} THEN px END) AS cx{j}, max(CASE WHEN rk = {j + 1} THEN py END) AS cy{j}" for j in range(k))}
-      FROM (SELECT px, py, row_number() OVER (ORDER BY event_id) AS rk
-            FROM pts) WHERE rk <= {k}
-    )"""
-    steps = []
-    for r in range(1, rounds + 1):
-        steps.append(f"""
-    a{r} AS MATERIALIZED (
-      SELECT event_id, px, py, {_km_argmin_sql("d")} AS a
-      FROM (SELECT event_id, px, py, {dists} FROM pts, c{r - 1})
-    ),
-    c{r} AS (
-      SELECT {", ".join(f"CASE WHEN sum(CASE WHEN a = {j} THEN 1 ELSE 0 END) > 0 THEN CAST(sum(CASE WHEN a = {j} THEN CAST(px AS BIGINT) ELSE 0 END) AS DOUBLE) / sum(CASE WHEN a = {j} THEN 1 ELSE 0 END) ELSE max(cx{j}) END AS cx{j}, CASE WHEN sum(CASE WHEN a = {j} THEN 1 ELSE 0 END) > 0 THEN CAST(sum(CASE WHEN a = {j} THEN CAST(py AS BIGINT) ELSE 0 END) AS DOUBLE) / sum(CASE WHEN a = {j} THEN 1 ELSE 0 END) ELSE max(cy{j}) END AS cy{j}" for j in range(k))}
-      FROM a{r}, c{r - 1}
-    )""")
-    last = rounds
-    return (
-        head
-        + ","
-        + ",".join(steps)
-        + f"""
-    , fin AS (
-      SELECT a, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(round(d * 1000000.0) AS BIGINT)) AS BIGINT) AS inert
-      FROM (
-        SELECT a{last}.a AS a,
-               CASE a{last}.a {" ".join(f"WHEN {j} THEN (px - cx{j}) * (px - cx{j}) + (py - cy{j}) * (py - cy{j})" for j in range(k))} END AS d
-        FROM a{last}, c{last}
-      ) GROUP BY a
-    )
-    SELECT fin.a AS cluster, n,
-           round(CASE fin.a {" ".join(f"WHEN {j} THEN cx{j}" for j in range(k))} END, 6) AS cx,
-           round(CASE fin.a {" ".join(f"WHEN {j} THEN cy{j}" for j in range(k))} END, 6) AS cy,
-           round(CAST(inert AS DOUBLE) / 1000000.0, 6) AS inertia
-    FROM fin, c{last}
-    """
-    )
-
-
-@register(
-    "kmeans_lloyd",
-    _kmeans_oracle_sql(),
-    doc=(
-        f"Lloyd k-means, k = {_KM_K}, {_KM_ROUNDS} fixed rounds over the "
-        "synthetic 2-D point cloud: seeds are the first k points by id, "
-        "assignment is a fixed-order chained-<= argmin (deterministic "
-        "ties), centroids are exact integer sums / counts, and the "
-        "inertia folds 1e-6 fixed-point distances — the full iterative "
-        "clusterer beside kmeans_assign's static-centroid scorer"
-    ),
-)
-def kmeans_lloyd(spark, sf_dir):
-    """Each round is one broadcast of the 1-row centroid frame into a
-    map-side assignment + one partial-agg groupBy pivot back to the
-    centroid row — the canonical distributed Lloyd step (the shuffle
-    carries k partial sums per partition, never points). Centroid
-    updates stay exact (integer coordinate sums, one division), so both
-    engines iterate on identical doubles; empty clusters keep their
-    previous centroid. Bounded rounds, plan depth {ROUNDS}."""
-    k = _KM_K
-    ev = _t(spark, sf_dir, "events")
-    pts = _persist_evict(
-        ev.select(
-            "event_id",
-            (F.col("event_id") * 7919 % 2000).cast("double").alias("px"),
-            (F.col("event_id") * 104729 % 2400).cast("double").alias("py"),
-        )
-    )
-    wseed = Window.orderBy("event_id")
-    seed = pts.select(
-        "px", "py", F.row_number().over(wseed).alias("rk")
-    ).filter(F.col("rk") <= k)
-    cent = seed.agg(
-        *[
-            c
-            for j in range(k)
-            for c in (
-                F.max(F.when(F.col("rk") == j + 1, F.col("px"))).alias(f"cx{j}"),
-                F.max(F.when(F.col("rk") == j + 1, F.col("py"))).alias(f"cy{j}"),
-            )
-        ]
-    )
-
-    def dcol(j):
-        return (F.col("px") - F.col(f"cx{j}")) * (F.col("px") - F.col(f"cx{j}")) + (
-            F.col("py") - F.col(f"cy{j}")
-        ) * (F.col("py") - F.col(f"cy{j}"))
-
-    def argmin():
-        d = [F.col(f"d{j}") for j in range(k)]
-        return (
-            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
-            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
-            .when(d[2] <= d[3], 2)
-            .otherwise(3)
-        )
-
-    asn = None
-    for _ in range(_KM_ROUNDS):
-        asn = pts.crossJoin(F.broadcast(cent)).select(
-            "event_id",
-            "px",
-            "py",
-            *[dcol(j).alias(f"d{j}") for j in range(k)],
-            *[F.col(f"cx{j}") for j in range(k)],
-            *[F.col(f"cy{j}") for j in range(k)],
-        ).select("event_id", "px", "py", argmin().alias("a"))
-        piv = asn.agg(
-            *[
-                c
-                for j in range(k)
-                for c in (
-                    F.sum(F.when(F.col("a") == j, 1).otherwise(0)).alias(f"n{j}"),
-                    F.sum(
-                        F.when(F.col("a") == j, F.col("px").cast("long")).otherwise(0)
-                    ).alias(f"sx{j}"),
-                    F.sum(
-                        F.when(F.col("a") == j, F.col("py").cast("long")).otherwise(0)
-                    ).alias(f"sy{j}"),
-                )
-            ]
-        )
-        cent = piv.crossJoin(F.broadcast(cent)).select(
-            *[
-                c
-                for j in range(k)
-                for c in (
-                    F.when(
-                        F.col(f"n{j}") > 0,
-                        F.col(f"sx{j}").cast("double") / F.col(f"n{j}"),
-                    )
-                    .otherwise(F.col(f"cx{j}"))
-                    .alias(f"_ncx{j}"),
-                    F.when(
-                        F.col(f"n{j}") > 0,
-                        F.col(f"sy{j}").cast("double") / F.col(f"n{j}"),
-                    )
-                    .otherwise(F.col(f"cy{j}"))
-                    .alias(f"_ncy{j}"),
-                )
-            ]
-        ).select(
-            *[
-                c
-                for j in range(k)
-                for c in (
-                    F.col(f"_ncx{j}").alias(f"cx{j}"),
-                    F.col(f"_ncy{j}").alias(f"cy{j}"),
-                )
-            ]
-            # 1-row frame, but checkpointing truncates the round chain:
-            # without it the final action re-executes every earlier
-            # round's full-corpus assignment once per downstream reference
-        ).localCheckpoint()
-    dsel = F.lit(None).cast("double")
-    for j in range(k - 1, -1, -1):
-        dsel = F.when(F.col("a") == j, dcol(j)).otherwise(dsel)
-    fin = (
-        asn.crossJoin(F.broadcast(cent))
-        .select("a", dsel.alias("d"), *[F.col(f"cx{j}") for j in range(k)],
-                *[F.col(f"cy{j}") for j in range(k)])
-        .groupBy("a")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.round(F.col("d") * 1000000.0).cast("long"))
-            .cast("long")
-            .alias("inert"),
-        )
-    )
-    csel_x = F.lit(None).cast("double")
-    csel_y = F.lit(None).cast("double")
-    for j in range(k - 1, -1, -1):
-        csel_x = F.when(F.col("a") == j, F.col(f"cx{j}")).otherwise(csel_x)
-        csel_y = F.when(F.col("a") == j, F.col(f"cy{j}")).otherwise(csel_y)
-    return (
-        fin.crossJoin(F.broadcast(cent))
-        .select(
-            F.col("a").alias("cluster"),
-            "n",
-            F.round(csel_x, 6).alias("cx"),
-            F.round(csel_y, 6).alias("cy"),
-            F.round(F.col("inert").cast("double") / 1000000.0, 6).alias("inertia"),
-        )
-    )
-
-
 # Linear multi-touch attribution ----------------------------------------------
 
 _ATT_WINDOW_MS = 7 * 86400000
@@ -22341,6 +22125,1533 @@ def apriori_rules(spark, sf_dir):
                 6,
             ).alias("leverage"),
         )
+    )
+
+
+# Normal Q-Q points (Acklam probit, literal coefficients) ----------------------
+
+# Acklam's central-region rational approximation of the inverse normal CDF
+# (public-domain constants); valid for p in [0.02425, 0.97575] — all 19
+# probe points are inside. Shared verbatim by both engines.
+_QQ_A = (-39.69683028665376, 220.9460984245205, -275.9285104469687,
+         138.3577518672690, -30.66479806614716, 2.506628277459239)
+_QQ_B = (-54.47609879822406, 161.5858368580409, -155.6989798598866,
+         66.80131188771972, -13.28068155288572)
+_QQ_N = 20  # probes at j/20, j = 1..19
+
+
+def _probit_sql(p: str) -> str:
+    a, b = _QQ_A, _QQ_B
+    q = f"({p} - 0.5)"
+    r = f"({q} * {q})"
+    num = f"((((({a[0]!r} * {r} + {a[1]!r}) * {r} + {a[2]!r}) * {r} + {a[3]!r}) * {r} + {a[4]!r}) * {r} + {a[5]!r})"
+    den = f"((((({b[0]!r} * {r} + {b[1]!r}) * {r} + {b[2]!r}) * {r} + {b[3]!r}) * {r} + {b[4]!r}) * {r} + 1.0)"
+    return f"{num} * {q} / {den}"
+
+
+def _probit_col(p):
+    a, b = _QQ_A, _QQ_B
+    q = p - 0.5
+    r = q * q
+    num = ((((F.lit(a[0]) * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]
+    den = ((((F.lit(b[0]) * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1.0
+    return num * q / den
+
+
+@register(
+    "qq_normal_points",
+    f"""
+    WITH s AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY v),
+    w AS (
+      SELECT v, c,
+             COALESCE(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM c
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS sv,
+             sum(CAST(v AS HUGEINT) * v * c) AS qv
+      FROM c
+    ),
+    pj AS (SELECT CAST(unnest(generate_series(1, {_QQ_N - 1})) AS BIGINT) AS j),
+    emp AS (
+      SELECT pj.j AS j,
+             min(CASE WHEN w.below + w.c >=
+                 CAST(ceil(pj.j * (SELECT n FROM tot) / {_QQ_N}.0) AS BIGINT)
+                 THEN w.v END) AS q_emp
+      FROM pj CROSS JOIN w GROUP BY pj.j
+    )
+    SELECT j, round(j / {_QQ_N}.0, 6) AS p, q_emp,
+           round({_probit_sql(f"(j / {_QQ_N}.0)")}, 6) AS z_norm,
+           round((q_emp * CAST(n AS DOUBLE) - CAST(sv AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(qv AS DOUBLE)
+                         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - 1.0) * CAST(n AS DOUBLE)), 6)
+             AS z_emp
+    FROM emp, tot ORDER BY j
+    """,
+    doc=(
+        "normal Q-Q probe points: exact type-1 empirical quantiles at "
+        "j/20 (distinct-cents order statistics) against the Acklam "
+        "rational-polynomial probit (literal public-domain coefficients, "
+        "no engine erfinv) plus the standardized empirical z — the "
+        "normality diagnostic behind ks_test's decision"
+    ),
+)
+def qq_normal_points(spark, sf_dir):
+    """Order statistics come from the distinct-cents prefix frame (never
+    a row sort); the probit is pure literal-coefficient polynomial
+    algebra, identical on both engines; the standardization uses exact
+    integer moments. The 19-probe join is a broadcast against the
+    O(distinct cents) frame."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d38 = "decimal(38,0)"
+    s = ev.select(F.round(F.col("value") * 100, 0).cast("long").alias("v"))
+    c = _persist_evict(s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w = c.select(
+        "v", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below")
+    )
+    tot = c.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v").cast(d38) * F.col("c")).alias("sv"),
+        F.sum(F.col("v").cast(d38) * F.col("v") * F.col("c")).alias("qv"),
+    )
+    pj = spark.range(1, _QQ_N).select(F.col("id").cast("long").alias("j"))
+    emp = (
+        pj.crossJoin(F.broadcast(tot))
+        .crossJoin(w)
+        .groupBy("j", "n", "sv", "qv")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("below") + F.col("c")
+                    >= F.ceil(F.col("j") * F.col("n") / float(_QQ_N)).cast("long"),
+                    F.col("v"),
+                )
+            ).alias("q_emp")
+        )
+    )
+    nd = F.col("n").cast("double")
+    svd = F.col("sv").cast("double")
+    qvd = F.col("qv").cast("double")
+    sd_scaled = F.sqrt((nd * qvd - svd * svd) / (nd - 1.0) * nd)
+    return emp.select(
+        "j",
+        F.round(F.col("j") / float(_QQ_N), 6).alias("p"),
+        "q_emp",
+        F.round(_probit_col(F.col("j") / float(_QQ_N)), 6).alias("z_norm"),
+        F.round((F.col("q_emp") * nd - svd) / sd_scaled, 6).alias("z_emp"),
+    )
+
+
+# Trimmed / winsorized mean ----------------------------------------------------
+
+_TRIM_PCT = 5  # percent trimmed from EACH tail
+
+
+@register(
+    "trimmed_mean",
+    f"""
+    WITH s AS (
+      SELECT event_type AS g, CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY g, v),
+    w AS (
+      SELECT g, v, c,
+             COALESCE(sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             sum(c) OVER (PARTITION BY g) AS n_g
+      FROM c
+    ),
+    k AS (SELECT g, v, c, below, n_g, n_g * {_TRIM_PCT} // 100 AS lo FROM w),
+    agg AS (
+      SELECT g, CAST(max(n_g) AS BIGINT) AS n, CAST(max(lo) AS BIGINT) AS lo,
+             CAST(sum(greatest(0, least(below + c, n_g - lo)
+                               - greatest(below, lo)) * CAST(v AS HUGEINT))
+                  AS HUGEINT) AS tsum,
+             min(CASE WHEN below + c >= lo + 1 THEN v END) AS v_lo,
+             min(CASE WHEN below + c >= n_g - lo THEN v END) AS v_hi
+      FROM k GROUP BY g
+    )
+    SELECT g AS event_type, n, lo AS n_trimmed_each,
+           round(CAST(tsum AS DOUBLE) / (n - 2 * lo), 6) AS trimmed_mean,
+           round(CAST(tsum + lo * CAST(v_lo AS HUGEINT)
+                      + lo * CAST(v_hi AS HUGEINT) AS DOUBLE) / n, 6)
+             AS winsorized_mean
+    FROM agg
+    """,
+    doc=(
+        f"{_TRIM_PCT}%-per-tail trimmed and winsorized means of value "
+        "cents per event type: exact interval-overlap weighting on the "
+        "distinct-cents prefix frame (kept mass = overlap of each cent's "
+        "rank span with [lo+1, n-lo]), boundary order statistics for the "
+        "winsorized tails — robust location without any row sort"
+    ),
+)
+def trimmed_mean(spark, sf_dir):
+    """The trim never materializes ranked rows: each distinct cent
+    contributes max(0, min(below+c, n-lo) - max(below, lo)) copies to the
+    kept sum — pure integer algebra on the (group, cent) frame, one
+    partial-agg groupBy to finish. Exact decimals into two divisions."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d38 = "decimal(38,0)"
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    c = s.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wb = Window.partitionBy("g").orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wg = Window.partitionBy("g")
+    w = c.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below"),
+        F.sum("c").over(wg).alias("n_g"),
+    ).select(
+        "g", "v", "c", "below", "n_g",
+        F.expr(f"n_g * {_TRIM_PCT} div 100").alias("lo"),
+    )
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("below") + F.col("c"), F.col("n_g") - F.col("lo"))
+        - F.greatest(F.col("below"), F.col("lo")),
+    )
+    agg = w.groupBy("g").agg(
+        F.max("n_g").cast("long").alias("n"),
+        F.max("lo").cast("long").alias("lo"),
+        F.sum(kept.cast(d38) * F.col("v")).alias("tsum"),
+        F.min(
+            F.when(F.col("below") + F.col("c") >= F.col("lo") + 1, F.col("v"))
+        ).alias("v_lo"),
+        F.min(
+            F.when(
+                F.col("below") + F.col("c") >= F.col("n_g") - F.col("lo"), F.col("v")
+            )
+        ).alias("v_hi"),
+    )
+    return agg.select(
+        F.col("g").alias("event_type"),
+        "n",
+        F.col("lo").alias("n_trimmed_each"),
+        F.round(
+            F.col("tsum").cast("double") / (F.col("n") - 2 * F.col("lo")), 6
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("tsum")
+                + F.col("lo").cast(d38) * F.col("v_lo")
+                + F.col("lo").cast(d38) * F.col("v_hi")
+            ).cast("double")
+            / F.col("n"),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+# Grubbs outlier test ----------------------------------------------------------
+
+
+@register(
+    "grubbs_test",
+    """
+    WITH s AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(v) AS HUGEINT) AS sv,
+             sum(CAST(v AS HUGEINT) * v) AS qv
+      FROM s
+    ),
+    dev AS (
+      SELECT CAST(max(abs(n * v - sv)) AS HUGEINT) AS mdev FROM s, m
+    ),
+    who AS (
+      SELECT min(v) AS outlier_cents FROM s, m, dev
+      WHERE abs(n * v - sv) = mdev
+    )
+    SELECT CAST(n AS BIGINT) AS n, outlier_cents,
+           round(CAST(mdev AS DOUBLE) / CAST(n AS DOUBLE)
+                 / sqrt((CAST(n AS DOUBLE) * CAST(qv AS DOUBLE)
+                         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                        / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)), 6)
+             AS g_stat
+    FROM m, dev, who
+    """,
+    doc=(
+        "Grubbs outlier statistic G = max|x - mean|/sd over value cents: "
+        "the deviation max runs on n-scaled integers (|n*v - S|, exact, "
+        "aggregation-order free), ties break to the smallest cent value; "
+        "one closed-form float expression at the end"
+    ),
+)
+def grubbs_test(spark, sf_dir):
+    """One exact-moment pass, one integer max, one tie-broken min — three
+    scalar aggregates chained by broadcasts; nothing floats until the
+    final G expression."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d38 = "decimal(38,0)"
+    s = _persist_evict(
+        ev.select(F.round(F.col("value") * 100, 0).cast("long").alias("v"))
+    )
+    m = s.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("v").cast(d38).alias("sv"),
+        F.sum(F.col("v").cast(d38) * F.col("v")).alias("qv"),
+    )
+    dev = (
+        s.crossJoin(F.broadcast(m))
+        .agg(F.max(F.abs(F.col("n") * F.col("v") - F.col("sv"))).alias("mdev"))
+    )
+    who = (
+        s.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(dev))
+        .filter(F.abs(F.col("n") * F.col("v") - F.col("sv")) == F.col("mdev"))
+        .agg(F.min("v").alias("outlier_cents"))
+    )
+    nd = F.col("n").cast("double")
+    svd = F.col("sv").cast("double")
+    qvd = F.col("qv").cast("double")
+    return (
+        m.crossJoin(F.broadcast(dev))
+        .crossJoin(F.broadcast(who))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "outlier_cents",
+            F.round(
+                F.col("mdev").cast("double") / nd
+                / F.sqrt((nd * qvd - svd * svd) / nd / (nd - 1.0)),
+                6,
+            ).alias("g_stat"),
+        )
+    )
+
+
+# Wilcoxon signed-rank test ----------------------------------------------------
+
+
+@register(
+    "wilcoxon_signed_rank",
+    """
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN EXTRACT(hour FROM ts) < 12
+                           THEN CAST(round(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT)
+             - CAST(sum(CASE WHEN EXTRACT(hour FROM ts) >= 12
+                             THEN CAST(round(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS d
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    nz AS (SELECT abs(d) AS ad, CAST(sign(d) AS BIGINT) AS sg
+           FROM ud WHERE d <> 0),
+    c AS (SELECT ad, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp
+          FROM nz GROUP BY ad),
+    w AS (
+      SELECT ad, c, cp,
+             COALESCE(sum(c) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM c
+    ),
+    agg AS (
+      SELECT CAST(sum(c) AS HUGEINT) AS n,
+             CAST(sum(cp * (2 * below + c + 1)) AS HUGEINT) AS w2p,
+             CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS ties
+      FROM w
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(w2p AS BIGINT) AS w2_plus,
+           round((2.0 * CAST(w2p AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE))
+                 * sqrt(3.0)
+                 / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - ties AS DOUBLE)),
+                 6) AS z
+    FROM agg
+    """,
+    doc=(
+        "Wilcoxon signed-rank test of morning-vs-afternoon spend per "
+        "(user, day): doubled tied ranks of |d| keep W+ integral "
+        "(w2_plus = 2*W+), zero differences dropped, and the normal "
+        "approximation carries the exact tie correction — the "
+        "nonparametric paired companion to mcnemar_test's binary view"
+    ),
+)
+def wilcoxon_signed_rank(spark, sf_dir):
+    """One (user, day) partial-agg rollup builds the paired differences;
+    ranks come from the distinct-|d| prefix frame (the kruskal_wallis
+    machinery), so W+ and the tie term are exact decimal sums. The only
+    floats are the closing z expression."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hour = F.hour("ts")
+    ud = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.when(hour < 12, cents).otherwise(0))
+            - F.sum(F.when(hour >= 12, cents).otherwise(0))
+        )
+        .cast("long")
+        .alias("d")
+    )
+    nz = ud.filter(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"),
+        F.signum(F.col("d")).cast("long").alias("sg"),
+    )
+    c = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("sg") > 0, 1).otherwise(0)).cast("long").alias("cp"),
+    )
+    wb = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    w = c.select(
+        "ad", "c", "cp", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below")
+    )
+    agg = w.agg(
+        F.sum("c").cast(d38).alias("n"),
+        F.sum(
+            F.col("cp").cast(d38) * (2 * F.col("below") + F.col("c") + 1)
+        ).alias("w2p"),
+        F.sum(
+            F.col("c").cast(d38) * F.col("c") * F.col("c") - F.col("c")
+        ).alias("ties"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("w2p").cast("long").alias("w2_plus"),
+        F.round(
+            (2.0 * F.col("w2p").cast("double") - (F.col("n") * (F.col("n") + 1)).cast("double"))
+            * F.sqrt(F.lit(3.0))
+            / F.sqrt(
+                (
+                    2 * F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+                    - F.col("ties")
+                ).cast("double")
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+# Siegel repeated-median slope -------------------------------------------------
+
+
+@register(
+    "siegel_slopes",
+    """
+    WITH d AS (
+      SELECT CAST(date_diff('day',
+               (SELECT min(CAST(ts AS DATE)) FROM events), CAST(ts AS DATE))
+             AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.x AS xi, round(CAST(b.y - a.y AS DOUBLE) / (b.x - a.x), 9) AS sl
+      FROM d a JOIN d b ON a.x <> b.x
+    ),
+    pc AS (SELECT xi, sl, CAST(count(*) AS BIGINT) AS c FROM pair GROUP BY xi, sl),
+    pw AS (
+      SELECT xi, sl, c,
+             COALESCE(sum(c) OVER (PARTITION BY xi ORDER BY sl ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             sum(c) OVER (PARTITION BY xi) AS n_i
+      FROM pc
+    ),
+    med_i AS (
+      SELECT xi,
+             round((min(CASE WHEN below + c >= (n_i + 1) // 2 THEN sl END)
+                    + min(CASE WHEN below + c >= n_i // 2 + 1 THEN sl END))
+                   / 2.0, 9) AS mi
+      FROM pw GROUP BY xi, n_i
+    ),
+    mc AS (SELECT mi, CAST(count(*) AS BIGINT) AS c FROM med_i GROUP BY mi),
+    mw AS (
+      SELECT mi, c,
+             COALESCE(sum(c) OVER (ORDER BY mi ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS below,
+             sum(c) OVER () AS n
+      FROM mc
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           round((min(CASE WHEN below + c >= (n + 1) // 2 THEN mi END)
+                  + min(CASE WHEN below + c >= n // 2 + 1 THEN mi END))
+                 / 2.0, 6) AS siegel_slope
+    FROM mw
+    """,
+    doc=(
+        "Siegel repeated-median trend of the daily event-count series: "
+        "per-day median of pairwise slopes, then the median of those "
+        "medians — the 50%-breakdown robust slope beside theil_sen_trend "
+        "(29.3%); slopes snap to 9 dp so the two exact-median passes "
+        "compare identical doubles on both engines"
+    ),
+)
+def siegel_slopes(spark, sf_dir):
+    """The O(days^2) pair frame is tiny (the series is O(days)); both
+    median passes run on distinct-value prefix frames, so every
+    selection is a min-over-threshold aggregate — deterministic even
+    with repeated slope values. Exact integer counts everywhere; the
+    slope doubles are identical IEEE quotients snapped to 9 dp."""
+    ev = _t(spark, sf_dir, "events")
+    dmin = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    d = _persist_evict(
+        ev.crossJoin(F.broadcast(dmin))
+        .groupBy(F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("x"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    a = d.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = d.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pair = (
+        a.join(F.broadcast(b), F.col("xi") != F.col("xj"))
+        .select(
+            "xi",
+            F.round(
+                (F.col("yj") - F.col("yi")).cast("double")
+                / (F.col("xj") - F.col("xi")),
+                9,
+            ).alias("sl"),
+        )
+    )
+    pc = pair.groupBy("xi", "sl").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wb = Window.partitionBy("xi").orderBy("sl").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wg = Window.partitionBy("xi")
+    pw = pc.select(
+        "xi", "sl", "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below"),
+        F.sum("c").over(wg).alias("n_i"),
+    )
+    cum = F.col("below") + F.col("c")
+    med_i = pw.groupBy("xi", "n_i").agg(
+        F.round(
+            (
+                F.min(F.when(cum >= F.expr("(n_i + 1) div 2"), F.col("sl")))
+                + F.min(F.when(cum >= F.expr("n_i div 2 + 1"), F.col("sl")))
+            )
+            / 2.0,
+            9,
+        ).alias("mi")
+    )
+    mc = med_i.groupBy("mi").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wb2 = Window.orderBy("mi").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.orderBy("mi").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mw = mc.select(
+        "mi", "c",
+        F.coalesce(F.sum("c").over(wb2), F.lit(0)).alias("below"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    cum2 = F.col("below") + F.col("c")
+    return mw.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(
+            (
+                F.min(F.when(cum2 >= F.expr("(n + 1) div 2"), F.col("mi")))
+                + F.min(F.when(cum2 >= F.expr("n div 2 + 1"), F.col("mi")))
+            )
+            / 2.0,
+            6,
+        ).alias("siegel_slope"),
+    )
+
+
+# TextRank keyword scores ------------------------------------------------------
+
+_TR_DAMP = 0.85
+_TR_ITERS = 5
+_TR_MINLEN = 4
+_TR_MINCNT = 5
+
+
+def _textrank_oracle_sql() -> str:
+    head = f"""
+    WITH d AS MATERIALIZED (SELECT string_split(text, ' ') AS a FROM documents),
+    bi AS MATERIALIZED (
+      SELECT a[i] AS w1, a[i + 1] AS w2
+      FROM d CROSS JOIN unnest(range(1, len(a))) AS t(i)
+      WHERE len(a[i]) >= {_TR_MINLEN} AND len(a[i + 1]) >= {_TR_MINLEN}
+        AND a[i] <> a[i + 1]
+    ),
+    cw AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(a) AS tok FROM d
+      ) GROUP BY tok HAVING count(*) >= {_TR_MINCNT}
+    ),
+    e0 AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS wt FROM bi
+      JOIN cw c1 ON c1.tok = bi.w1 JOIN cw c2 ON c2.tok = bi.w2
+      GROUP BY w1, w2
+    ),
+    e AS MATERIALIZED (
+      SELECT w1 AS src, w2 AS dst, CAST(sum(wt) AS BIGINT) AS wt FROM (
+        SELECT w1, w2, wt FROM e0
+        UNION ALL SELECT w2 AS w1, w1 AS w2, wt FROM e0
+      ) GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS w FROM e),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(sum(wt) AS DOUBLE) AS dw FROM e GROUP BY src),
+    r0 AS MATERIALIZED (SELECT w, 1.0 AS r FROM nodes)"""
+    steps = []
+    for k in range(1, _TR_ITERS + 1):
+        steps.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT n.w,
+             {1.0 - _TR_DAMP!r}
+             + {_TR_DAMP!r} * coalesce(sum(p.r * e.wt / deg.dw), 0.0) AS r
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.w
+      LEFT JOIN deg ON deg.src = e.src
+      LEFT JOIN r{k - 1} p ON p.w = e.src
+      GROUP BY n.w
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\n    SELECT w AS word, round(r, 6) AS score FROM r{_TR_ITERS}"
+    )
+
+
+@register(
+    "textrank_scores",
+    _textrank_oracle_sql(),
+    doc=(
+        f"TextRank keyword scores: weighted PageRank ({_TR_ITERS} rounds, "
+        f"d = {_TR_DAMP}) over the adjacent-word co-occurrence graph "
+        f"(words of >= {_TR_MINLEN} chars appearing >= {_TR_MINCNT} "
+        "times; symmetric weighted edges) — the classic unsupervised "
+        "keyword extractor, emitted for every graph word like pagerank "
+        "(no float-ordered top-k cut)"
+    ),
+)
+def textrank_scores(spark, sf_dir):
+    """Graph build is the bigram zip-of-slices with two broadcast vocab
+    probes; each round is the pagerank contributions-only shuffle with
+    edge weights riding the persisted edge/degree frame. Emitting every
+    word's rounded score (not a top-k) keeps the output deterministic
+    under sum-order ULP drift, exactly as pagerank documents."""
+    from pyspark import StorageLevel
+
+    docs = _t(spark, sf_dir, "documents")
+    a = F.split(F.col("text"), " ")
+    n = F.size(a)
+    bi = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(a, 1, n - 1).alias("w1"),
+                F.slice(a, 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")).filter(
+        (F.length("w1") >= _TR_MINLEN)
+        & (F.length("w2") >= _TR_MINLEN)
+        & (F.col("w1") != F.col("w2"))
+    )
+    toks = docs.select(F.explode(a).alias("tok"))
+    cw = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= _TR_MINCNT)
+        .select("tok")
+    )
+    e0 = (
+        bi.join(F.broadcast(cw.select(F.col("tok").alias("w1"))), "w1")
+        .join(F.broadcast(cw.select(F.col("tok").alias("w2"))), "w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+    )
+    e = (
+        e0.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "wt")
+        .unionAll(e0.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "wt"))
+        .groupBy("src", "dst")
+        .agg(F.sum("wt").cast("long").alias("wt"))
+    )
+    while len(_PAGERANK_CACHED) > 2:
+        _PAGERANK_CACHED.pop(0).unpersist()
+    nodes = e.select(F.col("src").alias("w")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PAGERANK_CACHED.append(nodes)
+    deg = e.groupBy("src").agg(F.sum("wt").cast("double").alias("dw"))
+    ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    _PAGERANK_CACHED.append(ed)
+    ranks = nodes.select("w", F.lit(1.0).alias("r"))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.w)
+            .select(
+                F.col("dst").alias("w"),
+                (F.col("r") * F.col("wt") / F.col("dw")).alias("c"),
+            )
+            .groupBy("w")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "w", "left").select(
+            "w",
+            (
+                F.lit(1.0 - _TR_DAMP)
+                + F.lit(_TR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select(F.col("w").alias("word"), F.round("r", 6).alias("score"))
+
+
+# Spatial thinning -------------------------------------------------------------
+
+_THIN_R2 = 1600  # squared thinning radius in 0.01-degree units (r = 0.4 deg)
+
+
+@register(
+    "spatial_thinning",
+    f"""
+    WITH p AS (
+      SELECT event_id,
+             CAST(event_id * 7919 % 2000 AS BIGINT) AS iy,
+             CAST(event_id * 104729 % 2400 AS BIGINT) AS ix
+      FROM events
+    ),
+    rep AS (
+      SELECT iy // 50 AS cy, ix // 50 AS cx,
+             min(event_id) AS event_id
+      FROM p GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT rep.cy AS cy, rep.cx AS cx, rep.event_id AS event_id,
+             p.iy AS iy, p.ix AS ix
+      FROM rep JOIN p ON p.event_id = rep.event_id
+    ),
+    dropped AS (
+      SELECT DISTINCT b.event_id
+      FROM r a JOIN r b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+       AND a.event_id < b.event_id
+       AND (a.iy - b.iy) * (a.iy - b.iy) + (a.ix - b.ix) * (a.ix - b.ix)
+           < {_THIN_R2}
+    )
+    SELECT cy, cx, event_id, iy, ix FROM r
+    WHERE event_id NOT IN (SELECT event_id FROM dropped)
+    """,
+    doc=(
+        "spatial thinning for presence-only sampling: one representative "
+        "(min event id) per 0.5-degree cell, then any representative "
+        "within 0.4 degrees of a lower-id representative is dropped "
+        "(single-pass id-ordered rule — deterministic, no greedy "
+        "sequential state); all-integer geometry"
+    ),
+)
+def spatial_thinning(spark, sf_dir):
+    """Cell collapse is one partial-agg groupBy; the proximity check is a
+    3x3 kRing self-join on the representative frame (O(occupied cells), "
+    "never points) followed by an anti join. The cell edge (0.5 deg) is >= "
+    "the radius, so the 3x3 cover is exact. Integer squared distances "
+    "throughout."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        (F.col("event_id") * 7919 % 2000).alias("iy"),
+        (F.col("event_id") * 104729 % 2400).alias("ix"),
+    )
+    p = _persist_evict(p)
+    rep = p.groupBy(
+        F.expr("iy div 50").alias("cy"), F.expr("ix div 50").alias("cx")
+    ).agg(F.min("event_id").alias("event_id"))
+    r = _persist_evict(
+        rep.join(p, "event_id").select("cy", "cx", "event_id", "iy", "ix")
+    )
+    a = r.select(
+        F.col("cy").alias("acy"), F.col("cx").alias("acx"),
+        F.col("event_id").alias("aid"), F.col("iy").alias("aiy"),
+        F.col("ix").alias("aix"),
+    )
+    dropped = (
+        a.join(
+            r,
+            (F.abs(F.col("acy") - F.col("cy")) <= 1)
+            & (F.abs(F.col("acx") - F.col("cx")) <= 1)
+            & (F.col("aid") < F.col("event_id"))
+            & (
+                (F.col("aiy") - F.col("iy")) * (F.col("aiy") - F.col("iy"))
+                + (F.col("aix") - F.col("ix")) * (F.col("aix") - F.col("ix"))
+                < _THIN_R2
+            ),
+        )
+        .select("event_id")
+        .distinct()
+    )
+    return r.join(dropped, "event_id", "left_anti").select(
+        "cy", "cx", "event_id", "iy", "ix"
+    )
+
+
+# Hypsometric curve ------------------------------------------------------------
+
+_HYP_BINS = 20
+
+
+@register(
+    "hypsometric_curve",
+    f"""
+    WITH p AS ({_PT_SQL}),
+    cells AS ({_CELLS_SQL}),
+    mm AS (SELECT CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi,
+                  CAST(count(*) AS BIGINT) AS tot
+           FROM cells),
+    jj AS (SELECT CAST(unnest(generate_series(0, {_HYP_BINS})) AS BIGINT) AS j),
+    cur AS (
+      SELECT jj.j AS j,
+             CAST(COALESCE(sum(CASE WHEN {_HYP_BINS} * (cells.x - mm.lo)
+                                         >= jj.j * (mm.hi - mm.lo)
+                                    THEN 1 END), 0) AS BIGINT) AS n_above
+      FROM jj CROSS JOIN cells CROSS JOIN mm GROUP BY jj.j
+    )
+    SELECT j, round(j / {_HYP_BINS}.0, 6) AS rel_height,
+           n_above,
+           round(CAST(n_above AS DOUBLE) / tot, 6) AS area_frac
+    FROM cur, mm ORDER BY j
+    """,
+    doc=(
+        "hypsometric curve of the event-density surface (cell count as "
+        "elevation): relative area above each of 21 relative heights — "
+        "the landscape-maturity diagnostic; thresholds compare as exact "
+        "cross-multiplied integers so bin membership cannot straddle a "
+        "float boundary"
+    ),
+)
+def hypsometric_curve(spark, sf_dir):
+    """One cell rollup (the shared Gi* frame), one scalar min/max/count "
+    "aggregate, then a 21-row broadcast probe with integer cross-"
+    "multiplied threshold tests — nothing floats until the two display "
+    "divisions."""
+    cells = _persist_evict(_cell_counts(spark, sf_dir))
+    mm = cells.agg(
+        F.min("x").cast("long").alias("lo"),
+        F.max("x").cast("long").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+    )
+    jj = spark.range(0, _HYP_BINS + 1).select(F.col("id").cast("long").alias("j"))
+    cur = (
+        jj.crossJoin(F.broadcast(mm))
+        .crossJoin(cells)
+        .groupBy("j", "tot")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        _HYP_BINS * (F.col("x") - F.col("lo"))
+                        >= F.col("j") * (F.col("hi") - F.col("lo")),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_above")
+        )
+    )
+    return cur.select(
+        "j",
+        F.round(F.col("j") / float(_HYP_BINS), 6).alias("rel_height"),
+        "n_above",
+        F.round(F.col("n_above").cast("double") / F.col("tot"), 6).alias(
+            "area_frac"
+        ),
+    )
+
+
+# Exponential inter-event fit + KS goodness ------------------------------------
+
+
+@register(
+    "exp_fit_ks",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms, event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT t_ms - lag(t_ms) OVER (PARTITION BY user_id
+               ORDER BY t_ms, event_id) AS g
+      FROM e
+    ),
+    nz AS (SELECT g FROM gaps WHERE g IS NOT NULL AND g > 0),
+    c AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM nz GROUP BY g),
+    w AS (
+      SELECT g, c,
+             COALESCE(sum(c) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM c
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(g * c) AS BIGINT) AS sg
+            FROM c),
+    ks AS (
+      SELECT max(greatest(
+               abs(CAST(below + c AS DOUBLE) / n
+                   - (1.0 - exp(-(CAST(n AS DOUBLE) / sg) * g))),
+               abs(CAST(below AS DOUBLE) / n
+                   - (1.0 - exp(-(CAST(n AS DOUBLE) / sg) * g)))
+             )) AS ks_stat
+      FROM w, tot
+    )
+    SELECT n AS n_gaps,
+           round(CAST(n AS DOUBLE) / sg * 3600000.0, 6) AS lambda_per_hour,
+           round(ks_stat, 6) AS ks_stat
+    FROM tot, ks
+    """,
+    doc=(
+        "exponential fit of pooled inter-event gaps (MLE rate = n/sum) "
+        "with the Kolmogorov-Smirnov distance to the fitted CDF, "
+        "evaluated both-sided at every distinct gap from the prefix "
+        "frame — the Poisson-process diagnostic beside burstiness_index; "
+        "max() is order-free so the per-row exp() is the only float"
+    ),
+)
+def exp_fit_ks(spark, sf_dir):
+    """Gaps come from one per-user sort window; the ECDF lives on the
+    distinct-gap prefix frame (O(distinct gaps)); the KS max folds
+    per-row deterministic doubles. Rate is an exact integer rational."""
+    ev = _t(spark, sf_dir, "events")
+    w0 = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    e = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+    )
+    gaps = e.select((F.col("t_ms") - F.lag("t_ms").over(w0)).alias("g")).filter(
+        F.col("g").isNotNull() & (F.col("g") > 0)
+    )
+    c = _persist_evict(gaps.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wb = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)
+    w = c.select(
+        "g", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below")
+    )
+    tot = c.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("g") * F.col("c")).cast("long").alias("sg"),
+    )
+    lam = F.col("n").cast("double") / F.col("sg")
+    cdf = 1.0 - F.exp(-lam * F.col("g"))
+    ks = (
+        w.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.greatest(
+                    F.abs((F.col("below") + F.col("c")).cast("double") / F.col("n") - cdf),
+                    F.abs(F.col("below").cast("double") / F.col("n") - cdf),
+                )
+            ).alias("ks_stat")
+        )
+    )
+    return tot.crossJoin(F.broadcast(ks)).select(
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("n").cast("double") / F.col("sg") * 3600000.0, 6).alias(
+            "lambda_per_hour"
+        ),
+        F.round("ks_stat", 6).alias("ks_stat"),
+    )
+
+
+# Cohort lifetime value --------------------------------------------------------
+
+
+@register(
+    "cohort_ltv",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(round(COALESCE(value, 0) * 100, 0) AS BIGINT) AS cents,
+             epoch_ms(CAST(ts AS TIMESTAMP)) // 604800000 AS wk
+      FROM events
+    ),
+    first_wk AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+    coh AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+            FROM first_wk GROUP BY cw),
+    spend AS (
+      SELECT f.cw AS cw, e.wk - f.cw AS age_wk,
+             CAST(sum(CASE WHEN e.event_type = 'purchase'
+                           THEN e.cents ELSE 0 END) AS BIGINT) AS sum_cents,
+             CAST(count(DISTINCT CASE WHEN e.event_type = 'purchase'
+                                      THEN e.user_id END) AS BIGINT)
+               AS purchasers
+      FROM e JOIN first_wk f ON f.user_id = e.user_id
+      GROUP BY f.cw, e.wk - f.cw
+    )
+    SELECT cw AS cohort_week, age_wk, n_users, purchasers, sum_cents,
+           CAST(sum(sum_cents) OVER (PARTITION BY cw ORDER BY age_wk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents,
+           round(CAST(sum(sum_cents) OVER (PARTITION BY cw ORDER BY age_wk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / n_users, 6) AS ltv_cents
+    FROM spend JOIN coh USING (cw)
+    ORDER BY cw, age_wk
+    """,
+    doc=(
+        "cohort lifetime value: users grouped by first-activity epoch "
+        "week, purchase cents accumulated by cohort age — the "
+        "revenue-dimension companion to retention_cohorts (which counts "
+        "activity); exact integer cents with one display division"
+    ),
+)
+def cohort_ltv(spark, sf_dir):
+    """One per-user min rollup (cohort key, O(users)), one broadcast
+    join back, one (cohort, age) partial agg, then ordered prefix sums
+    on the tiny cohort-age frame. Exact cents throughout."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0)) * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.expr("unix_millis(cast(ts as timestamp)) div 604800000").alias("wk"),
+    )
+    e = _persist_evict(e)
+    first_wk = e.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    first_wk = _persist_evict(first_wk)
+    coh = first_wk.groupBy("cw").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    spend = (
+        e.join(F.broadcast(first_wk), "user_id")
+        .groupBy("cw", (F.col("wk") - F.col("cw")).alias("age_wk"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("sum_cents"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            )
+            .cast("long")
+            .alias("purchasers"),
+        )
+    )
+    wc = Window.partitionBy("cw").orderBy("age_wk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spend.join(F.broadcast(coh), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "age_wk",
+            "n_users",
+            "purchasers",
+            "sum_cents",
+            F.sum("sum_cents").over(
+                Window.partitionBy("cw").orderBy("age_wk").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).cast("long").alias("cum_cents"),
+            F.round(
+                F.sum("sum_cents").over(wc).cast("double") / F.col("n_users"), 6
+            ).alias("ltv_cents"),
+        )
+    )
+
+
+# Partial correlation ----------------------------------------------------------
+
+
+@register(
+    "partial_correlation",
+    """
+    WITH s AS (
+      SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS z
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(z) AS HUGEINT) AS sz,
+             sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(z AS HUGEINT) * z) AS szz,
+             sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * z) AS sxz,
+             sum(CAST(y AS HUGEINT) * z) AS syz
+      FROM s
+    ),
+    r AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+             CAST(n * sxz - sx * sz AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               / sqrt(CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+             CAST(n * syz - sy * sz AS DOUBLE)
+               / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+               / sqrt(CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+      FROM m
+    )
+    SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+           round(ryz, 6) AS r_yz,
+           round((rxy - rxz * ryz)
+                 / sqrt(1.0 - rxz * rxz) / sqrt(1.0 - ryz * ryz), 6) AS r_xy_z
+    FROM r
+    """,
+    doc=(
+        "first-order partial correlation of quantity and extendedprice "
+        "controlling for discount: all three pairwise Pearson r from one "
+        "exact-integer moment pass, then the closed-form recursion "
+        "(r_xy - r_xz r_yz)/sqrt((1-r_xz^2)(1-r_yz^2)) — the "
+        "confounder-adjusted association beside ols_trend"
+    ),
+)
+def partial_correlation(spark, sf_dir):
+    """One partial-agg pass with ten exact decimal moments; every later
+    step is single-row float algebra with the identical expression tree
+    on both engines."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("z"),
+    )
+    xc, yc, zc = (F.col(c).cast(d38) for c in ("x", "y", "z"))
+    m = s.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum("z").cast(d38).alias("sz"),
+        F.sum(xc * F.col("x")).alias("sxx"),
+        F.sum(yc * F.col("y")).alias("syy"),
+        F.sum(zc * F.col("z")).alias("szz"),
+        F.sum(xc * F.col("y")).alias("sxy"),
+        F.sum(xc * F.col("z")).alias("sxz"),
+        F.sum(yc * F.col("z")).alias("syz"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (
+            (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+            / F.sqrt((F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double"))
+            / F.sqrt((F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double"))
+        )
+
+    r = m.select(
+        F.col("n").cast("long").alias("n"),
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    return r.select(
+        "n",
+        F.round("rxy", 6).alias("r_xy"),
+        F.round("rxz", 6).alias("r_xz"),
+        F.round("ryz", 6).alias("r_yz"),
+        F.round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(1.0 - F.col("rxz") * F.col("rxz"))
+            / F.sqrt(1.0 - F.col("ryz") * F.col("ryz")),
+            6,
+        ).alias("r_xy_z"),
+    )
+
+
+# Mahalanobis outliers ---------------------------------------------------------
+
+_MAHA_CHI2_95 = 5.99146  # chi-square df=2, p=0.95 (uniform cloud: corner md2 ~ 6)
+
+
+@register(
+    "mahalanobis_outliers",
+    f"""
+    WITH p AS (
+      SELECT event_id,
+             CAST(event_id * 7919 % 2000 AS BIGINT) AS ix,
+             CAST(event_id * 104729 % 2400 AS BIGINT) AS iy
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(ix) AS HUGEINT) AS sx, CAST(sum(iy) AS HUGEINT) AS sy,
+             sum(CAST(ix AS HUGEINT) * ix) AS sxx,
+             sum(CAST(ix AS HUGEINT) * iy) AS sxy,
+             sum(CAST(iy AS HUGEINT) * iy) AS syy
+      FROM p
+    ),
+    c AS (
+      SELECT CAST(n AS DOUBLE) AS nd,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS a,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS b,
+             CAST(n * syy - sy * sy AS DOUBLE) AS cc,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM m
+    ),
+    md AS (
+      SELECT event_id,
+             (nd - 1.0) / (nd * (a * cc - b * b))
+             * (cc * (nd * ix - sxd) * (nd * ix - sxd)
+                - 2.0 * b * (nd * ix - sxd) * (nd * iy - syd)
+                + a * (nd * iy - syd) * (nd * iy - syd)) AS md2
+      FROM p, c
+    )
+    SELECT event_id, round(md2, 6) AS md2
+    FROM md WHERE md2 > {_MAHA_CHI2_95!r}
+    """,
+    doc=(
+        "Mahalanobis outlier flagging on the synthetic 2-D point cloud: "
+        "covariance from one exact-integer moment pass, closed-form 2x2 "
+        "inverse, per-point squared distance vs the chi2(2, 0.95) "
+        "threshold — the multivariate cousin of grubbs_test"
+    ),
+)
+def mahalanobis_outliers(spark, sf_dir):
+    """One moment aggregate, then a scalar-broadcast crossJoin scoring
+    the stream map-side (the pca_project shape). The n-scaled deviations
+    keep the quadratic form's inputs exact; the per-point float
+    expression is structure-identical on both engines and no cross-row
+    float reduction exists."""
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        (F.col("event_id") * 7919 % 2000).alias("ix"),
+        (F.col("event_id") * 104729 % 2400).alias("iy"),
+    )
+    p = _persist_evict(p)
+    ixd, iyd = F.col("ix").cast(d38), F.col("iy").cast(d38)
+    m = p.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("ix").cast(d38).alias("sx"),
+        F.sum("iy").cast(d38).alias("sy"),
+        F.sum(ixd * F.col("ix")).alias("sxx"),
+        F.sum(ixd * F.col("iy")).alias("sxy"),
+        F.sum(iyd * F.col("iy")).alias("syy"),
+    )
+    c = m.select(
+        F.col("n").cast("double").alias("nd"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("a"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("b"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("cc"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    dx = F.col("nd") * F.col("ix") - F.col("sxd")
+    dy = F.col("nd") * F.col("iy") - F.col("syd")
+    md2 = (
+        (F.col("nd") - 1.0)
+        / (F.col("nd") * (F.col("a") * F.col("cc") - F.col("b") * F.col("b")))
+        * (
+            F.col("cc") * dx * dx
+            - 2.0 * F.col("b") * dx * dy
+            + F.col("a") * dy * dy
+        )
+    )
+    return (
+        p.crossJoin(F.broadcast(c))
+        .select("event_id", md2.alias("md2"))
+        .filter(F.col("md2") > _MAHA_CHI2_95)
+        .select("event_id", F.round("md2", 6).alias("md2"))
+    )
+
+
+# Haar wavelet energy ----------------------------------------------------------
+
+_HAAR_LEVELS = 5  # 32-slot dyadic series
+
+
+@register(
+    "haar_energy",
+    f"""
+    WITH d AS (
+      SELECT CAST(date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                            CAST(ts AS DATE)) AS BIGINT) AS t
+      FROM events
+    ),
+    slots AS (SELECT CAST(unnest(generate_series(0, 31)) AS BIGINT) AS t),
+    y AS (
+      SELECT slots.t AS t, CAST(COALESCE(count(d.t), 0) AS BIGINT) AS y
+      FROM slots LEFT JOIN d ON d.t = slots.t GROUP BY slots.t
+    ),
+    lv AS (SELECT CAST(unnest(generate_series(1, {_HAAR_LEVELS})) AS BIGINT) AS l),
+    det AS (
+      SELECT lv.l AS l, y.t // (1 << lv.l) AS k,
+             CAST(sum(CASE WHEN (y.t % (1 << lv.l)) * 2 < (1 << lv.l)
+                           THEN y.y ELSE -y.y END) AS BIGINT) AS dcoef
+      FROM lv CROSS JOIN y GROUP BY lv.l, y.t // (1 << lv.l)
+    )
+    SELECT l AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+           round(CAST(sum(CAST(dcoef AS HUGEINT) * dcoef) AS DOUBLE)
+                 / (1 << l), 6) AS energy
+    FROM det GROUP BY l ORDER BY l
+    """,
+    doc=(
+        "Haar wavelet detail energy per level of the (zero-padded to 32 "
+        "dyadic slots) daily event-count series: coefficient = "
+        "(left-half sum - right-half sum)/sqrt(2^l), energy = sum of "
+        "squares — exact integers divided by a power of two, so the "
+        "decomposition is bit-exact; the scale-decomposition companion "
+        "to diurnal_harmonics' Fourier view"
+    ),
+)
+def haar_energy(spark, sf_dir):
+    """Each level's detail coefficients come straight from signed block
+    sums (one groupBy over the level x slot fan-out of the 32-row dense "
+    "series) — no sequential cascade, exact integers; energy divides by "
+    "2^l, a power of two, so even the float display value is exact."""
+    ev = _t(spark, sf_dir, "events")
+    dmin = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    d = ev.crossJoin(F.broadcast(dmin)).select(
+        F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("t")
+    )
+    cnt = d.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    slots = spark.range(0, 32).select(F.col("id").cast("long").alias("t"))
+    y = (
+        slots.join(cnt, "t", "left")
+        .select("t", F.coalesce(F.col("c"), F.lit(0)).alias("y"))
+    )
+    y = _persist_evict(y)
+    lv = spark.range(1, _HAAR_LEVELS + 1).select(F.col("id").cast("long").alias("l"))
+    blk = F.expr("shiftleft(1, cast(l as int))")
+    det = (
+        lv.crossJoin(y)
+        .groupBy("l", (F.col("t") / blk).cast("long").alias("k"))
+        .agg(
+            F.sum(
+                F.when((F.col("t") % blk) * 2 < blk, F.col("y")).otherwise(
+                    -F.col("y")
+                )
+            )
+            .cast("long")
+            .alias("dcoef")
+        )
+    )
+    d38 = "decimal(38,0)"
+    return (
+        det.groupBy(F.col("l").alias("level"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+            F.sum(F.col("dcoef").cast(d38) * F.col("dcoef")).alias("_e"),
+        )
+        .select(
+            "level",
+            "n_coeffs",
+            F.round(
+                F.col("_e").cast("double")
+                / F.expr("shiftleft(1, cast(level as int))"),
+                6,
+            ).alias("energy"),
+        )
+    )
+
+
+# Per-label embedding centroids ------------------------------------------------
+
+_LC_FP = 1000000.0  # fixed-point scale for exact cross-row embedding sums
+
+
+@register(
+    "label_centroids",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cs AS (
+      SELECT label, dim,
+             CAST(sum(CAST(round(v * {_LC_FP!r}) AS BIGINT)) AS BIGINT) AS sfp,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT label, dim, CAST(sfp AS DOUBLE) / (n * {_LC_FP!r}) AS c, n
+      FROM cs
+    ),
+    dots AS (
+      SELECT e.vec_id AS vec_id, e.label AS label,
+             CAST(sum(CAST(round(e.v * cent.c * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dvc,
+             CAST(sum(CAST(round(e.v * e.v * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dvv,
+             CAST(sum(CAST(round(cent.c * cent.c * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS dcc
+      FROM e JOIN cent ON cent.label = e.label AND cent.dim = e.dim
+      GROUP BY e.vec_id, e.label
+    ),
+    coss AS (
+      SELECT label,
+             CAST(sum(CAST(round(CAST(dvc AS DOUBLE)
+                   / sqrt(CAST(dvv AS DOUBLE)) / sqrt(CAST(dcc AS DOUBLE))
+                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS scos,
+             CAST(count(*) AS BIGINT) AS n_vecs
+      FROM dots GROUP BY label
+    )
+    SELECT coss.label AS label, coss.n_vecs AS n_vecs,
+           {", ".join(f"round((SELECT c FROM cent WHERE cent.label = coss.label AND cent.dim = {j}), 6) AS c{j}" for j in range(4))},
+           round(CAST(scos AS DOUBLE) / n_vecs / 1000000000.0, 6) AS mean_cos
+    FROM coss
+    """,
+    doc=(
+        "per-label embedding centroids (exact fixed-point dimension sums "
+        "— no float accumulation order anywhere) with the mean cosine of "
+        "members to their own centroid: the cluster-compactness summary "
+        "behind ann_ivf_topk's coarse quantizer; first 4 centroid dims "
+        "shown"
+    ),
+)
+def label_centroids(spark, sf_dir):
+    """Dimension explode -> per-(label, dim) fixed-point integer sums "
+    "(exact at any partitioning) -> centroid rationals -> one equi-join "
+    "back scoring each vector's cosine from per-dim fixed-point terms. "
+    "Every cross-row reduction is an integer sum; floats only appear in "
+    "per-row deterministic expressions."""
+    em = _t(spark, sf_dir, "embeddings")
+    e = em.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "v0"),
+    ).select("vec_id", "label", "dim", F.col("v0").cast("double").alias("v"))
+    e = _persist_evict(e)
+    cs = e.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("v") * _LC_FP).cast("long")).cast("long").alias("sfp"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cent = cs.select(
+        "label",
+        "dim",
+        (F.col("sfp").cast("double") / (F.col("n") * _LC_FP)).alias("c"),
+        "n",
+    )
+    cent = _persist_evict(cent)
+    fp9 = 1000000000.0
+    dots = (
+        e.join(F.broadcast(cent.select("label", "dim", "c")), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(F.col("v") * F.col("c") * fp9).cast("long"))
+            .cast("long")
+            .alias("dvc"),
+            F.sum(F.round(F.col("v") * F.col("v") * fp9).cast("long"))
+            .cast("long")
+            .alias("dvv"),
+            F.sum(F.round(F.col("c") * F.col("c") * fp9).cast("long"))
+            .cast("long")
+            .alias("dcc"),
+        )
+    )
+    cos = F.col("dvc").cast("double") / F.sqrt(F.col("dvv").cast("double")) / F.sqrt(
+        F.col("dcc").cast("double")
+    )
+    coss = dots.groupBy("label").agg(
+        F.sum(F.round(cos * fp9).cast("long")).cast("long").alias("scos"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    )
+    cw = cent.filter(F.col("dim") < 4).groupBy("label").pivot("dim", [0, 1, 2, 3]).agg(
+        F.first("c")
+    )
+    cw = cw.select(
+        "label",
+        *[F.round(F.col(str(j)), 6).alias(f"c{j}") for j in range(4)],
+    )
+    return coss.join(F.broadcast(cw), "label").select(
+        "label",
+        "n_vecs",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.round(F.col("scos").cast("double") / F.col("n_vecs") / fp9, 6).alias(
+            "mean_cos"
+        ),
+    )
+
+
+# Turning-point randomness test ------------------------------------------------
+
+
+@register(
+    "turning_point_test",
+    """
+    WITH d AS (
+      SELECT CAST(date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                            CAST(ts AS DATE)) AS BIGINT) AS t
+      FROM events
+    ),
+    y AS (SELECT t, CAST(count(*) AS BIGINT) AS y FROM d GROUP BY t),
+    q AS (
+      SELECT t, y,
+             lag(y) OVER (ORDER BY t) AS yp,
+             lead(y) OVER (ORDER BY t) AS yn
+      FROM y
+    ),
+    tp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+                            AND (y - yp) * (yn - y) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+      FROM q
+    )
+    SELECT n AS n_days, n_turning,
+           round((CAST(n_turning AS DOUBLE) - 2.0 * (n - 2) / 3.0)
+                 / sqrt((16.0 * n - 29.0) / 90.0), 6) AS z
+    FROM tp
+    """,
+    doc=(
+        "turning-point randomness test on the daily event-count series: "
+        "count of strict local extrema vs the E[T] = 2(n-2)/3, "
+        "var = (16n-29)/90 null — the i.i.d. diagnostic beside runs_test "
+        "(which tests signs, not shape); all-integer until the closing z"
+    ),
+)
+def turning_point_test(spark, sf_dir):
+    """One rollup to the O(days) frame, a lag/lead window and two exact
+    counts — the closing z is the only float."""
+    ev = _t(spark, sf_dir, "events")
+    dmin = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    y = (
+        ev.crossJoin(F.broadcast(dmin))
+        .groupBy(F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.orderBy("t")
+    q = y.select(
+        "t",
+        "y",
+        F.lag("y").over(w).alias("yp"),
+        F.lead("y").over(w).alias("yn"),
+    )
+    tp = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("yp").isNotNull()
+                & F.col("yn").isNotNull()
+                & ((F.col("y") - F.col("yp")) * (F.col("yn") - F.col("y")) < 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_turning"),
+    )
+    return tp.select(
+        F.col("n").alias("n_days"),
+        "n_turning",
+        F.round(
+            (F.col("n_turning").cast("double") - 2.0 * (F.col("n") - 2) / 3.0)
+            / F.sqrt((16.0 * F.col("n") - 29.0) / 90.0),
+            6,
+        ).alias("z"),
     )
 
 

@@ -307,6 +307,35 @@ QUERIES = [
     "ndcg_at_k",
     "langid_f1",
     "cohens_d",
+    # session-17 batch 7: attribution/rfm/page_hinkley ride 1M events
+    # (10x touch pairs, 10x users, same 30-day frame at 10x mass);
+    # apriori_rules is EXCLUDED (lineitem copied unchanged)
+    "attribution_linear",
+    "rfm_scores",
+    "page_hinkley",
+    # session-17 batch 8 (robust stats): all five ride 1M events (10x
+    # distinct-cents frames, 10x user-day pairs, denser daily series)
+    "qq_normal_points",
+    "trimmed_mean",
+    "grubbs_test",
+    "wilcoxon_signed_rank",
+    "siegel_slopes",
+    # session-17 batch 9: textrank rides the 10x doc graph (vocab and
+    # edge mass), thinning/hypsometric ride the 10x-denser point/cell
+    # field (occupancy and drop pattern change), exp_fit/cohort ride 1M
+    # events / 10x users
+    "textrank_scores",
+    "spatial_thinning",
+    "hypsometric_curve",
+    "exp_fit_ks",
+    "cohort_ltv",
+    # session-17 batch 10: mahalanobis/haar/turning ride 1M events (10x
+    # moments, 10x daily mass in the dyadic slots), partial_correlation
+    # and label_centroids are EXCLUDED (lineitem/embeddings copied
+    # unchanged)
+    "mahalanobis_outliers",
+    "haar_energy",
+    "turning_point_test",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

@@ -6419,41 +6419,6 @@ def test_cohens_d_matches_numpy(spark, sf_dir):
     assert abs(row.hedges_g - g) < 1e-6
 
 
-def test_kmeans_lloyd_matches_numpy(spark, sf_dir):
-    import numpy as np
-    import pandas as pd
-
-    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-    eid = ev.event_id.to_numpy()
-    px = (eid * 7919 % 2000).astype("float64")
-    py = (eid * 104729 % 2400).astype("float64")
-    order = np.argsort(eid, kind="stable")
-    k = relational._KM_K
-    cx = px[order[:k]].copy()
-    cy = py[order[:k]].copy()
-    for _ in range(relational._KM_ROUNDS):
-        d = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
-        a = np.argmin(d, axis=1)  # np.argmin ties -> first index, matches <=
-        for j in range(k):
-            sel = a == j
-            if sel.any():
-                cx[j] = px[sel].astype("int64").sum() / sel.sum()
-                cy[j] = py[sel].astype("int64").sum() / sel.sum()
-    # engine reports the LAST round's assignment with the post-update
-    # centroids (standard Lloyd bookkeeping: assign, update, report)
-    d = (px[:, None] - cx) ** 2 + (py[:, None] - cy) ** 2
-    got = {r.cluster: r for r in
-           relational.REGISTRY["kmeans_lloyd"].fn(spark, sf_dir).collect()}
-    assert sorted(got) == list(range(k))
-    for j in range(k):
-        sel = a == j
-        inert = sum(round(v * 1e6) for v in d[sel, j]) / 1e6
-        row = got[j]
-        assert row.n == int(sel.sum())
-        assert abs(row.cx - cx[j]) < 1e-6 and abs(row.cy - cy[j]) < 1e-6
-        assert abs(row.inertia - round(inert, 6)) < 1e-4
-
-
 def test_attribution_linear_matches_brute_force(spark, sf_dir):
     import pandas as pd
 
@@ -6572,3 +6537,371 @@ def test_apriori_rules_matches_brute_force(spark, sf_dir):
         assert abs(row.conf_21 - round(c_ab / m[i2], 6)) < 1e-9
         assert abs(row.lift - round(c_ab * n / (m[i1] * m[i2]), 6)) < 1e-9
         assert abs(row.leverage - round(c_ab / n - m[i1] * m[i2] / n / n, 6)) < 1e-9
+
+
+def test_qq_normal_points_matches_brute_force(spark, sf_dir):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    v = np.sort((ev.value.dropna() * 100).round().astype("int64").to_numpy())
+    n = len(v)
+    got = {r.j: r for r in
+           relational.REGISTRY["qq_normal_points"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == list(range(1, relational._QQ_N))
+    a, b = relational._QQ_A, relational._QQ_B
+    mu, sd = v.mean(), v.std(ddof=1)
+    for j in got:
+        p = j / relational._QQ_N
+        k = math.ceil(j * n / relational._QQ_N)
+        q_emp = int(v[k - 1])  # type-1 quantile
+        qq = p - 0.5
+        r = qq * qq
+        num = ((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]
+        den = ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1.0
+        z = num * qq / den
+        # sanity: Acklam probit within 1.2e-9 of scipy-grade inverse CDF
+        row = got[j]
+        assert row.q_emp == q_emp
+        assert abs(row.z_norm - round(z, 6)) < 1e-9
+        assert abs(row.z_emp - (q_emp - mu) / sd) < 1e-5
+
+
+def test_trimmed_mean_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.value.notna()]
+    got = {r.event_type: r for r in
+           relational.REGISTRY["trimmed_mean"].fn(spark, sf_dir).collect()}
+    for t, sub in ev.groupby("event_type"):
+        v = np.sort((sub.value * 100).round().astype("int64").to_numpy())
+        n = len(v)
+        lo = n * relational._TRIM_PCT // 100
+        kept = v[lo:n - lo]
+        tm = kept.mean()
+        wm = (kept.sum() + lo * v[lo] + lo * v[n - lo - 1]) / n
+        row = got[t]
+        assert (row.n, row.n_trimmed_each) == (n, lo)
+        assert abs(row.trimmed_mean - round(tm, 6)) < 1e-6
+        assert abs(row.winsorized_mean - round(wm, 6)) < 1e-6
+
+
+def test_grubbs_test_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    v = (ev.value.dropna() * 100).round().astype("int64").to_numpy()
+    mu, sd = v.mean(), v.std(ddof=1)
+    g = np.abs(v - mu).max() / sd
+    dev = np.abs(v * len(v) - v.sum())
+    outlier = int(v[dev == dev.max()].min())
+    row = relational.REGISTRY["grubbs_test"].fn(spark, sf_dir).collect()[0]
+    assert row.n == len(v)
+    assert row.outlier_cents == outlier
+    assert abs(row.g_stat - g) < 1e-6
+
+
+def test_wilcoxon_signed_rank_matches_scipy_style(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    ev = ev[ev.value.notna()].copy()
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    ev["am"] = pd.to_datetime(ev.ts).dt.hour < 12
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    g = ev.groupby(["user_id", "day"]).apply(
+        lambda s: int(s.cents[s.am].sum() - s.cents[~s.am].sum()),
+        include_groups=False)
+    d = g[g != 0].to_numpy()
+    ad = np.abs(d)
+    order = np.argsort(ad, kind="stable")
+    ranks = np.empty(len(d), dtype="float64")
+    sorted_ad = ad[order]
+    i = 0
+    r2 = np.empty(len(d), dtype="int64")
+    while i < len(d):
+        jj = i
+        while jj < len(d) and sorted_ad[jj] == sorted_ad[i]:
+            jj += 1
+        r2[order[i:jj]] = (i + 1) + jj  # 2*avg rank = (i+1) + jj
+        i = jj
+    w2p = int(r2[d > 0].sum())
+    n = len(d)
+    _, counts = np.unique(ad, return_counts=True)
+    ties = int(sum(c ** 3 - c for c in counts))
+    z = (2.0 * w2p - n * (n + 1)) * np.sqrt(3.0) / np.sqrt(
+        2 * n * (n + 1) * (2 * n + 1) - ties)
+    row = relational.REGISTRY["wilcoxon_signed_rank"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_pairs, row.w2_plus) == (n, w2p)
+    assert abs(row.z - round(z, 6)) < 1e-9
+
+
+def test_siegel_slopes_matches_brute_force(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    day = pd.to_datetime(ev.ts).dt.normalize()
+    x = (day - day.min()).dt.days.to_numpy()
+    xs, counts = np.unique(x, return_counts=True)
+
+    def med(vals):
+        v = np.sort(np.asarray(vals))
+        n = len(v)
+        return (v[(n - 1) // 2] + v[n // 2]) / 2.0
+
+    mis = []
+    for i, xi in enumerate(xs):
+        slopes = [round((counts[j] - counts[i]) / (xs[j] - xi), 9)
+                  for j in range(len(xs)) if j != i]
+        mis.append(round(med(slopes), 9))
+    want = round(med(mis), 6)
+    row = relational.REGISTRY["siegel_slopes"].fn(spark, sf_dir).collect()[0]
+    assert row.n_days == len(xs)
+    assert abs(row.siegel_slope - want) < 1e-9
+
+
+def test_textrank_scores_matches_numpy(spark, sf_dir):
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    cw, bi = {}, {}
+    for t in docs.text:
+        a = t.split(" ")
+        for w in a:
+            cw[w] = cw.get(w, 0) + 1
+        for w1, w2 in zip(a, a[1:]):
+            if (len(w1) >= relational._TR_MINLEN and len(w2) >= relational._TR_MINLEN
+                    and w1 != w2):
+                bi[(w1, w2)] = bi.get((w1, w2), 0) + 1
+    keep = {w for w, c in cw.items() if c >= relational._TR_MINCNT}
+    e = {}
+    for (w1, w2), c in bi.items():
+        if w1 in keep and w2 in keep:
+            e[(w1, w2)] = e.get((w1, w2), 0) + c
+            e[(w2, w1)] = e.get((w2, w1), 0) + c
+    nodes = sorted({s for s, _ in e})
+    deg = {}
+    for (s, _), wt in e.items():
+        deg[s] = deg.get(s, 0) + wt
+    r = {w: 1.0 for w in nodes}
+    d = relational._TR_DAMP
+    for _ in range(relational._TR_ITERS):
+        contrib = {}
+        for (s, t), wt in e.items():
+            contrib[t] = contrib.get(t, 0.0) + r[s] * wt / deg[s]
+        r = {w: (1.0 - d) + d * contrib.get(w, 0.0) for w in nodes}
+    got = {row.word: row.score for row in
+           relational.REGISTRY["textrank_scores"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(nodes)
+    for w in nodes:
+        assert abs(got[w] - r[w]) < 1e-5
+
+
+def test_spatial_thinning_invariants(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    eid = ev.event_id.to_numpy()
+    pts = {int(i): (int(i * 7919 % 2000), int(i * 104729 % 2400)) for i in eid}
+    # brute-force replica of the id-ordered single-pass rule
+    reps = {}
+    for i, (iy, ix) in pts.items():
+        key = (iy // 50, ix // 50)
+        if key not in reps or i < reps[key]:
+            reps[key] = i
+    rep_list = [(i, pts[i]) for i in reps.values()]
+    dropped = set()
+    for i, (iy, ix) in rep_list:
+        for j, (jy, jx) in rep_list:
+            if i < j and (iy - jy) ** 2 + (ix - jx) ** 2 < relational._THIN_R2:
+                dropped.add(j)
+    want = {i for i, _ in rep_list} - dropped
+    got = {r.event_id for r in
+           relational.REGISTRY["spatial_thinning"].fn(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_hypsometric_curve_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    eid = ev.event_id.to_numpy()
+    lat = (eid * 7919 % 2000) / 100.0
+    lon = (eid * 104729 % 2400) / 100.0 + 10.0
+    cy = np.floor(lat / relational._GI_CELL).astype("int64")
+    cx = np.floor(lon / relational._GI_CELL).astype("int64")
+    cells = pd.DataFrame({"cy": cy, "cx": cx}).groupby(["cy", "cx"]).size()
+    x = cells.to_numpy()
+    lo, hi, tot = int(x.min()), int(x.max()), len(x)
+    got = {r.j: r for r in
+           relational.REGISTRY["hypsometric_curve"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == list(range(relational._HYP_BINS + 1))
+    for j in got:
+        n_above = int((relational._HYP_BINS * (x - lo) >= j * (hi - lo)).sum())
+        assert got[j].n_above == n_above
+        assert abs(got[j].area_frac - round(n_above / tot, 6)) < 1e-9
+
+
+def test_exp_fit_ks_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    ev["t_ms"] = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    ev = ev.sort_values(["user_id", "t_ms", "event_id"], kind="mergesort")
+    g = ev.groupby("user_id").t_ms.diff().dropna()
+    g = g[g > 0].astype("int64").to_numpy()
+    n, sg = len(g), int(g.sum())
+    lam = n / sg
+    gs = np.sort(g)
+    uniq, counts = np.unique(gs, return_counts=True)
+    cum = np.cumsum(counts)
+    below = cum - counts
+    cdf = 1.0 - np.exp(-lam * uniq)
+    ks = max(np.abs(cum / n - cdf).max(), np.abs(below / n - cdf).max())
+    row = relational.REGISTRY["exp_fit_ks"].fn(spark, sf_dir).collect()[0]
+    assert row.n_gaps == n
+    assert abs(row.lambda_per_hour - round(n / sg * 3600000.0, 6)) < 1e-9
+    assert abs(row.ks_stat - ks) < 1e-6
+
+
+def test_cohort_ltv_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts", "value"])
+    ev["t_ms"] = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    ev["wk"] = ev.t_ms // 604800000
+    ev["cents"] = (ev.value.fillna(0) * 100).round().astype("int64")
+    first = ev.groupby("user_id").wk.min()
+    ev["cw"] = ev.user_id.map(first)
+    ev["age"] = ev.wk - ev.cw
+    purch = ev[ev.event_type == "purchase"]
+    got = {(r.cohort_week, r.age_wk): r for r in
+           relational.REGISTRY["cohort_ltv"].fn(spark, sf_dir).collect()}
+    n_users = first.value_counts()
+    for (cwk, age), sub in ev.groupby(["cw", "age"]):
+        p = purch[(purch.cw == cwk) & (purch.age == age)]
+        row = got[(cwk, age)]
+        assert row.n_users == int(n_users[cwk])
+        assert row.sum_cents == int(p.cents.sum())
+        assert row.purchasers == p.user_id.nunique()
+    for cwk in first.unique():
+        ages = sorted(a for c, a in got if c == cwk)
+        cum = 0
+        for a in ages:
+            cum += got[(cwk, a)].sum_cents
+            assert got[(cwk, a)].cum_cents == cum
+            assert abs(got[(cwk, a)].ltv_cents
+                       - round(cum / int(n_users[cwk]), 6)) < 1e-9
+
+
+def test_partial_correlation_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice", "l_discount"])
+    x = (li.l_quantity * 100).round().to_numpy()
+    y = (li.l_extendedprice * 100).round().to_numpy()
+    z = (li.l_discount * 100).round().to_numpy()
+    rxy = np.corrcoef(x, y)[0, 1]
+    rxz = np.corrcoef(x, z)[0, 1]
+    ryz = np.corrcoef(y, z)[0, 1]
+    want = (rxy - rxz * ryz) / np.sqrt(1 - rxz ** 2) / np.sqrt(1 - ryz ** 2)
+    row = relational.REGISTRY["partial_correlation"].fn(spark, sf_dir).collect()[0]
+    assert row.n == len(x)
+    assert abs(row.r_xy - rxy) < 1e-6
+    assert abs(row.r_xy_z - want) < 1e-6
+
+
+def test_mahalanobis_outliers_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    eid = ev.event_id.to_numpy()
+    pts = np.stack([(eid * 7919 % 2000), (eid * 104729 % 2400)], axis=1).astype("float64")
+    mu = pts.mean(0)
+    cov = np.cov(pts.T, ddof=1)
+    inv = np.linalg.inv(cov)
+    d = pts - mu
+    md2 = np.einsum("ij,jk,ik->i", d, inv, d)
+    want = {int(e): m for e, m in zip(eid, md2) if m > relational._MAHA_CHI2_95}
+    got = {r.event_id: r.md2 for r in
+           relational.REGISTRY["mahalanobis_outliers"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(want) != set()
+    for e in want:
+        assert abs(got[e] - want[e]) < 1e-4
+
+
+def test_haar_energy_matches_pywt_style(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    day = pd.to_datetime(ev.ts).dt.normalize()
+    t = (day - day.min()).dt.days.to_numpy()
+    y = np.zeros(32, dtype="int64")
+    np.add.at(y, t, 1)
+    a = y.astype("float64")
+    got = {r.level: r for r in
+           relational.REGISTRY["haar_energy"].fn(spark, sf_dir).collect()}
+    for lvl in range(1, relational._HAAR_LEVELS + 1):
+        # classic cascade: approx/detail via pairwise sums/diffs / sqrt(2)
+        det = (a[0::2] - a[1::2]) / np.sqrt(2.0)
+        a = (a[0::2] + a[1::2]) / np.sqrt(2.0)
+        energy = float((det ** 2).sum())
+        row = got[lvl]
+        assert row.n_coeffs == len(det)
+        assert abs(row.energy - energy) < 1e-4
+
+
+def test_label_centroids_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    em = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r.label: r for r in
+           relational.REGISTRY["label_centroids"].fn(spark, sf_dir).collect()}
+    for lbl, sub in em.groupby("label"):
+        V = np.stack(sub.embedding.to_numpy()).astype("float64")
+        # engine centroid: fixed-point 1e-6 sums / n
+        cfp = np.round(V * 1e6).sum(0) / (len(V) * 1e6)
+        cosv = []
+        for v in V:
+            dvc = np.round(v * cfp * 1e9).sum() / 1e9
+            dvv = np.round(v * v * 1e9).sum() / 1e9
+            dcc = np.round(cfp * cfp * 1e9).sum() / 1e9
+            cosv.append(round(dvc / np.sqrt(dvv) / np.sqrt(dcc) * 1e9) / 1e9)
+        row = got[lbl]
+        assert row.n_vecs == len(V)
+        for j in range(4):
+            assert abs(getattr(row, f"c{j}") - round(cfp[j], 6)) < 1e-9
+        assert abs(row.mean_cos - round(sum(cosv) / len(cosv), 6)) < 1e-8
+
+
+def test_turning_point_test_matches_brute_force(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    day = pd.to_datetime(ev.ts).dt.normalize()
+    y = day.value_counts().sort_index().to_numpy()
+    n = len(y)
+    tcount = sum(1 for i in range(1, n - 1)
+                 if (y[i] - y[i - 1]) * (y[i + 1] - y[i]) < 0)
+    z = (tcount - 2 * (n - 2) / 3) / np.sqrt((16 * n - 29) / 90)
+    row = relational.REGISTRY["turning_point_test"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_days, row.n_turning) == (n, tcount)
+    assert abs(row.z - round(z, 6)) < 1e-9

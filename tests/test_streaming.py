@@ -139,3 +139,45 @@ def test_stream_dedup_within_watermark(spark):
     assert len(a) == len(b)
     assert a[key].astype(str).equals(b[key].astype(str))
     assert (a.FP_Power.to_numpy() == b.FP_Power.to_numpy()).all()
+
+
+def test_stream_sessions_gap_semantics(spark):
+    """Session windows merge bursts closer than the gap and split at
+    >= gap; append mode emits only watermark-passed sessions. Recompute
+    the gap-islands + cutoff in pandas from the staged stream files."""
+    import glob
+
+    import pandas as pd
+
+    from filda_spark import fire_queries as FQ
+
+    sf = "/root/testdata/sf0.001"
+    out = FQ.stream_sessions(spark, sf).toPandas()
+    d = FQ._windowed_stream_dir(spark, sf)
+    rows = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{d}/*.parquet")])
+    part = rows.doc_id.str.split(".", expand=True)
+    y = part[1].str[1:5].astype(int)
+    doy = part[1].str[5:8].astype(int)
+    hh = part[2].str[:2].astype(int)
+    mi = part[2].str[2:4].astype(int)
+    ev = ((pd.to_datetime(y.astype(str) + "-01-01").astype("int64") // 10**9)
+          + (doy - 1) * 86400 + hh * 3600 + mi * 60)
+    rows = rows.assign(ev=ev)
+    gap = FQ.SESSION_GAP_SEC
+    cutoff = int(rows.ev.max()) - FQ.WATERMARK_SEC
+    want = []
+    for tile, sub in rows.groupby("tile_id"):
+        sub = sub.sort_values("ev")
+        sid = (sub.ev.diff().fillna(gap) >= gap).cumsum()
+        for _, s in sub.groupby(sid):
+            end = int(s.ev.max()) + gap
+            if end <= cutoff:
+                want.append((int(s.ev.min()), end, tile, len(s),
+                             round(float(s.FP_Power.sum()), 6)))
+    got = sorted(map(tuple, out[["sess_start", "sess_end", "tile_id",
+                                 "n_detections", "total_frp"]].values.tolist()))
+    want = sorted(want)
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:4] == w[:4]
+        assert abs(g[4] - w[4]) < 1e-4
