@@ -301,6 +301,16 @@ HEADLINE = [
     "haar_energy",
     "label_centroids",
     "turning_point_test",
+    "gumbel_fit_extremes",
+    "bradley_terry",
+    "spectral_coherence",
+    "permutation_entropy",
+    "odds_ratio_ci",
+    "ground_track",
+    "swath_coverage",
+    "woe_iv",
+    "target_encoding_loo",
+    "embedding_drift",
     # stream_sessions / fire_rate_windowed / stream_dedup / hotspot_track:
     # streaming entries are correctness-gated (sf0.01 oracle parity) but NOT
     # benchmarked — the per-file micro-batch fixture replays ~100 sequential

@@ -23655,6 +23655,1008 @@ def turning_point_test(spark, sf_dir):
     )
 
 
+# Gumbel fit of block maxima ---------------------------------------------------
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+@register(
+    "gumbel_fit_extremes",
+    f"""
+    WITH m AS (
+      SELECT CAST(ts AS DATE) AS day,
+             max(CAST(round(value * 100, 0) AS BIGINT)) AS mx
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(mx) AS HUGEINT) AS s,
+             sum(CAST(mx AS HUGEINT) * mx) AS q
+      FROM m
+    ),
+    fit AS (
+      SELECT CAST(n AS BIGINT) AS n_days,
+             sqrt(CAST(n * q - s * s AS DOUBLE)
+                  / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
+               * sqrt(6.0) / {_SOLAR_PI!r} AS beta,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+      FROM mo
+    )
+    SELECT n_days,
+           round(xbar - {_EULER_GAMMA!r} * beta, 6) AS mu,
+           round(beta, 6) AS beta,
+           round(xbar - {_EULER_GAMMA!r} * beta
+                 - beta * (-2.2503673273124454), 6) AS return_level_10,
+           round(xbar - {_EULER_GAMMA!r} * beta
+                 - beta * (-4.600149226776579), 6) AS return_level_100
+    FROM fit
+    """,
+    doc=(
+        "Gumbel extreme-value fit of daily block maxima (method of "
+        "moments: beta = s*sqrt(6)/pi, mu = mean - gamma*beta with "
+        "literal Euler-Mascheroni/pi constants) and the 10/100-block "
+        "return levels — the EVT tail model beside grubbs_test's "
+        "single-outlier view; exact integer moments into closed-form "
+        "floats"
+    ),
+)
+def gumbel_fit_extremes(spark, sf_dir):
+    """One block-max rollup (O(days)), one exact-moment aggregate, then
+    single-row float algebra with shared literal constants — identical
+    expression trees on both engines."""
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max(F.round(F.col("value") * 100, 0).cast("long")).alias("mx")
+    )
+    mo = m.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("mx").cast(d38).alias("s"),
+        F.sum(F.col("mx").cast(d38) * F.col("mx")).alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    beta = (
+        F.sqrt(
+            (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+            / nd
+            / (nd - 1.0)
+        )
+        * F.sqrt(F.lit(6.0))
+        / _SOLAR_PI
+    )
+    xbar = F.col("s").cast("double") / nd
+    fit = mo.select(
+        F.col("n").cast("long").alias("n_days"),
+        beta.alias("beta"),
+        xbar.alias("xbar"),
+    )
+    mu = F.col("xbar") - _EULER_GAMMA * F.col("beta")
+    return fit.select(
+        "n_days",
+        F.round(mu, 6).alias("mu"),
+        F.round("beta", 6).alias("beta"),
+        F.round(mu - F.col("beta") * -2.2503673273124454, 6).alias("return_level_10"),
+        F.round(mu - F.col("beta") * -4.600149226776579, 6).alias("return_level_100"),
+    )
+
+
+# Bradley-Terry preference strengths -------------------------------------------
+
+_BT_N = 20
+_BT_ITERS = 5
+_BT_FP = 1000000000000.0
+
+
+def _bt_oracle_sql() -> str:
+    head = f"""
+    WITH oi AS MATERIALIZED (
+      SELECT l_orderkey AS o, l_partkey % {_BT_N} AS item,
+             CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cmp AS MATERIALIZED (
+      SELECT a.item AS i, b.item AS j,
+             CAST(count(*) AS BIGINT) AS n_ij,
+             CAST(sum(CASE WHEN a.q > b.q THEN 1 ELSE 0 END) AS BIGINT) AS w_ij
+      FROM oi a JOIN oi b ON a.o = b.o AND a.item < b.item AND a.q <> b.q
+      GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT i, j, n_ij, w_ij FROM cmp
+      UNION ALL SELECT j AS i, i AS j, n_ij, n_ij - w_ij AS w_ij FROM cmp
+    ),
+    wins AS MATERIALIZED (
+      SELECT i, CAST(sum(w_ij) AS BIGINT) AS w FROM pairs GROUP BY i),
+    p0 AS MATERIALIZED (SELECT i, 1.0 AS p FROM wins)"""
+    steps = []
+    for k in range(1, _BT_ITERS + 1):
+        steps.append(f"""
+    d{k} AS MATERIALIZED (
+      SELECT pairs.i AS i,
+             CAST(sum(CAST(round(pairs.n_ij / (pi.p + pj.p) * {_BT_FP!r})
+                  AS BIGINT)) AS BIGINT) AS den_fp
+      FROM pairs
+      JOIN p{k - 1} pi ON pi.i = pairs.i
+      JOIN p{k - 1} pj ON pj.i = pairs.j
+      GROUP BY pairs.i
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT wins.i AS i,
+             CAST(wins.w AS DOUBLE) / (CAST(den_fp AS DOUBLE) / {_BT_FP!r}) AS pr
+      FROM wins JOIN d{k} ON d{k}.i = wins.i
+    ),
+    s{k} AS MATERIALIZED (
+      SELECT CAST(sum(CAST(round(pr * {_BT_FP!r}) AS BIGINT)) AS BIGINT) AS tot
+      FROM r{k}
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT i, pr * {_BT_N}.0 * {_BT_FP!r} / tot AS p FROM r{k}, s{k}
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT wins.i AS item, wins.w AS w_total, round(p.p, 6) AS strength
+    FROM wins JOIN p{_BT_ITERS} p ON p.i = wins.i
+    """
+    )
+
+
+@register(
+    "bradley_terry",
+    _bt_oracle_sql(),
+    doc=(
+        f"Bradley-Terry preference strengths over {_BT_N} part buckets "
+        "(within-order quantity comparisons as pairwise contests), "
+        f"{_BT_ITERS} fixed MM iterations normalized to mean 1 — the "
+        "paired-comparison ranking model beside hits/pagerank; per-term "
+        "1e-12 fixed-point keeps every cross-pair fold an exact integer "
+        "sum"
+    ),
+)
+def bradley_terry(spark, sf_dir):
+    """The contest matrix is a per-order self-join collapsed to "
+    "O(items^2) rows once; each MM round is one broadcast join of the "
+    "20-row strength frame into the pair frame + a fixed-point partial "
+    "agg — no data-proportional work after the first groupBys. "
+    "Normalization divides by an exact integer total, so the rounds "
+    "stay bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    oi = _persist_evict(
+        li.groupBy(
+            F.col("l_orderkey").alias("o"), (F.col("l_partkey") % _BT_N).alias("item")
+        ).agg(F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).cast("long").alias("q"))
+    )
+    a = oi.select("o", F.col("item").alias("i"), F.col("q").alias("qi"))
+    b = oi.select("o", F.col("item").alias("j"), F.col("q").alias("qj"))
+    cmp_ = (
+        a.join(b, "o")
+        .filter((F.col("i") < F.col("j")) & (F.col("qi") != F.col("qj")))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ij"),
+            F.sum(F.when(F.col("qi") > F.col("qj"), 1).otherwise(0))
+            .cast("long")
+            .alias("w_ij"),
+        )
+    )
+    pairs = _persist_evict(
+        cmp_.select("i", "j", "n_ij", "w_ij").unionAll(
+            cmp_.select(
+                F.col("j").alias("i"),
+                F.col("i").alias("j"),
+                "n_ij",
+                (F.col("n_ij") - F.col("w_ij")).alias("w_ij"),
+            )
+        )
+    )
+    wins = _persist_evict(
+        pairs.groupBy("i").agg(F.sum("w_ij").cast("long").alias("w"))
+    )
+    p = wins.select("i", F.lit(1.0).alias("p"))
+    for _ in range(_BT_ITERS):
+        pi = p.select(F.col("i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+        den = (
+            pairs.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("n_ij") / (F.col("p_i") + F.col("p_j")) * _BT_FP
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("den_fp")
+            )
+        )
+        r = wins.join(den, "i").select(
+            "i",
+            (
+                F.col("w").cast("double")
+                / (F.col("den_fp").cast("double") / _BT_FP)
+            ).alias("pr"),
+        )
+        s = r.agg(
+            F.sum(F.round(F.col("pr") * _BT_FP).cast("long")).cast("long").alias("tot")
+        )
+        p = r.crossJoin(F.broadcast(s)).select(
+            "i", (F.col("pr") * _BT_N * _BT_FP / F.col("tot")).alias("p")
+        )
+        p = p.localCheckpoint()
+    return wins.join(p, "i").select(
+        F.col("i").alias("item"),
+        F.col("w").alias("w_total"),
+        F.round("p", 6).alias("strength"),
+    )
+
+
+# Spectral coherence of two diurnal series -------------------------------------
+
+_SC_FP = 1000000.0
+
+
+def _coherence_oracle_sql() -> str:
+    def fold(t, k, tab):
+        return " + ".join(
+            f"CAST(round(n{t}_{h} * ({tab[k][h]!r}) * {_SC_FP!r}) AS BIGINT)"
+            for h in range(24)
+        )
+
+    piv = ", ".join(
+        f"CAST(sum(CASE WHEN h = {h} AND et = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS na_{h}, "
+        f"CAST(sum(CASE WHEN h = {h} AND et = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS nb_{h}"
+        for h in range(24)
+    )
+    rows = []
+    for k in _DH_K:
+        xc, xs = fold("a", k, _DH_COS), fold("a", k, _DH_SIN)
+        yc, ys = fold("b", k, _DH_COS), fold("b", k, _DH_SIN)
+        rows.append(f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(sum(CAST(({xc}) AS HUGEINT) * ({yc})
+                    + CAST(({xs}) AS HUGEINT) * ({ys})) AS DOUBLE) AS cre,
+           CAST(sum(CAST(({xs}) AS HUGEINT) * ({yc})
+                    - CAST(({xc}) AS HUGEINT) * ({ys})) AS DOUBLE) AS cim,
+           CAST(sum(CAST(({xc}) AS HUGEINT) * ({xc})
+                    + CAST(({xs}) AS HUGEINT) * ({xs})) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(({yc}) AS HUGEINT) * ({yc})
+                    + CAST(({ys}) AS HUGEINT) * ({ys})) AS DOUBLE) AS syy
+    FROM piv""")
+    body = " UNION ALL ".join(rows)
+    return f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+             event_type AS et
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    piv AS (
+      SELECT day, {piv} FROM e GROUP BY day
+    ),
+    sp AS ({body})
+    SELECT k,
+           round((cre * cre + cim * cim) / (sxx * syy), 6) AS coherence,
+           round(atan2(cim, cre), 6) AS phase
+    FROM sp ORDER BY k
+    """
+
+
+@register(
+    "spectral_coherence",
+    _coherence_oracle_sql(),
+    doc=(
+        "magnitude-squared coherence and phase between the click and "
+        "purchase diurnal series at harmonics k=1..4: per-day DFT "
+        "components from the shared literal trig tables (fixed-point "
+        "1e-6 per-term rounding -> exact integer day components), "
+        "cross-spectra averaged over days as exact 128-bit sums — does "
+        "purchasing track clicking through the day, and at what lag?"
+    ),
+)
+def spectral_coherence(spark, sf_dir):
+    """One (day, hour, type) rollup pivots to 48 fixed-order columns per "
+    "day; every per-day DFT component is an exact fixed-point integer "
+    "(literal trig, no engine cos/sin), and the cross-day spectral sums "
+    "accumulate in decimal(38,0) — the whole estimator is "
+    "aggregation-order free."""
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    e = ev.select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("long").alias("h"),
+        F.col("event_type").alias("et"),
+    )
+    piv = e.groupBy("day").agg(
+        *[
+            c
+            for h in range(24)
+            for c in (
+                F.sum(F.when((F.col("h") == h) & (F.col("et") == "click"), 1).otherwise(0))
+                .cast("double")
+                .alias(f"na_{h}"),
+                F.sum(
+                    F.when((F.col("h") == h) & (F.col("et") == "purchase"), 1).otherwise(0)
+                )
+                .cast("double")
+                .alias(f"nb_{h}"),
+            )
+        ]
+    )
+    piv = _persist_evict(piv)
+
+    def fold(t, k, tab):
+        return _fold_sum(
+            [
+                F.round(F.col(f"n{t}_{h}") * F.lit(tab[k][h]) * _SC_FP).cast("long")
+                for h in range(24)
+            ]
+        )
+
+    rows = []
+    for k in _DH_K:
+        xc, xs = fold("a", k, _DH_COS), fold("a", k, _DH_SIN)
+        yc, ys = fold("b", k, _DH_COS), fold("b", k, _DH_SIN)
+        sp = piv.agg(
+            F.sum(xc.cast(d38) * yc + xs.cast(d38) * ys).cast("double").alias("cre"),
+            F.sum(xs.cast(d38) * yc - xc.cast(d38) * ys).cast("double").alias("cim"),
+            F.sum(xc.cast(d38) * xc + xs.cast(d38) * xs).cast("double").alias("sxx"),
+            F.sum(yc.cast(d38) * yc + ys.cast(d38) * ys).cast("double").alias("syy"),
+        )
+        rows.append(
+            sp.select(
+                F.lit(k).cast("long").alias("k"),
+                F.round(
+                    (F.col("cre") * F.col("cre") + F.col("cim") * F.col("cim"))
+                    / (F.col("sxx") * F.col("syy")),
+                    6,
+                ).alias("coherence"),
+                F.round(F.atan2(F.col("cim"), F.col("cre")), 6).alias("phase"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# Permutation entropy ----------------------------------------------------------
+
+
+def _pe_rank_sql(a: str, b: str, c: str) -> str:
+    """rank of {a} among (a, b, c) with index tie-break (a wins ties vs
+    later elements)."""
+    return (
+        f"(CASE WHEN {b} < {a} THEN 1 ELSE 0 END"
+        f" + CASE WHEN {c} < {a} THEN 1 ELSE 0 END)"
+    )
+
+
+@register(
+    "permutation_entropy",
+    f"""
+    WITH d AS (
+      SELECT CAST(date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                            CAST(ts AS DATE)) AS BIGINT) AS t
+      FROM events
+    ),
+    y AS (SELECT t, CAST(count(*) AS BIGINT) AS y FROM d GROUP BY t),
+    q AS (
+      SELECT t, y AS y0,
+             lead(y, 1) OVER (ORDER BY t) AS y1,
+             lead(y, 2) OVER (ORDER BY t) AS y2
+      FROM y
+    ),
+    pat AS (
+      SELECT 100 * ({_pe_rank_sql("y0", "y1", "y2")})
+             + 10 * ({_pe_rank_sql("y1", "y0 - 1", "y2")})
+             + ({_pe_rank_sql("y2", "y0 - 1", "y1 - 1")}) AS code
+      FROM q WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+    ),
+    cnt AS (SELECT code, CAST(count(*) AS BIGINT) AS c FROM pat GROUP BY code),
+    piv AS (
+      SELECT {", ".join(f"CAST(sum(CASE WHEN code = {code} THEN c ELSE 0 END) AS DOUBLE) AS c_{i}" for i, code in enumerate((12, 21, 102, 120, 201, 210)))},
+             CAST(sum(c) AS DOUBLE) AS n
+      FROM cnt
+    )
+    SELECT CAST(n AS BIGINT) AS n_windows,
+           round(-({" + ".join(f"CASE WHEN c_{i} > 0 THEN c_{i} / n * ln(c_{i} / n) ELSE 0.0 END" for i in range(6))}), 6) AS h,
+           round(-({" + ".join(f"CASE WHEN c_{i} > 0 THEN c_{i} / n * ln(c_{i} / n) ELSE 0.0 END" for i in range(6))}) / ln(6.0), 6) AS h_norm
+    FROM piv
+    """,
+    doc=(
+        "order-3 permutation entropy of the daily event-count series: "
+        "each 3-day window maps to its ordinal pattern (index tie-break "
+        "keeps ties deterministic: earlier day wins), Shannon entropy of "
+        "the 6-pattern distribution — the complexity measure beside "
+        "entropy_rate (values) and turning_point_test (extrema); "
+        "fixed-order 6-term fold, exact counts"
+    ),
+)
+def permutation_entropy(spark, sf_dir):
+    """One O(days) rollup, one lead window, a CASE-algebra pattern code "
+    "and a 6-column fixed-order pivot — the entropy fold is bit-"
+    "identical to the SQL's ' + '.join."""
+    ev = _t(spark, sf_dir, "events")
+    dmin = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    y = (
+        ev.crossJoin(F.broadcast(dmin))
+        .groupBy(F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.orderBy("t")
+    q = y.select(
+        F.col("y").alias("y0"),
+        F.lead("y", 1).over(w).alias("y1"),
+        F.lead("y", 2).over(w).alias("y2"),
+    ).filter(F.col("y1").isNotNull() & F.col("y2").isNotNull())
+
+    def rank(a, b, c):
+        return F.when(b < a, 1).otherwise(0) + F.when(c < a, 1).otherwise(0)
+
+    y0, y1, y2 = F.col("y0"), F.col("y1"), F.col("y2")
+    # element i counts j as smaller iff y_j < y_i, or y_j == y_i with
+    # j < i (stable argsort tie-break); (y - 1 < x) == (y <= x) on integers
+    code = (
+        100 * rank(y0, y1, y2)
+        + 10 * rank(y1, y0 - 1, y2)
+        + rank(y2, y0 - 1, y1 - 1)
+    )
+    cnt = q.select(code.alias("code")).groupBy("code").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    codes = (12, 21, 102, 120, 201, 210)
+    piv = cnt.agg(
+        *[
+            F.sum(F.when(F.col("code") == cd, F.col("c")).otherwise(0))
+            .cast("double")
+            .alias(f"c_{i}")
+            for i, cd in enumerate(codes)
+        ],
+        F.sum("c").cast("double").alias("n"),
+    )
+    ent = _fold_sum(
+        [
+            F.when(
+                F.col(f"c_{i}") > 0,
+                F.col(f"c_{i}") / F.col("n") * F.log(F.col(f"c_{i}") / F.col("n")),
+            ).otherwise(0.0)
+            for i in range(6)
+        ]
+    )
+    import math as _math
+
+    return piv.select(
+        F.col("n").cast("long").alias("n_windows"),
+        F.round(-ent, 6).alias("h"),
+        F.round(-ent / _math.log(6.0), 6).alias("h_norm"),
+    )
+
+
+# Odds ratio with Woolf CI -----------------------------------------------------
+
+
+@register(
+    "odds_ratio_ci",
+    """
+    WITH s AS (
+      SELECT CASE WHEN isodow(CAST(ts AS TIMESTAMP)) >= 6 THEN 1 ELSE 0 END AS wkend,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    t AS (
+      SELECT CAST(sum(CASE WHEN wkend = 1 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN wkend = 1 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN wkend = 0 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN wkend = 0 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM s
+    )
+    SELECT a, b, c, d,
+           round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6) AS odds_ratio,
+           round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6) AS ci_lo,
+           round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6) AS ci_hi
+    FROM t
+    """,
+    doc=(
+        "weekend-vs-weekday purchase odds ratio with the Woolf 95% CI "
+        "(ln OR +/- 1.96*sqrt(1/a+1/b+1/c+1/d)) — the epidemiology-style "
+        "2x2 effect measure beside ab_test_ztest's difference of "
+        "proportions; exact cell counts, fixed-order 4-term variance fold"
+    ),
+)
+def odds_ratio_ci(spark, sf_dir):
+    """One conditional-count aggregate (partial-agg, four integers), one
+    single-row float expression. weekday() in Spark (0 = Monday) and
+    isodow() in DuckDB (1 = Monday) agree on the weekend predicate."""
+    ev = _t(spark, sf_dir, "events")
+    wkend = F.when(F.expr("weekday(cast(ts as timestamp))") >= 5, 1).otherwise(0)
+    pos = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    s = ev.select(wkend.alias("wkend"), pos.alias("pos"))
+    t = s.agg(
+        F.sum(F.when((F.col("wkend") == 1) & (F.col("pos") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("wkend") == 1) & (F.col("pos") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("wkend") == 0) & (F.col("pos") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("wkend") == 0) & (F.col("pos") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    orx = F.col("a").cast("double") * F.col("d") / (
+        F.col("b").cast("double") * F.col("c")
+    )
+    se = F.sqrt(
+        _fold_sum(
+            [1.0 / F.col("a"), 1.0 / F.col("b"), 1.0 / F.col("c"), 1.0 / F.col("d")]
+        )
+    )
+    return t.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orx, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orx) - 1.96 * se), 6).alias("ci_lo"),
+        F.round(F.exp(F.log(orx) + 1.96 * se), 6).alias("ci_hi"),
+    )
+
+
+# Sun-synchronous ground track -------------------------------------------------
+
+# Circular sun-synchronous orbit, VIIRS-like: inclination 98.7 deg,
+# period 101.5 min; Earth sidereal rotation 86164 s. All literals shared
+# by both engines; one simulated day at 1-minute steps.
+_GT_INCL = 98.7 * _SOLAR_PI / 180.0
+_GT_PERIOD_S = 6090.0
+_GT_OMEGA_E = 2.0 * _SOLAR_PI / 86164.0
+
+
+@register(
+    "ground_track",
+    f"""
+    WITH m AS (SELECT CAST(unnest(generate_series(0, 1439)) AS BIGINT) AS minute),
+    t AS (
+      SELECT minute, minute * 60.0 AS ts,
+             2.0 * {_SOLAR_PI!r} * (minute * 60.0) / {_GT_PERIOD_S!r} AS u
+      FROM m
+    ),
+    g AS (
+      SELECT minute,
+             CAST(floor(ts / {_GT_PERIOD_S!r}) AS BIGINT) AS orbit,
+             asin(sin({_GT_INCL!r}) * sin(u)) * 180.0 / {_SOLAR_PI!r} AS lat,
+             atan2(cos({_GT_INCL!r}) * sin(u), cos(u)) * 180.0 / {_SOLAR_PI!r}
+               - {_GT_OMEGA_E!r} * ts * 180.0 / {_SOLAR_PI!r} AS lon0
+      FROM t
+    )
+    SELECT minute, orbit,
+           round(lat, 6) AS lat,
+           round(lon0 - 360.0 * floor((lon0 + 180.0) / 360.0), 6) AS lon
+    FROM g ORDER BY minute
+    """,
+    doc=(
+        "sun-synchronous satellite ground track (VIIRS-like circular "
+        "orbit: inclination 98.7 deg, 101.5-min period) for one day at "
+        "1-minute steps: spherical orbit propagation + Earth-rotation "
+        "longitude drift, normalized to [-180, 180) — the overpass "
+        "geometry behind the granule corpus "
+        "(reference: orbital tiling in src/FILDA2/FILDA_Time_Cord.py)"
+    ),
+)
+def ground_track(spark, sf_dir):
+    """A generated 1440-row frame with closed-form spherical propagation
+    — literal orbit constants, structure-identical trig on both engines,
+    floor-based longitude wrap (no engine fmod sign ambiguity). Data-free
+    like tissot_sinusoidal."""
+    m = spark.range(0, 1440).select(F.col("id").cast("long").alias("minute"))
+    ts = F.col("minute") * 60.0
+    u = 2.0 * _SOLAR_PI * ts / _GT_PERIOD_S
+    g = m.select(
+        "minute",
+        F.floor(ts / _GT_PERIOD_S).cast("long").alias("orbit"),
+        (F.asin(F.sin(F.lit(_GT_INCL)) * F.sin(u)) * 180.0 / _SOLAR_PI).alias("lat"),
+        (
+            F.atan2(F.cos(F.lit(_GT_INCL)) * F.sin(u), F.cos(u)) * 180.0 / _SOLAR_PI
+            - _GT_OMEGA_E * ts * 180.0 / _SOLAR_PI
+        ).alias("lon0"),
+    )
+    return g.select(
+        "minute",
+        "orbit",
+        F.round("lat", 6).alias("lat"),
+        F.round(
+            F.col("lon0") - 360.0 * F.floor((F.col("lon0") + 180.0) / 360.0), 6
+        ).alias("lon"),
+    )
+
+
+# Swath coverage ---------------------------------------------------------------
+
+_SW_HALF_KM = 1500.0  # half swath width
+_SW_CELL = 5  # degrees
+
+
+@register(
+    "swath_coverage",
+    f"""
+    WITH m AS (SELECT CAST(unnest(generate_series(0, 1439)) AS BIGINT) AS minute),
+    t AS (
+      SELECT minute, minute * 60.0 AS ts,
+             2.0 * {_SOLAR_PI!r} * (minute * 60.0) / {_GT_PERIOD_S!r} AS u
+      FROM m
+    ),
+    g AS (
+      SELECT minute, CAST(floor(ts / {_GT_PERIOD_S!r}) AS BIGINT) AS orbit,
+             asin(sin({_GT_INCL!r}) * sin(u)) AS phi,
+             radians((atan2(cos({_GT_INCL!r}) * sin(u), cos(u))
+                      * 180.0 / {_SOLAR_PI!r}
+                      - {_GT_OMEGA_E!r} * ts * 180.0 / {_SOLAR_PI!r})
+                     - 360.0 * floor(((atan2(cos({_GT_INCL!r}) * sin(u), cos(u))
+                        * 180.0 / {_SOLAR_PI!r}
+                        - {_GT_OMEGA_E!r} * ts * 180.0 / {_SOLAR_PI!r}) + 180.0)
+                       / 360.0)) AS lam
+      FROM t
+    ),
+    cells AS (
+      SELECT CAST(cy.c AS BIGINT) AS cy, CAST(cx.c AS BIGINT) AS cx,
+             radians(cy.c * {_SW_CELL}.0 + {_SW_CELL / 2.0!r}) AS cphi,
+             radians(cx.c * {_SW_CELL}.0 + {_SW_CELL / 2.0!r}) AS clam
+      FROM (SELECT unnest(generate_series(-18, 17)) AS c) cy
+      CROSS JOIN (SELECT unnest(generate_series(-36, 35)) AS c) cx
+    ),
+    hit AS (
+      SELECT cells.cy AS cy, cells.cx AS cx, g.minute AS minute, g.orbit AS orbit
+      FROM cells JOIN g
+        ON 2.0 * 6371.0 * asin(sqrt(
+             sin((cells.cphi - g.phi) / 2.0) * sin((cells.cphi - g.phi) / 2.0)
+             + cos(g.phi) * cos(cells.cphi)
+               * sin((cells.clam - g.lam) / 2.0)
+               * sin((cells.clam - g.lam) / 2.0))) < {_SW_HALF_KM!r}
+    )
+    SELECT cy, cx, CAST(count(*) AS BIGINT) AS n_pts,
+           CAST(count(DISTINCT orbit) AS BIGINT) AS n_orbits
+    FROM hit GROUP BY cy, cx
+    """,
+    doc=(
+        f"daily swath coverage: which {_SW_CELL}-degree cells fall "
+        f"within the {_SW_HALF_KM:.0f}-km half-swath of the simulated "
+        "ground track, and by how many orbits — the coverage/revisit "
+        "analysis behind get_files' granule pruning (a cell with "
+        "n_orbits = 0 never yields a granule that day)"
+    ),
+)
+def swath_coverage(spark, sf_dir):
+    """Track (1440 rows) x cell (2592 rows) is a bounded broadcast "
+    "nested-loop join on the haversine predicate — both frames are "
+    "generated constants, so the plan size is data-independent; per-pair "
+    "trig is structure-identical on both engines and the aggregates are "
+    "exact counts. At production scale the join would pre-filter by "
+    "latitude band (|cphi - phi| bound) before the exact test."""
+    m = spark.range(0, 1440).select(F.col("id").cast("long").alias("minute"))
+    ts = F.col("minute") * 60.0
+    u = 2.0 * _SOLAR_PI * ts / _GT_PERIOD_S
+    lon0 = (
+        F.atan2(F.cos(F.lit(_GT_INCL)) * F.sin(u), F.cos(u)) * 180.0 / _SOLAR_PI
+        - _GT_OMEGA_E * ts * 180.0 / _SOLAR_PI
+    )
+    g = m.select(
+        "minute",
+        F.floor(ts / _GT_PERIOD_S).cast("long").alias("orbit"),
+        F.asin(F.sin(F.lit(_GT_INCL)) * F.sin(u)).alias("phi"),
+        F.radians(
+            lon0 - 360.0 * F.floor((lon0 + 180.0) / 360.0)
+        ).alias("lam"),
+    )
+    cy = spark.range(-18, 18).select(F.col("id").cast("long").alias("cy"))
+    cx = spark.range(-36, 36).select(F.col("id").cast("long").alias("cx"))
+    cells = cy.crossJoin(cx).select(
+        "cy",
+        "cx",
+        F.radians(F.col("cy") * float(_SW_CELL) + _SW_CELL / 2.0).alias("cphi"),
+        F.radians(F.col("cx") * float(_SW_CELL) + _SW_CELL / 2.0).alias("clam"),
+    )
+    dphi = (F.col("cphi") - F.col("phi")) / 2.0
+    dlam = (F.col("clam") - F.col("lam")) / 2.0
+    hav = 2.0 * 6371.0 * F.asin(
+        F.sqrt(
+            F.sin(dphi) * F.sin(dphi)
+            + F.cos(F.col("phi")) * F.cos(F.col("cphi")) * F.sin(dlam) * F.sin(dlam)
+        )
+    )
+    hit = cells.join(F.broadcast(g), hav < _SW_HALF_KM)
+    return hit.groupBy("cy", "cx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.countDistinct("orbit").cast("long").alias("n_orbits"),
+    )
+
+
+# Weight of evidence / information value ---------------------------------------
+
+
+def _woe_oracle_sql() -> str:
+    iv = " + ".join(
+        f"(p_{i} / pt - n_{i} / nt) * ln((p_{i} / pt) / (n_{i} / nt))"
+        for i in range(1, 11)
+    )
+    piv = ", ".join(
+        f"CAST(sum(CASE WHEN decile = {i} THEN n_pos ELSE 0 END) AS DOUBLE) AS p_{i}, "
+        f"CAST(sum(CASE WHEN decile = {i} THEN n - n_pos ELSE 0 END) AS DOUBLE) AS n_{i}"
+        for i in range(1, 11)
+    )
+    return f"""
+    WITH s AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS sc, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT pos, ntile(10) OVER (ORDER BY sc DESC, event_id) AS decile FROM s
+    ),
+    gg AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM d GROUP BY decile
+    ),
+    piv AS (SELECT {piv}, CAST(sum(n_pos) AS DOUBLE) AS pt,
+                   CAST(sum(n - n_pos) AS DOUBLE) AS nt
+            FROM gg),
+    ivv AS (SELECT round({iv}, 6) AS iv FROM piv)
+    SELECT decile, n, n_pos,
+           round(ln((CAST(n_pos AS DOUBLE) / pt)
+                 / (CAST(n - n_pos AS DOUBLE) / nt)), 6) AS woe,
+           iv
+    FROM gg, piv, ivv ORDER BY decile
+    """
+
+
+@register(
+    "woe_iv",
+    _woe_oracle_sql(),
+    doc=(
+        "weight of evidence per score decile (value cents vs the "
+        "purchase label, deterministic ntile tie-break) and the total "
+        "information value — the credit-scoring feature-strength measure "
+        "beside lift_deciles; exact counts, fixed-order 10-term IV fold"
+    ),
+)
+def woe_iv(spark, sf_dir):
+    """Same deterministic ntile sort as lift_deciles; everything after "
+    "runs on the 10-row decile frame, with the IV folded over a fixed-"
+    "order pivot so the float association matches the oracle's "
+    "' + '.join."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("sc"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    d = s.select(
+        "pos",
+        F.ntile(10).over(Window.orderBy(F.col("sc").desc(), "event_id")).alias(
+            "decile"
+        ),
+    )
+    gg = _persist_evict(
+        d.groupBy("decile").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    piv = gg.agg(
+        *[
+            c
+            for i in range(1, 11)
+            for c in (
+                F.sum(F.when(F.col("decile") == i, F.col("n_pos")).otherwise(0))
+                .cast("double")
+                .alias(f"p_{i}"),
+                F.sum(
+                    F.when(F.col("decile") == i, F.col("n") - F.col("n_pos")).otherwise(0)
+                )
+                .cast("double")
+                .alias(f"n_{i}"),
+            )
+        ],
+        F.sum("n_pos").cast("double").alias("pt"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("double").alias("nt"),
+    )
+    ivx = _fold_sum(
+        [
+            (F.col(f"p_{i}") / F.col("pt") - F.col(f"n_{i}") / F.col("nt"))
+            * F.log((F.col(f"p_{i}") / F.col("pt")) / (F.col(f"n_{i}") / F.col("nt")))
+            for i in range(1, 11)
+        ]
+    )
+    ivv = piv.select(F.round(ivx, 6).alias("iv"))
+    pt = gg.agg(F.sum("n_pos").cast("double").alias("pt"),
+                F.sum(F.col("n") - F.col("n_pos")).cast("double").alias("nt"))
+    return (
+        gg.crossJoin(F.broadcast(pt))
+        .crossJoin(F.broadcast(ivv))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                F.log(
+                    (F.col("n_pos").cast("double") / F.col("pt"))
+                    / ((F.col("n") - F.col("n_pos")).cast("double") / F.col("nt"))
+                ),
+                6,
+            ).alias("woe"),
+            "iv",
+        )
+    )
+
+
+# Leave-one-out target encoding ------------------------------------------------
+
+_TE_CATS = 50
+
+
+@register(
+    "target_encoding_loo",
+    f"""
+    WITH s AS (
+      SELECT event_id, user_id % {_TE_CATS} AS cat,
+             CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT cat, CAST(sum(v) AS BIGINT) AS s_c, CAST(count(*) AS BIGINT) AS n_c
+      FROM s GROUP BY cat
+    )
+    SELECT s.event_id AS event_id, s.cat AS cat,
+           round(CAST(c.s_c - s.v AS DOUBLE) / (c.n_c - 1), 6) AS enc
+    FROM s JOIN c ON c.cat = s.cat WHERE c.n_c > 1
+    """,
+    doc=(
+        f"leave-one-out target encoding of the user-bucket category "
+        f"({_TE_CATS} buckets) against value cents: enc_i = "
+        "(S_cat - v_i)/(n_cat - 1) — the leakage-safe categorical "
+        "encoder every tabular-ML pipeline ships; exact integer "
+        "numerators, one division per row"
+    ),
+)
+def target_encoding_loo(spark, sf_dir):
+    """One category rollup (O(cats)) broadcast back into the stream —
+    map-side encode, no second shuffle; the n_c > 1 guard is identical
+    on both engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        "event_id",
+        (F.col("user_id") % _TE_CATS).alias("cat"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    c = s.groupBy("cat").agg(
+        F.sum("v").cast("long").alias("s_c"),
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+    )
+    return (
+        s.join(F.broadcast(c), "cat")
+        .filter(F.col("n_c") > 1)
+        .select(
+            "event_id",
+            "cat",
+            F.round(
+                (F.col("s_c") - F.col("v")).cast("double") / (F.col("n_c") - 1), 6
+            ).alias("enc"),
+        )
+    )
+
+
+# Embedding distribution drift -------------------------------------------------
+
+
+@register(
+    "embedding_drift",
+    f"""
+    WITH e AS (
+      SELECT vec_id % 2 AS half, i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cs AS (
+      SELECT half, dim,
+             CAST(sum(CAST(round(v * {_LC_FP!r}) AS BIGINT)) AS BIGINT) AS sfp,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY half, dim
+    ),
+    cent AS (
+      SELECT dim,
+             max(CASE WHEN half = 0 THEN CAST(sfp AS DOUBLE) / (n * {_LC_FP!r}) END) AS ca,
+             max(CASE WHEN half = 1 THEN CAST(sfp AS DOUBLE) / (n * {_LC_FP!r}) END) AS cb,
+             max(CASE WHEN half = 0 THEN n END) AS na,
+             max(CASE WHEN half = 1 THEN n END) AS nb
+      FROM cs GROUP BY dim
+    ),
+    agg AS (
+      SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             CAST(sum(CAST(round((ca - cb) * (ca - cb) * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS d2,
+             CAST(sum(CAST(round(ca * cb * 1000000000.0) AS BIGINT)) AS BIGINT) AS dab,
+             CAST(sum(CAST(round(ca * ca * 1000000000.0) AS BIGINT)) AS BIGINT) AS daa,
+             CAST(sum(CAST(round(cb * cb * 1000000000.0) AS BIGINT)) AS BIGINT) AS dbb
+      FROM cent
+    )
+    SELECT n_a, n_b,
+           round(sqrt(CAST(d2 AS DOUBLE) / 1000000000.0), 6) AS l2_drift,
+           round(CAST(dab AS DOUBLE) / sqrt(CAST(daa AS DOUBLE))
+                 / sqrt(CAST(dbb AS DOUBLE)), 6) AS centroid_cos
+    FROM agg
+    """,
+    doc=(
+        "embedding distribution drift between the two vec_id-parity "
+        "halves: L2 distance and cosine of the half-corpus centroids "
+        "(fixed-point dimension sums, exact at any partitioning) — the "
+        "snapshot-comparison monitor for embedding pipelines, the "
+        "vector-space twin of psi_drift"
+    ),
+)
+def embedding_drift(spark, sf_dir):
+    """Dimension explode -> per-(half, dim) fixed-point sums -> a 64-row "
+    "centroid frame whose drift terms are re-quantized before the final "
+    "fold, so every cross-row reduction is an exact integer sum."""
+    em = _t(spark, sf_dir, "embeddings")
+    e = em.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")).alias("dim", "v0"),
+    ).select("half", "dim", F.col("v0").cast("double").alias("v"))
+    cs = e.groupBy("half", "dim").agg(
+        F.sum(F.round(F.col("v") * _LC_FP).cast("long")).cast("long").alias("sfp"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cent = cs.groupBy("dim").agg(
+        F.max(
+            F.when(F.col("half") == 0, F.col("sfp").cast("double") / (F.col("n") * _LC_FP))
+        ).alias("ca"),
+        F.max(
+            F.when(F.col("half") == 1, F.col("sfp").cast("double") / (F.col("n") * _LC_FP))
+        ).alias("cb"),
+        F.max(F.when(F.col("half") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("half") == 1, F.col("n"))).alias("nb"),
+    )
+    fp9 = 1000000000.0
+    agg = cent.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.sum(
+            F.round((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")) * fp9)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.round(F.col("ca") * F.col("cb") * fp9).cast("long"))
+        .cast("long")
+        .alias("dab"),
+        F.sum(F.round(F.col("ca") * F.col("ca") * fp9).cast("long"))
+        .cast("long")
+        .alias("daa"),
+        F.sum(F.round(F.col("cb") * F.col("cb") * fp9).cast("long"))
+        .cast("long")
+        .alias("dbb"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.sqrt(F.col("d2").cast("double") / fp9), 6).alias("l2_drift"),
+        F.round(
+            F.col("dab").cast("double")
+            / F.sqrt(F.col("daa").cast("double"))
+            / F.sqrt(F.col("dbb").cast("double")),
+            6,
+        ).alias("centroid_cos"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

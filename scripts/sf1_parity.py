@@ -336,6 +336,20 @@ QUERIES = [
     "mahalanobis_outliers",
     "haar_energy",
     "turning_point_test",
+    # session-17 batch 11: gumbel/coherence/permutation/odds ride 1M
+    # events (10x block maxima mass, 10x day spectra, interleaved
+    # hour-shifted copies change the ordinal patterns and weekday mix);
+    # bradley_terry is EXCLUDED (lineitem copied unchanged)
+    "gumbel_fit_extremes",
+    "spectral_coherence",
+    "permutation_entropy",
+    "odds_ratio_ci",
+    # session-17 batch 12: woe/target-encoding ride 1M scored events
+    # (decile cuts and category sums shift); ground_track/swath_coverage
+    # are data-free constants and embedding_drift rides the
+    # copied-unchanged embeddings — all three EXCLUDED
+    "woe_iv",
+    "target_encoding_loo",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

@@ -6905,3 +6905,283 @@ def test_turning_point_test_matches_brute_force(spark, sf_dir):
     row = relational.REGISTRY["turning_point_test"].fn(spark, sf_dir).collect()[0]
     assert (row.n_days, row.n_turning) == (n, tcount)
     assert abs(row.z - round(z, 6)) < 1e-9
+
+
+def test_gumbel_fit_extremes_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ev = ev[ev.value.notna()].copy()
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    mx = ev.groupby("day").cents.max().to_numpy().astype("float64")
+    beta = mx.std(ddof=1) * math.sqrt(6) / math.pi
+    mu = mx.mean() - relational._EULER_GAMMA * beta
+    row = relational.REGISTRY["gumbel_fit_extremes"].fn(spark, sf_dir).collect()[0]
+    assert row.n_days == len(mx)
+    assert abs(row.mu - mu) < 1e-4
+    assert abs(row.beta - beta) < 1e-4
+    assert abs(row.return_level_10 - (mu - beta * math.log(-math.log(0.9)))) < 1e-3
+    assert abs(row.return_level_100 - (mu - beta * math.log(-math.log(0.99)))) < 1e-3
+
+
+def test_bradley_terry_matches_numpy(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_quantity"])
+    li["item"] = li.l_partkey % relational._BT_N
+    li["q"] = (li.l_quantity * 100).round().astype("int64")
+    oi = li.groupby(["l_orderkey", "item"]).q.sum()
+    n_ij, w_ij = {}, {}
+    for o, sub in oi.groupby(level=0):
+        items = [(i, q) for (_, i), q in sub.items()]
+        for x in range(len(items)):
+            for yy in range(x + 1, len(items)):
+                (i, qi), (j, qj) = items[x], items[yy]
+                if qi == qj:
+                    continue
+                a, b = min(i, j), max(i, j)
+                wa = (qi if a == i else qj) > (qj if a == i else qi)
+                n_ij[(a, b)] = n_ij.get((a, b), 0) + 1
+                w_ij[(a, b)] = w_ij.get((a, b), 0) + (1 if wa else 0)
+    pairs = {}
+    for (a, b), n in n_ij.items():
+        w = w_ij[(a, b)]
+        pairs[(a, b)] = (n, w)
+        pairs[(b, a)] = (n, n - w)
+    wins = {}
+    for (i, _), (n, w) in pairs.items():
+        wins[i] = wins.get(i, 0) + w
+    FP = relational._BT_FP
+    p = {i: 1.0 for i in wins}
+    for _ in range(relational._BT_ITERS):
+        den = {}
+        for (i, j), (n, _) in pairs.items():
+            den[i] = den.get(i, 0) + round(n / (p[i] + p[j]) * FP)
+        pr = {i: wins[i] / (den[i] / FP) for i in wins}
+        tot = sum(round(v * FP) for v in pr.values())
+        p = {i: pr[i] * relational._BT_N * FP / tot for i in pr}
+    got = {r.item: r for r in
+           relational.REGISTRY["bradley_terry"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(wins)
+    for i in wins:
+        assert got[i].w_total == wins[i]
+        assert abs(got[i].strength - round(p[i], 6)) < 1e-6
+
+
+def test_spectral_coherence_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    ev = ev[ev.event_type.isin(["click", "purchase"])].copy()
+    ts = pd.to_datetime(ev.ts)
+    ev["day"] = ts.dt.date
+    ev["h"] = ts.dt.hour
+    got = {r.k: r for r in
+           relational.REGISTRY["spectral_coherence"].fn(spark, sf_dir).collect()}
+    FP = relational._SC_FP
+    for k in relational._DH_K:
+        cosv = relational._DH_COS[k]
+        sinv = relational._DH_SIN[k]
+        cre = cim = sxx = syy = 0
+        for _, sub in ev.groupby("day"):
+            na = np.bincount(sub.h[sub.event_type == "click"], minlength=24)
+            nb = np.bincount(sub.h[sub.event_type == "purchase"], minlength=24)
+            xc = sum(round(float(na[h]) * cosv[h] * FP) for h in range(24))
+            xs = sum(round(float(na[h]) * sinv[h] * FP) for h in range(24))
+            yc = sum(round(float(nb[h]) * cosv[h] * FP) for h in range(24))
+            ys = sum(round(float(nb[h]) * sinv[h] * FP) for h in range(24))
+            cre += xc * yc + xs * ys
+            cim += xs * yc - xc * ys
+            sxx += xc * xc + xs * xs
+            syy += yc * yc + ys * ys
+        row = got[k]
+        assert abs(row.coherence - round((cre * cre + cim * cim)
+                                         / (float(sxx) * syy), 6)) < 1e-6
+        assert abs(row.phase - round(np.arctan2(float(cim), float(cre)), 6)) < 1e-6
+        assert 0.0 <= row.coherence <= 1.0 + 1e-9
+
+
+def test_permutation_entropy_matches_brute_force(spark, sf_dir):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    day = pd.to_datetime(ev.ts).dt.normalize()
+    y = day.value_counts().sort_index().to_numpy()
+    pats = {}
+    for i in range(len(y) - 2):
+        w = y[i:i + 3]
+        order = np.argsort(w, kind="stable")  # stable == index tie-break
+        rank = np.empty(3, dtype=int)
+        rank[order] = np.arange(3)
+        code = 100 * rank[0] + 10 * rank[1] + rank[2]
+        pats[code] = pats.get(code, 0) + 1
+    n = sum(pats.values())
+    h = -sum(c / n * math.log(c / n) for c in pats.values())
+    row = relational.REGISTRY["permutation_entropy"].fn(spark, sf_dir).collect()[0]
+    assert row.n_windows == n
+    assert abs(row.h - round(h, 6)) < 1e-6
+    assert abs(row.h_norm - round(h / math.log(6), 6)) < 1e-6
+
+
+def test_odds_ratio_ci_matches_brute_force(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    wk = pd.to_datetime(ev.ts).dt.dayofweek >= 5  # pandas: 5=Sat, 6=Sun
+    pos = ev.event_type == "purchase"
+    a = int((wk & pos).sum())
+    b = int((wk & ~pos).sum())
+    c = int((~wk & pos).sum())
+    d = int((~wk & ~pos).sum())
+    orx = a * d / (b * c)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    row = relational.REGISTRY["odds_ratio_ci"].fn(spark, sf_dir).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (a, b, c, d)
+    assert abs(row.odds_ratio - round(orx, 6)) < 1e-9
+    assert abs(row.ci_lo - math.exp(math.log(orx) - 1.96 * se)) < 1e-5
+    assert abs(row.ci_hi - math.exp(math.log(orx) + 1.96 * se)) < 1e-5
+
+
+def test_ground_track_physics(spark, sf_dir):
+    """Orbit propagation sanity: |lat| <= 180 - incl, period recovery,
+    plus a numpy re-derivation."""
+    import numpy as np
+
+    rows = relational.REGISTRY["ground_track"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1440
+    got = {r.minute: r for r in rows}
+    incl = relational._GT_INCL
+    max_lat = np.degrees(np.arcsin(np.sin(incl)))
+    t = np.arange(1440) * 60.0
+    u = 2 * np.pi * t / relational._GT_PERIOD_S
+    lat = np.degrees(np.arcsin(np.sin(incl) * np.sin(u)))
+    lon0 = (np.degrees(np.arctan2(np.cos(incl) * np.sin(u), np.cos(u)))
+            - np.degrees(relational._GT_OMEGA_E * t))
+    lon = lon0 - 360.0 * np.floor((lon0 + 180.0) / 360.0)
+    for m in range(0, 1440, 7):
+        r = got[m]
+        assert abs(r.lat) <= max_lat + 1e-6
+        assert -180.0 - 1e-6 <= r.lon < 180.0 + 1e-6
+        assert abs(r.lat - lat[m]) < 1e-5
+        assert abs(r.lon - lon[m]) < 1e-5
+        assert r.orbit == int(t[m] // relational._GT_PERIOD_S)
+
+
+def test_swath_coverage_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    t = np.arange(1440) * 60.0
+    incl = relational._GT_INCL
+    u = 2 * np.pi * t / relational._GT_PERIOD_S
+    phi = np.arcsin(np.sin(incl) * np.sin(u))
+    lon0 = (np.degrees(np.arctan2(np.cos(incl) * np.sin(u), np.cos(u)))
+            - np.degrees(relational._GT_OMEGA_E * t))
+    lam = np.radians(lon0 - 360.0 * np.floor((lon0 + 180.0) / 360.0))
+    orbit = (t // relational._GT_PERIOD_S).astype(int)
+    got = {(r.cy, r.cx): r for r in
+           relational.REGISTRY["swath_coverage"].fn(spark, sf_dir).collect()}
+    rng = np.random.RandomState(0)
+    for cy in rng.choice(np.arange(-18, 18), 6, replace=False):
+        for cx in rng.choice(np.arange(-36, 36), 6, replace=False):
+            cphi = np.radians(cy * relational._SW_CELL + relational._SW_CELL / 2.0)
+            clam = np.radians(cx * relational._SW_CELL + relational._SW_CELL / 2.0)
+            hav = 2 * 6371.0 * np.arcsin(np.sqrt(
+                np.sin((cphi - phi) / 2) ** 2
+                + np.cos(phi) * np.cos(cphi) * np.sin((clam - lam) / 2) ** 2))
+            sel = hav < relational._SW_HALF_KM
+            key = (int(cy), int(cx))
+            if sel.any():
+                assert got[key].n_pts == int(sel.sum())
+                assert got[key].n_orbits == len(set(orbit[sel]))
+            else:
+                assert key not in got
+
+
+def test_woe_iv_matches_brute_force(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    ev = ev[ev.value.notna()].copy()
+    ev["sc"] = (ev.value * 100).round().astype("int64")
+    ev["pos"] = (ev.event_type == "purchase").astype(int)
+    ev = ev.sort_values(["sc", "event_id"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    n = len(ev)
+    base, rem = divmod(n, 10)
+    got = {r.decile: r for r in
+           relational.REGISTRY["woe_iv"].fn(spark, sf_dir).collect()}
+    P = ev.pos.sum()
+    N = n - P
+    start = 0
+    iv = 0.0
+    woes = {}
+    for dd in range(1, 11):
+        sz = base + (1 if dd <= rem else 0)
+        chunk = ev.iloc[start:start + sz]
+        start += sz
+        p_i, n_i = int(chunk.pos.sum()), sz - int(chunk.pos.sum())
+        woes[dd] = math.log((p_i / P) / (n_i / N))
+        iv += (p_i / P - n_i / N) * woes[dd]
+    for dd in range(1, 11):
+        assert abs(got[dd].woe - round(woes[dd], 6)) < 1e-9
+        assert abs(got[dd].iv - round(iv, 6)) < 1e-6
+
+
+def test_target_encoding_loo_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    ev = ev[ev.value.notna()].copy()
+    ev["cat"] = ev.user_id % relational._TE_CATS
+    ev["v"] = (ev.value * 100).round().astype("int64")
+    g = ev.groupby("cat").v.agg(["sum", "count"])
+    got = {r.event_id: r for r in
+           relational.REGISTRY["target_encoding_loo"].fn(spark, sf_dir).collect()}
+    want_n = int((ev.cat.map(g["count"]) > 1).sum())
+    assert len(got) == want_n
+    sample = ev.sample(n=500, random_state=0)
+    for _, r in sample.iterrows():
+        rcat = int(r["cat"])  # r.cat would hit pandas' categorical accessor
+        sc, nc = int(g["sum"][rcat]), int(g["count"][rcat])
+        if nc <= 1:
+            assert r.event_id not in got
+            continue
+        want = (sc - r.v) / (nc - 1)
+        assert abs(got[r.event_id].enc - round(want, 6)) < 1e-9
+        assert got[r.event_id].cat == rcat
+
+
+def test_embedding_drift_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    em = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.stack(em.embedding.to_numpy()).astype("float64")
+    half = (em.vec_id % 2).to_numpy()
+    FP = relational._LC_FP
+    ca = np.round(V[half == 0] * FP).sum(0) / (int((half == 0).sum()) * FP)
+    cb = np.round(V[half == 1] * FP).sum(0) / (int((half == 1).sum()) * FP)
+    fp9 = 1e9
+    d2 = sum(round((a - b) * (a - b) * fp9) for a, b in zip(ca, cb)) / fp9
+    dab = sum(round(a * b * fp9) for a, b in zip(ca, cb)) / fp9
+    daa = sum(round(a * a * fp9) for a in ca) / fp9
+    dbb = sum(round(b * b * fp9) for b in cb) / fp9
+    row = relational.REGISTRY["embedding_drift"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b) == (int((half == 0).sum()), int((half == 1).sum()))
+    assert abs(row.l2_drift - round(np.sqrt(d2), 6)) < 1e-8
+    assert abs(row.centroid_cos - round(dab / np.sqrt(daa) / np.sqrt(dbb), 6)) < 1e-8
