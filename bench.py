@@ -311,6 +311,16 @@ HEADLINE = [
     "woe_iv",
     "target_encoding_loo",
     "embedding_drift",
+    "friedman_test",
+    "cochran_q",
+    "page_trend_test",
+    "rank_distance",
+    "hhi_concentration",
+    "gpd_tail_fit",
+    "topk_per_group",
+    "median_polish",
+    "price_elasticity",
+    "vwap_twap",
     # stream_sessions / fire_rate_windowed / stream_dedup / hotspot_track:
     # streaming entries are correctness-gated (sf0.01 oracle parity) but NOT
     # benchmarked — the per-file micro-batch fixture replays ~100 sequential

@@ -24657,6 +24657,974 @@ def embedding_drift(spark, sf_dir):
     )
 
 
+# Friedman test ----------------------------------------------------------------
+
+
+def _friedman_sql() -> str:
+    st = _MS_STATES
+    k = len(st)
+    piv = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i, t in enumerate(st)
+    )
+
+    def r2(i: int) -> str:
+        less = " + ".join(
+            f"CASE WHEN c{j} < c{i} THEN 1 ELSE 0 END" for j in range(k) if j != i
+        )
+        eq = " + ".join(
+            f"CASE WHEN c{j} = c{i} THEN 1 ELSE 0 END" for j in range(k) if j != i
+        )
+        return f"(2 + 2 * ({less}) + ({eq}))"
+
+    r2s = ", ".join(f"{r2(i)} AS r{i}" for i in range(k))
+    sum_R2sq = " + ".join(f"CAST(R{i} AS HUGEINT) * R{i}" for i in range(k))
+    sum_r2sq = " + ".join(f"CAST(r{i} AS HUGEINT) * r{i}" for i in range(k))
+    Rcols = ", ".join(f"CAST(sum(r{i}) AS BIGINT) AS R{i}" for i in range(k))
+    return f"""
+    WITH u AS (
+      SELECT user_id, {piv} FROM events GROUP BY user_id
+    ),
+    rk AS (SELECT user_id, {r2s} FROM u),
+    ag AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, {Rcols},
+             CAST(sum({sum_r2sq}) AS BIGINT) AS s_r2sq
+      FROM rk
+    )
+    SELECT n, CAST({k} AS BIGINT) AS k,
+           round(CAST(({k} - 1) AS DOUBLE)
+                 * CAST(({sum_R2sq})
+                        - CAST(n AS HUGEINT) * n * {k} * {(k + 1) ** 2} AS DOUBLE)
+                 / CAST(CAST(s_r2sq AS HUGEINT)
+                        - CAST(n AS HUGEINT) * {k} * {(k + 1) ** 2} AS DOUBLE), 6)
+             AS chi2_f
+    FROM ag
+    """
+
+
+@register(
+    "friedman_test",
+    _friedman_sql(),
+    doc=(
+        "Friedman rank test across the 5 event types with users as "
+        "blocks (per-user counts ranked with exact tied-average doubled "
+        "ranks via pairwise CASE algebra — no sort anywhere), "
+        "tie-corrected statistic from pure integer sums — the "
+        "repeated-measures companion to kruskal_wallis"
+    ),
+)
+def friedman_test(spark, sf_dir):
+    """One pivot groupBy (user -> 5 counts), map-side doubled-rank CASE
+    algebra (k = 5 constants, 20 comparisons), and one exact-integer
+    aggregate; chi2 is a single closing float division."""
+    st = _MS_STATES
+    k = len(st)
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i, t in enumerate(st)
+        ]
+    )
+
+    def r2(i):
+        less = _fold_sum(
+            [
+                F.when(F.col(f"c{j}") < F.col(f"c{i}"), 1).otherwise(0)
+                for j in range(k)
+                if j != i
+            ]
+        )
+        eq = _fold_sum(
+            [
+                F.when(F.col(f"c{j}") == F.col(f"c{i}"), 1).otherwise(0)
+                for j in range(k)
+                if j != i
+            ]
+        )
+        return 2 + 2 * less + eq
+
+    rk = u.select("user_id", *[r2(i).alias(f"r{i}") for i in range(k)])
+    ag = rk.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        *[F.sum(f"r{i}").cast(d38).alias(f"R{i}") for i in range(k)],
+        F.sum(
+            _fold_sum([F.col(f"r{i}").cast(d38) * F.col(f"r{i}") for i in range(k)])
+        ).alias("s_r2sq"),
+    )
+    sum_R2sq = _fold_sum(
+        [F.col(f"R{i}") * F.col(f"R{i}") for i in range(k)]
+    )
+    return ag.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(
+            float(k - 1)
+            * (sum_R2sq - F.col("n") * F.col("n") * k * (k + 1) ** 2).cast("double")
+            / (F.col("s_r2sq") - F.col("n") * k * (k + 1) ** 2).cast("double"),
+            6,
+        ).alias("chi2_f"),
+    )
+
+
+# Cochran's Q ------------------------------------------------------------------
+
+_CQ_WEEKS = 4
+
+
+def _cochran_sql() -> str:
+    k = _CQ_WEEKS
+    piv = ", ".join(
+        f"max(CASE WHEN wk = {w} THEN 1 ELSE 0 END) AS x{w}" for w in range(k)
+    )
+    Gs = ", ".join(f"CAST(sum(x{w}) AS BIGINT) AS G{w}" for w in range(k))
+    sumG2 = " + ".join(f"CAST(G{w} AS HUGEINT) * G{w}" for w in range(k))
+    L = " + ".join(f"x{w}" for w in range(k))
+    return f"""
+    WITH p AS (
+      SELECT user_id,
+             CAST(date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                            CAST(ts AS DATE)) AS BIGINT) // 7 AS wk
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT user_id, {piv} FROM p WHERE wk < {k} GROUP BY user_id
+    ),
+    ag AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, {Gs},
+             CAST(sum({L}) AS BIGINT) AS t,
+             CAST(sum(CAST(({L}) AS HUGEINT) * ({L})) AS BIGINT) AS sl2
+      FROM u
+    )
+    SELECT n, CAST({k} AS BIGINT) AS k, t AS n_successes,
+           round(CASE WHEN {k} * t - sl2 > 0
+                      THEN CAST(({k} - 1) AS DOUBLE)
+                           * CAST({k} * ({sumG2}) - CAST(t AS HUGEINT) * t AS DOUBLE)
+                           / CAST({k} * t - sl2 AS DOUBLE)
+                      ELSE 0.0 END, 6) AS q_stat
+    FROM ag
+    """
+
+
+@register(
+    "cochran_q",
+    _cochran_sql(),
+    doc=(
+        f"Cochran's Q over {_CQ_WEEKS} weekly binary outcomes (did the "
+        "user purchase in week w?): Q = (k-1)(k*sum G^2 - T^2)/(kT - "
+        "sum L^2), exact integers with the degenerate-denominator guard "
+        "— the k-treatment extension of mcnemar_test"
+    ),
+)
+def cochran_q(spark, sf_dir):
+    """One per-(user, week) presence pivot, one exact-integer aggregate,
+    one guarded division. Users active only outside the 4-week window
+    drop out on both engines identically."""
+    k = _CQ_WEEKS
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    dmin = _t(spark, sf_dir, "events").agg(F.min(F.to_date("ts")).alias("d0"))
+    p = ev.crossJoin(F.broadcast(dmin)).select(
+        "user_id",
+        F.expr("datediff(to_date(ts), d0) div 7").alias("wk"),
+    )
+    u = p.filter(F.col("wk") < k).groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("wk") == w, 1).otherwise(0)).alias(f"x{w}")
+            for w in range(k)
+        ]
+    )
+    d38 = "decimal(38,0)"
+    L = _fold_sum([F.col(f"x{w}") for w in range(k)])
+    ag = u.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        *[F.sum(f"x{w}").cast(d38).alias(f"G{w}") for w in range(k)],
+        F.sum(L).cast(d38).alias("t"),
+        F.sum(L.cast(d38) * L).alias("sl2"),
+    )
+    sumG2 = _fold_sum([F.col(f"G{w}") * F.col(f"G{w}") for w in range(k)])
+    den = k * F.col("t") - F.col("sl2")
+    return ag.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.col("t").cast("long").alias("n_successes"),
+        F.round(
+            F.when(
+                den > 0,
+                float(k - 1)
+                * (k * sumG2 - F.col("t") * F.col("t")).cast("double")
+                / den.cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("q_stat"),
+    )
+
+
+# Page trend test --------------------------------------------------------------
+
+
+def _page_sql() -> str:
+    k = _CQ_WEEKS
+    piv = ", ".join(
+        f"CAST(sum(CASE WHEN wk = {w} THEN 1 ELSE 0 END) AS BIGINT) AS c{w}"
+        for w in range(k)
+    )
+
+    def r2(i: int) -> str:
+        less = " + ".join(
+            f"CASE WHEN c{j} < c{i} THEN 1 ELSE 0 END" for j in range(k) if j != i
+        )
+        eq = " + ".join(
+            f"CASE WHEN c{j} = c{i} THEN 1 ELSE 0 END" for j in range(k) if j != i
+        )
+        return f"(2 + 2 * ({less}) + ({eq}))"
+
+    l2 = " + ".join(f"{w + 1} * {r2(w)}" for w in range(k))
+    return f"""
+    WITH p AS (
+      SELECT user_id,
+             CAST(date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                            CAST(ts AS DATE)) AS BIGINT) // 7 AS wk
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, {piv} FROM p WHERE wk < {k} GROUP BY user_id
+    ),
+    ag AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({l2}) AS BIGINT) AS l2
+      FROM u
+    )
+    SELECT n, CAST({k} AS BIGINT) AS k, l2 AS l2_stat,
+           round(3.0 * CAST(2 * l2 - n * {k} * {(k + 1) ** 2} AS DOUBLE)
+                 / ({k * (k + 1)}.0 * sqrt(CAST(n * {k - 1} AS DOUBLE))), 6)
+             AS z
+    FROM ag
+    """
+
+
+@register(
+    "page_trend_test",
+    _page_sql(),
+    doc=(
+        f"Page trend test for a monotone weekly-activity trend across "
+        f"{_CQ_WEEKS} weeks (users as blocks, doubled tied ranks, "
+        "L = sum j*R_j): untied normal approximation z — the ordered-"
+        "alternative refinement of friedman_test"
+    ),
+)
+def page_trend_test(spark, sf_dir):
+    """Same pivot-and-CASE-rank machinery as friedman_test over the
+    weekly activity counts; L folds position-weighted doubled ranks into
+    one exact integer, and the z is a single closed-form float."""
+    k = _CQ_WEEKS
+    ev = _t(spark, sf_dir, "events")
+    dmin = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    p = ev.crossJoin(F.broadcast(dmin)).select(
+        "user_id", F.expr("datediff(to_date(ts), d0) div 7").alias("wk")
+    )
+    u = p.filter(F.col("wk") < k).groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("wk") == w, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{w}")
+            for w in range(k)
+        ]
+    )
+
+    def r2(i):
+        less = _fold_sum(
+            [
+                F.when(F.col(f"c{j}") < F.col(f"c{i}"), 1).otherwise(0)
+                for j in range(k)
+                if j != i
+            ]
+        )
+        eq = _fold_sum(
+            [
+                F.when(F.col(f"c{j}") == F.col(f"c{i}"), 1).otherwise(0)
+                for j in range(k)
+                if j != i
+            ]
+        )
+        return 2 + 2 * less + eq
+
+    l2 = _fold_sum([(w + 1) * r2(w) for w in range(k)])
+    d38 = "decimal(38,0)"
+    ag = u.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(l2).cast(d38).alias("l2"),
+    )
+    return ag.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.col("l2").cast("long").alias("l2_stat"),
+        F.round(
+            3.0
+            * (2 * F.col("l2") - F.col("n") * k * (k + 1) ** 2).cast("double")
+            / (
+                float(k * (k + 1))
+                * F.sqrt((F.col("n") * (k - 1)).cast("double"))
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+# Spearman footrule / Kendall distance between two item rankings ---------------
+
+_FR_ITEMS = 50
+
+
+@register(
+    "rank_distance",
+    f"""
+    WITH it AS (
+      SELECT l_partkey % {_FR_ITEMS} AS item,
+             CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    rk AS (
+      SELECT item,
+             CAST(row_number() OVER (ORDER BY qty DESC, item) AS BIGINT) AS ra,
+             CAST(row_number() OVER (ORDER BY rev DESC, item) AS BIGINT) AS rb
+      FROM it
+    ),
+    foot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(abs(ra - rb)) AS BIGINT) AS footrule
+      FROM rk
+    ),
+    disc AS (
+      SELECT CAST(count(*) AS BIGINT) AS kendall_dist
+      FROM rk a JOIN rk b ON a.item < b.item
+       AND (a.ra - b.ra) * (a.rb - b.rb) < 0
+    )
+    SELECT n, footrule, kendall_dist,
+           round(CAST(footrule AS DOUBLE) / (n * n / 2), 6) AS footrule_norm,
+           round(CAST(kendall_dist AS DOUBLE) / (n * (n - 1) / 2), 6)
+             AS kendall_norm
+    FROM foot, disc
+    """,
+    doc=(
+        f"Spearman footrule and Kendall distance between the "
+        f"quantity-ranked and revenue-ranked top-{_FR_ITEMS} item "
+        "orderings (deterministic row_number tie-breaks): how differently "
+        "do two business metrics order the catalog — the rank-aggregation "
+        "distance pair behind rrf_fusion"
+    ),
+)
+def rank_distance(spark, sf_dir):
+    """One item rollup, two row_number windows over the {N}-row frame,
+    one O(N^2) broadcast pair join for the discordance count — all
+    integers until two display divisions."""
+    li = _t(spark, sf_dir, "lineitem")
+    it = li.groupBy((F.col("l_partkey") % _FR_ITEMS).alias("item")).agg(
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev"),
+    )
+    rk = _persist_evict(
+        it.select(
+            "item",
+            F.row_number()
+            .over(Window.orderBy(F.col("qty").desc(), "item"))
+            .cast("long")
+            .alias("ra"),
+            F.row_number()
+            .over(Window.orderBy(F.col("rev").desc(), "item"))
+            .cast("long")
+            .alias("rb"),
+        )
+    )
+    foot = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.abs(F.col("ra") - F.col("rb"))).cast("long").alias("footrule"),
+    )
+    a = rk.select(
+        F.col("item").alias("ai"), F.col("ra").alias("ara"), F.col("rb").alias("arb")
+    )
+    disc = (
+        a.join(
+            F.broadcast(rk),
+            (F.col("ai") < F.col("item"))
+            & ((F.col("ara") - F.col("ra")) * (F.col("arb") - F.col("rb")) < 0),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("kendall_dist"))
+    )
+    return foot.crossJoin(F.broadcast(disc)).select(
+        "n",
+        "footrule",
+        "kendall_dist",
+        F.round(
+            F.col("footrule").cast("double") / (F.col("n") * F.col("n") / 2), 6
+        ).alias("footrule_norm"),
+        F.round(
+            F.col("kendall_dist").cast("double")
+            / (F.col("n") * (F.col("n") - 1) / 2),
+            6,
+        ).alias("kendall_norm"),
+    )
+
+
+# Herfindahl-Hirschman concentration -------------------------------------------
+
+
+@register(
+    "hhi_concentration",
+    """
+    WITH sr AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+             CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    ag AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(rev) AS HUGEINT) AS tot,
+             sum(CAST(rev AS HUGEINT) * rev) AS s2
+      FROM sr GROUP BY nation
+    )
+    SELECT nation, n_suppliers,
+           round(10000.0 * CAST(s2 AS DOUBLE)
+                 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
+    FROM ag
+    """,
+    doc=(
+        "Herfindahl-Hirschman revenue-concentration index per supplier "
+        "nation (10000 * sum of squared shares, exact integer moments): "
+        "the antitrust-style market-structure measure beside "
+        "lorenz_gini's inequality view"
+    ),
+)
+def hhi_concentration(spark, sf_dir):
+    """One broadcast dimension join (supplier nation), two partial-agg
+    rollups, one closed-form float — the canonical share-of-total shape
+    that never shuffles the fact table twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), F.col("s_nationkey").alias("nation")
+    )
+    d38 = "decimal(38,0)"
+    sr = (
+        li.join(F.broadcast(su), "l_suppkey")
+        .groupBy("nation", F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    ag = sr.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev").cast(d38).alias("tot"),
+        F.sum(F.col("rev").cast(d38) * F.col("rev")).alias("s2"),
+    )
+    return ag.select(
+        "nation",
+        "n_suppliers",
+        F.round(
+            10000.0
+            * F.col("s2").cast("double")
+            / (F.col("tot").cast("double") * F.col("tot").cast("double")),
+            6,
+        ).alias("hhi"),
+    )
+
+
+# Generalized Pareto tail fit (peaks over threshold) ---------------------------
+
+
+@register(
+    "gpd_tail_fit",
+    """
+    WITH s AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY v),
+    w AS (
+      SELECT v, c,
+             COALESCE(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM c
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+    u AS (
+      SELECT min(CASE WHEN below + c >=
+               CAST(ceil(0.95 * (SELECT n FROM tot)) AS BIGINT)
+               THEN v END) AS u
+      FROM w
+    ),
+    exc AS (
+      SELECT CAST(sum(CASE WHEN v > u THEN c ELSE 0 END) AS HUGEINT) AS k,
+             CAST(sum(CASE WHEN v > u THEN (v - u) * c ELSE 0 END) AS HUGEINT)
+               AS sy,
+             sum(CASE WHEN v > u THEN CAST(v - u AS HUGEINT) * (v - u) * c
+                      ELSE 0 END) AS qy
+      FROM w, u
+    )
+    SELECT (SELECT u FROM u) AS threshold_cents,
+           CAST(k AS BIGINT) AS n_exceed,
+           round(0.5 * (1.0 - (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                 / ((CAST(k AS DOUBLE) * CAST(qy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))), 6) AS xi,
+           round(0.5 * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                 * ((CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                    / ((CAST(k AS DOUBLE) * CAST(qy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)) + 1.0),
+                 6) AS beta
+    FROM exc
+    """,
+    doc=(
+        "generalized Pareto peaks-over-threshold tail fit: exact p95 "
+        "threshold from the distinct-cents frame, method-of-moments "
+        "xi = (1 - m^2/s^2)/2 and beta = m(m^2/s^2 + 1)/2 over the "
+        "exceedances — the threshold-exceedance companion to "
+        "gumbel_fit_extremes' block-maxima view; exact integer moments"
+    ),
+)
+def gpd_tail_fit(spark, sf_dir):
+    """Threshold and exceedance moments both live on the distinct-cents
+    prefix frame (no row sort, no second scan); closed-form float algebra
+    on a single row finishes the fit."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d38 = "decimal(38,0)"
+    s = ev.select(F.round(F.col("value") * 100, 0).cast("long").alias("v"))
+    c = _persist_evict(s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w = c.select("v", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below"))
+    tot = c.agg(F.sum("c").cast("long").alias("n"))
+    u = (
+        w.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("below") + F.col("c")
+                    >= F.ceil(0.95 * F.col("n")).cast("long"),
+                    F.col("v"),
+                )
+            ).alias("u")
+        )
+    )
+    exc = (
+        w.crossJoin(F.broadcast(u))
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("u"), F.col("c")).otherwise(0))
+            .cast(d38)
+            .alias("k"),
+            F.sum(
+                F.when(
+                    F.col("v") > F.col("u"), (F.col("v") - F.col("u")) * F.col("c")
+                ).otherwise(0)
+            )
+            .cast(d38)
+            .alias("sy"),
+            F.sum(
+                F.when(
+                    F.col("v") > F.col("u"),
+                    (F.col("v") - F.col("u")).cast(d38)
+                    * (F.col("v") - F.col("u"))
+                    * F.col("c"),
+                ).otherwise(F.lit(0).cast(d38))
+            ).alias("qy"),
+        )
+    )
+    kd = F.col("k").cast("double")
+    m = F.col("sy").cast("double") / kd
+    # as in the SQL: s^2 = (k*qy - sy*sy)/k/(k-1)
+    s2 = (
+        kd * F.col("qy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    ) / kd / (kd - 1.0)
+    return exc.crossJoin(F.broadcast(u)).select(
+        F.col("u").alias("threshold_cents"),
+        F.col("k").cast("long").alias("n_exceed"),
+        F.round(0.5 * (1.0 - m * m / s2), 6).alias("xi"),
+        F.round(0.5 * m * (m * m / s2 + 1.0), 6).alias("beta"),
+    )
+
+
+# Top-k per group (WindowGroupLimit showcase) ----------------------------------
+
+_TKG_K = 3
+
+
+@register(
+    "topk_per_group",
+    f"""
+    WITH pr AS (
+      SELECT l_returnflag, l_linestatus, l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    rk AS (
+      SELECT l_returnflag, l_linestatus, l_partkey, rev,
+             CAST(row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+               ORDER BY rev DESC, l_partkey) AS BIGINT) AS rk
+      FROM pr
+    )
+    SELECT l_returnflag, l_linestatus, l_partkey, rev, rk
+    FROM rk WHERE rk <= {_TKG_K}
+    """,
+    doc=(
+        f"top-{_TKG_K} parts by revenue within each (returnflag, "
+        "linestatus) group — the canonical grouped-top-k: Catalyst plans "
+        "the rank filter as WindowGroupLimit (per-partition heap, never "
+        "a full group sort), deterministic integer tie-break"
+    ),
+)
+def topk_per_group(spark, sf_dir):
+    """One partial-agg rollup then a rank window whose <= k predicate
+    Catalyst pushes into WindowGroupLimit — each shuffle partition keeps
+    a k-row heap instead of sorting its whole group. Exact cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_returnflag", "l_linestatus", "l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("rev").desc(), "l_partkey"
+    )
+    return (
+        pr.select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_partkey",
+            "rev",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _TKG_K)
+    )
+
+
+# Tukey median polish ----------------------------------------------------------
+
+_MP_ITERS = 2
+
+
+def _mp_sweep_sql(src: str, out: str, key: str) -> str:
+    """One median-removal sweep over CTE ``src`` (cols i, j, x): group by
+    ``key``, exact median via the distinct-value threshold trick, subtract.
+    Emits CTEs {out}_m (medians) and {out} (residuals)."""
+    med = (
+        "(min(CASE WHEN below + c >= (ng + 1) // 2 THEN x END)"
+        " + min(CASE WHEN below + c >= ng // 2 + 1 THEN x END)) / 2.0"
+    )
+    return f"""
+    {out}_c AS (
+      SELECT {key}, x, CAST(count(*) AS BIGINT) AS c FROM {src} GROUP BY {key}, x
+    ),
+    {out}_w AS (
+      SELECT {key}, x, c,
+             COALESCE(sum(c) OVER (PARTITION BY {key} ORDER BY x ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             sum(c) OVER (PARTITION BY {key}) AS ng
+      FROM {out}_c
+    ),
+    {out}_m AS (
+      SELECT {key}, {med} AS m FROM {out}_w GROUP BY {key}, ng
+    ),
+    {out} AS (
+      SELECT {src}.i AS i, {src}.j AS j, {src}.x - {out}_m.m AS x
+      FROM {src} JOIN {out}_m ON {out}_m.{key} = {src}.{key}
+    )"""
+
+
+def _median_polish_sql() -> str:
+    st = _MS_STATES
+    sweeps = []
+    prev = "t0"
+    names = []
+    for it in range(_MP_ITERS):
+        r, c = f"sr{it}", f"sc{it}"
+        sweeps.append(_mp_sweep_sql(prev, r, "i"))
+        sweeps.append(_mp_sweep_sql(r, c, "j"))
+        names.append((r, c))
+        prev = c
+    row_eff = " + ".join(f"{r}_m.m" for r, _ in names)
+    col_eff = " + ".join(f"{c}_m.m" for _, c in names)
+    row_joins = " ".join(f"JOIN {r}_m ON {r}_m.i = ri.i" for r, _ in names)
+    col_joins = " ".join(f"JOIN {c}_m ON {c}_m.j = cj.j" for _, c in names)
+    return f"""
+    WITH cell AS (
+      SELECT event_type AS i,
+             CAST(date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                            CAST(ts AS DATE)) AS BIGINT) // 7 AS j,
+             CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    t0 AS (
+      SELECT i, j, CAST(sum(v) AS DOUBLE) AS x FROM cell
+      WHERE j < {_CQ_WEEKS} GROUP BY i, j
+    ),
+    {",".join(sweeps)},
+    ri AS (SELECT DISTINCT i FROM t0),
+    cj AS (SELECT DISTINCT j FROM t0),
+    rows_out AS (
+      SELECT 'row' AS component, ri.i AS key, round({row_eff}, 6) AS effect
+      FROM ri {row_joins}
+    ),
+    cols_out AS (
+      SELECT 'col' AS component, CAST(cj.j AS VARCHAR) AS key,
+             round({col_eff}, 6) AS effect
+      FROM cj {col_joins}
+    ),
+    resid AS (
+      SELECT 'resid_abs_sum' AS component, '*' AS key,
+             round(sum(abs(x)), 6) AS effect
+      FROM {prev}
+    )
+    SELECT * FROM rows_out
+    UNION ALL SELECT * FROM cols_out
+    UNION ALL SELECT * FROM resid
+    """
+
+
+@register(
+    "median_polish",
+    _median_polish_sql(),
+    doc=(
+        f"Tukey median polish ({_MP_ITERS} row+column sweeps) of the "
+        f"event-type x week spend table ({len(_MS_STATES)}x{_CQ_WEEKS} "
+        "cells): alternating exact-median removal — medians come from "
+        "the distinct-value threshold trick, so every sweep is "
+        "deterministic and the dyadic residuals stay bit-exact; the "
+        "robust two-way decomposition beside anova_f's means"
+    ),
+)
+def median_polish(spark, sf_dir):
+    """Each sweep is one groupBy median (distinct-value frame, exact) and
+    one subtract join on a 20-cell frame — four chained sweeps stay a
+    constant-size plan. Integer cell sums enter; all later values are
+    dyadic rationals (denominators 2^sweeps), exact in float64."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dmin = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    cell = ev.crossJoin(F.broadcast(dmin)).select(
+        F.col("event_type").alias("i"),
+        F.expr("datediff(to_date(ts), d0) div 7").alias("j"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    t = (
+        cell.filter(F.col("j") < _CQ_WEEKS)
+        .groupBy("i", "j")
+        .agg(F.sum("v").cast("double").alias("x"))
+    )
+    t = _persist_evict(t)
+
+    def sweep(frame, key):
+        c = frame.groupBy(key, "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        wb = Window.partitionBy(key).orderBy("x").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        wg = Window.partitionBy(key)
+        w = c.select(
+            key,
+            "x",
+            "c",
+            F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below"),
+            F.sum("c").over(wg).alias("ng"),
+        )
+        cum = F.col("below") + F.col("c")
+        med = w.groupBy(key, "ng").agg(
+            (
+                (
+                    F.min(F.when(cum >= F.expr("(ng + 1) div 2"), F.col("x")))
+                    + F.min(F.when(cum >= F.expr("ng div 2 + 1"), F.col("x")))
+                )
+                / 2.0
+            ).alias("m")
+        ).select(key, "m")
+        resid = frame.join(F.broadcast(med), key).select(
+            "i", "j", (F.col("x") - F.col("m")).alias("x")
+        )
+        return resid, med
+
+    frame = t
+    row_meds, col_meds = [], []
+    for _ in range(_MP_ITERS):
+        frame, rm = sweep(frame, "i")
+        row_meds.append(rm)
+        frame, cm = sweep(frame, "j")
+        col_meds.append(cm)
+    ri = row_meds[0].select("i")
+    row_eff = ri
+    for idx, rm in enumerate(row_meds):
+        row_eff = row_eff.join(
+            F.broadcast(rm.select("i", F.col("m").alias(f"m{idx}"))), "i"
+        )
+    rows_out = row_eff.select(
+        F.lit("row").alias("component"),
+        F.col("i").alias("key"),
+        F.round(
+            _fold_sum([F.col(f"m{idx}") for idx in range(_MP_ITERS)]), 6
+        ).alias("effect"),
+    )
+    cj = col_meds[0].select("j")
+    col_eff = cj
+    for idx, cm in enumerate(col_meds):
+        col_eff = col_eff.join(
+            F.broadcast(cm.select("j", F.col("m").alias(f"m{idx}"))), "j"
+        )
+    cols_out = col_eff.select(
+        F.lit("col").alias("component"),
+        F.col("j").cast("string").alias("key"),
+        F.round(
+            _fold_sum([F.col(f"m{idx}") for idx in range(_MP_ITERS)]), 6
+        ).alias("effect"),
+    )
+    resid = frame.agg(
+        F.round(F.sum(F.abs(F.col("x"))), 6).alias("effect")
+    ).select(
+        F.lit("resid_abs_sum").alias("component"),
+        F.lit("*").alias("key"),
+        "effect",
+    )
+    return rows_out.unionAll(cols_out).unionAll(resid)
+
+
+# Price elasticity -------------------------------------------------------------
+
+_PE_BUCKETS = 100
+_PE_FP = 1000000000.0
+
+
+@register(
+    "price_elasticity",
+    f"""
+    WITH s AS (
+      SELECT l_partkey % {_PE_BUCKETS} AS bucket,
+             CAST(round(ln(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  * {_PE_FP!r}) AS BIGINT) AS lp,
+             CAST(round(ln(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                  * {_PE_FP!r}) AS BIGINT) AS lq
+      FROM lineitem
+      WHERE l_extendedprice > 0 AND l_quantity > 0
+    ),
+    m AS (
+      SELECT bucket, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(lp) AS HUGEINT) AS sx, CAST(sum(lq) AS HUGEINT) AS sy,
+             sum(CAST(lp AS HUGEINT) * lp) AS sxx,
+             sum(CAST(lp AS HUGEINT) * lq) AS sxy
+      FROM s GROUP BY bucket
+    )
+    SELECT bucket, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS elasticity
+    FROM m
+    """,
+    doc=(
+        f"log-log price elasticity of demand per part bucket "
+        f"({_PE_BUCKETS} buckets): OLS slope of ln(quantity) on "
+        "ln(price) — per-row ln snapped to 1e-9 fixed point so the "
+        "moment sums are exact integers at any aggregation order"
+    ),
+)
+def price_elasticity(spark, sf_dir):
+    """One partial-agg pass per bucket over fixed-point log moments (the
+    scale cancels in the slope ratio); a single division per bucket
+    finishes."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_extendedprice") > 0) & (F.col("l_quantity") > 0)
+    )
+    lp = F.round(
+        F.log(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) * _PE_FP
+    ).cast("long")
+    lq = F.round(
+        F.log(F.round(F.col("l_quantity") * 100, 0).cast("long")) * _PE_FP
+    ).cast("long")
+    s = li.select(
+        (F.col("l_partkey") % _PE_BUCKETS).alias("bucket"),
+        lp.alias("lp"),
+        lq.alias("lq"),
+    )
+    m = s.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("lp").cast(d38).alias("sx"),
+        F.sum("lq").cast(d38).alias("sy"),
+        F.sum(F.col("lp").cast(d38) * F.col("lp")).alias("sxx"),
+        F.sum(F.col("lp").cast(d38) * F.col("lq")).alias("sxy"),
+    )
+    return m.select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("elasticity"),
+    )
+
+
+# VWAP / TWAP ------------------------------------------------------------------
+
+
+@register(
+    "vwap_twap",
+    """
+    WITH s AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+      FROM lineitem
+    ),
+    a AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS vol,
+             CAST(sum(q * p) AS HUGEINT) AS qp,
+             CAST(sum(p) AS HUGEINT) AS sp
+      FROM s GROUP BY day
+    )
+    SELECT day, n, vol,
+           round(CAST(qp AS DOUBLE) / vol, 6) AS vwap_cents,
+           round(CAST(sp AS DOUBLE) / n, 6) AS twap_cents
+    FROM a
+    """,
+    doc=(
+        "daily volume-weighted and time(count)-weighted average price "
+        "over shipments: the execution-quality pair beside ohlc_bars — "
+        "exact integer quantity/price sums, two divisions per day"
+    ),
+)
+def vwap_twap(spark, sf_dir):
+    """One partial-agg rollup per ship day with four exact moments."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.to_date("l_shipdate").alias("day"),
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p"),
+    )
+    d38 = "decimal(38,0)"
+    a = s.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("vol"),
+        F.sum(F.col("q").cast(d38) * F.col("p")).alias("qp"),
+        F.sum("p").cast(d38).alias("sp"),
+    )
+    return a.select(
+        "day",
+        "n",
+        "vol",
+        F.round(F.col("qp").cast("double") / F.col("vol"), 6).alias("vwap_cents"),
+        F.round(F.col("sp").cast("double") / F.col("n"), 6).alias("twap_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

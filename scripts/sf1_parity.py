@@ -350,6 +350,17 @@ QUERIES = [
     # copied-unchanged embeddings — all three EXCLUDED
     "woe_iv",
     "target_encoding_loo",
+    # session-17 batch 13: friedman/cochran/page ride 10x users' weekly
+    # pivots; rank_distance/hhi_concentration are EXCLUDED (lineitem/
+    # supplier copied unchanged)
+    "friedman_test",
+    "cochran_q",
+    "page_trend_test",
+    # session-17 batch 14: gpd/median_polish ride 1M events (10x tail
+    # mass, 10x cell sums); topk/elasticity/vwap are EXCLUDED
+    # (lineitem copied unchanged)
+    "gpd_tail_fit",
+    "median_polish",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

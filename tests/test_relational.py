@@ -7185,3 +7185,241 @@ def test_embedding_drift_matches_numpy(spark, sf_dir):
     assert (row.n_a, row.n_b) == (int((half == 0).sum()), int((half == 1).sum()))
     assert abs(row.l2_drift - round(np.sqrt(d2), 6)) < 1e-8
     assert abs(row.centroid_cos - round(dab / np.sqrt(daa) / np.sqrt(dbb), 6)) < 1e-8
+
+
+def _weekly_counts(sf_dir, only_purchase=False):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    day0 = pd.to_datetime(ev.ts).dt.normalize().min()
+    ev["wk"] = (pd.to_datetime(ev.ts).dt.normalize() - day0).dt.days // 7
+    if only_purchase:
+        ev = ev[ev.event_type == "purchase"]
+    return ev[ev.wk < relational._CQ_WEEKS]
+
+
+def _tied_r2(vals):
+    return [2 + 2 * sum(1 for o in vals if o < v)
+            + sum(1 for jj, o in enumerate(vals) if o == v and jj != i)
+            for i, v in enumerate(vals)]
+
+
+def test_friedman_test_matches_scipy_style(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    st = relational._MS_STATES
+    k = len(st)
+    piv = ev.groupby(["user_id", "event_type"]).size().unstack(fill_value=0)
+    R2 = [0] * k
+    s_r2sq = 0
+    n = len(piv)
+    for _, row in piv.iterrows():
+        vals = [int(row.get(t, 0)) for t in st]
+        r2 = _tied_r2(vals)
+        for i in range(k):
+            R2[i] += r2[i]
+            s_r2sq += r2[i] * r2[i]
+    num = (k - 1) * (sum(r * r for r in R2) - n * n * k * (k + 1) ** 2)
+    den = s_r2sq - n * k * (k + 1) ** 2
+    row = relational.REGISTRY["friedman_test"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.k) == (n, k)
+    assert abs(row.chi2_f - round(num / den, 6)) < 1e-9
+
+
+def test_cochran_q_matches_brute_force(spark, sf_dir):
+    ev = _weekly_counts(sf_dir, only_purchase=True)
+    k = relational._CQ_WEEKS
+    piv = ev.groupby(["user_id", "wk"]).size().unstack(fill_value=0)
+    X = (piv.reindex(columns=range(k), fill_value=0) > 0).astype(int)
+    G = X.sum(0).to_numpy()
+    L = X.sum(1).to_numpy()
+    T = int(L.sum())
+    num = (k - 1) * (k * int((G * G).sum()) - T * T)
+    den = k * T - int((L * L).sum())
+    want = num / den if den > 0 else 0.0
+    row = relational.REGISTRY["cochran_q"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.k, row.n_successes) == (len(X), k, T)
+    assert abs(row.q_stat - round(want, 6)) < 1e-9
+
+
+def test_page_trend_test_matches_brute_force(spark, sf_dir):
+    import math
+
+    ev = _weekly_counts(sf_dir)
+    k = relational._CQ_WEEKS
+    piv = ev.groupby(["user_id", "wk"]).size().unstack(fill_value=0).reindex(
+        columns=range(k), fill_value=0)
+    l2 = 0
+    for _, row_ in piv.iterrows():
+        r2 = _tied_r2([int(v) for v in row_])
+        l2 += sum((w + 1) * r2[w] for w in range(k))
+    n = len(piv)
+    z = 3.0 * (2 * l2 - n * k * (k + 1) ** 2) / (
+        k * (k + 1) * math.sqrt(n * (k - 1)))
+    row = relational.REGISTRY["page_trend_test"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.k, row.l2_stat) == (n, k, l2)
+    assert abs(row.z - round(z, 6)) < 1e-9
+
+
+def test_rank_distance_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li["item"] = li.l_partkey % relational._FR_ITEMS
+    li["q"] = (li.l_quantity * 100).round().astype("int64")
+    li["r"] = (li.l_extendedprice * 100).round().astype("int64")
+    g = li.groupby("item")[["q", "r"]].sum()
+    ra = {it: i + 1 for i, it in enumerate(
+        sorted(g.index, key=lambda it: (-g.q[it], it)))}
+    rb = {it: i + 1 for i, it in enumerate(
+        sorted(g.index, key=lambda it: (-g.r[it], it)))}
+    items = sorted(g.index)
+    foot = sum(abs(ra[i] - rb[i]) for i in items)
+    disc = sum(1 for x in range(len(items)) for y in range(x + 1, len(items))
+               if (ra[items[x]] - ra[items[y]]) * (rb[items[x]] - rb[items[y]]) < 0)
+    n = len(items)
+    row = relational.REGISTRY["rank_distance"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.footrule, row.kendall_dist) == (n, foot, disc)
+    assert abs(row.footrule_norm - round(foot / (n * n / 2), 6)) < 1e-9
+    assert abs(row.kendall_norm - round(disc / (n * (n - 1) / 2), 6)) < 1e-9
+
+
+def test_hhi_concentration_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice"])
+    su = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    li = li.merge(su, left_on="l_suppkey", right_on="s_suppkey")
+    li["rev"] = (li.l_extendedprice * 100).round().astype("int64")
+    got = {r.nation: r for r in
+           relational.REGISTRY["hhi_concentration"].fn(spark, sf_dir).collect()}
+    for nat, sub in li.groupby("s_nationkey"):
+        rev = sub.groupby("l_suppkey").rev.sum()
+        tot = int(rev.sum())
+        s2 = int((rev.astype(object) ** 2).sum())
+        row = got[nat]
+        assert row.n_suppliers == len(rev)
+        assert abs(row.hhi - round(1e4 * s2 / (tot * tot), 6)) < 1e-6
+
+
+def test_gpd_tail_fit_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    v = np.sort((ev.value.dropna() * 100).round().astype("int64").to_numpy())
+    n = len(v)
+    u = int(v[math.ceil(0.95 * n) - 1])  # type-1 p95
+    y = (v[v > u] - u).astype("float64")
+    m, s2 = y.mean(), y.var(ddof=1)
+    xi = 0.5 * (1 - m * m / s2)
+    beta = 0.5 * m * (m * m / s2 + 1)
+    row = relational.REGISTRY["gpd_tail_fit"].fn(spark, sf_dir).collect()[0]
+    assert (row.threshold_cents, row.n_exceed) == (u, len(y))
+    assert abs(row.xi - xi) < 1e-6
+    assert abs(row.beta - beta) < 1e-4
+
+
+def test_topk_per_group_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_partkey",
+                                  "l_extendedprice"])
+    li["rev"] = (li.l_extendedprice * 100).round().astype("int64")
+    g = li.groupby(["l_returnflag", "l_linestatus", "l_partkey"]).rev.sum()
+    got = {(r.l_returnflag, r.l_linestatus, r.rk): r for r in
+           relational.REGISTRY["topk_per_group"].fn(spark, sf_dir).collect()}
+    for (fl, st), sub in g.groupby(level=[0, 1]):
+        top = sorted(((pk, rv) for (_, _, pk), rv in sub.items()),
+                     key=lambda t: (-t[1], t[0]))[: relational._TKG_K]
+        for rk, (pk, rv) in enumerate(top, start=1):
+            row = got[(fl, st, rk)]
+            assert (row.l_partkey, row.rev) == (pk, rv)
+
+
+def test_median_polish_matches_brute_force(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev = ev[ev.value.notna()].copy()
+    day0 = pd.to_datetime(ev.ts).dt.normalize().min()
+    ev["j"] = (pd.to_datetime(ev.ts).dt.normalize() - day0).dt.days // 7
+    ev = ev[ev.j < relational._CQ_WEEKS]
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    tab = ev.groupby(["event_type", "j"]).cents.sum().unstack().astype("float64")
+    resid = tab.to_numpy().copy()
+    row_eff = np.zeros(resid.shape[0])
+    col_eff = np.zeros(resid.shape[1])
+
+    def med(a):  # lower+upper middle / 2, matching the threshold trick
+        b = np.sort(a)
+        return (b[(len(b) - 1) // 2] + b[len(b) // 2]) / 2.0
+
+    for _ in range(relational._MP_ITERS):
+        m = np.array([med(r) for r in resid])
+        resid -= m[:, None]
+        row_eff += m
+        m = np.array([med(c) for c in resid.T])
+        resid -= m[None, :]
+        col_eff += m
+    got = {(r.component, r.key): r.effect for r in
+           relational.REGISTRY["median_polish"].fn(spark, sf_dir).collect()}
+    for i, t in enumerate(tab.index):
+        assert abs(got[("row", t)] - round(row_eff[i], 6)) < 1e-6
+    for j, wk in enumerate(tab.columns):
+        assert abs(got[("col", str(wk))] - round(col_eff[j], 6)) < 1e-6
+    assert abs(got[("resid_abs_sum", "*")]
+               - round(float(np.abs(resid).sum()), 6)) < 1e-3
+
+
+def test_price_elasticity_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li = li[(li.l_extendedprice > 0) & (li.l_quantity > 0)].copy()
+    li["bucket"] = li.l_partkey % relational._PE_BUCKETS
+    FP = relational._PE_FP
+    li["lp"] = np.round(np.log((li.l_extendedprice * 100).round()) * FP)
+    li["lq"] = np.round(np.log((li.l_quantity * 100).round()) * FP)
+    got = {r.bucket: r for r in
+           relational.REGISTRY["price_elasticity"].fn(spark, sf_dir).collect()}
+    for b, sub in li.groupby("bucket"):
+        x, y = sub.lp.to_numpy(), sub.lq.to_numpy()
+        n = len(x)
+        slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+            n * (x * x).sum() - x.sum() ** 2)
+        assert got[b].n == n
+        assert abs(got[b].elasticity - round(slope, 6)) < 2e-6
+
+
+def test_vwap_twap_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_quantity", "l_extendedprice"])
+    li["day"] = pd.to_datetime(li.l_shipdate).dt.date
+    li["q"] = li.l_quantity.round().astype("int64")
+    li["p"] = (li.l_extendedprice * 100).round().astype("int64")
+    got = {r.day: r for r in
+           relational.REGISTRY["vwap_twap"].fn(spark, sf_dir).collect()}
+    assert len(got) == li.day.nunique()
+    sample = list(li.groupby("day"))[::50]
+    for day, sub in sample:
+        row = got[day]
+        assert (row.n, row.vol) == (len(sub), int(sub.q.sum()))
+        assert abs(row.vwap_cents
+                   - round(float((sub.q * sub.p).sum()) / sub.q.sum(), 6)) < 1e-6
+        assert abs(row.twap_cents - round(sub.p.mean(), 6)) < 1e-6
