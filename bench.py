@@ -321,6 +321,16 @@ HEADLINE = [
     "median_polish",
     "price_elasticity",
     "vwap_twap",
+    "solar_irradiance_daily",
+    "vocab_coverage",
+    "dau_wau_stickiness",
+    "record_statistics",
+    "conversion_lag_quantiles",
+    "l_moments",
+    "line_sinuosity",
+    "dup_rate_by_source",
+    "renyi_spectrum",
+    "weekday_anova",
     # stream_sessions / fire_rate_windowed / stream_dedup / hotspot_track:
     # streaming entries are correctness-gated (sf0.01 oracle parity) but NOT
     # benchmarked — the per-file micro-batch fixture replays ~100 sequential

@@ -25625,6 +25625,860 @@ def vwap_twap(spark, sf_dir):
     )
 
 
+# Daily clear-sky insolation ---------------------------------------------------
+
+_SI_S0 = 1361.0  # solar constant, W/m^2
+
+
+@register(
+    "solar_irradiance_daily",
+    f"""
+    WITH doy AS (
+      SELECT CAST(dayofyear(min(CAST(ts AS TIMESTAMP))) AS BIGINT) AS d
+      FROM events
+    ),
+    lat AS (SELECT CAST(unnest(generate_series(-80, 80, 10)) AS BIGINT) AS latd),
+    g AS (
+      SELECT latd, d,
+             latd * {_SOLAR_PI!r} / 180.0 AS phi,
+             0.006918 - 0.399912 * cos(2.0 * {_SOLAR_PI!r} / 365.0 * (d - 1))
+               + 0.070257 * sin(2.0 * {_SOLAR_PI!r} / 365.0 * (d - 1))
+               - 0.006758 * cos(2.0 * (2.0 * {_SOLAR_PI!r} / 365.0 * (d - 1)))
+               + 0.000907 * sin(2.0 * (2.0 * {_SOLAR_PI!r} / 365.0 * (d - 1)))
+               - 0.002697 * cos(3.0 * (2.0 * {_SOLAR_PI!r} / 365.0 * (d - 1)))
+               + 0.00148 * sin(3.0 * (2.0 * {_SOLAR_PI!r} / 365.0 * (d - 1)))
+               AS decl
+      FROM lat, doy
+    ),
+    w AS (
+      SELECT latd, d, phi, decl,
+             acos(greatest(-1.0, least(1.0, -tan(phi) * tan(decl)))) AS ws
+      FROM g
+    )
+    SELECT latd AS lat, d AS doy,
+           round(decl * 180.0 / {_SOLAR_PI!r}, 6) AS decl_deg,
+           round(ws * 180.0 / {_SOLAR_PI!r}, 6) AS sunset_hour_angle_deg,
+           round(86400.0 / {_SOLAR_PI!r} * {_SI_S0!r}
+                 * (cos(phi) * cos(decl) * sin(ws) + ws * sin(phi) * sin(decl))
+                 / 1000000.0, 6) AS insolation_mj_m2
+    FROM w
+    """,
+    doc=(
+        "daily top-of-atmosphere insolation per 10-degree latitude band "
+        "at the corpus's first day-of-year: Spencer declination, sunset "
+        "hour angle acos(-tan phi tan decl) clamped for polar day/night, "
+        "H = (86400/pi) S0 (cos phi cos d sin ws + ws sin phi sin d) — "
+        "the radiative forcing behind solar_position's instantaneous "
+        "geometry"
+    ),
+)
+def solar_irradiance_daily(spark, sf_dir):
+    """A 17-row generated latitude frame crossed with one scalar
+    aggregate (the corpus's first DOY); pure closed-form trig with
+    literal constants, identical expression trees on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    doy = ev.agg(
+        F.dayofyear(F.min(F.col("ts").cast("timestamp"))).cast("long").alias("d")
+    )
+    lat = spark.range(-8, 9).select((F.col("id") * 10).cast("long").alias("latd"))
+    pi = _SOLAR_PI
+    g = lat.crossJoin(F.broadcast(doy))
+    gam = 2.0 * pi / 365.0 * (F.col("d") - 1)
+    decl = (
+        F.lit(0.006918)
+        - 0.399912 * F.cos(gam)
+        + 0.070257 * F.sin(gam)
+        - 0.006758 * F.cos(2.0 * gam)
+        + 0.000907 * F.sin(2.0 * gam)
+        - 0.002697 * F.cos(3.0 * gam)
+        + 0.00148 * F.sin(3.0 * gam)
+    )
+    phi = F.col("latd") * pi / 180.0
+    w = g.select(
+        "latd",
+        "d",
+        phi.alias("phi"),
+        decl.alias("decl"),
+    ).select(
+        "latd",
+        "d",
+        "phi",
+        "decl",
+        F.acos(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), -F.tan(F.col("phi")) * F.tan(F.col("decl"))))
+        ).alias("ws"),
+    )
+    return w.select(
+        F.col("latd").alias("lat"),
+        F.col("d").alias("doy"),
+        F.round(F.col("decl") * 180.0 / pi, 6).alias("decl_deg"),
+        F.round(F.col("ws") * 180.0 / pi, 6).alias("sunset_hour_angle_deg"),
+        F.round(
+            86400.0
+            / pi
+            * _SI_S0
+            * (
+                F.cos(F.col("phi")) * F.cos(F.col("decl")) * F.sin(F.col("ws"))
+                + F.col("ws") * F.sin(F.col("phi")) * F.sin(F.col("decl"))
+            )
+            / 1000000.0,
+            6,
+        ).alias("insolation_mj_m2"),
+    )
+
+
+# Vocabulary coverage curve ----------------------------------------------------
+
+_VC_KS = (10, 100, 1000, 10000)
+
+
+@register(
+    "vocab_coverage",
+    f"""
+    WITH b AS (
+      SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+    ),
+    v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY tok),
+    r AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rk,
+             CAST(sum(c) OVER (ORDER BY c DESC, tok ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM v
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM v),
+    ks AS (SELECT CAST(unnest(ARRAY[{", ".join(map(str, _VC_KS))}]) AS BIGINT) AS k)
+    SELECT ks.k AS k,
+           CAST(COALESCE(max(CASE WHEN rk <= ks.k THEN cum END), 0) AS BIGINT)
+             AS cum_tokens,
+           round(CAST(COALESCE(max(CASE WHEN rk <= ks.k THEN cum END), 0)
+                 AS DOUBLE) / n, 6) AS coverage
+    FROM ks CROSS JOIN r CROSS JOIN tot
+    GROUP BY ks.k, n ORDER BY ks.k
+    """,
+    doc=(
+        "vocabulary coverage curve: token-mass share of the top-k "
+        "most frequent types for k in (10, 100, 1k, 10k) — the "
+        "tokenizer-budget diagnostic beside zipf_alpha and heaps_law; "
+        "the ranking cut is (count desc, token) deterministic"
+    ),
+)
+def vocab_coverage(spark, sf_dir):
+    """One vocabulary groupBy, one global deterministic-ordered window
+    (rank + cumulative token mass), then a 4-probe broadcast fold —
+    exact integers into one display division."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("tok")
+    )
+    v = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    v = _persist_evict(v)
+    wo = Window.orderBy(F.col("c").desc(), "tok")
+    r = v.select(
+        "c",
+        F.row_number().over(wo).cast("long").alias("rk"),
+        F.sum("c")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    tot = v.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _VC_KS], "k long")
+    return (
+        ks.crossJoin(r)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rk") <= F.col("k"), F.col("cum"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("cum_tokens")
+        )
+        .select(
+            "k",
+            "cum_tokens",
+            F.round(F.col("cum_tokens").cast("double") / F.col("n"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+# DAU / WAU stickiness ---------------------------------------------------------
+
+
+@register(
+    "dau_wau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                            CAST(ts AS DATE)) AS BIGINT) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    wau AS (
+      SELECT days.d AS d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day_idx, dau.dau AS dau, wau.wau AS wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    ORDER BY day_idx
+    """,
+    doc=(
+        "DAU/WAU engagement stickiness per day: daily active users over "
+        "trailing-7-day distinct actives (the product-analytics ratio "
+        "behind 'how habitual is usage') — exact distinct counts via a "
+        "user-day range join, one division"
+    ),
+)
+def dau_wau_stickiness(spark, sf_dir):
+    """One distinct user-day rollup; WAU is a bounded 7-day range join
+    on that O(users x days) frame (never the event stream), with exact
+    distinct aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    dmin = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    ud = _persist_evict(
+        ev.crossJoin(F.broadcast(dmin))
+        .select(
+            "user_id", F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("d")
+        )
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    w = days.select(F.col("d").alias("wd"))
+    wau = (
+        w.join(ud, (F.col("d") >= F.col("wd") - 6) & (F.col("d") <= F.col("wd")))
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.wd)
+        .select(
+            F.col("d").alias("day_idx"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+# Record (running-maximum) statistics ------------------------------------------
+
+_REC_FP = 1000000000000.0
+
+
+@register(
+    "record_statistics",
+    f"""
+    WITH d AS (
+      SELECT CAST(date_diff('day', (SELECT min(CAST(ts AS DATE)) FROM events),
+                            CAST(ts AS DATE)) AS BIGINT) AS t
+      FROM events
+    ),
+    y AS (SELECT t, CAST(count(*) AS BIGINT) AS y FROM d GROUP BY t),
+    rec AS (
+      SELECT t, y,
+             max(y) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING) AS prevmax
+      FROM y
+    ),
+    cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN prevmax IS NULL OR y > prevmax
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_records
+      FROM rec
+    ),
+    harm AS (
+      SELECT CAST(sum(CAST(round({_REC_FP!r} / k.k) AS BIGINT)) AS BIGINT) AS h1,
+             CAST(sum(CAST(round({_REC_FP!r} / (CAST(k.k AS DOUBLE) * k.k))
+                  AS BIGINT)) AS BIGINT) AS h2
+      FROM (SELECT CAST(unnest(generate_series(1,
+              (SELECT CAST(n AS INT) FROM cnt))) AS BIGINT) AS k) k
+    )
+    SELECT n, n_records,
+           round(CAST(h1 AS DOUBLE) / {_REC_FP!r}, 6) AS expected_records,
+           round(CAST(h1 - h2 AS DOUBLE) / {_REC_FP!r}, 6) AS variance_records,
+           round((CAST(n_records AS DOUBLE) - CAST(h1 AS DOUBLE) / {_REC_FP!r})
+                 / sqrt(CAST(h1 - h2 AS DOUBLE) / {_REC_FP!r}), 6) AS z
+    FROM cnt, harm
+    """,
+    doc=(
+        "record statistics of the daily event-count series: observed "
+        "running-maximum records vs the i.i.d. null (E = H_n, Var = "
+        "H_n - H_n^(2), fixed-point harmonic sums) — the 'was today the "
+        "busiest yet?' trend diagnostic; excess records = growth"
+    ),
+)
+def record_statistics(spark, sf_dir):
+    """One O(days) rollup + an ordered running-max window for the exact
+    record count; the harmonic-number null folds fixed-point per-term
+    integers over a generated k-range so the expectation/variance are
+    order-free."""
+    ev = _t(spark, sf_dir, "events")
+    dmin = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    y = (
+        ev.crossJoin(F.broadcast(dmin))
+        .groupBy(F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    rec = y.select("t", "y", F.max("y").over(wprev).alias("prevmax"))
+    cnt = rec.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("prevmax").isNull() | (F.col("y") > F.col("prevmax")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_records"),
+    )
+    kr = (
+        cnt.select(F.explode(F.sequence(F.lit(1), F.col("n"))).alias("k"))
+    )
+    harm = kr.agg(
+        F.sum(F.round(F.lit(_REC_FP) / F.col("k")).cast("long"))
+        .cast("long")
+        .alias("h1"),
+        F.sum(
+            F.round(F.lit(_REC_FP) / (F.col("k").cast("double") * F.col("k"))).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("h2"),
+    )
+    e = F.col("h1").cast("double") / _REC_FP
+    var = (F.col("h1") - F.col("h2")).cast("double") / _REC_FP
+    return cnt.crossJoin(F.broadcast(harm)).select(
+        "n",
+        "n_records",
+        F.round(e, 6).alias("expected_records"),
+        F.round(var, 6).alias("variance_records"),
+        F.round((F.col("n_records").cast("double") - e) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+# Conversion-lag quantiles -----------------------------------------------------
+
+_CL_QS = (25, 50, 75, 90)
+
+
+@register(
+    "conversion_lag_quantiles",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click'
+                      THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS t_purch
+      FROM events GROUP BY user_id
+    ),
+    lagm AS (
+      SELECT (t_purch - t_click) // 60000 AS lag_min FROM u
+      WHERE t_click IS NOT NULL AND t_purch IS NOT NULL
+        AND t_purch >= t_click
+    ),
+    c AS (SELECT lag_min, CAST(count(*) AS BIGINT) AS c FROM lagm GROUP BY lag_min),
+    w AS (
+      SELECT lag_min, c,
+             COALESCE(sum(c) OVER (ORDER BY lag_min ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM c
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+    qs AS (SELECT CAST(unnest(ARRAY[{", ".join(map(str, _CL_QS))}]) AS BIGINT) AS q)
+    SELECT qs.q AS pct,
+           min(CASE WHEN w.below + w.c >=
+               CAST(ceil(qs.q * (SELECT n FROM tot) / 100.0) AS BIGINT)
+               THEN w.lag_min END) AS lag_minutes,
+           (SELECT n FROM tot) AS n_users
+    FROM qs CROSS JOIN w GROUP BY qs.q ORDER BY qs.q
+    """,
+    doc=(
+        "first-click to first-purchase conversion-lag quantiles "
+        "(p25/50/75/90, exact type-1 order statistics on the distinct-"
+        "minute frame) — the funnel-latency summary behind "
+        "window_funnel's step counts"
+    ),
+)
+def conversion_lag_quantiles(spark, sf_dir):
+    """One per-user min rollup, one distinct-lag prefix frame, four
+    broadcast quantile probes — exact integers end to end."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.unix_millis(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purch"),
+    )
+    lagm = u.filter(
+        F.col("t_click").isNotNull()
+        & F.col("t_purch").isNotNull()
+        & (F.col("t_purch") >= F.col("t_click"))
+    ).select(
+        F.expr("(t_purch - t_click) div 60000").alias("lag_min")
+    )
+    c = _persist_evict(
+        lagm.groupBy("lag_min").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wb = Window.orderBy("lag_min").rowsBetween(Window.unboundedPreceding, -1)
+    w = c.select(
+        "lag_min", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below")
+    )
+    tot = c.agg(F.sum("c").cast("long").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in _CL_QS], "q long")
+    return (
+        qs.crossJoin(w)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("q").alias("pct"), "n")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("below") + F.col("c")
+                    >= F.ceil(F.col("q") * F.col("n") / 100.0).cast("long"),
+                    F.col("lag_min"),
+                )
+            ).alias("lag_minutes")
+        )
+        .select("pct", "lag_minutes", F.col("n").alias("n_users"))
+    )
+
+
+# L-moments --------------------------------------------------------------------
+
+
+@register(
+    "l_moments",
+    """
+    WITH s AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY v),
+    w AS (
+      SELECT v, c,
+             COALESCE(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM c
+    ),
+    /* hockey-stick identity: sum_{i=a..b} C(i-1, r) = C(b, r+1) -
+       C(a-1, r+1): each distinct value's tied rank span contributes exact
+       integer binomial weights with no rank materialization. */
+    bw AS (
+      SELECT v, c, below + c AS b, below AS a1,
+             CAST(below + c AS HUGEINT) AS bb, CAST(below AS HUGEINT) AS aa
+      FROM w
+    ),
+    mom AS (
+      /* raw (un-divided) telescoped binomial sums: the /2, /6, /24 move
+         to the closing float so every integer sum stays exact HUGEINT */
+      SELECT CAST(sum(c) AS HUGEINT) AS n,
+             sum(CAST(v AS HUGEINT) * c) AS s0,
+             sum(CAST(v AS HUGEINT) * (bb * (bb - 1) - aa * (aa - 1))) AS s1r,
+             sum(CAST(v AS HUGEINT)
+                 * (bb * (bb - 1) * (bb - 2) - aa * (aa - 1) * (aa - 2))) AS s2r,
+             sum(CAST(v AS HUGEINT)
+                 * (bb * (bb - 1) * (bb - 2) * (bb - 3)
+                    - aa * (aa - 1) * (aa - 2) * (aa - 3))) AS s3r
+      FROM bw
+    ),
+    lm AS (
+      SELECT CAST(n AS DOUBLE) AS nd,
+             CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS b0,
+             CAST(s1r AS DOUBLE) / 2.0 / CAST(n AS DOUBLE)
+               / ((CAST(n AS DOUBLE) - 1.0) / 1.0) AS b1,
+             CAST(s2r AS DOUBLE) / 6.0 / CAST(n AS DOUBLE)
+               / ((CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 2.0) / 2.0) AS b2,
+             CAST(s3r AS DOUBLE) / 24.0 / CAST(n AS DOUBLE)
+               / ((CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 2.0)
+                  * (CAST(n AS DOUBLE) - 3.0) / 6.0) AS b3
+      FROM mom
+    )
+    SELECT CAST(nd AS BIGINT) AS n,
+           round(b0, 6) AS l1,
+           round(2.0 * b1 - b0, 6) AS l2,
+           round((6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0), 6) AS t3,
+           round((20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0) / (2.0 * b1 - b0), 6)
+             AS t4
+    FROM lm
+    """,
+    doc=(
+        "L-moments of value cents (L-mean, L-scale, L-skewness t3, "
+        "L-kurtosis t4): probability-weighted moments via the "
+        "hockey-stick binomial identity on the distinct-cents rank spans "
+        "— exact integer weighted sums with NO rank materialization and "
+        "no sort; the robust shape statistics hydrology fits GEV/GPD "
+        "with (companions: gumbel_fit_extremes, gpd_tail_fit)"
+    ),
+)
+def l_moments(spark, sf_dir):
+    """Each distinct cent's tied rank span [a+1, a+c] contributes
+    sum C(i-1, r) = C(b, r+1) - C(a, r+1) exactly (hockey stick), so the
+    four probability-weighted moments are single decimal(38,0) sums over
+    the distinct-value frame; b_r normalization and the L-moment linear
+    combinations are closing single-row floats."""
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(F.round(F.col("value") * 100, 0).cast("long").alias("v"))
+    c = _persist_evict(s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w = c.select("v", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below"))
+    bb = (F.col("below") + F.col("c")).cast(d38)
+    aa = F.col("below").cast(d38)
+    vv = F.col("v").cast(d38)
+    mom = w.agg(
+        F.sum("c").cast(d38).alias("n"),
+        F.sum(vv * F.col("c")).alias("s0"),
+        F.sum(vv * (bb * (bb - 1) - aa * (aa - 1))).alias("s1r"),
+        F.sum(
+            vv * (bb * (bb - 1) * (bb - 2) - aa * (aa - 1) * (aa - 2))
+        ).alias("s2r"),
+        F.sum(
+            vv
+            * (
+                bb * (bb - 1) * (bb - 2) * (bb - 3)
+                - aa * (aa - 1) * (aa - 2) * (aa - 3)
+            )
+        ).alias("s3r"),
+    )
+    nd = F.col("n").cast("double")
+    b0 = F.col("s0").cast("double") / nd
+    b1 = F.col("s1r").cast("double") / 2.0 / nd / ((nd - 1.0) / 1.0)
+    b2 = F.col("s2r").cast("double") / 6.0 / nd / ((nd - 1.0) * (nd - 2.0) / 2.0)
+    b3 = (
+        F.col("s3r").cast("double") / 24.0 / nd
+        / ((nd - 1.0) * (nd - 2.0) * (nd - 3.0) / 6.0)
+    )
+    l2 = 2.0 * b1 - b0
+    return mom.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b0, 6).alias("l1"),
+        F.round(l2, 6).alias("l2"),
+        F.round((6.0 * b2 - 6.0 * b1 + b0) / l2, 6).alias("t3"),
+        F.round((20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0) / l2, 6).alias("t4"),
+    )
+
+
+# Trajectory sinuosity ---------------------------------------------------------
+
+_SIN_FP = 1000.0  # fixed-point millimeter-ish grid units for leg lengths
+
+
+@register(
+    "line_sinuosity",
+    f"""
+    WITH pts AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms, event_id,
+             (user_id % 120) * 1000
+               + CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END
+               + event_id % 7 AS iy,
+             (user_id % 300) * 1000
+               + CASE WHEN event_id % 13 < 4 THEN 2000 ELSE 0 END
+               + event_id % 5 AS ix
+      FROM events
+    ),
+    legs AS (
+      SELECT user_id,
+             first_value(ix) OVER w AS x0, first_value(iy) OVER w AS y0,
+             last_value(ix) OVER wf AS x1, last_value(iy) OVER wf AS y1,
+             ix - lag(ix) OVER w AS dx, iy - lag(iy) OVER w AS dy
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id),
+             wf AS (PARTITION BY user_id ORDER BY t_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(count(dx) AS BIGINT) AS n_legs,
+             CAST(sum(CAST(round(sqrt(CAST(dx * dx + dy * dy AS DOUBLE))
+                  * {_SIN_FP!r}) AS BIGINT)) AS BIGINT) AS path_fp,
+             max(x0) AS x0, max(y0) AS y0, max(x1) AS x1, max(y1) AS y1
+      FROM legs GROUP BY user_id
+    )
+    SELECT user_id, n_legs,
+           round(CAST(path_fp AS DOUBLE) / {_SIN_FP!r}, 6) AS path_len,
+           round(sqrt(CAST((x1 - x0) * (x1 - x0)
+                 + (y1 - y0) * (y1 - y0) AS DOUBLE)), 6) AS net_disp,
+           round(CASE WHEN (x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0) > 0
+                      THEN CAST(path_fp AS DOUBLE) / {_SIN_FP!r}
+                           / sqrt(CAST((x1 - x0) * (x1 - x0)
+                                  + (y1 - y0) * (y1 - y0) AS DOUBLE))
+                      ELSE 0.0 END, 6) AS sinuosity
+    FROM agg
+    """,
+    doc=(
+        "per-user trajectory sinuosity (traveled path length / net "
+        "first-to-last displacement, 1 = straight line): leg lengths are "
+        "IEEE-exact sqrt per leg snapped to fixed point so the path sum "
+        "is an exact integer — the route-efficiency metric beside "
+        "turning_stats/mobility_metrics"
+    ),
+)
+def line_sinuosity(spark, sf_dir):
+    """One trajectory window pass (lag deltas + endpoint first/last),
+    fixed-point leg lengths into an exact integer path sum, exact
+    integer endpoints — closing division guarded for zero displacement."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        "event_id",
+        (
+            (F.col("user_id") % 120) * 1000
+            + F.when(F.col("event_id") % 13 < 4, 2000).otherwise(0)
+            + F.col("event_id") % 7
+        ).alias("iy"),
+        (
+            (F.col("user_id") % 300) * 1000
+            + F.when(F.col("event_id") % 13 < 4, 2000).otherwise(0)
+            + F.col("event_id") % 5
+        ).alias("ix"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("t_ms", "event_id")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    legs = pts.select(
+        "user_id",
+        F.first("ix").over(wo).alias("x0"),
+        F.first("iy").over(wo).alias("y0"),
+        F.last("ix").over(wf).alias("x1"),
+        F.last("iy").over(wf).alias("y1"),
+        (F.col("ix") - F.lag("ix").over(wo)).alias("dx"),
+        (F.col("iy") - F.lag("iy").over(wo)).alias("dy"),
+    )
+    leg_fp = F.round(
+        F.sqrt((F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).cast("double"))
+        * _SIN_FP
+    ).cast("long")
+    agg = legs.groupBy("user_id").agg(
+        F.count("dx").cast("long").alias("n_legs"),
+        F.sum(leg_fp).cast("long").alias("path_fp"),
+        F.max("x0").alias("x0"),
+        F.max("y0").alias("y0"),
+        F.max("x1").alias("x1"),
+        F.max("y1").alias("y1"),
+    )
+    disp2 = (F.col("x1") - F.col("x0")) * (F.col("x1") - F.col("x0")) + (
+        F.col("y1") - F.col("y0")
+    ) * (F.col("y1") - F.col("y0"))
+    path = F.col("path_fp").cast("double") / _SIN_FP
+    return agg.select(
+        "user_id",
+        "n_legs",
+        F.round(path, 6).alias("path_len"),
+        F.round(F.sqrt(disp2.cast("double")), 6).alias("net_disp"),
+        F.round(
+            F.when(disp2 > 0, path / F.sqrt(disp2.cast("double"))).otherwise(0.0), 6
+        ).alias("sinuosity"),
+    )
+
+
+# Duplication rate by source ---------------------------------------------------
+
+
+@register(
+    "dup_rate_by_source",
+    """
+    WITH h AS (
+      SELECT source, md5(text) AS th FROM documents
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT th) AS BIGINT) AS n_distinct
+      FROM h GROUP BY source
+    )
+    SELECT source, n_docs, n_distinct,
+           CAST(n_docs - n_distinct AS BIGINT) AS n_dup,
+           round(CAST(n_docs - n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate
+    FROM g
+    """,
+    doc=(
+        "exact-duplicate rate per source (md5 text fingerprints, "
+        "distinct-vs-total): the per-provider contamination scorecard "
+        "that decides which sources feed exact_dedup first — one "
+        "partial-agg pass, exact counts"
+    ),
+)
+def dup_rate_by_source(spark, sf_dir):
+    """Map-side hash + one groupBy with an exact distinct aggregate —
+    the per-source rollup of exact_dedup's global view."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select("source", F.md5(F.col("text")).alias("th"))
+    g = h.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("th").cast("long").alias("n_distinct"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).cast("long").alias("n_dup"),
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct")).cast("double") / F.col("n_docs"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+# Renyi entropy spectrum -------------------------------------------------------
+
+
+@register(
+    "renyi_spectrum",
+    """
+    WITH b AS (
+      SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+    ),
+    v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY tok),
+    m AS (
+      SELECT CAST(sum(c) AS HUGEINT) AS n,
+             CAST(count(*) AS BIGINT) AS types,
+             sum(CAST(c AS HUGEINT) * c) AS c2,
+             CAST(max(c) AS BIGINT) AS cmax
+      FROM v
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens, types,
+           round(ln(CAST(types AS DOUBLE)), 6) AS h0,
+           round(-ln(CAST(c2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS h2,
+           round(-ln(CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS h_min
+    FROM m
+    """,
+    doc=(
+        "Renyi entropy spectrum of the token distribution: H0 = ln "
+        "|types| (Hartley), H2 = -ln sum p^2 (collision entropy, from "
+        "the exact integer collision mass), H_inf = -ln max p (min-"
+        "entropy) — the diversity profile bracketing entropy_score's "
+        "Shannon point; exact integers into three ln calls"
+    ),
+)
+def renyi_spectrum(spark, sf_dir):
+    """One vocabulary groupBy, one four-moment exact aggregate, three
+    single-row ln calls."""
+    d = _t(spark, sf_dir, "documents")
+    d38 = "decimal(38,0)"
+    toks = d.select(
+        F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("tok")
+    )
+    v = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = v.agg(
+        F.sum("c").cast(d38).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("types"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).alias("c2"),
+        F.max("c").cast("long").alias("cmax"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        "types",
+        F.round(F.log(F.col("types").cast("double")), 6).alias("h0"),
+        F.round(-F.log(F.col("c2").cast("double") / (nd * nd)), 6).alias("h2"),
+        F.round(-F.log(F.col("cmax").cast("double") / nd), 6).alias("h_min"),
+    )
+
+
+# Weekday ANOVA of daily volume ------------------------------------------------
+
+
+def _weekday_anova_sql() -> str:
+    k = 7
+    piv = ", ".join(
+        f"CAST(sum(CASE WHEN dow = {w} THEN 1 ELSE 0 END) AS DOUBLE) AS n_{w}, "
+        f"CAST(sum(CASE WHEN dow = {w} THEN y ELSE 0 END) AS DOUBLE) AS s_{w}, "
+        f"CAST(sum(CASE WHEN dow = {w} THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS DOUBLE) AS q_{w}"
+        for w in range(k)
+    )
+    nn = " + ".join(f"n_{w}" for w in range(k))
+    ss = " + ".join(f"s_{w}" for w in range(k))
+    qq = " + ".join(f"q_{w}" for w in range(k))
+    hat = " + ".join(f"s_{w} * s_{w} / n_{w}" for w in range(k))
+    return f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow
+      FROM events
+    ),
+    y AS (SELECT day, CAST(max(dow) AS BIGINT) AS dow,
+                 CAST(count(*) AS BIGINT) AS y
+          FROM d GROUP BY day),
+    piv AS (SELECT {piv} FROM y)
+    SELECT CAST({nn} AS BIGINT) AS n_days, CAST({k} AS BIGINT) AS k,
+           round(({hat}) - ({ss}) * ({ss}) / ({nn}), 2) AS ssb,
+           round(({qq}) - ({hat}), 2) AS ssw,
+           round(((({hat}) - ({ss}) * ({ss}) / ({nn})) / {k - 1}.0)
+                 / ((({qq}) - ({hat})) / (({nn}) - {k}.0)), 6) AS f_stat
+    FROM piv
+    """
+
+
+@register(
+    "weekday_anova",
+    _weekday_anova_sql(),
+    doc=(
+        "one-way ANOVA of daily event volume across the 7 weekdays "
+        "(ISO day-of-week groups): is there a weekly rhythm? — the "
+        "seasonal-effect F test beside diurnal_harmonics' within-day "
+        "spectrum; exact integer moments, fixed-order 7-column folds"
+    ),
+)
+def weekday_anova(spark, sf_dir):
+    """One O(days) rollup, a 7-group fixed-order pivot, the anova_f
+    float algebra — bit-identical folds on both engines."""
+    k = 7
+    ev = _t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    y = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max(F.expr("weekday(to_date(ts))")).cast("long").alias("dow"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    piv = y.agg(
+        *[
+            c
+            for w in range(k)
+            for c in (
+                F.sum(F.when(F.col("dow") == w, 1).otherwise(0))
+                .cast("double")
+                .alias(f"n_{w}"),
+                F.sum(F.when(F.col("dow") == w, F.col("y")).otherwise(0))
+                .cast("double")
+                .alias(f"s_{w}"),
+                F.sum(
+                    F.when(F.col("dow") == w, F.col("y").cast(d38) * F.col("y")).otherwise(
+                        F.lit(0).cast(d38)
+                    )
+                )
+                .cast("double")
+                .alias(f"q_{w}"),
+            )
+        ]
+    )
+    nn = _fold_sum([F.col(f"n_{w}") for w in range(k)])
+    ss = _fold_sum([F.col(f"s_{w}") for w in range(k)])
+    qq = _fold_sum([F.col(f"q_{w}") for w in range(k)])
+    hat = _fold_sum([F.col(f"s_{w}") * F.col(f"s_{w}") / F.col(f"n_{w}") for w in range(k)])
+    ssb = hat - ss * ss / nn
+    ssw = qq - hat
+    return piv.select(
+        nn.cast("long").alias("n_days"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(ssb, 2).alias("ssb"),
+        F.round(ssw, 2).alias("ssw"),
+        F.round((ssb / float(k - 1)) / (ssw / (nn - float(k))), 6).alias("f_stat"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

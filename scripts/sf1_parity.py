@@ -361,6 +361,23 @@ QUERIES = [
     # (lineitem copied unchanged)
     "gpd_tail_fit",
     "median_polish",
+    # session-17 batch 15: vocab/dau/record/conversion ride 1M events or
+    # the 10x doc corpus (coverage curve, user-day frames, record
+    # pattern and lag distribution all shift); solar_irradiance_daily is
+    # a data-free graticule (only DOY is data-derived) — EXCLUDED
+    "vocab_coverage",
+    "dau_wau_stickiness",
+    "record_statistics",
+    "conversion_lag_quantiles",
+    # session-17 batch 16: l_moments/sinuosity/weekday ride 1M events
+    # (128-bit hockey-stick sums at 10x rank spans); dup_rate/renyi ride
+    # the 10x suffixed doc corpus (the suffix copies create real
+    # source-level duplicates)
+    "l_moments",
+    "line_sinuosity",
+    "dup_rate_by_source",
+    "renyi_spectrum",
+    "weekday_anova",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

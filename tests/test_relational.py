@@ -7423,3 +7423,221 @@ def test_vwap_twap_matches_brute_force(spark, sf_dir):
         assert abs(row.vwap_cents
                    - round(float((sub.q * sub.p).sum()) / sub.q.sum(), 6)) < 1e-6
         assert abs(row.twap_cents - round(sub.p.mean(), 6)) < 1e-6
+
+
+def test_solar_irradiance_daily_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    d = int(pd.to_datetime(ev.ts).min().dayofyear)
+    got = {r.lat: r for r in
+           relational.REGISTRY["solar_irradiance_daily"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == list(range(-80, 90, 10))
+    g = 2 * np.pi / 365.0 * (d - 1)
+    decl = (0.006918 - 0.399912 * np.cos(g) + 0.070257 * np.sin(g)
+            - 0.006758 * np.cos(2 * g) + 0.000907 * np.sin(2 * g)
+            - 0.002697 * np.cos(3 * g) + 0.00148 * np.sin(3 * g))
+    for latd in got:
+        phi = np.radians(latd)
+        ws = np.arccos(np.clip(-np.tan(phi) * np.tan(decl), -1, 1))
+        H = (86400 / np.pi * relational._SI_S0
+             * (np.cos(phi) * np.cos(decl) * np.sin(ws)
+                + ws * np.sin(phi) * np.sin(decl)) / 1e6)
+        row = got[latd]
+        assert row.doy == d
+        assert abs(row.decl_deg - np.degrees(decl)) < 1e-5
+        assert abs(row.insolation_mj_m2 - H) < 1e-4
+        assert row.insolation_mj_m2 >= -1e-9  # polar night floors at 0
+
+
+def test_vocab_coverage_matches_brute_force(spark, sf_dir):
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    cnt = {}
+    for t in docs.text:
+        for w in re.findall(r"\S+", t):
+            cnt[w] = cnt.get(w, 0) + 1
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    got = {r.k: r for r in
+           relational.REGISTRY["vocab_coverage"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(relational._VC_KS)
+    for k in got:
+        cum = sum(c for _, c in ordered[:k])
+        assert got[k].cum_tokens == cum
+        assert abs(got[k].coverage - round(cum / total, 6)) < 1e-9
+
+
+def test_dau_wau_stickiness_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    day0 = pd.to_datetime(ev.ts).dt.normalize().min()
+    ev["d"] = (pd.to_datetime(ev.ts).dt.normalize() - day0).dt.days
+    ud = ev[["user_id", "d"]].drop_duplicates()
+    got = {r.day_idx: r for r in
+           relational.REGISTRY["dau_wau_stickiness"].fn(spark, sf_dir).collect()}
+    for d in sorted(ud.d.unique()):
+        dau = ud[ud.d == d].user_id.nunique()
+        wau = ud[(ud.d >= d - 6) & (ud.d <= d)].user_id.nunique()
+        row = got[d]
+        assert (row.dau, row.wau) == (dau, wau)
+        assert abs(row.stickiness - round(dau / wau, 6)) < 1e-9
+
+
+def test_record_statistics_matches_brute_force(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    y = pd.to_datetime(ev.ts).dt.normalize().value_counts().sort_index().to_numpy()
+    n = len(y)
+    rec = sum(1 for i in range(n) if i == 0 or y[i] > y[:i].max())
+    FP = relational._REC_FP
+    h1 = sum(round(FP / k) for k in range(1, n + 1)) / FP
+    h2 = sum(round(FP / (float(k) * k)) for k in range(1, n + 1)) / FP
+    row = relational.REGISTRY["record_statistics"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.n_records) == (n, rec)
+    assert abs(row.expected_records - round(h1, 6)) < 1e-9
+    assert abs(row.variance_records - round(h1 - h2, 6)) < 1e-9
+    assert abs(row.z - round((rec - h1) / math.sqrt(h1 - h2), 6)) < 1e-6
+
+
+def test_conversion_lag_quantiles_matches_brute_force(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    ev["t_ms"] = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    lags = []
+    for uid, sub in ev.groupby("user_id"):
+        tc = sub.t_ms[sub.event_type == "click"]
+        tp = sub.t_ms[sub.event_type == "purchase"]
+        if len(tc) and len(tp) and tp.min() >= tc.min():
+            lags.append((tp.min() - tc.min()) // 60000)
+    lags.sort()
+    got = {r.pct: r for r in
+           relational.REGISTRY["conversion_lag_quantiles"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(relational._CL_QS)
+    for q in got:
+        k = math.ceil(q * len(lags) / 100.0)
+        assert got[q].lag_minutes == lags[k - 1]
+        assert got[q].n_users == len(lags)
+
+
+def test_l_moments_matches_numpy(spark, sf_dir):
+    """Direct probability-weighted moments from the sorted sample."""
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    x = np.sort((ev.value.dropna() * 100).round().astype("int64").to_numpy()).astype(
+        "float64")
+    n = len(x)
+    i = np.arange(1, n + 1)
+    b0 = x.mean()
+    b1 = (x * (i - 1)).sum() / n / (n - 1)
+    b2 = (x * (i - 1) * (i - 2)).sum() / n / ((n - 1) * (n - 2))
+    b3 = (x * (i - 1) * (i - 2) * (i - 3)).sum() / n / ((n - 1) * (n - 2) * (n - 3))
+    l1, l2 = b0, 2 * b1 - b0
+    t3 = (6 * b2 - 6 * b1 + b0) / l2
+    t4 = (20 * b3 - 30 * b2 + 12 * b1 - b0) / l2
+    row = relational.REGISTRY["l_moments"].fn(spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert abs(row.l1 - l1) < 1e-4
+    assert abs(row.l2 - l2) < 1e-4
+    assert abs(row.t3 - t3) < 1e-6
+    assert abs(row.t4 - t4) < 1e-6
+
+
+def test_line_sinuosity_matches_brute_force(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    ev["t_ms"] = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    ev["iy"] = (ev.user_id % 120) * 1000 + (ev.event_id % 13 < 4) * 2000 + ev.event_id % 7
+    ev["ix"] = (ev.user_id % 300) * 1000 + (ev.event_id % 13 < 4) * 2000 + ev.event_id % 5
+    ev = ev.sort_values(["user_id", "t_ms", "event_id"], kind="mergesort")
+    got = {r.user_id: r for r in
+           relational.REGISTRY["line_sinuosity"].fn(spark, sf_dir).collect()}
+    FP = relational._SIN_FP
+    for uid, sub in ev.groupby("user_id"):
+        xs, ys = sub.ix.to_numpy(), sub.iy.to_numpy()
+        path_fp = sum(round(math.sqrt(float((xs[i] - xs[i - 1]) ** 2
+                                            + (ys[i] - ys[i - 1]) ** 2)) * FP)
+                      for i in range(1, len(xs)))
+        disp = math.sqrt(float((xs[-1] - xs[0]) ** 2 + (ys[-1] - ys[0]) ** 2))
+        row = got[uid]
+        assert row.n_legs == len(xs) - 1
+        assert abs(row.path_len - round(path_fp / FP, 6)) < 1e-9
+        assert abs(row.net_disp - round(disp, 6)) < 1e-9
+        want = path_fp / FP / disp if disp > 0 else 0.0
+        assert abs(row.sinuosity - round(want, 6)) < 1e-9
+
+
+def test_dup_rate_by_source_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    got = {r.source: r for r in
+           relational.REGISTRY["dup_rate_by_source"].fn(spark, sf_dir).collect()}
+    for src_, sub in docs.groupby("source"):
+        n, nd = len(sub), sub.text.nunique()
+        row = got[src_]
+        assert (row.n_docs, row.n_distinct, row.n_dup) == (n, nd, n - nd)
+        assert abs(row.dup_rate - round((n - nd) / n, 6)) < 1e-9
+
+
+def test_renyi_spectrum_matches_brute_force(spark, sf_dir):
+    import math
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    cnt = {}
+    for t in docs.text:
+        for w in re.findall(r"\S+", t):
+            cnt[w] = cnt.get(w, 0) + 1
+    n = sum(cnt.values())
+    c2 = sum(c * c for c in cnt.values())
+    cmax = max(cnt.values())
+    row = relational.REGISTRY["renyi_spectrum"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_tokens, row.types) == (n, len(cnt))
+    assert abs(row.h0 - round(math.log(len(cnt)), 6)) < 1e-9
+    assert abs(row.h2 - round(-math.log(c2 / n / n), 6)) < 1e-6
+    assert abs(row.h_min - round(-math.log(cmax / n), 6)) < 1e-9
+    # spectrum ordering: H0 >= H_shannon >= H2 >= H_min
+    assert row.h0 >= row.h2 >= row.h_min
+
+
+def test_weekday_anova_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    day = pd.to_datetime(ev.ts).dt.normalize()
+    y = day.value_counts().sort_index()
+    dow = pd.to_datetime(y.index).dayofweek.to_numpy()  # 0 = Monday, matches
+    vals = y.to_numpy().astype("float64")
+    k = 7
+    N = len(vals)
+    groups = [vals[dow == w] for w in range(k)]
+    gm = vals.mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups if len(g))
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups if len(g))
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    row = relational.REGISTRY["weekday_anova"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_days, row.k) == (N, k)
+    assert abs(row.ssb - ssb) < max(1e-6 * abs(ssb), 0.02)
+    assert abs(row.f_stat - f) < 1e-6
