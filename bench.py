@@ -331,6 +331,11 @@ HEADLINE = [
     "dup_rate_by_source",
     "renyi_spectrum",
     "weekday_anova",
+    "cramer_von_mises_2s",
+    "anderson_darling_2s",
+    "qte_deciles",
+    "logrank_test",
+    "mood_median_test",
     # stream_sessions / fire_rate_windowed / stream_dedup / hotspot_track:
     # streaming entries are correctness-gated (sf0.01 oracle parity) but NOT
     # benchmarked — the per-file micro-batch fixture replays ~100 sequential

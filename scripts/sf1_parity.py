@@ -378,6 +378,13 @@ QUERIES = [
     "dup_rate_by_source",
     "renyi_spectrum",
     "weekday_anova",
+    # session-17 batch 17 (two-sample tests): all five ride 1M events
+    # (pooled prefix frames, risk sets and median splits at 10x mass)
+    "cramer_von_mises_2s",
+    "anderson_darling_2s",
+    "qte_deciles",
+    "logrank_test",
+    "mood_median_test",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

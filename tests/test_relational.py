@@ -7641,3 +7641,141 @@ def test_weekday_anova_matches_numpy(spark, sf_dir):
     assert (row.n_days, row.k) == (N, k)
     assert abs(row.ssb - ssb) < max(1e-6 * abs(ssb), 0.02)
     assert abs(row.f_stat - f) < 1e-6
+
+
+def _two_sample_cents(sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.value.notna() & ev.event_type.isin(["click", "purchase"])]
+    x = np.sort((ev.value[ev.event_type == "click"] * 100).round().astype("int64"))
+    y = np.sort((ev.value[ev.event_type == "purchase"] * 100).round().astype("int64"))
+    return x.to_numpy() if hasattr(x, "to_numpy") else x, \
+        y.to_numpy() if hasattr(y, "to_numpy") else y
+
+
+def test_cramer_von_mises_2s_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    x, y = _two_sample_cents(sf_dir)
+    n1, n2 = len(x), len(y)
+    pooled = np.unique(np.concatenate([x, y]))
+    f1 = np.searchsorted(x, pooled, side="right")
+    f2 = np.searchsorted(y, pooled, side="right")
+    cnt = (np.searchsorted(x, pooled, side="right")
+           - np.searchsorted(x, pooled, side="left")
+           + np.searchsorted(y, pooled, side="right")
+           - np.searchsorted(y, pooled, side="left"))
+    d = f1.astype(object) * n2 - f2.astype(object) * n1
+    num = int(sum(int(c) * int(dd) * int(dd) for c, dd in zip(cnt, d)))
+    t = num / (n1 * n2 * (n1 + n2) ** 2)
+    row = relational.REGISTRY["cramer_von_mises_2s"].fn(spark, sf_dir).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.cvm_t - round(t, 6)) < 1e-9
+
+
+def test_anderson_darling_2s_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    x, y = _two_sample_cents(sf_dir)
+    n1, n2 = len(x), len(y)
+    N = n1 + n2
+    pooled = np.unique(np.concatenate([x, y]))
+    f1 = np.searchsorted(x, pooled, side="right")
+    f2 = np.searchsorted(y, pooled, side="right")
+    lo1 = np.searchsorted(x, pooled, side="left")
+    lo2 = np.searchsorted(y, pooled, side="left")
+    cnt = (f1 - lo1) + (f2 - lo2)
+    FP = relational._AD_FP
+    acc = 0
+    for c, a, b in zip(cnt, f1, f2):
+        h = a + b
+        if h >= N:
+            continue
+        dnum = float(a * n2 - b * n1)
+        term = c * dnum * dnum / (float(h) * (N - h)) / (float(n1) * n2)
+        acc += round(term * FP)
+    want = acc / FP / N * N / N
+    row = relational.REGISTRY["anderson_darling_2s"].fn(spark, sf_dir).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.ad_a2 - round(want, 6)) < 1e-9
+
+
+def test_qte_deciles_matches_numpy(spark, sf_dir):
+    import math
+
+    x, y = _two_sample_cents(sf_dir)
+    got = {r.pct: r for r in
+           relational.REGISTRY["qte_deciles"].fn(spark, sf_dir).collect()}
+    assert sorted(got) == sorted(relational._QTE_QS)
+    for q in got:
+        qc = int(x[math.ceil(q * len(x) / 100.0) - 1])
+        qp = int(y[math.ceil(q * len(y) / 100.0) - 1])
+        assert (got[q].q_click, got[q].q_purchase, got[q].qte_cents) == (
+            qc, qp, qc - qp)
+
+
+def test_logrank_test_matches_lifelines_style(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    ev["t_ms"] = ev.ts.to_numpy().astype("datetime64[ms]").astype("int64")
+    rows = []
+    for uid, sub in ev.groupby("user_id"):
+        t0 = sub.t_ms.min()
+        purch = sub.t_ms[sub.event_type == "purchase"]
+        if len(purch):
+            rows.append((uid % 2, (purch.min() - t0) // 86400000, 1))
+        else:
+            rows.append((uid % 2, (sub.t_ms.max() - t0) // 86400000, 0))
+    df = pd.DataFrame(rows, columns=["grp", "t", "ev"])
+    times = sorted(df.t[df.ev == 1].unique())
+    FP = relational._LR_FP
+    o0 = 0
+    e0_fp = 0
+    v_fp = 0
+    for t in times:
+        at_risk = df[df.t >= t]
+        r0 = int((at_risk.grp == 0).sum())
+        r1 = int((at_risk.grp == 1).sum())
+        d0 = int(((df.t == t) & (df.ev == 1) & (df.grp == 0)).sum())
+        d1 = int(((df.t == t) & (df.ev == 1) & (df.grp == 1)).sum())
+        d = d0 + d1
+        if d == 0:
+            continue
+        o0 += d0
+        e0_fp += round(d * r0 / (r0 + r1) * FP)
+        if r0 + r1 > 1:
+            v_fp += round(d * r0 * r1 * (r0 + r1 - d)
+                          / ((r0 + r1) * (r0 + r1)) / (r0 + r1 - 1) * FP)
+    z = (o0 - e0_fp / FP) / (v_fp / FP) ** 0.5
+    row = relational.REGISTRY["logrank_test"].fn(spark, sf_dir).collect()[0]
+    assert row.o0 == o0
+    assert abs(row.e0 - round(e0_fp / FP, 6)) < 1e-9
+    assert abs(row.z - round(z, 6)) < 1e-9
+
+
+def test_mood_median_test_matches_brute_force(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ev = ev[ev.value.notna()].copy()
+    ev["v"] = (ev.value * 100).round().astype("int64")
+    vs = np.sort(ev.v.to_numpy())
+    m = int(vs[(len(vs) + 1) // 2 - 1])  # type-1 median (lower middle)
+    ev["above"] = (ev.v > m).astype(int)
+    tab = ev.groupby(["event_type", "above"]).size().unstack(fill_value=0)
+    a = {t: int(tab.loc[t, 1]) for t in tab.index}
+    b = {t: int(tab.loc[t, 0]) for t in tab.index}
+    at, bt = sum(a.values()), sum(b.values())
+    n = at + bt
+    chi2 = sum((a[t] + b[t]) and
+               (a[t] ** 2 / ((a[t] + b[t]) * at) + b[t] ** 2 / ((a[t] + b[t]) * bt))
+               for t in tab.index)
+    chi2 = (chi2 - 1.0) * n
+    row = relational.REGISTRY["mood_median_test"].fn(spark, sf_dir).collect()[0]
+    assert (row.n, row.k) == (n, len(tab.index))
+    assert abs(row.chi2_mood - chi2) < 1e-4
