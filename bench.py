@@ -336,6 +336,11 @@ HEADLINE = [
     "qte_deciles",
     "logrank_test",
     "mood_median_test",
+    "seasonal_mann_kendall",
+    "chi2_residuals",
+    "weighted_kappa",
+    "spectral_entropy",
+    "quantile_shape",
     # stream_sessions / fire_rate_windowed / stream_dedup / hotspot_track:
     # streaming entries are correctness-gated (sf0.01 oracle parity) but NOT
     # benchmarked — the per-file micro-batch fixture replays ~100 sequential

@@ -385,6 +385,14 @@ QUERIES = [
     "qte_deciles",
     "logrank_test",
     "mood_median_test",
+    # session-17 batch 18: all five ride 1M events (within-weekday pair
+    # signs, weighted transition mass, diurnal power and octile frames
+    # at 10x counts); chi2_residuals is EXCLUDED (orders copied
+    # unchanged)
+    "seasonal_mann_kendall",
+    "weighted_kappa",
+    "spectral_entropy",
+    "quantile_shape",
 ]
 
 # 2x2-degree window at full sf1 density for the pair-cover ops (~8k points

@@ -7779,3 +7779,123 @@ def test_mood_median_test_matches_brute_force(spark, sf_dir):
     row = relational.REGISTRY["mood_median_test"].fn(spark, sf_dir).collect()[0]
     assert (row.n, row.k) == (n, len(tab.index))
     assert abs(row.chi2_mood - chi2) < 1e-4
+
+
+def test_seasonal_mann_kendall_matches_brute_force(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    y = pd.to_datetime(ev.ts).dt.normalize().value_counts().sort_index()
+    dow = pd.to_datetime(y.index).dayofweek.to_numpy()
+    vals = y.to_numpy()
+    s_total = 0
+    v18 = 0
+    for w in range(7):
+        g = vals[dow == w]
+        n = len(g)
+        s_total += sum((1 if g[j] > g[i] else -1 if g[j] < g[i] else 0)
+                       for i in range(n) for j in range(i + 1, n))
+        v18 += n * (n - 1) * (2 * n + 5)
+    var_s = v18 / 18.0
+    if s_total > 0:
+        z = (s_total - 1) / math.sqrt(var_s)
+    elif s_total < 0:
+        z = (s_total + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    row = relational.REGISTRY["seasonal_mann_kendall"].fn(spark, sf_dir).collect()[0]
+    assert row.s_total == s_total
+    assert abs(row.var_s - round(var_s, 6)) < 1e-9
+    assert abs(row.z - round(z, 6)) < 1e-9
+
+
+def test_chi2_residuals_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority"])
+    tab = pd.crosstab(od.o_orderstatus, od.o_orderpriority)
+    n = tab.to_numpy().sum()
+    got = {(r.o_orderstatus, r.o_orderpriority): r for r in
+           relational.REGISTRY["chi2_residuals"].fn(spark, sf_dir).collect()}
+    for s in tab.index:
+        for p in tab.columns:
+            o = int(tab.loc[s, p])
+            rt, ct = int(tab.loc[s].sum()), int(tab[p].sum())
+            e = rt * ct / n
+            res = (o - e) / np.sqrt(e * (1 - rt / n) * (1 - ct / n))
+            row = got[(s, p)]
+            assert row.o == o
+            assert abs(row.expected - round(e, 6)) < 1e-6
+            assert abs(row.std_residual - res) < 1e-5
+
+
+def test_weighted_kappa_matches_brute_force(spark, sf_dir):
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    prev = ev.groupby("user_id").event_type.shift(1)
+    ok = prev.notna()
+    a, b = prev[ok].to_numpy(), ev.event_type[ok].to_numpy()
+    st = sorted(relational._MS_STATES)
+    idx = {t: i for i, t in enumerate(st)}
+    k = len(st)
+    n = len(a)
+    wo = sum((k - 1 - abs(idx[x] - idx[y])) for x, y in zip(a, b))
+    rn = {t: int((a == t).sum()) for t in st}
+    cn = {t: int((b == t).sum()) for t in st}
+    we = sum(rn[x] * cn[y] * (k - 1 - abs(idx[x] - idx[y]))
+             for x in st for y in st)
+    kappa_w = (wo * n - we) / (n * n * (k - 1) - we)
+    row = relational.REGISTRY["weighted_kappa"].fn(spark, sf_dir).collect()[0]
+    assert row.n_pairs == n
+    assert abs(row.po_w - round(wo / (n * (k - 1)), 6)) < 1e-9
+    assert abs(row.pe_w - round(we / (n * n * (k - 1)), 6)) < 1e-9
+    assert abs(row.kappa_w - round(kappa_w, 6)) < 1e-9
+
+
+def test_spectral_entropy_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    h = pd.to_datetime(ev.ts).dt.hour.to_numpy()
+    nb = np.bincount(h, minlength=24).astype("float64")
+    ps = []
+    for k in relational._DH_K:
+        c = sum(nb[j] * relational._DH_COS[k][j] for j in range(24))
+        s = sum(nb[j] * relational._DH_SIN[k][j] for j in range(24))
+        ps.append(round((c * c + s * s) / 1000.0))
+    tot = sum(ps)
+    ent = -sum(p / tot * math.log(p / tot) for p in ps if p > 0)
+    row = relational.REGISTRY["spectral_entropy"].fn(spark, sf_dir).collect()[0]
+    for k, p in zip(relational._DH_K, ps):
+        assert getattr(row, f"p{k}") == p
+    assert abs(row.spectral_h - round(ent, 6)) < 1e-9
+    assert abs(row.spectral_h_norm
+               - round(ent / math.log(len(ps)), 6)) < 1e-9
+
+
+def test_quantile_shape_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    v = np.sort((ev.value.dropna() * 100).round().astype("int64").to_numpy())
+    n = len(v)
+    e = {j: int(v[math.ceil(j * n / 8.0) - 1]) for j in range(1, 8)}
+    bow = (e[2] + e[6] - 2 * e[4]) / (e[6] - e[2])
+    moors = ((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2])
+    row = relational.REGISTRY["quantile_shape"].fn(spark, sf_dir).collect()[0]
+    assert (row.q1, row.median, row.q3) == (e[2], e[4], e[6])
+    assert abs(row.bowley_skew - round(bow, 6)) < 1e-9
+    assert abs(row.moors_kurtosis - round(moors, 6)) < 1e-9
