@@ -56,30 +56,38 @@ def _last_checked() -> dict[str, int]:
         except Exception:
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("rows_match"):
+            # A row only counts as "checked" if it was GREEN: a hash
+            # mismatch (r4: tile_pyramid, snap_to_segments) means the op
+            # must re-earn its driver row next round, so treat it as
+            # never-checked rather than fresh. hash_match is absent for
+            # rows-only entries; those count on rows_match alone.
+            if isinstance(row, dict) and row.get("rows_match") and row.get(
+                "hash_match", True
+            ):
                 seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 
-# VERDICT r3 named ten never-driver-checked queries that must earn a row in
-# r4 (plus mcbef_eval, the r3 "what's missing" item); with >50 never-checked
-# entries in the registry the plain LRU rule would push some of them past the
-# 50-row window, so they are pinned ahead of the never-checked tier (checked
-# queries are unaffected: a pin never evicts a staler row from rotation, only
-# reorders within the never-checked group — the ~4 unpinned never-checked
-# entries that miss this round's window lead the r5 window by the same rule).
+# VERDICT r4 pins: the two r4 hash-FAILs (oracle-encoding bugs fixed this
+# round — they must re-earn a green driver row) lead, followed by the ten
+# ops the r4 verdict explicitly named as never driver-checked. With >50
+# never-checked entries in the registry the plain LRU rule would push some
+# of them past the 50-row window, so they are pinned ahead of the
+# never-checked tier (checked queries are unaffected: a pin never evicts a
+# staler row from rotation, only reorders within the never-checked group).
 _PINNED = (
-    "mcbef_eval",
-    "fire_perimeters",
-    "fire_rate_windowed",
-    "stream_dedup",
-    "ann_ivf_topk",
-    "dedup_keep_best",
-    "dup_components",
-    "knn_join",
-    "sample_stratified",
-    "scd2_history",
-    "tfidf_topterms",
+    "tile_pyramid",
+    "snap_to_segments",
+    "winnowing_fingerprint",
+    "edit_distance_pairs",
+    "ann_pq_search",
+    "image_phash",
+    "phash_neardup",
+    "audio_segments",
+    "contamination_check",
+    "boilerplate_chunks",
+    "vector_quantize",
+    "stream_sessions",
 )
 
 

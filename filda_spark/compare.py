@@ -56,9 +56,21 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, float_atol: float = 0.0) -> list
         return issues
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
-        if np.issubdtype(np.asarray(sv).dtype, np.floating) or np.issubdtype(
-            np.asarray(ov).dtype, np.floating
+        sf = np.issubdtype(np.asarray(sv).dtype, np.floating)
+        of = np.issubdtype(np.asarray(ov).dtype, np.floating)
+        # dtype-CLASS mismatch (float one side, integer the other) is a
+        # driver-hash FAIL even when values agree numerically — the r4
+        # tile_pyramid class (DuckDB sum(BIGINT) -> HUGEINT -> float64 vs
+        # Spark int64). Flag it before the numeric coercion below hides it.
+        if sf != of and (
+            (sf and np.issubdtype(np.asarray(ov).dtype, np.integer))
+            or (of and np.issubdtype(np.asarray(sv).dtype, np.integer))
         ):
+            issues.append(
+                f"col {c}: dtype class mismatch spark={np.asarray(sv).dtype} "
+                f"oracle={np.asarray(ov).dtype} — driver hash is type-sensitive"
+            )
+        if sf or of:
             sv = np.asarray(sv, dtype=np.float64)
             ov = np.asarray(ov, dtype=np.float64)
             both_nan = np.isnan(sv) & np.isnan(ov)

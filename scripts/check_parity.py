@@ -45,6 +45,17 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, bool]:
         av, bv = a[c], b[c]
         ak = np.issubdtype(av.dtype, np.floating) if av.dtype != object else False
         bk = np.issubdtype(bv.dtype, np.floating) if bv.dtype != object else False
+        # dtype-CLASS mismatch (float on one engine, integer on the other)
+        # fails the exact gate even when values are numerically equal: the
+        # driver's value hash is type-sensitive, and this is precisely the
+        # class that produced the r4 tile_pyramid FAIL (DuckDB sum(BIGINT)
+        # -> HUGEINT -> float64 vs Spark int64). Keep `close` so the report
+        # still shows the values agreed.
+        if ak != bk and (
+            (ak and np.issubdtype(bv.dtype, np.integer))
+            or (bk and np.issubdtype(av.dtype, np.integer))
+        ):
+            exact = False
         if ak or bk:
             x = pd.to_numeric(av, errors="coerce").astype(float).to_numpy()
             y = pd.to_numeric(bv, errors="coerce").astype(float).to_numpy()

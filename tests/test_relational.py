@@ -7696,10 +7696,14 @@ def test_anderson_darling_2s_matches_numpy(spark, sf_dir):
         dnum = float(a * n2 - b * n1)
         term = c * dnum * dnum / (float(h) * (N - h)) / (float(n1) * n2)
         acc += round(term * FP)
-    want = acc / FP / N * N / N
+    import math
+
+    # the summed fixed-point terms ARE the two-sample A2 (r4 ADVICE fix:
+    # no trailing /N); ~2.0 +- O(1) under H0, O(N) under strong separation
+    want = acc / FP
     row = relational.REGISTRY["anderson_darling_2s"].fn(spark, sf_dir).collect()[0]
     assert (row.n1, row.n2) == (n1, n2)
-    assert abs(row.ad_a2 - round(want, 6)) < 1e-9
+    assert row.ad_a2 == math.floor(want * 1e6 + 0.5) / 1e6
 
 
 def test_qte_deciles_matches_numpy(spark, sf_dir):
@@ -7792,12 +7796,16 @@ def test_seasonal_mann_kendall_matches_brute_force(spark, sf_dir):
     vals = y.to_numpy()
     s_total = 0
     v18 = 0
+    from collections import Counter
+
     for w in range(7):
         g = vals[dow == w]
         n = len(g)
         s_total += sum((1 if g[j] > g[i] else -1 if g[j] < g[i] else 0)
                        for i in range(n) for j in range(i + 1, n))
-        v18 += n * (n - 1) * (2 * n + 5)
+        # Hirsch-Slack within-season tie correction (r4 ADVICE fix)
+        tc = sum(t * (t - 1) * (2 * t + 5) for t in Counter(g.tolist()).values())
+        v18 += n * (n - 1) * (2 * n + 5) - tc
     var_s = v18 / 18.0
     if s_total > 0:
         z = (s_total - 1) / math.sqrt(var_s)
@@ -7807,8 +7815,8 @@ def test_seasonal_mann_kendall_matches_brute_force(spark, sf_dir):
         z = 0.0
     row = relational.REGISTRY["seasonal_mann_kendall"].fn(spark, sf_dir).collect()[0]
     assert row.s_total == s_total
-    assert abs(row.var_s - round(var_s, 6)) < 1e-9
-    assert abs(row.z - round(z, 6)) < 1e-9
+    assert row.var_s == math.floor(var_s * 1e6 + 0.5) / 1e6
+    assert row.z == math.floor(z * 1e6 + 0.5) / 1e6
 
 
 def test_chi2_residuals_matches_numpy(spark, sf_dir):
