@@ -448,12 +448,17 @@ def fire_rate_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.withColumn("event_time", ev)
         .withWatermark("event_time", WATERMARK)
         .groupBy(F.window("event_time", f"{WIN_SEC} seconds"), "tile_id")
-        .agg(F.count("*").alias("n_detections"), F.sum("FP_Power").alias("_frp"))
+        .agg(
+            F.count("*").alias("n_detections"),
+            # 1e-6 fixed point before the fold (exact at any accumulation
+            # order; see stream_sessions)
+            F.sum(F.round(F.col("FP_Power") * 1e6).cast("long")).alias("_frp6"),
+        )
         .select(
             F.unix_timestamp("window.start").alias("win_start"),
             "tile_id",
             F.col("n_detections").cast("long"),
-            F.round("_frp", 6).alias("total_frp"),
+            (F.col("_frp6").cast("double") / 1e6).alias("total_frp"),
         )
     )
     q = (
@@ -592,13 +597,21 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.session_window("event_time", f"{SESSION_GAP_SEC} seconds"),
             "tile_id",
         )
-        .agg(F.count("*").alias("n_detections"), F.sum("FP_Power").alias("_frp"))
+        .agg(
+            F.count("*").alias("n_detections"),
+            # per-row scale-0 round to 1e-6 fixed point BEFORE the fold:
+            # sum of longs is exact at any accumulation order on both
+            # engines, unlike sum(double) + round-at-end which is
+            # fold-order-dependent (r5 hazard-sweep fix; round(x, 0) is
+            # the cross-engine-safe rounding — see relational._rfloor)
+            F.sum(F.round(F.col("FP_Power") * 1e6).cast("long")).alias("_frp6"),
+        )
         .select(
             F.unix_timestamp("session_window.start").alias("sess_start"),
             F.unix_timestamp("session_window.end").alias("sess_end"),
             "tile_id",
             F.col("n_detections").cast("long"),
-            F.round("_frp", 6).alias("total_frp"),
+            (F.col("_frp6").cast("double") / 1e6).alias("total_frp"),
         )
     )
     q = (
@@ -888,7 +901,8 @@ def oracles() -> dict[str, str]:
     w AS (
       SELECT CAST(floor(ev / {WIN_SEC}) * {WIN_SEC} AS BIGINT) AS win_start, tile_id,
              CAST(count(*) AS BIGINT) AS n_detections,
-             round(sum(FP_Power), 6) AS total_frp
+             CAST(sum(CAST(round(FP_Power * 1000000.0) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS total_frp
       FROM ev GROUP BY win_start, tile_id
     )
     SELECT win_start, tile_id, n_detections, total_frp FROM w, mx
@@ -919,7 +933,8 @@ def oracles() -> dict[str, str]:
     ), mx AS (SELECT max(ev) AS m FROM ev),
     c AS (
       SELECT tile_id, ev, CAST(count(*) AS BIGINT) AS cnt,
-             sum(FP_Power) AS sfr
+             CAST(sum(CAST(round(FP_Power * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS sfr
       FROM ev GROUP BY tile_id, ev
     ),
     b AS (
@@ -943,7 +958,7 @@ def oracles() -> dict[str, str]:
              max(ev) + {SESSION_GAP_SEC} AS sess_end,
              tile_id,
              CAST(sum(cnt) AS BIGINT) AS n_detections,
-             round(sum(sfr), 6) AS total_frp
+             CAST(sum(sfr) AS DOUBLE) / 1000000.0 AS total_frp
       FROM g GROUP BY tile_id, sid
     )
     SELECT sess_start, sess_end, tile_id, n_detections, total_frp

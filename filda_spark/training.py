@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from filda_spark.functions import graph
 from filda_spark.functions import text as TX
 from filda_spark.functions import vectors as VX
-from filda_spark.relational import _persist_evict, _t, register
+from filda_spark.relational import _persist_evict, _rf_sql, _rfloor, _t, register
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -1117,11 +1117,11 @@ def _edit_distance_oracle_sql() -> str:
            CAST(levenshtein(substr(du.text, 1, {_ED_PREFIX}),
                             substr(dv.text, 1, {_ED_PREFIX})) AS BIGINT)
              AS lev,
-           round(1.0 - CAST(levenshtein(substr(du.text, 1, {_ED_PREFIX}),
+           {_rf_sql(f'''1.0 - CAST(levenshtein(substr(du.text, 1, {_ED_PREFIX}),
                                         substr(dv.text, 1, {_ED_PREFIX}))
                             AS DOUBLE)
                  / greatest(len(substr(du.text, 1, {_ED_PREFIX})),
-                            len(substr(dv.text, 1, {_ED_PREFIX}))), 6)
+                            len(substr(dv.text, 1, {_ED_PREFIX})))''', 6)}
              AS sim
     FROM pairs p
     JOIN documents du ON du.doc_id = p.u
@@ -1179,7 +1179,7 @@ def edit_distance_pairs(spark, sf_dir):
             "v",
             "n_shared",
             lev.cast("long").alias("lev"),
-            F.round(
+            _rfloor(
                 F.lit(1.0)
                 - lev.cast("double") / F.greatest(F.length(pu), F.length(pv)),
                 6,
@@ -1229,7 +1229,7 @@ def _pq_oracle_sql() -> str:
       SELECT v.vec_id, v.sub_id, c.code, {d2} AS d2
       FROM sv v JOIN cb c ON c.sub_id = v.sub_id
     )
-    SELECT vec_id, sub_id, code, round(d2, 6) AS d2
+    SELECT vec_id, sub_id, code, {_rf_sql('d2', 6)} AS d2
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY vec_id, sub_id ORDER BY d2, code) AS rk
@@ -1289,7 +1289,7 @@ def vector_quantize(spark, sf_dir):
     return (
         scored.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "sub_id", "code", F.round("d2", 6).alias("d2"))
+        .select("vec_id", "sub_id", "code", _rfloor(F.col("d2"), 6).alias("d2"))
     )
 
 
@@ -1389,8 +1389,8 @@ def _adc_oracle_sql() -> str:
     ),
     ad AS (
       SELECT codes.vec_id,
-             round(list_reduce(list(lut.lv ORDER BY codes.sub_id),
-                               (acc, x) -> acc + x), 6) AS adc_d2
+             {_rf_sql('''list_reduce(list(lut.lv ORDER BY codes.sub_id),
+                               (acc, x) -> acc + x)''', 6)} AS adc_d2
       FROM codes JOIN lut
         ON lut.sub_id = codes.sub_id AND lut.code = codes.code
       GROUP BY codes.vec_id
@@ -1465,7 +1465,7 @@ def ann_pq_search(spark, sf_dir):
         )
         .select(
             "vec_id",
-            F.round(
+            _rfloor(
                 F.expr(
                     "aggregate(slice(transform(a, s -> s.lv), 2, size(a) - 1), "
                     "element_at(transform(a, s -> s.lv), 1), (acc, x) -> acc + x)"
