@@ -23,6 +23,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from filda_spark import pipeline
+from filda_spark.relational import _rfloor
 from filda_spark.namelist import make_namelist
 
 CACHE_ROOT = os.environ.get("FILDA_FIRE_CACHE", "/tmp/filda_fire_corpus")
@@ -658,7 +659,10 @@ def ntl_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "x",
         "n_days",
-        *[F.round(c, 6).alias(c) for c in ("dnb_mean", "dnb_std", "gamma_alpha", "gamma_beta")],
+        *[
+            _rfloor(F.col(c), 6).alias(c)
+            for c in ("dnb_mean", "dnb_std", "gamma_alpha", "gamma_beta")
+        ],
     )
 
 
@@ -853,9 +857,9 @@ def oracles() -> dict[str, str]:
       FROM w GROUP BY tile, y, x
     )
     SELECT tile, y, x, CAST(n_days AS BIGINT) AS n_days,
-           round(m, 6) AS dnb_mean, round(s, 6) AS dnb_std,
-           round((1 + sqrt(1 + 4*(ln(m)-ml)/3)) / (4*(ln(m)-ml)), 6) AS gamma_alpha,
-           round(m / ((1 + sqrt(1 + 4*(ln(m)-ml)/3)) / (4*(ln(m)-ml))), 6) AS gamma_beta
+           floor(CAST((m) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dnb_mean, floor(CAST((s) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dnb_std,
+           floor(CAST(((1 + sqrt(1 + 4*(ln(m)-ml)/3)) / (4*(ln(m)-ml))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gamma_alpha,
+           floor(CAST((m / ((1 + sqrt(1 + 4*(ln(m)-ml)/3)) / (4*(ln(m)-ml)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gamma_beta
     FROM g WHERE n_days >= (CASE WHEN {vid} < {ntl.HIGH_LAT_VID_MAX} THEN {h_min} ELSE {n_min} END)
     """
     hs = _hotspot_stream_dir()

@@ -162,7 +162,7 @@ GRAM_DF_CAP = 100
       GROUP BY doc_a, doc_b
     )
     SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           floor(CAST((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
     """,
@@ -198,7 +198,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= 0.4)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", _rfloor(jac, 6).alias("jaccard"))
     )
 
 
@@ -213,7 +213,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST({TX.token_count_sql("text")} AS INT) AS n_tokens,
            {TX.lang_id_sql("' ' || text || ' '")} AS lang_pred,
-           round({TX.quality_score_sql("text")}, 6) AS quality
+           floor(CAST(({TX.quality_score_sql("text")}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS quality
     FROM documents
     """,
     doc="token count + language-ID heuristic + quality composite per document",
@@ -225,7 +225,7 @@ def text_analysis(spark, sf_dir):
         "doc_id",
         TX.token_count(F.col("text")).cast("int").alias("n_tokens"),
         TX.lang_id(padded).alias("lang_pred"),
-        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+        _rfloor(TX.quality_score(F.col("text")), 6).alias("quality"),
     )
 
 
@@ -293,7 +293,7 @@ def sample_stratified(spark, sf_dir):
     ), n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+             floor(CAST((tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS tfidf
       FROM tf JOIN df USING (term) CROSS JOIN n
     )
     SELECT doc_id, term, tfidf FROM (
@@ -328,7 +328,7 @@ def tfidf_topterms(spark, sf_dir):
         .select(
             "doc_id",
             "term",
-            F.round(
+            _rfloor(
                 F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
             ).alias("tfidf"),
         )
@@ -381,11 +381,11 @@ _COS_SQL = (
       FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
     ), ranked AS (
       SELECT query_id, cand_id, cos,
-             row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, cand_id) AS rk
+             row_number() OVER (PARTITION BY query_id ORDER BY floor(CAST((cos) AS DOUBLE) * 1e9 + 0.5) / 1e9 DESC, cand_id) AS rk
       FROM scored
     )
     SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
-           CAST(rk AS BIGINT) AS rk, round(cos, 6) AS cos
+           CAST(rk AS BIGINT) AS rk, floor(CAST((cos) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cos
     FROM ranked WHERE rk <= {TOP_K}
     """,
     doc="brute-force cosine top-k ANN baseline (explicit small-scale oracle; rank on rounded cos)",
@@ -404,11 +404,11 @@ def ann_topk_bruteforce(spark, sf_dir):
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cos.alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 9).desc(), F.col("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(_rfloor(F.col("cos"), 9).desc(), F.col("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", F.col("rk").cast("long"), F.round("cos", 6).alias("cos"))
+        .select("query_id", "cand_id", F.col("rk").cast("long"), _rfloor("cos", 6).alias("cos"))
     )
 
 
@@ -481,11 +481,11 @@ def _cap_buckets(b):
       GROUP BY query_id, cand_id
     ), ranked AS (
       SELECT query_id, cand_id, cos,
-             row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, cand_id) AS rk
+             row_number() OVER (PARTITION BY query_id ORDER BY floor(CAST((cos) AS DOUBLE) * 1e9 + 0.5) / 1e9 DESC, cand_id) AS rk
       FROM scored
     )
     SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
-           CAST(rk AS BIGINT) AS rk, round(cos, 6) AS cos
+           CAST(rk AS BIGINT) AS rk, floor(CAST((cos) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cos
     FROM ranked WHERE rk <= {TOP_K}
     """,
     doc="multi-table hyperplane-LSH ANN: per-table bucket equi-joins with per-bucket size cap, candidate union, exact rerank",
@@ -507,11 +507,11 @@ def ann_lsh_bucketed(spark, sf_dir):
         .groupBy("query_id", "cand_id")
         .agg(F.min(cos).alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 9).desc(), F.col("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(_rfloor(F.col("cos"), 9).desc(), F.col("cand_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", F.col("rk").cast("long"), F.round("cos", 6).alias("cos"))
+        .select("query_id", "cand_id", F.col("rk").cast("long"), _rfloor("cos", 6).alias("cos"))
     )
 
 
@@ -566,11 +566,11 @@ _IVF_RANKED_SQL = f"""scored AS (
     ),
     rk AS (
       SELECT query_id, cand_id, cos,
-             row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, cand_id) AS rk
+             row_number() OVER (PARTITION BY query_id ORDER BY floor(CAST((cos) AS DOUBLE) * 1e9 + 0.5) / 1e9 DESC, cand_id) AS rk
       FROM pairs
     )
     SELECT CAST(query_id AS BIGINT) AS query_id, CAST(cand_id AS BIGINT) AS cand_id,
-           CAST(rk AS BIGINT) AS rk, round(cos, 6) AS cos
+           CAST(rk AS BIGINT) AS rk, floor(CAST((cos) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cos
     FROM rk WHERE rk <= {TOP_K}
     """,
     doc="IVF-Flat ANN: inverted lists on a fixed coarse quantizer, nprobe probing, exact rerank",
@@ -603,11 +603,11 @@ def ann_ivf_topk(spark, sf_dir):
         .filter(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cos.alias("cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 9).desc(), F.col("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(_rfloor(F.col("cos"), 9).desc(), F.col("cand_id"))
     return (
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", F.col("rk").cast("long"), F.round("cos", 6).alias("cos"))
+        .select("query_id", "cand_id", F.col("rk").cast("long"), _rfloor("cos", 6).alias("cos"))
     )
 
 
@@ -651,7 +651,7 @@ def _augmented_embeddings(e):
       GROUP BY vec_a, vec_b
     )
     SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
-           round(cos, 6) AS cos
+           floor(CAST((cos) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cos
     FROM pairs WHERE cos >= 0.95
     """,
     doc="embedding-cosine near-dup pairs within capped multi-table LSH buckets (threshold 0.95, seeded near-dups)",
@@ -682,7 +682,7 @@ def embedding_neardup(spark, sf_dir):
         .join(eb, "vec_b")
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= 0.95)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
+        .select("vec_a", "vec_b", _rfloor("cos_raw", 6).alias("cos"))
     )
 
 
@@ -754,7 +754,7 @@ def dup_components(spark, sf_dir):
     WITH RECURSIVE {_CC_CTES},
     scored AS (
       SELECT c.doc_id, c.component,
-             round({TX.quality_score_sql("d.text")}, 6) AS quality
+             floor(CAST(({TX.quality_score_sql("d.text")}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS quality
       FROM comp c JOIN documents d ON CAST(d.doc_id AS BIGINT) = c.doc_id
     )
     SELECT doc_id, component, quality,
@@ -776,7 +776,7 @@ def dedup_keep_best(spark, sf_dir):
     comp = dup_components(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+        _rfloor(TX.quality_score(F.col("text")), 6).alias("quality"),
     )
     w = Window.partitionBy("component").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
@@ -913,8 +913,8 @@ _MIX_ALPHA = 0.3  # sampling temperature (multilingual-LM style)
       FROM g
     )
     SELECT source, lang, n_docs, n_tokens,
-           round(CAST(n_tokens AS DOUBLE) / tot, 6) AS p_raw,
-           round(pow(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA!r}) / z, 6)
+           floor(CAST((CAST(n_tokens AS DOUBLE) / tot) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p_raw,
+           floor(CAST((pow(CAST(n_tokens AS DOUBLE), {_MIX_ALPHA!r}) / z) AS DOUBLE) * 1e6 + 0.5) / 1e6
              AS mix_weight
     FROM g CROSS JOIN t
     """,
@@ -947,8 +947,8 @@ def domain_mix_weights(spark, sf_dir):
         "lang",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.col("tot"), 6).alias("p_raw"),
-        F.round(
+        _rfloor(F.col("n_tokens").cast("double") / F.col("tot"), 6).alias("p_raw"),
+        _rfloor(
             F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA)) / F.col("z"), 6
         ).alias("mix_weight"),
     )
@@ -1003,9 +1003,9 @@ def _bm25_oracle_sql() -> str:
       GROUP BY tf.doc_id
     )
     SELECT doc_id, bm25, rk FROM (
-      SELECT doc_id, round(score, 6) AS bm25,
+      SELECT doc_id, floor(CAST((score) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS bm25,
              CAST(row_number() OVER (
-               ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rk
+               ORDER BY floor(CAST((score) AS DOUBLE) * 1e6 + 0.5) / 1e6 DESC, doc_id) AS BIGINT) AS rk
       FROM scored
     ) WHERE rk <= {_BM25_TOPK}
     """
@@ -1070,7 +1070,7 @@ def bm25_score(spark, sf_dir):
         .agg(F.sum(idf * tf_term).alias("score"))
     )
     top = (
-        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        scored.select("doc_id", _rfloor("score", 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
@@ -1314,8 +1314,8 @@ _RRF_N = 50  # per-list depth
     ),
     r1 AS (SELECT doc_id, rk AS r_bm25 FROM b)
     SELECT coalesce(r1.doc_id, tl.doc_id) AS doc_id, r1.r_bm25, tl.r_len,
-           round(coalesce(CAST(1 AS DOUBLE) / ({_RRF_C} + r1.r_bm25), 0.0)
-                 + coalesce(CAST(1 AS DOUBLE) / ({_RRF_C} + tl.r_len), 0.0), 6)
+           floor(CAST((coalesce(CAST(1 AS DOUBLE) / ({_RRF_C} + r1.r_bm25), 0.0)
+                 + coalesce(CAST(1 AS DOUBLE) / ({_RRF_C} + tl.r_len), 0.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6
              AS rrf
     FROM r1 FULL OUTER JOIN tl ON tl.doc_id = r1.doc_id
     """,
@@ -1353,7 +1353,7 @@ def rrf_fusion(spark, sf_dir):
     rrf = F.coalesce(
         F.lit(1.0).cast("double") / (_RRF_C + F.col("r_bm25")), F.lit(0.0)
     ) + F.coalesce(F.lit(1.0).cast("double") / (_RRF_C + F.col("r_len")), F.lit(0.0))
-    return f.select("doc_id", "r_bm25", "r_len", F.round(rrf, 6).alias("rrf"))
+    return f.select("doc_id", "r_bm25", "r_len", _rfloor(rrf, 6).alias("rrf"))
 
 
 # ---------------------------------------------------------------------------
@@ -1504,7 +1504,7 @@ def ann_pq_search(spark, sf_dir):
     ),
     rt AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS row_n FROM cm GROUP BY 1)
     SELECT cm.lang_true, cm.lang_pred, cm.n,
-           round(CAST(cm.n AS DOUBLE) / rt.row_n, 6) AS recall_share,
+           floor(CAST((CAST(cm.n AS DOUBLE) / rt.row_n) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall_share,
            CAST(cm.lang_true = cm.lang_pred AS INT) AS is_correct
     FROM cm JOIN rt ON rt.lang_true = cm.lang_true
     """,
@@ -1534,7 +1534,7 @@ def langid_confusion(spark, sf_dir):
         "lang_true",
         "lang_pred",
         "n",
-        F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias(
+        _rfloor(F.col("n").cast("double") / F.col("row_n"), 6).alias(
             "recall_share"
         ),
         (F.col("lang_true") == F.col("lang_pred")).cast("int").alias("is_correct"),
