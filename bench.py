@@ -345,6 +345,9 @@ HEADLINE = [
     # streaming entries are correctness-gated (sf0.01 oracle parity) but NOT
     # benchmarked — the per-file micro-batch fixture replays ~100 sequential
     # triggers at bench geometry, measuring the harness, not the operator
+    # round-5 additions
+    "semdedup_prune",
+    "quadkey_encode",
 ]
 
 

@@ -1539,3 +1539,119 @@ def langid_confusion(spark, sf_dir):
         ),
         (F.col("lang_true") == F.col("lang_pred")).cast("int").alias("is_correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup pruning inside embedding clusters
+# ---------------------------------------------------------------------------
+
+# Abbas et al. 2023 (public method): cluster the embedding space, then
+# within each cluster drop all but one member of every epsilon-ball
+# (cosine >= tau). The engine reuses the IVF coarse quantizer as the
+# clustering (the SemDeDup paper's k-means step; K scales as N / target
+# cluster size at a real corpus, which bounds the within-cluster pairwise
+# cost — the same anti-quadratic argument as the LSH bucket caps). Keep
+# rule: a vector survives iff no SMALLER vec_id in its cluster is within
+# tau — the deterministic greedy keep-first SemDeDup uses.
+_SD_TAU = 0.95  # same threshold as embedding_neardup's seeded near-dups
+
+
+@register(
+    "semdedup_prune",
+    f"""
+    WITH {_AUG_SQL},
+    scored AS (
+      SELECT vec_id, embedding, u.cent AS cent, u.score AS score
+      FROM aug, UNNEST([{", ".join(
+          "{'cent': %d, 'score': %s}" % (j, _ivf_score_sql(j)) for j in range(K_CENTROIDS)
+      )}]) AS t(u)
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, cent,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cent) AS crk
+      FROM scored
+    ),
+    cl AS (SELECT vec_id, embedding, cent FROM ranked WHERE crk = 1),
+    sim AS (
+      SELECT a.vec_id AS va, c.vec_id AS vb,
+             {_COS_SQL.replace("q.", "a.")} AS cos
+      FROM cl a JOIN cl c ON a.cent = c.cent AND a.vec_id < c.vec_id
+    ),
+    hit AS (SELECT va, vb FROM sim WHERE cos >= {_SD_TAU!r}),
+    nbr AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_sim
+      FROM (SELECT va AS v FROM hit UNION ALL SELECT vb FROM hit)
+      GROUP BY v
+    ),
+    earlier AS (SELECT DISTINCT vb AS v FROM hit)
+    SELECT CAST(cl.vec_id AS BIGINT) AS vec_id,
+           CAST(cl.cent AS INT) AS cluster,
+           CAST(coalesce(nbr.n_sim, 0) AS BIGINT) AS n_sim,
+           (earlier.v IS NULL) AS kept
+    FROM cl
+    LEFT JOIN nbr ON nbr.v = cl.vec_id
+    LEFT JOIN earlier ON earlier.v = cl.vec_id
+    """,
+    doc=(
+        "SemDeDup semantic dedup: IVF-coarse-quantizer clusters, "
+        f"within-cluster cosine >= {_SD_TAU} epsilon-balls, keep-lowest-id "
+        "pruning — the embedding-space sibling of minhash (text) / "
+        "phash (images) / winnowing (verify) completing the dedup "
+        "matrix; cluster-bounded pairwise, never all-pairs"
+    ),
+)
+def semdedup_prune(spark, sf_dir):
+    """Cluster assignment is the SAME broadcast-codebook argmax the IVF
+    scan uses (one Arrow batch pass); the within-cluster self-join is an
+    equi-join on the cluster key, so pair cost is sum over clusters of
+    |c|^2 — bounded by construction when K tracks N. The 64-dim cosine is
+    a fixed-order fold identical on both engines (the PQ discipline), so
+    the tau predicate cannot disagree; the keep rule needs only the
+    'some earlier neighbor exists' bit, an O(pairs) projection."""
+    global _IVF_ASSIGN_UDF
+    if _IVF_ASSIGN_UDF is None:
+        _IVF_ASSIGN_UDF = VX.ivf_assign_udf(DIM, K_CENTROIDS, NPROBE)
+    e = _augmented_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.element_at(_IVF_ASSIGN_UDF("embedding"), 1).alias("cent"),
+    )
+    e = _persist_evict(e)
+    a = e.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("a_emb"), "cent"
+    )
+    c = e.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("b_emb"), "cent"
+    )
+    cos = VX.dot(F.col("a_emb"), F.col("b_emb")) / (
+        VX.norm(F.col("a_emb")) * VX.norm(F.col("b_emb"))
+    )
+    hit = (
+        a.join(c, "cent")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cos >= _SD_TAU)
+        .select("va", "vb")
+    )
+    hit = _persist_evict(hit)
+    nbr = (
+        hit.select(F.col("va").alias("v"))
+        .unionByName(hit.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sim"))
+    )
+    earlier = hit.select(F.col("vb").alias("v")).distinct().withColumn(
+        "_e", F.lit(1)
+    )
+    return (
+        e.select("vec_id", F.col("cent").cast("int").alias("cluster"))
+        .join(nbr, F.col("v") == F.col("vec_id"), "left")
+        .drop("v")
+        .join(earlier, F.col("v") == F.col("vec_id"), "left")
+        .drop("v")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("n_sim", F.lit(0)).cast("long").alias("n_sim"),
+            F.col("_e").isNull().alias("kept"),
+        )
+    )

@@ -7907,3 +7907,84 @@ def test_quantile_shape_matches_numpy(spark, sf_dir):
     assert (row.q1, row.median, row.q3) == (e[2], e[4], e[6])
     assert abs(row.bowley_skew - round(bow, 6)) < 1e-9
     assert abs(row.moors_kurtosis - round(moors, 6)) < 1e-9
+
+
+def test_semdedup_prune_matches_numpy(spark, sf_dir):
+    """Brute-force replica: assign each embedding to its argmax-cosine
+    IVF centroid (ties to smallest id, NumPy mirror of the broadcast
+    codebook), mark a vector pruned iff a smaller-id same-cluster vector
+    is within tau, and compare kept flags + neighbor counts row for row.
+    Also pins non-vacuity: the seeded near-dups must actually prune."""
+    import numpy as np
+
+    from filda_spark import training
+
+    # the op runs over the AUGMENTED view (base + seeded near-dup copies);
+    # pull the same frame through the Spark helper so the replica cannot
+    # drift from the augmentation definition
+    emb = (
+        training._augmented_embeddings(
+            relational._t(spark, sf_dir, "embeddings")
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    cents = X[np.argsort(ids)[: training.K_CENTROIDS]]
+    Xi = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Ci = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    score = Xi @ Ci.T
+    # argmax with ties to the SMALLEST centroid id (engine order-by
+    # score DESC, cent ASC)
+    assign = np.argmax(np.round(score, 12), axis=1)
+    want_kept, want_nsim = {}, {}
+    for cid in range(training.K_CENTROIDS):
+        members = ids[assign == cid]
+        members.sort()
+        M = Xi[np.isin(ids, members)]
+        mids = ids[np.isin(ids, members)]
+        order = np.argsort(mids)
+        M, mids = M[order], mids[order]
+        C = M @ M.T
+        for i, v in enumerate(mids):
+            close = [
+                j
+                for j in range(len(mids))
+                if j != i and C[i, j] >= training._SD_TAU
+            ]
+            want_nsim[int(v)] = len(close)
+            want_kept[int(v)] = not any(mids[j] < v for j in close)
+    got = {
+        r.vec_id: r
+        for r in relational.REGISTRY["semdedup_prune"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(ids)
+    mismatch_kept = [v for v in got if got[v].kept != want_kept[v]]
+    mismatch_n = [v for v in got if got[v].n_sim != want_nsim[v]]
+    # cosines on the tau boundary could flip between float32-normalized
+    # numpy and the engine's double pipeline; the corpus seeds dups well
+    # inside the boundary, so demand exact agreement
+    assert not mismatch_kept, mismatch_kept[:5]
+    assert not mismatch_n, mismatch_n[:5]
+    # non-vacuity: seeded near-dups produce pruned rows
+    assert sum(1 for v in got if not got[v].kept) >= 1
+
+
+def test_quadkey_prefix_property(spark, sf_dir):
+    """qk6 must equal the first six characters of qk12 for every row (the
+    quadkey containment property), digits must be base-4, and the tile
+    coords must round-trip from the digits."""
+    rows = relational.REGISTRY["quadkey_encode"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:2000]:
+        assert len(r.qk12) == relational._QK_Z
+        assert len(r.qk6) == relational._QK_PARENT_Z
+        assert r.qk12[: relational._QK_PARENT_Z] == r.qk6
+        tx = ty = 0
+        for ch in r.qk12:
+            d = int(ch)
+            assert 0 <= d <= 3
+            tx = (tx << 1) | (d & 1)
+            ty = (ty << 1) | (d >> 1)
+        assert (tx, ty) == (r.tx, r.ty)
