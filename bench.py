@@ -348,6 +348,7 @@ HEADLINE = [
     # round-5 additions
     "semdedup_prune",
     "quadkey_encode",
+    "containment_dedup",
 ]
 
 

@@ -1655,3 +1655,112 @@ def semdedup_prune(spark, sf_dir):
             F.col("_e").isNull().alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (asymmetric near-dup: small doc quoted inside big doc)
+# ---------------------------------------------------------------------------
+
+# Jaccard misses inclusion: a 50-gram document fully quoted inside a
+# 5000-gram one scores i/(50+5000-i) ~ 0.01. Broder's CONTAINMENT
+# c(A,B) = |grams(A) n grams(B)| / |grams(A)| scores it 1.0 from A's
+# side. Same capped gram equi-join as ngram_jaccard_pairs (anti-quadratic
+# by the gram document-frequency cap); each unordered pair emits once with
+# both directed containments and the direction that maximizes them.
+_CT_THRESH = 0.6
+
+
+@register(
+    "containment_dedup",
+    f"""
+    WITH grams0 AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+                     generate_subscripts(string_split(text,' '), 1) AS pos
+              FROM documents)
+      ) WHERE g IS NOT NULL
+    ),
+    kept AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= {GRAM_DF_CAP}),
+    grams AS (SELECT g0.* FROM grams0 g0 JOIN kept USING (g)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, i,
+           sa.n AS n_a, sb.n AS n_b,
+           floor(CAST((CAST(i AS DOUBLE) / sa.n) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS containment_a,
+           floor(CAST((CAST(i AS DOUBLE) / sb.n) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS containment_b,
+           CASE WHEN sa.n <= sb.n THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(CAST(i AS DOUBLE) / sa.n, CAST(i AS DOUBLE) / sb.n)
+          >= {_CT_THRESH!r}
+    """,
+    doc=(
+        f"asymmetric containment near-dup: Broder c(A,B) = |A n B| / |A| "
+        f"over capped word-bigram sets, pairs where either direction >= "
+        f"{_CT_THRESH} — catches the quoted-inside / superset-document "
+        "case Jaccard structurally under-scores (i/(na+nb-i) vanishes "
+        "when sizes differ); same DF-capped gram equi-join cost as "
+        "ngram_jaccard_pairs, never all-pairs"
+    ),
+)
+def containment_dedup(spark, sf_dir):
+    """Reuses the exact gram pipeline of ngram_jaccard_pairs (one gram
+    equi-join bounded by the DF cap); containment adds only the two
+    integer divisions and the direction CASE, so the plan shape — and the
+    anti-quadratic argument — is unchanged."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("g"),
+    ).distinct()
+    kept = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= GRAM_DF_CAP)
+        .drop("_df")
+    )
+    grams = _persist_evict(grams.join(kept, "g", "left_semi"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    ca = F.col("i").cast("double") / F.col("n_a")
+    cb = F.col("i").cast("double") / F.col("n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(ca, cb) >= _CT_THRESH)
+        .select(
+            "doc_a",
+            "doc_b",
+            "i",
+            "n_a",
+            "n_b",
+            _rfloor(ca, 6).alias("containment_a"),
+            _rfloor(cb, 6).alias("containment_b"),
+            F.when(F.col("n_a") <= F.col("n_b"), "a_in_b")
+            .otherwise("b_in_a")
+            .alias("direction"),
+        )
+    )

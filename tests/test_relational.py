@@ -7988,3 +7988,55 @@ def test_quadkey_prefix_property(spark, sf_dir):
             tx = (tx << 1) | (d & 1)
             ty = (ty << 1) | (d >> 1)
         assert (tx, ty) == (r.tx, r.ty)
+
+
+def test_containment_dedup_matches_brute_force(spark, sf_dir):
+    """Python replica over the same DF-capped word-bigram sets: directed
+    containments and the direction tag must match per pair, and the op
+    must be non-vacuous on the corpus's near-dup cliques."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from filda_spark import training
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    gsets = {}
+    df_count = Counter()
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        gs = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+        gsets[r.doc_id] = gs
+        for g in gs:
+            df_count[g] += 1
+    hot = {g for g, c in df_count.items() if c > training.GRAM_DF_CAP}
+    gsets = {d: gs - hot for d, gs in gsets.items()}
+    want = {}
+    by_gram = {}
+    for d, gs in gsets.items():
+        for g in gs:
+            by_gram.setdefault(g, []).append(d)
+    pair_i = Counter()
+    for g, ds in by_gram.items():
+        ds = sorted(ds)
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                pair_i[(ds[x], ds[y])] += 1
+    for (a, b), i in pair_i.items():
+        na, nb = len(gsets[a]), len(gsets[b])
+        if max(i / na, i / nb) >= training._CT_THRESH:
+            want[(a, b)] = (i, na, nb)
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in relational.REGISTRY["containment_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want), (set(got) ^ set(want))
+    assert got, "vacuous: no containment pairs on the seeded corpus"
+    import math
+
+    for (a, b), (i, na, nb) in want.items():
+        r = got[(a, b)]
+        assert (r.i, r.n_a, r.n_b) == (i, na, nb)
+        assert r.containment_a == math.floor(i / na * 1e6 + 0.5) / 1e6
+        assert r.containment_b == math.floor(i / nb * 1e6 + 0.5) / 1e6
+        assert r.direction == ("a_in_b" if na <= nb else "b_in_a")
