@@ -349,6 +349,7 @@ HEADLINE = [
     "semdedup_prune",
     "quadkey_encode",
     "containment_dedup",
+    "substring_dup_coverage",
 ]
 
 

@@ -1764,3 +1764,113 @@ def containment_dedup(spark, sf_dir):
             .alias("direction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication coverage (Lee et al. 2022 signal)
+# ---------------------------------------------------------------------------
+
+# "Deduplicating Training Data Makes Language Models Better" removes exact
+# token substrings of length >= L that appear more than once in the corpus
+# (suffix-array method; public). The distributed signal: a token is
+# DUPLICATED if some L-token window containing it also occurs in ANOTHER
+# document; per-doc coverage = duplicated tokens / tokens. Gram stream ->
+# one group-by-gram (the contamination_check cost class) -> position
+# fan-out bounded by L per repeated window.
+_SSD_L = 8  # window length in tokens (docs here are 10..99 tokens)
+
+
+@register(
+    "substring_dup_coverage",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(ws) AS w,
+             CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos,
+             CAST(len(ws) AS BIGINT) AS n_tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    grams AS (
+      SELECT doc_id, pos, n_tok,
+             w {"".join(f"|| ' ' || lead(w, {k}) OVER (PARTITION BY doc_id ORDER BY pos)" for k in range(1, _SSD_L))} AS g
+      FROM toks
+    ),
+    gv AS (SELECT doc_id, pos, n_tok, g FROM grams WHERE g IS NOT NULL),
+    rep AS (
+      SELECT g FROM gv GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cover AS (
+      SELECT DISTINCT gv.doc_id, gv.pos + u.o AS cp
+      FROM gv JOIN rep USING (g),
+           UNNEST(range(0, {_SSD_L})) AS u(o)
+    ),
+    cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov FROM cover GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id)
+    SELECT base.doc_id, base.n_tok,
+           CAST(coalesce(cov.n_cov, 0) AS BIGINT) AS n_dup_tok,
+           floor(CAST((CAST(coalesce(cov.n_cov, 0) AS DOUBLE)
+                 / CAST(base.n_tok AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS dup_frac
+    FROM base LEFT JOIN cov ON cov.doc_id = base.doc_id
+    """,
+    doc=(
+        f"exact-substring duplication coverage: fraction of each "
+        f"document's tokens inside some {_SSD_L}-token window that occurs "
+        "verbatim in ANOTHER document — the per-doc signal of Lee et "
+        "al.'s exact-substring dedup (the suffix-array family member the "
+        "fingerprinting ops approximate); one group-by-gram shuffle, "
+        "position fan-out bounded by L"
+    ),
+)
+def substring_dup_coverage(spark, sf_dir):
+    """Windows come from one per-doc sort window (L-1 leads concatenated);
+    the only data-sized shuffle is the gram groupBy (count distinct docs
+    >= 2); coverage positions are an L-wide constant fan-out over
+    REPEATED windows only — at a deduplicated-ish corpus that frame is a
+    small fraction of the token stream."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    toks = d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tok"),
+        F.posexplode("ws").alias("pos0", "w"),
+    ).select(
+        "doc_id", "n_tok", (F.col("pos0") + 1).alias("pos"), "w"
+    )
+    wdw = Window.partitionBy("doc_id").orderBy("pos")
+    g = F.col("w")
+    for k in range(1, _SSD_L):
+        g = F.concat(g, F.lit(" "), F.lead("w", k).over(wdw))
+    gv = (
+        toks.select("doc_id", "pos", "n_tok", g.alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    gv = _persist_evict(gv)
+    rep = (
+        gv.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("g")
+    )
+    cover = (
+        gv.join(rep, "g", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_SSD_L - 1))).alias("o"),
+            "pos",
+        )
+        .select("doc_id", (F.col("pos") + F.col("o")).alias("cp"))
+        .distinct()
+    )
+    cov = cover.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_cov"))
+    base = toks.groupBy("doc_id").agg(F.max("n_tok").cast("long").alias("n_tok"))
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_cov", F.lit(0)).cast("long").alias("n_dup_tok"),
+        _rfloor(
+            F.coalesce("n_cov", F.lit(0)).cast("double")
+            / F.col("n_tok").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

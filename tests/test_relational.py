@@ -8040,3 +8040,46 @@ def test_containment_dedup_matches_brute_force(spark, sf_dir):
         assert r.containment_a == math.floor(i / na * 1e6 + 0.5) / 1e6
         assert r.containment_b == math.floor(i / nb * 1e6 + 0.5) / 1e6
         assert r.direction == ("a_in_b" if na <= nb else "b_in_a")
+
+
+def test_substring_dup_coverage_matches_brute_force(spark, sf_dir):
+    """Python replica of the Lee-et-al. coverage signal: every L-token
+    window occurring in >= 2 documents marks its L positions covered;
+    per-doc coverage counts and fractions must match exactly, and the
+    seeded near-dup docs must show nonzero coverage (non-vacuity)."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from filda_spark import training
+
+    L = training._SSD_L
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    by_gram = defaultdict(set)
+    toks = {}
+    for r in docs.itertuples():
+        ws = r.text.split(" ")
+        toks[r.doc_id] = ws
+        for p in range(len(ws) - L + 1):
+            by_gram[" ".join(ws[p : p + L])].add(r.doc_id)
+    rep = {g for g, ds in by_gram.items() if len(ds) >= 2}
+    want = {}
+    for d, ws in toks.items():
+        cov = set()
+        for p in range(len(ws) - L + 1):
+            if " ".join(ws[p : p + L]) in rep:
+                cov.update(range(p, p + L))
+        want[d] = (len(ws), len(cov))
+    got = {
+        r.doc_id: r
+        for r in relational.REGISTRY["substring_dup_coverage"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for d, (n_tok, n_cov) in want.items():
+        r = got[d]
+        assert (r.n_tok, r.n_dup_tok) == (n_tok, n_cov), d
+        assert r.dup_frac == math.floor(n_cov / n_tok * 1e6 + 0.5) / 1e6
+    assert any(r.n_dup_tok > 0 for r in got.values()), "vacuous coverage"
